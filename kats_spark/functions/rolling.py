@@ -1,0 +1,98 @@
+"""Rolling-statistics anomaly scores as window expressions.
+
+Parity with kats/detectors/rolling_stats_model.py (enum :40-66, score
+functions :58-187, model :188): each score compares a point against its own
+trailing window.  The reference loops a pandas ``.rolling`` over one series;
+here every score is a Spark window expression evaluated for *all* series and
+*all* points in one pass — no UDF, one shuffle on series_id.
+
+Scores:
+- ``z_score``: (x - mean_w) / std_w
+- ``iqr_score``: (x - median_w) / (q75_w - q25_w)
+- ``mad_score``: (x - median_w) / MAD_w   (MAD = median(|x - median|))
+- ``modified_z_score_mad``: 0.6745 * (x - median_w) / MAD_w
+- ``iqr_median_deviation``: (x - median_w) / median_w
+
+Exact percentiles (``F.percentile``) are used so results hash-match the
+DuckDB oracle; at 100 TB swap to ``percentile_approx`` (same plan shape,
+documented knob).  MAD needs re-centering inside each frame, which no SQL
+window aggregate expresses directly — we collect the trailing window as an
+array (bounded: window length n) and evaluate the nested median with
+higher-order array functions, still JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kats_spark.tsframe import TSSchema, DEFAULT
+
+
+def trailing_window(s: TSSchema, n: int, include_current: bool = False):
+    """rows [-n, -1] (score point excluded, reference's point_based=False)
+    or [-n+1, 0] when the current point is part of the window."""
+    if include_current:
+        return s.w().rowsBetween(-(n - 1), 0)
+    return s.w().rowsBetween(-n, -1)
+
+
+def rolling_mean(n: int, s: TSSchema = DEFAULT, include_current: bool = False) -> Column:
+    return F.avg(s.value).over(trailing_window(s, n, include_current))
+
+
+def rolling_std(n: int, s: TSSchema = DEFAULT, include_current: bool = False) -> Column:
+    return F.stddev_samp(s.value).over(trailing_window(s, n, include_current))
+
+
+def z_score(n: int, s: TSSchema = DEFAULT) -> Column:
+    """(x - rolling_mean) / rolling_std (rolling_stats_model.py:58-90)."""
+    return (F.col(s.value) - rolling_mean(n, s)) / rolling_std(n, s)
+
+
+def _exact_pct(col: str, p: float, w) -> Column:
+    return F.percentile(F.col(col), F.lit(p)).over(w)
+
+
+def iqr_score(n: int, s: TSSchema = DEFAULT) -> Column:
+    """(x - median) / IQR over the trailing window
+    (rolling_stats_model.py iqr variant)."""
+    w = trailing_window(s, n)
+    med = _exact_pct(s.value, 0.5, w)
+    iqr = _exact_pct(s.value, 0.75, w) - _exact_pct(s.value, 0.25, w)
+    return (F.col(s.value) - med) / iqr
+
+
+def iqr_median_deviation(n: int, s: TSSchema = DEFAULT) -> Column:
+    """(x - median) / median (rolling_stats_model.py iqr_median_deviation)."""
+    w = trailing_window(s, n)
+    med = _exact_pct(s.value, 0.5, w)
+    return (F.col(s.value) - med) / med
+
+
+def _array_median(arr: Column) -> Column:
+    """Exact median of an array column via sort + midpoint — higher-order
+    expressions only, evaluated JVM-side per row (array length = window n,
+    bounded and small)."""
+    a = F.array_sort(arr)
+    n = F.size(a)
+    mid = (n / 2).cast("int")
+    odd = F.element_at(a, mid + 1)
+    even = (F.element_at(a, F.greatest(mid, F.lit(1))) + F.element_at(a, mid + 1)) / 2.0
+    return (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, odd)
+        .otherwise(even)
+    )
+
+
+def mad_score(n: int, s: TSSchema = DEFAULT, modified: bool = False) -> Column:
+    """(x - median) / MAD; modified z multiplies by 0.6745
+    (rolling_stats_model.py mad / modified z variants)."""
+    w = trailing_window(s, n)
+    arr = F.collect_list(F.col(s.value)).over(w)
+    med = _array_median(arr)
+    abs_dev = F.transform(arr, lambda v: F.abs(v - med))
+    mad = _array_median(abs_dev)
+    score = (F.col(s.value) - med) / mad
+    return score * 0.6745 if modified else score

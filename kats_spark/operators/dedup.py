@@ -1,0 +1,188 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard — the
+standard corpus-dedup stack, built Spark-first:
+
+- exact: hash-groupBy on a normalized fingerprint, keep min(doc_id) —
+  one shuffle, map-side partial agg.
+- minhash_lsh: shingle → minhash signature (one xxhash64 per permutation,
+  computed with higher-order array exprs, no UDF) → band buckets →
+  self-join on (band, bucket) → candidate pairs.  At 100 TB the band join
+  is the only shuffle and is key-salted by construction (bucket ids).
+- simhash: 64-bit sign-sum hash over token hashes; near-dups = hamming
+  distance ≤ k on bucketed prefixes.
+- ngram_jaccard: exact Jaccard on shingle sets for candidate pairs
+  (verification stage after LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kats_spark.operators.text import tokens
+
+# Mersenne prime for the affine minhash permutations; 2^31-1 keeps
+# a*h+b within long range (a,b,h < 2^31 -> product < 2^62, no overflow)
+_P = 2147483647  # 2^31 - 1
+
+
+def normalize(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized) text.
+    Returns the surviving rows."""
+    keyed = df.withColumn("__fp", F.xxhash64(normalize(F.col(text_col))))
+    reps = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(reps, ["__fp", id_col]).drop("__fp")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (array of strings, distinct)."""
+    t = tokens(normalize(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    return F.array_distinct(grams)
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, sig array<bigint>) minhash signatures, h_k(x) = (a_k·h + b_k) mod p.
+
+    Plan shape matters: Spark's codegen excludes lambda expressions from
+    common-subexpression elimination, so computing 64 ``array_min(
+    transform(...))`` columns re-tokenizes the document 64×.  Instead we
+    explode the shingle hashes once and take 64 partial-aggregating ``min``
+    s — tokenize/hash exactly once per shingle, map-side combine shrinks
+    the shuffle to one row per doc."""
+    hashed = F.transform(
+        shingles(F.col(text_col), shingle_n),
+        lambda sh: F.pmod(F.xxhash64(sh), F.lit(_P)),
+    )
+    exploded = df.select(F.col(id_col), F.explode(hashed).alias("__h"))
+    aggs = [
+        F.min((F.col("__h") * a + b) % _P).alias(f"__s{k}")
+        for k, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        id_col, F.array(*[F.col(f"__s{k}") for k in range(num_hashes)]).alias("__sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    rows_per_band = num_hashes // bands; a pair collides if any band's
+    row-slice hashes equal.  Plan: signature (narrow) → explode bands
+    (narrow, xN) → groupBy-free self-join on (band, bucket) → distinct
+    pairs.  The join key space is (bands × hash buckets) — well spread, no
+    skew hotspot by construction.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # one expression computes all band buckets, then a single posexplode —
+    # the signature array is evaluated once per doc
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda band: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("__sig", band * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ),
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(buckets).alias("__band", "__bucket")
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard (the LSH
+    verification stage).  Joins shingle arrays onto both sides — two
+    broadcast-or-shuffle hash joins on ids."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh"))
+    j = (
+        candidate_pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sa"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    return (
+        j.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash: per-token 64-bit hash, sign-sum each bit, collapse to
+    a bigint.
+
+    Token hashes are exploded once and the 64 bit sign-sums are partial
+    aggregates (sum of ±1 per bit) — tokenization runs once per doc, the
+    shuffle carries one 64-counter row per doc (see minhash_signatures for
+    why 64 lambda expressions would re-tokenize 64×)."""
+    hashed = F.transform(tokens(normalize(F.col(text_col))), lambda x: F.xxhash64(x))
+    exploded = df.select(F.col(id_col), F.explode(hashed).alias("__h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(64)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*aggs)
+    val = F.lit(0).cast("bigint")
+    for b in range(64):
+        bit = F.when(F.col(f"__b{b}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        val = val + F.shiftleft(bit, b)
+    sh = per_doc.select(F.col(id_col), val.alias(out_col))
+    return df.join(sh, id_col)

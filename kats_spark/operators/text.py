@@ -1,0 +1,86 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not in the reference (Kats is numeric-only); these are the first-class
+pipeline extensions: language-ID heuristic, quality scoring, token
+counting, document fingerprinting.  All pure Spark SQL expressions over the
+``documents`` table — codegen'd, pushdown-friendly, no Python in the row
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny stopword lists for the n-gram language heuristic
+_EN_STOP = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+_TOKEN_RE = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings removed."""
+    return F.filter(F.split(F.trim(text), _TOKEN_RE), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token stats: n_tokens, n_chars, avg_token_len,
+    distinct_token_ratio."""
+    t = tokens(F.col(text_col))
+    return df.withColumns(
+        {
+            "n_tokens": F.size(t),
+            "avg_token_len": F.aggregate(
+                t, F.lit(0.0), lambda acc, x: acc + F.length(x)
+            ) / F.size(t),
+            "distinct_token_ratio": F.size(F.array_distinct(t)) / F.size(t),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: blend of length band, stopword
+    presence, alpha ratio, and repetition (1 - distinct ratio) penalties —
+    the standard pretraining-corpus filters."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
+    stop_ratio = F.size(F.array_intersect(F.transform(t, F.lower), stop_arr)) / F.lit(
+        float(len(_EN_STOP))
+    )
+    alpha_ratio = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) / F.greatest(
+        F.length(F.col(text_col)), F.lit(1)
+    )
+    distinct_ratio = F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1))
+    len_band = F.when((n >= 20) & (n <= 100000), F.lit(1.0)).otherwise(
+        F.least(n.cast("double") / 20.0, F.lit(1.0))
+    )
+    score = (
+        0.25 * len_band + 0.25 * stop_ratio + 0.25 * alpha_ratio + 0.25 * distinct_ratio
+    )
+    return df.withColumn("quality_score", F.round(score, 6))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language heuristic: share of tokens in the English
+    stopword list; 'en' above threshold, 'unknown' otherwise.  (Real
+    deployments plug a fastText model in a mapInPandas here — same plan
+    shape.)"""
+    t = F.transform(tokens(F.col(text_col)), F.lower)
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    ratio = hits / F.greatest(F.size(t), F.lit(1))
+    return df.withColumn(
+        "lang_pred", F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic 64-bit document fingerprint: xxhash64 of the
+    whitespace-normalized lowercased text (rolling-hash equivalent for
+    exact-dup detection)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.xxhash64(norm))

@@ -1,0 +1,299 @@
+"""Training-data-pipeline query registry: dedup, text analysis, similarity
+search over the ``documents`` and ``embeddings`` tables.
+
+Hash-based ops whose values depend on Spark's xxhash64 (minhash, simhash,
+LSH buckets) are declared WITHOUT an oracle — the driver records a
+rows-only check; the exact variants (exact dedup survivors, exact n-gram
+Jaccard, brute-force cosine) have full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kats_spark.operators import dedup, similarity, text
+
+
+def _rnd(col, d=6):
+    """Round with a +1e-9 epsilon shift, applied identically in the DuckDB
+    oracles: keeps exact decimal half-boundary values (which the two
+    engines round in opposite directions) off the rounding lattice."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(col + F.lit(1.0e-9), d)
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.exact_dedup(docs)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "source")
+
+
+_Q_EXACT_DEDUP_SQL = """
+WITH keyed AS (
+  SELECT *, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM documents
+)
+SELECT min(doc_id)::BIGINT AS doc_id, any_value(lang) AS lang, any_value(source) AS source
+FROM keyed GROUP BY norm
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5) via the scalable
+    shared-shingle equi-join plan: explode shingles -> join on shingle ->
+    count intersections -> |A|+|B|-inter union."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        F.col("doc_id"), dedup.shingles(F.col("text"), 3).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    exploded = sh.select("doc_id", "sz", F.explode("sh").alias("g"))
+    a = exploded.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "g"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "g"
+    )
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"), F.first("sz_a").alias("sz_a"), F.first("sz_b").alias("sz_b"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        _rnd(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+        ),
+    )
+    return jac.filter(F.col("jaccard") >= 0.5).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "jaccard",
+    )
+
+
+_Q_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+),
+sized AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+ex AS (SELECT doc_id, sz, unnest(s) AS g FROM sized),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS inter, any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(1e-9 + inter / (sz_a + sz_b - inter), 6) AS jaccard
+FROM inter
+WHERE inter / (sz_a + sz_b - inter) >= 0.5
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs — approximate (Spark xxhash64-based), so
+    declared rows-only (no SQL oracle can reproduce the hash family)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints — rows-only (hash-family dependent)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "simhash"
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.word_stats(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        _rnd("avg_token_len", 6).alias("avg_token_len"),
+        _rnd("distinct_token_ratio", 6).alias("distinct_token_ratio"),
+    )
+
+
+_Q_TOKEN_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+  len(t)::BIGINT AS n_tokens,
+  round(1e-9 + list_sum(list_transform(t, x -> length(x)::DOUBLE)) / len(t), 6) AS avg_token_len,
+  round(1e-9 + len(list_distinct(t)) / len(t)::DOUBLE, 6) AS distinct_token_ratio
+FROM toks
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.lang_id(text.quality_score(docs))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "quality_score",
+        "lang_pred",
+    )
+
+
+_EN_STOP_SQL = "['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for']"
+
+_Q_TEXT_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+    len(t) AS n,
+    len(list_intersect(list_transform(t, x -> lower(x)), {_EN_STOP_SQL})) / 10.0 AS stop_ratio,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS alpha_ratio,
+    len(list_distinct(t))::DOUBLE / greatest(len(t), 1) AS distinct_ratio,
+    CASE WHEN len(t) BETWEEN 20 AND 100000 THEN 1.0
+         ELSE least(len(t)::DOUBLE / 20.0, 1.0) END AS len_band,
+    len(list_filter(list_transform(t, x -> lower(x)),
+        x -> list_contains({_EN_STOP_SQL}, x)))::DOUBLE / greatest(len(t), 1) AS hit_ratio
+  FROM toks
+)
+SELECT doc_id::BIGINT AS doc_id,
+  round(1e-9 + 0.25 * len_band + 0.25 * stop_ratio + 0.25 * alpha_ratio + 0.25 * distinct_ratio, 6) AS quality_score,
+  CASE WHEN hit_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM feats
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 vs the vec_id=0 embedding (exact ANN
+    baseline).  Joins the single query row via crossJoin-broadcast — the
+    scan side never shuffles."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__q"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            _rnd(similarity.cosine(F.col("embedding"), F.col("__q")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(20)
+
+
+_Q_TOPK_COSINE_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id::BIGINT AS vec_id,
+    round(1e-9 + 
+      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+"""
+
+
+def q_allpairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine top-3 neighbors per vector (ranked on the
+    rounded score so ordering is fp-stable across engines)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    scored = l.join(F.broadcast(r), F.col("id_a") != F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        _rnd(similarity.cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    out = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "cos_sim",
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+_Q_ALLPAIRS_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(1e-9 + 
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b ASC) AS rk
+  FROM scored
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cos_sim, rk::INT AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH candidate pairs — rows-only (random planes are
+    seed-deterministic in Spark but not reproducible in SQL)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_bucket_pairs(emb, num_planes=8, dim=64).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "simhash": q_simhash,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "topk_cosine": q_topk_cosine,
+    "allpairs_topk": q_allpairs_topk,
+    "lsh_bucket_pairs": q_lsh_buckets,
+}
+
+ORACLES = {
+    "exact_dedup": _Q_EXACT_DEDUP_SQL,
+    "jaccard_pairs": _Q_JACCARD_SQL,
+    "token_stats": _Q_TOKEN_STATS_SQL,
+    "text_quality": _Q_TEXT_QUALITY_SQL,
+    "topk_cosine": _Q_TOPK_COSINE_SQL,
+    "allpairs_topk": _Q_ALLPAIRS_SQL,
+    # minhash_lsh_pairs / simhash / lsh_bucket_pairs: rows-only by design
+}

@@ -1,0 +1,1054 @@
+"""Query registry: operator demonstrations over /root/testdata tables.
+
+Each entry pairs a Spark implementation (built from kats_spark operators)
+with an ANSI-SQL DuckDB oracle.  Conventions shared by both sides so the
+driver's order-insensitive value-hash matches:
+
+- all float outputs rounded to 6 decimals, aliased identically;
+- time outputs formatted as strings ('yyyy-MM-dd HH:mm:ss' / '%Y-%m-%d %H:%M:%S');
+- int-ish outputs cast to INT or BIGINT explicitly on both sides;
+- per-point queries keyed on raw parquet doubles wherever a comparison
+  (>, bucket edge) could flip under floating-point reassociation.
+
+The canonical long series used below:
+- ``raw``:    events -> (series_id=event_type, time=ts, value)
+- ``hourly``: raw aggregated to an hourly avg grid
+- ``daily``:  raw aggregated to a daily avg grid
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kats_spark.functions import calendar, metrics as M, rolling, stats, ta
+from kats_spark.operators import decomposition, dedup, mk, resample, robust_stat
+from kats_spark.operators import similarity, statsig, text, trend
+from kats_spark.tsframe import DEFAULT as S
+
+
+def _rnd(col, d=6):
+    """Round with a +1e-9 epsilon shift, applied identically in the DuckDB
+    oracles: keeps exact decimal half-boundary values (which the two
+    engines round in opposite directions) off the rounding lattice."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(col + F.lit(1.0e-9), d)
+
+
+# --------------------------------------------------------------------------
+# shared loaders
+# --------------------------------------------------------------------------
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # match DuckDB SQL semantics: x/0 -> NULL, no overflow errors
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read nanos as long and truncate to microseconds (exactly what
+    DuckDB's ns->us timestamp conversion does)."""
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint")))
+
+
+def raw_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        F.col("event_type").alias("series_id"),
+        F.col("ts").alias("time"),
+        F.col("value"),
+    )
+
+
+def hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample.aggregate_to_grid(raw_series(spark, sf_dir), 3600, "avg")
+
+
+def daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample.aggregate_to_grid(raw_series(spark, sf_dir), 86400, "avg")
+
+
+_RAW_SQL = """
+  SELECT event_type AS series_id, ts AS time, value FROM events
+"""
+
+_HOURLY_SQL = """
+  SELECT event_type AS series_id,
+         to_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600) AS time,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+"""
+
+_DAILY_SQL = """
+  SELECT event_type AS series_id,
+         to_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400) AS time,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+"""
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_DK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _fmt_time(df: DataFrame) -> DataFrame:
+    return df.withColumn("time", F.date_format("time", _TS_FMT))
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    return df.withColumns({c: _rnd(F.col(c), 6) for c in cols})
+
+
+# --------------------------------------------------------------------------
+# flagship + relational anchors
+# --------------------------------------------------------------------------
+
+def q_daily_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: star join (broadcast dims) -> daily revenue series per
+    region -> 7-day trailing MA.  The canonical 'build a series from a fact
+    table, then window it' pipeline."""
+    _utc(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    daily = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("series_id"),
+            F.date_trunc("day", "o_orderdate").alias("time"),
+        )
+        .agg(F.sum("o_totalprice").alias("value"), F.count("*").alias("n_orders"))
+    )
+    w = S.w().rowsBetween(-6, 0)
+    out = daily.withColumn("ma7", F.avg("value").over(w))
+    return _fmt_time(_r6(out, "value", "ma7")).select(
+        "series_id", "time", "value", F.col("n_orders").cast("bigint").alias("n_orders"), "ma7"
+    )
+
+
+_Q_DAILY_REVENUE_SQL = f"""
+WITH daily AS (
+  SELECT r_name AS series_id,
+         date_trunc('day', o_orderdate) AS time,
+         sum(o_totalprice) AS value,
+         count(*) AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time,
+       round(1e-9 + value, 6) AS value, n_orders::BIGINT AS n_orders,
+       round(1e-9 + avg(value) OVER (PARTITION BY series_id ORDER BY time
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM daily
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the aggregate-pushdown anchor."""
+    _utc(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _rnd(F.sum("l_quantity"), 4).alias("sum_qty"),
+            _rnd(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            _rnd(F.sum(disc), 4).alias("sum_disc_price"),
+            _rnd(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            _rnd(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _rnd(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            _rnd(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out
+
+
+_Q_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(1e-9 + sum(l_quantity), 4) AS sum_qty,
+       round(1e-9 + sum(l_extendedprice), 4) AS sum_base_price,
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(1e-9 + avg(l_quantity), 6) AS avg_qty,
+       round(1e-9 + avg(l_extendedprice), 6) AS avg_price,
+       round(1e-9 + avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# core time ops
+# --------------------------------------------------------------------------
+
+def q_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_to_grid — temporal rollup (reconciliation base op)."""
+    return _fmt_time(_r6(hourly_series(spark, sf_dir), "value"))
+
+
+_Q_HOURLY_SQL = f"""
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time, round(1e-9 + value, 6) AS value
+FROM ({_HOURLY_SQL})
+"""
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine regularization + forward fill (kats interpolate ffill).
+    5-minute grid over the sparse 'purchase' series -> real gaps filled."""
+    base = resample.aggregate_to_grid(
+        raw_series(spark, sf_dir).filter(F.col("series_id") == "purchase"), 300, "avg"
+    )
+    out = resample.resample(base, 300, method="ffill")
+    return _fmt_time(_r6(out, "value"))
+
+
+_Q_RESAMPLE_FFILL_SQL = f"""
+WITH base AS (
+  SELECT event_type AS series_id,
+         to_timestamp((floor(epoch(ts))::BIGINT // 300) * 300) AS time,
+         avg(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), bounds AS (
+  SELECT series_id, min(time) AS t0, max(time) AS t1 FROM base GROUP BY 1
+), spine AS (
+  SELECT series_id, unnest(generate_series(t0, t1, INTERVAL 300 SECONDS)) AS time
+  FROM bounds
+)
+SELECT s.series_id, strftime(s.time, '{_DK_FMT}') AS time,
+       round(1e-9 + last_value(b.value IGNORE NULLS) OVER (
+         PARTITION BY s.series_id ORDER BY s.time
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+FROM spine s LEFT JOIN base b USING (series_id, time)
+"""
+
+
+def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation on the same sparse grid."""
+    base = resample.aggregate_to_grid(
+        raw_series(spark, sf_dir).filter(F.col("series_id") == "purchase"), 300, "avg"
+    )
+    out = resample.resample(base, 300, method="linear")
+    return _fmt_time(_r6(out, "value"))
+
+
+_Q_RESAMPLE_LINEAR_SQL = f"""
+WITH base AS (
+  SELECT event_type AS series_id,
+         to_timestamp((floor(epoch(ts))::BIGINT // 300) * 300) AS time,
+         avg(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), bounds AS (
+  SELECT series_id, min(time) AS t0, max(time) AS t1 FROM base GROUP BY 1
+), spine AS (
+  SELECT series_id, unnest(generate_series(t0, t1, INTERVAL 300 SECONDS)) AS time
+  FROM bounds
+), g AS (
+  SELECT s.series_id, s.time, b.value AS obs,
+         epoch(s.time)::DOUBLE AS t
+  FROM spine s LEFT JOIN base b USING (series_id, time)
+), f AS (
+  SELECT *,
+    last_value(obs IGNORE NULLS) OVER w_prev AS prev_v,
+    first_value(obs IGNORE NULLS) OVER w_next AS next_v,
+    last_value(CASE WHEN obs IS NOT NULL THEN t END IGNORE NULLS) OVER w_prev AS prev_t,
+    first_value(CASE WHEN obs IS NOT NULL THEN t END IGNORE NULLS) OVER w_next AS next_t
+  FROM g
+  WINDOW
+    w_prev AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time,
+  round(1e-9 + coalesce(
+    CASE WHEN obs IS NOT NULL THEN obs
+         WHEN next_t = prev_t THEN prev_v
+         ELSE prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t) END,
+    prev_v, next_v), 6) AS value
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# rolling / detector scores
+# --------------------------------------------------------------------------
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = raw_series(spark, sf_dir)
+    out = df.withColumn("z", rolling.z_score(24))
+    return _fmt_time(_r6(out, "value", "z"))
+
+
+_Q_ROLLING_Z_SQL = f"""
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time, round(1e-9 + value, 6) AS value,
+  round(1e-9 + (value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z
+FROM ({_RAW_SQL})
+WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_rolling_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = raw_series(spark, sf_dir)
+    out = df.withColumn("iqr_score", rolling.iqr_score(24)).withColumn(
+        "iqr_median_dev", rolling.iqr_median_deviation(24)
+    )
+    return _fmt_time(_r6(out, "value", "iqr_score", "iqr_median_dev"))
+
+
+_Q_ROLLING_IQR_SQL = f"""
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time, round(1e-9 + value, 6) AS value,
+  round(1e-9 + (value - quantile_cont(value, 0.5) OVER w)
+        / (quantile_cont(value, 0.75) OVER w - quantile_cont(value, 0.25) OVER w), 6) AS iqr_score,
+  round(1e-9 + (value - quantile_cont(value, 0.5) OVER w)
+        / quantile_cont(value, 0.5) OVER w, 6) AS iqr_median_dev
+FROM ({_RAW_SQL})
+WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = raw_series(spark, sf_dir)
+    out = df.withColumn("mad_score", rolling.mad_score(24)).withColumn(
+        "mod_z", rolling.mad_score(24, modified=True)
+    )
+    return _fmt_time(_r6(out, "value", "mad_score", "mod_z"))
+
+
+_Q_ROLLING_MAD_SQL = f"""
+WITH arrs AS (
+  SELECT series_id, time, value,
+         list(value) OVER (PARTITION BY series_id ORDER BY time
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS arr
+  FROM ({_RAW_SQL})
+), m AS (
+  SELECT *, list_sort(arr) AS sa, len(arr) AS n FROM arrs
+), med AS (
+  SELECT series_id, time, value, arr, n,
+    CASE WHEN n = 0 THEN NULL
+         WHEN n % 2 = 1 THEN sa[(n + 1) // 2]
+         ELSE (sa[n // 2] + sa[n // 2 + 1]) / 2 END AS med
+  FROM m
+), dev AS (
+  SELECT *, list_sort(list_transform(arr, x -> abs(x - med))) AS sd FROM med
+)
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time, round(1e-9 + value, 6) AS value,
+  round(1e-9 + (value - med) / (CASE WHEN n % 2 = 1 THEN sd[(n + 1) // 2]
+                              ELSE (sd[n // 2] + sd[n // 2 + 1]) / 2 END), 6) AS mad_score,
+  round(1e-9 + 0.6745 * (value - med) / (CASE WHEN n % 2 = 1 THEN sd[(n + 1) // 2]
+                                       ELSE (sd[n // 2] + sd[n // 2 + 1]) / 2 END), 6) AS mod_z
+FROM dev
+"""
+
+
+def q_statsig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = statsig.statsig_scores(raw_series(spark, sf_dir), n_control=100, n_test=20)
+    return _fmt_time(
+        _r6(out, "value", "mean_test", "mean_control", "stat_sig_score")
+    )
+
+
+_Q_STATSIG_SQL = f"""
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time, round(1e-9 + value, 6) AS value,
+  round(1e-9 + avg(value) OVER wt, 6) AS mean_test,
+  round(1e-9 + avg(value) OVER wc, 6) AS mean_control,
+  round(1e-9 + CASE WHEN count(value) OVER wt = 20 AND count(value) OVER wc = 100
+              AND sqrt(var_samp(value) OVER wt / 20 + var_samp(value) OVER wc / 100) > 0
+        THEN (avg(value) OVER wt - avg(value) OVER wc)
+             / sqrt(var_samp(value) OVER wt / 20 + var_samp(value) OVER wc / 100)
+        END, 6) AS stat_sig_score
+FROM ({_RAW_SQL})
+WINDOW
+  wt AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+  wc AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 119 PRECEDING AND 20 PRECEDING)
+"""
+
+
+def q_robust_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = robust_stat.robust_stat_scores(raw_series(spark, sf_dir), smoothing_window=5)
+    return _fmt_time(_r6(out, "value", "robust_z")).select(
+        "series_id", "time", "value", "robust_z",
+        F.col("is_changepoint").cast("int").alias("is_changepoint"),
+    )
+
+
+_Q_ROBUST_SQL = f"""
+WITH sm AS (
+  SELECT series_id, time, value,
+         avg(value) OVER (PARTITION BY series_id ORDER BY time
+                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s
+  FROM ({_RAW_SQL})
+), d AS (
+  SELECT *, s - lag(s, 1) OVER (PARTITION BY series_id ORDER BY time) AS dd FROM sm
+), st AS (
+  SELECT series_id, median(dd) AS med,
+         quantile_cont(dd, 0.75) AS q3, quantile_cont(dd, 0.25) AS q1
+  FROM d WHERE dd IS NOT NULL GROUP BY 1
+)
+SELECT d.series_id, strftime(d.time, '{_DK_FMT}') AS time, round(1e-9 + d.value, 6) AS value,
+  round(1e-9 + CASE WHEN (st.q3 - st.q1) / 1.349 > 0 THEN (d.dd - st.med) / ((st.q3 - st.q1) / 1.349) END, 6) AS robust_z,
+  CAST(CASE WHEN (st.q3 - st.q1) / 1.349 > 0
+        THEN abs((d.dd - st.med) / ((st.q3 - st.q1) / 1.349)) > 3.0 END AS INT) AS is_changepoint
+FROM d JOIN st ON d.series_id = st.series_id
+"""
+
+
+def q_cusum_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = stats.cusum_transform(raw_series(spark, sf_dir))
+    return _fmt_time(_r6(out, "value", "cusum"))
+
+
+_Q_CUSUM_SQL = f"""
+WITH m AS (SELECT series_id, avg(value) AS mu FROM ({_RAW_SQL}) GROUP BY 1)
+SELECT r.series_id, strftime(r.time, '{_DK_FMT}') AS time, round(1e-9 + r.value, 6) AS value,
+  round(1e-9 + sum(r.value - m.mu) OVER (PARTITION BY r.series_id ORDER BY r.time
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum
+FROM ({_RAW_SQL}) r JOIN m ON r.series_id = m.series_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall
+# --------------------------------------------------------------------------
+
+def q_mk_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = mk.mk_statistic(daily_series(spark, sf_dir))
+    return _r6(out, "mk_s", "tau", "var_s", "z")
+
+
+_Q_MK_SQL = f"""
+WITH d AS ({_DAILY_SQL}),
+pairs AS (
+  SELECT a.series_id, sum(sign(b.value - a.value)) AS s
+  FROM d a JOIN d b ON a.series_id = b.series_id AND a.time < b.time
+  GROUP BY 1
+),
+n AS (SELECT series_id, count(*)::DOUBLE AS n FROM d GROUP BY 1),
+ties AS (
+  SELECT series_id, sum(c * (c - 1) * (2 * c + 5)) AS tie_adj
+  FROM (SELECT series_id, value, count(*)::DOUBLE AS c FROM d GROUP BY 1, 2 HAVING count(*) > 1)
+  GROUP BY 1
+)
+SELECT p.series_id,
+  round(1e-9 + p.s, 6) AS mk_s,
+  round(1e-9 + p.s / (n.n * (n.n - 1) / 2), 6) AS tau,
+  round(1e-9 + (n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(t.tie_adj, 0)) / 18, 6) AS var_s,
+  round(1e-9 + CASE WHEN p.s > 0 THEN (p.s - 1) / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(t.tie_adj, 0)) / 18)
+             WHEN p.s < 0 THEN (p.s + 1) / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(t.tie_adj, 0)) / 18)
+             ELSE 0 END, 6) AS z
+FROM pairs p JOIN n ON p.series_id = n.series_id
+LEFT JOIN ties t ON p.series_id = t.series_id
+"""
+
+
+def q_mk_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = mk.mk_rolling(hourly_series(spark, sf_dir), window_size=24)
+    return _fmt_time(_r6(out, "mk_s", "tau"))
+
+
+_Q_MK_ROLLING_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+arrs AS (
+  SELECT series_id, time,
+         list(value) OVER (PARTITION BY series_id ORDER BY time
+                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS l
+  FROM h
+)
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time,
+  round(1e-9 + CASE WHEN len(l) = 24 THEN
+    list_sum(list_transform(range(2, len(l) + 1),
+      j -> list_sum(list_transform(l[1:j-1], x -> sign(l[j] - x))))) END, 6) AS mk_s,
+  round(1e-9 + CASE WHEN len(l) = 24 THEN
+    list_sum(list_transform(range(2, len(l) + 1),
+      j -> list_sum(list_transform(l[1:j-1], x -> sign(l[j] - x))))) / 276.0 END, 6) AS tau
+FROM arrs
+"""
+
+
+# --------------------------------------------------------------------------
+# trend models (closed-form OLS)
+# --------------------------------------------------------------------------
+
+def q_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = trend.linear_forecast(hourly_series(spark, sf_dir), steps=24, freq_seconds=3600)
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_LINEAR_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value,
+         (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS x,
+         max(time) OVER (PARTITION BY series_id) AS tmax
+  FROM h
+),
+m AS (
+  SELECT series_id, any_value(tmax) AS tmax,
+    count(*)::DOUBLE AS n, sum(x) AS sx, sum(x * x) AS sx2,
+    sum(value) AS sy, sum(x * value) AS sxy, sum(value * value) AS sy2
+  FROM idx GROUP BY 1
+),
+fit AS (
+  SELECT series_id, tmax, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a,
+    sx2 - sx * sx / n AS sxx, sx / n AS mean_x,
+    (sy2 - (sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n) * sy
+         - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sxy) / (n - 2) AS mse
+  FROM m
+)
+SELECT series_id,
+  strftime(tmax + to_seconds(h * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + a + b * (n - 1 + h), 6) AS fcst,
+  round(1e-9 + a + b * (n - 1 + h) - 1.959963984540054
+        * sqrt(mse * (1 + 1 / n + pow(n - 1 + h - mean_x, 2) / sxx)), 6) AS fcst_lower,
+  round(1e-9 + a + b * (n - 1 + h) + 1.959963984540054
+        * sqrt(mse * (1 + 1 / n + pow(n - 1 + h - mean_x, 2) / sxx)), 6) AS fcst_upper
+FROM fit, (SELECT unnest(generate_series(1, 24))::DOUBLE AS h)
+"""
+
+
+def q_quadratic_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = trend.quadratic_forecast(hourly_series(spark, sf_dir), steps=24, freq_seconds=3600)
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_QUAD_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value,
+         (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS x,
+         max(time) OVER (PARTITION BY series_id) AS tmax
+  FROM h
+),
+m AS (
+  SELECT series_id, any_value(tmax) AS tmax,
+    count(*)::DOUBLE AS n, sum(x) AS sx, sum(x ^ 2) AS sx2, sum(x ^ 3) AS sx3,
+    sum(x ^ 4) AS sx4, sum(value) AS sy, sum(x * value) AS sxy,
+    sum(x * x * value) AS sx2y, sum(value * value) AS sy2
+  FROM idx GROUP BY 1
+),
+fit AS (
+  SELECT series_id, tmax, n, sy, sxy, sx2y, sy2,
+    n  * (sx2 * sx4 - sx3 * sx3) - sx * (sx * sx4 - sx3 * sx2) + sx2 * (sx * sx3 - sx2 * sx2) AS D,
+    sy * (sx2 * sx4 - sx3 * sx3) - sx * (sxy * sx4 - sx3 * sx2y) + sx2 * (sxy * sx3 - sx2 * sx2y) AS Da,
+    n * (sxy * sx4 - sx3 * sx2y) - sy * (sx * sx4 - sx3 * sx2) + sx2 * (sx * sx2y - sxy * sx2) AS Db,
+    n * (sx2 * sx2y - sxy * sx3) - sx * (sx * sx2y - sxy * sx2) + sy * (sx * sx3 - sx2 * sx2) AS Dc
+  FROM m
+),
+co AS (
+  SELECT series_id, tmax, n,
+    Da / D AS c0, Db / D AS c1, Dc / D AS c2,
+    (sy2 - Da / D * sy - Db / D * sxy - Dc / D * sx2y) / (n - 3) AS mse
+  FROM fit
+)
+SELECT series_id,
+  strftime(tmax + to_seconds(h * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + c0 + c1 * (n - 1 + h) + c2 * (n - 1 + h) * (n - 1 + h), 6) AS fcst,
+  round(1e-9 + c0 + c1 * (n - 1 + h) + c2 * (n - 1 + h) * (n - 1 + h)
+        - 1.959963984540054 * sqrt(mse * (1 + 1 / n)), 6) AS fcst_lower,
+  round(1e-9 + c0 + c1 * (n - 1 + h) + c2 * (n - 1 + h) * (n - 1 + h)
+        + 1.959963984540054 * sqrt(mse * (1 + 1 / n)), 6) AS fcst_upper
+FROM co, (SELECT unnest(generate_series(1, 24))::DOUBLE AS h)
+"""
+
+
+# --------------------------------------------------------------------------
+# metrics
+# --------------------------------------------------------------------------
+
+def q_metrics_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All closed-form error metrics of the naive lag-1 forecast, per series
+    (kats/metrics/metrics.py registry as one agg)."""
+    df = raw_series(spark, sf_dir)
+    with_pred = df.withColumn("yhat", F.lag("value").over(S.w())).filter(
+        F.col("yhat").isNotNull()
+    )
+    y, yh = "value", "yhat"
+    out = with_pred.groupBy("series_id").agg(
+        _rnd(M.mean_error(y, yh), 6).alias("me"),
+        _rnd(M.mean_absolute_error(y, yh), 6).alias("mae"),
+        _rnd(M.median_absolute_error(y, yh), 6).alias("mdae"),
+        _rnd(M.max_error(y, yh), 6).alias("max_error"),
+        _rnd(M.mean_squared_error(y, yh), 6).alias("mse"),
+        _rnd(M.root_mean_squared_error(y, yh), 6).alias("rmse"),
+        _rnd(M.mean_absolute_percentage_error(y, yh), 6).alias("mape"),
+        _rnd(M.symmetric_mean_absolute_percentage_error(y, yh), 6).alias("smape"),
+        _rnd(M.mean_percentage_error(y, yh), 6).alias("mpe"),
+        _rnd(M.root_mean_squared_percentage_error(y, yh), 6).alias("rmspe"),
+        _rnd(M.tracking_signal(y, yh), 6).alias("tracking_signal"),
+        _rnd(M.exceed_rate(y, yh), 6).alias("exceed"),
+        _rnd(M.pinball_loss(y, yh, 0.9), 6).alias("pinball_09"),
+    )
+    return out
+
+
+_Q_METRICS_SQL = f"""
+WITH p AS (
+  SELECT series_id, value AS y,
+         lag(value) OVER (PARTITION BY series_id ORDER BY time) AS yhat
+  FROM ({_RAW_SQL})
+)
+SELECT series_id,
+  round(1e-9 + avg(y - yhat), 6) AS me,
+  round(1e-9 + avg(abs(y - yhat)), 6) AS mae,
+  round(1e-9 + median(abs(y - yhat)), 6) AS mdae,
+  round(1e-9 + max(abs(y - yhat)), 6) AS max_error,
+  round(1e-9 + avg((y - yhat) * (y - yhat)), 6) AS mse,
+  round(1e-9 + sqrt(avg((y - yhat) * (y - yhat))), 6) AS rmse,
+  round(1e-9 + avg(abs(y - yhat) / abs(y)), 6) AS mape,
+  round(1e-9 + avg(2 * abs(y - yhat) / (abs(y) + abs(yhat))), 6) AS smape,
+  round(1e-9 + avg((y - yhat) / y), 6) AS mpe,
+  round(1e-9 + sqrt(avg(((y - yhat) / y) * ((y - yhat) / y))), 6) AS rmspe,
+  round(1e-9 + sum(y - yhat) / avg(abs(y - yhat)), 6) AS tracking_signal,
+  round(1e-9 + avg(CASE WHEN yhat > y THEN 1.0 ELSE 0.0 END), 6) AS exceed,
+  round(1e-9 + avg(CASE WHEN y - yhat >= 0 THEN 0.9 * (y - yhat)
+                 ELSE -0.1 * (y - yhat) END), 6) AS pinball_09
+FROM p WHERE yhat IS NOT NULL
+GROUP BY series_id
+"""
+
+
+# --------------------------------------------------------------------------
+# calendar / fourier features
+# --------------------------------------------------------------------------
+
+def q_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    days = orders.select(F.date_trunc("day", "o_orderdate").alias("time")).distinct()
+    feats = calendar.date_features("time")
+    out = days.withColumns({k: v.cast("int") for k, v in feats.items()})
+    return out.withColumn("time", F.date_format("time", "yyyy-MM-dd"))
+
+
+_Q_DATE_FEATURES_SQL = """
+WITH days AS (SELECT DISTINCT date_trunc('day', o_orderdate) AS time FROM orders)
+SELECT strftime(time, '%Y-%m-%d') AS time,
+  CAST(year(time) AS INT) AS year,
+  CAST(month(time) AS INT) AS month,
+  CAST(day(time) AS INT) AS day,
+  CAST(isodow(time) - 1 AS INT) AS dayofweek,
+  CAST(dayofyear(time) AS INT) AS dayofyear,
+  CAST(quarter(time) AS INT) AS quarter,
+  CAST((month(time) % 12) // 3 AS INT) AS season,
+  CAST(weekofyear(time) AS INT) AS weekofyear,
+  CAST((day(time) - 1) // 7 + 1 AS INT) AS weekofmonth,
+  CAST(isodow(time) >= 6 AS INT) AS is_weekend,
+  CAST((year(time) % 4 = 0 AND year(time) % 100 <> 0) OR year(time) % 400 = 0 AS INT) AS is_leap_year,
+  CAST(month(time) = 2 AND day(time) = 29 AS INT) AS is_leap_day,
+  CAST(day(time) = day(last_day(time::DATE)) AS INT) AS is_month_end,
+  CAST(day(time) = day(last_day(time::DATE)) AND month(time) % 3 = 0 AS INT) AS is_quarter_end
+FROM days
+"""
+
+
+def q_fourier_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    days = orders.select(F.date_trunc("day", "o_orderdate").alias("time")).distinct()
+    feats = calendar.fourier_features("time", period_seconds=7 * 86400.0, order=2)
+    out = days.withColumns({k: _rnd(v, 6) for k, v in feats.items()})
+    return out.withColumn("time", F.date_format("time", "yyyy-MM-dd"))
+
+
+_Q_FOURIER_SQL = """
+WITH days AS (SELECT DISTINCT date_trunc('day', o_orderdate) AS time FROM orders)
+SELECT strftime(time, '%Y-%m-%d') AS time,
+  round(1e-9 + sin(epoch(time)::DOUBLE * (2 * pi() * 1 / 604800)), 6) AS fourier_sin_1,
+  round(1e-9 + cos(epoch(time)::DOUBLE * (2 * pi() * 1 / 604800)), 6) AS fourier_cos_1,
+  round(1e-9 + sin(epoch(time)::DOUBLE * (2 * pi() * 2 / 604800)), 6) AS fourier_sin_2,
+  round(1e-9 + cos(epoch(time)::DOUBLE * (2 * pi() * 2 / 604800)), 6) AS fourier_cos_2
+FROM days
+"""
+
+
+# --------------------------------------------------------------------------
+# tsfeatures (expression group)
+# --------------------------------------------------------------------------
+
+def q_ts_stat_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One feature row per series: basic stats + lumpiness + stability +
+    crossing_points + binarize_mean + std1st_der + flat_spots +
+    histogram_mode (tsfeatures statistics group)."""
+    df = raw_series(spark, sf_dir)
+    base = stats.basic_stats(df)
+    lum = stats.lumpiness(df, 48)
+    stab = stats.stability(df, 48)
+    cp = stats.crossing_points(df)
+    bm = stats.binarize_mean(df)
+    sd = stats.std_first_derivative(df)
+    fs = stats.flat_spots(df, 10)
+    hm = stats.histogram_mode(df, 10)
+    out = (
+        base.join(lum, "series_id").join(stab, "series_id").join(cp, "series_id")
+        .join(bm, "series_id").join(sd, "series_id").join(fs, "series_id")
+        .join(hm, "series_id")
+    )
+    return out.select(
+        "series_id",
+        F.col("length").cast("bigint").alias("length"),
+        _rnd("mean", 6).alias("mean"),
+        _rnd("var", 6).alias("var"),
+        _rnd("lumpiness", 6).alias("lumpiness"),
+        _rnd("stability", 6).alias("stability"),
+        F.col("crossing_points").cast("bigint").alias("crossing_points"),
+        _rnd("binarize_mean", 6).alias("binarize_mean"),
+        _rnd("std1st_der", 6).alias("std1st_der"),
+        F.col("flat_spots").cast("bigint").alias("flat_spots"),
+        _rnd("histogram_mode", 6).alias("histogram_mode"),
+    )
+
+
+_Q_TSFEAT_SQL = f"""
+WITH r AS ({_RAW_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn
+  FROM r
+),
+base AS (
+  SELECT series_id, count(*)::BIGINT AS length, avg(value) AS mean,
+         var_samp(value) AS var, min(value) AS lo, max(value) AS hi,
+         median(value) AS med
+  FROM r GROUP BY 1
+),
+tiles AS (
+  SELECT series_id, rn // 48 AS tile, var_samp(value) AS tv, avg(value) AS tm, count(*) AS tn
+  FROM idx GROUP BY 1, 2
+),
+lum AS (
+  SELECT series_id, var_samp(tv) AS lumpiness, var_samp(tm) AS stability
+  FROM tiles WHERE tn = 48 GROUP BY 1
+),
+flags AS (
+  SELECT i.series_id,
+         CAST(i.value > b.med AS INT) AS b,
+         lag(CAST(i.value > b.med AS INT)) OVER (PARTITION BY i.series_id ORDER BY i.time) AS pb,
+         CAST(i.value > b.mean AS INT) AS above_mean,
+         i.value - lag(i.value) OVER (PARTITION BY i.series_id ORDER BY i.time) AS d
+  FROM idx i JOIN base b USING (series_id)
+),
+cp AS (
+  SELECT series_id, sum(CASE WHEN b <> pb THEN 1 ELSE 0 END)::BIGINT AS crossing_points,
+         avg(above_mean::DOUBLE) AS binarize_mean,
+         stddev_samp(d) AS std1st_der
+  FROM flags GROUP BY 1
+),
+bkts AS (
+  SELECT i.series_id, i.time,
+    least(9, floor((i.value - b.lo) / ((b.hi - b.lo) / 10)))::INT AS bkt
+  FROM idx i JOIN base b USING (series_id)
+),
+starts AS (
+  SELECT series_id, time, bkt,
+    CASE WHEN bkt = lag(bkt) OVER (PARTITION BY series_id ORDER BY time)
+         THEN 0 ELSE 1 END AS is_start
+  FROM bkts
+),
+runs AS (
+  SELECT series_id, time, bkt,
+    sum(is_start) OVER (PARTITION BY series_id ORDER BY time
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM starts
+),
+fs AS (
+  SELECT series_id, max(c)::BIGINT AS flat_spots
+  FROM (SELECT series_id, run_id, count(*) AS c FROM runs GROUP BY 1, 2)
+  GROUP BY 1
+),
+hmode AS (
+  SELECT series_id, lo + (bkt + 0.5) * ((hi - lo) / 10) AS histogram_mode
+  FROM (
+    SELECT b.series_id, least(9, floor((i.value - b.lo) / ((b.hi - b.lo) / 10)))::INT AS bkt,
+           any_value(b.lo) AS lo, any_value(b.hi) AS hi, count(*) AS c,
+           row_number() OVER (PARTITION BY b.series_id ORDER BY count(*) DESC,
+             least(9, floor((i.value - b.lo) / ((b.hi - b.lo) / 10)))::INT ASC) AS rk
+    FROM idx i JOIN base b USING (series_id)
+    GROUP BY 1, 2
+  ) WHERE rk = 1
+)
+SELECT b.series_id, b.length, round(1e-9 + b.mean, 6) AS mean, round(1e-9 + b.var, 6) AS var,
+  round(1e-9 + l.lumpiness, 6) AS lumpiness, round(1e-9 + l.stability, 6) AS stability,
+  c.crossing_points, round(1e-9 + c.binarize_mean, 6) AS binarize_mean,
+  round(1e-9 + c.std1st_der, 6) AS std1st_der, f.flat_spots,
+  round(1e-9 + h.histogram_mode, 6) AS histogram_mode
+FROM base b JOIN lum l USING (series_id) JOIN cp c USING (series_id)
+JOIN fs f USING (series_id) JOIN hmode h USING (series_id)
+"""
+
+
+def q_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = stats.level_shift_features(raw_series(spark, sf_dir), window_size=24)
+    return out.select(
+        "series_id",
+        F.col("level_shift_idx").cast("bigint").alias("level_shift_idx"),
+        _rnd("level_shift_size", 6).alias("level_shift_size"),
+    )
+
+
+_Q_LEVEL_SHIFT_SQL = f"""
+WITH r AS ({_RAW_SQL}),
+rm AS (
+  SELECT series_id, time,
+    CASE WHEN count(value) OVER w = 24 THEN avg(value) OVER w END AS m,
+    row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS idx
+  FROM r
+  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+j AS (
+  SELECT series_id, idx,
+    abs(m - lag(m) OVER (PARTITION BY series_id ORDER BY time)) AS jump
+  FROM rm
+)
+SELECT series_id, idx::BIGINT AS level_shift_idx, round(1e-9 + jump, 6) AS level_shift_size
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY jump DESC NULLS LAST, idx ASC) AS rk
+  FROM j
+) WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TA features
+# --------------------------------------------------------------------------
+
+def q_ta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = raw_series(spark, sf_dir)
+    mid, upper, lower = ta.bbands(20)
+    out = df.withColumns(
+        {
+            "roc_12": ta.roc(12),
+            "mom_12": ta.mom(12),
+            "ma_12": ta.ma(12),
+            "lag_12": ta.lag_feature(12),
+            "bb_mid": mid,
+            "bb_upper": upper,
+            "bb_lower": lower,
+        }
+    )
+    return _fmt_time(
+        _r6(out, "value", "roc_12", "mom_12", "ma_12", "lag_12", "bb_mid", "bb_upper", "bb_lower")
+    )
+
+
+_Q_TA_SQL = f"""
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time, round(1e-9 + value, 6) AS value,
+  round(1e-9 + (value - lag(value, 12) OVER w) / lag(value, 12) OVER w, 6) AS roc_12,
+  round(1e-9 + value - lag(value, 12) OVER w, 6) AS mom_12,
+  round(1e-9 + avg(value) OVER w12, 6) AS ma_12,
+  round(1e-9 + lag(value, 12) OVER w, 6) AS lag_12,
+  round(1e-9 + avg(value) OVER w20, 6) AS bb_mid,
+  round(1e-9 + avg(value) OVER w20 + 2 * stddev_samp(value) OVER w20, 6) AS bb_upper,
+  round(1e-9 + avg(value) OVER w20 - 2 * stddev_samp(value) OVER w20, 6) AS bb_lower
+FROM ({_RAW_SQL})
+WINDOW
+  w AS (PARTITION BY series_id ORDER BY time),
+  w12 AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+  w20 AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# decomposition
+# --------------------------------------------------------------------------
+
+def q_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = decomposition.ma_decompose(hourly_series(spark, sf_dir), period=24)
+    return _fmt_time(_r6(out, "value", "trend", "seasonal", "residual"))
+
+
+_Q_DECOMP_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn
+  FROM h
+),
+tr AS (
+  SELECT *,
+    CASE WHEN count(value) OVER w = 25 THEN
+      (sum(value) OVER w - first_value(value) OVER w / 2 - last_value(value) OVER w / 2) / 24
+    END AS trend
+  FROM idx
+  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+detr AS (SELECT *, value - trend AS dt, rn % 24 AS phase FROM tr),
+pm AS (
+  SELECT series_id, phase, avg(dt) AS pmv FROM detr WHERE dt IS NOT NULL GROUP BY 1, 2
+),
+gm AS (SELECT series_id, avg(pmv) AS g FROM pm GROUP BY 1),
+seas AS (
+  SELECT pm.series_id, pm.phase, pm.pmv - gm.g AS seasonal
+  FROM pm JOIN gm ON pm.series_id = gm.series_id
+)
+SELECT d.series_id, strftime(d.time, '{_DK_FMT}') AS time, round(1e-9 + d.value, 6) AS value,
+  round(1e-9 + d.trend, 6) AS trend, round(1e-9 + s.seasonal, 6) AS seasonal,
+  round(1e-9 + d.value - d.trend - s.seasonal, 6) AS residual
+FROM detr d LEFT JOIN seas s ON d.series_id = s.series_id AND d.phase = s.phase
+"""
+
+
+def q_decomp_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = decomposition.strength_features(hourly_series(spark, sf_dir), period=24)
+    return _r6(out, "trend_strength", "seasonality_strength")
+
+
+_Q_STRENGTH_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn
+  FROM h
+),
+tr AS (
+  SELECT *,
+    CASE WHEN count(value) OVER w = 25 THEN
+      (sum(value) OVER w - first_value(value) OVER w / 2 - last_value(value) OVER w / 2) / 24
+    END AS trend
+  FROM idx
+  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+detr AS (SELECT *, value - trend AS dt, rn % 24 AS phase FROM tr),
+pm AS (SELECT series_id, phase, avg(dt) AS pmv FROM detr WHERE dt IS NOT NULL GROUP BY 1, 2),
+gm AS (SELECT series_id, avg(pmv) AS g FROM pm GROUP BY 1),
+seas AS (
+  SELECT pm.series_id, pm.phase, pm.pmv - gm.g AS seasonal
+  FROM pm JOIN gm ON pm.series_id = gm.series_id
+),
+full_d AS (
+  SELECT d.series_id, d.value, d.trend, s.seasonal,
+         d.value - d.trend - s.seasonal AS residual
+  FROM detr d LEFT JOIN seas s ON d.series_id = s.series_id AND d.phase = s.phase
+  WHERE d.trend IS NOT NULL
+),
+agg AS (
+  SELECT series_id, var_samp(residual) AS vr,
+         var_samp(value - seasonal) AS vds, var_samp(value - trend) AS vdt
+  FROM full_d GROUP BY 1
+)
+SELECT series_id,
+  round(1e-9 + greatest(0, 1 - vr / vds), 6) AS trend_strength,
+  round(1e-9 + greatest(0, 1 - vr / vdt), 6) AS seasonality_strength
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# sessionization (interval consolidation primitive)
+# --------------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user (30-min gap) — the interval
+    consolidation primitive behind IntervalDetectorModel
+    (kats/detectors/interval_detector.py:1-30 rejection-interval merge)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn("__new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    out = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        _rnd(F.sum("value"), 6).alias("session_value"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).cast("bigint").alias("duration_s"),
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events", "session_value", "duration_s",
+    )
+
+
+_Q_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+  count(*)::BIGINT AS n_events, round(1e-9 + sum(value), 6) AS session_value,
+  (floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT)::BIGINT AS duration_s
+FROM s GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "daily_revenue_by_region": q_daily_revenue_by_region,
+    "tpch_q1": q_tpch_q1,
+    "hourly_rollup": q_hourly_series,
+    "resample_ffill": q_resample_ffill,
+    "resample_linear": q_resample_linear,
+    "rolling_zscore": q_rolling_zscore,
+    "rolling_iqr": q_rolling_iqr,
+    "rolling_mad": q_rolling_mad,
+    "statsig": q_statsig,
+    "robust_stat": q_robust_stat,
+    "cusum_transform": q_cusum_transform,
+    "mk_statistic": q_mk_statistic,
+    "mk_rolling": q_mk_rolling,
+    "linear_forecast": q_linear_forecast,
+    "quadratic_forecast": q_quadratic_forecast,
+    "metrics_naive": q_metrics_naive,
+    "date_features": q_date_features,
+    "fourier_features": q_fourier_features,
+    "ts_stat_features": q_ts_stat_features,
+    "level_shift": q_level_shift,
+    "ta_features": q_ta_features,
+    "ma_decompose": q_ma_decompose,
+    "decomp_strength": q_decomp_strength,
+    "sessionize": q_sessionize,
+}
+
+ORACLES = {
+    "daily_revenue_by_region": _Q_DAILY_REVENUE_SQL,
+    "tpch_q1": _Q_TPCH_Q1_SQL,
+    "hourly_rollup": f"""
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time, round(1e-9 + value, 6) AS value
+FROM ({_HOURLY_SQL})
+""",
+    "resample_ffill": _Q_RESAMPLE_FFILL_SQL,
+    "resample_linear": _Q_RESAMPLE_LINEAR_SQL,
+    "rolling_zscore": _Q_ROLLING_Z_SQL,
+    "rolling_iqr": _Q_ROLLING_IQR_SQL,
+    "rolling_mad": _Q_ROLLING_MAD_SQL,
+    "statsig": _Q_STATSIG_SQL,
+    "robust_stat": _Q_ROBUST_SQL,
+    "cusum_transform": _Q_CUSUM_SQL,
+    "mk_statistic": _Q_MK_SQL,
+    "mk_rolling": _Q_MK_ROLLING_SQL,
+    "linear_forecast": _Q_LINEAR_SQL,
+    "quadratic_forecast": _Q_QUAD_SQL,
+    "metrics_naive": _Q_METRICS_SQL,
+    "date_features": _Q_DATE_FEATURES_SQL,
+    "fourier_features": _Q_FOURIER_SQL,
+    "ts_stat_features": _Q_TSFEAT_SQL,
+    "level_shift": _Q_LEVEL_SHIFT_SQL,
+    "ta_features": _Q_TA_SQL,
+    "ma_decompose": _Q_DECOMP_SQL,
+    "decomp_strength": _Q_STRENGTH_SQL,
+    "sessionize": _Q_SESSION_SQL,
+}

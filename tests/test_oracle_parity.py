@@ -1,0 +1,30 @@
+"""Every declared query must match its DuckDB oracle exactly — the local
+mirror of the driver's t2 correctness gate."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from kats_spark.plans.harness import compare, duck_run
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_match(spark, sf_dir, name):
+    q = _QUERIES[name]
+    got = q(spark, sf_dir)
+    exp = duck_run(_ORACLES[name], sf_dir)
+    ok, msg = compare(got, exp)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = _QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

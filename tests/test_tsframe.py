@@ -1,0 +1,62 @@
+"""Unit tests for the canonical frame invariants (kats/consts.py parity)."""
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kats_spark import tsframe
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "series_id string, time timestamp, value double")
+
+
+def _t(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+
+
+def test_dedup_keep_first(spark):
+    df = _mk(spark, [("a", _t(0), 1.0), ("a", _t(0), 2.0), ("a", _t(1), 3.0)])
+    out = tsframe.dedup_timestamps(df).orderBy("time").collect()
+    assert [r.value for r in out] == [1.0, 3.0]
+
+
+def test_exclude_closed_interval(spark):
+    df = _mk(spark, [("a", _t(i), float(i)) for i in range(5)])
+    out = tsframe.exclude(df, _t(1), _t(3)).orderBy("time").collect()
+    assert [r.value for r in out] == [0.0, 4.0]
+
+
+def test_binary_op_full_outer_nulls(spark):
+    d1 = _mk(spark, [("a", _t(0), 1.0), ("a", _t(1), 2.0)])
+    d2 = _mk(spark, [("a", _t(1), 10.0), ("a", _t(2), 20.0)])
+    out = {r.time: r.value for r in tsframe.binary_op(d1, d2, "add").collect()}
+    assert out[_t(1)] == 12.0
+    assert out[_t(0)] is None and out[_t(2)] is None
+
+
+def test_infer_freq_mode_of_diffs(spark):
+    rows = [("a", _t(0), 1.0), ("a", _t(1), 1.0), ("a", _t(2), 1.0), ("a", _t(5), 1.0)]
+    out = tsframe.infer_freq_seconds(_mk(spark, rows)).collect()
+    assert out[0].freq_seconds == 3600.0
+
+
+def test_validate_equal_spacing_regular_share(spark):
+    rows = [("a", _t(i), 1.0) for i in range(10)] + [("a", _t(20), 1.0)]
+    r = tsframe.validate_equal_spacing(_mk(spark, rows)).collect()[0]
+    assert r.is_regular and abs(r.regular_share - 0.9) < 1e-9
+
+
+def test_from_wide_melt(spark):
+    pdf = spark.createDataFrame(
+        [(_t(0), 1.0, 10.0), (_t(1), 2.0, 20.0)], "t timestamp, v1 double, v2 double"
+    )
+    out = tsframe.from_wide(pdf, "t", ["v1", "v2"])
+    assert out.count() == 4
+    assert set(r.series_id for r in out.collect()) == {"v1", "v2"}
+
+
+def test_scalar_op(spark):
+    df = _mk(spark, [("a", _t(0), 2.0)])
+    assert tsframe.scalar_op(df, "mul", 3.0).collect()[0].value == 6.0

@@ -1,0 +1,100 @@
+"""Autocorrelation features as closed-form aggregate expressions.
+
+Parity with kats/tsfeatures/tsfeatures.py:934-1175 (acfpacf_features):
+y_acf1..y_acf5, diff1y_acf1, diff2y_acf1, optional seasonal-lag acf, and
+pacf for lags 2-3 via the Durbin-Levinson recursion on the acf values.
+
+acf_k = sum_t (y_t - ybar)(y_{t-k} - ybar) / sum_t (y_t - ybar)^2 with
+ybar the full-series mean (statsmodels convention).  Everything is a
+lag-product aggregate: one window pass + one groupBy, no UDF,
+oracle-checkable.  The centered diff-series acf is expanded algebraically
+(sum of cross products minus mean corrections) so it needs no second
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kats_spark.tsframe import TSSchema, DEFAULT
+
+
+def _centered_acf1_aggs(col: str, prefix: str) -> list[Column]:
+    """Aggregates needed for the exact centered lag-1 acf of a derived
+    series whose mean isn't known until aggregation time."""
+    c = F.col(col)
+    cl = F.col(f"{col}_l1")
+    pair = cl.isNotNull() & c.isNotNull()
+    return [
+        F.sum(F.when(pair, c * cl)).alias(f"{prefix}_sxy"),
+        F.sum(F.when(pair, c)).alias(f"{prefix}_sx"),
+        F.sum(F.when(pair, cl)).alias(f"{prefix}_sy"),
+        F.count(F.when(pair, F.lit(1))).alias(f"{prefix}_np"),
+        F.sum(c * c).alias(f"{prefix}_ss"),
+        F.sum(c).alias(f"{prefix}_s"),
+        F.count(c).alias(f"{prefix}_n"),
+    ]
+
+
+def _centered_acf1(prefix: str) -> Column:
+    """acf1 = [Σxy − m(Σx+Σy) + n_p m²] / [Σx² − 2mΣx_all + n m²]."""
+    m = F.col(f"{prefix}_s") / F.col(f"{prefix}_n")
+    num = (
+        F.col(f"{prefix}_sxy")
+        - m * (F.col(f"{prefix}_sx") + F.col(f"{prefix}_sy"))
+        + F.col(f"{prefix}_np") * m * m
+    )
+    den = F.col(f"{prefix}_ss") - 2 * m * F.col(f"{prefix}_s") + F.col(f"{prefix}_n") * m * m
+    return num / den
+
+
+def acf_features(
+    df: DataFrame,
+    lags: int = 5,
+    seasonal_lag: int | None = None,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """(series_id, acf_1..acf_{lags}[, acf_seasonal], pacf_2, pacf_3,
+    diff1_acf1, diff2_acf1)."""
+    all_lags = list(range(1, lags + 1))
+    if seasonal_lag and seasonal_lag > lags:
+        all_lags.append(seasonal_lag)
+
+    mean_ = df.groupBy(s.series_id).agg(F.avg(s.value).alias("__m"))
+    d = df.join(F.broadcast(mean_), s.series_id).withColumn(
+        "__c", F.col(s.value) - F.col("__m")
+    )
+    d = d.withColumn("__d1", F.col(s.value) - F.lag(s.value).over(s.w()))
+    d = d.withColumn("__d2", F.col("__d1") - F.lag("__d1").over(s.w()))
+
+    lag_cols = {f"__c_l{k}": F.lag("__c", k).over(s.w()) for k in all_lags}
+    lag_cols["__d1_l1"] = F.lag("__d1").over(s.w())
+    lag_cols["__d2_l1"] = F.lag("__d2").over(s.w())
+    d = d.withColumns(lag_cols)
+
+    aggs = [F.sum(F.col("__c") * F.col("__c")).alias("__ss")]
+    for k in all_lags:
+        aggs.append(F.sum(F.col("__c") * F.col(f"__c_l{k}")).alias(f"__num{k}"))
+    aggs += _centered_acf1_aggs("__d1", "__d1")
+    aggs += _centered_acf1_aggs("__d2", "__d2")
+    g = d.groupBy(s.series_id).agg(*aggs)
+
+    sel = [F.col(s.series_id)]
+    for k in all_lags:
+        name = f"acf_{k}" if k <= lags else "acf_seasonal"
+        sel.append((F.col(f"__num{k}") / F.col("__ss")).alias(name))
+    r1 = F.col("__num1") / F.col("__ss")
+    r2 = F.col("__num2") / F.col("__ss")
+    r3 = F.col("__num3") / F.col("__ss")
+    pacf2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi22 = pacf2
+    phi21 = r1 - phi22 * r1
+    pacf3 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+    sel += [
+        pacf2.alias("pacf_2"),
+        pacf3.alias("pacf_3"),
+        _centered_acf1("__d1").alias("diff1_acf1"),
+        _centered_acf1("__d2").alias("diff2_acf1"),
+    ]
+    return g.select(*sel)

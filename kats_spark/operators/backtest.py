@@ -1,0 +1,119 @@
+"""Backtesting: fold-spec generation + per-fold model evaluation.
+
+Parity with kats/utils/backtesters.py:668-1175 (BackTesterSimple /
+RollingOrigin expanding & rolling / FixedWindow) and
+kats/utils/datapartition.py:47-445: a backtest is a *table of folds*
+(fold_id, train_frac range, test range), crossed with the series, each
+(series, fold) fitted and scored.
+
+Spark-first shape: the fold spec is a tiny literal DataFrame; train/test
+membership is a row_number predicate against per-series lengths; the model
+is fitted per (series_id, fold_id) group.  With the closed-form OLS trend
+model the ENTIRE backtest — folds x series x fit x forecast x error
+metrics — is one expression-only plan: two shuffles (window rank, fold
+aggregation), no UDF, no driver loop.  UDF-backed models drop into the
+same spec with groupBy(series, fold).applyInPandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kats_spark.tsframe import TSSchema, DEFAULT
+
+
+def fold_spec(
+    spark,
+    n_folds: int,
+    train_frac: float = 0.5,
+    test_frac: float = 0.1,
+    mode: str = "expanding",
+) -> DataFrame:
+    """RollingOrigin spec (backtesters.py:968,1008): fold i trains on
+    [start_i, split_i) and tests on [split_i, split_i + test_len).
+
+    expanding: start=0, split grows; rolling: fixed-length train window
+    slides.  Fractions are of each series' length, resolved per series at
+    join time (so one spec serves series of different lengths)."""
+    rows = []
+    for i in range(n_folds):
+        offset = (1.0 - train_frac - test_frac) * i / max(n_folds - 1, 1)
+        train_start = 0.0 if mode == "expanding" else offset
+        train_end = train_frac + offset
+        rows.append((i, float(train_start), float(train_end), float(train_end + test_frac)))
+    return spark.createDataFrame(
+        rows, "fold_id int, train_start double, train_end double, test_end double"
+    )
+
+
+def linear_backtest(
+    df: DataFrame,
+    spec: DataFrame,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Backtest the closed-form linear trend model over every fold:
+    returns (series_id, fold_id, n_train, n_test, mae, rmse, mape).
+
+    Plan: rank rows per series (one window), crossJoin the broadcast fold
+    spec, tag train/test membership, compute OLS moments over train rows
+    and forecast errors over test rows in a single grouped aggregation —
+    map-side combinable, shuffle keyed on (series_id, fold_id)."""
+    ranked = df.withColumn("__rn", F.row_number().over(s.w()) - 1).withColumn(
+        "__n", F.count("*").over(Window.partitionBy(s.series_id))
+    )
+    j = ranked.crossJoin(F.broadcast(spec))
+    lo = (F.col("train_start") * F.col("__n")).cast("int")
+    hi = (F.col("train_end") * F.col("__n")).cast("int")
+    te = (F.col("test_end") * F.col("__n")).cast("int")
+    tagged = j.withColumn(
+        "__set",
+        F.when((F.col("__rn") >= lo) & (F.col("__rn") < hi), F.lit("train")).when(
+            (F.col("__rn") >= hi) & (F.col("__rn") < te), F.lit("test")
+        ),
+    ).filter(F.col("__set").isNotNull())
+
+    x = F.col("__rn").cast("double")
+    y = F.col(s.value)
+    is_tr = F.col("__set") == "train"
+    g = tagged.groupBy(s.series_id, "fold_id").agg(
+        F.sum(F.when(is_tr, 1).otherwise(0)).cast("double").alias("n"),
+        F.sum(F.when(is_tr, x)).alias("sx"),
+        F.sum(F.when(is_tr, x * x)).alias("sx2"),
+        F.sum(F.when(is_tr, y)).alias("sy"),
+        F.sum(F.when(is_tr, x * y)).alias("sxy"),
+        F.collect_list(F.when(~is_tr, F.struct(x.alias("x"), y.alias("y")))).alias("__test"),
+    )
+    n, sx, sx2, sy, sxy = (F.col(c) for c in ["n", "sx", "sx2", "sy", "sxy"])
+    b = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    a = sy / n - b * sx / n
+    fitted = g.withColumn("__a", a).withColumn("__b", b)
+    errs = fitted.select(
+        s.series_id,
+        "fold_id",
+        F.col("n").cast("bigint").alias("n_train"),
+        F.size("__test").cast("bigint").alias("n_test"),
+        F.aggregate(
+            "__test", F.lit(0.0),
+            lambda acc, t: acc + F.abs(t["y"] - (F.col("__a") + F.col("__b") * t["x"])),
+        ).alias("__sae"),
+        F.aggregate(
+            "__test", F.lit(0.0),
+            lambda acc, t: acc + F.pow(t["y"] - (F.col("__a") + F.col("__b") * t["x"]), 2),
+        ).alias("__sse"),
+        F.aggregate(
+            "__test", F.lit(0.0),
+            lambda acc, t: acc
+            + F.abs((t["y"] - (F.col("__a") + F.col("__b") * t["x"])) / t["y"]),
+        ).alias("__sape"),
+    )
+    nt = F.col("n_test").cast("double")
+    return errs.select(
+        s.series_id,
+        "fold_id",
+        "n_train",
+        "n_test",
+        (F.col("__sae") / nt).alias("mae"),
+        F.sqrt(F.col("__sse") / nt).alias("rmse"),
+        (F.col("__sape") / nt).alias("mape"),
+    )

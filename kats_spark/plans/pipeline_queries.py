@@ -226,24 +226,11 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
 
 
 def q_allpairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine top-3 neighbors per vector (ranked on the
-    rounded score so ordering is fp-stable across engines)."""
+    """Exact all-pairs cosine top-3 neighbors per vector via the broadcast
+    numpy index (ranked on the rounded score so ordering is fp-stable
+    across engines)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
-    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
-    scored = l.join(F.broadcast(r), F.col("id_a") != F.col("id_b")).select(
-        "id_a",
-        "id_b",
-        _rnd(similarity.cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
-    out = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
-    return out.select(
-        F.col("id_a").cast("bigint").alias("id_a"),
-        F.col("id_b").cast("bigint").alias("id_b"),
-        "cos_sim",
-        F.col("rk").cast("int").alias("rk"),
-    )
+    return similarity.all_pairs_topk(emb, k=3)
 
 
 _Q_ALLPAIRS_SQL = """

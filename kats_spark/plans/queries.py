@@ -1052,3 +1052,424 @@ FROM ({_HOURLY_SQL})
     "decomp_strength": _Q_STRENGTH_SQL,
     "sessionize": _Q_SESSION_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# round-1b additions: outlier, acf, ar2, backtest, interval, model zoo
+# --------------------------------------------------------------------------
+
+from kats_spark.functions import acf as acf_mod  # noqa: E402
+from kats_spark.models import ar as ar_mod, fcst as fcst_mod  # noqa: E402
+from kats_spark.operators import backtest as bt_mod  # noqa: E402
+from kats_spark.operators import cusum as cusum_mod  # noqa: E402
+from kats_spark.operators import interval as interval_mod  # noqa: E402
+from kats_spark.operators import outlier as outlier_mod  # noqa: E402
+
+
+def q_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = outlier_mod.outlier_detect(hourly_series(spark, sf_dir), period=24, iqr_mult=2.0)
+    return _fmt_time(_r6(out, "value", "residual")).select(
+        "series_id", "time", "value", "residual",
+        F.col("is_outlier").cast("int").alias("is_outlier"),
+    )
+
+
+_Q_OUTLIER_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn
+  FROM h
+),
+tr AS (
+  SELECT *,
+    CASE WHEN count(value) OVER w = 25 THEN
+      (sum(value) OVER w - first_value(value) OVER w / 2 - last_value(value) OVER w / 2) / 24
+    END AS trend
+  FROM idx
+  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+detr AS (SELECT *, value - trend AS dt, rn % 24 AS phase FROM tr),
+pm AS (SELECT series_id, phase, avg(dt) AS pmv FROM detr WHERE dt IS NOT NULL GROUP BY 1, 2),
+gm AS (SELECT series_id, avg(pmv) AS g FROM pm GROUP BY 1),
+seas AS (
+  SELECT pm.series_id, pm.phase, pm.pmv - gm.g AS seasonal
+  FROM pm JOIN gm ON pm.series_id = gm.series_id
+),
+full_d AS (
+  SELECT d.series_id, d.time, d.value, d.trend,
+         d.value - d.trend - s.seasonal AS residual
+  FROM detr d LEFT JOIN seas s ON d.series_id = s.series_id AND d.phase = s.phase
+),
+bounds AS (
+  SELECT series_id,
+         quantile_cont(residual, 0.25) AS q1, quantile_cont(residual, 0.75) AS q3
+  FROM full_d WHERE residual IS NOT NULL GROUP BY 1
+)
+SELECT f.series_id, strftime(f.time, '{_DK_FMT}') AS time,
+  round(1e-9 + f.value, 6) AS value, round(1e-9 + f.residual, 6) AS residual,
+  CASE WHEN f.residual IS NULL THEN 0
+       WHEN f.residual < b.q1 - 2.0 * (b.q3 - b.q1)
+         OR f.residual > b.q3 + 2.0 * (b.q3 - b.q1) THEN 1 ELSE 0 END::INT AS is_outlier
+FROM full_d f JOIN bounds b ON f.series_id = b.series_id
+"""
+
+
+def q_acf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = acf_mod.acf_features(raw_series(spark, sf_dir), lags=5)
+    return _r6(
+        out, "acf_1", "acf_2", "acf_3", "acf_4", "acf_5",
+        "pacf_2", "pacf_3", "diff1_acf1", "diff2_acf1",
+    )
+
+
+_Q_ACF_SQL = f"""
+WITH r AS ({_RAW_SQL}),
+m AS (SELECT series_id, avg(value) AS mu FROM r GROUP BY 1),
+d0 AS (
+  SELECT r.series_id, r.time, r.value - m.mu AS c,
+    r.value - lag(r.value) OVER w AS d1,
+    lag(r.value - m.mu, 1) OVER w AS c1, lag(r.value - m.mu, 2) OVER w AS c2,
+    lag(r.value - m.mu, 3) OVER w AS c3, lag(r.value - m.mu, 4) OVER w AS c4,
+    lag(r.value - m.mu, 5) OVER w AS c5
+  FROM r JOIN m ON r.series_id = m.series_id
+  WINDOW w AS (PARTITION BY r.series_id ORDER BY r.time)
+),
+d AS (
+  SELECT *, d1 - lag(d1) OVER (PARTITION BY series_id ORDER BY time) AS d2
+  FROM d0
+),
+d_ext AS (
+  SELECT *, lag(d1) OVER (PARTITION BY series_id ORDER BY time) AS d1l,
+            lag(d2) OVER (PARTITION BY series_id ORDER BY time) AS d2l
+  FROM d
+),
+g AS (
+  SELECT series_id,
+    sum(c * c) AS ss,
+    sum(c * c1) AS n1, sum(c * c2) AS n2, sum(c * c3) AS n3,
+    sum(c * c4) AS n4, sum(c * c5) AS n5,
+    sum(CASE WHEN d1 IS NOT NULL AND d1l IS NOT NULL THEN d1 * d1l END) AS d1_sxy,
+    sum(CASE WHEN d1 IS NOT NULL AND d1l IS NOT NULL THEN d1 END) AS d1_sx,
+    sum(CASE WHEN d1 IS NOT NULL AND d1l IS NOT NULL THEN d1l END) AS d1_sy,
+    count(CASE WHEN d1 IS NOT NULL AND d1l IS NOT NULL THEN 1 END) AS d1_np,
+    sum(d1 * d1) AS d1_ss, sum(d1) AS d1_s, count(d1) AS d1_n,
+    sum(CASE WHEN d2 IS NOT NULL AND d2l IS NOT NULL THEN d2 * d2l END) AS d2_sxy,
+    sum(CASE WHEN d2 IS NOT NULL AND d2l IS NOT NULL THEN d2 END) AS d2_sx,
+    sum(CASE WHEN d2 IS NOT NULL AND d2l IS NOT NULL THEN d2l END) AS d2_sy,
+    count(CASE WHEN d2 IS NOT NULL AND d2l IS NOT NULL THEN 1 END) AS d2_np,
+    sum(d2 * d2) AS d2_ss, sum(d2) AS d2_s, count(d2) AS d2_n
+  FROM d_ext GROUP BY 1
+)
+SELECT series_id,
+  round(1e-9 + n1 / ss, 6) AS acf_1, round(1e-9 + n2 / ss, 6) AS acf_2,
+  round(1e-9 + n3 / ss, 6) AS acf_3, round(1e-9 + n4 / ss, 6) AS acf_4,
+  round(1e-9 + n5 / ss, 6) AS acf_5,
+  round(1e-9 + (n2 / ss - (n1 / ss) * (n1 / ss)) / (1 - (n1 / ss) * (n1 / ss)), 6) AS pacf_2,
+  round(1e-9 + (n3 / ss
+    - (n1 / ss - ((n2 / ss - (n1 / ss) * (n1 / ss)) / (1 - (n1 / ss) * (n1 / ss))) * (n1 / ss)) * (n2 / ss)
+    - ((n2 / ss - (n1 / ss) * (n1 / ss)) / (1 - (n1 / ss) * (n1 / ss))) * (n1 / ss))
+    / (1
+    - (n1 / ss - ((n2 / ss - (n1 / ss) * (n1 / ss)) / (1 - (n1 / ss) * (n1 / ss))) * (n1 / ss)) * (n1 / ss)
+    - ((n2 / ss - (n1 / ss) * (n1 / ss)) / (1 - (n1 / ss) * (n1 / ss))) * (n2 / ss)), 6) AS pacf_3,
+  round(1e-9 + (d1_sxy - (d1_s / d1_n) * (d1_sx + d1_sy) + d1_np * (d1_s / d1_n) * (d1_s / d1_n))
+        / (d1_ss - 2 * (d1_s / d1_n) * d1_s + d1_n * (d1_s / d1_n) * (d1_s / d1_n)), 6) AS diff1_acf1,
+  round(1e-9 + (d2_sxy - (d2_s / d2_n) * (d2_sx + d2_sy) + d2_np * (d2_s / d2_n) * (d2_s / d2_n))
+        / (d2_ss - 2 * (d2_s / d2_n) * d2_s + d2_n * (d2_s / d2_n) * (d2_s / d2_n)), 6) AS diff2_acf1
+FROM g
+"""
+
+
+def q_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ar_mod.ar2_forecast(hourly_series(spark, sf_dir), steps=12, freq_seconds=3600)
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_AR2_SQL = f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+lagd AS (
+  SELECT series_id, time, value,
+    lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2
+  FROM h WINDOW w AS (PARTITION BY series_id ORDER BY time)
+),
+m AS (
+  SELECT series_id,
+    count(*)::DOUBLE AS n, sum(x1) AS s1, sum(x2) AS s2,
+    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+    sum(value) AS sy, sum(value * x1) AS sy1, sum(value * x2) AS sy2,
+    sum(value * value) AS syy,
+    max(time) AS tmax,
+    arg_max(value, time) AS y_last, arg_max(x1, time) AS y_prev
+  FROM lagd WHERE x2 IS NOT NULL GROUP BY 1
+),
+fit AS (
+  SELECT series_id, tmax, y_last, y_prev, n, sy, sy1, sy2, syy,
+    n  * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS D,
+    sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2) + s2 * (sy1 * s12 - s11 * sy2) AS Dc,
+    n * (sy1 * s22 - s12 * sy2) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * sy2 - sy1 * s2) AS D1,
+    n * (s11 * sy2 - sy1 * s12) - s1 * (s1 * sy2 - sy1 * s2) + sy * (s1 * s12 - s11 * s2) AS D2
+  FROM m
+),
+co AS (
+  SELECT series_id, tmax, y_last, y_prev, n,
+    Dc / D AS c, D1 / D AS p1, D2 / D AS p2,
+    (syy - Dc / D * sy - D1 / D * sy1 - D2 / D * sy2) / (n - 3) AS mse
+  FROM fit
+),
+rec AS (
+  SELECT series_id, tmax, c, p1, p2, mse,
+         1 AS h,
+         c + p1 * y_last + p2 * y_prev AS fcst,
+         y_last AS ylag,
+         1.0::DOUBLE AS psi_prev, 0.0::DOUBLE AS psi_prev2,
+         1.0::DOUBLE AS var_mult
+  FROM co
+  UNION ALL
+  SELECT series_id, tmax, c, p1, p2, mse,
+         h + 1,
+         c + p1 * fcst + p2 * ylag,
+         fcst,
+         p1 * psi_prev + p2 * psi_prev2,
+         psi_prev,
+         var_mult + pow(p1 * psi_prev + p2 * psi_prev2, 2)
+  FROM rec WHERE h < 12
+)
+SELECT series_id,
+  strftime(tmax + to_seconds(h * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + fcst, 6) AS fcst,
+  round(1e-9 + fcst - 1.959963984540054 * sqrt(mse * var_mult), 6) AS fcst_lower,
+  round(1e-9 + fcst + 1.959963984540054 * sqrt(mse * var_mult), 6) AS fcst_upper
+FROM rec
+"""
+
+
+def q_backtest_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = bt_mod.fold_spec(spark, n_folds=3, train_frac=0.5, test_frac=0.1, mode="expanding")
+    out = bt_mod.linear_backtest(hourly_series(spark, sf_dir), spec)
+    return _r6(out, "mae", "rmse", "mape").select(
+        "series_id", F.col("fold_id").cast("int").alias("fold_id"),
+        F.col("n_train").cast("bigint").alias("n_train"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        "mae", "rmse", "mape",
+    )
+
+
+_Q_BACKTEST_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value,
+    (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS rn,
+    count(*) OVER (PARTITION BY series_id)::DOUBLE AS n_all
+  FROM h
+),
+spec AS (
+  SELECT unnest([0, 1, 2]) AS fold_id
+),
+folds AS (
+  SELECT fold_id,
+    0.0 AS train_start,
+    0.5 + 0.4 * fold_id / 2 AS train_end,
+    0.6 + 0.4 * fold_id / 2 AS test_end
+  FROM spec
+),
+tagged AS (
+  SELECT i.series_id, i.value, i.rn, f.fold_id,
+    CASE WHEN i.rn >= floor(f.train_start * i.n_all)::INT
+          AND i.rn < floor(f.train_end * i.n_all)::INT THEN 'train'
+         WHEN i.rn >= floor(f.train_end * i.n_all)::INT
+          AND i.rn < floor(f.test_end * i.n_all)::INT THEN 'test' END AS st
+  FROM idx i CROSS JOIN folds f
+  WHERE CASE WHEN i.rn >= floor(f.train_start * i.n_all)::INT
+          AND i.rn < floor(f.train_end * i.n_all)::INT THEN 'train'
+         WHEN i.rn >= floor(f.train_end * i.n_all)::INT
+          AND i.rn < floor(f.test_end * i.n_all)::INT THEN 'test' END IS NOT NULL
+),
+fitstats AS (
+  SELECT series_id, fold_id,
+    sum(CASE WHEN st = 'train' THEN 1 ELSE 0 END)::DOUBLE AS n,
+    sum(CASE WHEN st = 'train' THEN rn END) AS sx,
+    sum(CASE WHEN st = 'train' THEN rn * rn END) AS sx2,
+    sum(CASE WHEN st = 'train' THEN value END) AS sy,
+    sum(CASE WHEN st = 'train' THEN rn * value END) AS sxy
+  FROM tagged GROUP BY 1, 2
+),
+co AS (
+  SELECT series_id, fold_id, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM fitstats
+)
+SELECT t.series_id, t.fold_id::INT AS fold_id,
+  any_value(c.n)::BIGINT AS n_train,
+  count(*)::BIGINT AS n_test,
+  round(1e-9 + avg(abs(t.value - (c.a + c.b * t.rn))), 6) AS mae,
+  round(1e-9 + sqrt(sum(pow(t.value - (c.a + c.b * t.rn), 2)) / count(*)), 6) AS rmse,
+  round(1e-9 + avg(abs((t.value - (c.a + c.b * t.rn)) / t.value)), 6) AS mape
+FROM tagged t JOIN co c ON t.series_id = c.series_id AND t.fold_id = c.fold_id
+WHERE t.st = 'test'
+GROUP BY 1, 2
+"""
+
+
+def _two_sample_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly view-vs-click A/B frame (TwoSampleSchema shape)."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy(
+            F.col("event_type"),
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / 3600).cast("bigint") * 3600
+            ).alias("time"),
+        )
+        .agg(
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+            F.count("*").cast("double").alias("n"),
+        )
+    )
+    a = hourly.filter(F.col("event_type") == "view").select(
+        "time", F.col("m").alias("value_a"), F.col("v").alias("variance_a"),
+        F.col("n").alias("sample_count_a"),
+    )
+    b = hourly.filter(F.col("event_type") == "click").select(
+        "time", F.col("m").alias("value_b"), F.col("v").alias("variance_b"),
+        F.col("n").alias("sample_count_b"),
+    )
+    return a.join(b, "time").withColumn("series_id", F.lit("view_vs_click"))
+
+
+def q_interval_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = interval_mod.two_sample_scores(_two_sample_frame(spark, sf_dir), 1.96)
+    out = interval_mod.consolidate_intervals(scored, min_len=2)
+    return out.select(
+        "series_id",
+        F.date_format("start_time", _TS_FMT).alias("start_time"),
+        F.date_format("end_time", _TS_FMT).alias("end_time"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+        _rnd("max_abs_z", 6).alias("max_abs_z"),
+    )
+
+
+_Q_INTERVAL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+    to_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600) AS time,
+    avg(value) AS m, var_samp(value) AS v, count(*)::DOUBLE AS n
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+),
+wide AS (
+  SELECT a.time, a.m AS value_a, a.v AS variance_a, a.n AS na,
+         b.m AS value_b, b.v AS variance_b, b.n AS nb
+  FROM (SELECT * FROM hourly WHERE event_type = 'view') a
+  JOIN (SELECT * FROM hourly WHERE event_type = 'click') b USING (time)
+),
+scored AS (
+  SELECT time, (value_b - value_a) / sqrt(variance_a / na + variance_b / nb) AS z,
+    CASE WHEN abs((value_b - value_a) / sqrt(variance_a / na + variance_b / nb)) > 1.96
+         THEN 1 ELSE 0 END AS rej
+  FROM wide
+),
+flagged AS (
+  SELECT *, CASE WHEN rej = 1 AND coalesce(lag(rej) OVER (ORDER BY time), 0) = 0
+                 THEN 1 ELSE 0 END AS st
+  FROM scored
+),
+runs AS (
+  SELECT *, sum(st) OVER (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+)
+SELECT 'view_vs_click' AS series_id,
+  strftime(min(time), '{_DK_FMT}') AS start_time,
+  strftime(max(time), '{_DK_FMT}') AS end_time,
+  count(*)::BIGINT AS n_points,
+  round(1e-9 + max(abs(z)), 6) AS max_abs_z
+FROM runs WHERE rej = 1
+GROUP BY grp
+HAVING count(*) >= 2
+"""
+
+
+def q_simple_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = fcst_mod.simple_heuristic_forecast(
+        raw_series(spark, sf_dir), steps=24, freq_seconds=3600, quantile=0.9
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_SIMPLE_HEURISTIC_SQL = f"""
+WITH r AS ({_RAW_SQL}),
+agg AS (
+  SELECT series_id, arg_max(value, time) AS lastv,
+    quantile_cont(value, 0.1) AS lo, quantile_cont(value, 0.9) AS hi,
+    max(time) AS tmax
+  FROM r GROUP BY 1
+)
+SELECT series_id,
+  strftime(to_timestamp(floor(epoch(tmax))::BIGINT + h * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + lastv, 6) AS fcst,
+  round(1e-9 + lo, 6) AS fcst_lower,
+  round(1e-9 + hi, 6) AS fcst_upper
+FROM agg, (SELECT unnest(generate_series(1, 24)) AS h)
+"""
+
+
+def q_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoints — iterative per-series kernel, rows-only check."""
+    out = cusum_mod.cusum_detect(hourly_series(spark, sf_dir), threshold=0.5,
+                                 delta_std_ratio=0.0)
+    return out.select(
+        "series_id", F.date_format("cp_time", _TS_FMT).alias("cp_time"),
+        F.col("cp_index").cast("int").alias("cp_index"), "direction",
+        _rnd("mu0", 6).alias("mu0"), _rnd("mu1", 6).alias("mu1"),
+        _rnd("delta", 6).alias("delta"), _rnd("llr", 6).alias("llr"),
+    )
+
+
+def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SES grid-fit forecast — recursive kernel, rows-only check."""
+    out = fcst_mod.forecast(hourly_series(spark, sf_dir), "ses", steps=24, freq_seconds=3600)
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+def q_holtwinters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive grid-fit forecast — rows-only check."""
+    out = fcst_mod.forecast(
+        hourly_series(spark, sf_dir), "holtwinters", steps=24, freq_seconds=3600, period=24
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta(2) forecast — rows-only check."""
+    out = fcst_mod.forecast(hourly_series(spark, sf_dir), "theta", steps=24, freq_seconds=3600)
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+QUERIES.update(
+    {
+        "outlier_detect": q_outlier_detect,
+        "acf_features": q_acf_features,
+        "ar2_forecast": q_ar2_forecast,
+        "backtest_linear": q_backtest_linear,
+        "interval_detect": q_interval_detect,
+        "simple_heuristic": q_simple_heuristic,
+        "cusum_detect": q_cusum_detect,
+        "ses_forecast": q_ses_forecast,
+        "holtwinters_forecast": q_holtwinters_forecast,
+        "theta_forecast": q_theta_forecast,
+    }
+)
+
+ORACLES.update(
+    {
+        "outlier_detect": _Q_OUTLIER_SQL,
+        "acf_features": _Q_ACF_SQL,
+        "ar2_forecast": _Q_AR2_SQL,
+        "backtest_linear": _Q_BACKTEST_SQL,
+        "interval_detect": _Q_INTERVAL_SQL,
+        "simple_heuristic": _Q_SIMPLE_HEURISTIC_SQL,
+        # cusum_detect / ses / holtwinters / theta: iterative kernels,
+        # rows-only by design; covered by seeded-simulation unit tests
+    }
+)

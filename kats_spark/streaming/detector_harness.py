@@ -1,0 +1,146 @@
+"""Streaming DetectorModel harness on ``applyInPandasWithState``.
+
+Parity with the incremental DetectorModel contract
+(kats/detectors/detector.py:137-207): ``serialize() -> bytes``,
+``fit(data, historical_data)``, ``predict`` / ``fit_predict ->
+AnomalyResponse``.  The serialized-state + incremental-update contract maps
+1:1 onto Spark Structured Streaming grouped state:
+
+- state               = the detector's ``serialize()`` bytes (versioned
+                        JSON, mirroring the vN+1-must-load-vN requirement,
+                        kats/detectors/detector.py:157-163)
+- ``historical_data`` = whatever the state decodes to
+- ``fit_predict``     = one micro-batch update per series
+
+Output is the AnomalyResponse row shape (kats/detectors/detector_consts.py:563):
+(series_id, time, value, score, predicted, lower, upper, stat_sig).
+
+Included detector: streaming z-score (RollingStatsModel z_score semantics,
+kats/detectors/rolling_stats_model.py:58-90) with Welford mean/variance
+state — numerically stable, O(1) per point, mergeable.  The same harness
+shape hosts CUSUM/StatSig states later.
+
+Batch parity helper ``zscore_batch`` applies the identical update rule to
+a static frame so streaming output can be asserted equal to batch output.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kats_spark.tsframe import TSSchema, DEFAULT
+
+STATE_VERSION = 1
+
+OUTPUT_SCHEMA = (
+    "series_id string, time timestamp, value double, score double, "
+    "predicted double, lower double, upper double, stat_sig int"
+)
+STATE_SCHEMA = "state_json string"
+
+
+def _new_state() -> dict[str, Any]:
+    return {"version": STATE_VERSION, "n": 0, "mean": 0.0, "m2": 0.0}
+
+
+def serialize_state(state: dict[str, Any]) -> str:
+    """``DetectorModel.serialize`` (kats/detectors/detector.py:166)."""
+    return json.dumps(state, sort_keys=True)
+
+
+def deserialize_state(raw: str | None) -> dict[str, Any]:
+    """vN+1 loads vN: unknown keys are preserved, missing keys defaulted."""
+    if not raw:
+        return _new_state()
+    loaded = json.loads(raw)
+    base = _new_state()
+    base.update(loaded)
+    return base
+
+
+def _update_one(state: dict[str, Any], value: float, z_threshold: float) -> dict[str, Any]:
+    """Welford update + score vs the *pre-update* state (a point must not
+    lower its own anomaly score)."""
+    n, mean, m2 = state["n"], state["mean"], state["m2"]
+    if n >= 2:
+        var = m2 / (n - 1)
+        sd = var ** 0.5
+        score = (value - mean) / sd if sd > 0 else 0.0
+        lower, upper = mean - z_threshold * sd, mean + z_threshold * sd
+    else:
+        score, lower, upper = 0.0, None, None
+    n += 1
+    delta = value - mean
+    mean += delta / n
+    m2 += delta * (value - mean)
+    state.update(n=n, mean=mean, m2=m2)
+    return {
+        "score": score,
+        "predicted": mean,
+        "lower": lower,
+        "upper": upper,
+        "stat_sig": int(abs(score) > z_threshold),
+    }
+
+
+def make_zscore_updater(z_threshold: float = 3.0, s: TSSchema = DEFAULT):
+    """Returns the applyInPandasWithState update function."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = deserialize_state(state.get[0] if state.exists else None)
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(s.time)
+            for _, row in pdf.iterrows():
+                res = _update_one(st, float(row[s.value]), z_threshold)
+                out_rows.append(
+                    {
+                        s.series_id: key[0],
+                        s.time: row[s.time],
+                        s.value: row[s.value],
+                        **res,
+                    }
+                )
+        state.update((serialize_state(st),))
+        yield pd.DataFrame(out_rows)
+
+    return update
+
+
+def zscore_stream(
+    stream_df: DataFrame,
+    z_threshold: float = 3.0,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Wire a streaming long frame through the stateful detector."""
+    return stream_df.groupBy(s.series_id).applyInPandasWithState(
+        make_zscore_updater(z_threshold, s),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def zscore_batch(df: DataFrame, z_threshold: float = 3.0, s: TSSchema = DEFAULT) -> DataFrame:
+    """Batch reference: same update rule over a static frame (one
+    applyInPandas per series) — used to assert streaming==batch parity."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = _new_state()
+        rows = []
+        for _, row in pdf.sort_values(s.time).iterrows():
+            res = _update_one(st, float(row[s.value]), z_threshold)
+            rows.append({s.series_id: row[s.series_id], s.time: row[s.time],
+                         s.value: row[s.value], **res})
+        return pd.DataFrame(rows)
+
+    return df.groupBy(s.series_id).applyInPandas(fn, OUTPUT_SCHEMA)

@@ -1,0 +1,49 @@
+"""Multimodal plumbing: binary columns, metadata, stubbed decode."""
+
+from pyspark.sql import functions as F
+
+from kats_spark.operators import multimodal
+
+
+def _media_df(spark):
+    rows = [
+        (0, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"fakejpegdata"),
+        (1, bytes([0x89, 0x50, 0x4E, 0x47]) + b"fakepngdata"),
+        (2, b"RIFFxxxxWAVE"),
+        (3, b"\x00plainbytes"),
+    ]
+    return spark.createDataFrame(rows, "media_id bigint, payload binary")
+
+
+def test_metadata_mime_sniff(spark):
+    out = {r.media_id: r for r in multimodal.attach_metadata(_media_df(spark)).collect()}
+    assert out[0].mime == "image/jpeg"
+    assert out[1].mime == "image/png"
+    assert out[2].mime == "audio/wav"
+    assert out[3].mime == "application/octet-stream"
+    assert out[0].n_bytes == 16
+    assert len(out[0].sha256) == 64
+
+
+def test_decode_features_deterministic(spark):
+    df = _media_df(spark)
+    a = multimodal.decode_features(df).orderBy("media_id").collect()
+    b = multimodal.decode_features(df).orderBy("media_id").collect()
+    assert [r.features for r in a] == [r.features for r in b]
+    assert all(len(r.features) == 8 for r in a)
+    assert all(0.0 <= x <= 1.0 for r in a for x in r.features)
+
+
+def test_decode_real_raises(spark):
+    try:
+        multimodal.decode_real()
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError as e:
+        assert "PIL/ffmpeg" in str(e)
+
+
+def test_frame_sample_spec(spark):
+    df = _media_df(spark)
+    frames = multimodal.frame_sample_spec(df, every_n=5)
+    assert frames.count() == 20
+    assert frames.groupBy("media_id").count().filter(F.col("count") != 5).count() == 0

@@ -1,0 +1,83 @@
+"""Streaming DetectorModel harness: micro-batched stateful scoring must
+equal the batch reference, and state must round-trip serialize()."""
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+
+from kats_spark.streaming import detector_harness as dh
+
+
+def test_state_roundtrip_and_version_tolerance():
+    st = dh._new_state()
+    dh._update_one(st, 5.0, 3.0)
+    raw = dh.serialize_state(st)
+    back = dh.deserialize_state(raw)
+    assert back == st
+    # vN+1 loads vN: extra key preserved, missing key defaulted
+    legacy = dh.deserialize_state('{"version": 0, "n": 3, "mean": 1.0}')
+    assert legacy["m2"] == 0.0 and legacy["n"] == 3
+
+
+def test_streaming_equals_batch(spark, tmp_path=None):
+    tmpdir = tempfile.mkdtemp()
+    out_table = "zscore_stream_out"
+    try:
+        # two chunks arriving as separate files = separate micro-batches
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        n = 120
+        pdf = pd.DataFrame(
+            {
+                "series_id": ["a"] * n + ["b"] * n,
+                "time": list(pd.date_range("2024-01-01", periods=n, freq="h")) * 2,
+                "value": rng.randn(2 * n),
+            }
+        )
+        pdf.loc[100, "value"] += 15.0  # inject an anomaly in series a
+        static = spark.createDataFrame(pdf)
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        # Spark reads parquet TIMESTAMP(MICROS); pandas defaults to nanos.
+        pdf_us = pdf.assign(time=pdf.time.astype("datetime64[us]"))
+        pdf_us.iloc[: n // 2].to_parquet(os.path.join(chunk_dir, "c0.parquet"))
+        pdf_us.iloc[n // 2 :].to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+
+        stream = (
+            spark.readStream.schema("series_id string, time timestamp, value double")
+            .parquet(chunk_dir)
+        )
+        q = (
+            dh.zscore_stream(stream, z_threshold=3.0)
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = (
+            spark.table(out_table)
+            .toPandas()
+            .sort_values(["series_id", "time"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            dh.zscore_batch(static, z_threshold=3.0)
+            .toPandas()
+            .sort_values(["series_id", "time"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) == 2 * n
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=1e-12)
+        # the injected anomaly is flagged
+        flagged = got[got.stat_sig == 1]
+        assert len(flagged) >= 1
+        assert (flagged.score.abs() > 3).all()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

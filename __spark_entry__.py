@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kats_spark.plans import pipeline_queries, queries as ts_queries
+from kats_spark.plans import pipeline_queries, queries as ts_queries, queries2
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,6 +25,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(ts_queries.QUERIES)
     out.update(pipeline_queries.QUERIES)
+    out.update(queries2.QUERIES)
     return out
 
 
@@ -32,4 +33,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(ts_queries.ORACLES)
     out.update(pipeline_queries.ORACLES)
+    out.update(queries2.ORACLES)
     return out

@@ -41,7 +41,12 @@ def fold_spec(
         offset = (1.0 - train_frac - test_frac) * i / max(n_folds - 1, 1)
         train_start = 0.0 if mode == "expanding" else offset
         train_end = train_frac + offset
-        rows.append((i, float(train_start), float(train_end), float(train_end + test_frac)))
+        # round to 9 decimals so boundary*length floors identically across
+        # engines (0.7 + 0.1*i drifts in the last ulp otherwise)
+        rows.append(
+            (i, round(float(train_start), 9), round(float(train_end), 9),
+             round(float(train_end + test_frac), 9))
+        )
     return spark.createDataFrame(
         rows, "fold_id int, train_start double, train_end double, test_end double"
     )

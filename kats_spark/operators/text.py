@@ -73,14 +73,21 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
     hits = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
     ratio = hits / F.greatest(F.size(t), F.lit(1))
-    return df.withColumn(
+    return df.withColumn("stop_ratio", ratio).withColumn(
         "lang_pred", F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
-    """Deterministic 64-bit document fingerprint: xxhash64 of the
-    whitespace-normalized lowercased text (rolling-hash equivalent for
-    exact-dup detection)."""
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic document fingerprint of the whitespace-normalized
+    lowercased text (rolling-hash equivalent for exact-dup detection).
+    ``xxhash64`` (fast 64-bit, Spark-native) or ``md5`` (engine-portable,
+    hash-matchable against any SQL oracle)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return df.withColumn(out_col, F.xxhash64(norm))
+    h = F.xxhash64(norm) if method == "xxhash64" else F.md5(norm.cast("binary"))
+    return df.withColumn(out_col, h)

@@ -1268,8 +1268,8 @@ spec AS (
 folds AS (
   SELECT fold_id,
     0.0 AS train_start,
-    0.5 + 0.4 * fold_id / 2 AS train_end,
-    0.6 + 0.4 * fold_id / 2 AS test_end
+    round(0.5 + 0.4 * fold_id / 2, 9) AS train_end,
+    round(0.6 + 0.4 * fold_id / 2, 9) AS test_end
   FROM spec
 ),
 tagged AS (

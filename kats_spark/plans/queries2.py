@@ -1,0 +1,563 @@
+"""Query registry, part 2: ensembles, empirical CI, hyperparameter
+search, reconciliation, anomaly postprocessing, and the numpy-kernel
+detectors (BOCPD / FFT / hourly-ratio / distribution-distance / VAR).
+
+Same conventions as plans/queries.py: round(+1e-9, 6) on floats on both
+sides, string-formatted times, explicit int casts.  Iterative / FFT /
+matrix kernels are declared rows-only by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kats_spark.models import fcst as fcst_mod
+from kats_spark.operators import (
+    backtest as bt_mod,
+    bocpd as bocpd_mod,
+    dist_distance,
+    empirical_ci as eci,
+    ensemble as ens,
+    hourly_ratio as hr_mod,
+    hpt as hpt_mod,
+    postprocess as pp,
+    reconciliation as rec,
+    seasonality as season_mod,
+    statsig,
+    text,
+    trend,
+    var as var_mod,
+)
+from kats_spark.plans.queries import (
+    _DK_FMT,
+    _HOURLY_SQL,
+    _TS_FMT,
+    _fmt_time,
+    _r6,
+    _rnd,
+    hourly_series,
+    raw_series,
+)
+
+# --------------------------------------------------------------------------
+# median ensemble (linear + quadratic + simple-heuristic) — full oracle
+# --------------------------------------------------------------------------
+
+
+def q_median_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = hourly_series(spark, sf_dir)
+    f1 = trend.linear_forecast(h, steps=24, freq_seconds=3600)
+    f2 = trend.quadratic_forecast(h, steps=24, freq_seconds=3600)
+    f3 = fcst_mod.simple_heuristic_forecast(h, steps=24, freq_seconds=3600, quantile=0.9)
+    out = ens.median_ensemble([f1, f2, f3])
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_ENSEMBLE_COMPONENTS_SQL = f"""
+h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value,
+         (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS x,
+         max(time) OVER (PARTITION BY series_id) AS tmax
+  FROM h
+),
+m AS (
+  SELECT series_id, any_value(tmax) AS tmax,
+    count(*)::DOUBLE AS n, sum(x) AS sx, sum(x ^ 2) AS sx2, sum(x ^ 3) AS sx3,
+    sum(x ^ 4) AS sx4, sum(value) AS sy, sum(x * value) AS sxy,
+    sum(x * x * value) AS sx2y, sum(value * value) AS sy2
+  FROM idx GROUP BY 1
+),
+lin AS (
+  SELECT series_id, tmax, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a,
+    sx2 - sx * sx / n AS sxx, sx / n AS mean_x,
+    (sy2 - (sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n) * sy
+         - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sxy) / (n - 2) AS mse
+  FROM m
+),
+lin_fc AS (
+  SELECT series_id, tmax + to_seconds(h * 3600) AS time,
+    a + b * (n - 1 + h) AS fcst,
+    a + b * (n - 1 + h) - 1.959963984540054
+      * sqrt(mse * (1 + 1 / n + pow(n - 1 + h - mean_x, 2) / sxx)) AS fcst_lower,
+    a + b * (n - 1 + h) + 1.959963984540054
+      * sqrt(mse * (1 + 1 / n + pow(n - 1 + h - mean_x, 2) / sxx)) AS fcst_upper
+  FROM lin, (SELECT unnest(generate_series(1, 24))::DOUBLE AS h)
+),
+qd AS (
+  SELECT series_id, tmax, n, sy, sxy, sx2y, sy2,
+    n  * (sx2 * sx4 - sx3 * sx3) - sx * (sx * sx4 - sx3 * sx2) + sx2 * (sx * sx3 - sx2 * sx2) AS D,
+    sy * (sx2 * sx4 - sx3 * sx3) - sx * (sxy * sx4 - sx3 * sx2y) + sx2 * (sxy * sx3 - sx2 * sx2y) AS Da,
+    n * (sxy * sx4 - sx3 * sx2y) - sy * (sx * sx4 - sx3 * sx2) + sx2 * (sx * sx2y - sxy * sx2) AS Db,
+    n * (sx2 * sx2y - sxy * sx3) - sx * (sx * sx2y - sxy * sx2) + sy * (sx * sx3 - sx2 * sx2) AS Dc
+  FROM m
+),
+qco AS (
+  SELECT series_id, tmax, n,
+    Da / D AS c0, Db / D AS c1, Dc / D AS c2,
+    (sy2 - Da / D * sy - Db / D * sxy - Dc / D * sx2y) / (n - 3) AS mse
+  FROM qd
+),
+quad_fc AS (
+  SELECT series_id, tmax + to_seconds(h * 3600) AS time,
+    c0 + c1 * (n - 1 + h) + c2 * (n - 1 + h) * (n - 1 + h) AS fcst,
+    c0 + c1 * (n - 1 + h) + c2 * (n - 1 + h) * (n - 1 + h)
+      - 1.959963984540054 * sqrt(mse * (1 + 1 / n)) AS fcst_lower,
+    c0 + c1 * (n - 1 + h) + c2 * (n - 1 + h) * (n - 1 + h)
+      + 1.959963984540054 * sqrt(mse * (1 + 1 / n)) AS fcst_upper
+  FROM qco, (SELECT unnest(generate_series(1, 24))::DOUBLE AS h)
+),
+heur AS (
+  SELECT series_id, arg_max(value, time) AS lastv,
+    quantile_cont(value, 0.1) AS lo, quantile_cont(value, 0.9) AS hi,
+    max(time) AS tmax
+  FROM h GROUP BY 1
+),
+heur_fc AS (
+  SELECT series_id, tmax + to_seconds(h * 3600) AS time,
+    lastv AS fcst, lo AS fcst_lower, hi AS fcst_upper
+  FROM heur, (SELECT unnest(generate_series(1, 24))::DOUBLE AS h)
+),
+united AS (
+  SELECT * FROM lin_fc UNION ALL SELECT * FROM quad_fc UNION ALL SELECT * FROM heur_fc
+)
+"""
+
+_Q_MEDIAN_ENSEMBLE_SQL = f"""
+WITH {_ENSEMBLE_COMPONENTS_SQL}
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time,
+  round(1e-9 + median(fcst), 6) AS fcst,
+  round(1e-9 + median(fcst_lower), 6) AS fcst_lower,
+  round(1e-9 + median(fcst_upper), 6) AS fcst_upper
+FROM united GROUP BY 1, 2
+"""
+
+
+def q_weighted_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-average ensemble, weights = 1/backtest-MAE per (series,
+    model).  Rows-only: the weighting chain is deterministic but the
+    composed SQL would dwarf the checked semantics (components + backtest
+    are each independently oracled)."""
+    h = hourly_series(spark, sf_dir)
+    spec = bt_mod.fold_spec(spark, n_folds=3, train_frac=0.5, test_frac=0.1)
+    lin_err = (
+        bt_mod.linear_backtest(h, spec)
+        .groupBy("series_id")
+        .agg(F.avg("mae").alias("err"))
+        .withColumn("model", F.lit("linear"))
+    )
+    # heuristic model error: MAE of last-value forecast over the last 10%
+    w = Window.partitionBy("series_id").orderBy("time")
+    n = Window.partitionBy("series_id")
+    ranked = h.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(n)
+    )
+    split = ranked.withColumn("__is_test", F.col("__rn") > F.col("__n") * 0.9)
+    lastv = (
+        split.filter(~F.col("__is_test"))
+        .groupBy("series_id")
+        .agg(F.max_by("value", "__rn").alias("__last"))
+    )
+    heur_err = (
+        split.filter(F.col("__is_test"))
+        .join(lastv, "series_id")
+        .groupBy("series_id")
+        .agg(F.avg(F.abs(F.col("value") - F.col("__last"))).alias("err"))
+        .withColumn("model", F.lit("heuristic"))
+    )
+    errors = lin_err.unionByName(heur_err).select("series_id", "model", "err")
+    f1 = ens.tag("linear", trend.linear_forecast(h, steps=24, freq_seconds=3600))
+    f3 = ens.tag(
+        "heuristic",
+        fcst_mod.simple_heuristic_forecast(h, steps=24, freq_seconds=3600, quantile=0.9),
+    )
+    out = ens.weighted_avg_ensemble(f1.unionByName(f3), errors)
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+# --------------------------------------------------------------------------
+# empirical CI — full oracle
+# --------------------------------------------------------------------------
+
+
+def q_empirical_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = hourly_series(spark, sf_dir)
+    spec = bt_mod.fold_spec(spark, n_folds=4, train_frac=0.5, test_frac=0.2)
+    out = eci.empirical_ci_forecast(h, spec, steps=24, freq_seconds=3600)
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_EMPIRICAL_CI_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value,
+    (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS rn,
+    count(*) OVER (PARTITION BY series_id)::DOUBLE AS n_all,
+    max(time) OVER (PARTITION BY series_id) AS tmax
+  FROM h
+),
+folds AS (
+  SELECT fold_id, 0.0 AS train_start,
+         round(0.5 + 0.1 * fold_id, 9) AS train_end,
+         round(0.7 + 0.1 * fold_id, 9) AS test_end
+  FROM (SELECT unnest([0, 1, 2, 3]) AS fold_id)
+),
+tagged AS (
+  SELECT i.series_id, i.value, i.rn, i.n_all, f.fold_id,
+    floor(f.train_end * i.n_all)::INT AS hi,
+    CASE WHEN i.rn >= 0 AND i.rn < floor(f.train_end * i.n_all)::INT THEN 'train'
+         WHEN i.rn >= floor(f.train_end * i.n_all)::INT
+          AND i.rn < floor(f.test_end * i.n_all)::INT THEN 'test' END AS st
+  FROM idx i CROSS JOIN folds f
+),
+fitstats AS (
+  SELECT series_id, fold_id,
+    sum(CASE WHEN st = 'train' THEN 1 ELSE 0 END)::DOUBLE AS n,
+    sum(CASE WHEN st = 'train' THEN rn END) AS sx,
+    sum(CASE WHEN st = 'train' THEN rn * rn END) AS sx2,
+    sum(CASE WHEN st = 'train' THEN value END) AS sy,
+    sum(CASE WHEN st = 'train' THEN rn * value END) AS sxy
+  FROM tagged WHERE st IS NOT NULL GROUP BY 1, 2
+),
+co AS (
+  SELECT series_id, fold_id,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM fitstats
+),
+errs AS (
+  SELECT t.series_id, (t.rn - t.hi + 1)::DOUBLE AS horizon,
+         abs(t.value - (c.a + c.b * t.rn)) AS abs_error
+  FROM tagged t JOIN co c ON t.series_id = c.series_id AND t.fold_id = c.fold_id
+  WHERE t.st = 'test'
+),
+cifit AS (
+  SELECT series_id,
+    (count(*) * sum(horizon * abs_error) - sum(horizon) * sum(abs_error))
+      / (count(*) * sum(horizon * horizon) - sum(horizon) * sum(horizon)) AS ci_b,
+    sum(abs_error) / count(*)
+      - (count(*) * sum(horizon * abs_error) - sum(horizon) * sum(abs_error))
+        / (count(*) * sum(horizon * horizon) - sum(horizon) * sum(horizon))
+        * sum(horizon) / count(*) AS ci_a
+  FROM errs GROUP BY 1
+),
+m AS (
+  SELECT series_id, any_value(tmax) AS tmax,
+    count(*)::DOUBLE AS n, sum(rn) AS sx, sum(rn * rn) AS sx2,
+    sum(value) AS sy, sum(rn * value) AS sxy
+  FROM idx GROUP BY 1
+),
+lin AS (
+  SELECT series_id, tmax, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM m
+)
+SELECT l.series_id,
+  strftime(l.tmax + to_seconds(h * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + l.a + l.b * (l.n - 1 + h), 6) AS fcst,
+  round(1e-9 + l.a + l.b * (l.n - 1 + h)
+        - 1.959963984540054 * (c.ci_a + c.ci_b * h), 6) AS fcst_lower,
+  round(1e-9 + l.a + l.b * (l.n - 1 + h)
+        + 1.959963984540054 * (c.ci_a + c.ci_b * h), 6) AS fcst_upper
+FROM lin l JOIN cifit c ON l.series_id = c.series_id,
+     (SELECT unnest(generate_series(1, 24))::DOUBLE AS h)
+"""
+
+
+# --------------------------------------------------------------------------
+# hyperparameter grid search — full oracle
+# --------------------------------------------------------------------------
+
+_HPT_CANDIDATES = [2, 4, 8, 16, 24]
+
+
+def q_hpt_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = hpt_mod.tune_rolling_window(hourly_series(spark, sf_dir), _HPT_CANDIDATES)
+    return out.select(
+        "series_id",
+        F.col("best_window").cast("int").alias("best_window"),
+        _rnd("best_mae", 6).alias("best_mae"),
+    )
+
+
+_Q_HPT_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+cand AS (SELECT unnest([{", ".join(str(c) for c in _HPT_CANDIDATES)}]) AS w),
+scored AS (
+  SELECT h.series_id, c.w,
+    CASE WHEN count(h.value) OVER (PARTITION BY h.series_id, c.w ORDER BY h.time
+                                   ROWS BETWEEN c.w PRECEDING AND 1 PRECEDING) = c.w
+         THEN abs(h.value - avg(h.value) OVER (PARTITION BY h.series_id, c.w ORDER BY h.time
+                                               ROWS BETWEEN c.w PRECEDING AND 1 PRECEDING))
+    END AS e
+  FROM h CROSS JOIN cand c
+),
+mae AS (
+  SELECT series_id, w, avg(e) AS mae FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT series_id, w, mae,
+         row_number() OVER (PARTITION BY series_id ORDER BY mae, w) AS rk
+  FROM mae
+)
+SELECT series_id, w::INT AS best_window, round(1e-9 + mae, 6) AS best_mae
+FROM ranked WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# temporal reconciliation — full oracle
+# --------------------------------------------------------------------------
+
+
+def q_reconcile_bu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = rec.bottom_up_forecast(
+        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600, k=6
+    )
+    return _fmt_time(_r6(out, "fcst"))
+
+
+_Q_RECONCILE_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value,
+         (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS x,
+         max(time) OVER (PARTITION BY series_id) AS tmax
+  FROM h
+),
+m AS (
+  SELECT series_id, any_value(tmax) AS tmax,
+    count(*)::DOUBLE AS n, sum(x) AS sx, sum(x * x) AS sx2,
+    sum(value) AS sy, sum(x * value) AS sxy
+  FROM idx GROUP BY 1
+),
+lin AS (
+  SELECT series_id, tmax, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM m
+),
+base AS (
+  SELECT series_id, tmax + to_seconds(h * 3600) AS time,
+         a + b * (n - 1 + h) AS fcst, h
+  FROM lin, (SELECT unnest(generate_series(1, 24))::DOUBLE AS h)
+),
+agg AS (
+  SELECT series_id, min(time) AS time, sum(fcst) AS fcst
+  FROM base WHERE floor((h - 1) / 6) < 4
+  GROUP BY series_id, floor((h - 1) / 6)
+)
+SELECT series_id, 'base' AS level, strftime(time, '{_DK_FMT}') AS time,
+       round(1e-9 + fcst, 6) AS fcst FROM base
+UNION ALL
+SELECT series_id, 'agg' AS level, strftime(time, '{_DK_FMT}') AS time,
+       round(1e-9 + fcst, 6) AS fcst FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# anomaly postprocessing — full oracle (statsig scorer -> classify)
+# --------------------------------------------------------------------------
+
+
+def q_anomaly_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = statsig.statsig_scores(raw_series(spark, sf_dir), n_control=48, n_test=12)
+    out = pp.classify_anomalies(scores, score_col="stat_sig_score", threshold=3.0)
+    return out.select(
+        "series_id",
+        F.date_format("episode_start", _TS_FMT).alias("episode_start"),
+        F.date_format("episode_end", _TS_FMT).alias("episode_end"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+        _rnd("severity", 6).alias("severity"),
+        "kind",
+    )
+
+
+_Q_ANOMALY_CLASSIFY_SQL = f"""
+WITH r AS (SELECT event_type AS series_id, ts AS time, value FROM events),
+sc AS (
+  SELECT series_id, time,
+    CASE WHEN count(value) OVER wt = 12 AND count(value) OVER wc = 48
+          AND sqrt(var_samp(value) OVER wt / 12 + var_samp(value) OVER wc / 48) > 0
+         THEN (avg(value) OVER wt - avg(value) OVER wc)
+              / sqrt(var_samp(value) OVER wt / 12 + var_samp(value) OVER wc / 48)
+    END AS score
+  FROM r
+  WINDOW
+    wt AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+    wc AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 59 PRECEDING AND 12 PRECEDING)
+),
+flagged AS (
+  SELECT series_id, time, score,
+    CASE WHEN abs(score) >= 3.0 THEN 1 ELSE 0 END AS flag
+  FROM sc
+),
+starts AS (
+  SELECT *, CASE WHEN flag = 1 AND coalesce(lag(flag) OVER w, 0) = 0 THEN 1 ELSE 0 END AS st
+  FROM flagged
+  WINDOW w AS (PARTITION BY series_id ORDER BY time)
+),
+eps AS (
+  SELECT *, sum(st) OVER (PARTITION BY series_id ORDER BY time
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ep
+  FROM starts
+),
+onlyf AS (SELECT * FROM eps WHERE flag = 1),
+enriched AS (
+  SELECT *,
+    CASE WHEN lag(sign(score)) OVER w IS NOT NULL
+          AND sign(score) <> lag(sign(score)) OVER w THEN 1 ELSE 0 END AS flip,
+    CASE WHEN lag(abs(score)) OVER w IS NOT NULL
+          AND abs(score) > lag(abs(score)) OVER w THEN 1 ELSE 0 END AS grow
+  FROM onlyf
+  WINDOW w AS (PARTITION BY series_id, ep ORDER BY time)
+),
+g AS (
+  SELECT series_id, ep, min(time) AS episode_start, max(time) AS episode_end,
+    count(*)::BIGINT AS n_points, max(abs(score)) AS max_abs,
+    sum(flip) AS flips, sum(grow) AS grows
+  FROM enriched GROUP BY 1, 2
+)
+SELECT series_id,
+  strftime(episode_start, '{_DK_FMT}') AS episode_start,
+  strftime(episode_end, '{_DK_FMT}') AS episode_end,
+  n_points,
+  round(1e-9 + max_abs * sqrt(n_points), 6) AS severity,
+  CASE WHEN n_points = 1 THEN 'individual'
+       WHEN flips >= (n_points - 1) * 0.5 THEN 'volatility'
+       WHEN grows >= (n_points - 1) * 0.8 THEN 'trend'
+       ELSE 'level_shift' END AS kind
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# text: language ID + fingerprint — full oracles
+# --------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.lang_id(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _rnd("stop_ratio", 6).alias("stop_ratio"),
+        "lang_pred",
+    )
+
+
+_Q_LANG_ID_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+      x -> lower(x)) AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> list_contains(
+      ['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE
+      / greatest(len(t), 1) AS ratio
+  FROM toks
+)
+SELECT doc_id::BIGINT AS doc_id,
+  round(1e-9 + ratio, 6) AS stop_ratio,
+  CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM scored
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.fingerprint(docs, method="md5")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "fingerprint")
+
+
+_Q_FINGERPRINT_SQL = """
+SELECT doc_id::BIGINT AS doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# numpy-kernel detectors — rows-only by design
+# --------------------------------------------------------------------------
+
+
+def q_bocpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = bocpd_mod.bocpd_detect(hourly_series(spark, sf_dir), threshold=0.2)
+    return _fmt_time(_r6(out, "value", "cp_prob"))
+
+
+def q_fft_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = season_mod.fft_detect(hourly_series(spark, sf_dir), mad_threshold=6.0)
+    return _r6(out, "period", "strength")
+
+
+def q_hourly_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = hr_mod.hourly_ratio_detect(raw_series(spark, sf_dir), threshold=3.0)
+    return out.select(
+        "series_id",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        _rnd("mahalanobis", 6).alias("mahalanobis"),
+        F.col("is_anomaly").cast("int").alias("is_anomaly"),
+    )
+
+
+def q_dist_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dist_distance.distribution_distance_scores(
+        hourly_series(spark, sf_dir), window=48
+    )
+    return _fmt_time(_r6(out, "value", "js_div"))
+
+
+def q_var_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = var_mod.var_forecast(
+        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600, p=2
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+def q_var_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = var_mod.var_residual_scores(hourly_series(spark, sf_dir), p=2)
+    return out.select(
+        F.date_format("time", _TS_FMT).alias("time"),
+        _rnd("mahalanobis", 6).alias("mahalanobis"),
+    )
+
+
+QUERIES = {
+    "median_ensemble": q_median_ensemble,
+    "weighted_ensemble": q_weighted_ensemble,
+    "empirical_ci": q_empirical_ci,
+    "hpt_window": q_hpt_window,
+    "reconcile_bu": q_reconcile_bu,
+    "anomaly_classify": q_anomaly_classify,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "bocpd_detect": q_bocpd,
+    "fft_seasonality": q_fft_seasonality,
+    "hourly_ratio": q_hourly_ratio,
+    "dist_distance": q_dist_distance,
+    "var_forecast": q_var_forecast,
+    "var_scores": q_var_scores,
+}
+
+ORACLES = {
+    "median_ensemble": _Q_MEDIAN_ENSEMBLE_SQL,
+    "empirical_ci": _Q_EMPIRICAL_CI_SQL,
+    "hpt_window": _Q_HPT_SQL,
+    "reconcile_bu": _Q_RECONCILE_SQL,
+    "anomaly_classify": _Q_ANOMALY_CLASSIFY_SQL,
+    "lang_id": _Q_LANG_ID_SQL,
+    "doc_fingerprint": _Q_FINGERPRINT_SQL,
+    # weighted_ensemble / bocpd / fft / hourly_ratio / dist_distance / var:
+    # iterative, FFT, or matrix kernels — rows-only by design, covered by
+    # seeded-simulation unit tests
+}

@@ -1,0 +1,139 @@
+"""Seeded-simulation tests for BOCPD, FFT seasonality, hourly-ratio,
+distribution-distance, and VAR (SURVEY §5 strategy: inject a known
+change/structure, assert recovery)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kats_spark.operators import bocpd, dist_distance, hourly_ratio, seasonality, simulator, var
+
+
+def test_bocpd_flags_level_shift(spark):
+    df = simulator.simulate(
+        spark, n_series=2, n_points=200, noise_std=1.0,
+        level_shift_at=120, level_shift_size=8.0, seed=21,
+    )
+    cps = bocpd.bocpd_detect(df, threshold=0.3).toPandas()
+    assert set(cps.series_id) == {"sim_0", "sim_1"}
+    for sid, grp in cps.groupby("series_id"):
+        scores = bocpd.bocpd_scores(df.filter(F.col("series_id") == sid)).toPandas()
+        scores = scores.sort_values("time").reset_index(drop=True)
+        # the injected shift index should be within the flagged set (+- 2)
+        peak = scores.iloc[5:].cp_prob.idxmax()
+        assert abs(peak - 120) <= 2
+
+
+def test_bocpd_quiet_on_noise(spark):
+    df = simulator.simulate(spark, n_series=1, n_points=200, noise_std=1.0, seed=22)
+    cps = bocpd.bocpd_detect(df, threshold=0.3).toPandas()
+    assert len(cps) <= 2  # rare false alarms tolerated, no mass flags
+
+
+def test_fft_recovers_period(spark):
+    df = simulator.simulate(
+        spark, n_series=2, n_points=480, noise_std=0.3,
+        seasonal_period=24, seasonal_magnitude=3.0, seed=23,
+    )
+    out = seasonality.fft_detect(df).toPandas()
+    assert set(out.series_id) == {"sim_0", "sim_1"}
+    for _, grp in out.groupby("series_id"):
+        top = grp.sort_values("strength", ascending=False).iloc[0]
+        assert abs(top.period - 24) < 1.5
+
+
+def test_fft_quiet_on_noise(spark):
+    df = simulator.simulate(spark, n_series=1, n_points=480, noise_std=1.0, seed=24)
+    out = seasonality.fft_detect(df, mad_threshold=8.0).toPandas()
+    assert len(out) <= 1
+
+
+def test_hourly_ratio_flags_odd_day(spark):
+    rng = np.random.RandomState(31)
+    n_days = 60
+    times, vals = [], []
+    for d in range(n_days):
+        for h in range(24):
+            times.append(pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, hours=h))
+            base = 10 + 5 * np.sin(2 * np.pi * h / 24)
+            if d == 45 and 2 <= h <= 6:
+                base += 40  # off-profile night spike
+            vals.append(base + rng.randn() * 0.3)
+    pdf = pd.DataFrame({"series_id": "s", "time": times, "value": vals})
+    df = spark.createDataFrame(pdf)
+    out = hourly_ratio.hourly_ratio_detect(df, threshold=5.0).toPandas()
+    flagged = out[out.is_anomaly == 1]
+    assert pd.Timestamp("2024-02-15").date() in set(flagged.date)
+    assert len(flagged) <= 3
+
+
+def test_distribution_distance_spikes_on_variance_shift(spark):
+    rng = np.random.RandomState(41)
+    n = 300
+    vals = np.concatenate([rng.randn(200), rng.randn(100) * 5.0])
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": vals,
+        }
+    )
+    out = (
+        dist_distance.distribution_distance_scores(spark.createDataFrame(pdf), window=48)
+        .toPandas()
+        .sort_values("time")
+        .reset_index(drop=True)
+    )
+    # peak contrast: cur window fully post-shift, prev window fully pre-shift
+    shifted = out.iloc[230:260].js_div.dropna()
+    quiet = out.iloc[120:190].js_div.dropna()
+    assert shifted.mean() > 2.5 * quiet.mean()
+    assert shifted.max() > quiet.max()
+
+
+def test_var_forecast_tracks_coupled_series(spark):
+    rng = np.random.RandomState(51)
+    n = 200
+    a = np.zeros(n)
+    b = np.zeros(n)
+    for t in range(1, n):
+        a[t] = 0.6 * a[t - 1] + 0.3 * b[t - 1] + rng.randn() * 0.1
+        b[t] = 0.5 * b[t - 1] - 0.2 * a[t - 1] + rng.randn() * 0.1
+    times = pd.date_range("2024-01-01", periods=n, freq="h")
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["a"] * n + ["b"] * n,
+            "time": list(times) * 2,
+            "value": np.concatenate([a, b]),
+        }
+    )
+    out = var.var_forecast(spark.createDataFrame(pdf), steps=5, freq_seconds=3600, p=1).toPandas()
+    assert set(out.series_id) == {"a", "b"}
+    assert len(out) == 10
+    assert (out.fcst_upper >= out.fcst).all() and (out.fcst >= out.fcst_lower).all()
+    # VAR(1) on a stable system forecasts toward 0 with small magnitude
+    assert out.fcst.abs().max() < 2.0
+
+
+def test_var_residual_scores_flag_injected_point(spark):
+    rng = np.random.RandomState(52)
+    n = 200
+    a = rng.randn(n) * 0.5
+    b = a * 0.8 + rng.randn(n) * 0.2
+    a[150] += 8  # break the coupling at one point
+    times = pd.date_range("2024-01-01", periods=n, freq="h")
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["a"] * n + ["b"] * n,
+            "time": list(times) * 2,
+            "value": np.concatenate([a, b]),
+        }
+    )
+    out = (
+        var.var_residual_scores(spark.createDataFrame(pdf), p=1)
+        .toPandas()
+        .sort_values("time")
+        .reset_index(drop=True)
+    )
+    peak_idx = out.mahalanobis.idxmax()
+    assert abs((out.loc[peak_idx, "time"] - times[150]).total_seconds()) <= 3600

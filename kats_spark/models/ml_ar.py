@@ -1,0 +1,142 @@
+"""ML_AR: one global ML model over lag/calendar features of MANY series.
+
+Parity with kats/models/ml_ar.py:136-1390 (``MLARModel``: lag + calendar +
+Fourier feature matrix :369, LightGBM fit, multi-step direct forecast
+:1316).  This is the most Spark-native model in the zoo (SURVEY §2.9): the
+feature matrix is pure window/lag expressions computed at scale, training
+is ONE global ``pyspark.ml`` GBTRegressor over all series jointly (no
+per-series loop), and inference is ``model.transform``.
+
+Design notes for 100 TB:
+- feature gen is narrow (lag windows after one series_id shuffle);
+- the trainer samples/aggregates via MLlib's own distributed fit;
+- direct multi-horizon = one model per horizon h trained on target
+  value_{t+h} (reference trains one model on horizon-tagged rows; the
+  direct scheme parallelizes trivially and avoids error recursion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kats_spark.tsframe import TSSchema, DEFAULT
+
+_DEFAULT_LAGS = [1, 2, 3, 24]
+
+
+def make_features(
+    df: DataFrame,
+    lags: list[int] | None = None,
+    fourier_period: int = 24,
+    fourier_order: int = 2,
+    s: TSSchema = DEFAULT,
+) -> tuple[DataFrame, list[str]]:
+    """Lag + calendar + Fourier design matrix, expression-only.
+    Returns (frame, feature_column_names)."""
+    lags = lags or _DEFAULT_LAGS
+    w = s.w()
+    out = df
+    for lag in lags:
+        out = out.withColumn(f"lag_{lag}", F.lag(s.value, lag).over(w))
+    rn = F.row_number().over(w) - 1
+    out = (
+        out.withColumn("hour", F.hour(s.time).cast("double"))
+        .withColumn("dow", F.dayofweek(s.time).cast("double"))
+        .withColumn("__rn", rn.cast("double"))
+    )
+    import math
+
+    for k in range(1, fourier_order + 1):
+        ang = 2.0 * math.pi * k * F.col("__rn") / fourier_period
+        out = out.withColumn(f"sin_{k}", F.sin(ang)).withColumn(f"cos_{k}", F.cos(ang))
+    feat_cols = (
+        [f"lag_{l}" for l in lags]
+        + ["hour", "dow"]
+        + [f"sin_{k}" for k in range(1, fourier_order + 1)]
+        + [f"cos_{k}" for k in range(1, fourier_order + 1)]
+    )
+    return out.dropna(subset=[f"lag_{max(lags)}"]), feat_cols
+
+
+def fit_predict_insample(
+    df: DataFrame,
+    lags: list[int] | None = None,
+    max_iter: int = 20,
+    seed: int = 7,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Train one global GBT on all series' lag features; return in-sample
+    one-step predictions (series_id, time, value, prediction)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    feats, cols = make_features(df, lags, s=s)
+    vec = VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="skip")
+    assembled = vec.transform(feats)
+    gbt = GBTRegressor(
+        featuresCol="features", labelCol=s.value, maxIter=max_iter, maxDepth=4, seed=seed
+    )
+    model = gbt.fit(assembled)
+    pred = model.transform(assembled)
+    return pred.select(s.series_id, s.time, s.value, F.col("prediction"))
+
+
+def forecast(
+    df: DataFrame,
+    steps: int,
+    freq_seconds: int,
+    lags: list[int] | None = None,
+    max_iter: int = 20,
+    seed: int = 7,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Direct multi-horizon forecast: for each horizon h in 1..steps train
+    a GBT on target ``lead(value, h)`` and predict from each series' last
+    feature row.  Output (series_id, time, fcst) — deterministic given
+    ``seed``.
+
+    For large ``steps``, horizons are independent jobs; here they run
+    sequentially in one session (driver loop over h, each a distributed
+    fit) — the Pool-of-models the reference builds with LightGBM n_jobs.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    lags = lags or _DEFAULT_LAGS
+    feats, cols = make_features(df, lags, s=s)
+    vec = VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="skip")
+    w = s.w()
+    last_rows = (
+        feats.withColumn(
+            "__rev", F.row_number().over(
+                Window.partitionBy(s.series_id).orderBy(F.desc(s.time))
+            )
+        )
+        .filter(F.col("__rev") == 1)
+        .drop("__rev")
+    )
+    last_assembled = vec.transform(last_rows).cache()
+    outs = []
+    for h in range(1, steps + 1):
+        labeled = feats.withColumn("__target", F.lead(s.value, h).over(w)).dropna(
+            subset=["__target"]
+        )
+        assembled = vec.transform(labeled)
+        gbt = GBTRegressor(
+            featuresCol="features", labelCol="__target", maxIter=max_iter,
+            maxDepth=4, seed=seed,
+        )
+        model = gbt.fit(assembled)
+        pred = model.transform(last_assembled).select(
+            s.series_id,
+            F.timestamp_seconds(
+                F.unix_timestamp(s.time) + h * freq_seconds
+            ).alias(s.time),
+            F.col("prediction").alias("fcst"),
+        )
+        outs.append(pred)
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out

@@ -524,6 +524,54 @@ def q_var_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+def q_ml_ar_insample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global GBT over lag/calendar features of ALL series jointly
+    (kats/models/ml_ar.py re-expressed on MLlib) — rows-only (tree
+    ensembles aren't SQL-expressible; determinism pinned by seed)."""
+    from kats_spark.models import ml_ar
+
+    out = ml_ar.fit_predict_insample(hourly_series(spark, sf_dir), max_iter=10)
+    return _fmt_time(_r6(out, "value", "prediction"))
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: KMeans cells + n_probe search — the scale
+    path beside the exact brute-force topk_cosine query.  Rows-only
+    (cluster assignment is MLlib-internal)."""
+    from kats_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    indexed, model = ivf.build_index(emb, n_cells=8, seed=7)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf.search(indexed, model, queries, k=10, n_probe=3, id_col="vec_id")
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _rnd("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_tsfeatures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full TsFeatures vector (expression + kernel layers) — rows-only
+    (FFT/recursion kernels); the expression layer is independently oracled
+    by ts_stat_features / acf_features / level_shift."""
+    from kats_spark.operators import tsfeatures as tsf
+
+    out = tsf.tsfeatures(hourly_series(spark, sf_dir), period=24, window_size=48)
+    float_cols = [
+        c for c, t in out.dtypes if t == "double"
+    ]
+    res = out
+    for c in float_cols:
+        res = res.withColumn(c, _rnd(c, 6))
+    return res
+
+
 def q_var_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = var_mod.var_residual_scores(hourly_series(spark, sf_dir), p=2)
     return out.select(
@@ -547,6 +595,9 @@ QUERIES = {
     "dist_distance": q_dist_distance,
     "var_forecast": q_var_forecast,
     "var_scores": q_var_scores,
+    "ml_ar_insample": q_ml_ar_insample,
+    "ivf_topk": q_ivf_topk,
+    "tsfeatures_full": q_tsfeatures_full,
 }
 
 ORACLES = {

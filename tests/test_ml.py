@@ -1,0 +1,99 @@
+"""Tests: ML_AR global GBT, IVF ANN, full TsFeatures bundle."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kats_spark.models import ml_ar
+from kats_spark.operators import ivf, simulator, tsfeatures
+from kats_spark.operators.similarity import topk_vs_query
+
+
+def test_ml_ar_insample_beats_mean_baseline(spark):
+    df = simulator.simulate(
+        spark, n_series=3, n_points=300, noise_std=0.5,
+        seasonal_period=24, seasonal_magnitude=3.0, seed=81,
+    )
+    pred = ml_ar.fit_predict_insample(df, max_iter=10).toPandas()
+    resid = pred.value - pred.prediction
+    mean_resid = pred.value - pred.value.mean()
+    assert (resid**2).mean() < 0.5 * (mean_resid**2).mean()
+
+
+def test_ml_ar_forecast_shape_and_determinism(spark):
+    df = simulator.simulate(spark, n_series=2, n_points=120, noise_std=0.5, seed=82)
+    f1 = ml_ar.forecast(df, steps=3, freq_seconds=3600, max_iter=5).toPandas()
+    f2 = ml_ar.forecast(df, steps=3, freq_seconds=3600, max_iter=5).toPandas()
+    assert len(f1) == 6  # 2 series x 3 horizons
+    m1 = f1.sort_values(["series_id", "time"]).fcst.values
+    m2 = f2.sort_values(["series_id", "time"]).fcst.values
+    np.testing.assert_allclose(m1, m2, rtol=1e-12)
+
+
+def _embedding_frame(spark, n=200, dim=16, seed=91):
+    rng = np.random.RandomState(seed)
+    # three well-separated clusters
+    centers = rng.randn(3, dim) * 5
+    rows = []
+    for i in range(n):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.randn(dim) * 0.3).tolist()))
+    return spark.createDataFrame(rows, "doc_id bigint, embedding array<double>"), centers
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    corpus, centers = _embedding_frame(spark)
+    indexed, model = ivf.build_index(corpus, n_cells=6, seed=7)
+    queries = corpus.limit(10).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    approx = ivf.search(indexed, model, queries, k=5, n_probe=3).toPandas()
+    assert set(approx.groupby("query_id").size()) == {5}
+    # exact top-1 of each query is itself (cosine=1); IVF must find it
+    top1 = approx[approx["rank"] == 1]
+    assert (top1.query_id.values == top1.doc_id.values).all()
+    # recall@5 vs brute force for one query
+    qvec = corpus.filter(F.col("doc_id") == 0).collect()[0].embedding
+    exact = topk_vs_query(corpus, qvec, k=5, id_col="doc_id").toPandas()
+    got = set(approx[approx.query_id == 0].doc_id)
+    assert len(got & set(exact.doc_id)) >= 4
+
+
+def test_tsfeatures_bundle(spark):
+    df = simulator.simulate(
+        spark, n_series=2, n_points=240, noise_std=0.5,
+        seasonal_period=24, seasonal_magnitude=3.0, seed=92,
+    )
+    out = tsfeatures.tsfeatures(df, period=24).toPandas()
+    assert len(out) == 2
+    for col in [
+        "length", "mean", "var", "lumpiness", "stability", "crossing_points",
+        "entropy", "hurst", "unitroot_kpss", "het_arch", "linearity",
+        "firstmin_ac", "firstzero_ac", "trend_strength", "seasonality_strength",
+        "spikiness", "holt_alpha", "holt_beta",
+    ]:
+        assert col in out.columns, col
+    # strong injected seasonality must register
+    assert (out.seasonality_strength > 0.7).all()
+    assert (out.entropy.between(0, 1)).all()
+
+
+def test_tsfeatures_white_noise_vs_trend(spark):
+    rng = np.random.RandomState(93)
+    n = 300
+    noise = rng.randn(n)
+    trendy = 0.1 * np.arange(n) + rng.randn(n) * 0.1
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["noise"] * n + ["trend"] * n,
+            "time": list(pd.date_range("2024-01-01", periods=n, freq="h")) * 2,
+            "value": np.concatenate([noise, trendy]),
+        }
+    )
+    out = tsfeatures.kernel_features(spark.createDataFrame(pdf), period=24).toPandas()
+    out = out.set_index("series_id")
+    # white noise: high entropy, hurst ~ 0 slope-of-diffs ~ flat; trend: high linearity
+    assert out.loc["noise", "entropy"] > 0.8
+    assert out.loc["trend", "linearity"] > 0.95
+    assert out.loc["trend", "hurst"] > out.loc["noise", "hurst"]
+    assert out.loc["trend", "unitroot_kpss"] > out.loc["noise", "unitroot_kpss"]

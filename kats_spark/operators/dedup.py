@@ -47,6 +47,51 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _rot(c: Column, k: int) -> Column:
+    """64-bit rotate-left by k (codegen'd long ops)."""
+    return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, g) DISTINCT hashed word-n-gram shingle rows — the row-based
+    shingle plan.
+
+    Why rows, not arrays: a lambda that references a computed array
+    expression re-evaluates that expression PER ELEMENT (Spark inlines the
+    tree into the lambda body and HOFs are excluded from
+    common-subexpression elimination) — the array-of-strings shingle
+    builder was O(tokens²) per document and the hottest expression in the
+    dedup pipeline.  Here tokenization and token hashing run exactly once
+    per token (posexplode → xxhash64), and the n-gram combine is
+    ``lead()`` over the (id, pos) window — all narrow long ops after one
+    linear shuffle, the plan that still holds at corpus scale.
+
+    Set semantics match the string n-grams of ``shingles`` (injective
+    modulo 2^-64 hash collisions): docs shorter than n tokens contribute
+    their single partial gram, like the string builder's truncated slice.
+    """
+    from pyspark.sql import Window
+
+    t = tokens(normalize(F.col(text_col)))
+    tok = df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    h = F.xxhash64("__tok")
+    g = h
+    for j in range(1, n):
+        g = g.bitwiseXOR(_rot(F.coalesce(F.lead(h, j).over(w), F.lit(0)), (j * 21) % 63))
+    cnt = F.count("*").over(Window.partitionBy(id_col))
+    rows = tok.withColumn("__g", g).withColumn("__n_tok", cnt)
+    full = rows.filter(
+        (F.col("__pos") <= F.col("__n_tok") - n) | (F.col("__pos") == 0)
+    )
+    return full.select(F.col(id_col), F.col("__g").alias("g")).distinct()
+
+
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
@@ -70,11 +115,9 @@ def minhash_signatures(
     explode the shingle hashes once and take 64 partial-aggregating ``min``
     s — tokenize/hash exactly once per shingle, map-side combine shrinks
     the shuffle to one row per doc."""
-    hashed = F.transform(
-        shingles(F.col(text_col), shingle_n),
-        lambda sh: F.pmod(F.xxhash64(sh), F.lit(_P)),
+    exploded = shingle_rows(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.pmod(F.col("g"), F.lit(_P)).alias("__h")
     )
-    exploded = df.select(F.col(id_col), F.explode(hashed).alias("__h"))
     aggs = [
         F.min((F.col("__h") * a + b) % _P).alias(f"__s{k}")
         for k, (a, b) in enumerate(_hash_params(num_hashes, seed))
@@ -157,6 +200,80 @@ def ngram_jaccard_pairs(
         j.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_allpairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard >= threshold with prefix filtering
+    (Bayardo et al. AllPairs / PPJoin candidate generation).
+
+    The naive shared-shingle self-join explodes quadratically on frequent
+    shingles (the sf0.1 hotspot: 23s for 5k docs, unbounded at corpus
+    scale).  Prefix filter: order every doc's shingle set by a canonical
+    global order (document frequency ascending, rarest first), keep only
+    the first ``|S| - ceil(t*|S|) + 1`` shingles as join keys — any pair
+    with J >= t provably shares a prefix element, and frequent shingles
+    almost never appear in prefixes, so the candidate join is near-linear.
+    Verification computes exact Jaccard on the full shingle arrays, so the
+    result set is IDENTICAL to the naive plan (same DuckDB oracle).
+
+    Shuffles: shingle-frequency agg, frequency join, per-doc rank window,
+    candidate equi-join, two array joins for verify — all linear in corpus
+    size; no step is quadratic in document frequency.
+    """
+    from pyspark.sql import Window
+
+    # row-based hashed shingles, computed ONCE and persisted: the frame
+    # feeds the frequency agg, the prefix rank, and both verify sides.
+    # Long-array set ops beat string-array ops in the verify stage; 64-bit
+    # collisions are ~2^-64 per pair — exactness holds in practice.
+    ex = shingle_rows(df, text_col, id_col, shingle_n).persist()
+    sh = ex.groupBy(id_col).agg(
+        F.collect_list("g").alias("__sh"), F.count("*").alias("__sz")
+    )
+    ex = ex.join(sh.select(id_col, "__sz"), id_col)
+    freq = ex.groupBy("g").agg(F.count("*").alias("__df"))
+    ranked = ex.join(freq, "g").withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("g"))
+        ),
+    )
+    t = float(threshold)
+    prefix_len = F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + 1
+    prefix = ranked.filter(F.col("__rk") <= prefix_len).select(id_col, "__sz", "g")
+    a = prefix.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("sz_a"), "g")
+    b = prefix.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("sz_b"), "g")
+    # length filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= F.lit(t) * F.col("sz_a"))
+            & (F.col("sz_a") >= F.lit(t) * F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"), F.col("__sz").alias("sz_a")
+    )
+    sb = sh.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"), F.col("__sz").alias("sz_b")
+    )
+    j = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        j.withColumn("__jac", jac)
+        .filter(F.col("__jac") >= threshold)
+        .select("id_a", "id_b", F.col("__jac").alias("jaccard"))
     )
 
 

@@ -44,36 +44,15 @@ FROM keyed GROUP BY norm
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (threshold 0.5) via the scalable
-    shared-shingle equi-join plan: explode shingles -> join on shingle ->
-    count intersections -> |A|+|B|-inter union."""
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5) via the
+    prefix-filtered AllPairs plan (dedup.jaccard_allpairs) — identical
+    result set to the naive shared-shingle join, near-linear candidates."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = docs.select(
-        F.col("doc_id"), dedup.shingles(F.col("text"), 3).alias("sh")
-    ).withColumn("sz", F.size("sh"))
-    exploded = sh.select("doc_id", "sz", F.explode("sh").alias("g"))
-    a = exploded.select(
-        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "g"
-    )
-    b = exploded.select(
-        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "g"
-    )
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"), F.first("sz_a").alias("sz_a"), F.first("sz_b").alias("sz_b"))
-    )
-    jac = inter.withColumn(
-        "jaccard",
-        _rnd(
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-        ),
-    )
-    return jac.filter(F.col("jaccard") >= 0.5).select(
+    out = dedup.jaccard_allpairs(docs, shingle_n=3, threshold=0.5)
+    return out.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
-        "jaccard",
+        _rnd("jaccard", 6).alias("jaccard"),
     )
 
 

@@ -1,0 +1,162 @@
+"""ARIMA(p, d, q) forecasting — numpy Hannan-Rissanen, no statsmodels.
+
+Parity with kats/models/arima.py:43-334 (``ARIMAModel``: fit :144 wraps
+statsmodels ARIMA, predict :236 returns (time, fcst, fcst_lower,
+fcst_upper)) and sarima.py's differencing semantics.  This container has
+no statsmodels, so estimation is the classic two-stage Hannan-Rissanen
+procedure (public-domain algorithm):
+
+1. difference d times;
+2. fit a long AR(m) by OLS to estimate innovations;
+3. regress x_t on (x_{t-1..p}, e_{t-1..q}) by OLS -> (phi, theta);
+4. forecast recursively, integrate d times back, sigma bands from the
+   innovation variance with psi-weight accumulation.
+
+Per-series ``applyInPandas`` — same fan-out contract as every model-zoo
+operator (kats/models/model.py:18).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from kats_spark.tsframe import TSSchema, DEFAULT
+
+Z95 = 1.959963984540054
+
+
+def _hannan_rissanen(x: np.ndarray, p: int, q: int) -> tuple[np.ndarray, np.ndarray, float, np.ndarray, float]:
+    """Returns (phi, theta, intercept, innovations, sigma2)."""
+    n = len(x)
+    mu = x.mean()
+    xc = x - mu
+    # stage 1: long AR for innovation estimates
+    m = max(p + q + 2, int(round(np.log(n) * 2)))
+    m = min(m, n // 3) or 1
+    X1 = np.column_stack([xc[m - i : n - i] for i in range(1, m + 1)])
+    a1, *_ = np.linalg.lstsq(X1, xc[m:], rcond=None)
+    e = np.zeros(n)
+    e[m:] = xc[m:] - X1 @ a1
+    # stage 2: regression on lags of x and e
+    k = max(p, q)
+    start = m + k
+    if n - start < p + q + 5:
+        # short series: fall back to AR(p)-only OLS
+        Xa = np.column_stack([xc[k - i : n - i] for i in range(1, p + 1)]) if p else np.empty((n - k, 0))
+        phi, *_ = np.linalg.lstsq(Xa, xc[k:], rcond=None) if p else (np.zeros(0),)
+        theta = np.zeros(q)
+        resid = xc[k:] - (Xa @ phi if p else 0)
+        sigma2 = float(resid @ resid / max(len(resid) - p, 1))
+        return phi, theta, mu, e, sigma2
+    cols = [xc[start - i : n - i] for i in range(1, p + 1)]
+    cols += [e[start - j : n - j] for j in range(1, q + 1)]
+    X2 = np.column_stack(cols) if cols else np.empty((n - start, 0))
+    coef, *_ = np.linalg.lstsq(X2, xc[start:], rcond=None)
+    phi = coef[:p]
+    theta = coef[p : p + q]
+    resid = xc[start:] - X2 @ coef
+    sigma2 = float(resid @ resid / max(len(resid) - p - q, 1))
+    # refresh innovations with fitted model for forecasting
+    e2 = np.zeros(n)
+    for t in range(k, n):
+        ar = sum(phi[i] * xc[t - 1 - i] for i in range(p))
+        ma = sum(theta[j] * e2[t - 1 - j] for j in range(q))
+        e2[t] = xc[t] - ar - ma
+    return phi, theta, mu, e2, sigma2
+
+
+def _psi_weights(phi: np.ndarray, theta: np.ndarray, steps: int) -> np.ndarray:
+    """MA(inf) psi weights for forecast variance accumulation."""
+    p, q = len(phi), len(theta)
+    psi = np.zeros(steps)
+    for j in range(steps):
+        v = theta[j] if j < q else 0.0
+        for i in range(min(p, j + 1)):
+            prev = psi[j - 1 - i] if j - 1 - i >= 0 else (1.0 if j - 1 - i == -1 else 0.0)
+            v += phi[i] * prev
+        psi[j] = v
+    return psi
+
+
+def _arima_forecast_one(
+    y: np.ndarray, p: int, d: int, q: int, steps: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (forecast, se) on the ORIGINAL scale."""
+    x = y.copy()
+    heads = []
+    for _ in range(d):
+        heads.append(x[-1])
+        x = np.diff(x)
+    phi, theta, mu, e, sigma2 = _hannan_rissanen(x, p, q)
+    xc = x - mu
+    n = len(xc)
+    hist = list(xc)
+    errs = list(e)
+    fc = np.empty(steps)
+    for h in range(steps):
+        ar = sum(phi[i] * hist[-1 - i] for i in range(len(phi)))
+        ma = sum(
+            theta[j] * (errs[-1 - j] if len(errs) - 1 - j >= 0 else 0.0)
+            for j in range(len(theta))
+        )
+        v = ar + ma
+        fc[h] = v + mu
+        hist.append(v)
+        errs.append(0.0)
+    # variance: cumulative psi^2 on the differenced scale, then integrate
+    psi = np.concatenate([[1.0], _psi_weights(phi, theta, steps - 1)]) if steps > 1 else np.array([1.0])
+    var_diff = sigma2 * np.cumsum(psi**2)
+    out = fc
+    for head in reversed(heads):
+        out = head + np.cumsum(out)
+    se = np.sqrt(var_diff)
+    if d > 0:
+        # integrated forecasts accumulate variance; use cumulative sum of se
+        se = np.sqrt(np.cumsum(var_diff))
+    return out, se
+
+
+def arima_forecast(
+    df: DataFrame,
+    steps: int,
+    freq_seconds: int,
+    order: tuple[int, int, int] = (2, 1, 1),
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """(series_id, time, fcst, fcst_lower, fcst_upper)."""
+    p, d, q = order
+    schema = (
+        f"{s.series_id} string, {s.time} timestamp, "
+        "fcst double, fcst_lower double, fcst_upper double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(s.time)
+        y = pdf[s.value].to_numpy(dtype=float)
+        sid = pdf[s.series_id].iloc[0]
+        if len(y) < 3 * (p + q + d) + 10:
+            return pd.DataFrame(
+                columns=[s.series_id, s.time, "fcst", "fcst_lower", "fcst_upper"]
+            )
+        fc, se = _arima_forecast_one(y, p, d, q, steps)
+        h = np.arange(1, steps + 1)
+        times = pd.Timestamp(pdf[s.time].iloc[-1]) + pd.to_timedelta(
+            h * freq_seconds, unit="s"
+        )
+        return pd.DataFrame(
+            {
+                s.series_id: sid,
+                s.time: times,
+                "fcst": fc,
+                "fcst_lower": fc - Z95 * se,
+                "fcst_upper": fc + Z95 * se,
+            }
+        )
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(fn, schema)
+    )

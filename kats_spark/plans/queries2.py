@@ -580,6 +580,169 @@ def q_var_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# metalearners — full oracles (closed-form candidate backtests)
+# --------------------------------------------------------------------------
+
+
+def q_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kats_spark.models import metalearner
+
+    h = hourly_series(spark, sf_dir)
+    spec = bt_mod.fold_spec(spark, n_folds=3, train_frac=0.5, test_frac=0.1)
+    out = metalearner.model_select(h, spec)
+    return out.select("series_id", "best_model", _rnd("best_mae", 6).alias("best_mae"))
+
+
+_LIN_BACKTEST_MAE_SQL = f"""
+h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value, time,
+    (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS rn,
+    count(*) OVER (PARTITION BY series_id)::DOUBLE AS n_all
+  FROM h
+),
+folds AS (
+  SELECT fold_id,
+    round(0.5 + 0.4 * fold_id / 2, 9) AS train_end,
+    round(0.6 + 0.4 * fold_id / 2, 9) AS test_end
+  FROM (SELECT unnest([0, 1, 2]) AS fold_id)
+),
+tagged AS (
+  SELECT i.series_id, i.value, i.rn, f.fold_id,
+    CASE WHEN i.rn < floor(f.train_end * i.n_all)::INT THEN 'train'
+         WHEN i.rn >= floor(f.train_end * i.n_all)::INT
+          AND i.rn < floor(f.test_end * i.n_all)::INT THEN 'test' END AS st
+  FROM idx i CROSS JOIN folds f
+),
+fitstats AS (
+  SELECT series_id, fold_id,
+    sum(CASE WHEN st = 'train' THEN 1 ELSE 0 END)::DOUBLE AS n,
+    sum(CASE WHEN st = 'train' THEN rn END) AS sx,
+    sum(CASE WHEN st = 'train' THEN rn * rn END) AS sx2,
+    sum(CASE WHEN st = 'train' THEN value END) AS sy,
+    sum(CASE WHEN st = 'train' THEN rn * value END) AS sxy
+  FROM tagged WHERE st IS NOT NULL GROUP BY 1, 2
+),
+co AS (
+  SELECT series_id, fold_id,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM fitstats
+),
+fold_mae AS (
+  SELECT t.series_id, t.fold_id, avg(abs(t.value - (c.a + c.b * t.rn))) AS mae
+  FROM tagged t JOIN co c ON t.series_id = c.series_id AND t.fold_id = c.fold_id
+  WHERE t.st = 'test' GROUP BY 1, 2
+),
+lin_mae AS (SELECT series_id, avg(mae) AS mae FROM fold_mae GROUP BY 1),
+naive_mae AS (
+  SELECT series_id, avg(e) AS mae FROM (
+    SELECT series_id,
+      abs(value - lag(value) OVER (PARTITION BY series_id ORDER BY time)) AS e
+    FROM h
+  ) GROUP BY 1
+),
+ma8_mae AS (
+  SELECT series_id, avg(e) AS mae FROM (
+    SELECT series_id,
+      CASE WHEN count(value) OVER w8 = 8
+           THEN abs(value - avg(value) OVER w8) END AS e
+    FROM h
+    WINDOW w8 AS (PARTITION BY series_id ORDER BY time
+                  ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+  ) GROUP BY 1
+)
+"""
+
+_Q_MODEL_SELECT_SQL = f"""
+WITH {_LIN_BACKTEST_MAE_SQL},
+allm AS (
+  SELECT series_id, 'linear' AS model, mae FROM lin_mae
+  UNION ALL SELECT series_id, 'naive', mae FROM naive_mae
+  UNION ALL SELECT series_id, 'ma8', mae FROM ma8_mae
+),
+ranked AS (
+  SELECT series_id, model, mae,
+         row_number() OVER (PARTITION BY series_id ORDER BY mae, model) AS rk
+  FROM allm
+)
+SELECT series_id, model AS best_model, round(1e-9 + mae, 6) AS best_mae
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kats_spark.models import metalearner
+
+    h = hourly_series(spark, sf_dir)
+    spec = bt_mod.fold_spec(spark, n_folds=3, train_frac=0.5, test_frac=0.1)
+    out = metalearner.predictability_labels(h, spec)
+    return out.select(
+        "series_id",
+        _rnd("lin_mae", 6).alias("lin_mae"),
+        _rnd("naive_mae", 6).alias("naive_mae"),
+        F.col("predictable").cast("int").alias("predictable"),
+    )
+
+
+_Q_PREDICTABILITY_SQL = f"""
+WITH {_LIN_BACKTEST_MAE_SQL}
+SELECT l.series_id,
+  round(1e-9 + l.mae, 6) AS lin_mae,
+  round(1e-9 + n.mae, 6) AS naive_mae,
+  (l.mae < n.mae)::INT AS predictable
+FROM lin_mae l JOIN naive_mae n ON l.series_id = n.series_id
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only: ARIMA, DTW, KDE, streaming-CUSUM batch parity surface
+# --------------------------------------------------------------------------
+
+
+def q_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kats_spark.models import arima
+
+    out = arima.arima_forecast(
+        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600, order=(2, 1, 1)
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+def q_dtw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kats_spark.operators import dtw
+
+    out = dtw.dtw_scores(hourly_series(spark, sf_dir), window=24)
+    return _fmt_time(out)
+
+
+def q_kde_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kats_spark.operators import decomposition, kde
+
+    dec = decomposition.ma_decompose(hourly_series(spark, sf_dir), 24)
+    resid = dec.filter(F.col("residual").isNotNull()).select(
+        "series_id", "time", "residual"
+    )
+    out = kde.kde_translate(resid)
+    return _fmt_time(_r6(out, "residual", "proba"))
+
+
+def q_cusum_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUMDetectorModel incremental scoring (batch surface of the
+    streaming harness — identical update rule, asserted equal in tests)."""
+    from kats_spark.streaming import cusum_model as cm
+
+    out = cm.cusum_batch(hourly_series(spark, sf_dir), k=0.5, h=5.0)
+    return _fmt_time(
+        _r6(out, "value", "score", "predicted", "lower", "upper")
+    ).select(
+        "series_id", "time", "value", "score", "predicted", "lower", "upper",
+        F.col("stat_sig").cast("int").alias("stat_sig"),
+        F.col("cp_flag").cast("int").alias("cp_flag"),
+    )
+
+
 QUERIES = {
     "median_ensemble": q_median_ensemble,
     "weighted_ensemble": q_weighted_ensemble,
@@ -598,6 +761,12 @@ QUERIES = {
     "ml_ar_insample": q_ml_ar_insample,
     "ivf_topk": q_ivf_topk,
     "tsfeatures_full": q_tsfeatures_full,
+    "model_select": q_model_select,
+    "predictability": q_predictability,
+    "arima_forecast": q_arima_forecast,
+    "dtw_scores": q_dtw_scores,
+    "kde_translate": q_kde_translate,
+    "cusum_model_scores": q_cusum_model_scores,
 }
 
 ORACLES = {
@@ -608,6 +777,8 @@ ORACLES = {
     "anomaly_classify": _Q_ANOMALY_CLASSIFY_SQL,
     "lang_id": _Q_LANG_ID_SQL,
     "doc_fingerprint": _Q_FINGERPRINT_SQL,
+    "model_select": _Q_MODEL_SELECT_SQL,
+    "predictability": _Q_PREDICTABILITY_SQL,
     # weighted_ensemble / bocpd / fft / hourly_ratio / dist_distance / var:
     # iterative, FFT, or matrix kernels — rows-only by design, covered by
     # seeded-simulation unit tests

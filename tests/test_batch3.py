@@ -1,0 +1,184 @@
+"""Tests: streaming CUSUM model, DTW CPD, KDE translator, ARIMA HR,
+metalearners."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kats_spark.models import arima, metalearner
+from kats_spark.operators import backtest, dtw, kde, simulator
+from kats_spark.streaming import cusum_model as cm
+
+
+def test_cusum_stream_state_roundtrip():
+    st = cm._new_state()
+    cm._update_one(st, 5.0, 1000.0, 0.5, 5.0, 1)
+    raw = cm.serialize_state(st)
+    assert cm.deserialize_state(raw) == st
+    legacy = cm.deserialize_state('{"version": 0, "n": 3, "mean": 1.0, "m2": 0.5}')
+    assert legacy["s_pos"] == 0.0 and legacy["n"] == 3
+
+
+def test_cusum_batch_detects_shift_and_retention(spark):
+    df = simulator.simulate(
+        spark, n_series=2, n_points=200, noise_std=1.0,
+        level_shift_at=120, level_shift_size=8.0, seed=101,
+    )
+    out = cm.cusum_batch(df, k=0.5, h=5.0).toPandas()
+    for sid, g in out.groupby("series_id"):
+        g = g.sort_values("time").reset_index(drop=True)
+        flagged = g[g.cp_flag == 1]
+        assert len(flagged) >= 1
+        assert abs(flagged.index[0] - 120) <= 10
+    quiet = simulator.simulate(spark, n_series=1, n_points=200, noise_std=1.0, seed=102)
+    qo = cm.cusum_batch(quiet, k=0.5, h=5.0).toPandas()
+    assert qo.cp_flag.sum() == 0
+
+
+def test_cusum_changepoint_cap():
+    st = cm._new_state()
+    # 15 forced changepoints: cap at 10, retention keeps recent only
+    t = 0.0
+    for i in range(15):
+        for v in [0.0] * 12:
+            cm._update_one(st, v + i * 50.0, t, 0.5, 5.0, 3)
+            t += 3600.0
+    assert len(st["changepoints"]) <= 10
+
+
+def test_dtw_detects_waveform_change(spark):
+    rng = np.random.RandomState(111)
+    n = 480
+    t = np.arange(n)
+    # sine -> square wave at same amplitude/period: pointwise mean/var are
+    # similar, shape differs
+    vals = np.where(
+        t < 240,
+        3 * np.sin(2 * np.pi * t / 24),
+        3 * np.sign(np.sin(2 * np.pi * t / 24)),
+    ) + rng.randn(n) * 0.2
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": vals,
+        }
+    )
+    cps = dtw.dtw_detect(spark.createDataFrame(pdf), window=24, z_threshold=3.0).toPandas()
+    assert len(cps) >= 1
+    # detection near the change (index 240 -> timestamp 2024-01-11)
+    assert any(abs((pd.Timestamp(ts) - pd.Timestamp("2024-01-11")).total_seconds()) < 3 * 86400
+               for ts in cps.time)
+
+
+def test_kde_translate_calibration(spark):
+    rng = np.random.RandomState(121)
+    n = 500
+    resid = rng.randn(n)
+    resid[100] = 6.0  # extreme residual
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "residual": resid,
+        }
+    )
+    out = (
+        kde.kde_translate(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("time")
+        .reset_index(drop=True)
+    )
+    assert out.loc[100, "proba"] < 0.01  # extreme -> tiny tail probability
+    near_zero = out[np.abs(out.residual) < 0.1].proba
+    assert (near_zero > 0.8).all()  # typical residuals -> high probability
+
+
+def test_arima_forecast_on_ar_process(spark):
+    rng = np.random.RandomState(131)
+    n = 400
+    y = np.zeros(n)
+    for t in range(2, n):
+        y[t] = 0.6 * y[t - 1] + 0.2 * y[t - 2] + rng.randn() * 0.5
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": y + 10,
+        }
+    )
+    out = (
+        arima.arima_forecast(spark.createDataFrame(pdf), steps=10,
+                             freq_seconds=3600, order=(2, 0, 1))
+        .toPandas()
+        .sort_values("time")
+    )
+    assert len(out) == 10
+    assert (out.fcst_upper > out.fcst).all() and (out.fcst > out.fcst_lower).all()
+    # stationary AR around 10: forecast stays in a sane band
+    assert out.fcst.between(7, 13).all()
+    # bands widen with horizon
+    w = (out.fcst_upper - out.fcst_lower).values
+    assert w[-1] > w[0]
+
+
+def test_arima_with_differencing_tracks_trend(spark):
+    rng = np.random.RandomState(132)
+    n = 300
+    y = 0.5 * np.arange(n) + np.cumsum(rng.randn(n) * 0.3)
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": y,
+        }
+    )
+    out = (
+        arima.arima_forecast(spark.createDataFrame(pdf), steps=5,
+                             freq_seconds=3600, order=(1, 1, 0))
+        .toPandas()
+        .sort_values("time")
+    )
+    # d=1 keeps the trend: forecasts continue upward from the last value
+    assert (np.diff(out.fcst.values) > 0).all()
+    assert abs(out.fcst.iloc[0] - y[-1]) < 5
+
+
+def test_predictability_and_model_select(spark):
+    rng = np.random.RandomState(141)
+    n = 200
+    times = pd.date_range("2024-01-01", periods=n, freq="h")
+    trend = 0.5 * np.arange(n) + rng.randn(n) * 0.3      # linear wins
+    walk = np.cumsum(rng.randn(n))                        # naive wins
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["trend"] * n + ["walk"] * n,
+            "time": list(times) * 2,
+            "value": np.concatenate([trend, walk]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    spec = backtest.fold_spec(spark, n_folds=3, train_frac=0.5, test_frac=0.1)
+    labels = metalearner.predictability_labels(df, spec).toPandas().set_index("series_id")
+    assert labels.loc["trend", "predictable"] == 1
+    sel = metalearner.model_select(df, spec).toPandas().set_index("series_id")
+    assert sel.loc["trend", "best_model"] == "linear"
+    assert sel.loc["walk", "best_model"] == "naive"
+
+
+def test_nearest_centroid_scoring(spark):
+    rng = np.random.RandomState(142)
+    rows = []
+    for i in range(40):
+        lab = i % 2
+        rows.append((f"s{i}", float(lab * 4 + rng.randn() * 0.3),
+                     float(lab * -2 + rng.randn() * 0.3), lab))
+    labeled = spark.createDataFrame(
+        rows, "series_id string, f1 double, f2 double, predictable int"
+    )
+    scored = metalearner.nearest_centroid_score(
+        labeled, labeled, ["f1", "f2"]
+    ).toPandas()
+    truth = {r[0]: r[3] for r in rows}
+    acc = np.mean([truth[r.series_id] == r.predicted_label for r in scored.itertuples()])
+    assert acc > 0.95

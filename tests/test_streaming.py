@@ -81,3 +81,58 @@ def test_streaming_equals_batch(spark, tmp_path=None):
         assert (flagged.score.abs() > 3).all()
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_cusum_streaming_equals_batch(spark):
+    import numpy as np
+    from kats_spark.streaming import cusum_model as cm
+
+    tmpdir = tempfile.mkdtemp()
+    try:
+        rng = np.random.RandomState(7)
+        n = 160
+        vals = np.concatenate([rng.randn(100), rng.randn(60) + 8.0])
+        pdf = pd.DataFrame(
+            {
+                "series_id": ["a"] * n,
+                "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+                "value": vals,
+            }
+        )
+        static = spark.createDataFrame(pdf)
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        pdf_us = pdf.assign(time=pdf.time.astype("datetime64[us]"))
+        pdf_us.iloc[:80].to_parquet(os.path.join(chunk_dir, "c0.parquet"))
+        pdf_us.iloc[80:].to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+        stream = (
+            spark.readStream.schema("series_id string, time timestamp, value double")
+            .parquet(chunk_dir)
+        )
+        q = (
+            cm.cusum_stream(stream)
+            .writeStream.format("memory")
+            .queryName("cusum_stream_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.table("cusum_stream_out")
+            .toPandas()
+            .sort_values(["series_id", "time"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            cm.cusum_batch(static)
+            .toPandas()
+            .sort_values(["series_id", "time"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) == n
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=1e-12)
+        assert got.cp_flag.sum() >= 1  # the injected shift is caught
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

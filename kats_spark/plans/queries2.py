@@ -581,6 +581,118 @@ def q_var_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# harmonic regression — full oracle (closed-form Fourier OLS)
+# --------------------------------------------------------------------------
+
+
+def q_harmonic_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kats_spark.models import harmonic
+
+    out = harmonic.harmonic_forecast(
+        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600, period=24
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_HARMONIC_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value,
+         (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS x,
+         max(time) OVER (PARTITION BY series_id) AS tmax
+  FROM h
+),
+m AS (
+  SELECT series_id, any_value(tmax) AS tmax, count(*)::DOUBLE AS n,
+    sum(sin(2 * pi() * x / 24)) AS ss, sum(cos(2 * pi() * x / 24)) AS sc,
+    sum(pow(sin(2 * pi() * x / 24), 2)) AS ss2,
+    sum(pow(cos(2 * pi() * x / 24), 2)) AS sc2,
+    sum(sin(2 * pi() * x / 24) * cos(2 * pi() * x / 24)) AS ssc,
+    sum(value) AS sy,
+    sum(sin(2 * pi() * x / 24) * value) AS ssy,
+    sum(cos(2 * pi() * x / 24) * value) AS scy,
+    sum(value * value) AS sy2
+  FROM idx GROUP BY 1
+),
+dets AS (
+  SELECT series_id, tmax, n, sy, ssy, scy, sy2,
+    n  * (ss2 * sc2 - ssc * ssc) - ss * (ss * sc2 - ssc * sc) + sc * (ss * ssc - ss2 * sc) AS D,
+    sy * (ss2 * sc2 - ssc * ssc) - ss * (ssy * sc2 - ssc * scy) + sc * (ssy * ssc - ss2 * scy) AS Da,
+    n * (ssy * sc2 - ssc * scy) - sy * (ss * sc2 - ssc * sc) + sc * (ss * scy - ssy * sc) AS Db,
+    n * (ss2 * scy - ssy * ssc) - ss * (ss * scy - ssy * sc) + sy * (ss * ssc - ss2 * sc) AS Dc
+  FROM m
+),
+co AS (
+  SELECT series_id, tmax, n,
+    Da / D AS a, Db / D AS b, Dc / D AS c,
+    (sy2 - Da / D * sy - Db / D * ssy - Dc / D * scy) / (n - 3) AS mse
+  FROM dets
+)
+SELECT series_id,
+  strftime(tmax + to_seconds(hh * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + a + b * sin(2 * pi() * (n - 1 + hh) / 24)
+        + c * cos(2 * pi() * (n - 1 + hh) / 24), 6) AS fcst,
+  round(1e-9 + a + b * sin(2 * pi() * (n - 1 + hh) / 24)
+        + c * cos(2 * pi() * (n - 1 + hh) / 24)
+        - 1.959963984540054 * sqrt(mse * (1 + 1 / n)), 6) AS fcst_lower,
+  round(1e-9 + a + b * sin(2 * pi() * (n - 1 + hh) / 24)
+        + c * cos(2 * pi() * (n - 1 + hh) / 24)
+        + 1.959963984540054 * sqrt(mse * (1 + 1 / n)), 6) AS fcst_upper
+FROM co, (SELECT unnest(generate_series(1, 24))::DOUBLE AS hh)
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing over synthesized binary payloads — metadata oracled
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction: documents' text bytes stand in
+    for media payloads (no media files in the testdata); n_bytes/sha256
+    are engine-portable and fully oracled."""
+    from kats_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out = multimodal.attach_metadata(docs)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "sha256",
+        "mime",
+    )
+
+
+_Q_MULTIMODAL_META_SQL = """
+SELECT doc_id::BIGINT AS media_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha256,
+       'application/octet-stream' AS mime
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing with the deterministic stub kernel —
+    rows-only (digest-derived fake features)."""
+    from kats_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out = multimodal.decode_features(docs)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.round(F.element_at("features", 1) + F.lit(1.0e-9), 6).alias("f0"),
+        F.round(F.element_at("features", 8) + F.lit(1.0e-9), 6).alias("f7"),
+    )
+
+
+# --------------------------------------------------------------------------
 # metalearners — full oracles (closed-form candidate backtests)
 # --------------------------------------------------------------------------
 
@@ -767,6 +879,9 @@ QUERIES = {
     "dtw_scores": q_dtw_scores,
     "kde_translate": q_kde_translate,
     "cusum_model_scores": q_cusum_model_scores,
+    "harmonic_forecast": q_harmonic_forecast,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES = {
@@ -779,6 +894,8 @@ ORACLES = {
     "doc_fingerprint": _Q_FINGERPRINT_SQL,
     "model_select": _Q_MODEL_SELECT_SQL,
     "predictability": _Q_PREDICTABILITY_SQL,
+    "harmonic_forecast": _Q_HARMONIC_SQL,
+    "multimodal_meta": _Q_MULTIMODAL_META_SQL,
     # weighted_ensemble / bocpd / fft / hourly_ratio / dist_distance / var:
     # iterative, FFT, or matrix kernels — rows-only by design, covered by
     # seeded-simulation unit tests

@@ -182,3 +182,40 @@ def test_nearest_centroid_scoring(spark):
     truth = {r[0]: r[3] for r in rows}
     acc = np.mean([truth[r.series_id] == r.predicted_label for r in scored.itertuples()])
     assert acc > 0.95
+
+
+def test_harmonic_regression_recovers_sine(spark):
+    rng = np.random.RandomState(151)
+    n = 240
+    t = np.arange(n)
+    vals = 5 + 3 * np.sin(2 * np.pi * t / 24 + 0.7) + rng.randn(n) * 0.2
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": vals,
+        }
+    )
+    from kats_spark.models import harmonic
+
+    out = (
+        harmonic.harmonic_forecast(spark.createDataFrame(pdf), steps=24,
+                                   freq_seconds=3600, period=24)
+        .toPandas()
+        .sort_values("time")
+        .reset_index(drop=True)
+    )
+    expected = 5 + 3 * np.sin(2 * np.pi * (n + np.arange(24)) / 24 + 0.7)
+    np.testing.assert_allclose(out.fcst.values, expected, atol=0.15)
+
+
+def test_external_models_gate_cleanly(spark):
+    from kats_spark.models import external
+
+    df = simulator.simulate(spark, n_series=1, n_points=50, noise_std=1.0, seed=161)
+    import pytest
+
+    with pytest.raises(external.BackendMissing, match="prophet"):
+        external.prophet_forecast(df, steps=5, freq_seconds=3600)
+    with pytest.raises(external.BackendMissing, match="torch"):
+        external.lstm_forecast(df, steps=5, freq_seconds=3600)

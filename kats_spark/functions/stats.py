@@ -182,3 +182,119 @@ def basic_stats(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
         F.skewness(s.value).alias("skewness"),
         F.kurtosis(s.value).alias("kurtosis"),
     )
+
+
+def stats_bundle(
+    df: DataFrame,
+    window_size: int = 20,
+    n_buckets: int = 10,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """The whole statistics feature group in ONE logical pipeline.
+
+    The naive assembly (one operator frame per feature, joined at the end)
+    scans the source 8× and shuffles 22× at sf0.01.  Here:
+
+    - pass 1: one groupBy(series_id) produces every whole-series moment
+      (count/mean/var/min/max/median) — map-side combinable;
+    - the tiny per-series frame broadcasts back onto the raw rows, and ONE
+      window (the per-series sort) computes every row-local derivation
+      (diff, median-cross flag, bucket, run id, tile id) shared by all
+      downstream branches;
+    - branches re-aggregate on their own keys (series / series,tile /
+      series,run / series,bucket) — each prunes to the 2-3 columns it
+      needs, so the branch re-scans are narrow.
+
+    Everything is a WINDOW aggregate: every partition spec below is
+    prefixed by series_id, and Spark's HashPartitioning(series_id)
+    satisfies ClusteredDistribution(series_id, X) — so the whole feature
+    set computes after ONE exchange and ONE file scan (sub-key windows
+    add only in-partition sorts).  The final filter keeps one row per
+    series.  Output matches the separate operators exactly (same
+    expressions over the same rows — oracle-identical)."""
+    w_all = Window.partitionBy(s.series_id)
+    w_ord = s.w()
+    v = F.col(s.value)
+
+    # whole-series moments as window aggs (no pre-pass, no join)
+    step1 = df.select(
+        s.series_id,
+        F.col(s.time),
+        v.alias("__v"),
+        F.count(s.value).over(w_all).alias("length"),
+        F.avg(s.value).over(w_all).alias("mean"),
+        F.var_samp(s.value).over(w_all).alias("var"),
+        F.min(s.value).over(w_all).alias("__lo"),
+        F.max(s.value).over(w_all).alias("__hi"),
+        F.median(s.value).over(w_all).alias("__med"),
+        (F.row_number().over(w_ord) - 1).alias("__rn"),
+        (v - F.lag(v).over(w_ord)).alias("__d"),
+        F.lag(v).over(w_ord).alias("__pv"),
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("__v") - F.col("__lo")) / ((F.col("__hi") - F.col("__lo")) / n_buckets)),
+    )
+    b = (F.col("__v") > F.col("__med")).cast("int")
+    pb = (F.col("__pv") > F.col("__med")).cast("int")
+    step2 = step1.select(
+        "*",
+        bucket.alias("__bkt"),
+        b.alias("__b"),
+        pb.alias("__prev"),
+        (F.col("__v") > F.col("mean")).cast("double").alias("__above_mean"),
+        F.floor(F.col("__rn") / window_size).alias("__tile"),
+    )
+    prev_bkt = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("__pv") - F.col("__lo")) / ((F.col("__hi") - F.col("__lo")) / n_buckets)),
+    )
+    start = F.coalesce((F.col("__bkt") != prev_bkt).cast("int"), F.lit(1))
+    step3 = step2.withColumn(
+        "__run", F.sum(start).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    # sub-key windows: same series_id hash partitioning, sort-only
+    w_tile = Window.partitionBy(s.series_id, "__tile")
+    w_run = Window.partitionBy(s.series_id, "__run")
+    w_bkt = Window.partitionBy(s.series_id, "__bkt")
+    step4 = step3.select(
+        "*",
+        F.var_samp("__v").over(w_tile).alias("__tv"),
+        F.avg("__v").over(w_tile).alias("__tm"),
+        F.count("*").over(w_tile).alias("__tn"),
+        F.count("*").over(w_run).alias("__rl"),
+        F.count("*").over(w_bkt).alias("__bc"),
+        F.row_number().over(
+            Window.partitionBy(s.series_id, "__tile").orderBy("__rn")
+        ).alias("__tile_rn"),
+    )
+    # one representative row per tile/bucket keeps stat-of-stat unweighted
+    tile_var_rep = F.when((F.col("__tile_rn") == 1) & (F.col("__tn") == window_size), F.col("__tv"))
+    tile_mean_rep = F.when((F.col("__tile_rn") == 1) & (F.col("__tn") == window_size), F.col("__tm"))
+    final = step4.select(
+        "*",
+        F.sum((F.col("__b") != F.col("__prev")).cast("int")).over(w_all).alias("crossing_points"),
+        F.avg("__above_mean").over(w_all).alias("binarize_mean"),
+        F.stddev_samp("__d").over(w_all).alias("std1st_der"),
+        F.var_samp(tile_var_rep).over(w_all).alias("lumpiness"),
+        F.var_samp(tile_mean_rep).over(w_all).alias("stability"),
+        F.max("__rl").over(w_all).alias("flat_spots"),
+        F.max(F.struct(F.col("__bc"), (-F.col("__bkt")).alias("__nb"))).over(w_all).alias("__best"),
+    )
+    hmode = (
+        F.col("__lo")
+        + (-F.col("__best.__nb") + 0.5) * ((F.col("__hi") - F.col("__lo")) / n_buckets)
+    )
+    return final.filter(F.col("__rn") == 0).select(
+        s.series_id,
+        "length",
+        "mean",
+        "var",
+        "lumpiness",
+        "stability",
+        "crossing_points",
+        "binarize_mean",
+        "std1st_der",
+        F.col("flat_spots").cast("bigint").alias("flat_spots"),
+        hmode.alias("histogram_mode"),
+    )

@@ -683,19 +683,7 @@ def q_ts_stat_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing_points + binarize_mean + std1st_der + flat_spots +
     histogram_mode (tsfeatures statistics group)."""
     df = raw_series(spark, sf_dir)
-    base = stats.basic_stats(df)
-    lum = stats.lumpiness(df, 48)
-    stab = stats.stability(df, 48)
-    cp = stats.crossing_points(df)
-    bm = stats.binarize_mean(df)
-    sd = stats.std_first_derivative(df)
-    fs = stats.flat_spots(df, 10)
-    hm = stats.histogram_mode(df, 10)
-    out = (
-        base.join(lum, "series_id").join(stab, "series_id").join(cp, "series_id")
-        .join(bm, "series_id").join(sd, "series_id").join(fs, "series_id")
-        .join(hm, "series_id")
-    )
+    out = stats.stats_bundle(df, window_size=48, n_buckets=10)
     return out.select(
         "series_id",
         F.col("length").cast("bigint").alias("length"),

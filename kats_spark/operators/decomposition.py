@@ -89,6 +89,48 @@ def ma_decompose(
     )
 
 
+def seasonal_table(
+    df: DataFrame, period: int, model: str = "additive", s: TSSchema = DEFAULT
+) -> DataFrame:
+    """(series_id, __phase, seasonal) — the centred per-phase seasonal
+    component of the MA decomposition, as a broadcastable tiny table
+    (period rows per series).  Shared by ma_decompose and STLF."""
+    rn = F.row_number().over(s.w()) - 1
+    base = df.withColumn("__rn", rn)
+    if period % 2 == 1:
+        half = period // 2
+        w = s.w().rowsBetween(-half, half)
+        cnt = F.count(s.value).over(w)
+        trend = F.when(cnt == period, F.avg(s.value).over(w))
+    else:
+        half = period // 2
+        w = s.w().rowsBetween(-half, half)
+        cnt = F.count(s.value).over(w)
+        total = F.sum(s.value).over(w)
+        first_v = F.first(s.value).over(w)
+        last_v = F.last(s.value).over(w)
+        trend = F.when(cnt == period + 1, (total - first_v / 2 - last_v / 2) / period)
+    detr = (
+        F.col(s.value) - trend if model == "additive" else F.col(s.value) / trend
+    )
+    base = base.withColumn("__detr", detr).withColumn("__phase", F.col("__rn") % period)
+    phase_means = (
+        base.filter(F.col("__detr").isNotNull())
+        .groupBy(s.series_id, "__phase")
+        .agg(F.avg("__detr").alias("__pm"))
+    )
+    grand = phase_means.groupBy(s.series_id).agg(F.avg("__pm").alias("__gm"))
+    return phase_means.join(grand, s.series_id).select(
+        s.series_id,
+        "__phase",
+        (
+            (F.col("__pm") - F.col("__gm"))
+            if model == "additive"
+            else (F.col("__pm") / F.col("__gm"))
+        ).alias("seasonal"),
+    )
+
+
 def remove_seasonality(
     df: DataFrame, period: int, model: str = "additive", s: TSSchema = DEFAULT
 ) -> DataFrame:

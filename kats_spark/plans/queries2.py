@@ -643,6 +643,80 @@ FROM co, (SELECT unnest(generate_series(1, 24))::DOUBLE AS hh)
 
 
 # --------------------------------------------------------------------------
+# STLF composite — full oracle (decompose -> linear -> re-seasonalize)
+# --------------------------------------------------------------------------
+
+
+def q_stlf_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kats_spark.models import stlf
+
+    out = stlf.stlf_forecast(
+        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600, period=24,
+        base="linear",
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_STLF_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn
+  FROM h
+),
+tr AS (
+  SELECT *,
+    CASE WHEN count(value) OVER w = 25 THEN
+      (sum(value) OVER w - first_value(value) OVER w / 2 - last_value(value) OVER w / 2) / 24
+    END AS trend
+  FROM idx
+  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+detr AS (SELECT *, value - trend AS dt, rn % 24 AS phase FROM tr),
+pm AS (SELECT series_id, phase, avg(dt) AS pmv FROM detr WHERE dt IS NOT NULL GROUP BY 1, 2),
+gm AS (SELECT series_id, avg(pmv) AS g FROM pm GROUP BY 1),
+seas AS (
+  SELECT pm.series_id, pm.phase, pm.pmv - gm.g AS seasonal
+  FROM pm JOIN gm ON pm.series_id = gm.series_id
+),
+ds AS (
+  SELECT d.series_id, d.rn::DOUBLE AS x,
+         d.value - coalesce(s.seasonal, 0) AS y,
+         max(d.time) OVER (PARTITION BY d.series_id) AS tmax
+  FROM detr d LEFT JOIN seas s ON d.series_id = s.series_id AND d.phase = s.phase
+),
+m AS (
+  SELECT series_id, any_value(tmax) AS tmax,
+    count(*)::DOUBLE AS n, sum(x) AS sx, sum(x * x) AS sx2,
+    sum(y) AS sy, sum(x * y) AS sxy, sum(y * y) AS sy2
+  FROM ds GROUP BY 1
+),
+fit AS (
+  SELECT series_id, tmax, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a,
+    sx2 - sx * sx / n AS sxx, sx / n AS mean_x,
+    (sy2 - (sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n) * sy
+         - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sxy) / (n - 2) AS mse
+  FROM m
+),
+fc AS (
+  SELECT series_id, tmax, n, a, b, sxx, mean_x, mse, hh,
+    ((n - 1 + hh)::BIGINT % 24) AS phase,
+    a + b * (n - 1 + hh) AS base_fcst,
+    1.959963984540054 * sqrt(mse * (1 + 1 / n + pow(n - 1 + hh - mean_x, 2) / sxx)) AS band
+  FROM fit, (SELECT unnest(generate_series(1, 24))::DOUBLE AS hh)
+)
+SELECT f.series_id,
+  strftime(f.tmax + to_seconds(f.hh * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + f.base_fcst + coalesce(s.seasonal, 0), 6) AS fcst,
+  round(1e-9 + f.base_fcst - f.band + coalesce(s.seasonal, 0), 6) AS fcst_lower,
+  round(1e-9 + f.base_fcst + f.band + coalesce(s.seasonal, 0), 6) AS fcst_upper
+FROM fc f LEFT JOIN seas s ON f.series_id = s.series_id AND f.phase = s.phase
+"""
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing over synthesized binary payloads — metadata oracled
 # --------------------------------------------------------------------------
 
@@ -882,6 +956,7 @@ QUERIES = {
     "harmonic_forecast": q_harmonic_forecast,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "stlf_forecast": q_stlf_forecast,
 }
 
 ORACLES = {
@@ -896,6 +971,7 @@ ORACLES = {
     "predictability": _Q_PREDICTABILITY_SQL,
     "harmonic_forecast": _Q_HARMONIC_SQL,
     "multimodal_meta": _Q_MULTIMODAL_META_SQL,
+    "stlf_forecast": _Q_STLF_SQL,
     # weighted_ensemble / bocpd / fft / hourly_ratio / dist_distance / var:
     # iterative, FFT, or matrix kernels — rows-only by design, covered by
     # seeded-simulation unit tests

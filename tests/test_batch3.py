@@ -219,3 +219,30 @@ def test_external_models_gate_cleanly(spark):
         external.prophet_forecast(df, steps=5, freq_seconds=3600)
     with pytest.raises(external.BackendMissing, match="torch"):
         external.lstm_forecast(df, steps=5, freq_seconds=3600)
+
+
+def test_stlf_recovers_trend_plus_season(spark):
+    rng = np.random.RandomState(171)
+    n = 240
+    t = np.arange(n)
+    vals = 0.2 * t + 4 * np.sin(2 * np.pi * t / 24) + rng.randn(n) * 0.3
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": vals,
+        }
+    )
+    from kats_spark.models import stlf
+
+    out = (
+        stlf.stlf_forecast(spark.createDataFrame(pdf), steps=24,
+                           freq_seconds=3600, period=24)
+        .toPandas()
+        .sort_values("time")
+        .reset_index(drop=True)
+    )
+    exp = 0.2 * (n + np.arange(24)) + 4 * np.sin(2 * np.pi * (n + np.arange(24)) / 24)
+    assert np.abs(out.fcst.values - exp).max() < 0.5
+    # plain linear would miss the seasonal swing entirely
+    assert (out.fcst_upper >= out.fcst).all() and (out.fcst >= out.fcst_lower).all()

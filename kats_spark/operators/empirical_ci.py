@@ -25,9 +25,12 @@ def horizon_errors(
     df: DataFrame,
     spec: DataFrame,
     s: TSSchema = DEFAULT,
+    signed: bool = False,
 ) -> DataFrame:
-    """Per (series_id, fold_id, horizon) absolute error of the linear-trend
-    model: horizon = 1-based index into the fold's test range."""
+    """Per (series_id, fold_id, horizon) error of the linear-trend model:
+    horizon = 1-based index into the fold's test range.  ``signed=False``
+    emits |error| (empirical CI); ``signed=True`` emits y - yhat (the
+    ensemble-prediction-interval error matrix)."""
     ranked = df.withColumn("__rn", F.row_number().over(s.w()) - 1).withColumn(
         "__n", F.count("*").over(Window.partitionBy(s.series_id))
     )
@@ -65,11 +68,48 @@ def horizon_errors(
         "__test_start",
         F.explode("__test").alias("t"),
     )
+    err = F.col("t.y") - (F.col("__a") + F.col("__b") * F.col("t.x"))
     return ex.select(
         s.series_id,
         "fold_id",
         (F.col("t.x") - F.col("__test_start") + 1).cast("int").alias("horizon"),
-        F.abs(F.col("t.y") - (F.col("__a") + F.col("__b") * F.col("t.x"))).alias("abs_error"),
+        (err if signed else F.abs(err)).alias("error" if signed else "abs_error"),
+    )
+
+
+def ensemble_prediction_interval(
+    df: DataFrame,
+    spec: DataFrame,
+    steps: int,
+    freq_seconds: int,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Ensemble prediction interval (kats/utils/ensemble_predict_interval.py):
+    the reference builds an error matrix from rolling backtests, samples
+    perturbation ensembles from N(mean_h, std_h) per horizon, and takes
+    ensemble percentiles.  We compute the DETERMINISTIC limit of that
+    procedure — band(h) = fcst(h) + mean_err(h) ± z·std_err(h) — which is
+    what the sampling converges to (documented deviation: no Monte Carlo
+    noise), keeping it closed-form and oracle-checkable."""
+    from kats_spark.operators.trend import linear_forecast
+
+    errs = horizon_errors(df, spec, s, signed=True)
+    stats = errs.groupBy(s.series_id, "horizon").agg(
+        F.avg("error").alias("__me"),
+        F.stddev_samp("error").alias("__se"),
+    )
+    fc = linear_forecast(df, steps, freq_seconds, s=s).select(s.series_id, s.time, "fcst")
+    w = Window.partitionBy(s.series_id).orderBy(s.time)
+    fc_h = fc.withColumn("horizon", F.row_number().over(w))
+    out = fc_h.join(F.broadcast(stats), [s.series_id, "horizon"], "left")
+    center = F.col("fcst") + F.coalesce(F.col("__me"), F.lit(0.0))
+    half = Z95 * F.coalesce(F.col("__se"), F.lit(0.0))
+    return out.select(
+        s.series_id,
+        s.time,
+        F.col("fcst"),
+        (center - half).alias("fcst_lower"),
+        (center + half).alias("fcst_upper"),
     )
 
 

@@ -268,6 +268,98 @@ FROM lin l JOIN cifit c ON l.series_id = c.series_id,
 """
 
 
+def q_ensemble_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = hourly_series(spark, sf_dir)
+    spec = bt_mod.fold_spec(spark, n_folds=4, train_frac=0.5, test_frac=0.2)
+    out = eci.ensemble_prediction_interval(h, spec, steps=24, freq_seconds=3600)
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_ENSEMBLE_PI_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value,
+    (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS rn,
+    count(*) OVER (PARTITION BY series_id)::DOUBLE AS n_all,
+    max(time) OVER (PARTITION BY series_id) AS tmax
+  FROM h
+),
+folds AS (
+  SELECT fold_id, round(0.5 + 0.1 * fold_id, 9) AS train_end,
+         round(0.7 + 0.1 * fold_id, 9) AS test_end
+  FROM (SELECT unnest([0, 1, 2, 3]) AS fold_id)
+),
+tagged AS (
+  SELECT i.series_id, i.value, i.rn, f.fold_id,
+    floor(f.train_end * i.n_all)::INT AS hi,
+    CASE WHEN i.rn < floor(f.train_end * i.n_all)::INT THEN 'train'
+         WHEN i.rn >= floor(f.train_end * i.n_all)::INT
+          AND i.rn < floor(f.test_end * i.n_all)::INT THEN 'test' END AS st
+  FROM idx i CROSS JOIN folds f
+),
+fitstats AS (
+  SELECT series_id, fold_id,
+    sum(CASE WHEN st = 'train' THEN 1 ELSE 0 END)::DOUBLE AS n,
+    sum(CASE WHEN st = 'train' THEN rn END) AS sx,
+    sum(CASE WHEN st = 'train' THEN rn * rn END) AS sx2,
+    sum(CASE WHEN st = 'train' THEN value END) AS sy,
+    sum(CASE WHEN st = 'train' THEN rn * value END) AS sxy
+  FROM tagged WHERE st IS NOT NULL GROUP BY 1, 2
+),
+co AS (
+  SELECT series_id, fold_id,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM fitstats
+),
+errs AS (
+  SELECT t.series_id, (t.rn - t.hi + 1)::INT AS horizon,
+         t.value - (c.a + c.b * t.rn) AS error
+  FROM tagged t JOIN co c ON t.series_id = c.series_id AND t.fold_id = c.fold_id
+  WHERE t.st = 'test'
+),
+hstats AS (
+  SELECT series_id, horizon, avg(error) AS me, stddev_samp(error) AS se
+  FROM errs GROUP BY 1, 2
+),
+m AS (
+  SELECT series_id, any_value(tmax) AS tmax,
+    count(*)::DOUBLE AS n, sum(rn) AS sx, sum(rn * rn) AS sx2,
+    sum(value) AS sy, sum(rn * value) AS sxy
+  FROM idx GROUP BY 1
+),
+lin AS (
+  SELECT series_id, tmax, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM m
+),
+fc AS (
+  SELECT series_id, tmax, n, a, b, hh, hh::INT AS horizon,
+         a + b * (n - 1 + hh) AS fcst
+  FROM lin, (SELECT unnest(generate_series(1, 24))::DOUBLE AS hh)
+)
+SELECT f.series_id,
+  strftime(f.tmax + to_seconds(f.hh * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + f.fcst, 6) AS fcst,
+  round(1e-9 + f.fcst + coalesce(s.me, 0)
+        - 1.959963984540054 * coalesce(s.se, 0), 6) AS fcst_lower,
+  round(1e-9 + f.fcst + coalesce(s.me, 0)
+        + 1.959963984540054 * coalesce(s.se, 0), 6) AS fcst_upper
+FROM fc f LEFT JOIN hstats s
+  ON f.series_id = s.series_id AND f.horizon = s.horizon
+"""
+
+
+def q_nowcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nowcasting GBT over the TA feature block — rows-only (tree
+    ensemble), deterministic via seed."""
+    from kats_spark.models import nowcasting
+
+    out = nowcasting.nowcast(hourly_series(spark, sf_dir), step=1, max_iter=10)
+    return _fmt_time(_r6(out, "value", "target", "prediction"))
+
+
 # --------------------------------------------------------------------------
 # hyperparameter grid search — full oracle
 # --------------------------------------------------------------------------
@@ -957,6 +1049,8 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "stlf_forecast": q_stlf_forecast,
+    "ensemble_pi": q_ensemble_pi,
+    "nowcast": q_nowcast,
 }
 
 ORACLES = {
@@ -972,6 +1066,7 @@ ORACLES = {
     "harmonic_forecast": _Q_HARMONIC_SQL,
     "multimodal_meta": _Q_MULTIMODAL_META_SQL,
     "stlf_forecast": _Q_STLF_SQL,
+    "ensemble_pi": _Q_ENSEMBLE_PI_SQL,
     # weighted_ensemble / bocpd / fft / hourly_ratio / dist_distance / var:
     # iterative, FFT, or matrix kernels — rows-only by design, covered by
     # seeded-simulation unit tests

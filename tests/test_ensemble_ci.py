@@ -152,3 +152,59 @@ def test_classify_anomalies_kinds(spark):
     assert list(out.kind) == ["individual", "level_shift", "volatility", "trend"]
     assert out.n_points.tolist() == [1, 6, 6, 5]
     assert (out.severity > 0).all()
+
+
+def test_ensemble_prediction_interval(spark):
+    rng = np.random.RandomState(63)
+    pdf = pd.DataFrame(
+        {
+            "series_id": "rw",
+            "time": pd.date_range("2024-01-01", periods=200, freq="h"),
+            "value": np.cumsum(rng.randn(200)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    spec = backtest.fold_spec(spark, n_folds=4, train_frac=0.5, test_frac=0.2)
+    out = (
+        empirical_ci.ensemble_prediction_interval(df, spec, steps=24, freq_seconds=3600)
+        .toPandas()
+        .sort_values("time")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 24
+    assert (out.fcst_upper >= out.fcst_lower).all()
+    # random-walk backtest errors disperse with horizon -> wider far bands
+    w = (out.fcst_upper - out.fcst_lower).values
+    assert w[12:].mean() > w[:12].mean()
+
+
+def test_pipeline_chain(spark):
+    from kats_spark.plans.pipeline import Pipeline
+    from kats_spark.operators import statsig, postprocess
+
+    df = simulator.simulate(
+        spark, n_series=1, n_points=300, noise_std=1.0,
+        level_shift_at=250, level_shift_size=6.0, seed=64,
+    )
+    pipe = Pipeline(
+        [
+            ("score", lambda d: statsig.statsig_scores(d, n_control=100, n_test=20)),
+            ("classify", lambda d: postprocess.classify_anomalies(
+                d, score_col="stat_sig_score", threshold=4.0)),
+        ]
+    )
+    out = pipe.run(df).toPandas()
+    assert len(out) >= 1  # the injected shift produces at least one episode
+
+
+def test_nowcast_beats_mean(spark):
+    from kats_spark.models import nowcasting
+
+    df = simulator.simulate(
+        spark, n_series=2, n_points=300, noise_std=0.5,
+        seasonal_period=24, seasonal_magnitude=3.0, seed=65,
+    )
+    out = nowcasting.nowcast(df, step=1, max_iter=10).toPandas()
+    resid = out.target - out.prediction
+    base = out.target - out.target.mean()
+    assert (resid**2).mean() < 0.5 * (base**2).mean()

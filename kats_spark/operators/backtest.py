@@ -29,26 +29,43 @@ def fold_spec(
     train_frac: float = 0.5,
     test_frac: float = 0.1,
     mode: str = "expanding",
+    gap_frac: float = 0.0,
 ) -> DataFrame:
     """RollingOrigin spec (backtesters.py:968,1008): fold i trains on
-    [start_i, split_i) and tests on [split_i, split_i + test_len).
+    [start_i, split_i) and tests on [split_i + gap, split_i + gap + test_len).
 
     expanding: start=0, split grows; rolling: fixed-length train window
-    slides.  Fractions are of each series' length, resolved per series at
-    join time (so one spec serves series of different lengths)."""
+    slides.  ``gap_frac`` > 0 is the FixedWindow ``offset``
+    (backtesters.py:1047): a hold-out gap between train and test.
+    Fractions are of each series' length, resolved per series at join
+    time (so one spec serves series of different lengths)."""
     rows = []
     for i in range(n_folds):
-        offset = (1.0 - train_frac - test_frac) * i / max(n_folds - 1, 1)
+        offset = (1.0 - train_frac - gap_frac - test_frac) * i / max(n_folds - 1, 1)
         train_start = 0.0 if mode == "expanding" else offset
         train_end = train_frac + offset
+        test_start = train_end + gap_frac
         # round to 9 decimals so boundary*length floors identically across
         # engines (0.7 + 0.1*i drifts in the last ulp otherwise)
         rows.append(
             (i, round(float(train_start), 9), round(float(train_end), 9),
-             round(float(train_end + test_frac), 9))
+             round(float(test_start), 9), round(float(test_start + test_frac), 9))
         )
     return spark.createDataFrame(
-        rows, "fold_id int, train_start double, train_end double, test_end double"
+        rows,
+        "fold_id int, train_start double, train_end double, "
+        "test_start double, test_end double",
+    )
+
+
+def simple_spec(spark, train_frac: float = 0.75) -> DataFrame:
+    """BackTesterSimple (backtesters.py:668) / SimpleDataPartition
+    (datapartition.py:47): one fold, train on the first ``train_frac``,
+    test on the rest."""
+    return spark.createDataFrame(
+        [(0, 0.0, round(float(train_frac), 9), round(float(train_frac), 9), 1.0)],
+        "fold_id int, train_start double, train_end double, "
+        "test_start double, test_end double",
     )
 
 
@@ -70,11 +87,12 @@ def linear_backtest(
     j = ranked.crossJoin(F.broadcast(spec))
     lo = (F.col("train_start") * F.col("__n")).cast("int")
     hi = (F.col("train_end") * F.col("__n")).cast("int")
+    ts_ = (F.col("test_start") * F.col("__n")).cast("int")
     te = (F.col("test_end") * F.col("__n")).cast("int")
     tagged = j.withColumn(
         "__set",
         F.when((F.col("__rn") >= lo) & (F.col("__rn") < hi), F.lit("train")).when(
-            (F.col("__rn") >= hi) & (F.col("__rn") < te), F.lit("test")
+            (F.col("__rn") >= ts_) & (F.col("__rn") < te), F.lit("test")
         ),
     ).filter(F.col("__set").isNotNull())
 

@@ -37,11 +37,12 @@ def horizon_errors(
     j = ranked.crossJoin(F.broadcast(spec))
     lo = (F.col("train_start") * F.col("__n")).cast("int")
     hi = (F.col("train_end") * F.col("__n")).cast("int")
+    ts_ = (F.col("test_start") * F.col("__n")).cast("int")
     te = (F.col("test_end") * F.col("__n")).cast("int")
     tagged = j.withColumn(
         "__set",
         F.when((F.col("__rn") >= lo) & (F.col("__rn") < hi), F.lit("train")).when(
-            (F.col("__rn") >= hi) & (F.col("__rn") < te), F.lit("test")
+            (F.col("__rn") >= ts_) & (F.col("__rn") < te), F.lit("test")
         ),
     ).filter(F.col("__set").isNotNull())
     x = F.col("__rn").cast("double")

@@ -361,6 +361,152 @@ def q_nowcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# static threshold / evaluator / fixed-window backtest — full oracles
+# --------------------------------------------------------------------------
+
+
+def q_static_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kats_spark.operators import threshold as th
+
+    scored = th.static_threshold_scores(hourly_series(spark, sf_dir))
+    out = th.apply_thresholds(scored, lower=0.0, upper=5000.0)
+    return _fmt_time(_r6(out, "score", "magnitude", "excess"))
+
+
+_Q_STATIC_THRESHOLD_SQL = f"""
+WITH h AS ({_HOURLY_SQL})
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time,
+  round(1e-9 + value, 6) AS score,
+  round(1e-9 + 0.0, 6) AS magnitude,
+  (value > 5000.0 OR value < 0.0) AS is_anomaly,
+  round(1e-9 + CASE WHEN value > 5000.0 THEN value - 5000.0
+                    WHEN value < 0.0 THEN value ELSE 0.0 END, 6) AS excess
+FROM h
+"""
+
+
+def q_evaluate_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluator over two runs — in-sample linear trend vs naive lag-1 —
+    one grouped agg for all runs x series x metrics."""
+    from kats_spark.operators import evaluator as ev
+
+    h = hourly_series(spark, sf_dir)
+    lin = trend.fitted_values(h).select(
+        "series_id", F.col("value").alias("y"), F.col("fitted").alias("yhat")
+    )
+    naive = (
+        h.withColumn("yhat", F.lag("value").over(Window.partitionBy("series_id").orderBy("time")))
+        .filter(F.col("yhat").isNotNull())
+        .select("series_id", F.col("value").alias("y"), "yhat")
+    )
+    runs = ev.tag_run("linear", lin).unionByName(ev.tag_run("naive", naive))
+    out = ev.evaluate(runs, ["mae", "rmse", "mape", "smape"])
+    return _r6(out, "mae", "rmse", "mape", "smape")
+
+
+_Q_EVALUATE_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value,
+    (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS rn,
+    lag(value) OVER (PARTITION BY series_id ORDER BY time) AS prev
+  FROM h
+),
+m AS (
+  SELECT series_id, count(*)::DOUBLE AS n, sum(rn) AS sx, sum(rn * rn) AS sx2,
+         sum(value) AS sy, sum(rn * value) AS sxy
+  FROM idx GROUP BY 1
+),
+co AS (
+  SELECT series_id,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM m
+),
+runs AS (
+  SELECT 'linear' AS model, i.series_id, i.value AS y, c.a + c.b * i.rn AS yhat
+  FROM idx i JOIN co c ON i.series_id = c.series_id
+  UNION ALL
+  SELECT 'naive', series_id, value, prev FROM idx WHERE prev IS NOT NULL
+)
+SELECT model, series_id,
+  round(1e-9 + avg(abs(yhat - y)), 6) AS mae,
+  round(1e-9 + sqrt(avg(pow(yhat - y, 2))), 6) AS rmse,
+  round(1e-9 + avg(abs((yhat - y) / y)), 6) AS mape,
+  round(1e-9 + avg(2 * abs(yhat - y) / (abs(y) + abs(yhat))), 6) AS smape
+FROM runs GROUP BY 1, 2
+"""
+
+
+def q_backtest_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedWindow backtest: rolling train window + hold-out gap before
+    the test range (backtesters.py:1047)."""
+    spec = bt_mod.fold_spec(
+        spark, n_folds=3, train_frac=0.4, test_frac=0.1, mode="rolling", gap_frac=0.1
+    )
+    out = bt_mod.linear_backtest(hourly_series(spark, sf_dir), spec)
+    return _r6(out, "mae", "rmse", "mape").select(
+        "series_id", F.col("fold_id").cast("int").alias("fold_id"),
+        F.col("n_train").cast("bigint").alias("n_train"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        "mae", "rmse", "mape",
+    )
+
+
+_Q_BACKTEST_FIXED_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value,
+    (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS rn,
+    count(*) OVER (PARTITION BY series_id)::DOUBLE AS n_all
+  FROM h
+),
+folds AS (
+  SELECT fold_id,
+    round(0.2 * fold_id, 9) AS train_start,
+    round(0.4 + 0.2 * fold_id, 9) AS train_end,
+    round(0.5 + 0.2 * fold_id, 9) AS test_start,
+    round(0.6 + 0.2 * fold_id, 9) AS test_end
+  FROM (SELECT unnest([0, 1, 2]) AS fold_id)
+),
+tagged AS (
+  SELECT * FROM (
+    SELECT i.series_id, i.value, i.rn, f.fold_id,
+      CASE WHEN i.rn >= floor(f.train_start * i.n_all)::INT
+            AND i.rn < floor(f.train_end * i.n_all)::INT THEN 'train'
+           WHEN i.rn >= floor(f.test_start * i.n_all)::INT
+            AND i.rn < floor(f.test_end * i.n_all)::INT THEN 'test' END AS st
+    FROM idx i CROSS JOIN folds f
+  ) WHERE st IS NOT NULL
+),
+fitstats AS (
+  SELECT series_id, fold_id,
+    sum(CASE WHEN st = 'train' THEN 1 ELSE 0 END)::DOUBLE AS n,
+    sum(CASE WHEN st = 'train' THEN rn END) AS sx,
+    sum(CASE WHEN st = 'train' THEN rn * rn END) AS sx2,
+    sum(CASE WHEN st = 'train' THEN value END) AS sy,
+    sum(CASE WHEN st = 'train' THEN rn * value END) AS sxy
+  FROM tagged GROUP BY 1, 2
+),
+co AS (
+  SELECT series_id, fold_id, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM fitstats
+)
+SELECT t.series_id, t.fold_id::INT AS fold_id,
+  any_value(c.n)::BIGINT AS n_train,
+  count(*)::BIGINT AS n_test,
+  round(1e-9 + avg(abs(t.value - (c.a + c.b * t.rn))), 6) AS mae,
+  round(1e-9 + sqrt(sum(pow(t.value - (c.a + c.b * t.rn), 2)) / count(*)), 6) AS rmse,
+  round(1e-9 + avg(abs((t.value - (c.a + c.b * t.rn)) / t.value)), 6) AS mape
+FROM tagged t JOIN co c ON t.series_id = c.series_id AND t.fold_id = c.fold_id
+WHERE t.st = 'test'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # hyperparameter grid search — full oracle
 # --------------------------------------------------------------------------
 
@@ -1051,6 +1197,9 @@ QUERIES = {
     "stlf_forecast": q_stlf_forecast,
     "ensemble_pi": q_ensemble_pi,
     "nowcast": q_nowcast,
+    "static_threshold": q_static_threshold,
+    "evaluate_models": q_evaluate_models,
+    "backtest_fixed": q_backtest_fixed,
 }
 
 ORACLES = {
@@ -1067,6 +1216,9 @@ ORACLES = {
     "multimodal_meta": _Q_MULTIMODAL_META_SQL,
     "stlf_forecast": _Q_STLF_SQL,
     "ensemble_pi": _Q_ENSEMBLE_PI_SQL,
+    "static_threshold": _Q_STATIC_THRESHOLD_SQL,
+    "evaluate_models": _Q_EVALUATE_SQL,
+    "backtest_fixed": _Q_BACKTEST_FIXED_SQL,
     # weighted_ensemble / bocpd / fft / hourly_ratio / dist_distance / var:
     # iterative, FFT, or matrix kernels — rows-only by design, covered by
     # seeded-simulation unit tests

@@ -246,3 +246,48 @@ def test_stlf_recovers_trend_plus_season(spark):
     assert np.abs(out.fcst.values - exp).max() < 0.5
     # plain linear would miss the seasonal swing entirely
     assert (out.fcst_upper >= out.fcst).all() and (out.fcst >= out.fcst_lower).all()
+
+
+def test_static_threshold_and_apply(spark):
+    from kats_spark.operators import threshold as th
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "time": pd.date_range("2024-01-01", periods=4, freq="h"),
+            "value": [1.0, -2.0, 3.0, 10.0],
+        }
+    )
+    scored = th.static_threshold_scores(spark.createDataFrame(pdf))
+    out = th.apply_thresholds(scored, lower=0.0, upper=5.0).toPandas().sort_values("time")
+    # scores are a copy of the values, magnitude all zeros (threshold_detector.py:61-87)
+    assert out.score.tolist() == [1.0, -2.0, 3.0, 10.0]
+    assert (out.magnitude == 0.0).all()
+    assert out.is_anomaly.tolist() == [False, True, False, True]
+    assert out.excess.tolist() == [0.0, -2.0, 0.0, 5.0]
+
+
+def test_evaluator_metric_table(spark):
+    from kats_spark.operators import evaluator as ev
+
+    pdf = pd.DataFrame(
+        {"series_id": "s", "y": [1.0, 2.0, 4.0], "yhat": [1.0, 3.0, 2.0]}
+    )
+    runs = ev.tag_run("m1", spark.createDataFrame(pdf))
+    out = ev.evaluate(runs, ["mae", "rmse"]).toPandas()
+    assert len(out) == 1
+    assert abs(out.mae[0] - 1.0) < 1e-12
+    assert abs(out.rmse[0] - np.sqrt(5 / 3)) < 1e-12
+
+
+def test_fold_spec_gap_and_simple(spark):
+    from kats_spark.operators import backtest
+
+    spec = backtest.fold_spec(
+        spark, n_folds=2, train_frac=0.4, test_frac=0.1, mode="rolling", gap_frac=0.1
+    ).toPandas().sort_values("fold_id")
+    # gap sits between train_end and test_start in every fold
+    assert (spec.test_start - spec.train_end).round(9).tolist() == [0.1, 0.1]
+    assert spec.train_start.tolist() == [0.0, 0.4]
+    simple = backtest.simple_spec(spark, train_frac=0.75).toPandas()
+    assert simple.test_end.tolist() == [1.0] and simple.train_end.tolist() == [0.75]

@@ -507,6 +507,34 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# long -> wide pivot (to_dataframe multivariate layout) — full oracle
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_wide_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_wide with explicit pivot values — no discovery scan
+    (kats/consts.py:834 to_dataframe)."""
+    from kats_spark.sources import load as load_mod
+
+    wide = load_mod.to_wide(hourly_series(spark, sf_dir), series_ids=_EVENT_TYPES)
+    return _fmt_time(_r6(wide, *_EVENT_TYPES))
+
+
+_Q_WIDE_PIVOT_SQL = f"""
+WITH h AS ({_HOURLY_SQL})
+SELECT strftime(time, '{_DK_FMT}') AS time,
+  round(1e-9 + min(CASE WHEN series_id = 'click' THEN value END), 6) AS click,
+  round(1e-9 + min(CASE WHEN series_id = 'error' THEN value END), 6) AS error,
+  round(1e-9 + min(CASE WHEN series_id = 'purchase' THEN value END), 6) AS purchase,
+  round(1e-9 + min(CASE WHEN series_id = 'signup' THEN value END), 6) AS signup,
+  round(1e-9 + min(CASE WHEN series_id = 'view' THEN value END), 6) AS view
+FROM h GROUP BY time
+"""
+
+
+# --------------------------------------------------------------------------
 # hyperparameter grid search — full oracle
 # --------------------------------------------------------------------------
 
@@ -1200,6 +1228,7 @@ QUERIES = {
     "static_threshold": q_static_threshold,
     "evaluate_models": q_evaluate_models,
     "backtest_fixed": q_backtest_fixed,
+    "wide_pivot": q_wide_pivot,
 }
 
 ORACLES = {
@@ -1219,6 +1248,7 @@ ORACLES = {
     "static_threshold": _Q_STATIC_THRESHOLD_SQL,
     "evaluate_models": _Q_EVALUATE_SQL,
     "backtest_fixed": _Q_BACKTEST_FIXED_SQL,
+    "wide_pivot": _Q_WIDE_PIVOT_SQL,
     # weighted_ensemble / bocpd / fft / hourly_ratio / dist_distance / var:
     # iterative, FFT, or matrix kernels — rows-only by design, covered by
     # seeded-simulation unit tests

@@ -1,0 +1,114 @@
+"""Sources: loaders, time parsing, reshapers, registries, state codec
+(SURVEY.md §2.1)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from kats_spark.sources import load as load_mod
+from kats_spark.sources.registry import Registry, builtin_detectors, builtin_forecasters
+from kats_spark.sources.state import StateCodec
+
+
+def test_parse_time_unix_units(spark):
+    df = spark.createDataFrame([(1704067200, 1704067200000)], "s long, ms long")
+    out = df.select(
+        load_mod.parse_time(F.col("s"), use_unix_time=True, unix_time_units="s").alias("a"),
+        load_mod.parse_time(F.col("ms"), use_unix_time=True, unix_time_units="ms").alias("b"),
+    ).collect()[0]
+    assert out.a == out.b
+    assert out.a.year == 2024 and out.a.month == 1 and out.a.day == 1
+
+
+def test_parse_time_format_and_tz(spark):
+    df = spark.createDataFrame([("2024-06-01 12:00:00",)], "t string")
+    utc = df.select(load_mod.parse_time(F.col("t")).alias("x")).collect()[0].x
+    ny = (
+        df.select(load_mod.parse_time(F.col("t"), tz="America/New_York").alias("x"))
+        .collect()[0]
+        .x
+    )
+    # noon New-York summer time = 16:00 UTC
+    assert (ny - utc).total_seconds() == 4 * 3600
+
+
+def test_load_csv_wide_melt(spark, tmp_path):
+    p = tmp_path / "ts.csv"
+    pd.DataFrame(
+        {
+            "time": ["2024-01-01", "2024-01-02"],
+            "a": [1.0, 2.0],
+            "b": [3.0, 4.0],
+        }
+    ).to_csv(p, index=False)
+    out = load_mod.load_csv(spark, str(p)).toPandas().sort_values(["series_id", "time"])
+    assert out.series_id.tolist() == ["a", "a", "b", "b"]
+    assert out.value.tolist() == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_wide_roundtrip(spark):
+    from kats_spark.tsframe import from_wide
+
+    pdf = pd.DataFrame(
+        {
+            "time": pd.date_range("2024-01-01", periods=3, freq="D"),
+            "x": [1.0, 2.0, 3.0],
+            "y": [4.0, 5.0, 6.0],
+        }
+    )
+    long = from_wide(spark.createDataFrame(pdf), "time", ["x", "y"])
+    wide = load_mod.to_wide(long, series_ids=["x", "y"]).toPandas().sort_values("time")
+    assert wide.x.tolist() == [1.0, 2.0, 3.0]
+    assert wide.y.tolist() == [4.0, 5.0, 6.0]
+
+
+def test_demo_series_shape(spark):
+    out = load_mod.demo_series(spark, n=24).toPandas()
+    assert len(out) == 24
+    # rising trend with multiplicative 12-period seasonality
+    assert out.value.iloc[-1] > out.value.iloc[0]
+    assert out.value.min() > 0
+
+
+def test_registry_lookup_and_error():
+    r = Registry("thing")
+
+    @r.register("f")
+    def f():
+        return 1
+
+    assert r.get("f")() == 1
+    with pytest.raises(KeyError, match="No thing registered under 'g'"):
+        r.get("g")
+
+
+def test_builtin_registries_resolve(spark):
+    d = builtin_detectors()
+    assert "CUSUMDetector" in d.names() and callable(d.get("StaticThresholdModel"))
+    fz = builtin_forecasters()
+    assert "linear" in fz.names() and "arima" in fz.names()
+    # a registry entry is directly usable
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "time": pd.date_range("2024-01-01", periods=50, freq="h"),
+            "value": np.arange(50.0),
+        }
+    )
+    fc = fz.get("linear")(spark.createDataFrame(pdf), steps=5, freq_seconds=3600)
+    assert fc.count() == 5
+
+
+def test_state_codec_upgrade_contract():
+    v1 = StateCodec(1, {"n": 0, "mean": 0.0})
+    blob = v1.dumps({"version": 1, "n": 5, "mean": 2.5, "future_key": "x"})
+    # v2 adds a field with a default; v1 state must load (detector.py:157-163)
+    v2 = StateCodec(2, {"n": 0, "mean": 0.0, "m2": 0.0})
+    state = v2.loads(blob)
+    assert state["n"] == 5 and state["mean"] == 2.5
+    assert state["m2"] == 0.0  # defaulted
+    assert state["future_key"] == "x"  # unknown key preserved
+    assert state["version"] == 1  # caller can branch on stored version
+    assert v2.loads(None)["version"] == 2

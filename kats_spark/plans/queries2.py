@@ -351,6 +351,29 @@ FROM fc f LEFT JOIN hstats s
 """
 
 
+def q_sarima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SARIMA(1,0,1)(1,1,0,24) on the hourly series — rows-only (iterative
+    Hannan-Rissanen fit), covered by seeded unit tests."""
+    from kats_spark.models import sarima
+
+    out = sarima.sarima_forecast(
+        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600,
+        order=(1, 0, 1), seasonal_order=(1, 1, 0, 24),
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+def q_bvar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minnesota-prior Bayesian VAR over the co-observed event series —
+    rows-only (matrix posterior), covered by exact-math unit tests."""
+    from kats_spark.models import bvar
+
+    out = bvar.bvar_forecast(
+        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600, p=3
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
 def q_nowcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nowcasting GBT over the TA feature block — rows-only (tree
     ensemble), deterministic via seed."""
@@ -1229,6 +1252,8 @@ QUERIES = {
     "evaluate_models": q_evaluate_models,
     "backtest_fixed": q_backtest_fixed,
     "wide_pivot": q_wide_pivot,
+    "sarima_forecast": q_sarima_forecast,
+    "bvar_forecast": q_bvar_forecast,
 }
 
 ORACLES = {

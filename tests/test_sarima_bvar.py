@@ -1,0 +1,89 @@
+"""SARIMA and Bayesian VAR — seeded-simulation accuracy + exact-math
+checks (kats/tests test strategy: seeded series with known structure)."""
+
+import numpy as np
+import pandas as pd
+
+from kats_spark.models.bvar import _bvar_fit, _bvar_forecast, bvar_forecast
+from kats_spark.models.sarima import _sarima_forecast_one, sarima_forecast
+
+
+def _seasonal_pdf(n=480, m=24, seed=42, sids=("a",)):
+    rng = np.random.RandomState(seed)
+    frames = []
+    for k, sid in enumerate(sids):
+        t = np.arange(n)
+        season = 5 * np.sin(2 * np.pi * t / m) + 2 * np.cos(4 * np.pi * t / m)
+        vals = 0.05 * t + season + rng.randn(n) * 0.5 + 10 * k
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series_id": sid,
+                    "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+                    "value": vals,
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_sarima_kernel_tracks_seasonality():
+    n, m = 480, 24
+    pdf = _seasonal_pdf(n, m)
+    y = pdf.value.to_numpy()
+    fc, se = _sarima_forecast_one(y, (1, 0, 1), (1, 1, 0, m), 48)
+    th = np.arange(n, n + 48)
+    exp = 0.05 * th + 5 * np.sin(2 * np.pi * th / m) + 2 * np.cos(4 * np.pi * th / m)
+    # tracks trend + both harmonics well inside the noise scale
+    assert np.sqrt(((fc - exp) ** 2).mean()) < 1.0
+    # a linear fit cannot: its rmse is the seasonal amplitude
+    A = np.vstack([np.ones(n), np.arange(n)]).T
+    ab, *_ = np.linalg.lstsq(A, y, rcond=None)
+    lin = ab[0] + ab[1] * th
+    assert np.sqrt(((lin - exp) ** 2).mean()) > 3.0
+    # bands: positive, non-decreasing
+    assert (se > 0).all() and np.all(np.diff(se) >= -1e-12)
+
+
+def test_sarima_spark_contract(spark):
+    df = spark.createDataFrame(_seasonal_pdf(sids=("a", "b")))
+    out = (
+        sarima_forecast(df, steps=12, freq_seconds=3600,
+                        order=(1, 0, 1), seasonal_order=(1, 1, 0, 24))
+        .toPandas()
+        .sort_values(["series_id", "time"])
+    )
+    assert len(out) == 24  # 12 per series
+    assert (out.fcst_upper >= out.fcst).all() and (out.fcst >= out.fcst_lower).all()
+    # forecast times continue the hourly grid
+    a = out[out.series_id == "a"]
+    assert (a.time.diff().dropna() == pd.Timedelta(hours=1)).all()
+
+
+def test_bvar_shrinks_toward_prior():
+    rng = np.random.RandomState(7)
+    T, m, p = 120, 3, 2
+    A = np.array([[0.5, 0.1, 0.0], [0.0, 0.4, 0.2], [0.1, 0.0, 0.3]])
+    Y = np.zeros((T, m))
+    for t in range(1, T):
+        Y[t] = Y[t - 1] @ A.T + rng.randn(m) * 0.3
+    coef_tight, _ = _bvar_fit(Y, p, 1e-6, 0.25, 20.0, 3.0)
+    coef_loose, _ = _bvar_fit(Y, p, 100.0, 0.25, 20.0, 3.0)
+    # infinitely tight prior -> random-walk coefficients (own lag-1 -> 1)
+    own_lag1_tight = np.array([coef_tight[i, i] for i in range(m)])
+    assert np.abs(own_lag1_tight - 1.0).max() < 0.01
+    # loose prior -> near the OLS VAR estimate
+    N = m * p + 1
+    X = np.ones((T - p, N))
+    for i in range(1, p + 1):
+        X[:, (i - 1) * m : i * m] = Y[p - i : T - i]
+    ols, *_ = np.linalg.lstsq(X, Y[p:], rcond=None)
+    assert np.abs(coef_loose - ols).max() < 0.05
+
+
+def test_bvar_spark_contract(spark):
+    df = spark.createDataFrame(_seasonal_pdf(n=200, sids=("a", "b", "c")))
+    out = bvar_forecast(df, steps=6, freq_seconds=3600, p=2).toPandas()
+    assert len(out) == 18  # 6 per member series
+    assert np.isfinite(out.fcst).all()
+    assert (out.fcst_upper > out.fcst_lower).all()

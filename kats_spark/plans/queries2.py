@@ -1006,6 +1006,113 @@ FROM fc f LEFT JOIN seas s ON f.series_id = s.series_id AND f.phase = s.phase
 
 
 # --------------------------------------------------------------------------
+# KatsEnsemble: seasonality-gated deseasonalize -> 2 models -> median
+# --------------------------------------------------------------------------
+
+
+def q_kats_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kats_spark.models import kats_ensemble as ke
+
+    out = ke.kats_ensemble_forecast(
+        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600, period=24,
+        models=("linear", "quadratic"),
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_KATS_ENSEMBLE_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn
+  FROM h
+),
+tr AS (
+  SELECT *,
+    CASE WHEN count(value) OVER w = 25 THEN
+      (sum(value) OVER w - first_value(value) OVER w / 2 - last_value(value) OVER w / 2) / 24
+    END AS trend
+  FROM idx
+  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+detr AS (SELECT *, value - trend AS dt, rn % 24 AS phase FROM tr),
+pm AS (SELECT series_id, phase, avg(dt) AS pmv FROM detr WHERE dt IS NOT NULL GROUP BY 1, 2),
+gm AS (SELECT series_id, avg(pmv) AS g FROM pm GROUP BY 1),
+seas AS (
+  SELECT pm.series_id, pm.phase, pm.pmv - gm.g AS seasonal
+  FROM pm JOIN gm ON pm.series_id = gm.series_id
+),
+str AS (
+  SELECT d.series_id,
+    greatest(0.0, 1 - var_samp(d.dt - s.seasonal) / var_samp(d.dt)) AS sstr
+  FROM detr d JOIN seas s ON d.series_id = s.series_id AND d.phase = s.phase
+  WHERE d.dt IS NOT NULL GROUP BY 1
+),
+dec AS (SELECT series_id, sstr >= 0.64 AS is_seasonal FROM str),
+ds AS (
+  SELECT d.series_id, d.rn::DOUBLE AS x,
+         CASE WHEN c.is_seasonal THEN d.value - coalesce(s.seasonal, 0)
+              ELSE d.value END AS y,
+         max(d.time) OVER (PARTITION BY d.series_id) AS tmax
+  FROM detr d
+  LEFT JOIN seas s ON d.series_id = s.series_id AND d.phase = s.phase
+  LEFT JOIN dec c ON d.series_id = c.series_id
+),
+m AS (
+  SELECT series_id, any_value(tmax) AS tmax,
+    count(*)::DOUBLE AS n, sum(x) AS sx, sum(x ^ 2) AS sx2, sum(x ^ 3) AS sx3,
+    sum(x ^ 4) AS sx4, sum(y) AS sy, sum(x * y) AS sxy,
+    sum(x * x * y) AS sx2y, sum(y * y) AS sy2
+  FROM ds GROUP BY 1
+),
+linfit AS (
+  SELECT series_id, tmax, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a,
+    sx2 - sx * sx / n AS sxx, sx / n AS mean_x,
+    (sy2 - (sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n) * sy
+         - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sxy) / (n - 2) AS mse
+  FROM m
+),
+quadd AS (
+  SELECT series_id, n, sy, sxy, sx2y, sy2,
+    n  * (sx2 * sx4 - sx3 * sx3) - sx * (sx * sx4 - sx3 * sx2) + sx2 * (sx * sx3 - sx2 * sx2) AS D,
+    sy * (sx2 * sx4 - sx3 * sx3) - sx * (sxy * sx4 - sx3 * sx2y) + sx2 * (sxy * sx3 - sx2 * sx2y) AS Da,
+    n * (sxy * sx4 - sx3 * sx2y) - sy * (sx * sx4 - sx3 * sx2) + sx2 * (sx * sx2y - sxy * sx2) AS Db,
+    n * (sx2 * sx2y - sxy * sx3) - sx * (sx * sx2y - sxy * sx2) + sy * (sx * sx3 - sx2 * sx2) AS Dc
+  FROM m
+),
+quadfit AS (
+  SELECT series_id, n,
+    Da / D AS c0, Db / D AS c1, Dc / D AS c2,
+    (sy2 - Da / D * sy - Db / D * sxy - Dc / D * sx2y) / (n - 3) AS qmse
+  FROM quadd
+),
+fc AS (
+  SELECT l.series_id, l.tmax, l.n, hh,
+    ((l.n - 1 + hh)::BIGINT % 24) AS phase,
+    l.a + l.b * (l.n - 1 + hh) AS lf,
+    1.959963984540054 * sqrt(l.mse * (1 + 1 / l.n + pow(l.n - 1 + hh - l.mean_x, 2) / l.sxx)) AS lband,
+    q.c0 + q.c1 * (l.n - 1 + hh) + q.c2 * (l.n - 1 + hh) * (l.n - 1 + hh) AS qf,
+    1.959963984540054 * sqrt(q.qmse * (1 + 1 / l.n)) AS qband
+  FROM linfit l JOIN quadfit q ON l.series_id = q.series_id,
+       (SELECT unnest(generate_series(1, 24))::DOUBLE AS hh)
+)
+SELECT f.series_id,
+  strftime(f.tmax + to_seconds(f.hh * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + (f.lf + f.qf) / 2
+        + CASE WHEN c.is_seasonal THEN coalesce(s.seasonal, 0) ELSE 0 END, 6) AS fcst,
+  round(1e-9 + ((f.lf - f.lband) + (f.qf - f.qband)) / 2
+        + CASE WHEN c.is_seasonal THEN coalesce(s.seasonal, 0) ELSE 0 END, 6) AS fcst_lower,
+  round(1e-9 + ((f.lf + f.lband) + (f.qf + f.qband)) / 2
+        + CASE WHEN c.is_seasonal THEN coalesce(s.seasonal, 0) ELSE 0 END, 6) AS fcst_upper
+FROM fc f
+LEFT JOIN seas s ON f.series_id = s.series_id AND f.phase = s.phase
+LEFT JOIN dec c ON f.series_id = c.series_id
+"""
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing over synthesized binary payloads — metadata oracled
 # --------------------------------------------------------------------------
 
@@ -1254,6 +1361,7 @@ QUERIES = {
     "wide_pivot": q_wide_pivot,
     "sarima_forecast": q_sarima_forecast,
     "bvar_forecast": q_bvar_forecast,
+    "kats_ensemble": q_kats_ensemble,
 }
 
 ORACLES = {
@@ -1274,6 +1382,7 @@ ORACLES = {
     "evaluate_models": _Q_EVALUATE_SQL,
     "backtest_fixed": _Q_BACKTEST_FIXED_SQL,
     "wide_pivot": _Q_WIDE_PIVOT_SQL,
+    "kats_ensemble": _Q_KATS_ENSEMBLE_SQL,
     # weighted_ensemble / bocpd / fft / hourly_ratio / dist_distance / var:
     # iterative, FFT, or matrix kernels — rows-only by design, covered by
     # seeded-simulation unit tests

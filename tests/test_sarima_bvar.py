@@ -87,3 +87,41 @@ def test_bvar_spark_contract(spark):
     assert len(out) == 18  # 6 per member series
     assert np.isfinite(out.fcst).all()
     assert (out.fcst_upper > out.fcst_lower).all()
+
+
+def test_kats_ensemble_branches(spark):
+    from kats_spark.models.kats_ensemble import kats_ensemble_forecast
+
+    rng = np.random.RandomState(99)
+    n, m = 240, 24
+    t = np.arange(n)
+    seasonal = pd.DataFrame(
+        {
+            "series_id": "seasonal",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": 0.1 * t + 6 * np.sin(2 * np.pi * t / m) + rng.randn(n) * 0.3,
+        }
+    )
+    flat = pd.DataFrame(
+        {
+            "series_id": "flat",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": 0.1 * t + rng.randn(n) * 0.3,
+        }
+    )
+    df = spark.createDataFrame(pd.concat([seasonal, flat], ignore_index=True))
+    out = (
+        kats_ensemble_forecast(df, steps=m, freq_seconds=3600, period=m,
+                               models=("linear", "quadratic", "theta"))
+        .toPandas()
+        .sort_values(["series_id", "time"])
+    )
+    assert len(out) == 2 * m
+    th = np.arange(n, n + m)
+    exp_seas = 0.1 * th + 6 * np.sin(2 * np.pi * th / m)
+    got = out[out.series_id == "seasonal"].fcst.values
+    # the seasonal branch reseasonalizes: swing must be reproduced
+    assert np.sqrt(((got - exp_seas) ** 2).mean()) < 1.0
+    # the flat branch stays a trend line: no injected seasonality swing
+    got_flat = out[out.series_id == "flat"].fcst.values
+    assert np.abs(np.diff(got_flat)).max() < 0.5

@@ -49,8 +49,10 @@ def main() -> None:
     spark = get_spark("kats_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM: parquet reader, window/agg/join codegen paths — so the
-    # first timed query measures the plan, not one-time JIT compilation
+    # warm the JVM and the data: parquet reader, window/agg/join codegen,
+    # the Arrow Python-worker path, and the heavy text/embedding columns
+    # (first touch decompresses into page cache) — so timed queries measure
+    # the plan, not one-time JIT or cold I/O
     from pyspark.sql import Window, functions as F
 
     r = spark.read.parquet(f"{sf_dir}/region.parquet")
@@ -63,14 +65,25 @@ def main() -> None:
         .agg(F.count("*"), F.avg("__ma"))
         .count()
     )
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.sum(F.length("text"))
+    ).collect()
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.sum(F.size("embedding"))
+    ).collect()
+    r.select("r_regionkey").mapInPandas(lambda it: it, "r_regionkey bigint").count()
 
+    # best-of-2 per query: steady-state wall-clock, robust to VM noise
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

@@ -223,31 +223,45 @@ def jaccard_allpairs(
     Verification computes exact Jaccard on the full shingle arrays, so the
     result set is IDENTICAL to the naive plan (same DuckDB oracle).
 
-    Shuffles: shingle-frequency agg, frequency join, per-doc rank window,
-    candidate equi-join, two array joins for verify — all linear in corpus
-    size; no step is quadratic in document frequency.
+    Shuffle discipline (the part that survives a 100x scale-up): the
+    shingle window, the (id, g) dedup, and the per-doc prefix aggregation
+    all cluster on ``id`` — Spark reuses HashPartitioning(id) across the
+    three, so the whole per-document side costs ONE exchange.  The
+    document-frequency table is an agg keyed on ``g`` (second exchange)
+    joined back broadcast-or-shuffle (AQE decides by size).  Candidates
+    self-join on prefix shingles (third exchange) and verification joins
+    the one-row-per-doc shingle arrays (fourth).  Nothing is quadratic in
+    document frequency.
     """
-    from pyspark.sql import Window
-
-    # row-based hashed shingles, computed ONCE and persisted: the frame
-    # feeds the frequency agg, the prefix rank, and both verify sides.
-    # Long-array set ops beat string-array ops in the verify stage; 64-bit
-    # collisions are ~2^-64 per pair — exactness holds in practice.
-    ex = shingle_rows(df, text_col, id_col, shingle_n).persist()
-    sh = ex.groupBy(id_col).agg(
-        F.collect_list("g").alias("__sh"), F.count("*").alias("__sz")
-    )
-    ex = ex.join(sh.select(id_col, "__sz"), id_col)
-    freq = ex.groupBy("g").agg(F.count("*").alias("__df"))
-    ranked = ex.join(freq, "g").withColumn(
-        "__rk",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("g"))
-        ),
-    )
     t = float(threshold)
-    prefix_len = F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + 1
-    prefix = ranked.filter(F.col("__rk") <= prefix_len).select(id_col, "__sz", "g")
+    # row-based hashed shingles (see shingle_rows for why rows, not HOF
+    # arrays).  Long-array set ops beat string-array ops in the verify
+    # stage; 64-bit collisions are ~2^-64 per pair — exactness holds.
+    ex = shingle_rows(df, text_col, id_col, shingle_n)
+    freq = ex.groupBy("g").agg(F.count("*").alias("__df"))
+    # per-doc row: full shingle array + the (df, g)-sorted prefix, built in
+    # ONE aggregation (array_sort on structs orders by df asc, then g asc
+    # — the canonical rarest-first AllPairs order).
+    sh = (
+        ex.join(freq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("__sz"),
+            F.array_sort(F.collect_list(F.struct("__df", "g"))).alias("__ranked"),
+        )
+        .withColumn("__sh", F.col("__ranked.g"))
+        .withColumn(
+            "__prefix",
+            F.slice(
+                F.col("__sh"),
+                1,
+                (F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + 1).cast("int"),
+            ),
+        )
+        .drop("__ranked")
+        .persist()
+    )
+    prefix = sh.select(id_col, "__sz", F.explode("__prefix").alias("g"))
     a = prefix.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("sz_a"), "g")
     b = prefix.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("sz_b"), "g")
     # length filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|

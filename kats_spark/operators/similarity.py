@@ -87,29 +87,43 @@ def all_pairs_topk(
     spark = df.sparkSession
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
-    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    order0 = np.argsort(ids, kind="stable")  # index sorted by id: column j has id-rank j
+    ids = ids[order0]
+    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)[order0]
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
     def score(batches):
         index_ids, index = b_ids.value, b_mat.value
+        n = len(index_ids)
+        # tie-break WITHOUT a per-row lexsort: perturb the sort key by the
+        # id RANK, scaled well below the rounding granularity (rounded
+        # scores differ by >= 10^-round_decimals; max perturbation is
+        # 0.4x that), so argsort over (-sim + perturb) orders by
+        # (sim desc, id asc) exactly — one vectorized C sort per batch.
+        perturb = np.arange(n) * (0.4 * 10.0**-round_decimals / max(n, 1))
         for pdf_b in batches:
             q = np.vstack(pdf_b[vec_col].to_numpy()).astype(np.float64)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
+            qids = pdf_b[id_col].to_numpy()
             # +1e-9 epsilon matches the oracle-side rounding convention
             sims = np.round(q @ index.T + 1e-9, round_decimals)
-            out = []
-            for row_i, qid in enumerate(pdf_b[id_col].to_numpy()):
-                srow = sims[row_i]
-                mask = index_ids != qid
-                cand_ids = index_ids[mask]
-                cand_sims = srow[mask]
-                # sort by (-sim, id): lexsort keys in reverse priority order
-                order = np.lexsort((cand_ids, -cand_sims))[:k]
-                for rk, j in enumerate(order, start=1):
-                    out.append((int(qid), int(cand_ids[j]), float(cand_sims[j]), rk))
-            yield pd.DataFrame(out, columns=["id_a", "id_b", "cos_sim", "rk"])
+            key = -sims + perturb[None, :]
+            self_col = np.searchsorted(index_ids, qids)
+            hit = (self_col < n) & (index_ids[np.minimum(self_col, n - 1)] == qids)
+            key[np.arange(len(qids))[hit], self_col[hit]] = np.inf
+            top = np.argsort(key, axis=1)[:, :k]
+            rows = len(qids)
+            out = pd.DataFrame(
+                {
+                    "id_a": np.repeat(qids, k).astype(np.int64),
+                    "id_b": index_ids[top].reshape(-1).astype(np.int64),
+                    "cos_sim": np.take_along_axis(sims, top, axis=1).reshape(-1),
+                    "rk": np.tile(np.arange(1, k + 1), rows).astype(np.int32),
+                }
+            )
+            yield out
 
     return df.select(id_col, vec_col).mapInPandas(
         score, schema="id_a bigint, id_b bigint, cos_sim double, rk int"

@@ -140,9 +140,13 @@ def minhash_lsh_pairs(
 
     rows_per_band = num_hashes // bands; a pair collides if any band's
     row-slice hashes equal.  Plan: signature (narrow) → explode bands
-    (narrow, xN) → groupBy-free self-join on (band, bucket) → distinct
-    pairs.  The join key space is (bands × hash buckets) — well spread, no
-    skew hotspot by construction.
+    (narrow, xN) → groupBy (band, bucket) collecting member ids → pair
+    generation INSIDE the bucket row (nested transform over the sorted id
+    array) → distinct.  One pass over the corpus: a self-join formulation
+    would execute the whole signature pipeline twice and shuffle both
+    copies.  Bucket membership is capped by near-dup group size, so the
+    in-row pair expansion is bounded; the (band × bucket) key space is
+    well spread, no skew hotspot by construction.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
@@ -163,19 +167,27 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col), F.posexplode(buckets).alias("__band", "__bucket")
     )
-    l = banded.alias("l")
-    r = banded.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.__band") == F.col("r.__band"))
-            & (F.col("l.__bucket") == F.col("r.__bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    grouped = (
+        banded.groupBy("__band", "__bucket")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    # all (i < j) pairs of the sorted member array; __ids is a bound
+    # column, so the nested lambda does not re-evaluate upstream work
+    pairs_arr = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + F.lit(2), F.size("__ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(pairs_arr).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(

@@ -148,3 +148,184 @@ def cusum_detect(
         )
 
     return df.select(s.series_id, s.time, s.value).groupBy(s.series_id).applyInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# Multivariate CUSUM (kats/detectors/cusum_detection.py:740-962
+# ``MultiCUSUMDetector``): changepoint in the multivariate mean under a
+# multivariate-Gaussian likelihood; chi2 test with df = k + 1.
+# ---------------------------------------------------------------------------
+
+
+def _gammainc_lower(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x) — series for x < a+1,
+    continued fraction otherwise (standard numerics, no scipy)."""
+    if x <= 0:
+        return 0.0
+    lg = math.lgamma(a)
+    if x < a + 1.0:
+        term = 1.0 / a
+        total = term
+        n = a
+        for _ in range(500):
+            n += 1.0
+            term *= x / n
+            total += term
+            if abs(term) < abs(total) * 1e-15:
+                break
+        return total * math.exp(-x + a * math.log(x) - lg)
+    # Lentz continued fraction for Q(a, x)
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    q = math.exp(-x + a * math.log(x) - lg) * h
+    return 1.0 - q
+
+
+def chi2_cdf(x: float, df: float) -> float:
+    return _gammainc_lower(df / 2.0, x / 2.0)
+
+
+def chi2_ppf(q: float, df: float) -> float:
+    """Inverse chi2 CDF by bisection (monotone; df is small here)."""
+    lo, hi = 0.0, max(4.0 * df, 16.0)
+    while chi2_cdf(hi, df) < q:
+        hi *= 2.0
+        if hi > 1e8:
+            break
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if chi2_cdf(mid, df) < q:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def _find_cp_multi(Y: np.ndarray, max_iter: int) -> tuple[int, bool]:
+    """Iterative multivariate changepoint (cusum_detection.py:870-930):
+    si = Mahalanobis(x, mu0) - Mahalanobis(x, mu1) under the pooled
+    covariance; cp = clamp(argmin(cumsum(si))); start at the midpoint."""
+    n = len(Y)
+    sigma = np.cov(Y, rowvar=False)
+    inv = np.linalg.pinv(np.atleast_2d(sigma))
+    cp = n // 2
+    stable = False
+    for _ in range(max_iter):
+        mu0 = Y[: cp + 1].mean(axis=0)
+        mu1 = Y[cp + 1 :].mean(axis=0)
+        d0 = Y - mu0
+        d1 = Y - mu1
+        si = np.einsum("ij,jk,ik->i", d0, inv, d0) - np.einsum(
+            "ij,jk,ik->i", d1, inv, d1
+        )
+        nxt = max(1, min(int(np.argmin(np.cumsum(si))), n - 2))
+        if nxt == cp:
+            stable = True
+            break
+        cp = nxt
+    return cp, stable
+
+
+def _llr_multi(Y: np.ndarray, cp: int) -> float:
+    """Two-segment Gaussian LRT with the pooled covariance (log-det terms
+    cancel): llr = sum over both segments of quad(x, mu_null) -
+    quad(x, mu_segment).
+
+    Parity note (cusum_detection.py:814-846): the reference SUBTRACTS the
+    after-segment term from the before-segment term, which cancels the
+    statistic for a symmetric shift; we use the standard sum — the same
+    convention its own univariate ``_get_llr`` uses — and document the
+    deviation here.
+    """
+    mu_tilde = Y.mean(axis=0)
+    inv = np.linalg.pinv(np.atleast_2d(np.cov(Y, rowvar=False)))
+    mu0 = Y[: cp + 1].mean(axis=0)
+    mu1 = Y[cp + 1 :].mean(axis=0)
+
+    def seg(x: np.ndarray, m_alt: np.ndarray) -> float:
+        d_alt = x - m_alt
+        d_null = x - mu_tilde
+        return float(
+            np.einsum("ij,jk,ik->", d_null, inv, d_null)
+            - np.einsum("ij,jk,ik->", d_alt, inv, d_alt)
+        )
+
+    return seg(Y[: cp + 1], mu0) + seg(Y[cp + 1 :], mu1)
+
+
+def multi_cusum_detect(
+    df: DataFrame,
+    threshold: float = 0.01,
+    max_iter: int = 10,
+    group_col: str | None = None,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Changepoint in the joint mean of co-observed series (one row per
+    vector group): (group_id, cp_time, cp_index, llr, p_value, stable,
+    delta_l2).  Spark shape: member series co-locate after one
+    groupBy(group) shuffle; the matrix kernel runs per group in Arrow
+    batches (same fan-out as operators/var.py)."""
+    from pyspark.sql import functions as F
+
+    gcol = group_col or "__g"
+    src = df if group_col else df.withColumn(gcol, F.lit("all"))
+    schema = (
+        "group_id string, cp_time timestamp, cp_index int, llr double, "
+        "p_value double, stable boolean, delta_l2 double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["group_id", "cp_time", "cp_index", "llr", "p_value", "stable", "delta_l2"]
+        wide = (
+            pdf.pivot_table(index=s.time, columns=s.series_id, values=s.value)
+            .sort_index()
+            .dropna()
+        )
+        n, k = wide.shape
+        if n < 10 or k == 0:
+            return pd.DataFrame(columns=cols)
+        Y = wide.to_numpy(dtype=float)
+        cp, stable = _find_cp_multi(Y, max_iter)
+        llr = _llr_multi(Y, cp)
+        dof = k + 1
+        p_value = 1.0 - chi2_cdf(llr, dof)
+        if llr <= chi2_ppf(1.0 - threshold, dof):
+            return pd.DataFrame(columns=cols)
+        delta = Y[cp + 1 :].mean(axis=0) - Y[: cp + 1].mean(axis=0)
+        return pd.DataFrame(
+            [
+                {
+                    "group_id": str(pdf[gcol].iloc[0]),
+                    "cp_time": wide.index[cp],
+                    "cp_index": int(cp),
+                    "llr": float(llr),
+                    "p_value": float(p_value),
+                    "stable": bool(stable),
+                    "delta_l2": float(np.linalg.norm(delta)),
+                }
+            ],
+            columns=cols,
+        )
+
+    return (
+        src.select(gcol, s.series_id, s.time, s.value)
+        .groupBy(gcol)
+        .applyInPandas(fn, schema)
+    )

@@ -363,6 +363,17 @@ def q_sarima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+def q_multi_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint-mean changepoint over the co-observed event series — rows-only
+    (iterative Mahalanobis kernel), covered by seeded unit tests."""
+    from kats_spark.operators.cusum import multi_cusum_detect
+
+    out = multi_cusum_detect(hourly_series(spark, sf_dir))
+    return _fmt_time(
+        _r6(out.withColumnRenamed("cp_time", "time"), "llr", "p_value", "delta_l2")
+    )
+
+
 def q_bvar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minnesota-prior Bayesian VAR over the co-observed event series —
     rows-only (matrix posterior), covered by exact-math unit tests."""
@@ -1362,6 +1373,7 @@ QUERIES = {
     "sarima_forecast": q_sarima_forecast,
     "bvar_forecast": q_bvar_forecast,
     "kats_ensemble": q_kats_ensemble,
+    "multi_cusum": q_multi_cusum,
 }
 
 ORACLES = {

@@ -125,3 +125,46 @@ def test_kats_ensemble_branches(spark):
     # the flat branch stays a trend line: no injected seasonality swing
     got_flat = out[out.series_id == "flat"].fcst.values
     assert np.abs(np.diff(got_flat)).max() < 0.5
+
+
+def test_multi_cusum_detects_joint_shift(spark):
+    from kats_spark.operators.cusum import multi_cusum_detect
+
+    rng = np.random.RandomState(11)
+    n, cp = 200, 130
+    frames = []
+    for k, sid in enumerate(("a", "b", "c")):
+        vals = rng.randn(n) * 0.5
+        vals[cp + 1 :] += 2.0  # joint mean shift in every component
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series_id": sid,
+                    "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+                    "value": vals + 5 * k,
+                }
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    out = multi_cusum_detect(df).toPandas()
+    assert len(out) == 1
+    assert abs(out.cp_index[0] - cp) <= 2
+    assert out.p_value[0] < 0.01 and out.llr[0] > 0
+    assert out.delta_l2[0] > 2.5  # ~2 per component x sqrt(3)
+
+    # pure noise -> no detection
+    noise = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "series_id": sid,
+                    "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+                    "value": rng.randn(n),
+                }
+            )
+            for sid in ("a", "b")
+        ],
+        ignore_index=True,
+    )
+    out2 = multi_cusum_detect(spark.createDataFrame(noise)).toPandas()
+    assert len(out2) == 0

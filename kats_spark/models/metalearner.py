@@ -142,3 +142,92 @@ def model_select(
         F.min_by("model", F.struct(F.col("mae"), F.col("model"))).alias("best_model"),
         F.min("mae").alias("best_mae"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hyper-parameter recommendation (kats/models/metalearner/metalearner_hpt.py
+# ``MetaLearnHPT``): map a series' feature vector to recommended model
+# hyper-parameters.  The reference trains a torch multitask net
+# (classification heads for categorical HPs, regression heads for numerical,
+# MetaLearnHPT.build_network/train); this container has no torch, so the
+# Spark-first analog is k-nearest-neighbor over the SAME metadata table the
+# net would train on: numerical HP = neighbor mean, categorical HP =
+# neighbor majority — the standard non-parametric stand-in, and the Spark
+# plan (features at scale x broadcast metadata -> windowed top-k -> one
+# agg) is what a learned scorer would use too.
+# ---------------------------------------------------------------------------
+
+
+def hpt_neighbors(
+    features: DataFrame,
+    metadata: DataFrame,
+    feature_cols: list[str],
+    k: int = 3,
+    id_col: str = "series_id",
+    meta_id_col: str = "meta_id",
+) -> DataFrame:
+    """k nearest metadata rows per input series by euclidean distance in
+    feature space (ties broken on meta id — deterministic).  The metadata
+    table is the trained artifact — small by construction — so it
+    broadcasts; no shuffle touches the (large) feature side until the
+    per-series top-k window."""
+    m = metadata.select(
+        F.col(meta_id_col),
+        *[F.col(c).alias(f"__m_{c}") for c in feature_cols],
+        *[c for c in metadata.columns if c != meta_id_col and c not in feature_cols],
+    )
+    dist = F.sqrt(
+        sum(((F.col(c) - F.col(f"__m_{c}")) ** 2 for c in feature_cols), F.lit(0.0))
+    )
+    joined = features.crossJoin(F.broadcast(m)).withColumn("__dist", dist)
+    w = Window.partitionBy(id_col).orderBy(F.asc("__dist"), F.asc(meta_id_col))
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop(*[f"__m_{c}" for c in feature_cols])
+    )
+
+
+def hpt_recommend(
+    features: DataFrame,
+    metadata: DataFrame,
+    feature_cols: list[str],
+    numerical_hps: list[str],
+    categorical_hps: list[str],
+    k: int = 3,
+    id_col: str = "series_id",
+    meta_id_col: str = "meta_id",
+) -> DataFrame:
+    """One recommendation row per series: mean of the k neighbors for each
+    numerical HP, majority vote (count desc, value asc on ties) for each
+    categorical HP."""
+    nb = hpt_neighbors(features, metadata, feature_cols, k, id_col, meta_id_col)
+    out = nb.groupBy(id_col).agg(
+        *[F.avg(h).alias(h) for h in numerical_hps],
+        *[
+            F.get(
+                F.array_sort(
+                    F.map_entries(
+                        F.aggregate(
+                            F.collect_list(h),
+                            F.create_map().cast("map<string,int>"),
+                            lambda acc, v: F.map_concat(
+                                F.map_filter(acc, lambda kk, _: kk != v),
+                                F.create_map(
+                                    v, F.coalesce(F.element_at(acc, v), F.lit(0)) + 1
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda a, b: F.when(a["value"] > b["value"], -1)
+                    .when(a["value"] < b["value"], 1)
+                    .when(a["key"] < b["key"], -1)
+                    .when(a["key"] > b["key"], 1)
+                    .otherwise(0),
+                ),
+                0,
+            )["key"].alias(h)
+            for h in categorical_hps
+        ],
+    )
+    return out

@@ -1017,6 +1017,78 @@ FROM fc f LEFT JOIN seas s ON f.series_id = s.series_id AND f.phase = s.phase
 
 
 # --------------------------------------------------------------------------
+# metalearner HPT: kNN hyper-parameter recommendation — full oracle
+# --------------------------------------------------------------------------
+
+_HPT_META = [
+    (1, 40.0, 800.0, 12.0, "additive"),
+    (2, 45.0, 1000.0, 24.0, "additive"),
+    (3, 50.0, 1100.0, 24.0, "multiplicative"),
+    (4, 55.0, 1250.0, 48.0, "multiplicative"),
+    (5, 60.0, 1500.0, 48.0, "additive"),
+]
+
+
+def q_hpt_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MetaLearnHPT as broadcast kNN: per-series (mean, variance) features
+    against a trained-metadata table -> recommended (window, seasonal)."""
+    from kats_spark.models.metalearner import hpt_recommend
+
+    h = hourly_series(spark, sf_dir)
+    feats = h.groupBy("series_id").agg(
+        F.avg("value").alias("f_mean"), F.var_samp("value").alias("f_var")
+    )
+    meta = spark.createDataFrame(
+        _HPT_META,
+        "meta_id int, f_mean double, f_var double, win_len double, seasonal string",
+    )
+    out = hpt_recommend(
+        feats, meta, ["f_mean", "f_var"],
+        numerical_hps=["win_len"], categorical_hps=["seasonal"], k=3,
+    )
+    return _r6(out, "win_len")
+
+
+_Q_HPT_RECOMMEND_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+feats AS (
+  SELECT series_id, avg(value) AS f_mean, var_samp(value) AS f_var
+  FROM h GROUP BY 1
+),
+meta AS (
+  SELECT * FROM (VALUES
+    (1, 40.0, 800.0, 12.0, 'additive'),
+    (2, 45.0, 1000.0, 24.0, 'additive'),
+    (3, 50.0, 1100.0, 24.0, 'multiplicative'),
+    (4, 55.0, 1250.0, 48.0, 'multiplicative'),
+    (5, 60.0, 1500.0, 48.0, 'additive')
+  ) AS t(meta_id, m_mean, m_var, win_len, seasonal)
+),
+nb AS (
+  SELECT f.series_id, m.meta_id, m.win_len, m.seasonal,
+    row_number() OVER (
+      PARTITION BY f.series_id
+      ORDER BY sqrt(pow(f.f_mean - m.m_mean, 2) + pow(f.f_var - m.m_var, 2)) ASC,
+               m.meta_id ASC
+    ) AS rk
+  FROM feats f CROSS JOIN meta m
+),
+top AS (SELECT * FROM nb WHERE rk <= 3),
+num AS (SELECT series_id, avg(win_len) AS win_len FROM top GROUP BY 1),
+catc AS (
+  SELECT series_id, seasonal, count(*) AS cnt FROM top GROUP BY 1, 2
+),
+catw AS (
+  SELECT series_id, seasonal,
+    row_number() OVER (PARTITION BY series_id ORDER BY cnt DESC, seasonal ASC) AS rk
+  FROM catc
+)
+SELECT n.series_id, round(1e-9 + n.win_len, 6) AS win_len, c.seasonal
+FROM num n JOIN catw c ON n.series_id = c.series_id AND c.rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # KatsEnsemble: seasonality-gated deseasonalize -> 2 models -> median
 # --------------------------------------------------------------------------
 
@@ -1374,6 +1446,7 @@ QUERIES = {
     "bvar_forecast": q_bvar_forecast,
     "kats_ensemble": q_kats_ensemble,
     "multi_cusum": q_multi_cusum,
+    "hpt_recommend": q_hpt_recommend,
 }
 
 ORACLES = {
@@ -1395,6 +1468,7 @@ ORACLES = {
     "backtest_fixed": _Q_BACKTEST_FIXED_SQL,
     "wide_pivot": _Q_WIDE_PIVOT_SQL,
     "kats_ensemble": _Q_KATS_ENSEMBLE_SQL,
+    "hpt_recommend": _Q_HPT_RECOMMEND_SQL,
     # weighted_ensemble / bocpd / fft / hourly_ratio / dist_distance / var:
     # iterative, FFT, or matrix kernels — rows-only by design, covered by
     # seeded-simulation unit tests

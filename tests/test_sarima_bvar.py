@@ -168,3 +168,33 @@ def test_multi_cusum_detects_joint_shift(spark):
     )
     out2 = multi_cusum_detect(spark.createDataFrame(noise)).toPandas()
     assert len(out2) == 0
+
+
+def test_hpt_recommend_knn(spark):
+    from kats_spark.models.metalearner import hpt_recommend
+
+    feats = spark.createDataFrame(
+        [("s1", 0.0, 0.0), ("s2", 10.0, 10.0)], "series_id string, f1 double, f2 double"
+    )
+    meta = spark.createDataFrame(
+        [
+            (1, 0.1, 0.0, 10.0, "add"),
+            (2, 0.0, 0.2, 20.0, "add"),
+            (3, 9.9, 10.0, 30.0, "mul"),
+            (4, 10.0, 9.8, 40.0, "mul"),
+            (5, 5.0, 5.0, 99.0, "mid"),
+        ],
+        "meta_id int, f1 double, f2 double, window double, seasonal string",
+    )
+    out = (
+        hpt_recommend(
+            feats, meta, ["f1", "f2"], numerical_hps=["window"],
+            categorical_hps=["seasonal"], k=2,
+        )
+        .toPandas()
+        .sort_values("series_id")
+        .reset_index(drop=True)
+    )
+    # s1's 2 nearest are meta 1,2 -> window mean 15, seasonal 'add'
+    assert out.window.tolist() == [15.0, 35.0]
+    assert out.seasonal.tolist() == ["add", "mul"]

@@ -136,3 +136,66 @@ def test_cusum_streaming_equals_batch(spark):
         assert got.cp_flag.sum() >= 1  # the injected shift is caught
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_statsig_streaming_equals_batch(spark):
+    from kats_spark.operators import statsig as statsig_batch
+    from kats_spark.streaming import statsig_model as sm
+
+    tmpdir = tempfile.mkdtemp()
+    out_table = "statsig_stream_out"
+    nc, nt = 40, 10
+    try:
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        n = 150
+        pdf = pd.DataFrame(
+            {
+                "series_id": ["a"] * n + ["b"] * n,
+                "time": list(pd.date_range("2024-01-01", periods=n, freq="h")) * 2,
+                "value": rng.randn(2 * n),
+            }
+        )
+        pdf.loc[120:149, "value"] += 5.0  # level shift late in series a
+        static = spark.createDataFrame(pdf)
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        pdf_us = pdf.assign(time=pdf.time.astype("datetime64[us]"))
+        pdf_us.iloc[: n // 3].to_parquet(os.path.join(chunk_dir, "c0.parquet"))
+        pdf_us.iloc[n // 3 : n].to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+        pdf_us.iloc[n:].to_parquet(os.path.join(chunk_dir, "c2.parquet"))
+
+        stream = (
+            spark.readStream.schema("series_id string, time timestamp, value double")
+            .parquet(chunk_dir)
+        )
+        q = (
+            sm.statsig_stream(stream, n_control=nc, n_test=nt)
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = (
+            spark.table(out_table)
+            .toPandas()
+            .sort_values(["series_id", "time"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            statsig_batch.statsig_scores(static, n_control=nc, n_test=nt)
+            .toPandas()
+            .sort_values(["series_id", "time"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) == 2 * n
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=1e-9)
+        # the level shift produces large positive scores in series a
+        assert got[(got.series_id == "a")].stat_sig_score.max() > 5
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

@@ -45,9 +45,14 @@ def rolling_std(n: int, s: TSSchema = DEFAULT, include_current: bool = False) ->
     return F.stddev_samp(s.value).over(trailing_window(s, n, include_current))
 
 
+def _safe_div(num: Column, denom: Column) -> Column:
+    """NULL on a zero/NULL denominator (ANSI-safe: Spark 4 raises on /0)."""
+    return F.when(denom != 0, num / denom)
+
+
 def z_score(n: int, s: TSSchema = DEFAULT) -> Column:
     """(x - rolling_mean) / rolling_std (rolling_stats_model.py:58-90)."""
-    return (F.col(s.value) - rolling_mean(n, s)) / rolling_std(n, s)
+    return _safe_div(F.col(s.value) - rolling_mean(n, s), rolling_std(n, s))
 
 
 def _exact_pct(col: str, p: float, w) -> Column:
@@ -60,14 +65,14 @@ def iqr_score(n: int, s: TSSchema = DEFAULT) -> Column:
     w = trailing_window(s, n)
     med = _exact_pct(s.value, 0.5, w)
     iqr = _exact_pct(s.value, 0.75, w) - _exact_pct(s.value, 0.25, w)
-    return (F.col(s.value) - med) / iqr
+    return _safe_div(F.col(s.value) - med, iqr)
 
 
 def iqr_median_deviation(n: int, s: TSSchema = DEFAULT) -> Column:
     """(x - median) / median (rolling_stats_model.py iqr_median_deviation)."""
     w = trailing_window(s, n)
     med = _exact_pct(s.value, 0.5, w)
-    return (F.col(s.value) - med) / med
+    return _safe_div(F.col(s.value) - med, med)
 
 
 def _array_median(arr: Column) -> Column:
@@ -94,5 +99,5 @@ def mad_score(n: int, s: TSSchema = DEFAULT, modified: bool = False) -> Column:
     med = _array_median(arr)
     abs_dev = F.transform(arr, lambda v: F.abs(v - med))
     mad = _array_median(abs_dev)
-    score = (F.col(s.value) - med) / mad
+    score = _safe_div(F.col(s.value) - med, mad)
     return score * 0.6745 if modified else score

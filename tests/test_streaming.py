@@ -199,3 +199,63 @@ def test_statsig_streaming_equals_batch(spark):
         assert got[(got.series_id == "a")].stat_sig_score.max() > 5
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_rolling_streaming_equals_batch(spark):
+    from kats_spark.streaming import rolling_model as rm
+
+    tmpdir = tempfile.mkdtemp()
+    out_table = "rolling_stream_out"
+    n_window = 24
+    try:
+        import numpy as np
+
+        rng = np.random.RandomState(8)
+        n = 100
+        pdf = pd.DataFrame(
+            {
+                "series_id": ["a"] * n + ["b"] * n,
+                "time": list(pd.date_range("2024-01-01", periods=n, freq="h")) * 2,
+                "value": rng.randn(2 * n).round(3),
+            }
+        )
+        pdf.loc[80, "value"] += 12.0
+        static = spark.createDataFrame(pdf)
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        pdf_us = pdf.assign(time=pdf.time.astype("datetime64[us]"))
+        pdf_us.iloc[:70].to_parquet(os.path.join(chunk_dir, "c0.parquet"))
+        pdf_us.iloc[70:].to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+
+        stream = (
+            spark.readStream.schema("series_id string, time timestamp, value double")
+            .parquet(chunk_dir)
+        )
+        q = (
+            rm.rolling_stream(stream, n=n_window)
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = (
+            spark.table(out_table)
+            .toPandas()
+            .sort_values(["series_id", "time"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            rm.rolling_batch(static, n=n_window)
+            .toPandas()
+            .sort_values(["series_id", "time"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) == 2 * n
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=1e-9)
+        assert got[got.series_id == "a"].z_score.max() > 6
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

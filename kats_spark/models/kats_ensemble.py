@@ -56,10 +56,19 @@ def kats_ensemble_forecast(
     ``reseasonalize``); otherwise the original series flows through
     unchanged — one plan, both branches.
     """
-    seas = seasonal_table(df, period, "additive", s)
-    decision = strength_features(df, period, s).select(
-        s.series_id,
-        (F.col("seasonality_strength") >= F.lit(threshold)).alias("__is_seasonal"),
+    # The decomposition tables and the deseasonalized frame are each read
+    # by EVERY base model; persisting them turns O(models) re-scans of the
+    # source into one materialization each (seas/decision are tiny —
+    # period rows resp. 1 row per series; prepared is one row per input
+    # point, the price of model fan-out without recompute).
+    seas = seasonal_table(df, period, "additive", s).persist()
+    decision = (
+        strength_features(df, period, s)
+        .select(
+            s.series_id,
+            (F.col("seasonality_strength") >= F.lit(threshold)).alias("__is_seasonal"),
+        )
+        .persist()
     )
     rn = F.row_number().over(s.w()) - 1
     prepared = (
@@ -76,6 +85,7 @@ def kats_ensemble_forecast(
             .otherwise(F.col(s.value))
             .alias(s.value),
         )
+        .persist()
     )
     n_tbl = df.groupBy(s.series_id).agg(F.count("*").alias("__n"))
     w = Window.partitionBy(s.series_id).orderBy(s.time)

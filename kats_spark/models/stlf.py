@@ -33,7 +33,8 @@ def stlf_forecast(
     s: TSSchema = DEFAULT,
 ) -> DataFrame:
     """(series_id, time, fcst, fcst_lower, fcst_upper)."""
-    seas = seasonal_table(df, period, "additive", s)
+    # read twice (deseasonalize + re-seasonalize) — persist the tiny table
+    seas = seasonal_table(df, period, "additive", s).persist()
     deseason = (
         df.withColumn("__rn", F.row_number().over(s.w()) - 1)
         .withColumn("__phase", F.col("__rn") % period)

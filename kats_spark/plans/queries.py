@@ -66,11 +66,18 @@ def raw_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return resample.aggregate_to_grid(raw_series(spark, sf_dir), 3600, "avg")
+    """Hourly per-type event series, CACHED: the aggregated frame is tiny
+    (hours x event types — orders of magnitude smaller than the raw
+    events), and nearly every time-series query starts from it.  Spark's
+    cache manager keys on the logical plan, so repeated calls across
+    queries in one session share a single materialization instead of
+    re-scanning events.parquet — the same pre-aggregate-then-cache move a
+    100 TB pipeline makes."""
+    return resample.aggregate_to_grid(raw_series(spark, sf_dir), 3600, "avg").cache()
 
 
 def daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return resample.aggregate_to_grid(raw_series(spark, sf_dir), 86400, "avg")
+    return resample.aggregate_to_grid(raw_series(spark, sf_dir), 86400, "avg").cache()
 
 
 _RAW_SQL = """

@@ -1422,23 +1422,175 @@ def q_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SES grid-fit forecast — recursive kernel, rows-only check."""
+    """SES grid-fit forecast (holtwinters.py:34 simple path) — full oracle:
+    the SES recurrence l_t = a*y_t + (1-a)*l_{t-1} has the closed form
+    l_k = a*sum_{j=2..k}(1-a)^(k-j)*y_j + (1-a)^(k-1)*y_1, reproduced in
+    DuckDB with nested list lambdas across the same 19-alpha SSE grid."""
     out = fcst_mod.forecast(hourly_series(spark, sf_dir), "ses", steps=24, freq_seconds=3600)
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+# shared alpha-grid SES fit: per (series, alpha) compute the level path,
+# SSE of one-step residuals, and residual moments; pick argmin-SSE alpha
+_SES_FIT_SQL = f"""
+lst AS (
+  SELECT series_id, max(time) AS tmax, count(*)::BIGINT AS n,
+         list(value ORDER BY time) AS vs
+  FROM h GROUP BY 1
+),
+alphas AS (SELECT unnest([{", ".join(str(i / 100) for i in range(5, 100, 5))}]) AS a),
+fit AS (
+  SELECT l.series_id, l.tmax, l.n, l.vs, a.a,
+    list_transform(l.vs, (x, k) ->
+      a.a * list_sum(list_transform(l.vs, (y, j) ->
+        CASE WHEN j >= 2 AND j <= k THEN y * pow(1.0 - a.a, k - j) ELSE 0.0 END))
+      + pow(1.0 - a.a, k - 1) * l.vs[1]) AS lv
+  FROM lst l CROSS JOIN alphas a
+  WHERE l.n >= 5
+),
+scored AS (
+  SELECT *,
+    list_sum(list_transform(vs, (y, t) ->
+      CASE WHEN t >= 2 THEN pow(y - lv[t - 1], 2) ELSE 0.0 END)) AS sse,
+    list_sum(list_transform(vs, (y, t) ->
+      CASE WHEN t >= 2 THEN y - lv[t - 1] ELSE 0.0 END)) AS rsum
+  FROM fit
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY sse, a) AS rk
+  FROM scored
+),
+sesfit AS (
+  SELECT series_id, tmax, n, a, lv[n] AS lvl,
+    sqrt(greatest(0.0, (sse - rsum * rsum / (n - 1)) / (n - 2))) AS sigma
+  FROM best WHERE rk = 1
+)
+"""
+
+
+_Q_SES_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+{_SES_FIT_SQL}
+SELECT s.series_id,
+  strftime(s.tmax + to_seconds(g.h * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + s.lvl, 6) AS fcst,
+  round(1e-9 + s.lvl - 1.959963984540054 * s.sigma * sqrt(g.h), 6) AS fcst_lower,
+  round(1e-9 + s.lvl + 1.959963984540054 * s.sigma * sqrt(g.h), 6) AS fcst_upper
+FROM sesfit s CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS h) g
+"""
+
+
 def q_holtwinters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt-Winters additive grid-fit forecast — rows-only check."""
+    """Holt-Winters additive grid-fit forecast (holtwinters.py:34) — full
+    oracle: the 26-state recurrence (level, trend, 24 seasonals) is replayed
+    exactly in a DuckDB recursive CTE over the per-series value list, with
+    the same 27-point (alpha, beta, gamma) SSE grid and argmin tie order."""
     out = fcst_mod.forecast(
         hourly_series(spark, sf_dir), "holtwinters", steps=24, freq_seconds=3600, period=24
     )
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+_Q_HW_SQL = f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+lst AS (
+  SELECT series_id, max(time) AS tmax, count(*)::BIGINT AS n,
+         list(value ORDER BY time) AS vs
+  FROM h GROUP BY 1
+),
+grid AS (
+  SELECT a.a, b.bta, g.g
+  FROM (SELECT unnest([0.25, 0.5, 0.75]) AS a) a,
+       (SELECT unnest([0.25, 0.5, 0.75]) AS bta) b,
+       (SELECT unnest([0.25, 0.5, 0.75]) AS g) g
+),
+init AS (
+  SELECT l.series_id, gr.a, gr.bta, gr.g,
+    list_sum(l.vs[1:24]) / 24.0 AS l0,
+    (list_sum(l.vs[25:48]) / 24.0 - list_sum(l.vs[1:24]) / 24.0) / 24.0 AS b0,
+    list_transform(l.vs[1:24], s -> s - list_sum(l.vs[1:24]) / 24.0) AS seas0
+  FROM lst l CROSS JOIN grid gr
+  WHERE l.n >= 48
+),
+rec AS (
+  SELECT series_id, a, bta, g, 0::BIGINT AS i,
+    l0 AS l, b0 AS tr, seas0 AS seas,
+    0.0::DOUBLE AS sse, 0.0::DOUBLE AS rsum, 0.0::DOUBLE AS rss
+  FROM init
+  UNION ALL
+  SELECT r.series_id, r.a, r.bta, r.g, r.i + 1,
+    r.a * (l.vs[r.i + 1] - r.seas[(r.i % 24) + 1]) + (1 - r.a) * (r.l + r.tr),
+    r.bta * ((r.a * (l.vs[r.i + 1] - r.seas[(r.i % 24) + 1]) + (1 - r.a) * (r.l + r.tr)) - r.l)
+      + (1 - r.bta) * r.tr,
+    list_transform(r.seas, (s, k) -> CASE WHEN k = (r.i % 24) + 1
+      THEN r.g * (l.vs[r.i + 1]
+        - (r.a * (l.vs[r.i + 1] - r.seas[(r.i % 24) + 1]) + (1 - r.a) * (r.l + r.tr)))
+        + (1 - r.g) * s
+      ELSE s END),
+    r.sse + pow(l.vs[r.i + 1] - (r.l + r.tr + r.seas[(r.i % 24) + 1]), 2),
+    r.rsum + CASE WHEN r.i >= 1
+      THEN l.vs[r.i + 1] - (r.l + r.tr + r.seas[(r.i % 24) + 1]) ELSE 0.0 END,
+    r.rss + CASE WHEN r.i >= 1
+      THEN pow(l.vs[r.i + 1] - (r.l + r.tr + r.seas[(r.i % 24) + 1]), 2) ELSE 0.0 END
+  FROM rec r JOIN lst l USING (series_id)
+  WHERE r.i < l.n
+),
+fin AS (
+  SELECT r.*, l.n AS nn, l.tmax FROM rec r JOIN lst l USING (series_id) WHERE r.i = l.n
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY sse, a, bta, g) AS rk
+  FROM fin
+),
+sel AS (
+  SELECT series_id, tmax, nn, l, tr, seas, a, bta, g,
+    sqrt(greatest(0.0, (rss - rsum * rsum / (nn - 1)) / (nn - 2))) AS sigma
+  FROM best WHERE rk = 1
+)
+SELECT s.series_id,
+  strftime(s.tmax + to_seconds(gg.h * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + s.l + s.tr * gg.h + s.seas[((s.nn + gg.h - 1) % 24) + 1], 6) AS fcst,
+  round(1e-9 + s.l + s.tr * gg.h + s.seas[((s.nn + gg.h - 1) % 24) + 1]
+    - 1.959963984540054 * s.sigma * sqrt(gg.h), 6) AS fcst_lower,
+  round(1e-9 + s.l + s.tr * gg.h + s.seas[((s.nn + gg.h - 1) % 24) + 1]
+    + 1.959963984540054 * s.sigma * sqrt(gg.h), 6) AS fcst_upper
+FROM sel s CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS h) gg
+"""
+
+
 def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta(2) forecast — rows-only check."""
+    """Theta(2) forecast (theta.py:36) — full oracle: SES level via the
+    closed-form weighted sum (same grid as ses_forecast) plus half the OLS
+    drift, fc_h = L + slope/2 * (h + (1/a - 1)(1 - (1-a)^n))."""
     out = fcst_mod.forecast(hourly_series(spark, sf_dir), "theta", steps=24, freq_seconds=3600)
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_THETA_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+{_SES_FIT_SQL},
+slope AS (
+  SELECT series_id,
+    regr_slope(value, rn) AS b
+  FROM (
+    SELECT series_id, value,
+      (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS rn
+    FROM h
+  ) GROUP BY 1
+)
+SELECT s.series_id,
+  strftime(s.tmax + to_seconds(g.h * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + s.lvl + 0.5 * sl.b *
+    (g.h + (1.0 / s.a - 1.0) * (1.0 - pow(1.0 - s.a, s.n))), 6) AS fcst,
+  round(1e-9 + s.lvl + 0.5 * sl.b *
+    (g.h + (1.0 / s.a - 1.0) * (1.0 - pow(1.0 - s.a, s.n)))
+    - 1.959963984540054 * s.sigma * sqrt(g.h), 6) AS fcst_lower,
+  round(1e-9 + s.lvl + 0.5 * sl.b *
+    (g.h + (1.0 / s.a - 1.0) * (1.0 - pow(1.0 - s.a, s.n)))
+    + 1.959963984540054 * s.sigma * sqrt(g.h), 6) AS fcst_upper
+FROM sesfit s JOIN slope sl USING (series_id)
+CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS h) g
+"""
 
 
 QUERIES.update(
@@ -1464,7 +1616,10 @@ ORACLES.update(
         "backtest_linear": _Q_BACKTEST_SQL,
         "interval_detect": _Q_INTERVAL_SQL,
         "simple_heuristic": _Q_SIMPLE_HEURISTIC_SQL,
-        # cusum_detect / ses / holtwinters / theta: iterative kernels,
-        # rows-only by design; covered by seeded-simulation unit tests
+        "ses_forecast": _Q_SES_SQL,
+        "theta_forecast": _Q_THETA_SQL,
+        "holtwinters_forecast": _Q_HW_SQL,
+        # cusum_detect: data-dependent iteration count, rows-only by
+        # design; covered by seeded-simulation unit tests
     }
 )

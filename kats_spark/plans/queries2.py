@@ -811,10 +811,67 @@ def q_hourly_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dist_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-distance scores (distribution_distance_model.py:147) —
+    full oracle: the common-grid histogram + JS divergence is replayed in
+    DuckDB with list lambdas, bin assignment replicating np.histogram's
+    searchsorted(side='right') edge semantics bit-for-bit."""
     out = dist_distance.distribution_distance_scores(
         hourly_series(spark, sf_dir), window=48
     )
     return _fmt_time(_r6(out, "value", "js_div"))
+
+
+_Q_DIST_DISTANCE_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) AS t
+  FROM h
+),
+lst AS (SELECT series_id, list(value ORDER BY time) AS vs FROM h GROUP BY 1),
+win AS (
+  SELECT i.series_id, i.time, i.value, i.t,
+    CASE WHEN i.t >= 96 THEN l.vs[i.t - 47:i.t] END AS cur,
+    CASE WHEN i.t >= 96 THEN l.vs[i.t - 95:i.t - 48] END AS prev
+  FROM idx i JOIN lst l USING (series_id)
+),
+ext AS (
+  SELECT *, least(list_min(cur), list_min(prev)) AS lo,
+            greatest(list_max(cur), list_max(prev)) AS hi
+  FROM win
+),
+bins AS (
+  SELECT series_id, time, value, t, lo, hi,
+    list_transform(cur, x -> least(
+      list_sum(list_transform(generate_series(1, 19), j ->
+        CASE WHEN x >= lo + ((hi - lo) / 20.0) * j THEN 1 ELSE 0 END))
+      + CASE WHEN x >= hi THEN 1 ELSE 0 END, 19)) AS bc,
+    list_transform(prev, x -> least(
+      list_sum(list_transform(generate_series(1, 19), j ->
+        CASE WHEN x >= lo + ((hi - lo) / 20.0) * j THEN 1 ELSE 0 END))
+      + CASE WHEN x >= hi THEN 1 ELSE 0 END, 19)) AS bp
+  FROM ext
+),
+hist AS (
+  SELECT series_id, time, value, t, lo, hi,
+    list_transform(generate_series(0, 19), b ->
+      list_sum(list_transform(bc, i -> CASE WHEN i = b THEN 1.0 ELSE 0.0 END)) / 48.0 + 1e-12) AS pc,
+    list_transform(generate_series(0, 19), b ->
+      list_sum(list_transform(bp, i -> CASE WHEN i = b THEN 1.0 ELSE 0.0 END)) / 48.0 + 1e-12) AS pp
+  FROM bins
+)
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time,
+  round(1e-9 + value, 6) AS value,
+  CASE WHEN t >= 96 THEN
+    CASE WHEN hi <= lo OR NOT (isfinite(lo) AND isfinite(hi)) THEN round(1e-9 + 0.0, 6)
+    ELSE round(1e-9 + round(
+      list_sum(list_transform(generate_series(1, 20), i ->
+        0.5 * pc[i] * ln(pc[i] / (0.5 * (pc[i] + pp[i])))
+        + 0.5 * pp[i] * ln(pp[i] / (0.5 * (pc[i] + pp[i]))))), 6), 6)
+    END
+  END AS js_div
+FROM hist
+"""
 
 
 def q_var_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,6 +1070,101 @@ SELECT f.series_id,
   round(1e-9 + f.base_fcst - f.band + coalesce(s.seasonal, 0), 6) AS fcst_lower,
   round(1e-9 + f.base_fcst + f.band + coalesce(s.seasonal, 0), 6) AS fcst_upper
 FROM fc f LEFT JOIN seas s ON f.series_id = s.series_id AND f.phase = s.phase
+"""
+
+
+# --------------------------------------------------------------------------
+# EWMA (EMA feature) — full oracle: the pandas-ewm kernel's weighted-sum
+# semantics (adjust=True) reproduced with DuckDB list lambdas
+# --------------------------------------------------------------------------
+
+
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA(12) per point (feature_extraction.py:375 EMA) — the recursive
+    family's representative, hash-matched: pandas ewm(span, adjust=True)
+    equals the normalized (1-a)^i weighted sum the oracle computes."""
+    from kats_spark.functions import ta
+
+    h = hourly_series(spark, sf_dir)
+    out = ta.with_ewma_features(h, [("ema_12", {"kind": "ema", "n": 12})])
+    return _fmt_time(
+        _r6(out.filter(F.col("ema_12").isNotNull()), "value", "ema_12")
+    )
+
+
+_Q_EMA_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) AS t
+  FROM h
+),
+lst AS (SELECT series_id, list(value ORDER BY time) AS vs FROM h GROUP BY 1)
+SELECT i.series_id, strftime(i.time, '{_DK_FMT}') AS time,
+  round(1e-9 + i.value, 6) AS value,
+  round(1e-9 +
+    list_sum(list_transform(l.vs[1:i.t], (x, j) -> x * pow(1 - 2.0/13.0, i.t - j))) /
+    list_sum(list_transform(l.vs[1:i.t], (x, j) -> pow(1 - 2.0/13.0, i.t - j))),
+  6) AS ema_12
+FROM idx i JOIN lst l USING (series_id)
+WHERE i.t >= 11
+"""
+
+
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26) + signal(9) + diff (feature_extraction.py:117-180) —
+    the chained double-EWMA, hash-matched against the same weighted-sum
+    expansion (signal weights start at the first valid MACD point,
+    matching pandas ignore_na=False)."""
+    from kats_spark.functions import ta
+
+    h = hourly_series(spark, sf_dir)
+    out = ta.with_ewma_features(
+        h, [("macd", {"kind": "macd", "n_fast": 12, "n_slow": 26})]
+    )
+    return _fmt_time(
+        _r6(
+            out.filter(F.col("macdsign").isNotNull()),
+            "value", "macd", "macdsign", "macddiff",
+        )
+    )
+
+
+_Q_MACD_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) AS t
+  FROM h
+),
+lst AS (SELECT series_id, list(value ORDER BY time) AS vs FROM h GROUP BY 1),
+m AS (
+  SELECT i.series_id, i.time, i.value, i.t,
+    CASE WHEN i.t >= 25 THEN
+      list_sum(list_transform(l.vs[1:i.t], (x, j) -> x * pow(1 - 2.0/13.0, i.t - j))) /
+      list_sum(list_transform(l.vs[1:i.t], (x, j) -> pow(1 - 2.0/13.0, i.t - j)))
+      -
+      list_sum(list_transform(l.vs[1:i.t], (x, j) -> x * pow(1 - 2.0/27.0, i.t - j))) /
+      list_sum(list_transform(l.vs[1:i.t], (x, j) -> pow(1 - 2.0/27.0, i.t - j)))
+    END AS macd
+  FROM idx i JOIN lst l USING (series_id)
+),
+ml AS (
+  SELECT series_id, list(macd ORDER BY t) AS ms FROM m WHERE macd IS NOT NULL GROUP BY 1
+)
+SELECT m.series_id, strftime(m.time, '{_DK_FMT}') AS time,
+  round(1e-9 + m.value, 6) AS value,
+  round(1e-9 + m.macd, 6) AS macd,
+  round(1e-9 +
+    list_sum(list_transform(l.ms[1:m.t - 24], (x, j) -> x * pow(0.8, m.t - 24 - j))) /
+    list_sum(list_transform(l.ms[1:m.t - 24], (x, j) -> pow(0.8, m.t - 24 - j))),
+  6) AS macdsign,
+  round(1e-9 + m.macd - (
+    list_sum(list_transform(l.ms[1:m.t - 24], (x, j) -> x * pow(0.8, m.t - 24 - j))) /
+    list_sum(list_transform(l.ms[1:m.t - 24], (x, j) -> pow(0.8, m.t - 24 - j)))
+  ), 6) AS macddiff
+FROM m JOIN ml l USING (series_id)
+WHERE m.t >= 32
 """
 
 
@@ -1447,9 +1599,12 @@ QUERIES = {
     "kats_ensemble": q_kats_ensemble,
     "multi_cusum": q_multi_cusum,
     "hpt_recommend": q_hpt_recommend,
+    "ema": q_ema,
+    "macd": q_macd,
 }
 
 ORACLES = {
+    "dist_distance": _Q_DIST_DISTANCE_SQL,
     "median_ensemble": _Q_MEDIAN_ENSEMBLE_SQL,
     "empirical_ci": _Q_EMPIRICAL_CI_SQL,
     "hpt_window": _Q_HPT_SQL,
@@ -1469,6 +1624,8 @@ ORACLES = {
     "wide_pivot": _Q_WIDE_PIVOT_SQL,
     "kats_ensemble": _Q_KATS_ENSEMBLE_SQL,
     "hpt_recommend": _Q_HPT_RECOMMEND_SQL,
+    "ema": _Q_EMA_SQL,
+    "macd": _Q_MACD_SQL,
     # weighted_ensemble / bocpd / fft / hourly_ratio / dist_distance / var:
     # iterative, FFT, or matrix kernels — rows-only by design, covered by
     # seeded-simulation unit tests

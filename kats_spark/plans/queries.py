@@ -1410,7 +1410,11 @@ FROM agg, (SELECT unnest(generate_series(1, 24)) AS h)
 
 
 def q_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM changepoints — iterative per-series kernel, rows-only check."""
+    """CUSUM changepoints (cusum_detection.py:309) — full oracle: the
+    iterative argmin-of-cusum refinement is replayed in a DuckDB recursive
+    CTE; with per-series prefix sums of x and x2, each refinement step is
+    O(n) (cusum_k = cums[k] - k*mean) and the LLR terms close over the
+    same prefix sums."""
     out = cusum_mod.cusum_detect(hourly_series(spark, sf_dir), threshold=0.5,
                                  delta_std_ratio=0.0)
     return out.select(
@@ -1419,6 +1423,110 @@ def q_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rnd("mu0", 6).alias("mu0"), _rnd("mu1", 6).alias("mu1"),
         _rnd("delta", 6).alias("delta"), _rnd("llr", 6).alias("llr"),
     )
+
+
+_Q_CUSUM_SQL = f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+    row_number() OVER w AS k,
+    sum(value) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(value * value) OVER (w ROWS UNBOUNDED PRECEDING) AS cum2
+  FROM h WINDOW w AS (PARTITION BY series_id ORDER BY time)
+),
+lst AS (
+  SELECT series_id, count(*)::BIGINT AS n,
+    list(time ORDER BY k) AS ts,
+    list(cum ORDER BY k) AS cums,
+    list(cum2 ORDER BY k) AS cums2
+  FROM idx GROUP BY 1
+),
+dirs AS (SELECT unnest(['increase', 'decrease']) AS dir),
+base AS (
+  SELECT l.series_id, d.dir, 0 AS it, FALSE AS stable,
+    least(
+      list_position(
+        list_transform(l.cums, (c, k) -> c - k * (l.cums[l.n] / l.n)),
+        CASE WHEN d.dir = 'increase'
+          THEN list_min(list_transform(l.cums, (c, k) -> c - k * (l.cums[l.n] / l.n)))
+          ELSE list_max(list_transform(l.cums, (c, k) -> c - k * (l.cums[l.n] / l.n)))
+        END) - 1,
+      l.n - 2)::BIGINT AS cp
+  FROM lst l CROSS JOIN dirs d
+  WHERE l.n >= 10
+),
+rec AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT series_id, dir, it + 1, (nxt = cp) AS stable,
+    CASE WHEN nxt = cp THEN cp ELSE nxt END AS cp
+  FROM (
+    SELECT r.series_id, r.dir, r.it, r.cp, l.n,
+      greatest(1, least(
+        list_position(
+          list_transform(l.cums, (c, k) -> c - k *
+            ((l.cums[r.cp + 1] / (r.cp + 1)
+              + (l.cums[l.n] - l.cums[r.cp + 1]) / (l.n - r.cp - 1)) / 2.0)),
+          CASE WHEN r.dir = 'increase'
+            THEN list_min(list_transform(l.cums, (c, k) -> c - k *
+              ((l.cums[r.cp + 1] / (r.cp + 1)
+                + (l.cums[l.n] - l.cums[r.cp + 1]) / (l.n - r.cp - 1)) / 2.0)))
+            ELSE list_max(list_transform(l.cums, (c, k) -> c - k *
+              ((l.cums[r.cp + 1] / (r.cp + 1)
+                + (l.cums[l.n] - l.cums[r.cp + 1]) / (l.n - r.cp - 1)) / 2.0)))
+          END) - 1,
+        l.n - 2))::BIGINT AS nxt
+    FROM rec r JOIN lst l USING (series_id)
+    WHERE r.it < 10 AND NOT r.stable
+  )
+),
+fin AS (
+  SELECT series_id, dir, arg_max(cp, it) AS cp
+  FROM rec GROUP BY 1, 2
+),
+stats AS (
+  SELECT f.series_id, f.dir, f.cp, l.n, l.ts[f.cp + 1] AS cp_time,
+    l.cums[f.cp + 1] AS s1, l.cums[l.n] - l.cums[f.cp + 1] AS s2,
+    l.cums2[f.cp + 1] AS q1, l.cums2[l.n] - l.cums2[f.cp + 1] AS q2,
+    (f.cp + 1)::DOUBLE AS c1, (l.n - f.cp - 1)::DOUBLE AS c2,
+    l.cums[l.n] / l.n AS mu_t,
+    sqrt(l.cums2[l.n] / l.n - (l.cums[l.n] / l.n) * (l.cums[l.n] / l.n)) AS sigma_t
+  FROM fin f JOIN lst l USING (series_id)
+),
+seg AS (
+  SELECT *, s1 / c1 AS mu0, s2 / c2 AS mu1,
+    q1 - 2 * (s1 / c1) * s1 + c1 * (s1 / c1) * (s1 / c1) AS ssq0,
+    q2 - 2 * (s2 / c2) * s2 + c2 * (s2 / c2) * (s2 / c2) AS ssq1,
+    q1 - 2 * mu_t * s1 + c1 * mu_t * mu_t AS ssqt1,
+    q2 - 2 * mu_t * s2 + c2 * mu_t * mu_t AS ssqt2
+  FROM stats
+),
+scaled AS (
+  SELECT *,
+    CASE WHEN sqrt((ssq0 + ssq1) / (n - 2)) = 0
+         THEN sigma_t * 0.01
+         ELSE sqrt((ssq0 + ssq1) / (n - 2)) END AS scale
+  FROM seg
+),
+llr AS (
+  SELECT *,
+    -2.0 * (
+      (c1 * ln(scale / sigma_t) + 0.5 * (ssq0 / (scale * scale) - ssqt1 / (sigma_t * sigma_t)))
+      + (c2 * ln(scale / sigma_t) + 0.5 * (ssq1 / (scale * scale) - ssqt2 / (sigma_t * sigma_t)))
+    ) AS llr
+  FROM scaled
+)
+SELECT series_id,
+  strftime(cp_time, '{_DK_FMT}') AS cp_time,
+  cp::INT AS cp_index, dir AS direction,
+  round(1e-9 + mu0, 6) AS mu0, round(1e-9 + mu1, 6) AS mu1,
+  round(1e-9 + mu1 - mu0, 6) AS delta, round(1e-9 + llr, 6) AS llr
+FROM llr
+WHERE llr > -2.0 * ln(0.5)
+  AND CASE WHEN dir = 'increase' THEN mu1 > mu0 ELSE mu1 < mu0 END
+  AND abs(mu1 - mu0) > 0.0 * sigma_t
+  AND abs(mu1 - mu0) > 0.0
+"""
 
 
 def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1619,7 +1727,6 @@ ORACLES.update(
         "ses_forecast": _Q_SES_SQL,
         "theta_forecast": _Q_THETA_SQL,
         "holtwinters_forecast": _Q_HW_SQL,
-        # cusum_detect: data-dependent iteration count, rows-only by
-        # design; covered by seeded-simulation unit tests
+        "cusum_detect": _Q_CUSUM_SQL,
     }
 )

@@ -786,7 +786,7 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
-# numpy-kernel detectors — rows-only by design
+# numpy-kernel detectors (dist_distance has a full list-lambda oracle)
 # --------------------------------------------------------------------------
 
 
@@ -1626,7 +1626,7 @@ ORACLES = {
     "hpt_recommend": _Q_HPT_RECOMMEND_SQL,
     "ema": _Q_EMA_SQL,
     "macd": _Q_MACD_SQL,
-    # weighted_ensemble / bocpd / fft / hourly_ratio / dist_distance / var:
-    # iterative, FFT, or matrix kernels — rows-only by design, covered by
-    # seeded-simulation unit tests
+    # weighted_ensemble / bocpd / fft / hourly_ratio / var: FFT or
+    # matrix-inverse kernels, or composition whose SQL would dwarf the
+    # checked semantics — rows-only, covered by seeded unit tests
 }

@@ -796,8 +796,80 @@ def q_bocpd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fft_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFT seasonality periods (seasonality.py:185 FFTDetector) — full
+    oracle: a naive O(n^2) DFT in list lambdas reproduces np.fft.rfft at
+    the rounded precision, with the same MAD-outlier gate and the greedy
+    harmonic pruning replayed in a recursive CTE."""
     out = season_mod.fft_detect(hourly_series(spark, sf_dir), mad_threshold=6.0)
     return _r6(out, "period", "strength")
+
+
+_Q_FFT_SQL = f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+lst AS (
+  SELECT series_id, count(*)::BIGINT AS n, list(value ORDER BY time) AS vs,
+         avg(value) AS mu
+  FROM h GROUP BY 1
+  HAVING count(*) >= 8
+),
+ks AS (
+  SELECT l.series_id, l.n, k.k
+  FROM lst l, LATERAL (SELECT unnest(generate_series(1, (l.n // 2)::INT)) AS k) k
+),
+spec AS (
+  SELECT s.series_id, s.n, s.k,
+    (pow(list_sum(list_transform(l.vs, (y, j) ->
+        (y - l.mu) * cos(2 * pi() * (j - 1) * s.k / s.n))), 2)
+     + pow(list_sum(list_transform(l.vs, (y, j) ->
+        (y - l.mu) * sin(2 * pi() * (j - 1) * s.k / s.n))), 2)) / s.n AS power
+  FROM ks s JOIN lst l USING (series_id)
+),
+med AS (
+  SELECT series_id, quantile_cont(power, 0.5) AS med FROM spec GROUP BY 1
+),
+mad AS (
+  SELECT s.series_id, any_value(m.med) AS med,
+    CASE WHEN quantile_cont(abs(s.power - m.med), 0.5) = 0 THEN 1e-12
+         ELSE quantile_cont(abs(s.power - m.med), 0.5) END AS mad
+  FROM spec s JOIN med m USING (series_id) GROUP BY 1
+),
+cand AS (
+  SELECT s.series_id, s.n::DOUBLE / s.k AS period,
+    (s.power - a.med) / (1.4826 * a.mad) AS score,
+    row_number() OVER (PARTITION BY s.series_id
+      ORDER BY (s.power - a.med) / (1.4826 * a.mad) DESC, s.k ASC) AS rk
+  FROM spec s JOIN mad a USING (series_id)
+  WHERE (s.power - a.med) / (1.4826 * a.mad) > 6.0
+),
+greedy AS (
+  SELECT series_id, 0::BIGINT AS rk, []::DOUBLE[] AS kept_p, []::DOUBLE[] AS kept_s
+  FROM cand WHERE rk = 1
+  UNION ALL
+  SELECT g.series_id, g.rk + 1,
+    CASE WHEN c.period < l.n / 2.0
+          AND len(list_filter(g.kept_p, kp ->
+            abs(greatest(c.period, kp) / least(c.period, kp)
+                - round(greatest(c.period, kp) / least(c.period, kp))) < 0.05)) = 0
+         THEN list_append(g.kept_p, c.period) ELSE g.kept_p END,
+    CASE WHEN c.period < l.n / 2.0
+          AND len(list_filter(g.kept_p, kp ->
+            abs(greatest(c.period, kp) / least(c.period, kp)
+                - round(greatest(c.period, kp) / least(c.period, kp))) < 0.05)) = 0
+         THEN list_append(g.kept_s, c.score) ELSE g.kept_s END
+  FROM greedy g
+  JOIN cand c ON c.series_id = g.series_id AND c.rk = g.rk + 1
+  JOIN lst l ON l.series_id = g.series_id
+  WHERE len(g.kept_p) < 3
+),
+sel AS (
+  SELECT series_id, arg_max(kept_p, rk) AS kp, arg_max(kept_s, rk) AS ksc
+  FROM greedy GROUP BY 1
+)
+SELECT series_id,
+  round(1e-9 + round(kp[i.i], 4), 6) AS period,
+  round(1e-9 + round(ksc[i.i], 4), 6) AS strength
+FROM sel, LATERAL (SELECT unnest(generate_series(1, len(kp))) AS i) i
+"""
 
 
 def q_hourly_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1626,7 +1698,8 @@ ORACLES = {
     "hpt_recommend": _Q_HPT_RECOMMEND_SQL,
     "ema": _Q_EMA_SQL,
     "macd": _Q_MACD_SQL,
-    # weighted_ensemble / bocpd / fft / hourly_ratio / var: FFT or
+    "fft_seasonality": _Q_FFT_SQL,
+    # weighted_ensemble / bocpd / hourly_ratio / var:
     # matrix-inverse kernels, or composition whose SQL would dwarf the
     # checked semantics — rows-only, covered by seeded unit tests
 }

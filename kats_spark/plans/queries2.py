@@ -1454,7 +1454,9 @@ FROM documents
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with the deterministic stub kernel —
-    rows-only (digest-derived fake features)."""
+    full oracle: the stub derives features from sha256 digest bytes
+    (little-endian uint32 / 2^32), which DuckDB reproduces with sha256()
+    + hex-pair arithmetic."""
     from kats_spark.operators import multimodal
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1467,6 +1469,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1) + F.lit(1.0e-9), 6).alias("f0"),
         F.round(F.element_at("features", 8) + F.lit(1.0e-9), 6).alias("f7"),
     )
+
+
+_Q_MULTIMODAL_FEATURES_SQL = """
+WITH d AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+SELECT doc_id::BIGINT AS media_id,
+  round(1e-9 + (('0x' || substr(hx, 1, 2))::BIGINT
+    + ('0x' || substr(hx, 3, 2))::BIGINT * 256
+    + ('0x' || substr(hx, 5, 2))::BIGINT * 65536
+    + ('0x' || substr(hx, 7, 2))::BIGINT * 16777216) / 4294967296.0, 6) AS f0,
+  round(1e-9 + (('0x' || substr(hx, 57, 2))::BIGINT
+    + ('0x' || substr(hx, 59, 2))::BIGINT * 256
+    + ('0x' || substr(hx, 61, 2))::BIGINT * 65536
+    + ('0x' || substr(hx, 63, 2))::BIGINT * 16777216) / 4294967296.0, 6) AS f7
+FROM d
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1699,6 +1716,7 @@ ORACLES = {
     "ema": _Q_EMA_SQL,
     "macd": _Q_MACD_SQL,
     "fft_seasonality": _Q_FFT_SQL,
+    "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
     # weighted_ensemble / bocpd / hourly_ratio / var:
     # matrix-inverse kernels, or composition whose SQL would dwarf the
     # checked semantics — rows-only, covered by seeded unit tests

@@ -1701,8 +1701,33 @@ CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS h) g
 """
 
 
+def q_series_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary series arithmetic (consts.py:526-536 -> _perform_op :898-946):
+    THE one join shape in the reference — full-outer equi-join on time,
+    columnwise op, unmatched rows NULL.  Here: day-over-day ratio of each
+    hourly series against itself shifted +24h; edges survive as NULLs
+    exactly like Kats's NaN fill."""
+    import kats_spark.tsframe as tsf
+
+    h = hourly_series(spark, sf_dir)
+    shifted = h.withColumn("time", F.col("time") + F.expr("INTERVAL 24 HOURS"))
+    out = tsf.binary_op(h, shifted, "div", out_col="dod_ratio")
+    return _fmt_time(_r6(out, "dod_ratio"))
+
+
+_Q_SERIES_ARITH_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+s AS (SELECT series_id, time + INTERVAL 24 HOUR AS time, value FROM h)
+SELECT coalesce(h.series_id, s.series_id) AS series_id,
+  strftime(coalesce(h.time, s.time), '{_DK_FMT}') AS time,
+  round(1e-9 + h.value / s.value, 6) AS dod_ratio
+FROM h FULL JOIN s ON h.series_id = s.series_id AND h.time = s.time
+"""
+
+
 QUERIES.update(
     {
+        "series_arith": q_series_arith,
         "outlier_detect": q_outlier_detect,
         "acf_features": q_acf_features,
         "ar2_forecast": q_ar2_forecast,
@@ -1718,6 +1743,7 @@ QUERIES.update(
 
 ORACLES.update(
     {
+        "series_arith": _Q_SERIES_ARITH_SQL,
         "outlier_detect": _Q_OUTLIER_SQL,
         "acf_features": _Q_ACF_SQL,
         "ar2_forecast": _Q_AR2_SQL,

@@ -1725,8 +1725,80 @@ FROM h FULL JOIN s ON h.series_id = s.series_id AND h.time = s.time
 """
 
 
+def q_percentage_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PercentageChange two-interval comparison (detector_consts.py:179-555):
+    last 24 hourly points vs the 72 before them — t-score on the pooled
+    stddev (reference's uncorrected default) and delta-method CI of the
+    mean ratio, stat-sig flag when the CI excludes 1."""
+    from kats_spark.operators import percentage_change as pc_mod
+
+    out = pc_mod.percentage_change(hourly_series(spark, sf_dir), n_control=72, n_test=24)
+    return _r6(
+        out,
+        "mean_control", "mean_test", "perc_change", "t_score",
+        "perc_change_lower", "perc_change_upper",
+    ).withColumns({
+        "n_control": F.col("n_control").cast("bigint"),
+        "n_test": F.col("n_test").cast("bigint"),
+        "stat_sig": F.col("stat_sig").cast("int"),
+    })
+
+
+_Q_PERC_CHANGE_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+tail AS (
+  SELECT series_id, value,
+    row_number() OVER (PARTITION BY series_id ORDER BY time DESC) AS rn
+  FROM h
+  QUALIFY rn <= 96
+),
+agg AS (
+  SELECT series_id,
+    count(CASE WHEN rn <= 24 THEN value END)::BIGINT AS n_t,
+    count(CASE WHEN rn > 24 THEN value END)::BIGINT AS n_c,
+    avg(CASE WHEN rn <= 24 THEN value END) AS m_t,
+    avg(CASE WHEN rn > 24 THEN value END) AS m_c,
+    var_samp(CASE WHEN rn <= 24 THEN value END) AS v_t,
+    var_samp(CASE WHEN rn > 24 THEN value END) AS v_c
+  FROM tail GROUP BY 1
+),
+cov AS (
+  SELECT t.series_id, covar_samp(t.value, c.value) / 24.0 AS cov_xy
+  FROM (SELECT series_id, rn AS j, value FROM tail WHERE rn <= 24) t
+  JOIN (SELECT series_id, rn - 24 AS j, value FROM tail WHERE rn > 24) c
+    USING (series_id, j)
+  WHERE j <= 24
+  GROUP BY 1
+),
+x AS (
+  SELECT a.*, c.cov_xy,
+    a.m_t / a.m_c AS ratio,
+    (a.m_t / a.m_c - 1.0) * 100.0 AS perc,
+    sqrt(((a.n_c - 1) * a.v_c + (a.n_t - 1) * a.v_t) / (a.n_c + a.n_t - 2)) AS sp,
+    a.v_t / (a.n_t * a.m_c * a.m_c)
+      - 2.0 * a.m_t * c.cov_xy / (a.m_c * a.m_c * a.m_c)
+      + a.v_c * a.m_t * a.m_t / (a.n_c * pow(a.m_c, 4)) AS sigma_sq
+  FROM agg a JOIN cov c USING (series_id)
+)
+SELECT series_id, n_c AS n_control, n_t AS n_test,
+  round(1e-9 + m_c, 6) AS mean_control,
+  round(1e-9 + m_t, 6) AS mean_test,
+  round(1e-9 + perc, 6) AS perc_change,
+  round(1e-9 + (m_t - m_c) / sp, 6) AS t_score,
+  round(1e-9 + (ratio + (-1.9599639845400545) * sqrt(abs(sigma_sq)) - 1.0) * 100.0, 6)
+    AS perc_change_lower,
+  round(1e-9 + (ratio - (-1.9599639845400545) * sqrt(abs(sigma_sq)) - 1.0) * 100.0, 6)
+    AS perc_change_upper,
+  CASE WHEN perc > 0.0 THEN 'up' ELSE 'down' END AS direction,
+  (NOT (ratio - (-1.9599639845400545) * sqrt(abs(sigma_sq)) > 1.0
+        AND ratio + (-1.9599639845400545) * sqrt(abs(sigma_sq)) < 1.0))::INT AS stat_sig
+FROM x
+"""
+
+
 QUERIES.update(
     {
+        "percentage_change": q_percentage_change,
         "series_arith": q_series_arith,
         "outlier_detect": q_outlier_detect,
         "acf_features": q_acf_features,
@@ -1743,6 +1815,7 @@ QUERIES.update(
 
 ORACLES.update(
     {
+        "percentage_change": _Q_PERC_CHANGE_SQL,
         "series_arith": _Q_SERIES_ARITH_SQL,
         "outlier_detect": _Q_OUTLIER_SQL,
         "acf_features": _Q_ACF_SQL,

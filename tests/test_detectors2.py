@@ -137,3 +137,49 @@ def test_var_residual_scores_flag_injected_point(spark):
     )
     peak_idx = out.mahalanobis.idxmax()
     assert abs((out.loc[peak_idx, "time"] - times[150]).total_seconds()) <= 3600
+
+
+def test_percentage_change_matches_reference_formulas(spark):
+    """Spark PercentageChange == the detector_consts.py:179-555 formulas
+    recomputed in numpy (uncorrected t-score, delta-method CI, tail-aligned
+    covariance)."""
+    import numpy as np
+    import pandas as pd
+
+    from kats_spark.operators.percentage_change import percentage_change
+
+    rng = np.random.RandomState(7)
+    n = 120
+    vals = rng.randn(n) * 2.0 + 50.0
+    vals[-24:] += 5.0  # inject a shift in the test interval
+    times = pd.date_range("2024-01-01", periods=n, freq="h")
+    pdf = pd.DataFrame({"series_id": "s", "time": times, "value": vals})
+    out = (
+        percentage_change(spark.createDataFrame(pdf), n_control=72, n_test=24)
+        .toPandas()
+        .iloc[0]
+    )
+
+    test, control = vals[-24:], vals[-96:-24]
+    m_t, m_c = np.mean(test), np.mean(control)
+    v_t, v_c = np.var(test, ddof=1), np.var(control, ddof=1)
+    n_t, n_c = len(test), len(control)
+    sp = np.sqrt(((n_c - 1) * v_c + (n_t - 1) * v_t) / (n_c + n_t - 2))
+    t_score = (m_t - m_c) / sp
+    n_min = min(n_c, n_t)
+    cov = np.cov(test[-n_min:], control[-n_min:])[0, 1] / n_min
+    sigma_sq = (
+        v_t / (n_t * m_c**2) - 2 * m_t * cov / m_c**3 + v_c * m_t**2 / (n_c * m_c**4)
+    )
+    z = -1.9599639845400545
+    ratio = m_t / m_c
+    lower = ratio + z * np.sqrt(abs(sigma_sq))
+    upper = ratio - z * np.sqrt(abs(sigma_sq))
+
+    assert out.n_control == 72 and out.n_test == 24
+    assert abs(out.perc_change - (ratio - 1) * 100) < 1e-9
+    assert abs(out.t_score - t_score) < 1e-9
+    assert abs(out.perc_change_lower - (lower - 1) * 100) < 1e-9
+    assert abs(out.perc_change_upper - (upper - 1) * 100) < 1e-9
+    assert out.direction == "up"
+    assert out.stat_sig == 1

@@ -1796,8 +1796,40 @@ FROM x
 """
 
 
+def q_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-day features + circle encoding (feature_engineering.py:
+    143-188, :224): hour/minute/second/quarterhour/hourofweek over the
+    distinct event timestamps, plus the sin/cos encoding of hour — pure
+    exprs on both sides."""
+    _utc(spark)
+    times = load_events(spark, sf_dir).select(F.col("ts").alias("time")).distinct()
+    out = calendar.with_features(times, calendar.time_features("time"))
+    out = calendar.with_features(
+        out, calendar.circle_encode(F.col("hour"), 24.0, "hour")
+    )
+    return _fmt_time(_r6(out, "hour_sin", "hour_cos")).withColumns(
+        {c: F.col(c).cast("int")
+         for c in ["hour", "minute", "second", "quarterhour", "hourofweek"]}
+    )
+
+
+_Q_TIME_FEATURES_SQL = f"""
+WITH t AS (SELECT DISTINCT ts AS time FROM events)
+SELECT strftime(time, '{_DK_FMT}') AS time,
+  hour(time)::INT AS hour,
+  minute(time)::INT AS minute,
+  second(time)::INT AS second,
+  trunc(minute(time) / 15.0 + 1)::INT AS quarterhour,
+  ((isodow(time) - 1) * 24 + hour(time))::INT AS hourofweek,
+  round(1e-9 + sin(hour(time) * (2 * pi() / 24.0)), 6) AS hour_sin,
+  round(1e-9 + cos(hour(time) * (2 * pi() / 24.0)), 6) AS hour_cos
+FROM t
+"""
+
+
 QUERIES.update(
     {
+        "time_features": q_time_features,
         "percentage_change": q_percentage_change,
         "series_arith": q_series_arith,
         "outlier_detect": q_outlier_detect,
@@ -1815,6 +1847,7 @@ QUERIES.update(
 
 ORACLES.update(
     {
+        "time_features": _Q_TIME_FEATURES_SQL,
         "percentage_change": _Q_PERC_CHANGE_SQL,
         "series_arith": _Q_SERIES_ARITH_SQL,
         "outlier_detect": _Q_OUTLIER_SQL,

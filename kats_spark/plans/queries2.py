@@ -1649,6 +1649,22 @@ def q_cusum_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded simulator (simulator.py:48-834: trend/noise/seasonality/
+    level-shift injection as expressions over spark.range) — rows-only:
+    ``randn(seed)`` values depend on Spark's partition-seeded PRNG, but the
+    grid shape, schema, and injected deterministic components are stable."""
+    from kats_spark.operators import simulator
+
+    out = simulator.simulate(
+        spark, n_series=5, n_points=200,
+        trend_slope=0.05, noise_std=1.0,
+        seasonal_period=24, seasonal_magnitude=3.0,
+        level_shift_at=120, level_shift_size=10.0, seed=42,
+    )
+    return _fmt_time(out.withColumn("value", F.col("value").cast("double")))
+
+
 QUERIES = {
     "median_ensemble": q_median_ensemble,
     "weighted_ensemble": q_weighted_ensemble,
@@ -1690,6 +1706,7 @@ QUERIES = {
     "hpt_recommend": q_hpt_recommend,
     "ema": q_ema,
     "macd": q_macd,
+    "simulate": q_simulate,
 }
 
 ORACLES = {

@@ -791,8 +791,102 @@ FROM documents
 
 
 def q_bocpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOCPD changepoints (bocpd.py:258 Adams-MacKay) — full oracle: the
+    run-length posterior recursion is replayed in a DuckDB recursive CTE
+    carrying the five 201-slot state lists (r, mu, kappa, alpha, beta);
+    Student-t log-predictives use lgamma (same libm as numpy), and the
+    lagged cp readout + tail fold emit per-step."""
     out = bocpd_mod.bocpd_detect(hourly_series(spark, sf_dir), threshold=0.2)
     return _fmt_time(_r6(out, "value", "cp_prob"))
+
+
+_Q_BOCPD_SQL = f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) AS k
+  FROM h
+),
+lst AS (
+  SELECT series_id, count(*)::BIGINT AS n, list(value ORDER BY time) AS vs
+  FROM h GROUP BY 1
+  HAVING count(*) >= 5
+),
+init AS (
+  SELECT series_id, n, vs,
+    list_sum(vs[1:least(10, n)]) / least(10, n) AS mu0,
+    greatest(
+      list_sum(list_transform(vs[1:least(20, n)], x ->
+        (x - list_sum(vs[1:least(20, n)]) / least(20, n))
+        * (x - list_sum(vs[1:least(20, n)]) / least(20, n))))
+      / least(20, n), 1e-8) AS beta0
+  FROM lst
+),
+rec AS (
+  SELECT series_id, 0::BIGINT AS i, mu0, beta0,
+    list_transform(generate_series(1, 201), g -> CASE WHEN g = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS r,
+    list_transform(generate_series(1, 201), g -> mu0) AS mu,
+    list_transform(generate_series(1, 201), g -> 1.0::DOUBLE) AS kap,
+    list_transform(generate_series(1, 201), g -> 1.0::DOUBLE) AS alp,
+    list_transform(generate_series(1, 201), g -> beta0) AS bet
+  FROM init
+  UNION ALL
+  SELECT series_id, i + 1, mu0, beta0,
+    CASE WHEN tot <= 0 OR NOT isfinite(tot)
+      THEN list_transform(generate_series(1, 201), g -> CASE WHEN g = 1 THEN 1.0 ELSE 0.0 END)
+      ELSE list_transform(new_raw, v -> v / tot) END AS r,
+    list_transform(generate_series(1, 201), j ->
+      CASE WHEN j = 1 THEN mu0 ELSE (kap[j - 1] * mu[j - 1] + x) / (kap[j - 1] + 1.0) END) AS mu,
+    list_transform(generate_series(1, 201), j ->
+      CASE WHEN j = 1 THEN 1.0::DOUBLE ELSE kap[j - 1] + 1.0 END) AS kap,
+    list_transform(generate_series(1, 201), j ->
+      CASE WHEN j = 1 THEN 1.0::DOUBLE ELSE alp[j - 1] + 0.5 END) AS alp,
+    list_transform(generate_series(1, 201), j ->
+      CASE WHEN j = 1 THEN beta0
+      ELSE bet[j - 1] + 0.5 * kap[j - 1] * (x - mu[j - 1]) * (x - mu[j - 1]) / (kap[j - 1] + 1.0)
+      END) AS bet
+  FROM (
+    SELECT q2.*, list_sum(new_raw) AS tot
+    FROM (
+      SELECT q1.*,
+        list_transform(generate_series(1, 201), j ->
+          CASE WHEN j = 1 THEN list_sum(list_transform(rp, v -> v * 0.004::DOUBLE))
+               WHEN j < 201 THEN rp[j - 1] * (1.0::DOUBLE - 0.004::DOUBLE)
+               ELSE rp[200] * (1.0::DOUBLE - 0.004::DOUBLE) + rp[201] * (1.0::DOUBLE - 0.004::DOUBLE) END) AS new_raw
+      FROM (
+        SELECT r.series_id, r.i, r.mu0, r.beta0, r.mu, r.kap, r.alp, r.bet,
+          l.vs[r.i + 1] AS x,
+          list_transform(generate_series(1, 201), j ->
+            r.r[j] * exp(least(greatest(
+              lgamma((2.0 * r.alp[j] + 1.0) / 2.0) - lgamma(r.alp[j])
+              - 0.5 * ln((pi() * (2.0 * r.alp[j]))
+                  * ((r.bet[j] * (r.kap[j] + 1.0)) / (r.alp[j] * r.kap[j])))
+              - (2.0 * r.alp[j] + 1.0) / 2.0
+                * ln(1.0 + (((l.vs[r.i + 1] - r.mu[j]) * (l.vs[r.i + 1] - r.mu[j])
+                    / ((r.bet[j] * (r.kap[j] + 1.0)) / (r.alp[j] * r.kap[j])))
+                    / (2.0 * r.alp[j])))
+            , -700.0), 50.0))) AS rp
+        FROM rec r JOIN lst l USING (series_id)
+        WHERE r.i < l.n
+      ) q1
+    ) q2
+  )
+),
+emits AS (
+  SELECT series_id, (i - 10)::BIGINT AS k, r[11] AS cp
+  FROM rec WHERE i >= 11
+  UNION ALL
+  SELECT r.series_id, (l.n - j.j)::BIGINT AS k, r.r[j.j + 2] AS cp
+  FROM rec r JOIN lst l USING (series_id)
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS j) j
+  WHERE r.i = l.n AND j.j < least(10, l.n)
+)
+SELECT i.series_id, strftime(i.time, '{_DK_FMT}') AS time,
+  round(1e-9 + i.value, 6) AS value,
+  round(1e-9 + e.cp, 6) AS cp_prob
+FROM emits e JOIN idx i USING (series_id, k)
+WHERE e.cp >= 0.2 AND i.k > 5
+"""
 
 
 def q_fft_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1733,8 +1827,9 @@ ORACLES = {
     "ema": _Q_EMA_SQL,
     "macd": _Q_MACD_SQL,
     "fft_seasonality": _Q_FFT_SQL,
+    "bocpd_detect": _Q_BOCPD_SQL,
     "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
-    # weighted_ensemble / bocpd / hourly_ratio / var:
+    # weighted_ensemble / hourly_ratio / var:
     # matrix-inverse kernels, or composition whose SQL would dwarf the
     # checked semantics — rows-only, covered by seeded unit tests
 }

@@ -1730,7 +1730,9 @@ def q_kde_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cusum_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUMDetectorModel incremental scoring (batch surface of the
-    streaming harness — identical update rule, asserted equal in tests)."""
+    streaming harness — identical update rule, asserted equal in tests) —
+    full oracle: the scalar state machine (Welford n/mean/m2 + s_pos/s_neg
+    + regime reset) replays bit-exactly in a DuckDB recursive CTE."""
     from kats_spark.streaming import cusum_model as cm
 
     out = cm.cusum_batch(hourly_series(spark, sf_dir), k=0.5, h=5.0)
@@ -1741,6 +1743,73 @@ def q_cusum_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stat_sig").cast("int").alias("stat_sig"),
         F.col("cp_flag").cast("int").alias("cp_flag"),
     )
+
+
+_Q_CUSUM_MODEL_SQL = f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) AS k
+  FROM h
+),
+lst AS (
+  SELECT series_id, count(*)::BIGINT AS nn, list(value ORDER BY time) AS vs
+  FROM h GROUP BY 1
+),
+rec AS (
+  SELECT series_id, 0::BIGINT AS i,
+    0::BIGINT AS n, 0.0::DOUBLE AS mean, 0.0::DOUBLE AS m2,
+    0.0::DOUBLE AS s_pos, 0.0::DOUBLE AS s_neg,
+    NULL::DOUBLE AS score, NULL::DOUBLE AS predicted,
+    NULL::DOUBLE AS lower, NULL::DOUBLE AS upper,
+    NULL::INT AS stat_sig, NULL::INT AS cp_flag
+  FROM lst
+  UNION ALL
+  SELECT series_id, i + 1,
+    n0 + 1,
+    mean0 + (x - mean0) / (n0 + 1),
+    m20 + (x - mean0) * (x - (mean0 + (x - mean0) / (n0 + 1))),
+    CASE WHEN NOT active THEN s_pos WHEN cp THEN 0.0 ELSE sp1 END,
+    CASE WHEN NOT active THEN s_neg WHEN cp THEN 0.0 ELSE sn1 END,
+    CASE WHEN active THEN z ELSE 0.0 END,
+    mean0 + (x - mean0) / (n0 + 1),
+    CASE WHEN active THEN mean0 - 5.0 * sd END,
+    CASE WHEN active THEN mean0 + 5.0 * sd END,
+    CASE WHEN NOT active THEN 0 WHEN cp THEN 1 ELSE (abs(z) > 5.0)::INT END,
+    CASE WHEN cp THEN 1 ELSE 0 END
+  FROM (
+    SELECT q1.*,
+      CASE WHEN active AND (sp1 > 5.0 OR sn1 > 5.0) THEN TRUE ELSE FALSE END AS cp,
+      CASE WHEN active AND (sp1 > 5.0 OR sn1 > 5.0) THEN 0::BIGINT ELSE n END AS n0,
+      CASE WHEN active AND (sp1 > 5.0 OR sn1 > 5.0) THEN 0.0 ELSE mean END AS mean0,
+      CASE WHEN active AND (sp1 > 5.0 OR sn1 > 5.0) THEN 0.0 ELSE m2 END AS m20
+    FROM (
+      SELECT q0.*,
+        greatest(0.0, s_pos + z - 0.5) AS sp1,
+        greatest(0.0, s_neg - z - 0.5) AS sn1
+      FROM (
+        SELECT r.series_id, r.i, r.n, r.mean, r.m2, r.s_pos, r.s_neg,
+          l.nn, l.vs[r.i + 1] AS x,
+          CASE WHEN r.n >= 2 THEN pow(r.m2 / (r.n - 1), 0.5) ELSE 0.0 END AS sd,
+          (r.n >= 10 AND (CASE WHEN r.n >= 2 THEN pow(r.m2 / (r.n - 1), 0.5) ELSE 0.0 END) > 0.0) AS active,
+          CASE WHEN r.n >= 10 AND (CASE WHEN r.n >= 2 THEN pow(r.m2 / (r.n - 1), 0.5) ELSE 0.0 END) > 0.0
+               THEN (l.vs[r.i + 1] - r.mean) / pow(r.m2 / (r.n - 1), 0.5) END AS z
+        FROM rec r JOIN lst l USING (series_id)
+        WHERE r.i < l.nn
+      ) q0
+    ) q1
+  )
+)
+SELECT r.series_id, strftime(i.time, '{_DK_FMT}') AS time,
+  round(1e-9 + i.value, 6) AS value,
+  round(1e-9 + r.score, 6) AS score,
+  round(1e-9 + r.predicted, 6) AS predicted,
+  round(1e-9 + r.lower, 6) AS lower,
+  round(1e-9 + r.upper, 6) AS upper,
+  r.stat_sig, r.cp_flag
+FROM rec r JOIN idx i ON i.series_id = r.series_id AND i.k = r.i
+WHERE r.i >= 1
+"""
 
 
 def q_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1828,6 +1897,7 @@ ORACLES = {
     "macd": _Q_MACD_SQL,
     "fft_seasonality": _Q_FFT_SQL,
     "bocpd_detect": _Q_BOCPD_SQL,
+    "cusum_model_scores": _Q_CUSUM_MODEL_SQL,
     "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
     # weighted_ensemble / hourly_ratio / var:
     # matrix-inverse kernels, or composition whose SQL would dwarf the

@@ -10,6 +10,11 @@ No sklearn: the Gaussian KDE CDF is a closed form over the sample points,
 Phi((x - x_i)/bw) averaged — vectorized numpy per series inside one
 ``applyInPandas`` (the fit "model" IS the residual sample + bandwidth,
 which is also what sklearn's KernelDensity stores).
+
+erf uses the Abramowitz & Stegun 7.1.26 rational approximation
+(|error| <= 1.5e-7, far inside the 1e-6 output rounding) instead of libm
+erf: the identical double-precision expression evaluates in the DuckDB
+oracle, giving bit-level cross-engine parity for the correctness gate.
 """
 
 from __future__ import annotations
@@ -23,8 +28,21 @@ from pyspark.sql import DataFrame
 from kats_spark.tsframe import TSSchema, DEFAULT
 
 
+def _erf_as(x: np.ndarray) -> np.ndarray:
+    """Abramowitz & Stegun 7.1.26 (same Horner form as the SQL oracle)."""
+    sign = np.sign(x)
+    ax = np.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = (
+        (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t - 0.284496736)
+        * t
+        + 0.254829592
+    ) * t
+    return sign * (1.0 - poly * np.exp(-ax * ax))
+
+
 def _phi(z: np.ndarray) -> np.ndarray:
-    return 0.5 * (1.0 + np.vectorize(math.erf)(z / math.sqrt(2.0)))
+    return 0.5 * (1.0 + _erf_as(z / math.sqrt(2.0)))
 
 
 def kde_translate(

@@ -1718,6 +1718,10 @@ def q_dtw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kde_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDE residual translator (residual_translation.py:29) — full oracle:
+    Gaussian-KDE tail probability over the MA-decomposition residuals; the
+    A&S 7.1.26 erf inside the kernel evaluates as the identical
+    double-precision Horner form in DuckDB."""
     from kats_spark.operators import decomposition, kde
 
     dec = decomposition.ma_decompose(hourly_series(spark, sf_dir), 24)
@@ -1726,6 +1730,66 @@ def q_kde_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = kde.kde_translate(resid)
     return _fmt_time(_r6(out, "residual", "proba"))
+
+
+_Q_KDE_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn
+  FROM h
+),
+tr AS (
+  SELECT *,
+    CASE WHEN count(value) OVER w = 25 THEN
+      (sum(value) OVER w - first_value(value) OVER w / 2 - last_value(value) OVER w / 2) / 24
+    END AS trend
+  FROM idx
+  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+detr AS (SELECT *, value - trend AS dt, rn % 24 AS phase FROM tr),
+pm AS (
+  SELECT series_id, phase, avg(dt) AS pmv FROM detr WHERE dt IS NOT NULL GROUP BY 1, 2
+),
+gm AS (SELECT series_id, avg(pmv) AS g FROM pm GROUP BY 1),
+seas AS (
+  SELECT pm.series_id, pm.phase, pm.pmv - gm.g AS seasonal
+  FROM pm JOIN gm ON pm.series_id = gm.series_id
+),
+res AS (
+  SELECT d.series_id, d.time, d.value - d.trend - s.seasonal AS residual
+  FROM detr d LEFT JOIN seas s ON d.series_id = s.series_id AND d.phase = s.phase
+  WHERE d.value - d.trend - s.seasonal IS NOT NULL
+),
+samp AS (
+  SELECT series_id, count(*)::BIGINT AS n,
+    list(residual ORDER BY time) AS vs,
+    stddev_samp(residual) AS sd,
+    quantile_cont(residual, 0.75) - quantile_cont(residual, 0.25) AS iqr
+  FROM res GROUP BY 1
+),
+bw AS (
+  SELECT series_id, n, vs,
+    CASE WHEN a > 0 THEN 0.9 * a * pow(n, -0.2) ELSE 1.0 END AS bw
+  FROM (
+    SELECT *, CASE WHEN iqr > 0 THEN least(sd, iqr / 1.349) ELSE sd END AS a
+    FROM samp
+  )
+)
+SELECT r.series_id, strftime(r.time, '{_DK_FMT}') AS time,
+  round(1e-9 + r.residual, 6) AS residual,
+  round(1e-9 + CASE WHEN b.n >= 10 THEN round(
+    1.0 - (
+      list_sum(list_transform(
+        list_transform(b.vs, xj -> ((abs(r.residual) - xj) / b.bw) / sqrt(2.0)),
+        e -> 0.5 * (1.0 + (CASE WHEN e < 0 THEN -1.0 WHEN e > 0 THEN 1.0 ELSE 0.0 END) * (1.0 - ((((1.061405429 * (1.0 / (1.0 + 0.3275911 * abs(e))) - 1.453152027) * (1.0 / (1.0 + 0.3275911 * abs(e))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * abs(e))) - 0.284496736) * (1.0 / (1.0 + 0.3275911 * abs(e))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * abs(e))) * exp(-abs(e) * abs(e)))))) / b.n
+      -
+      list_sum(list_transform(
+        list_transform(b.vs, xj -> ((-abs(r.residual) - xj) / b.bw) / sqrt(2.0)),
+        e -> 0.5 * (1.0 + (CASE WHEN e < 0 THEN -1.0 WHEN e > 0 THEN 1.0 ELSE 0.0 END) * (1.0 - ((((1.061405429 * (1.0 / (1.0 + 0.3275911 * abs(e))) - 1.453152027) * (1.0 / (1.0 + 0.3275911 * abs(e))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * abs(e))) - 0.284496736) * (1.0 / (1.0 + 0.3275911 * abs(e))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * abs(e))) * exp(-abs(e) * abs(e)))))) / b.n
+    ), 6) END, 6) AS proba
+FROM res r JOIN bw b USING (series_id)
+"""
 
 
 def q_cusum_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1898,6 +1962,7 @@ ORACLES = {
     "fft_seasonality": _Q_FFT_SQL,
     "bocpd_detect": _Q_BOCPD_SQL,
     "cusum_model_scores": _Q_CUSUM_MODEL_SQL,
+    "kde_translate": _Q_KDE_SQL,
     "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
     # weighted_ensemble / hourly_ratio / var:
     # matrix-inverse kernels, or composition whose SQL would dwarf the

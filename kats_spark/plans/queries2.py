@@ -1711,10 +1711,60 @@ def q_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dtw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW subsequence distances (dtwcpd.py:84) — full oracle: the banded
+    Sakoe-Chiba DP replays in a recursive CTE; the within-row dependency
+    cur[j] = cost + min(prev[j], cur[j-1], prev[j-1]) unrolls into a
+    min-over-k with band-local prefix sums, exact at the 6-decimal output."""
     from kats_spark.operators import dtw
 
     out = dtw.dtw_scores(hourly_series(spark, sf_dir), window=24)
     return _fmt_time(out)
+
+
+_Q_DTW_SQL = f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) AS k
+  FROM h
+),
+lst AS (
+  SELECT series_id, count(*)::BIGINT AS n, list(value ORDER BY time) AS vs
+  FROM h GROUP BY 1
+),
+ends AS (
+  SELECT l.series_id, e.e AS fin
+  FROM lst l, LATERAL (
+    SELECT unnest(generate_series(48, l.n::INT, 12)) AS e
+  ) e
+),
+rec AS (
+  SELECT series_id, fin, 0::BIGINT AS i,
+    list_transform(generate_series(1, 25), p ->
+      CASE WHEN p = 1 THEN 0.0::DOUBLE ELSE 'infinity'::DOUBLE END) AS prev
+  FROM ends
+  UNION ALL
+  SELECT r.series_id, r.fin, r.i + 1,
+    list_transform(generate_series(1, 25), p ->
+      CASE
+        WHEN p - 1 < greatest(1, r.i + 1 - 4) OR p - 1 > least(24, r.i + 1 + 4)
+        THEN 'infinity'::DOUBLE
+        ELSE
+          list_min(list_transform(generate_series(greatest(1, r.i + 1 - 4), p - 1), kk ->
+            list_sum(list_transform(generate_series(greatest(1, r.i + 1 - 4), p - 1), t ->
+              abs(l.vs[r.fin - 24 + r.i + 1] - l.vs[r.fin - 48 + t])))
+            - coalesce(list_sum(list_transform(generate_series(greatest(1, r.i + 1 - 4), kk - 1), t ->
+                abs(l.vs[r.fin - 24 + r.i + 1] - l.vs[r.fin - 48 + t]))), 0.0)
+            + least(r.prev[kk + 1], r.prev[kk])))
+      END) AS prev
+  FROM rec r JOIN lst l USING (series_id)
+  WHERE r.i < 24
+)
+SELECT r.series_id, strftime(i.time, '{_DK_FMT}') AS time,
+  round(r.prev[25], 6) AS dtw_dist
+FROM rec r JOIN idx i ON i.series_id = r.series_id AND i.k = r.fin
+WHERE r.i = 24
+"""
 
 
 def q_kde_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1963,6 +2013,7 @@ ORACLES = {
     "bocpd_detect": _Q_BOCPD_SQL,
     "cusum_model_scores": _Q_CUSUM_MODEL_SQL,
     "kde_translate": _Q_KDE_SQL,
+    "dtw_scores": _Q_DTW_SQL,
     "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
     # weighted_ensemble / hourly_ratio / var:
     # matrix-inverse kernels, or composition whose SQL would dwarf the

@@ -137,10 +137,10 @@ FROM united GROUP BY 1, 2
 
 
 def q_weighted_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted-average ensemble, weights = 1/backtest-MAE per (series,
-    model).  Rows-only: the weighting chain is deterministic but the
-    composed SQL would dwarf the checked semantics (components + backtest
-    are each independently oracled)."""
+    """Weighted-average ensemble (weighted_avg_ensemble.py:30), weights =
+    1/backtest-MAE per (series, model) — full oracle composed from the
+    already-oracled fragments (expanding linear backtest, closed-form OLS
+    forecast, last-value/quantile heuristic) plus the 1/err weighting."""
     h = hourly_series(spark, sf_dir)
     spec = bt_mod.fold_spec(spark, n_folds=3, train_frac=0.5, test_frac=0.1)
     lin_err = (
@@ -176,6 +176,109 @@ def q_weighted_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ens.weighted_avg_ensemble(f1.unionByName(f3), errors)
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_WEIGHTED_ENSEMBLE_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value, time,
+    (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS rn,
+    row_number() OVER (PARTITION BY series_id ORDER BY time)::DOUBLE AS rn1,
+    count(*) OVER (PARTITION BY series_id)::DOUBLE AS n_all,
+    max(time) OVER (PARTITION BY series_id) AS tmax
+  FROM h
+),
+folds AS (
+  SELECT unnest([0, 1, 2]) AS fold_id
+),
+foldspec AS (
+  SELECT fold_id,
+    0.0 AS train_start,
+    round(0.5 + 0.4 * fold_id / 2, 9) AS train_end,
+    round(0.6 + 0.4 * fold_id / 2, 9) AS test_end
+  FROM folds
+),
+tagged AS (
+  SELECT i.series_id, i.value, i.rn, f.fold_id,
+    CASE WHEN i.rn >= floor(f.train_start * i.n_all)::INT
+          AND i.rn < floor(f.train_end * i.n_all)::INT THEN 'train'
+         WHEN i.rn >= floor(f.train_end * i.n_all)::INT
+          AND i.rn < floor(f.test_end * i.n_all)::INT THEN 'test' END AS st
+  FROM idx i CROSS JOIN foldspec f
+),
+fitstats AS (
+  SELECT series_id, fold_id,
+    sum(CASE WHEN st = 'train' THEN 1 ELSE 0 END)::DOUBLE AS n,
+    sum(CASE WHEN st = 'train' THEN rn END) AS sx,
+    sum(CASE WHEN st = 'train' THEN rn * rn END) AS sx2,
+    sum(CASE WHEN st = 'train' THEN value END) AS sy,
+    sum(CASE WHEN st = 'train' THEN rn * value END) AS sxy
+  FROM tagged WHERE st IS NOT NULL GROUP BY 1, 2
+),
+co AS (
+  SELECT series_id, fold_id,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM fitstats
+),
+fold_mae AS (
+  SELECT t.series_id, t.fold_id,
+    avg(abs(t.value - (c.a + c.b * t.rn))) AS mae
+  FROM tagged t JOIN co c ON t.series_id = c.series_id AND t.fold_id = c.fold_id
+  WHERE t.st = 'test'
+  GROUP BY 1, 2
+),
+lin_err AS (SELECT series_id, avg(mae) AS err FROM fold_mae GROUP BY 1),
+heur_lastv AS (
+  SELECT series_id, arg_max(value, rn1) AS lastv
+  FROM idx WHERE rn1 <= n_all * 0.9 GROUP BY 1
+),
+heur_err AS (
+  SELECT i.series_id, avg(abs(i.value - l.lastv)) AS err
+  FROM idx i JOIN heur_lastv l USING (series_id)
+  WHERE i.rn1 > i.n_all * 0.9
+  GROUP BY 1
+),
+wts AS (
+  SELECT l.series_id,
+    (1.0 / l.err) / (1.0 / l.err + 1.0 / e.err) AS w_lin,
+    (1.0 / e.err) / (1.0 / l.err + 1.0 / e.err) AS w_heur
+  FROM lin_err l JOIN heur_err e USING (series_id)
+),
+linfit AS (
+  SELECT series_id, any_value(tmax) AS tmax,
+    count(*)::DOUBLE AS n, sum(rn) AS sx, sum(rn * rn) AS sx2,
+    sum(value) AS sy, sum(rn * value) AS sxy, sum(value * value) AS sy2
+  FROM idx GROUP BY 1
+),
+linco AS (
+  SELECT series_id, tmax, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a,
+    sx2 - sx * sx / n AS sxx, sx / n AS mean_x,
+    (sy2 - (sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n) * sy
+         - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sxy) / (n - 2) AS mse
+  FROM linfit
+),
+heurfit AS (
+  SELECT series_id, arg_max(value, time) AS lastv,
+    quantile_cont(value, 0.1) AS lo, quantile_cont(value, 0.9) AS hi
+  FROM h GROUP BY 1
+)
+SELECT lc.series_id,
+  strftime(lc.tmax + to_seconds(g.hh * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + w.w_lin * (lc.a + lc.b * (lc.n - 1 + g.hh)) + w.w_heur * hf.lastv, 6) AS fcst,
+  round(1e-9 + w.w_lin * (lc.a + lc.b * (lc.n - 1 + g.hh) - 1.959963984540054
+      * sqrt(lc.mse * (1 + 1 / lc.n + pow(lc.n - 1 + g.hh - lc.mean_x, 2) / lc.sxx)))
+    + w.w_heur * hf.lo, 6) AS fcst_lower,
+  round(1e-9 + w.w_lin * (lc.a + lc.b * (lc.n - 1 + g.hh) + 1.959963984540054
+      * sqrt(lc.mse * (1 + 1 / lc.n + pow(lc.n - 1 + g.hh - lc.mean_x, 2) / lc.sxx)))
+    + w.w_heur * hf.hi, 6) AS fcst_upper
+FROM linco lc
+JOIN heurfit hf USING (series_id)
+JOIN wts w USING (series_id)
+CROSS JOIN (SELECT unnest(generate_series(1, 24))::DOUBLE AS hh) g
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2014,8 +2117,9 @@ ORACLES = {
     "cusum_model_scores": _Q_CUSUM_MODEL_SQL,
     "kde_translate": _Q_KDE_SQL,
     "dtw_scores": _Q_DTW_SQL,
+    "weighted_ensemble": _Q_WEIGHTED_ENSEMBLE_SQL,
     "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
-    # weighted_ensemble / hourly_ratio / var:
+    # hourly_ratio / var / multi_cusum:
     # matrix-inverse kernels, or composition whose SQL would dwarf the
     # checked semantics — rows-only, covered by seeded unit tests
 }

@@ -29,6 +29,67 @@ from pyspark.sql import DataFrame
 from kats_spark.tsframe import TSSchema, DEFAULT
 
 
+from math import lgamma as _lgamma
+
+
+def _lgamma_vec(a: np.ndarray) -> np.ndarray:
+    return np.vectorize(_lgamma)(a)
+
+
+def _bocpd_step(
+    x: float,
+    r: np.ndarray,
+    mu: np.ndarray,
+    kappa: np.ndarray,
+    alpha: np.ndarray,
+    beta: np.ndarray,
+    mu0: float,
+    kappa0: float,
+    alpha0: float,
+    beta0: float,
+    h: float,
+):
+    """One Adams-MacKay update; shared verbatim by the batch kernel and the
+    streaming DetectorModel so streaming == batch bit-for-bit."""
+    df_t = 2.0 * alpha
+    scale2 = beta * (kappa + 1.0) / (alpha * kappa)
+    z2 = (x - mu) ** 2 / scale2
+    log_pred = (
+        _lgamma_vec((df_t + 1.0) / 2.0)
+        - _lgamma_vec(df_t / 2.0)
+        - 0.5 * np.log(np.pi * df_t * scale2)
+        - (df_t + 1.0) / 2.0 * np.log1p(z2 / df_t)
+    )
+    pred = np.exp(np.clip(log_pred, -700.0, 50.0))
+
+    growth = r * pred * (1.0 - h)
+    cp_mass = float(np.sum(r * pred * h))
+    new_r = np.zeros_like(r)
+    new_r[0] = cp_mass
+    new_r[1:] = growth[:-1]
+    # truncation: mass falling off the end folds into the last slot
+    new_r[-1] += growth[-1]
+    tot = new_r.sum()
+    if tot <= 0 or not np.isfinite(tot):
+        new_r[:] = 0.0
+        new_r[0] = 1.0
+        tot = 1.0
+    new_r /= tot
+
+    # posterior update: shift parameters by one run length
+    mu_new = np.empty_like(mu)
+    kappa_new = np.empty_like(kappa)
+    alpha_new = np.empty_like(alpha)
+    beta_new = np.empty_like(beta)
+    mu_new[0], kappa_new[0], alpha_new[0], beta_new[0] = mu0, kappa0, alpha0, beta0
+    mu_new[1:] = (kappa[:-1] * mu[:-1] + x) / (kappa[:-1] + 1.0)
+    kappa_new[1:] = kappa[:-1] + 1.0
+    alpha_new[1:] = alpha[:-1] + 0.5
+    beta_new[1:] = beta[:-1] + 0.5 * kappa[:-1] * (x - mu[:-1]) ** 2 / (kappa[:-1] + 1.0)
+    return new_r, mu_new, kappa_new, alpha_new, beta_new
+
+
+
 def _bocpd_normal(
     y: np.ndarray, hazard_lambda: float, max_run: int, lag: int = 10
 ) -> np.ndarray:
@@ -59,52 +120,14 @@ def _bocpd_normal(
     cp = np.zeros(n)
     lag = min(lag, max_run)
 
-    from math import lgamma
-
-    def _lgamma_vec(a):
-        return np.vectorize(lgamma)(a)
-
     for t in range(n):
         x = y[t]
-        # Student-t predictive for each active run length
-        df_t = 2.0 * alpha
-        scale2 = beta * (kappa + 1.0) / (alpha * kappa)
-        z2 = (x - mu) ** 2 / scale2
-        log_pred = (
-            _lgamma_vec((df_t + 1.0) / 2.0)
-            - _lgamma_vec(df_t / 2.0)
-            - 0.5 * np.log(np.pi * df_t * scale2)
-            - (df_t + 1.0) / 2.0 * np.log1p(z2 / df_t)
+        new_r, mu, kappa, alpha, beta = _bocpd_step(
+            x, r, mu, kappa, alpha, beta, mu0, kappa0, alpha0, beta0, h
         )
-        pred = np.exp(np.clip(log_pred, -700.0, 50.0))
-
-        growth = r * pred * (1.0 - h)
-        cp_mass = float(np.sum(r * pred * h))
-        new_r = np.zeros_like(r)
-        new_r[0] = cp_mass
-        new_r[1:] = growth[:-1]
-        # truncation: mass falling off the end folds into the last slot
-        new_r[-1] += growth[-1]
-        tot = new_r.sum()
-        if tot <= 0 or not np.isfinite(tot):
-            new_r[:] = 0.0
-            new_r[0] = 1.0
-            tot = 1.0
-        new_r /= tot
         if t >= lag:
             cp[t - lag] = new_r[lag]
-
-        # posterior update: shift parameters by one run length
-        mu_new = np.empty_like(mu)
-        kappa_new = np.empty_like(kappa)
-        alpha_new = np.empty_like(alpha)
-        beta_new = np.empty_like(beta)
-        mu_new[0], kappa_new[0], alpha_new[0], beta_new[0] = mu0, kappa0, alpha0, beta0
-        mu_new[1:] = (kappa[:-1] * mu[:-1] + x) / (kappa[:-1] + 1.0)
-        kappa_new[1:] = kappa[:-1] + 1.0
-        alpha_new[1:] = alpha[:-1] + 0.5
-        beta_new[1:] = beta[:-1] + 0.5 * kappa[:-1] * (x - mu[:-1]) ** 2 / (kappa[:-1] + 1.0)
-        mu, kappa, alpha, beta, r = mu_new, kappa_new, alpha_new, beta_new, new_r
+        r = new_r
 
     # tail: the last ``lag`` points read the final posterior at their
     # (shorter) achieved lag

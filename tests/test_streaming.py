@@ -259,3 +259,81 @@ def test_rolling_streaming_equals_batch(spark):
         assert got[got.series_id == "a"].z_score.max() > 6
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_bocpd_streaming_equals_batch(spark):
+    """Streaming BOCPD == batch bocpd_scores on the common prefix (all
+    points except the final ``lag``, which the batch kernel reads from its
+    end-of-data posterior — a readout a stream does not have)."""
+    from kats_spark.operators import bocpd as bocpd_batch
+    from kats_spark.streaming import bocpd_model as bm
+
+    tmpdir = tempfile.mkdtemp()
+    out_table = "bocpd_stream_out"
+    lag = 10
+    try:
+        import numpy as np
+
+        rng = np.random.RandomState(17)
+        n = 120
+        vals_a = rng.randn(n)
+        vals_a[70:] += 6.0  # regime shift
+        vals_b = rng.randn(n)
+        pdf = pd.DataFrame(
+            {
+                "series_id": ["a"] * n + ["b"] * n,
+                "time": list(pd.date_range("2024-01-01", periods=n, freq="h")) * 2,
+                "value": np.concatenate([vals_a, vals_b]),
+            }
+        )
+        static = spark.createDataFrame(pdf)
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        pdf_us = pdf.assign(time=pdf.time.astype("datetime64[us]"))
+        pdf_us.iloc[: n // 2].to_parquet(os.path.join(chunk_dir, "c0.parquet"))
+        pdf_us.iloc[n // 2 : n + 30].to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+        pdf_us.iloc[n + 30 :].to_parquet(os.path.join(chunk_dir, "c2.parquet"))
+
+        stream = (
+            spark.readStream.schema("series_id string, time timestamp, value double")
+            .parquet(chunk_dir)
+        )
+        q = (
+            bm.bocpd_stream(stream, hazard_lambda=250.0, max_run=200, lag=lag)
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = (
+            spark.table(out_table)
+            .toPandas()
+            .sort_values(["series_id", "time"])
+            .reset_index(drop=True)
+        )
+        exp_all = (
+            bocpd_batch.bocpd_scores(static, hazard_lambda=250.0, max_run=200)
+            .toPandas()
+            .sort_values(["series_id", "time"])
+            .reset_index(drop=True)
+        )
+        # common prefix: every point except the final `lag` per series
+        exp = (
+            exp_all.groupby("series_id", group_keys=False)
+            .apply(lambda g: g.iloc[:-lag])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) == 2 * (n - lag)
+        pd.testing.assert_frame_equal(
+            got, exp, check_dtype=False, rtol=0, atol=0
+        )
+        # the regime shift shows up as a cp_prob spike in series a
+        a = got[got.series_id == "a"].reset_index(drop=True)
+        assert a.cp_prob.iloc[60:90].max() > 0.2
+        assert got[got.series_id == "b"].cp_prob.max() < 0.2
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

@@ -2029,6 +2029,46 @@ WHERE r.i >= 1
 """
 
 
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI(14) per point (feature_extraction.py:432 RSI) — full oracle:
+    pandas ewm(alpha=1/14, adjust=True) over the clipped up/down moves is
+    the normalized (1-a)^(t-j) weighted sum, replayed with list lambdas;
+    valid from the 15th point (min_periods=14 over the diff series)."""
+    from kats_spark.functions import ta
+
+    h = hourly_series(spark, sf_dir)
+    out = ta.with_ewma_features(h, [("rsi_14", {"kind": "rsi", "n": 14})])
+    return _fmt_time(
+        _r6(out.filter(F.col("rsi_14").isNotNull()), "value", "rsi_14")
+    )
+
+
+_Q_RSI_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) AS t
+  FROM h
+),
+lst AS (SELECT series_id, list(value ORDER BY time) AS vs FROM h GROUP BY 1)
+SELECT i.series_id, strftime(i.time, '{_DK_FMT}') AS time,
+  round(1e-9 + i.value, 6) AS value,
+  round(1e-9 + 100.0 - 100.0 / (1.0 +
+    (list_sum(list_transform(generate_series(2, i.t::INT), j ->
+        greatest(l.vs[j] - l.vs[j - 1], 0.0) * pow(1.0 - 1.0 / 14.0, i.t - j)))
+     / list_sum(list_transform(generate_series(2, i.t::INT), j ->
+        pow(1.0 - 1.0 / 14.0, i.t - j))))
+    /
+    (list_sum(list_transform(generate_series(2, i.t::INT), j ->
+        greatest(-(l.vs[j] - l.vs[j - 1]), 0.0) * pow(1.0 - 1.0 / 14.0, i.t - j)))
+     / list_sum(list_transform(generate_series(2, i.t::INT), j ->
+        pow(1.0 - 1.0 / 14.0, i.t - j))))
+  ), 6) AS rsi_14
+FROM idx i JOIN lst l USING (series_id)
+WHERE i.t >= 15
+"""
+
+
 def q_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded simulator (simulator.py:48-834: trend/noise/seasonality/
     level-shift injection as expressions over spark.range) — rows-only:
@@ -2086,6 +2126,7 @@ QUERIES = {
     "hpt_recommend": q_hpt_recommend,
     "ema": q_ema,
     "macd": q_macd,
+    "rsi": q_rsi,
     "simulate": q_simulate,
 }
 
@@ -2118,6 +2159,7 @@ ORACLES = {
     "kde_translate": _Q_KDE_SQL,
     "dtw_scores": _Q_DTW_SQL,
     "weighted_ensemble": _Q_WEIGHTED_ENSEMBLE_SQL,
+    "rsi": _Q_RSI_SQL,
     "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
     # hourly_ratio / var / multi_cusum:
     # matrix-inverse kernels, or composition whose SQL would dwarf the

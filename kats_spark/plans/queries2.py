@@ -2069,6 +2069,100 @@ WHERE i.t >= 15
 """
 
 
+def q_trix_tsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX(12) + TSI(25,13) (feature_extraction.py:341 TRIX, :402 TSI) —
+    full oracle: both chained EWMAs expand to normalized weighted sums;
+    each smoothing stage's sum starts at its predecessor's first valid
+    index (pandas min_periods masking with ignore_na=False), giving TRIX
+    from t=32 and TSI from t=36 on the hourly series."""
+    from kats_spark.functions import ta
+
+    h = hourly_series(spark, sf_dir)
+    out = ta.with_ewma_features(
+        h,
+        [
+            ("trix_12", {"kind": "trix", "n": 12}),
+            ("tsi", {"kind": "tsi", "r": 25, "s": 13}),
+        ],
+    )
+    return _fmt_time(
+        _r6(out.filter(F.col("tsi").isNotNull()), "value", "trix_12", "tsi")
+    )
+
+
+_Q_TRIX_TSI_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) AS t
+  FROM h
+),
+lst AS (
+  SELECT series_id, count(*)::BIGINT AS nn, list(value ORDER BY time) AS vs
+  FROM h GROUP BY 1
+),
+l1 AS (
+  SELECT series_id, nn, vs,
+    list_transform(generate_series(1, nn::INT), t ->
+      list_sum(list_transform(generate_series(1, t), j ->
+        vs[j] * pow(1.0 - 2.0 / 13.0, t - j)))
+      / list_sum(list_transform(generate_series(1, t), j ->
+        pow(1.0 - 2.0 / 13.0, t - j)))) AS e1,
+    list_transform(generate_series(1, nn::INT), t ->
+      CASE WHEN t >= 2 THEN
+        list_sum(list_transform(generate_series(2, t), j ->
+          (vs[j] - vs[j - 1]) * pow(1.0 - 2.0 / 26.0, t - j)))
+        / list_sum(list_transform(generate_series(2, t), j ->
+          pow(1.0 - 2.0 / 26.0, t - j))) END) AS m1,
+    list_transform(generate_series(1, nn::INT), t ->
+      CASE WHEN t >= 2 THEN
+        list_sum(list_transform(generate_series(2, t), j ->
+          abs(vs[j] - vs[j - 1]) * pow(1.0 - 2.0 / 26.0, t - j)))
+        / list_sum(list_transform(generate_series(2, t), j ->
+          pow(1.0 - 2.0 / 26.0, t - j))) END) AS a1
+  FROM lst
+),
+l2 AS (
+  SELECT series_id, nn, e1, m1, a1,
+    list_transform(generate_series(1, nn::INT), t ->
+      CASE WHEN t >= 11 THEN
+        list_sum(list_transform(generate_series(11, t), j ->
+          e1[j] * pow(1.0 - 2.0 / 13.0, t - j)))
+        / list_sum(list_transform(generate_series(11, t), j ->
+          pow(1.0 - 2.0 / 13.0, t - j))) END) AS e2,
+    list_transform(generate_series(1, nn::INT), t ->
+      CASE WHEN t >= 25 THEN
+        list_sum(list_transform(generate_series(25, t), j ->
+          m1[j] * pow(1.0 - 2.0 / 14.0, t - j)))
+        / list_sum(list_transform(generate_series(25, t), j ->
+          pow(1.0 - 2.0 / 14.0, t - j))) END) AS m2,
+    list_transform(generate_series(1, nn::INT), t ->
+      CASE WHEN t >= 25 THEN
+        list_sum(list_transform(generate_series(25, t), j ->
+          a1[j] * pow(1.0 - 2.0 / 14.0, t - j)))
+        / list_sum(list_transform(generate_series(25, t), j ->
+          pow(1.0 - 2.0 / 14.0, t - j))) END) AS a2
+  FROM l1
+),
+l3 AS (
+  SELECT series_id, nn, m2, a2,
+    list_transform(generate_series(1, nn::INT), t ->
+      CASE WHEN t >= 21 THEN
+        list_sum(list_transform(generate_series(21, t), j ->
+          e2[j] * pow(1.0 - 2.0 / 13.0, t - j)))
+        / list_sum(list_transform(generate_series(21, t), j ->
+          pow(1.0 - 2.0 / 13.0, t - j))) END) AS e3
+  FROM l2
+)
+SELECT i.series_id, strftime(i.time, '{_DK_FMT}') AS time,
+  round(1e-9 + i.value, 6) AS value,
+  round(1e-9 + l.e3[i.t] / l.e3[i.t - 1] - 1.0, 6) AS trix_12,
+  round(1e-9 + l.m2[i.t] / l.a2[i.t], 6) AS tsi
+FROM idx i JOIN l3 l USING (series_id)
+WHERE i.t >= 36
+"""
+
+
 def q_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded simulator (simulator.py:48-834: trend/noise/seasonality/
     level-shift injection as expressions over spark.range) — rows-only:
@@ -2127,6 +2221,7 @@ QUERIES = {
     "ema": q_ema,
     "macd": q_macd,
     "rsi": q_rsi,
+    "trix_tsi": q_trix_tsi,
     "simulate": q_simulate,
 }
 
@@ -2160,6 +2255,7 @@ ORACLES = {
     "dtw_scores": _Q_DTW_SQL,
     "weighted_ensemble": _Q_WEIGHTED_ENSEMBLE_SQL,
     "rsi": _Q_RSI_SQL,
+    "trix_tsi": _Q_TRIX_TSI_SQL,
     "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
     # hourly_ratio / var / multi_cusum:
     # matrix-inverse kernels, or composition whose SQL would dwarf the

@@ -83,35 +83,75 @@ def _kpss(y: np.ndarray) -> float:
     return float(np.dot(s, s) / (n * n * lrv))
 
 
-def _het_arch(y: np.ndarray, nlags: int = 4) -> float:
-    """Engle ARCH LM statistic = n·R² of e² on its lags
-    (tsfeatures.py:1259)."""
+def _gauss_solve(A: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pivot-free Gauss-Jordan on a (small) positive-definite system.
+
+    Deterministic scalar elimination order — the DuckDB oracle replays the
+    identical double-precision operations in a recursive CTE, so using
+    this instead of np.linalg.lstsq (SVD, not SQL-replayable) buys bit
+    parity for the correctness gate.  Valid because the ARCH normal
+    equations X'X are positive definite (no pivoting needed)."""
+    m = len(b)
+    aug = np.concatenate([A.astype(float), b.reshape(-1, 1).astype(float)], axis=1)
+    for p in range(m):
+        piv = aug[p, p]
+        aug[p] = aug[p] / piv
+        for r in range(m):
+            if r != p:
+                aug[r] = aug[r] - aug[r, p] * aug[p]
+    return aug[:, m]
+
+
+def _arch_r2(y: np.ndarray, nlags: int = 4) -> float:
+    """R² of the Engle ARCH LM regression of e² on its lags
+    (tsfeatures.py:1259); OLS via normal equations + _gauss_solve.
+
+    e² is scaled by its mean before the regression — the statistic is
+    scale-invariant in exact arithmetic, and the O(1) regressors keep the
+    normal equations well-conditioned so the DuckDB replay stays within
+    the 6-decimal rounding lattice."""
     e2 = (y - y.mean()) ** 2
     n = len(e2) - nlags
     if n < nlags + 2:
         return np.nan
+    m2 = e2.mean()
+    if m2 <= 0:
+        return np.nan
+    z = e2 / m2
     X = np.ones((n, nlags + 1))
     for i in range(1, nlags + 1):
-        X[:, i] = e2[nlags - i : len(e2) - i]
-    t = e2[nlags:]
-    coef, *_ = np.linalg.lstsq(X, t, rcond=None)
+        X[:, i] = z[nlags - i : len(z) - i]
+    t = z[nlags:]
+    coef = _gauss_solve(X.T @ X, X.T @ t)
     pred = X @ coef
     ss_res = float(((t - pred) ** 2).sum())
     ss_tot = float(((t - t.mean()) ** 2).sum())
     if ss_tot <= 0:
         return np.nan
-    return float(n * (1.0 - ss_res / ss_tot))
+    return float(1.0 - ss_res / ss_tot)
+
+
+def _het_arch(y: np.ndarray, nlags: int = 4) -> float:
+    """Engle ARCH LM statistic = n·R² (tsfeatures.py:1259)."""
+    r2 = _arch_r2(y, nlags)
+    if not np.isfinite(r2):
+        return np.nan
+    return float((len(y) - nlags) * r2)
 
 
 def _linearity(y: np.ndarray) -> float:
-    """R² of the linear trend fit (tsfeatures.py:1349)."""
+    """R² of the linear trend fit (tsfeatures.py:1349), closed-form
+    centered-sums OLS (replayed verbatim by the kernel_stats oracle)."""
     n = len(y)
     x = np.arange(n, dtype=float)
-    b, a = np.polyfit(x, y, 1)
-    pred = a + b * x
+    xc = x - x.mean()
+    denom = float(np.dot(xc, xc))
     ss_tot = float(((y - y.mean()) ** 2).sum())
-    if ss_tot <= 0:
+    if ss_tot <= 0 or denom <= 0:
         return np.nan
+    b = float(np.dot(xc, y) / denom)
+    a = y.mean() - b * x.mean()
+    pred = a + b * x
     return float(1.0 - ((y - pred) ** 2).sum() / ss_tot)
 
 
@@ -230,6 +270,43 @@ def kernel_features(df: DataFrame, period: int = 24, s: TSSchema = DEFAULT) -> D
         df.select(s.series_id, s.time, s.value)
         .groupBy(s.series_id)
         .applyInPandas(fn, _KERNEL_SCHEMA)
+    )
+
+
+_KSTAT_SCHEMA = (
+    "series_id string, linearity double, unitroot_kpss double, arch_r2 double"
+)
+
+
+def kernel_stats(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
+    """The three SQL-replayable statsmodels-grade kernels — linearity
+    (tsfeatures.py:1349), KPSS (:1238), ARCH-LM R² (:1259) — in one
+    Arrow batch per series; hash-matched by the ``kernel_stats`` DuckDB
+    oracle (centered-sums OLS, Bartlett long-run variance, and a
+    Gauss-Jordan recursive-CTE replay of the ARCH normal equations)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(s.time)
+        y = pdf[s.value].to_numpy(dtype=float)
+        if len(y) < 10:
+            return pd.DataFrame(
+                columns=["series_id", "linearity", "unitroot_kpss", "arch_r2"]
+            )
+        return pd.DataFrame(
+            [
+                {
+                    "series_id": pdf[s.series_id].iloc[0],
+                    "linearity": _linearity(y),
+                    "unitroot_kpss": _kpss(y),
+                    "arch_r2": _arch_r2(y),
+                }
+            ]
+        )
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(fn, _KSTAT_SCHEMA)
     )
 
 

@@ -2179,6 +2179,118 @@ def q_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(out.withColumn("value", F.col("value").cast("double")))
 
 
+# --------------------------------------------------------------------------
+# kernel_stats: linearity / KPSS / ARCH-LM R² — full oracle.  The three
+# statsmodels-grade numpy kernels of TsFeatures (tsfeatures.py:1349,
+# :1238, :1259) whose math is SQL-replayable: centered-sums OLS, Bartlett
+# long-run variance over list lambdas, and the ARCH normal equations
+# solved by a pivot-free Gauss-Jordan replayed in a recursive CTE.
+# --------------------------------------------------------------------------
+
+
+def q_kernel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kats_spark.operators import tsfeatures as tsf
+
+    out = tsf.kernel_stats(hourly_series(spark, sf_dir))
+    return _r6(out, "linearity", "unitroot_kpss", "arch_r2")
+
+
+def _arch_m0_sql() -> str:
+    """The flattened 5x6 augmented matrix [X'X | X't] of the ARCH lag
+    regression as DuckDB list-lambda sums (t ranges over target rows)."""
+
+    def term(a: int) -> str:
+        return "1.0" if a == 0 else f"z[t-{a}]"
+
+    entries = []
+    for r in range(5):
+        for c in range(5):
+            entries.append(
+                f"list_sum(list_transform(range(5, n+1), t -> {term(r)} * {term(c)}))"
+            )
+        entries.append(
+            f"list_sum(list_transform(range(5, n+1), t -> {term(r)} * z[t]))"
+        )
+    return "[" + ",\n     ".join(entries) + "]"
+
+
+_Q_KERNEL_STATS_SQL = f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+lst AS (
+  SELECT series_id, list(value ORDER BY time) AS vs, count(*)::BIGINT AS n
+  FROM h GROUP BY 1
+),
+dev AS (
+  SELECT series_id, n, vs, list_sum(vs)/n AS mu,
+         list_transform(vs, v -> v - list_sum(vs)/n) AS e,
+         (n-1)/2.0 AS xm
+  FROM lst
+),
+lin AS (
+  SELECT series_id, n, vs, mu, e, xm,
+    list_sum(list_transform(vs, (v,i) -> ((i-1) - xm) * v)) /
+    list_sum(list_transform(vs, (v,i) -> ((i-1) - xm) * ((i-1) - xm))) AS slope
+  FROM dev
+),
+lin2 AS (
+  SELECT series_id, n, vs, mu, e,
+    1 - list_sum(list_transform(vs, (v,i) ->
+          pow(v - ((mu - slope*xm) + slope*(i-1)), 2))) /
+        list_sum(list_transform(e, d -> d*d)) AS linearity
+  FROM lin
+),
+kp AS (
+  SELECT series_id, n, e,
+    least(ceil(12.0 * pow(n/100.0, 0.25))::BIGINT, n-1) AS lag,
+    list_sum(list_transform(e, d -> d*d))/n AS gamma0,
+    list_sum(list_transform(range(1, n+1), t ->
+      pow(list_sum(e[1:t]), 2))) AS ss_cum
+  FROM dev
+),
+kp2 AS (
+  SELECT series_id,
+    ss_cum / (n * n * (gamma0 + 2.0 * list_sum(list_transform(range(1, lag+1), k ->
+      (1.0 - k/(lag+1.0)) *
+      list_sum(list_transform(range(1, n-k+1), i -> e[i]*e[i+k])) / n)))) AS kpss
+  FROM kp
+),
+arch0 AS (
+  SELECT series_id, n,
+    list_transform(e, d -> d*d / (list_sum(list_transform(e, q -> q*q))/n)) AS z
+  FROM dev
+),
+arch_init AS (
+  SELECT series_id, n, z, 0 AS p,
+    {_arch_m0_sql()} AS m
+  FROM arch0
+),
+gj AS (
+  SELECT series_id, n, z, p, m FROM arch_init
+  UNION ALL
+  SELECT series_id, n, z, p+1,
+    list_transform(range(0, 30), i ->
+      CASE WHEN i // 6 = p THEN m[i+1] / m[p*6+p+1]
+      ELSE m[i+1] - m[(i//6)*6 + p + 1] * (m[p*6 + (i%6) + 1] / m[p*6+p+1]) END)
+  FROM gj WHERE p < 5
+),
+arch AS (
+  SELECT series_id,
+    1.0 -
+    list_sum(list_transform(range(5, n+1), t ->
+      pow(z[t] - (m[6] + m[12]*z[t-1] + m[18]*z[t-2] + m[24]*z[t-3] + m[30]*z[t-4]), 2)))
+    /
+    list_sum(list_transform(range(5, n+1), t ->
+      pow(z[t] - list_sum(z[5:n])/(n-4), 2))) AS arch_r2
+  FROM gj WHERE p = 5
+)
+SELECT l.series_id,
+  round(1e-9 + l.linearity, 6) AS linearity,
+  round(1e-9 + k.kpss, 6) AS unitroot_kpss,
+  round(1e-9 + a.arch_r2, 6) AS arch_r2
+FROM lin2 l JOIN kp2 k USING (series_id) JOIN arch a USING (series_id)
+"""
+
+
 QUERIES = {
     "median_ensemble": q_median_ensemble,
     "weighted_ensemble": q_weighted_ensemble,
@@ -2223,6 +2335,7 @@ QUERIES = {
     "rsi": q_rsi,
     "trix_tsi": q_trix_tsi,
     "simulate": q_simulate,
+    "kernel_stats": q_kernel_stats,
 }
 
 ORACLES = {
@@ -2257,6 +2370,7 @@ ORACLES = {
     "rsi": _Q_RSI_SQL,
     "trix_tsi": _Q_TRIX_TSI_SQL,
     "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
+    "kernel_stats": _Q_KERNEL_STATS_SQL,
     # hourly_ratio / var / multi_cusum:
     # matrix-inverse kernels, or composition whose SQL would dwarf the
     # checked semantics — rows-only, covered by seeded unit tests

@@ -25,29 +25,65 @@ from kats_spark.tsframe import TSSchema, DEFAULT
 Z95 = 1.959963984540054
 
 
+def _gauss_solve_multi(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Pivot-free Gauss-Jordan solve of A C = B for positive-definite A.
+
+    Deterministic scalar elimination order — the DuckDB VAR oracles replay
+    the identical double-precision operations in a recursive CTE, so this
+    (rather than np.linalg.lstsq's SVD) keeps the correctness gate on the
+    6-decimal rounding lattice."""
+    m = A.shape[0]
+    aug = np.concatenate([A.astype(float), B.astype(float)], axis=1)
+    for piv_i in range(m):
+        piv = aug[piv_i, piv_i]
+        aug[piv_i] = aug[piv_i] / piv
+        for r in range(m):
+            if r != piv_i:
+                aug[r] = aug[r] - aug[r, piv_i] * aug[piv_i]
+    return aug[:, m:]
+
+
+def _standardize(Y: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Column z-scores (population sd).  The VAR regression runs in z-space:
+    OLS predictions are invariant to the affine transform in exact
+    arithmetic, and the O(1) regressors keep the normal equations
+    well-conditioned for the Gauss-Jordan oracle replay."""
+    mu = Y.mean(axis=0)
+    sd = np.sqrt(((Y - mu) ** 2).mean(axis=0))
+    sd = np.where(sd > 0, sd, 1.0)
+    return (Y - mu) / sd, mu, sd
+
+
+def _var_design(Z: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    n, k = Z.shape
+    rows = n - p
+    X = np.ones((rows, 1 + p * k))
+    for i in range(1, p + 1):
+        X[:, 1 + (i - 1) * k : 1 + i * k] = Z[p - i : n - i]
+    return X, Z[p:]
+
+
 def _var_fit_forecast(wide: pd.DataFrame, p: int, steps: int) -> tuple[np.ndarray, np.ndarray]:
     """wide: rows=time, cols=series. Returns (forecast[steps,k], sigma[k])."""
     Y = wide.to_numpy(dtype=float)
     n, k = Y.shape
+    Z, mu, sd = _standardize(Y)
+    X, T = _var_design(Z, p)
     rows = n - p
-    X = np.ones((rows, 1 + p * k))
-    for i in range(1, p + 1):
-        X[:, 1 + (i - 1) * k : 1 + i * k] = Y[p - i : n - i]
-    T = Y[p:]
-    coef, *_ = np.linalg.lstsq(X, T, rcond=None)  # (1+p*k, k)
+    coef = _gauss_solve_multi(X.T @ X, X.T @ T)  # (1+p*k, k)
     resid = T - X @ coef
     dof = max(rows - (1 + p * k), 1)
-    sigma = np.sqrt((resid**2).sum(axis=0) / dof)
+    sigma = sd * np.sqrt((resid**2).sum(axis=0) / dof)
 
-    hist = Y[-p:].copy()
+    hist = Z[-p:].copy()
     out = np.empty((steps, k))
     for h in range(steps):
         x = np.ones(1 + p * k)
         for i in range(1, p + 1):
             x[1 + (i - 1) * k : 1 + i * k] = hist[-i]
-        yh = x @ coef
-        out[h] = yh
-        hist = np.vstack([hist, yh])[-p:]
+        zh = x @ coef
+        out[h] = mu + sd * zh
+        hist = np.vstack([hist, zh])[-p:]
     return out, sigma
 
 
@@ -131,14 +167,14 @@ def var_residual_scores(
         if n < 3 * p + 5 or k == 0:
             return pd.DataFrame(columns=[gcol, s.time, "mahalanobis"])
         Y = wide.to_numpy(dtype=float)
-        X = np.ones((n - p, 1 + p * k))
-        for i in range(1, p + 1):
-            X[:, 1 + (i - 1) * k : 1 + i * k] = Y[p - i : n - i]
-        T = Y[p:]
-        coef, *_ = np.linalg.lstsq(X, T, rcond=None)
+        Z, _, _ = _standardize(Y)
+        X, T = _var_design(Z, p)
+        coef = _gauss_solve_multi(X.T @ X, X.T @ T)
         resid = T - X @ coef
-        cov = np.cov(resid, rowvar=False) + 1e-9 * np.eye(k)
-        icov = np.linalg.pinv(cov)
+        rm = resid.mean(axis=0)
+        rc = resid - rm
+        cov = (rc.T @ rc) / (len(resid) - 1) + 1e-9 * np.eye(k)
+        icov = _gauss_solve_multi(cov, np.eye(k))
         d = np.sqrt(np.einsum("ij,jk,ik->i", resid, icov, resid))
         return pd.DataFrame(
             {gcol: g, s.time: wide.index[p:], "mahalanobis": np.round(d, 6)}

@@ -29,6 +29,7 @@ from kats_spark.operators import (
     trend,
     var as var_mod,
 )
+from kats_spark.plans import var_oracle as _VAR_ORACLE
 from kats_spark.plans.queries import (
     _DK_FMT,
     _HOURLY_SQL,
@@ -1144,6 +1145,9 @@ FROM hist
 
 
 def q_var_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAR(2) joint forecast of the five event-type series — full oracle:
+    z-space OLS normal equations + Gauss-Jordan + forecast recursion,
+    replayed by plans/var_oracle.forecast_sql."""
     out = var_mod.var_forecast(
         hourly_series(spark, sf_dir), steps=24, freq_seconds=3600, p=2
     )
@@ -1199,6 +1203,9 @@ def q_tsfeatures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_var_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate anomaly scores (VAR residual Mahalanobis) — full
+    oracle: the ridge-regularized residual covariance is inverted by the
+    same Gauss-Jordan recursive-CTE replay (plans/var_oracle.scores_sql)."""
     out = var_mod.var_residual_scores(hourly_series(spark, sf_dir), p=2)
     return out.select(
         F.date_format("time", _TS_FMT).alias("time"),
@@ -2371,7 +2378,10 @@ ORACLES = {
     "trix_tsi": _Q_TRIX_TSI_SQL,
     "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
     "kernel_stats": _Q_KERNEL_STATS_SQL,
-    # hourly_ratio / var / multi_cusum:
+    "var_forecast": _VAR_ORACLE.forecast_sql(_HOURLY_SQL, p=2, k=5, steps=24,
+                                             freq_seconds=3600, dk_fmt=_DK_FMT),
+    "var_scores": _VAR_ORACLE.scores_sql(_HOURLY_SQL, p=2, k=5, dk_fmt=_DK_FMT),
+    # hourly_ratio / multi_cusum:
     # matrix-inverse kernels, or composition whose SQL would dwarf the
     # checked semantics — rows-only, covered by seeded unit tests
 }

@@ -47,13 +47,21 @@ def _utc(spark: SparkSession) -> None:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read nanos as long and truncate to microseconds (exactly what
-    DuckDB's ns->us timestamp conversion does)."""
+    """Schema-adaptive events loader.  Driver-generated events.parquet has
+    shipped `ts` as TIMESTAMP(NANOS) (which Spark's reader rejects -> read
+    nanos as long, truncate to micros exactly like DuckDB's ns->us cast)
+    and as plain timestamp[us] (Spark 4 infers TIMESTAMP_NTZ -> cast to the
+    session-tz type; session tz is pinned UTC so the instant is identical
+    to DuckDB's reading)."""
     _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint")))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":  # nanos read as long
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint")))
+    elif ts_type != "timestamp":  # timestamp_ntz
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 def raw_series(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -329,3 +329,127 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         val = val + F.shiftleft(bit, b)
     sh = per_doc.select(F.col(id_col), val.alias(out_col))
     return df.join(sh, id_col)
+
+
+# --------------------------------------------------------------------------
+# Portable-hash variants: same algorithms with a hash family that is plain
+# modular arithmetic over character codes, so the ENTIRE pipeline (hash
+# included) is reproducible in ANSI SQL and gets an exact DuckDB oracle.
+# The xxhash64 variants above stay the production scale path (JVM-native
+# hashing, 64-bit space); these prove algorithm correctness end-to-end.
+# --------------------------------------------------------------------------
+
+def poly_hash_expr(col_name: str) -> Column:
+    """31-base polynomial rolling hash of a string column, mod 2^31-1 —
+    h_0 = 0, h_i = (31 h_{i-1} + code(c_i)) mod p.  Identical in DuckDB as
+    list_reduce(list_prepend(0, codes), (h,c) -> (h*31+c) % p)."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({col_name})), "
+        f"i -> bigint(ascii(substr({col_name}, i, 1)))), 0L, "
+        f"(h, c) -> (h * 31 + c) % {_P})"
+    )
+
+
+def simhash_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    out_col: str = "simhash16",
+) -> DataFrame:
+    """SimHash over the portable polynomial hash (bits ≤ 31).  Same
+    explode → partial-agg shape as ``simhash``; sign-sums count token
+    MULTIPLICITY (classic frequency-weighted SimHash)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("__t")
+    )
+    hashed = tok.select(F.col(id_col), poly_hash_expr("__t").alias("__h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*aggs)
+    val = F.lit(0).cast("bigint")
+    for b in range(bits):
+        bit = F.when(F.col(f"__b{b}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        val = val + F.shiftleft(bit, b)
+    return per_doc.select(F.col(id_col), val.alias(out_col))
+
+
+def shingle_string_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, g) DISTINCT word-n-gram shingle STRING rows — the row-based
+    plan of ``shingle_rows`` keeping the gram text (lead-concat instead of
+    hash-combine), for hash families applied to the string itself.
+    Matches the slice semantics of ``shingles`` exactly: full grams only,
+    except docs shorter than n keep their single truncated gram."""
+    from pyspark.sql import Window
+
+    t = tokens(normalize(F.col(text_col)))
+    tok = df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", j).over(w) for j in range(1, n)]
+    g = F.concat_ws(" ", *parts)  # concat_ws skips nulls -> truncated tail grams
+    cnt = F.count("*").over(Window.partitionBy(id_col))
+    rows = tok.withColumn("__g", g).withColumn("__n_tok", cnt)
+    full = rows.filter(
+        (F.col("__pos") <= F.col("__n_tok") - n) | (F.col("__pos") == 0)
+    )
+    return full.select(F.col(id_col), F.col("__g").alias("g")).distinct()
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over the portable hash family:
+    h_k(g) = (a_k · poly(g) + b_k) mod p with seeded (a_k, b_k) literals
+    inlined into the plan (and into the DuckDB oracle — same constants).
+    Plan: shingle strings (one linear shuffle) → poly hash per gram row →
+    16 partial-agg mins → 4 band keys → band self-join → distinct pairs."""
+    rows_per_band = num_hashes // bands
+    ex = shingle_string_rows(df, text_col, id_col, shingle_n)
+    hashed = ex.select(F.col(id_col), poly_hash_expr("g").alias("__h"))
+    params = _hash_params(num_hashes, seed)
+    aggs = [
+        F.min((F.col("__h") * a + b) % _P).alias(f"__m{k}")
+        for k, (a, b) in enumerate(params)
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"__m{j * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("key"),
+        )
+        for j in range(bands)
+    ]
+    bandrows = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")
+    ).select(id_col, F.col("__b.band_id").alias("band_id"), F.col("__b.key").alias("key"))
+    a = bandrows.select(F.col(id_col).alias("id_a"), "band_id", "key")
+    b = bandrows.select(F.col(id_col).alias("id_b"), "band_id", "key")
+    return (
+        a.join(b, ["band_id", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -242,6 +242,96 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# portable-hash dedup variants (exact oracles: the hash family is plain
+# modular arithmetic, reproduced verbatim in DuckDB SQL)
+# --------------------------------------------------------------------------
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+)"""
+
+_POLY = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(range(1, length({col})+1), i -> ord({col}[i])::BIGINT)), "
+    "(h, c) -> (h * 31 + c) % 2147483647)"
+)
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over the portable polynomial hash — exact oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_portable(docs, bits=16).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "simhash16"
+    )
+
+
+def _simhash_portable_sql(bits: int = 16) -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+hs AS (SELECT doc_id, {_POLY.format(col='tk')} AS h FROM tok),
+bits AS (SELECT doc_id,
+    {sums}
+  FROM hs GROUP BY doc_id)
+SELECT doc_id::BIGINT AS doc_id, ({fp})::BIGINT AS simhash16 FROM bits
+"""
+
+
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over the portable hash family (16
+    permutations, 4 bands) — exact oracle with the same seeded (a_k, b_k)
+    constants inlined into both plans."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_portable_pairs(docs, num_hashes=16, bands=4, seed=7).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+
+
+def _minhash_portable_sql(num_hashes: int = 16, bands: int = 4, seed: int = 7) -> str:
+    params = dedup._hash_params(num_hashes, seed)
+    rpb = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min((h * {a}::BIGINT + {b}) % 2147483647) AS m{k}"
+        for k, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_id, concat_ws(',', "
+        + ", ".join(f"m{j * rpb + r}" for r in range(rpb))
+        + ") AS key FROM sig"
+        for j in range(bands)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+),
+g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hs AS (SELECT doc_id, {_POLY.format(col='g')} AS h FROM g),
+sig AS (SELECT doc_id,
+    {mins}
+  FROM hs GROUP BY doc_id),
+bands AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
+FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
@@ -252,6 +342,8 @@ QUERIES = {
     "topk_cosine": q_topk_cosine,
     "allpairs_topk": q_allpairs_topk,
     "lsh_bucket_pairs": q_lsh_buckets,
+    "simhash_portable": q_simhash_portable,
+    "minhash_portable_pairs": q_minhash_portable,
 }
 
 ORACLES = {
@@ -261,5 +353,10 @@ ORACLES = {
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "topk_cosine": _Q_TOPK_COSINE_SQL,
     "allpairs_topk": _Q_ALLPAIRS_SQL,
+    "simhash_portable": _simhash_portable_sql(),
+    "minhash_portable_pairs": _minhash_portable_sql(),
     # minhash_lsh_pairs / simhash / lsh_bucket_pairs: rows-only by design
+    # (Spark xxhash64 / seeded random planes have no SQL equivalent; the
+    # *_portable variants above cover the same algorithms with an exact
+    # oracle)
 }

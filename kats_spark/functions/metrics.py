@@ -120,6 +120,96 @@ def interval_score(y, lower, upper, alpha: float = 0.05) -> Column:
     return F.avg(width + below + above)
 
 
+def scaled_symmetric_mean_absolute_percentage_error(y, yhat) -> Column:
+    """sSMAPE (kats/metrics/metrics.py:614): |e| / (|y|+|yhat|), i.e.
+    SMAPE / 2, range [0, 1]."""
+    return F.avg(F.abs(error(y, yhat)) / (F.abs(_c(y)) + F.abs(_c(yhat))))
+
+
+def symmetric_bias(y, yhat) -> Column:
+    """sbias (kats/metrics/metrics.py:633): -2 · mean(e / (|y|+|yhat|))."""
+    return -2.0 * F.avg(error(y, yhat) / (F.abs(_c(y)) + F.abs(_c(yhat))))
+
+
+def frequency_exceeds_relative_threshold(y, yhat, threshold: float) -> Column:
+    """Fraction of actuals ≥ threshold × prediction
+    (kats/metrics/metrics.py:335)."""
+    return F.avg((_c(y) >= F.lit(threshold) * _c(yhat)).cast("double"))
+
+
+def exceed_at(y, yhat, threshold: float) -> Column:
+    """Directional quantile exceed rate (kats/metrics/metrics.py:762).
+    Matches the reference CODE, not its docstring (which has the
+    directions swapped): mask = +1 if t > 0.5 else -1, rate =
+    mean((y - yhat) · mask > 0) — i.e. for an upper quantile (t > 0.5)
+    the share of actuals above the prediction."""
+    mask = 1.0 if threshold > 0.5 else -1.0
+    return F.avg(((_c(y) - _c(yhat)) * mask > 0).cast("double"))
+
+
+def mult_exceed(y, yhat_by_threshold: "dict[float, object]") -> "list[Column]":
+    """Per-quantile exceed rates (kats/metrics/metrics.py:682): one
+    directional exceed column per (threshold, prediction) pair."""
+    return [
+        exceed_at(y, col, t).alias(f"exceed_{str(t).replace('.', '_')}")
+        for t, col in yhat_by_threshold.items()
+    ]
+
+
+def mult_coverage(y, bounds: "list[tuple[object, object, str]]") -> "list[Column]":
+    """Coverage per interval (kats/metrics/metrics.py:803): one coverage
+    column per (lower, upper, label)."""
+    return [coverage(y, lo, hi).alias(f"coverage_{label}") for lo, hi, label in bounds]
+
+
+def mult_interval_score(
+    y, bounds: "list[tuple[object, object, float, str]]"
+) -> "list[Column]":
+    """Winkler score per interval (kats/metrics/metrics.py:856)."""
+    return [
+        interval_score(y, lo, hi, alpha).alias(f"interval_score_{label}")
+        for lo, hi, alpha, label in bounds
+    ]
+
+
+def ecdf_error_scores(
+    df,
+    group_col: str = "series_id",
+    key_col: str = "time",
+    y: str = "y",
+    yhat: str = "yhat",
+):
+    """Per-group CRPS and LEPS (kats/metrics/metrics.py:305,352):
+    ECDF of the actuals evaluated at both actuals and predictions, then
+    mean((F(ŷ)-F(y))²) and mean(|F(ŷ)-F(y)|).
+
+    Distributed ECDF without a quadratic self-join: stack (value, is_y)
+    rows for actuals and predictions, one RANGE-frame running sum of
+    ``is_y`` ordered by value gives F(v) = #\\{y ≤ v\\}/n at every stacked
+    row in a single exchange (peer rows are inside the default frame, so
+    ties resolve to the right-continuous ECDF on both engines)."""
+    from pyspark.sql import Window
+
+    f = df.select(group_col, key_col, F.col(y).alias("__y"), F.col(yhat).alias("__p"))
+    stacked = f.select(
+        group_col, key_col, F.col("__y").alias("v"), F.lit(1).alias("is_y")
+    ).unionByName(
+        f.select(group_col, key_col, F.col("__p").alias("v"), F.lit(0).alias("is_y"))
+    )
+    w_ecdf = Window.partitionBy(group_col).orderBy("v")
+    n_y = F.sum("is_y").over(Window.partitionBy(group_col))
+    e = (F.sum("is_y").over(w_ecdf).cast("double") / n_y).alias("e")
+    scored = stacked.select(group_col, key_col, "is_y", e)
+    pairs = scored.groupBy(group_col, key_col).agg(
+        F.max(F.when(F.col("is_y") == 1, F.col("e"))).alias("ey"),
+        F.max(F.when(F.col("is_y") == 0, F.col("e"))).alias("ep"),
+    )
+    d = F.col("ep") - F.col("ey")
+    return pairs.groupBy(group_col).agg(
+        F.avg(d * d).alias("crps"), F.avg(F.abs(d)).alias("leps")
+    )
+
+
 def mean_absolute_scaled_error(y, yhat, naive_abs_diff) -> Column:
     """MASE (kats/metrics/metrics.py:466): MAE / mean |seasonal naive error|.
 
@@ -149,6 +239,10 @@ _REGISTRY: dict[str, Callable[..., Column]] = {
     "coverage": coverage,
     "interval_score": interval_score,
     "mase": mean_absolute_scaled_error,
+    "ssmape": scaled_symmetric_mean_absolute_percentage_error,
+    "sbias": symmetric_bias,
+    "frequency_exceed": frequency_exceeds_relative_threshold,
+    "exceed_at": exceed_at,
 }
 
 

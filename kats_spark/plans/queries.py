@@ -635,6 +635,101 @@ GROUP BY series_id
 """
 
 
+def q_metrics_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/interval error metrics of the seasonal-naive (lag-24)
+    forecast on the hourly series: CRPS + LEPS (stacked-ECDF windows,
+    kats/metrics/metrics.py:305,352), MASE (:466), sSMAPE (:614), sbias
+    (:633), frequency-exceed (:335), directional quantile exceeds (:762),
+    coverage (:786) and Winkler interval score (:828) of the ±1.96·σ̂
+    naive band."""
+    df = hourly_series(spark, sf_dir)
+    w = S.w()
+    base = (
+        df.withColumn("yhat", F.lag("value", 24).over(w))
+        .withColumn("naive_diff", F.abs(F.col("value") - F.lag("value", 1).over(w)))
+        .filter(F.col("yhat").isNotNull() & F.col("naive_diff").isNotNull())
+    )
+    sd = F.stddev_samp(F.col("value") - F.col("yhat")).over(
+        Window.partitionBy("series_id")
+    )
+    base = (
+        base.withColumn("lo", F.col("yhat") - 1.959963984540054 * sd)
+        .withColumn("hi", F.col("yhat") + 1.959963984540054 * sd)
+    )
+    y, yh = "value", "yhat"
+    aggs = base.groupBy("series_id").agg(
+        _rnd(M.mean_absolute_scaled_error(y, yh, "naive_diff"), 6).alias("mase"),
+        _rnd(M.scaled_symmetric_mean_absolute_percentage_error(y, yh), 6).alias("ssmape"),
+        _rnd(M.symmetric_bias(y, yh), 6).alias("sbias"),
+        _rnd(M.frequency_exceeds_relative_threshold(y, yh, 1.05), 6).alias("freq_exceed_105"),
+        _rnd(M.exceed_at(y, yh, 0.25), 6).alias("exceed_025"),
+        _rnd(M.exceed_at(y, yh, 0.75), 6).alias("exceed_075"),
+        _rnd(M.coverage(y, "lo", "hi"), 6).alias("coverage_95"),
+        _rnd(M.interval_score(y, "lo", "hi", 0.05), 6).alias("interval_score_95"),
+    )
+    ecdf = M.ecdf_error_scores(base, "series_id", "time", y, yh)
+    ecdf = ecdf.select(
+        "series_id", _rnd("crps", 6).alias("crps"), _rnd("leps", 6).alias("leps")
+    )
+    return aggs.join(ecdf, "series_id")
+
+
+_Q_METRICS_DIST_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+p0 AS (
+  SELECT series_id, time, value AS y,
+         lag(value, 24) OVER w AS yhat,
+         abs(value - lag(value, 1) OVER w) AS naive_diff
+  FROM h WINDOW w AS (PARTITION BY series_id ORDER BY time)
+),
+p AS (SELECT * FROM p0 WHERE yhat IS NOT NULL AND naive_diff IS NOT NULL),
+b AS (
+  SELECT *,
+    yhat - 1.959963984540054 * stddev_samp(y - yhat) OVER (PARTITION BY series_id) AS lo,
+    yhat + 1.959963984540054 * stddev_samp(y - yhat) OVER (PARTITION BY series_id) AS hi
+  FROM p
+),
+aggs AS (
+  SELECT series_id,
+    round(1e-9 + avg(abs(y - yhat)) / avg(naive_diff), 6) AS mase,
+    round(1e-9 + avg(abs(y - yhat) / (abs(y) + abs(yhat))), 6) AS ssmape,
+    round(1e-9 + -2 * avg((y - yhat) / (abs(y) + abs(yhat))), 6) AS sbias,
+    round(1e-9 + avg(CASE WHEN y >= 1.05 * yhat THEN 1.0 ELSE 0.0 END), 6) AS freq_exceed_105,
+    round(1e-9 + avg(CASE WHEN (y - yhat) * -1 > 0 THEN 1.0 ELSE 0.0 END), 6) AS exceed_025,
+    round(1e-9 + avg(CASE WHEN (y - yhat) > 0 THEN 1.0 ELSE 0.0 END), 6) AS exceed_075,
+    round(1e-9 + avg(CASE WHEN y >= lo AND y <= hi THEN 1.0 ELSE 0.0 END), 6) AS coverage_95,
+    round(1e-9 + avg((hi - lo)
+      + CASE WHEN y < lo THEN (2 / 0.05) * (lo - y) ELSE 0 END
+      + CASE WHEN y > hi THEN (2 / 0.05) * (y - hi) ELSE 0 END), 6) AS interval_score_95
+  FROM b GROUP BY series_id
+),
+stacked AS (
+  SELECT series_id, time, y AS v, 1 AS is_y FROM p
+  UNION ALL
+  SELECT series_id, time, yhat AS v, 0 AS is_y FROM p
+),
+e AS (
+  SELECT series_id, time, is_y,
+    sum(is_y) OVER (PARTITION BY series_id ORDER BY v)::DOUBLE
+      / sum(is_y) OVER (PARTITION BY series_id) AS e
+  FROM stacked
+),
+pairs AS (
+  SELECT series_id, time,
+    max(CASE WHEN is_y = 1 THEN e END) AS ey,
+    max(CASE WHEN is_y = 0 THEN e END) AS ep
+  FROM e GROUP BY series_id, time
+),
+ecdf AS (
+  SELECT series_id,
+    round(1e-9 + avg((ep - ey) * (ep - ey)), 6) AS crps,
+    round(1e-9 + avg(abs(ep - ey)), 6) AS leps
+  FROM pairs GROUP BY series_id
+)
+SELECT a.*, e.crps, e.leps FROM aggs a JOIN ecdf e USING (series_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # calendar / fourier features
 # --------------------------------------------------------------------------
@@ -1016,6 +1111,7 @@ QUERIES = {
     "linear_forecast": q_linear_forecast,
     "quadratic_forecast": q_quadratic_forecast,
     "metrics_naive": q_metrics_naive,
+    "metrics_dist": q_metrics_dist,
     "date_features": q_date_features,
     "fourier_features": q_fourier_features,
     "ts_stat_features": q_ts_stat_features,
@@ -1046,6 +1142,7 @@ FROM ({_HOURLY_SQL})
     "linear_forecast": _Q_LINEAR_SQL,
     "quadratic_forecast": _Q_QUAD_SQL,
     "metrics_naive": _Q_METRICS_SQL,
+    "metrics_dist": _Q_METRICS_DIST_SQL,
     "date_features": _Q_DATE_FEATURES_SQL,
     "fourier_features": _Q_FOURIER_SQL,
     "ts_stat_features": _Q_TSFEAT_SQL,

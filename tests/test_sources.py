@@ -112,3 +112,41 @@ def test_state_codec_upgrade_contract():
     assert state["future_key"] == "x"  # unknown key preserved
     assert state["version"] == 1  # caller can branch on stored version
     assert v2.loads(None)["version"] == 2
+
+
+def test_bucketed_store_kills_per_series_exchanges(spark, sf_dir, tmp_path):
+    """SURVEY §4 scale layout: bucketBy(series_id) + sortBy(series_id, time)
+    makes every per-series window/agg/join exchange-free, with results
+    identical to the shuffled plan."""
+    from pyspark.sql import Window, functions as F
+
+    from kats_spark.sources import bucketing
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    bucketing.write_bucketed(
+        ev, "ev_bucketed_test", str(tmp_path / "ev_bucketed"), time_col="ts", buckets=8
+    )
+    try:
+        t = bucketing.read_bucketed(spark, "ev_bucketed_test")
+        w = Window.partitionBy("series_id").orderBy("ts")
+
+        windowed = t.withColumn("rn", F.row_number().over(w))
+        assert bucketing.exchange_count(windowed) == 0
+        agg = t.groupBy("series_id").agg(F.avg("value").alias("m"))
+        assert bucketing.exchange_count(agg) == 0
+        joined = t.join(agg, "series_id")
+        assert bucketing.exchange_count(joined) == 0
+
+        # the shuffled plan needs an exchange for the same window
+        assert bucketing.exchange_count(ev.withColumn("rn", F.row_number().over(w))) > 0
+
+        # identical results to the unbucketed path
+        got = agg.orderBy("series_id").collect()
+        exp = ev.groupBy("series_id").agg(F.avg("value").alias("m")).orderBy("series_id").collect()
+        assert [(r.series_id, round(r.m, 9)) for r in got] == [
+            (r.series_id, round(r.m, 9)) for r in exp
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed_test")

@@ -108,3 +108,69 @@ def arma_sim(
         return out[[s.series_id, s.time, s.value]]
 
     return innov.groupBy(s.series_id).applyInPandas(fn, schema)
+
+
+_P = 2147483647  # 2^31 - 1
+
+
+def portable_randn(x: Column, seed: int = 42) -> Column:
+    """Counter-based deterministic standard normal, reproducible in ANSI
+    SQL: two affine-mod-p rounds of the integer counter give two uniforms,
+    Box-Muller converts them — z = sqrt(-2 ln u1) · cos(2π u2).  Unlike
+    ``F.randn`` (partition-seeded XORShift), the value depends ONLY on the
+    counter and seed, so it is stable under repartitioning and matches the
+    DuckDB oracle bit-for-bit (mod last-ulp libm jitter under the rounding
+    epsilon)."""
+    import random
+
+    rnd = random.Random(seed)
+    a1, b1 = rnd.randrange(1, _P), rnd.randrange(0, _P)
+    a2, b2 = rnd.randrange(1, _P), rnd.randrange(0, _P)
+    h1 = (x * a1 + b1) % _P
+    h2 = (h1 * a2 + b2) % _P
+    u1 = (h1 + 1).cast("double") / float(_P + 1)
+    u2 = (h2 + 1).cast("double") / float(_P + 1)
+    two_pi = 2.0 * math.pi
+    return F.sqrt(-2.0 * F.log(u1)) * F.cos(u2 * two_pi)
+
+
+def simulate_portable(
+    spark: SparkSession,
+    n_series: int,
+    n_points: int,
+    freq_seconds: int = 3600,
+    start: str = "2024-01-01",
+    trend_slope: float = 0.0,
+    noise_std: float = 1.0,
+    seasonal_period: int = 0,
+    seasonal_magnitude: float = 0.0,
+    level_shift_at: int | None = None,
+    level_shift_size: float = 0.0,
+    seed: int = 42,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """``simulate`` with the portable counter-based gaussian — the variant
+    whose values (not just shape) the DuckDB oracle replays exactly."""
+    base = (
+        spark.range(n_series * n_points)
+        .withColumn("__sid", (F.col("id") / n_points).cast("int"))
+        .withColumn("__i", (F.col("id") % n_points).cast("int"))
+    )
+    t = F.to_timestamp(F.lit(start)) + F.make_interval(secs=F.col("__i") * freq_seconds)
+    counter = F.col("id").cast("long")
+    value = (
+        F.lit(0.0)
+        + F.col("__i") * trend_slope
+        + portable_randn(counter, seed) * noise_std
+    )
+    if seasonal_period:
+        value = value + seasonal_magnitude * F.sin(
+            F.col("__i") * (2.0 * math.pi / seasonal_period)
+        )
+    if level_shift_at is not None:
+        value = value + F.when(F.col("__i") >= level_shift_at, level_shift_size).otherwise(0.0)
+    return base.select(
+        F.concat(F.lit("sim_"), F.col("__sid")).alias(s.series_id),
+        t.alias(s.time),
+        value.alias(s.value),
+    )

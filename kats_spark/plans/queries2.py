@@ -2170,6 +2170,54 @@ WHERE i.t >= 36
 """
 
 
+def q_simulate_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded simulator with the counter-based portable gaussian
+    (simulator.portable_randn): trend + seasonality + level shift + noise,
+    every VALUE replayed exactly by the DuckDB oracle (the affine-mod-p
+    rounds and the Box-Muller transform are plain arithmetic both sides)."""
+    from kats_spark.operators import simulator
+
+    out = simulator.simulate_portable(
+        spark, n_series=5, n_points=200,
+        trend_slope=0.05, noise_std=1.0,
+        seasonal_period=24, seasonal_magnitude=3.0,
+        level_shift_at=120, level_shift_size=10.0, seed=42,
+    )
+    return _fmt_time(_r6(out, "value"))
+
+
+def _simulate_portable_sql(seed: int = 42) -> str:
+    import math
+    import random
+
+    p = 2147483647
+    rnd = random.Random(seed)
+    a1, b1 = rnd.randrange(1, p), rnd.randrange(0, p)
+    a2, b2 = rnd.randrange(1, p), rnd.randrange(0, p)
+    two_pi = repr(2.0 * math.pi)
+    season_w = repr(2.0 * math.pi / 24)
+    return f"""
+WITH ids AS (SELECT unnest(range(0, 1000)) AS id),
+base AS (
+  SELECT id, (id // 200)::INT AS sid, (id % 200)::INT AS i,
+    (id * {a1} + {b1}) % {p} AS h1
+  FROM ids
+),
+h AS (SELECT *, (h1 * {a2} + {b2}) % {p} AS h2 FROM base),
+z AS (
+  SELECT sid, i,
+    sqrt(-2.0 * ln((h1 + 1)::DOUBLE / 2147483648.0))
+      * cos(((h2 + 1)::DOUBLE / 2147483648.0) * {two_pi}) AS z
+  FROM h
+)
+SELECT 'sim_' || sid AS series_id,
+  strftime(timestamp '2024-01-01' + to_seconds(i * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + (0.0 + i * 0.05 + z * 1.0 + 3.0 * sin(i * {season_w})
+    + CASE WHEN i >= 120 THEN 10.0 ELSE 0.0 END), 6) AS value
+FROM z
+"""
+
+
 def q_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded simulator (simulator.py:48-834: trend/noise/seasonality/
     level-shift injection as expressions over spark.range) — rows-only:
@@ -2342,10 +2390,12 @@ QUERIES = {
     "rsi": q_rsi,
     "trix_tsi": q_trix_tsi,
     "simulate": q_simulate,
+    "simulate_portable": q_simulate_portable,
     "kernel_stats": q_kernel_stats,
 }
 
 ORACLES = {
+    "simulate_portable": _simulate_portable_sql(),
     "dist_distance": _Q_DIST_DISTANCE_SQL,
     "median_ensemble": _Q_MEDIAN_ENSEMBLE_SQL,
     "empirical_ci": _Q_EMPIRICAL_CI_SQL,

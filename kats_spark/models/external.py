@@ -100,3 +100,74 @@ def neuralprophet_forecast(df: DataFrame, steps: int, freq_seconds: int, s: TSSc
         raise BackendMissing("neuralprophet kernel requires neuralprophet")
 
     return _gated_forecast(df, steps, freq_seconds, "neuralprophet", kernel, s)
+
+
+def prophet_detector_scores(
+    df: DataFrame,
+    history_frac: float = 0.7,
+    interval_width: float = 0.8,
+    score_func: str = "deviation",
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """ProphetDetectorModel (kats/detectors/prophet_detector.py:332):
+    fit Prophet on the leading ``history_frac`` of each series, predict the
+    rest in-sample, and score each observed point against the predicted
+    band — ``deviation``: (y - yhat) / (upper - lower); ``z_score``:
+    (y - yhat) / σ̂ estimated from the band width
+    (prophet_detector.py:161-187 score functions).
+
+    Output: (series_id, time, score, predicted, lower, upper) for the scan
+    segment.  Same per-series applyInPandas fan-out as the forecasters —
+    one shuffle, arbitrarily many series."""
+    try:
+        __import__("prophet")
+    except ImportError as exc:
+        raise BackendMissing(
+            "prophet is not installed in this environment; the Spark plan "
+            "(groupBy(series_id).applyInPandas fit-on-history + band scoring) "
+            "is ready — install prophet to enable this detector."
+        ) from exc
+
+    import numpy as np
+    from scipy.stats import norm
+
+    z = norm.ppf(0.5 + interval_width / 2.0)
+    schema = (
+        f"{s.series_id} string, {s.time} timestamp, score double, "
+        "predicted double, lower double, upper double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from prophet import Prophet
+
+        pdf = pdf.sort_values(s.time)
+        n_hist = max(int(len(pdf) * history_frac), 2)
+        hist, scan = pdf.iloc[:n_hist], pdf.iloc[n_hist:]
+        if scan.empty:
+            return pd.DataFrame(columns=pdf.columns)
+        m = Prophet(interval_width=interval_width)
+        m.fit(hist.rename(columns={s.time: "ds", s.value: "y"})[["ds", "y"]])
+        fc = m.predict(pd.DataFrame({"ds": scan[s.time]}))
+        width = fc["yhat_upper"].to_numpy() - fc["yhat_lower"].to_numpy()
+        resid = scan[s.value].to_numpy() - fc["yhat"].to_numpy()
+        if score_func == "z_score":
+            sigma = np.where(width > 0, width / (2.0 * z), np.nan)
+            score = resid / sigma
+        else:
+            score = np.where(width > 0, resid / width, 0.0)
+        return pd.DataFrame(
+            {
+                s.series_id: scan[s.series_id].to_numpy(),
+                s.time: scan[s.time].to_numpy(),
+                "score": score,
+                "predicted": fc["yhat"].to_numpy(),
+                "lower": fc["yhat_lower"].to_numpy(),
+                "upper": fc["yhat_upper"].to_numpy(),
+            }
+        )
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(fn, schema)
+    )

@@ -219,6 +219,26 @@ def test_external_models_gate_cleanly(spark):
         external.prophet_forecast(df, steps=5, freq_seconds=3600)
     with pytest.raises(external.BackendMissing, match="torch"):
         external.lstm_forecast(df, steps=5, freq_seconds=3600)
+    with pytest.raises(external.BackendMissing, match="prophet"):
+        external.prophet_detector_scores(df)
+
+
+def test_rename_columns_by_prefix(spark):
+    from kats_spark.sources.load import rename_columns_by_prefix
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 100.0, 90.0, 7)],
+        ["time", "test_metric_count", "control_metric_count", "other_column"],
+    )
+    out = rename_columns_by_prefix(
+        df, {"test_metric_": "numerator_test", "control_metric_": "numerator_control"}
+    )
+    assert out.columns == ["time", "numerator_test", "numerator_control", "other_column"]
+    with pytest.raises(ValueError, match="matched 0 columns"):
+        rename_columns_by_prefix(df, {"missing_": "x"})
+    with pytest.raises(ValueError, match="multiple prefixes"):
+        rename_columns_by_prefix(df, {"test_": "a", "test_metric_": "b"})
 
 
 def test_stlf_recovers_trend_plus_season(spark):

@@ -101,3 +101,51 @@ def mad_score(n: int, s: TSSchema = DEFAULT, modified: bool = False) -> Column:
     mad = _array_median(abs_dev)
     score = _safe_div(F.col(s.value) - med, mad)
     return score * 0.6745 if modified else score
+
+
+def segmented_score(
+    df: DataFrame,
+    n: int,
+    score: str = "z_score",
+    segment_rows: int = 4096,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Skew-proof rolling score for GIANT series (SURVEY §7 hard part (e);
+    the reference chunks long series the same way —
+    kats/detectors/stat_sig_detector.py:66 ``max_split_ts_length``).
+
+    A per-series window puts the whole series in one task; a single
+    100M-point series stalls the stage no matter how many executors
+    exist.  Fix: split each series into ``segment_rows`` tiles, copy the
+    trailing ``n`` boundary rows into the NEXT tile (so every point still
+    sees its full window), compute the same frame expression per
+    (series_id, segment), and drop the copies.  Output is IDENTICAL to
+    the plain window — asserted in tests — but the shuffle key becomes
+    (series_id, segment): parallelism scales with series length, per-task
+    memory is bounded by segment_rows + n.
+
+    Cost: one extra narrow duplicate of n/segment_rows of the rows and a
+    shuffle keyed on (series_id, segment) instead of (series_id)."""
+    if score not in ("z_score",):
+        raise ValueError(f"segmented_score supports z_score (got {score!r})")
+    rn = F.row_number().over(s.w()) - 1
+    base = df.withColumn("__rn", rn).withColumn(
+        "__seg", (F.col("__rn") / segment_rows).cast("long")
+    )
+    # boundary rows: the last n rows of each tile also feed the next tile
+    own = base.withColumn("__home", F.lit(True))
+    carry = (
+        base.filter(F.col("__rn") % segment_rows >= segment_rows - n)
+        .withColumn("__seg", F.col("__seg") + 1)
+        .withColumn("__home", F.lit(False))
+    )
+    stacked = own.unionByName(carry)
+    w = (
+        Window.partitionBy(s.series_id, "__seg")
+        .orderBy("__rn")
+        .rowsBetween(-n, -1)
+    )
+    mean = F.avg(s.value).over(w)
+    std = F.stddev_samp(s.value).over(w)
+    out = stacked.withColumn("score", _safe_div(F.col(s.value) - mean, std))
+    return out.filter(F.col("__home")).drop("__rn", "__seg", "__home")

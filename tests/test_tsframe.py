@@ -60,3 +60,34 @@ def test_from_wide_melt(spark):
 def test_scalar_op(spark):
     df = _mk(spark, [("a", _t(0), 2.0)])
     assert tsframe.scalar_op(df, "mul", 3.0).collect()[0].value == 6.0
+
+
+def test_segmented_rolling_equals_plain_window(spark):
+    """segmented_score (skew-proof tiling) must be row-identical to the
+    single-window rolling z-score."""
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kats_spark.functions import rolling
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["a"] * 500 + ["b"] * 137,
+            "time": list(pd.date_range("2024-01-01", periods=500, freq="h"))
+            + list(pd.date_range("2024-01-01", periods=137, freq="h")),
+            "value": rng.randn(637),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plain = df.withColumn("score", rolling.z_score(24)).select(
+        "series_id", "time", "score"
+    )
+    seg = rolling.segmented_score(df, n=24, segment_rows=100).select(
+        "series_id", "time", "score"
+    )
+    p = plain.orderBy("series_id", "time").toPandas()
+    g = seg.orderBy("series_id", "time").toPandas()
+    assert len(p) == len(g) == 637
+    pd.testing.assert_frame_equal(p, g, check_exact=False, rtol=1e-12, atol=1e-12)

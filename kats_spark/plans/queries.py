@@ -635,6 +635,39 @@ GROUP BY series_id
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): attach to each daily point the most
+    recent hourly value at-or-before it, per series — the stacked-window
+    plan (one exchange, no join, linear in |L|+|R|)."""
+    from kats_spark.operators import asof
+
+    daily = daily_series(spark, sf_dir)
+    hourly = hourly_series(spark, sf_dir)
+    out = asof.asof_join(daily, hourly)
+    return _fmt_time(_r6(out, "value", "asof_value"))
+
+
+_Q_ASOF_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+d AS ({_DAILY_SQL}),
+stacked AS (
+  SELECT series_id, time AS t, 1 AS side, NULL::DOUBLE AS rv, value AS lv FROM d
+  UNION ALL
+  SELECT series_id, time AS t, 0 AS side, value AS rv, NULL::DOUBLE AS lv FROM h
+),
+m AS (
+  SELECT series_id, t, side, lv,
+    last_value(rv IGNORE NULLS) OVER (
+      PARTITION BY series_id ORDER BY t, side
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM stacked
+)
+SELECT series_id, strftime(t, '{_DK_FMT}') AS time,
+       round(1e-9 + lv, 6) AS value, round(1e-9 + v, 6) AS asof_value
+FROM m WHERE side = 1
+"""
+
+
 def q_metrics_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution/interval error metrics of the seasonal-naive (lag-24)
     forecast on the hourly series: CRPS + LEPS (stacked-ECDF windows,
@@ -1112,6 +1145,7 @@ QUERIES = {
     "quadratic_forecast": q_quadratic_forecast,
     "metrics_naive": q_metrics_naive,
     "metrics_dist": q_metrics_dist,
+    "asof_join": q_asof_join,
     "date_features": q_date_features,
     "fourier_features": q_fourier_features,
     "ts_stat_features": q_ts_stat_features,
@@ -1143,6 +1177,7 @@ FROM ({_HOURLY_SQL})
     "quadratic_forecast": _Q_QUAD_SQL,
     "metrics_naive": _Q_METRICS_SQL,
     "metrics_dist": _Q_METRICS_DIST_SQL,
+    "asof_join": _Q_ASOF_SQL,
     "date_features": _Q_DATE_FEATURES_SQL,
     "fourier_features": _Q_FOURIER_SQL,
     "ts_stat_features": _Q_TSFEAT_SQL,

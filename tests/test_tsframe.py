@@ -91,3 +91,39 @@ def test_segmented_rolling_equals_plain_window(spark):
     g = seg.orderBy("series_id", "time").toPandas()
     assert len(p) == len(g) == 637
     pd.testing.assert_frame_equal(p, g, check_exact=False, rtol=1e-12, atol=1e-12)
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive rt <= lt, nulls before any right row, tolerance nulls
+    stale matches."""
+    import pandas as pd
+    from kats_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "series_id": ["a"] * 3,
+                "time": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-05"]),
+                "value": [1.0, 2.0, 3.0],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "series_id": ["a"] * 2,
+                "time": pd.to_datetime(["2024-01-02", "2024-01-03"]),
+                "value": [10.0, 20.0],
+            }
+        )
+    )
+    out = {
+        r.time.strftime("%m-%d"): r.asof_value
+        for r in asof_join(left, right).collect()
+    }
+    assert out == {"01-01": None, "01-02": 10.0, "01-05": 20.0}
+    tol = {
+        r.time.strftime("%m-%d"): r.asof_value
+        for r in asof_join(left, right, tolerance_seconds=86400.0).collect()
+    }
+    assert tol == {"01-01": None, "01-02": 10.0, "01-05": None}

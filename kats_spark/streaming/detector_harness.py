@@ -89,8 +89,19 @@ def _update_one(state: dict[str, Any], value: float, z_threshold: float) -> dict
     }
 
 
-def make_zscore_updater(z_threshold: float = 3.0, s: TSSchema = DEFAULT):
-    """Returns the applyInPandasWithState update function."""
+def make_zscore_updater(
+    z_threshold: float = 3.0,
+    s: TSSchema = DEFAULT,
+    late_tolerance_seconds: float | None = None,
+):
+    """Returns the applyInPandasWithState update function.
+
+    ``late_tolerance_seconds`` enforces the late-data policy INSIDE the
+    stateful operator: Spark's watermark drives state timeouts but does
+    NOT auto-drop late rows for arbitrary stateful ops, so the updater
+    tracks the max event time seen and skips rows older than
+    ``max_seen - tolerance`` — the streaming-native replacement for the
+    reference's DataIrregularGranularityError (kats/consts.py:64-67)."""
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -100,6 +111,12 @@ def make_zscore_updater(z_threshold: float = 3.0, s: TSSchema = DEFAULT):
         for pdf in pdfs:
             pdf = pdf.sort_values(s.time)
             for _, row in pdf.iterrows():
+                ts = pd.Timestamp(row[s.time]).value / 1e9
+                if late_tolerance_seconds is not None:
+                    max_seen = st.get("max_ts")
+                    if max_seen is not None and ts < max_seen - late_tolerance_seconds:
+                        continue  # late beyond the bound: drop, don't score
+                    st["max_ts"] = max(max_seen or ts, ts)
                 res = _update_one(st, float(row[s.value]), z_threshold)
                 out_rows.append(
                     {
@@ -119,10 +136,22 @@ def zscore_stream(
     stream_df: DataFrame,
     z_threshold: float = 3.0,
     s: TSSchema = DEFAULT,
+    late_policy_watermark: str | None = None,
 ) -> DataFrame:
-    """Wire a streaming long frame through the stateful detector."""
+    """Wire a streaming long frame through the stateful detector.
+
+    ``late_policy_watermark`` (e.g. ``"2 hours"``) resolves the
+    reference's irregular-granularity question (kats/consts.py:64-67
+    raises DataIrregularGranularityError on out-of-order/irregular data;
+    SURVEY §7 hard part (d)) the streaming-native way: an event-time
+    watermark DROPS rows arriving later than the bound instead of
+    erroring, so state only ever advances forward in time."""
+    tol = None
+    if late_policy_watermark is not None:
+        stream_df = stream_df.withWatermark(s.time, late_policy_watermark)
+        tol = pd.Timedelta(late_policy_watermark).total_seconds()
     return stream_df.groupBy(s.series_id).applyInPandasWithState(
-        make_zscore_updater(z_threshold, s),
+        make_zscore_updater(z_threshold, s, late_tolerance_seconds=tol),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -337,3 +337,58 @@ def test_bocpd_streaming_equals_batch(spark):
         assert got[got.series_id == "b"].cp_prob.max() < 0.2
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows(spark):
+    """SURVEY §7 hard part (d): with a watermark policy, rows arriving
+    later than the bound are dropped (streaming-native replacement for the
+    reference's DataIrregularGranularityError, kats/consts.py:64-67)."""
+    tmpdir = tempfile.mkdtemp()
+    out_table = "zscore_stream_late_out"
+    try:
+        n = 48
+        base = pd.DataFrame(
+            {
+                "series_id": ["a"] * n,
+                "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+                "value": [float(i % 5) for i in range(n)],
+            }
+        )
+        late = pd.DataFrame(
+            {
+                "series_id": ["a"],
+                # 40 hours older than batch-1 max => beyond the 2h watermark
+                "time": [base.time.iloc[-1] - pd.Timedelta(hours=40)],
+                "value": [99.0],
+            }
+        )
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        base.assign(time=base.time.astype("datetime64[us]")).to_parquet(
+            os.path.join(chunk_dir, "c0.parquet")
+        )
+        stream = (
+            spark.readStream.schema("series_id string, time timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        q = (
+            dh.zscore_stream(stream, z_threshold=3.0, late_policy_watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        # second micro-batch: one late row, far behind the watermark
+        late.assign(time=late.time.astype("datetime64[us]")).to_parquet(
+            os.path.join(chunk_dir, "c1.parquet")
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.table(out_table).toPandas()
+        assert len(got) == n  # the late row was dropped, not scored
+        assert not (got.value == 99.0).any()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

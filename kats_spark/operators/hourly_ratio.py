@@ -84,3 +84,44 @@ def hourly_ratio_detect(
         return out
 
     return prof.groupBy("series_id").applyInPandas(fn, schema)
+
+
+def hourly_ratio_diag_scores(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
+    """Diagonal-covariance Mahalanobis day-profile score — the
+    expression-only scale variant of ``hourly_ratio_detect``:
+    d(day) = sqrt(Σ_h (r_dh - μ_h)² / σ²_h) with per-hour mean/variance
+    across days (no 24×24 inverse, no Python, no pivot — stays in long
+    form, two aggs + one join, exactly replayable in SQL).
+
+    Full covariance (above) captures inter-hour correlation; the diagonal
+    form is the standard large-scale approximation and is what survives a
+    100 TB fact table — every step is a partial-aggregable groupBy.
+    Days with missing hours are dropped, like the reference."""
+    hourly = (
+        df.groupBy(
+            F.col(s.series_id).alias("series_id"),
+            F.to_date(s.time).alias("date"),
+            F.hour(s.time).alias("hour"),
+        )
+        .agg(F.avg(s.value).alias("v"))
+    )
+    daily = hourly.groupBy("series_id", "date").agg(
+        F.sum("v").alias("tot"), F.count("*").alias("n_hours")
+    )
+    ratios = (
+        hourly.join(daily, ["series_id", "date"])
+        .filter(F.col("n_hours") == 24)
+        .withColumn("ratio", F.col("v") / F.col("tot"))
+    )
+    stats = ratios.groupBy("series_id", "hour").agg(
+        F.avg("ratio").alias("mu"), F.var_samp("ratio").alias("var")
+    )
+    term = F.when(
+        F.col("var").isNotNull() & (F.col("var") > 0),
+        (F.col("ratio") - F.col("mu")) * (F.col("ratio") - F.col("mu")) / F.col("var"),
+    ).otherwise(F.lit(0.0))
+    return (
+        ratios.join(stats, ["series_id", "hour"])
+        .groupBy("series_id", "date")
+        .agg(F.sqrt(F.sum(term)).alias("mahalanobis_diag"))
+    )

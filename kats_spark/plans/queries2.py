@@ -1080,6 +1080,46 @@ def q_hourly_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hourly_ratio_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-covariance day-profile Mahalanobis — the expression-only
+    scale variant (no pivot, no pinv, no Python); exact DuckDB oracle."""
+    out = hr_mod.hourly_ratio_diag_scores(raw_series(spark, sf_dir))
+    return out.select(
+        "series_id",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        _rnd("mahalanobis_diag", 6).alias("mahalanobis_diag"),
+    )
+
+
+_Q_HOURLY_RATIO_DIAG_SQL = """
+WITH raw AS (SELECT event_type AS series_id, ts AS time, value FROM events),
+hourly AS (
+  SELECT series_id, time::DATE AS date, hour(time) AS hour, avg(value) AS v
+  FROM raw GROUP BY 1, 2, 3
+),
+daily AS (
+  SELECT series_id, date, sum(v) AS tot, count(*) AS n_hours
+  FROM hourly GROUP BY 1, 2
+),
+ratios AS (
+  SELECT h.series_id, h.date, h.hour, h.v / d.tot AS ratio
+  FROM hourly h JOIN daily d USING (series_id, date)
+  WHERE d.n_hours = 24
+),
+stats AS (
+  SELECT series_id, hour, avg(ratio) AS mu, var_samp(ratio) AS var
+  FROM ratios GROUP BY 1, 2
+)
+SELECT r.series_id, strftime(r.date, '%Y-%m-%d') AS date,
+  round(1e-9 + sqrt(sum(
+    CASE WHEN s.var IS NOT NULL AND s.var > 0
+         THEN (r.ratio - s.mu) * (r.ratio - s.mu) / s.var ELSE 0.0 END)), 6)
+    AS mahalanobis_diag
+FROM ratios r JOIN stats s USING (series_id, hour)
+GROUP BY r.series_id, r.date
+"""
+
+
 def q_dist_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-distance scores (distribution_distance_model.py:147) —
     full oracle: the common-grid histogram + JS divergence is replayed in
@@ -2391,11 +2431,13 @@ QUERIES = {
     "trix_tsi": q_trix_tsi,
     "simulate": q_simulate,
     "simulate_portable": q_simulate_portable,
+    "hourly_ratio_diag": q_hourly_ratio_diag,
     "kernel_stats": q_kernel_stats,
 }
 
 ORACLES = {
     "simulate_portable": _simulate_portable_sql(),
+    "hourly_ratio_diag": _Q_HOURLY_RATIO_DIAG_SQL,
     "dist_distance": _Q_DIST_DISTANCE_SQL,
     "median_ensemble": _Q_MEDIAN_ENSEMBLE_SQL,
     "empirical_ci": _Q_EMPIRICAL_CI_SQL,

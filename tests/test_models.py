@@ -65,3 +65,37 @@ def test_theta_between_ses_and_trend(spark):
     diffs = fc.fcst.diff().dropna()
     # theta(2) carries half the drift
     assert np.allclose(diffs, 0.25, atol=0.15)
+
+
+def test_mult_metric_builders(spark):
+    """mult_exceed / mult_coverage / mult_interval_score produce one
+    column per quantile/interval with the reference's directional
+    semantics (kats/metrics/metrics.py:682,803,856)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kats_spark.functions import metrics as M
+
+    pdf = pd.DataFrame(
+        {
+            "y":   [1.0, 2.0, 3.0, 4.0],
+            "p10": [0.5, 2.5, 2.0, 3.0],   # lower-quantile prediction
+            "p90": [2.0, 3.0, 2.5, 5.0],   # upper-quantile prediction
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    row = df.agg(
+        *M.mult_exceed("y", {0.1: F.col("p10"), 0.9: F.col("p90")}),
+        *M.mult_coverage("y", [("p10", "p90", "80")]),
+        *M.mult_interval_score("y", [("p10", "p90", 0.2, "80")]),
+    ).collect()[0]
+    # t<=0.5 -> mean(yhat > y) (reference CODE semantics): p10>y only row 1
+    assert abs(row["exceed_0_1"] - 0.25) < 1e-12
+    # t>0.5 -> mean(y > yhat): only row 2 (y=3 > 2.5) exceeds p90
+    assert abs(row["exceed_0_9"] - 0.25) < 1e-12
+    # y inside [p10,p90] for rows 0,3 (1 in [0.5,2], 4 in [3,5])
+    assert abs(row["coverage_80"] - 0.5) < 1e-12
+    # winkler: width avg + penalties for rows 1 (y=2<2.5) and 2 (y=3>2.5)
+    width = (1.5 + 0.5 + 0.5 + 2.0) / 4
+    penalty = (2 / 0.2) * (0.5 + 0.5) / 4
+    assert abs(row["interval_score_80"] - (width + penalty)) < 1e-12

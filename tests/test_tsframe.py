@@ -127,3 +127,61 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, tolerance_seconds=86400.0).collect()
     }
     assert tol == {"01-01": None, "01-02": 10.0, "01-05": None}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check: asof_join == pandas merge_asof (backward,
+    allow_exact_matches) over randomized irregular frames."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from kats_spark.operators.asof import asof_join
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lt=st.lists(st.integers(0, 500), min_size=1, max_size=25, unique=True),
+        rt=st.lists(st.integers(0, 500), min_size=0, max_size=25, unique=True),
+        seed=st.integers(0, 10_000),
+    )
+    def check(lt, rt, seed):
+        rng = np.random.RandomState(seed)
+        base = pd.Timestamp("2024-01-01")
+        lpdf = pd.DataFrame(
+            {
+                "series_id": "k",
+                "time": [base + pd.Timedelta(hours=h) for h in sorted(lt)],
+                "value": rng.randn(len(lt)),
+            }
+        )
+        rpdf = pd.DataFrame(
+            {
+                "series_id": pd.Series(["k"] * len(rt), dtype=object),
+                "time": pd.to_datetime(
+                    [base + pd.Timedelta(hours=h) for h in sorted(rt)]
+                ),
+                "value": rng.randn(len(rt)),
+            }
+        )
+        got = (
+            asof_join(spark.createDataFrame(lpdf),
+                      spark.createDataFrame(rpdf) if len(rpdf) else
+                      spark.createDataFrame(rpdf, "series_id string, time timestamp, value double"))
+            .orderBy("time")
+            .toPandas()
+        )
+        exp = pd.merge_asof(
+            lpdf, rpdf.rename(columns={"value": "asof_value"})[["time", "asof_value"]],
+            on="time", direction="backward",
+        )
+        np.testing.assert_allclose(
+            got["asof_value"].to_numpy(dtype=float),
+            exp["asof_value"].to_numpy(dtype=float),
+            rtol=0, atol=0,
+        )
+
+    check()

@@ -190,3 +190,112 @@ def bocpd_detect(
         ranked.filter((F.col("cp_prob") >= threshold) & (F.col("__rn") > warmup))
         .select(s.series_id, s.time, s.value, "cp_prob")
     )
+
+
+def _bocpd_poisson_step(
+    x: float,
+    r: np.ndarray,
+    alpha: np.ndarray,
+    beta: np.ndarray,
+    alpha0: float,
+    beta0: float,
+    h: float,
+):
+    """One Adams-MacKay update under the Poisson likelihood with
+    Gamma(α, β) conjugate prior (kats/detectors/bocpd.py:244
+    ``PoissonModelParameters`` / ``_PoissonProcessModel``): predictive is
+    Negative-Binomial NB(r=α, p=β/(β+1)); posterior α+=x, β+=1."""
+    log_p = np.log(beta / (beta + 1.0))
+    log_q = -np.log(beta + 1.0)
+    log_pred = (
+        _lgamma_vec(x + alpha)
+        - _lgamma(x + 1.0)
+        - _lgamma_vec(alpha)
+        + alpha * log_p
+        + x * log_q
+    )
+    pred = np.exp(np.clip(log_pred, -700.0, 50.0))
+
+    growth = r * pred * (1.0 - h)
+    cp_mass = float(np.sum(r * pred * h))
+    new_r = np.zeros_like(r)
+    new_r[0] = cp_mass
+    new_r[1:] = growth[:-1]
+    new_r[-1] += growth[-1]
+    tot = new_r.sum()
+    if tot <= 0 or not np.isfinite(tot):
+        new_r[:] = 0.0
+        new_r[0] = 1.0
+        tot = 1.0
+    new_r /= tot
+
+    alpha_new = np.empty_like(alpha)
+    beta_new = np.empty_like(beta)
+    alpha_new[0], beta_new[0] = alpha0, beta0
+    alpha_new[1:] = alpha[:-1] + x
+    beta_new[1:] = beta[:-1] + 1.0
+    return new_r, alpha_new, beta_new
+
+
+def _bocpd_poisson(
+    y: np.ndarray,
+    hazard_lambda: float,
+    max_run: int,
+    lag: int = 10,
+    alpha0: float = 1.0,
+    beta0: float = 0.05,
+) -> np.ndarray:
+    """Run-length posterior for count data (Poisson-Gamma family), same
+    lagged readout as the Normal kernel."""
+    n = len(y)
+    h = 1.0 / hazard_lambda
+    r = np.zeros(max_run + 1)
+    r[0] = 1.0
+    alpha = np.full(max_run + 1, alpha0)
+    beta = np.full(max_run + 1, beta0)
+    cp = np.zeros(n)
+    lag = min(lag, max_run)
+    for t in range(n):
+        new_r, alpha, beta = _bocpd_poisson_step(
+            float(y[t]), r, alpha, beta, alpha0, beta0, h
+        )
+        if t >= lag:
+            cp[t - lag] = new_r[lag]
+        r = new_r
+    for j in range(min(lag, n)):
+        cp[n - 1 - j] = r[j + 1] if j + 1 <= max_run else 0.0
+    return cp
+
+
+def bocpd_poisson_scores(
+    df: DataFrame,
+    hazard_lambda: float = 250.0,
+    max_run: int = 200,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Per-point changepoint probability for COUNT series (Poisson
+    likelihood) — the reference's third BOCPD likelihood model; the
+    TrendChange (Bayesian linear regression) prior remains out of scope
+    and documented."""
+    schema = f"{s.series_id} string, {s.time} timestamp, {s.value} double, cp_prob double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(s.time).reset_index(drop=True)
+        y = np.maximum(np.round(pdf[s.value].to_numpy(dtype=float)), 0.0)
+        if len(y) < 5:
+            return pd.DataFrame(columns=[s.series_id, s.time, s.value, "cp_prob"])
+        cp = _bocpd_poisson(y, hazard_lambda, max_run)
+        return pd.DataFrame(
+            {
+                s.series_id: pdf[s.series_id],
+                s.time: pdf[s.time],
+                s.value: y,
+                "cp_prob": cp,
+            }
+        )
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(fn, schema)
+    )

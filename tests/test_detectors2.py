@@ -183,3 +183,30 @@ def test_percentage_change_matches_reference_formulas(spark):
     assert abs(out.perc_change_upper - (upper - 1) * 100) < 1e-9
     assert out.direction == "up"
     assert out.stat_sig == 1
+
+
+def test_bocpd_poisson_flags_rate_change(spark):
+    """Poisson-Gamma BOCPD (kats/detectors/bocpd.py:244): a count series
+    whose rate jumps 3 -> 12 at t=120 peaks near the change."""
+    rng = np.random.RandomState(31)
+    n = 200
+    counts = np.concatenate([rng.poisson(3.0, 120), rng.poisson(12.0, n - 120)])
+    pdf = pd.DataFrame(
+        {
+            "series_id": "c",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": counts.astype(float),
+        }
+    )
+    scores = (
+        bocpd.bocpd_poisson_scores(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("time")
+        .reset_index(drop=True)
+    )
+    assert len(scores) == n
+    peak = scores.iloc[5:].cp_prob.idxmax()
+    assert abs(peak - 120) <= 2
+    # quiet elsewhere: away from the change the posterior stays low
+    away = scores.cp_prob[(scores.index < 110) & (scores.index > 5)]
+    assert float(away.max()) < 0.3

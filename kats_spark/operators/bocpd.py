@@ -299,3 +299,148 @@ def bocpd_poisson_scores(
         .groupBy(s.series_id)
         .applyInPandas(fn, schema)
     )
+
+
+def _bocpd_trend(
+    y: np.ndarray,
+    hazard_lambda: float,
+    max_run: int,
+    lag: int = 10,
+    a0: float | None = None,
+    b0: float | None = None,
+    lam0: float = 2e-7,
+    num_points_prior: int = 10,
+) -> np.ndarray:
+    """TrendChange BOCPD: data within a run follows a Bayesian linear
+    regression of value on within-run time (kats/detectors/bocpd.py:1444
+    ``_BayesianLinReg``; priors a_0=0.1, b_0=200, Λ_0=2e-7·I and the
+    leading-points linregress μ prior mirror bocpd.py:1491-1535).
+
+    The reference estimates the predictive by Monte-Carlo sampling
+    (``num_likelihood_samples``); we use the exact Normal-Inverse-Gamma
+    closed form instead — the predictive for the next point of a
+    length-l run at design x*=[1, l] is Student-t(2a_n, x*·μ_n,
+    (b_n/a_n)(1 + x*'Λ_n⁻¹x*)) — deterministic and vectorized across all
+    run lengths (2×2 adjugate inverse, no linalg calls)."""
+    n = len(y)
+    h = 1.0 / hazard_lambda
+    k = min(num_points_prior, n)
+    t_prior = np.arange(k, dtype=float)
+    if k >= 2 and np.var(t_prior) > 0:
+        slope = float(np.polyfit(t_prior, y[:k], 1)[0])
+        intercept = float(np.mean(y[:k]) - slope * np.mean(t_prior))
+    else:
+        slope, intercept = 0.0, float(y[0]) if n else 0.0
+    mu0 = np.array([intercept, slope])
+    if a0 is None or b0 is None:
+        # readjust_sigma_prior (bocpd.py:1521-1536): match the Inv-Gamma
+        # mean to the leading-points regression residual variance (their
+        # fixed Var[σ²]=1000 hack kept for parity)
+        resid = y[:k] - (intercept + slope * t_prior)
+        s2m = max(float(np.mean(resid**2)), 1e-8)
+        a0 = 2.0 + s2m / 1000.0
+        b0 = s2m * (a0 - 1.0)
+
+    m = max_run + 1
+    # per-run-length sufficient statistics of the within-run regression
+    S00 = np.zeros(m); S01 = np.zeros(m); S11 = np.zeros(m)
+    Sy = np.zeros(m); Sty = np.zeros(m); Syy = np.zeros(m)
+    r = np.zeros(m); r[0] = 1.0
+    cp = np.zeros(n)
+    lag = min(lag, max_run)
+    prior_quad = lam0 * float(mu0 @ mu0)  # μ0'Λ0μ0 with Λ0 = λ·I
+
+    for t in range(n):
+        x = float(y[t])
+        # posterior given each run length l (design rows τ=0..l-1)
+        A = lam0 + S00          # Λn[0,0]
+        B = S01                 # Λn[0,1] = Λn[1,0]
+        C = lam0 + S11          # Λn[1,1]
+        det = A * C - B * B
+        rhs0 = lam0 * mu0[0] + Sy
+        rhs1 = lam0 * mu0[1] + Sty
+        mu_n0 = (C * rhs0 - B * rhs1) / det
+        mu_n1 = (A * rhs1 - B * rhs0) / det
+        a_n = a0 + S00 / 2.0
+        quad_n = mu_n0 * mu_n0 * A + 2.0 * mu_n0 * mu_n1 * B + mu_n1 * mu_n1 * C
+        b_n = b0 + 0.5 * (Syy + prior_quad - quad_n)
+        b_n = np.maximum(b_n, 1e-12)
+        # predictive at x* = [1, l] where l = current run length = S00
+        l_idx = S00
+        xAx = (C - 2.0 * B * l_idx + A * l_idx * l_idx) / det  # x*'Λn⁻¹x*
+        mean = mu_n0 + mu_n1 * l_idx
+        df_t = 2.0 * a_n
+        scale2 = (b_n / a_n) * (1.0 + xAx)
+        z2 = (x - mean) ** 2 / scale2
+        log_pred = (
+            _lgamma_vec((df_t + 1.0) / 2.0)
+            - _lgamma_vec(df_t / 2.0)
+            - 0.5 * np.log(np.pi * df_t * scale2)
+            - (df_t + 1.0) / 2.0 * np.log1p(z2 / df_t)
+        )
+        pred = np.exp(np.clip(log_pred, -700.0, 50.0))
+
+        growth = r * pred * (1.0 - h)
+        cp_mass = float(np.sum(r * pred * h))
+        new_r = np.zeros_like(r)
+        new_r[0] = cp_mass
+        new_r[1:] = growth[:-1]
+        new_r[-1] += growth[-1]
+        tot = new_r.sum()
+        if tot <= 0 or not np.isfinite(tot):
+            new_r[:] = 0.0; new_r[0] = 1.0; tot = 1.0
+        new_r /= tot
+
+        # grow sufficient statistics: run of length l gains point (τ=l, x)
+        tau = S00
+        S00n = np.empty(m); S01n = np.empty(m); S11n = np.empty(m)
+        Syn = np.empty(m); Styn = np.empty(m); Syyn = np.empty(m)
+        S00n[0] = S01n[0] = S11n[0] = Syn[0] = Styn[0] = Syyn[0] = 0.0
+        S00n[1:] = S00[:-1] + 1.0
+        S01n[1:] = S01[:-1] + tau[:-1]
+        S11n[1:] = S11[:-1] + tau[:-1] * tau[:-1]
+        Syn[1:] = Sy[:-1] + x
+        Styn[1:] = Sty[:-1] + tau[:-1] * x
+        Syyn[1:] = Syy[:-1] + x * x
+        S00, S01, S11, Sy, Sty, Syy = S00n, S01n, S11n, Syn, Styn, Syyn
+
+        if t >= lag:
+            cp[t - lag] = new_r[lag]
+        r = new_r
+
+    for j in range(min(lag, n)):
+        cp[n - 1 - j] = r[j + 1] if j + 1 <= max_run else 0.0
+    return cp
+
+
+def bocpd_trend_scores(
+    df: DataFrame,
+    hazard_lambda: float = 250.0,
+    max_run: int = 200,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Per-point trend-changepoint probability (slope/intercept changes,
+    not just level shifts) — completes the reference's three BOCPD
+    likelihood models (Normal, Poisson, TrendChange)."""
+    schema = f"{s.series_id} string, {s.time} timestamp, {s.value} double, cp_prob double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(s.time).reset_index(drop=True)
+        y = pdf[s.value].to_numpy(dtype=float)
+        if len(y) < 5:
+            return pd.DataFrame(columns=[s.series_id, s.time, s.value, "cp_prob"])
+        cp = _bocpd_trend(y, hazard_lambda, max_run)
+        return pd.DataFrame(
+            {
+                s.series_id: pdf[s.series_id],
+                s.time: pdf[s.time],
+                s.value: y,
+                "cp_prob": cp,
+            }
+        )
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(fn, schema)
+    )

@@ -210,3 +210,29 @@ def test_bocpd_poisson_flags_rate_change(spark):
     # quiet elsewhere: away from the change the posterior stays low
     away = scores.cp_prob[(scores.index < 110) & (scores.index > 5)]
     assert float(away.max()) < 0.3
+
+
+def test_bocpd_trend_flags_slope_change(spark):
+    """TrendChange BOCPD (kats/detectors/bocpd.py:1444): a series whose
+    slope flips 0.1 -> -0.3 at t=120 peaks near the change."""
+    rng = np.random.RandomState(33)
+    n = 200
+    t1 = np.arange(120) * 0.1
+    t2 = t1[-1] + np.arange(1, n - 120 + 1) * -0.3
+    vals = np.concatenate([t1, t2]) + rng.randn(n) * 0.15
+    pdf = pd.DataFrame(
+        {
+            "series_id": "tr",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": vals,
+        }
+    )
+    scores = (
+        bocpd.bocpd_trend_scores(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("time")
+        .reset_index(drop=True)
+    )
+    assert len(scores) == n
+    peak = scores.iloc[20:].cp_prob.idxmax()
+    assert abs(peak - 120) <= 3

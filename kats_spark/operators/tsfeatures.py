@@ -310,24 +310,48 @@ def kernel_stats(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
     )
 
 
+FEATURE_GROUPS = (
+    "basic", "lumpiness", "stability", "crossing_points", "binarize_mean",
+    "std_first_derivative", "flat_spots", "histogram_mode", "level_shift",
+    "kernel",
+)
+
+
 def tsfeatures(
     df: DataFrame,
     period: int = 24,
     window_size: int = 48,
     s: TSSchema = DEFAULT,
+    selected: "list[str] | None" = None,
 ) -> DataFrame:
-    """The full wide feature frame: expression layer ⋈ kernel layer."""
-    base = stats_fn.basic_stats(df, s)
-    lum = stats_fn.lumpiness(df, window_size, s)
-    stab = stats_fn.stability(df, window_size, s)
-    cp = stats_fn.crossing_points(df, s)
-    bm = stats_fn.binarize_mean(df, s)
-    sd = stats_fn.std_first_derivative(df, s)
-    fs = stats_fn.flat_spots(df, 10, s)
-    hm = stats_fn.histogram_mode(df, 10, s)
-    ls = stats_fn.level_shift_features(df, 10, s)
-    kern = kernel_features(df, period, s)
-    out = base
-    for piece in [lum, stab, cp, bm, sd, fs, hm, ls, kern]:
+    """The full wide feature frame: expression layer ⋈ kernel layer.
+
+    ``selected`` mirrors the reference's opt-in feature-group registry
+    (kats/tsfeatures/tsfeatures.py:108-240 ``_ALL_TS_FEATURES`` /
+    group selection :314-445): only the named groups are computed, and
+    because each group is its own subplan, deselecting a group prunes its
+    whole subtree (scans, windows, kernels) — selection is a plan
+    optimization, not a post-hoc column drop."""
+    if selected is None:
+        selected = list(FEATURE_GROUPS)
+    unknown = set(selected) - set(FEATURE_GROUPS)
+    if unknown:
+        raise ValueError(f"unknown feature groups: {sorted(unknown)}; "
+                         f"available: {list(FEATURE_GROUPS)}")
+    builders = {
+        "basic": lambda: stats_fn.basic_stats(df, s),
+        "lumpiness": lambda: stats_fn.lumpiness(df, window_size, s),
+        "stability": lambda: stats_fn.stability(df, window_size, s),
+        "crossing_points": lambda: stats_fn.crossing_points(df, s),
+        "binarize_mean": lambda: stats_fn.binarize_mean(df, s),
+        "std_first_derivative": lambda: stats_fn.std_first_derivative(df, s),
+        "flat_spots": lambda: stats_fn.flat_spots(df, 10, s),
+        "histogram_mode": lambda: stats_fn.histogram_mode(df, 10, s),
+        "level_shift": lambda: stats_fn.level_shift_features(df, 10, s),
+        "kernel": lambda: kernel_features(df, period, s),
+    }
+    pieces = [builders[g]() for g in FEATURE_GROUPS if g in set(selected)]
+    out = pieces[0]
+    for piece in pieces[1:]:
         out = out.join(piece, s.series_id, "left")
     return out

@@ -97,3 +97,18 @@ def test_tsfeatures_white_noise_vs_trend(spark):
     assert out.loc["trend", "linearity"] > 0.95
     assert out.loc["trend", "hurst"] > out.loc["noise", "hurst"]
     assert out.loc["trend", "unitroot_kpss"] > out.loc["noise", "unitroot_kpss"]
+
+
+def test_tsfeatures_group_selection(spark):
+    """selected= mirrors the reference's opt-in group registry: only the
+    named groups' columns appear, unknown names raise."""
+    import pytest
+    from kats_spark.operators import simulator, tsfeatures
+
+    df = simulator.simulate(spark, n_series=1, n_points=60, noise_std=1.0, seed=91)
+    out = tsfeatures.tsfeatures(df, selected=["basic", "crossing_points"])
+    cols = set(out.columns)
+    assert "crossing_points" in cols
+    assert "lumpiness" not in cols and "flat_spots" not in cols
+    with pytest.raises(ValueError, match="unknown feature groups"):
+        tsfeatures.tsfeatures(df, selected=["nope"])

@@ -65,6 +65,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def raw_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)  # driver sessions are vanilla: pin TZ before any date math
     ev = load_events(spark, sf_dir)
     return ev.select(
         F.col("event_type").alias("series_id"),

@@ -2216,7 +2216,9 @@ def q_simulate_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     every VALUE replayed exactly by the DuckDB oracle (the affine-mod-p
     rounds and the Box-Muller transform are plain arithmetic both sides)."""
     from kats_spark.operators import simulator
+    from kats_spark.plans.queries import _utc
 
+    _utc(spark)
     out = simulator.simulate_portable(
         spark, n_series=5, n_points=200,
         trend_slope=0.05, noise_std=1.0,

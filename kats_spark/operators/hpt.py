@@ -50,3 +50,111 @@ def tune_rolling_window(
         ).cast("int").alias("best_window"),
         F.min("mae").alias("best_mae"),
     )
+
+
+# --------------------------------------------------------------------------
+# Default per-model search spaces (kats/utils/parameter_tuning_utils.py)
+# --------------------------------------------------------------------------
+
+def _logspace(lo: float, hi: float, n: int) -> list[float]:
+    import numpy as np
+
+    return [float(v) for v in np.logspace(lo, hi, n, endpoint=True)]
+
+
+def default_search_space(model: str) -> list[dict]:
+    """The reference's default hyperparameter search space for ``model``
+    (kats/utils/parameter_tuning_utils.py: prophet :25, arnet :93,
+    stlf :135, arima :171, holtwinters :213, sarima :261, theta :325,
+    lightgbm :380 — VAR raises NotImplementedError there and here).
+    Same dict shape (name/type/value_type/values) so callers can port
+    existing Kats tuning configs unchanged."""
+    spaces: dict[str, list[dict]] = {
+        "arima": [
+            {"name": "p", "type": "choice", "value_type": "int",
+             "values": list(range(1, 6)), "is_ordered": True},
+            {"name": "d", "type": "choice", "value_type": "int",
+             "values": list(range(1, 3)), "is_ordered": True},
+            {"name": "q", "type": "choice", "value_type": "int",
+             "values": list(range(1, 6)), "is_ordered": True},
+        ],
+        "sarima": [
+            {"name": "p", "type": "choice", "value_type": "int",
+             "values": list(range(1, 6)), "is_ordered": True},
+            {"name": "d", "type": "choice", "value_type": "int",
+             "values": list(range(1, 3)), "is_ordered": True},
+            {"name": "q", "type": "choice", "value_type": "int",
+             "values": list(range(1, 6)), "is_ordered": True},
+            {"name": "seasonal_order", "type": "choice", "value_type": "str",
+             "values": ["(1,0,1,7)", "(1,0,2,7)", "(2,0,1,7)", "(2,0,2,7)",
+                        "(1,1,1,7)", "(0,1,1,7)"]},
+            {"name": "trend", "type": "choice", "value_type": "str",
+             "values": ["n", "c", "t", "ct"]},
+        ],
+        "holtwinters": [
+            {"name": "trend", "type": "choice", "value_type": "str",
+             "values": ["additive", "multiplicative"]},
+            {"name": "damped", "type": "choice", "value_type": "bool",
+             "values": [True, False]},
+            {"name": "seasonal", "type": "choice", "value_type": "str",
+             "values": ["additive", "multiplicative"]},
+            {"name": "seasonal_periods", "type": "choice", "value_type": "int",
+             "values": [4, 7, 10, 14, 24, 30], "is_ordered": True},
+        ],
+        "theta": [
+            {"name": "m", "type": "choice", "value_type": "int",
+             "values": list(range(1, 31)), "is_ordered": True},
+        ],
+        "stlf": [
+            {"name": "method", "type": "choice", "value_type": "str",
+             "values": ["linear", "quadratic", "theta", "prophet"]},
+            {"name": "m", "type": "choice", "value_type": "int",
+             "values": [4, 7, 10, 14, 24, 30], "is_ordered": True},
+        ],
+        "prophet": [
+            {"name": "seasonality_prior_scale", "type": "choice",
+             "value_type": "float", "values": _logspace(-2, 1, 10),
+             "is_ordered": True},
+            {"name": "yearly_seasonality", "type": "choice",
+             "value_type": "bool", "values": [True, False]},
+            {"name": "weekly_seasonality", "type": "choice",
+             "value_type": "bool", "values": [True, False]},
+            {"name": "daily_seasonality", "type": "choice",
+             "value_type": "bool", "values": [True, False]},
+            {"name": "seasonality_mode", "type": "choice", "value_type": "str",
+             "values": ["additive", "multiplicative"]},
+            {"name": "changepoint_prior_scale", "type": "choice",
+             "value_type": "float", "values": _logspace(-3, -0.5, 10),
+             "is_ordered": True},
+            {"name": "changepoint_range", "type": "choice",
+             "value_type": "float",
+             "values": [0.8, 0.85, 0.9, 0.95], "is_ordered": True},
+        ],
+    }
+    if model == "var":
+        raise NotImplementedError(
+            "default search space not defined for VAR (parity with "
+            "parameter_tuning_utils.py:355-377)"
+        )
+    if model not in spaces:
+        raise KeyError(f"no default search space for {model!r}; "
+                       f"available: {sorted(spaces)}")
+    return spaces[model]
+
+
+def grid_df(spark, space: list[dict], max_candidates: int | None = None,
+            seed: int = 0):
+    """Expand a choice search space into the candidate DataFrame the
+    crossJoin planner consumes: one row per combination (grid search), or
+    a seeded uniform sample of ``max_candidates`` combinations (random
+    search, time_series_parameter_tuning.py random strategy).  The grid is
+    tiny metadata — it broadcasts; the series side never reshuffles."""
+    import itertools
+    import random as _random
+
+    names = [p["name"] for p in space]
+    combos = list(itertools.product(*[p["values"] for p in space]))
+    if max_candidates is not None and len(combos) > max_candidates:
+        combos = _random.Random(seed).sample(combos, max_candidates)
+    rows = [dict(zip(names, [str(v) for v in c])) for c in combos]
+    return spark.createDataFrame(rows)

@@ -112,3 +112,19 @@ def test_tsfeatures_group_selection(spark):
     assert "lumpiness" not in cols and "flat_spots" not in cols
     with pytest.raises(ValueError, match="unknown feature groups"):
         tsfeatures.tsfeatures(df, selected=["nope"])
+
+
+def test_default_search_spaces(spark):
+    import pytest
+    from kats_spark.operators import hpt
+
+    arima = hpt.default_search_space("arima")
+    assert [p["name"] for p in arima] == ["p", "d", "q"]
+    g = hpt.grid_df(spark, arima)
+    assert g.count() == 5 * 2 * 5
+    sampled = hpt.grid_df(spark, hpt.default_search_space("prophet"), max_candidates=20)
+    assert sampled.count() == 20
+    with pytest.raises(NotImplementedError):
+        hpt.default_search_space("var")
+    with pytest.raises(KeyError):
+        hpt.default_search_space("nope")

@@ -29,7 +29,7 @@ from typing import Any, Iterator
 import numpy as np
 import pandas as pd
 
-from kats_spark.operators.bocpd import _bocpd_step
+from kats_spark.operators.bocpd import _bocpd_poisson_step, _bocpd_step
 from kats_spark.sources.state import StateCodec
 from kats_spark.tsframe import TSSchema, DEFAULT
 
@@ -41,11 +41,13 @@ WARMUP = 20
 CODEC = StateCodec(
     1,
     {
+        "likelihood": "normal",  # "normal" | "poisson" (bocpd.py:166,:244)
         "init_buf": [],  # [(iso_time, value)] before priors exist
         "pending": [],  # [(iso_time, value)] awaiting their lagged cp
         "t": 0,  # points consumed by the recursion
         "mu0": None,
         "beta0": None,
+        "alpha0": None,
         "r": None,
         "mu": None,
         "kappa": None,
@@ -79,18 +81,24 @@ def _advance(
     """Run one recursion step; return the (time, value, cp_prob) row that
     becomes emittable (the point ``lag`` steps back), if any."""
     r = np.asarray(st["r"])
-    mu = np.asarray(st["mu"])
-    kappa = np.asarray(st["kappa"])
     alpha = np.asarray(st["alpha"])
     beta = np.asarray(st["beta"])
-    new_r, mu, kappa, alpha, beta = _bocpd_step(
-        value, r, mu, kappa, alpha, beta,
-        st["mu0"], 1.0, 1.0, st["beta0"], h,
-    )
-    st.update(
-        r=new_r.tolist(), mu=mu.tolist(), kappa=kappa.tolist(),
-        alpha=alpha.tolist(), beta=beta.tolist(),
-    )
+    if st["likelihood"] == "poisson":
+        new_r, alpha, beta = _bocpd_poisson_step(
+            max(round(value), 0.0), r, alpha, beta, st["alpha0"], st["beta0"], h
+        )
+        st.update(r=new_r.tolist(), alpha=alpha.tolist(), beta=beta.tolist())
+    else:
+        mu = np.asarray(st["mu"])
+        kappa = np.asarray(st["kappa"])
+        new_r, mu, kappa, alpha, beta = _bocpd_step(
+            value, r, mu, kappa, alpha, beta,
+            st["mu0"], 1.0, 1.0, st["beta0"], h,
+        )
+        st.update(
+            r=new_r.tolist(), mu=mu.tolist(), kappa=kappa.tolist(),
+            alpha=alpha.tolist(), beta=beta.tolist(),
+        )
     st["pending"] = st["pending"] + [(t_iso, value)]
     st["t"] += 1
     if st["t"] - 1 >= lag:
@@ -105,7 +113,11 @@ def make_bocpd_updater(
     max_run: int = 200,
     lag: int = 10,
     s: TSSchema = DEFAULT,
+    likelihood: str = "normal",
 ):
+    """``likelihood="poisson"`` switches to the Gamma-conjugate count
+    model (fixed priors α=1, β=0.05 — bocpd.py:244 — so the recursion
+    starts on the first point, no warmup buffer)."""
     h = 1.0 / hazard_lambda
     lag = min(lag, max_run)
 
@@ -123,7 +135,16 @@ def make_bocpd_updater(
             pdf = pdf.sort_values(s.time)
             for t, v in zip(pdf[s.time], pdf[s.value]):
                 t_iso = pd.Timestamp(t).isoformat()
-                if st["r"] is None:
+                if st["r"] is None and likelihood == "poisson":
+                    r0 = np.zeros(max_run + 1); r0[0] = 1.0
+                    st.update(
+                        likelihood="poisson", alpha0=1.0, beta0=0.05,
+                        r=r0.tolist(),
+                        alpha=np.full(max_run + 1, 1.0).tolist(),
+                        beta=np.full(max_run + 1, 0.05).tolist(),
+                    )
+                    consume(t_iso, float(v))
+                elif st["r"] is None:
                     st["init_buf"] = st["init_buf"] + [(t_iso, float(v))]
                     if len(st["init_buf"]) == WARMUP:
                         st.update(
@@ -151,10 +172,11 @@ def bocpd_stream(
     max_run: int = 200,
     lag: int = 10,
     s: TSSchema = DEFAULT,
+    likelihood: str = "normal",
 ):
     """Structured Streaming scorer: groupBy(series).applyInPandasWithState."""
     return stream_df.groupBy(s.series_id).applyInPandasWithState(
-        make_bocpd_updater(hazard_lambda, max_run, lag, s),
+        make_bocpd_updater(hazard_lambda, max_run, lag, s, likelihood),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -392,3 +392,70 @@ def test_watermark_drops_late_rows(spark):
         assert not (got.value == 99.0).any()
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_bocpd_poisson_streaming_equals_batch(spark):
+    """Streaming Poisson-BOCPD == batch bocpd_poisson on the common
+    prefix (same contract as the Normal test; no warmup buffer since the
+    Gamma priors are fixed)."""
+    import numpy as np
+
+    from kats_spark.operators.bocpd import _bocpd_poisson
+    from kats_spark.streaming import bocpd_model as bm
+
+    tmpdir = tempfile.mkdtemp()
+    out_table = "bocpd_poisson_stream_out"
+    lag = 10
+    try:
+        rng = np.random.RandomState(41)
+        n = 120
+        counts = np.concatenate(
+            [rng.poisson(4.0, 70), rng.poisson(15.0, n - 70)]
+        ).astype(float)
+        pdf = pd.DataFrame(
+            {
+                "series_id": ["c"] * n,
+                "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+                "value": counts,
+            }
+        )
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        pdf_us = pdf.assign(time=pdf.time.astype("datetime64[us]"))
+        pdf_us.iloc[:50].to_parquet(os.path.join(chunk_dir, "c0.parquet"))
+        pdf_us.iloc[50:].to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+
+        stream = (
+            spark.readStream.schema("series_id string, time timestamp, value double")
+            .parquet(chunk_dir)
+        )
+        q = (
+            bm.bocpd_stream(
+                stream, hazard_lambda=250.0, max_run=200, lag=lag,
+                likelihood="poisson",
+            )
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = (
+            spark.table(out_table)
+            .toPandas()
+            .sort_values("time")
+            .reset_index(drop=True)
+        )
+        exp = _bocpd_poisson(counts, 250.0, 200, lag=lag)
+        assert len(got) == n - lag
+        np.testing.assert_allclose(
+            got.cp_prob.to_numpy(), exp[: n - lag], rtol=1e-10, atol=1e-12
+        )
+        # the rate change is detected near t=70
+        peak = int(np.argmax(got.cp_prob.to_numpy()[5:])) + 5
+        assert abs(peak - 70) <= 2
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

@@ -1251,6 +1251,102 @@ FROM full_d f JOIN bounds b ON f.series_id = b.series_id
 """
 
 
+def q_cupik_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CuPiK pipeline (kats/utils/cupik.py:42-329) as ONE lazy plan:
+    outlier-remove (detector feeding the remover, detector.py:101) →
+    linear re-interpolation of the removed points (remover's
+    interpolate=True) → 5-point centered smoothing.  Catalyst optimizes
+    across step boundaries — no materialization between steps."""
+    from kats_spark.plans.pipeline import Pipeline
+
+    steps = [
+        ("remove_outliers",
+         lambda d: outlier_mod.outlier_remove(d, period=24, iqr_mult=2.0)),
+        ("interpolate", lambda d: resample.resample(d, 3600, "linear")),
+        ("smooth",
+         lambda d: d.withColumn("smooth", F.avg("value").over(S.w().rowsBetween(-2, 2)))),
+    ]
+    out = Pipeline(steps).run(hourly_series(spark, sf_dir))
+    return _fmt_time(_r6(out, "value", "smooth"))
+
+
+_Q_CUPIK_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn
+  FROM h
+),
+tr AS (
+  SELECT *,
+    CASE WHEN count(value) OVER w = 25 THEN
+      (sum(value) OVER w - first_value(value) OVER w / 2 - last_value(value) OVER w / 2) / 24
+    END AS trend
+  FROM idx
+  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+detr AS (SELECT *, value - trend AS dt, rn % 24 AS phase FROM tr),
+pm AS (SELECT series_id, phase, avg(dt) AS pmv FROM detr WHERE dt IS NOT NULL GROUP BY 1, 2),
+gm AS (SELECT series_id, avg(pmv) AS g FROM pm GROUP BY 1),
+seas AS (
+  SELECT pm.series_id, pm.phase, pm.pmv - gm.g AS seasonal
+  FROM pm JOIN gm ON pm.series_id = gm.series_id
+),
+full_d AS (
+  SELECT d.series_id, d.time, d.value,
+         d.value - d.trend - s.seasonal AS residual
+  FROM detr d LEFT JOIN seas s ON d.series_id = s.series_id AND d.phase = s.phase
+),
+bounds AS (
+  SELECT series_id,
+         quantile_cont(residual, 0.25) AS q1, quantile_cont(residual, 0.75) AS q3
+  FROM full_d WHERE residual IS NOT NULL GROUP BY 1
+),
+cleaned AS (
+  SELECT f.series_id, f.time,
+    CASE WHEN f.residual IS NOT NULL
+          AND (f.residual < b.q1 - 2.0 * (b.q3 - b.q1)
+           OR  f.residual > b.q3 + 2.0 * (b.q3 - b.q1)) THEN NULL
+         ELSE f.value END AS obs
+  FROM full_d f JOIN bounds b ON f.series_id = b.series_id
+),
+tb AS (SELECT series_id, min(time) AS t0, max(time) AS t1 FROM cleaned GROUP BY 1),
+spine AS (
+  SELECT series_id, unnest(generate_series(t0, t1, INTERVAL 3600 SECONDS)) AS time
+  FROM tb
+),
+g AS (
+  SELECT s.series_id, s.time, c.obs, epoch(s.time)::DOUBLE AS t
+  FROM spine s LEFT JOIN cleaned c USING (series_id, time)
+),
+fw AS (
+  SELECT *,
+    last_value(obs IGNORE NULLS) OVER w_prev AS prev_v,
+    first_value(obs IGNORE NULLS) OVER w_next AS next_v,
+    last_value(CASE WHEN obs IS NOT NULL THEN t END IGNORE NULLS) OVER w_prev AS prev_t,
+    first_value(CASE WHEN obs IS NOT NULL THEN t END IGNORE NULLS) OVER w_next AS next_t
+  FROM g
+  WINDOW
+    w_prev AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+filled AS (
+  SELECT series_id, time,
+    coalesce(
+      CASE WHEN obs IS NOT NULL THEN obs
+           WHEN next_t = prev_t THEN prev_v
+           ELSE prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t) END,
+      prev_v, next_v) AS value
+  FROM fw
+)
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time,
+  round(1e-9 + value, 6) AS value,
+  round(1e-9 + avg(value) OVER (PARTITION BY series_id ORDER BY time
+    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS smooth
+FROM filled
+"""
+
+
 def q_acf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = acf_mod.acf_features(raw_series(spark, sf_dir), lags=5)
     return _r6(
@@ -1974,6 +2070,7 @@ QUERIES.update(
         "percentage_change": q_percentage_change,
         "series_arith": q_series_arith,
         "outlier_detect": q_outlier_detect,
+        "cupik_pipeline": q_cupik_pipeline,
         "acf_features": q_acf_features,
         "ar2_forecast": q_ar2_forecast,
         "backtest_linear": q_backtest_linear,
@@ -1992,6 +2089,7 @@ ORACLES.update(
         "percentage_change": _Q_PERC_CHANGE_SQL,
         "series_arith": _Q_SERIES_ARITH_SQL,
         "outlier_detect": _Q_OUTLIER_SQL,
+        "cupik_pipeline": _Q_CUPIK_SQL,
         "acf_features": _Q_ACF_SQL,
         "ar2_forecast": _Q_AR2_SQL,
         "backtest_linear": _Q_BACKTEST_SQL,

@@ -80,3 +80,21 @@ def classify_anomalies(
         (F.col("__max_abs") * F.sqrt(n.cast("double"))).alias("severity"),
         kind.alias("kind"),
     )
+
+
+def interval_second_len(start_col: str = "episode_start", end_col: str = "episode_end"):
+    """``IntervalAnomaly.second_len`` (kats/consts.py:1323): interval
+    length in seconds as a column expression."""
+    return F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))
+
+
+def get_last_n(df: DataFrame, n: int, s: TSSchema = DEFAULT) -> DataFrame:
+    """``AnomalyResponse.get_last_n`` (kats/detectors/detector_consts.py:692):
+    the trailing ``n`` rows of every series, via a tail row_number window —
+    one exchange, no collect."""
+    w = Window.partitionBy(s.series_id).orderBy(F.col(s.time).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -75,3 +75,31 @@ def test_outlier_detect_flags_spike(spark):
     out = out.reset_index(drop=True)
     assert out.loc[119, "is_outlier"] == 1
     assert out.is_outlier.sum() <= 3  # no mass false positives
+
+
+def test_get_last_n_and_second_len(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kats_spark.operators import postprocess as pp
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["a"] * 5 + ["b"] * 3,
+            "time": list(pd.date_range("2024-01-01", periods=5, freq="h"))
+            + list(pd.date_range("2024-01-01", periods=3, freq="h")),
+            "value": range(8),
+        }
+    )
+    out = pp.get_last_n(spark.createDataFrame(pdf), 2).toPandas()
+    assert len(out) == 4
+    assert sorted(out[out.series_id == "a"].value) == [3, 4]
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "episode_start": pd.to_datetime(["2024-01-01 00:00:00"]),
+                "episode_end": pd.to_datetime(["2024-01-01 02:30:00"]),
+            }
+        )
+    ).select(pp.interval_second_len().alias("sec"))
+    assert iv.collect()[0].sec == 9000

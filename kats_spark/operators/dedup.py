@@ -5,10 +5,11 @@ standard corpus-dedup stack, built Spark-first:
 
 - exact: hash-groupBy on a normalized fingerprint, keep min(doc_id) —
   one shuffle, map-side partial agg.
-- minhash_lsh: shingle → minhash signature (one xxhash64 per permutation,
-  computed with higher-order array exprs, no UDF) → band buckets →
-  self-join on (band, bucket) → candidate pairs.  At 100 TB the band join
-  is the only shuffle and is key-salted by construction (bucket ids).
+- minhash_lsh: shingle → minhash signature (row-based hashed shingles +
+  64 partial-agg mins, no UDF) → band buckets → in-bucket pair expansion
+  (collect the sorted member ids per (band, bucket), generate (i < j)
+  pairs in-row) → distinct.  At 100 TB the bucket groupBy is the only
+  post-signature shuffle and is key-spread by construction (bucket ids).
 - simhash: 64-bit sign-sum hash over token hashes; near-dups = hamming
   distance ≤ k on bucketed prefixes.
 - ngram_jaccard: exact Jaccard on shingle sets for candidate pairs

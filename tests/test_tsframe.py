@@ -185,3 +185,46 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         )
 
     check()
+
+
+def test_resample_linear_matches_pandas(spark):
+    """Property check: resample(linear) == pandas reindex + time-indexed
+    interpolation (edges -> nearest) over randomized gappy hourly series."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from kats_spark.operators.resample import resample
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        hours=st.lists(st.integers(0, 120), min_size=2, max_size=30, unique=True),
+        seed=st.integers(0, 10_000),
+    )
+    def check(hours, seed):
+        rng = np.random.RandomState(seed)
+        base = pd.Timestamp("2024-01-01")
+        times = [base + pd.Timedelta(hours=h) for h in sorted(hours)]
+        vals = rng.randn(len(times))
+        pdf = pd.DataFrame({"series_id": "k", "time": times, "value": vals})
+        got = (
+            resample(spark.createDataFrame(pdf), 3600, "linear")
+            .orderBy("time")
+            .toPandas()
+        )
+        spine = pd.date_range(times[0], times[-1], freq="h")
+        exp = (
+            pd.Series(vals, index=pd.DatetimeIndex(times))
+            .reindex(spine)
+            .interpolate(method="index", limit_direction="both")
+        )
+        assert len(got) == len(spine)
+        np.testing.assert_allclose(
+            got["value"].to_numpy(), exp.to_numpy(), rtol=1e-9, atol=1e-12
+        )
+
+    check()

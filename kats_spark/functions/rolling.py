@@ -128,6 +128,11 @@ def segmented_score(
     shuffle keyed on (series_id, segment) instead of (series_id)."""
     if score not in ("z_score",):
         raise ValueError(f"segmented_score supports z_score (got {score!r})")
+    if n >= segment_rows:
+        raise ValueError(
+            f"window n={n} must be < segment_rows={segment_rows}: each tile "
+            "must hold more fresh rows than carried boundary rows"
+        )
     rn = F.row_number().over(s.w()) - 1
     base = df.withColumn("__rn", rn).withColumn(
         "__seg", (F.col("__rn") / segment_rows).cast("long")

@@ -315,6 +315,19 @@ WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 24 PRECEDING AND 
 """
 
 
+def q_rolling_zscore_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof tiled plan (rolling.segmented_score: fixed-size
+    tiles + n-row carry, shuffle key (series_id, segment)) checked against
+    the SAME oracle as the single-window z-score — the tiling is an
+    execution strategy, not a semantic change, and the hash match proves
+    it end-to-end."""
+    df = raw_series(spark, sf_dir)
+    out = rolling.segmented_score(df, n=24, segment_rows=512)
+    return _fmt_time(_r6(out, "value", "score")).select(
+        "series_id", "time", "value", F.col("score").alias("z")
+    )
+
+
 def q_rolling_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = raw_series(spark, sf_dir)
     out = df.withColumn("iqr_score", rolling.iqr_score(24)).withColumn(
@@ -2071,6 +2084,7 @@ QUERIES.update(
         "series_arith": q_series_arith,
         "outlier_detect": q_outlier_detect,
         "cupik_pipeline": q_cupik_pipeline,
+        "rolling_zscore_segmented": q_rolling_zscore_segmented,
         "acf_features": q_acf_features,
         "ar2_forecast": q_ar2_forecast,
         "backtest_linear": q_backtest_linear,
@@ -2090,6 +2104,7 @@ ORACLES.update(
         "series_arith": _Q_SERIES_ARITH_SQL,
         "outlier_detect": _Q_OUTLIER_SQL,
         "cupik_pipeline": _Q_CUPIK_SQL,
+        "rolling_zscore_segmented": _Q_ROLLING_Z_SQL,
         "acf_features": _Q_ACF_SQL,
         "ar2_forecast": _Q_AR2_SQL,
         "backtest_linear": _Q_BACKTEST_SQL,

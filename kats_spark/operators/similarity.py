@@ -130,6 +130,15 @@ def all_pairs_topk(
     )
 
 
+def lsh_planes(num_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Seed-deterministic gaussian hyperplanes.  Generated driver-side and
+    baked into the plan as literals — which also means the exact same
+    constants can be inlined into an oracle SQL string, so the LSH bucket
+    assignment is reproducible in any engine (no PRNG parity needed)."""
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+
 def lsh_bucket_pairs(
     df: DataFrame,
     num_planes: int = 8,
@@ -141,8 +150,7 @@ def lsh_bucket_pairs(
     """Random-hyperplane LSH: sign-pattern bucket id per vector, then
     intra-bucket candidate pairs.  The scale path for near-neighbor search:
     one narrow projection + one equi-join on bucket."""
-    rnd = random.Random(seed)
-    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    planes = lsh_planes(num_planes, dim, seed)
     bucket = F.lit(0)
     v = F.col(vec_col)
     for i, p in enumerate(planes):

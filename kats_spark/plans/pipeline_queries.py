@@ -232,14 +232,37 @@ FROM ranked WHERE rk <= 3
 
 
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH candidate pairs — rows-only (random planes are
-    seed-deterministic in Spark but not reproducible in SQL)."""
+    """Hyperplane-LSH candidate pairs.  The planes are seed-deterministic
+    driver-side literals baked into the plan, so the EXACT same constants
+    are inlined into the oracle SQL — full value-hash check, no PRNG
+    parity required (see ``_lsh_bucket_sql``)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_bucket_pairs(emb, num_planes=8, dim=64).select(
         F.col("bucket").cast("int").alias("bucket"),
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
     )
+
+
+def _lsh_bucket_sql(num_planes: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """Oracle for q_lsh_buckets: the same gaussian plane constants
+    (repr = shortest round-trip, parsed back to the identical double),
+    with each dot product written as the same left-associated sum the
+    Spark ``aggregate`` fold evaluates — bit-exact sign decisions."""
+    planes = similarity.lsh_planes(num_planes, dim, seed)
+    bucket_terms = []
+    for i, p in enumerate(planes):
+        dot = " + ".join(f"e.embedding[{j + 1}]::DOUBLE * {x!r}" for j, x in enumerate(p))
+        bucket_terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH b AS (
+  SELECT e.vec_id, ({bucket})::INT AS bucket FROM embeddings e
+)
+SELECT l.bucket, l.vec_id::BIGINT AS id_a, r.vec_id::BIGINT AS id_b
+FROM b l JOIN b r USING (bucket)
+WHERE l.vec_id < r.vec_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -355,8 +378,8 @@ ORACLES = {
     "allpairs_topk": _Q_ALLPAIRS_SQL,
     "simhash_portable": _simhash_portable_sql(),
     "minhash_portable_pairs": _minhash_portable_sql(),
-    # minhash_lsh_pairs / simhash / lsh_bucket_pairs: rows-only by design
-    # (Spark xxhash64 / seeded random planes have no SQL equivalent; the
-    # *_portable variants above cover the same algorithms with an exact
-    # oracle)
+    "lsh_bucket_pairs": _lsh_bucket_sql(),
+    # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
+    # no SQL equivalent; the *_portable variants above cover the same
+    # algorithms with an exact oracle)
 }

@@ -14,7 +14,7 @@ probe join is an equi-join on cell_id so only matching buckets shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kats_spark.operators.similarity import cosine
@@ -84,6 +84,103 @@ def search(
             Window.partitionBy(query_id_col).orderBy(
                 F.desc("cosine_sim"), F.col(id_col)
             )
+        ),
+    ).filter(F.col("rank") <= k)
+    return topk.select(query_id_col, id_col, "cosine_sim", "rank")
+
+
+# --------------------------------------------------------------------------
+# Portable IVF: every floating-point decision is rounded, so the full index
+# build (seeding + one Lloyd refinement) and the probed search replay
+# exactly in ANSI SQL — the oracle-checkable twin of the KMeans path above.
+# --------------------------------------------------------------------------
+
+
+def _rnd6(col: Column) -> Column:
+    # +1e-9 epsilon keeps exact decimal half-boundaries off the rounding
+    # lattice (the engines round halves in opposite directions)
+    return F.round(col + F.lit(1.0e-9), 6)
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(df: DataFrame, centers: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment on the ROUNDED squared distance, ties to
+    the smaller cell_id — a total order both engines agree on."""
+    c = df.crossJoin(F.broadcast(centers))
+    d = c.withColumn("__d", _rnd6(_sq_dist(F.col(vec_col), F.col("center"))))
+    w = Window.partitionBy(id_col).orderBy("__d", "cell_id")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def build_index_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF index: seed centroids are the embeddings of the
+    ``n_cells`` smallest ids (a constant predicate — no global sort), then
+    ONE Lloyd refinement whose per-dimension means are rounded to 6 dp.
+
+    Returns (indexed_df with ``cell_id``, centers (cell_id, center)).  The
+    refinement is pure DataFrame algebra (posexplode → groupBy(cell,pos)
+    avg → re-assemble), so at 100 TB it is one extra shuffle of n·dim
+    scalar rows; the centers frame stays tiny and broadcasts everywhere.
+    """
+    seeds = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell_id"), F.col(vec_col).alias("center")
+    )
+    asg1 = _assign(df, seeds, vec_col, id_col)
+    elems = asg1.select("cell_id", F.posexplode(vec_col).alias("pos", "v"))
+    cent = elems.groupBy("cell_id", "pos").agg(_rnd6(F.avg("v")).alias("cv"))
+    centers = (
+        cent.groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("cell_id", F.transform("pc", lambda s: s["cv"]).alias("center"))
+    )
+    return _assign(df, centers, vec_col, id_col), centers
+
+
+def search_portable(
+    indexed: DataFrame,
+    centers: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probed top-k cosine search against the portable index: rank cells by
+    rounded distance-to-centroid (ties to smaller cell_id), scan the
+    ``n_probe`` nearest inverted lists, rank candidates on the rounded
+    cosine (ties to smaller id).  Output (query_id, id, cosine_sim, rank).
+    """
+    qc = queries.crossJoin(F.broadcast(centers))
+    ranked = qc.withColumn("__d", _rnd6(_sq_dist(F.col(vec_col), F.col("center")))).withColumn(
+        "__cr",
+        F.row_number().over(Window.partitionBy(query_id_col).orderBy("__d", "cell_id")),
+    )
+    probes = ranked.filter(F.col("__cr") <= n_probe).select(
+        query_id_col, F.col(vec_col).alias("__qvec"), "cell_id"
+    )
+    cand = probes.join(indexed, "cell_id")
+    sim = cand.withColumn("cosine_sim", _rnd6(cosine(F.col("__qvec"), F.col(vec_col))))
+    topk = sim.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
         ),
     ).filter(F.col("rank") <= k)
     return topk.select(query_id_col, id_col, "cosine_sim", "rank")

@@ -1226,6 +1226,96 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable IVF top-k: deterministic seed centroids (the 8 smallest
+    ids) + ONE Lloyd refinement with every per-dimension mean, distance and
+    cosine rounded to 6 dp — the whole index build AND the probed search
+    replay exactly in the DuckDB oracle.  Same structure as the KMeans
+    ``ivf_topk`` (inverted lists + n_probe), but value-hash checkable."""
+    from kats_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    indexed, centers = ivf.build_index_portable(emb, n_cells=8)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf.search_portable(indexed, centers, queries, k=10, n_probe=3, id_col="vec_id")
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cosine_sim").alias("cosine_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_Q_IVF_PORTABLE_SQL = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+dims AS (SELECT i FROM range(1, 65) t(i)),
+seeds AS (SELECT vec_id::INT AS cell_id, e AS center FROM emb WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, e, cell_id,
+    round(1e-9 + list_sum(list_transform(range(1, 65),
+      i -> (e[i] - center[i]) * (e[i] - center[i]))), 6) AS d
+  FROM emb CROSS JOIN seeds
+),
+asg1 AS (
+  SELECT vec_id, e, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn FROM a1
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT cell_id, i AS pos, round(1e-9 + avg(e[i]), 6) AS cv
+  FROM asg1 CROSS JOIN dims GROUP BY cell_id, i
+),
+centers AS (SELECT cell_id, list(cv ORDER BY pos) AS center FROM cent GROUP BY cell_id),
+a2 AS (
+  SELECT vec_id, e, cell_id,
+    round(1e-9 + list_sum(list_transform(range(1, 65),
+      i -> (e[i] - center[i]) * (e[i] - center[i]))), 6) AS d
+  FROM emb CROSS JOIN centers
+),
+indexed AS (
+  SELECT vec_id, e, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn FROM a2
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 5),
+qcell AS (
+  SELECT query_id, qe, cell_id,
+    round(1e-9 + list_sum(list_transform(range(1, 65),
+      i -> (qe[i] - center[i]) * (qe[i] - center[i]))), 6) AS d
+  FROM q CROSS JOIN centers
+),
+probes AS (
+  SELECT query_id, qe, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cell_id) AS cr FROM qcell
+  ) WHERE cr <= 3
+),
+cand AS (
+  SELECT p.query_id, p.qe, x.vec_id, x.e
+  FROM probes p JOIN indexed x USING (cell_id)
+),
+scored AS (
+  SELECT query_id, vec_id,
+    round(1e-9 +
+      list_sum(list_transform(range(1, 65), i -> qe[i] * e[i]))
+      / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+         * sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS cosine_sim
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cosine_sim, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_tsfeatures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full TsFeatures vector (expression + kernel layers) — rows-only
     (FFT/recursion kernels); the expression layer is independently oracled
@@ -2405,6 +2495,7 @@ QUERIES = {
     "var_scores": q_var_scores,
     "ml_ar_insample": q_ml_ar_insample,
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_portable": q_ivf_portable,
     "tsfeatures_full": q_tsfeatures_full,
     "model_select": q_model_select,
     "predictability": q_predictability,
@@ -2438,6 +2529,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
     "simulate_portable": _simulate_portable_sql(),
     "hourly_ratio_diag": _Q_HOURLY_RATIO_DIAG_SQL,
     "dist_distance": _Q_DIST_DISTANCE_SQL,

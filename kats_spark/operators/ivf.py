@@ -148,6 +148,7 @@ def build_index_portable(
         cent.groupBy("cell_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
         .select("cell_id", F.transform("pc", lambda s: s["cv"]).alias("center"))
+        .cache()  # n_cells rows, referenced by the final assignment AND every search
     )
     return _assign(df, centers, vec_col, id_col), centers
 
@@ -175,7 +176,9 @@ def search_portable(
     probes = ranked.filter(F.col("__cr") <= n_probe).select(
         query_id_col, F.col(vec_col).alias("__qvec"), "cell_id"
     )
-    cand = probes.join(indexed, "cell_id")
+    # probes is n_queries x n_probe rows — broadcast it so the corpus-side
+    # inverted lists never shuffle (the join the whole IVF layout exists for)
+    cand = F.broadcast(probes).join(indexed, "cell_id")
     sim = cand.withColumn("cosine_sim", _rnd6(cosine(F.col("__qvec"), F.col(vec_col))))
     topk = sim.withColumn(
         "rank",

@@ -59,6 +59,30 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert len(got & set(exact.doc_id)) >= 4
 
 
+def test_ivf_portable_recall_and_determinism(spark):
+    corpus, _ = _embedding_frame(spark)
+    indexed, centers = ivf.build_index_portable(corpus, n_cells=6, id_col="doc_id")
+    queries = corpus.limit(10).select(F.col("doc_id").alias("query_id"), "embedding")
+    approx = ivf.search_portable(
+        indexed, centers, queries, k=5, n_probe=3, id_col="doc_id"
+    ).toPandas()
+    assert set(approx.groupby("query_id").size()) == {5}
+    top1 = approx[approx["rank"] == 1]
+    assert (top1.query_id.values == top1.doc_id.values).all()
+    qvec = corpus.filter(F.col("doc_id") == 0).collect()[0].embedding
+    exact = topk_vs_query(corpus, qvec, k=5, id_col="doc_id").toPandas()
+    got = set(approx[approx.query_id == 0].doc_id)
+    assert len(got & set(exact.doc_id)) >= 4
+    # fully deterministic: a second build+search returns identical frames
+    indexed2, centers2 = ivf.build_index_portable(corpus, n_cells=6, id_col="doc_id")
+    again = ivf.search_portable(
+        indexed2, centers2, queries, k=5, n_probe=3, id_col="doc_id"
+    ).toPandas()
+    a = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_tsfeatures_bundle(spark):
     df = simulator.simulate(
         spark, n_series=2, n_points=240, noise_std=0.5,

@@ -1488,6 +1488,79 @@ FROM rec
 """
 
 
+def q_global_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE pooled AR(2) over all series (the globalmodel idea,
+    kats/models/globalmodel/model.py:35, in closed form): global moment
+    sums -> one coefficient row -> broadcast into every series' tail
+    recursion.  Exact DuckDB oracle."""
+    from kats_spark.models import global_ar
+
+    out = global_ar.global_ar2_forecast(
+        hourly_series(spark, sf_dir), steps=12, freq_seconds=3600
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_GLOBAL_AR2_SQL = f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+lagd AS (
+  SELECT series_id, time, value,
+    lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2
+  FROM h WINDOW w AS (PARTITION BY series_id ORDER BY time)
+),
+m AS (
+  SELECT
+    count(*)::DOUBLE AS n, sum(x1) AS s1, sum(x2) AS s2,
+    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+    sum(value) AS sy, sum(value * x1) AS sy1, sum(value * x2) AS sy2,
+    sum(value * value) AS syy
+  FROM lagd WHERE x2 IS NOT NULL
+),
+fit AS (
+  SELECT n, sy, sy1, sy2, syy,
+    n  * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS D,
+    sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2) + s2 * (sy1 * s12 - s11 * sy2) AS Dc,
+    n * (sy1 * s22 - s12 * sy2) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * sy2 - sy1 * s2) AS D1,
+    n * (s11 * sy2 - sy1 * s12) - s1 * (s1 * sy2 - sy1 * s2) + sy * (s1 * s12 - s11 * s2) AS D2
+  FROM m
+),
+co AS (
+  SELECT Dc / D AS c, D1 / D AS p1, D2 / D AS p2,
+    (syy - Dc / D * sy - D1 / D * sy1 - D2 / D * sy2) / (n - 3) AS mse
+  FROM fit
+),
+tails AS (
+  SELECT series_id, max(time) AS tmax,
+    arg_max(value, time) AS y_last, arg_max(x1, time) AS y_prev
+  FROM lagd GROUP BY 1
+),
+rec AS (
+  SELECT t.series_id, t.tmax, co.c, co.p1, co.p2, co.mse,
+         1 AS h,
+         co.c + co.p1 * t.y_last + co.p2 * t.y_prev AS fcst,
+         t.y_last AS ylag,
+         1.0::DOUBLE AS psi_prev, 0.0::DOUBLE AS psi_prev2,
+         1.0::DOUBLE AS var_mult
+  FROM tails t CROSS JOIN co
+  UNION ALL
+  SELECT series_id, tmax, c, p1, p2, mse,
+         h + 1,
+         c + p1 * fcst + p2 * ylag,
+         fcst,
+         p1 * psi_prev + p2 * psi_prev2,
+         psi_prev,
+         var_mult + pow(p1 * psi_prev + p2 * psi_prev2, 2)
+  FROM rec WHERE h < 12
+)
+SELECT series_id,
+  strftime(tmax + to_seconds(h * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + fcst, 6) AS fcst,
+  round(1e-9 + fcst - 1.959963984540054 * sqrt(mse * var_mult), 6) AS fcst_lower,
+  round(1e-9 + fcst + 1.959963984540054 * sqrt(mse * var_mult), 6) AS fcst_upper
+FROM rec
+"""
+
+
 def q_backtest_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = bt_mod.fold_spec(spark, n_folds=3, train_frac=0.5, test_frac=0.1, mode="expanding")
     out = bt_mod.linear_backtest(hourly_series(spark, sf_dir), spec)
@@ -2087,6 +2160,7 @@ QUERIES.update(
         "rolling_zscore_segmented": q_rolling_zscore_segmented,
         "acf_features": q_acf_features,
         "ar2_forecast": q_ar2_forecast,
+        "global_ar2": q_global_ar2,
         "backtest_linear": q_backtest_linear,
         "interval_detect": q_interval_detect,
         "simple_heuristic": q_simple_heuristic,
@@ -2107,6 +2181,7 @@ ORACLES.update(
         "rolling_zscore_segmented": _Q_ROLLING_Z_SQL,
         "acf_features": _Q_ACF_SQL,
         "ar2_forecast": _Q_AR2_SQL,
+        "global_ar2": _Q_GLOBAL_AR2_SQL,
         "backtest_linear": _Q_BACKTEST_SQL,
         "interval_detect": _Q_INTERVAL_SQL,
         "simple_heuristic": _Q_SIMPLE_HEURISTIC_SQL,

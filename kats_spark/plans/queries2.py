@@ -763,6 +763,109 @@ SELECT series_id, 'agg' AS level, strftime(time, '{_DK_FMT}') AS time,
 """
 
 
+def q_reconcile_struc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLS ('struc'-weighted) temporal reconciliation (thm.py:50
+    method='struc'): both levels forecast independently, projected onto
+    the coherent subspace with the literal G matrix (inlined into the
+    oracle like the LSH planes)."""
+    out = rec.struc_forecast(
+        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600, k=6
+    )
+    return _fmt_time(_r6(out, "fcst"))
+
+
+def _reconcile_struc_sql(k: int = 6, steps: int = 24) -> str:
+    G = rec.struc_g_matrix(k)
+    n_blocks = steps // k
+    bl = ",\n    ".join(
+        " + ".join([f"{G[i][0]!r} * afcst"] + [f"{G[i][j + 1]!r} * bf[{j + 1}]" for j in range(k)])
+        + f" AS b{i}"
+        for i in range(k)
+    )
+    blist = "[" + ", ".join(f"b{i}" for i in range(k)) + "]"
+    return f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, value,
+         (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS x,
+         max(time) OVER (PARTITION BY series_id) AS tmax
+  FROM h
+),
+m AS (
+  SELECT series_id, any_value(tmax) AS tmax,
+    count(*)::DOUBLE AS n, sum(x) AS sx, sum(x * x) AS sx2,
+    sum(value) AS sy, sum(x * value) AS sxy
+  FROM idx GROUP BY 1
+),
+lin AS (
+  SELECT series_id, tmax, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM m
+),
+base AS (
+  SELECT series_id, tmax + to_seconds(h * 3600) AS time,
+         a + b * (n - 1 + h) AS fcst,
+         (floor((h - 1) / {k}))::INT AS blk, ((h - 1)::INT % {k}) AS pos
+  FROM lin, (SELECT unnest(generate_series(1, {steps}))::DOUBLE AS h)
+),
+wide AS (
+  SELECT series_id, blk, min(time) AS t0, list(fcst ORDER BY pos) AS bf
+  FROM base GROUP BY 1, 2
+),
+hidx AS (
+  SELECT series_id, value, time,
+    floor((row_number() OVER (PARTITION BY series_id ORDER BY time) - 1) / {k}) AS blk,
+    count(*) OVER (PARTITION BY series_id) AS n_all
+  FROM h
+),
+ablk AS (
+  SELECT series_id, blk, min(time) AS time, sum(value) AS value
+  FROM hidx WHERE blk < floor((n_all - n_all % {k}) / {k})
+  GROUP BY 1, 2
+),
+aidx AS (
+  SELECT series_id, value,
+         (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS x
+  FROM ablk
+),
+am AS (
+  SELECT series_id,
+    count(*)::DOUBLE AS n, sum(x) AS sx, sum(x * x) AS sx2,
+    sum(value) AS sy, sum(x * value) AS sxy
+  FROM aidx GROUP BY 1
+),
+alin AS (
+  SELECT series_id, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM am
+),
+afc AS (
+  SELECT series_id, (hb - 1)::INT AS blk, a + b * (n - 1 + hb) AS afcst
+  FROM alin, (SELECT unnest(generate_series(1, {n_blocks}))::DOUBLE AS hb)
+),
+j AS (
+  SELECT w.series_id, w.blk, w.t0, w.bf, f.afcst
+  FROM wide w JOIN afc f USING (series_id, blk)
+),
+recon AS (
+  SELECT series_id, blk, t0,
+    {bl}
+  FROM j
+),
+rl AS (SELECT series_id, blk, t0, {blist} AS bl FROM recon)
+SELECT series_id, 'base' AS level,
+       strftime(t0 + to_seconds((i - 1) * 3600), '{_DK_FMT}') AS time,
+       round(1e-9 + bl[i], 6) AS fcst
+FROM rl CROSS JOIN range(1, {k + 1}) r(i)
+UNION ALL
+SELECT series_id, 'agg' AS level, strftime(t0, '{_DK_FMT}') AS time,
+       round(1e-9 + list_sum(bl), 6) AS fcst
+FROM rl
+"""
+
+
 # --------------------------------------------------------------------------
 # anomaly postprocessing — full oracle (statsig scorer -> classify)
 # --------------------------------------------------------------------------
@@ -2484,6 +2587,7 @@ QUERIES = {
     "empirical_ci": q_empirical_ci,
     "hpt_window": q_hpt_window,
     "reconcile_bu": q_reconcile_bu,
+    "reconcile_struc": q_reconcile_struc,
     "anomaly_classify": q_anomaly_classify,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2537,6 +2641,7 @@ ORACLES = {
     "empirical_ci": _Q_EMPIRICAL_CI_SQL,
     "hpt_window": _Q_HPT_SQL,
     "reconcile_bu": _Q_RECONCILE_SQL,
+    "reconcile_struc": _reconcile_struc_sql(),
     "anomaly_classify": _Q_ANOMALY_CLASSIFY_SQL,
     "lang_id": _Q_LANG_ID_SQL,
     "doc_fingerprint": _Q_FINGERPRINT_SQL,

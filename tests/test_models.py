@@ -99,3 +99,33 @@ def test_mult_metric_builders(spark):
     width = (1.5 + 0.5 + 0.5 + 2.0) / 4
     penalty = (2 / 0.2) * (0.5 + 0.5) / 4
     assert abs(row["interval_score_80"] - (width + penalty)) < 1e-12
+
+
+def test_struc_reconciliation_coherent_and_uses_agg_level(spark):
+    import numpy as np
+    import pandas as pd
+
+    from kats_spark.operators import reconciliation as rec
+
+    rng = np.random.RandomState(11)
+    n = 96
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["a"] * n,
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": np.linspace(0, 10, n) + rng.randn(n) * 0.3,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = rec.struc_forecast(df, steps=24, freq_seconds=3600, k=6).toPandas()
+    base = out[out.level == "base"].sort_values("time")
+    agg = out[out.level == "agg"].sort_values("time")
+    assert len(base) == 24 and len(agg) == 4
+    # coherence: each agg value equals the sum of its 6 base values
+    sums = base.fcst.to_numpy().reshape(4, 6).sum(axis=1)
+    np.testing.assert_allclose(sums, agg.fcst.to_numpy(), rtol=1e-9)
+    # the aggregate-level forecast influences reconciled base values:
+    # they differ from plain bottom-up base forecasts
+    bu = rec.bottom_up_forecast(df, steps=24, freq_seconds=3600, k=6).toPandas()
+    bu_base = bu[bu.level == "base"].sort_values("time").fcst.to_numpy()
+    assert np.abs(base.fcst.to_numpy() - bu_base).max() > 1e-9

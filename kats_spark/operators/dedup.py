@@ -250,7 +250,10 @@ def jaccard_allpairs(
     # row-based hashed shingles (see shingle_rows for why rows, not HOF
     # arrays).  Long-array set ops beat string-array ops in the verify
     # stage; 64-bit collisions are ~2^-64 per pair — exactness holds.
-    ex = shingle_rows(df, text_col, id_col, shingle_n)
+    # ex feeds BOTH the document-frequency agg and the per-doc join below —
+    # without a persist the whole shingle pipeline (scan + normalize regex +
+    # posexplode + n-gram window + distinct) executes twice per action
+    ex = shingle_rows(df, text_col, id_col, shingle_n).persist()
     freq = ex.groupBy("g").agg(F.count("*").alias("__df"))
     # per-doc row: full shingle array + the (df, g)-sorted prefix, built in
     # ONE aggregation (array_sort on structs orders by df asc, then g asc

@@ -311,3 +311,48 @@ def test_fold_spec_gap_and_simple(spark):
     assert spec.train_start.tolist() == [0.0, 0.4]
     simple = backtest.simple_spec(spark, train_frac=0.75).toPandas()
     assert simple.test_end.tolist() == [1.0] and simple.train_end.tolist() == [0.75]
+
+
+def test_jaccard_allpairs_equals_bruteforce_randomized(spark):
+    """Property check: the prefix-filtered AllPairs plan returns EXACTLY
+    the brute-force >= t pairs on randomized corpora (the filter only
+    prunes candidates that provably cannot reach the threshold)."""
+    import numpy as np
+
+    from kats_spark.operators import dedup
+
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        docs = []
+        for i in range(40):
+            n_tok = rng.randint(3, 25)
+            docs.append((i, " ".join(rng.choice(vocab, n_tok))))
+        # inject guaranteed near-dups
+        docs[35] = (35, docs[0][1] + " w0")
+        docs[36] = (36, docs[1][1])
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = (
+            dedup.jaccard_allpairs(df, threshold=0.5)
+            .toPandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+        def sh(text, n=3):
+            toks = text.lower().split()
+            if len(toks) < n:
+                return {" ".join(toks[:n])}
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+        exp = []
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                sa, sb = sh(docs[a][1]), sh(docs[b][1])
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.5:
+                    exp.append((docs[a][0], docs[b][0], j))
+        assert len(got) == len(exp), f"trial {trial}: {len(got)} vs {len(exp)}"
+        for (ea, eb, ej), (_, row) in zip(exp, got.iterrows()):
+            assert (ea, eb) == (row.id_a, row.id_b)
+            assert abs(ej - row.jaccard) < 1e-9

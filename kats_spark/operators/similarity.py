@@ -165,3 +165,90 @@ def lsh_bucket_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("bucket", "id_a", "id_b")
     )
+
+
+def banded_lsh_candidates(
+    df: DataFrame,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Banded hyperplane LSH (the MinHash-band trick applied to cosine):
+    ``bands`` independent sign-pattern buckets of ``planes_per_band``
+    planes each; a pair is a candidate if ANY band matches.  Recall at
+    similarity s is 1-(1-p^r)^B with p = 1 - acos(s)/π — banding trades
+    the single-bucket scheme's recall cliff for B narrow equi-joins.
+
+    Plan: one projection computes every band bucket (plane dots are
+    literal-coefficient codegen), one posexplode, one self-join keyed on
+    (band, bucket) — no OR-join, no skew key (buckets are sign patterns).
+    """
+    planes = lsh_planes(bands * planes_per_band, dim, seed)
+    v = F.col(vec_col)
+    band_cols = []
+    for b in range(bands):
+        bucket = F.lit(0)
+        for i in range(planes_per_band):
+            p = planes[b * planes_per_band + i]
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bucket = bucket + F.shiftleft((dot(v, plane) > 0).cast("int"), i)
+        band_cols.append(bucket.cast("int"))
+    keyed = df.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    l = keyed.withColumnRenamed(id_col, "id_a")
+    r = keyed.withColumnRenamed(id_col, "id_b")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded-LSH candidates
+    verified with the exact (rounded) cosine >= threshold.  The LSH pass
+    bounds the join fan-out at corpus scale; verification touches only
+    candidates.  Output (id_a, id_b, cos_sim)."""
+    cand = banded_lsh_candidates(
+        df, bands, planes_per_band, seed, dim, vec_col, id_col
+    )
+    ea = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea"))
+    eb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb"))
+    scored = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__ea"), F.col("__eb")) + F.lit(1.0e-9), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def neardup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy keep-smallest dedup over the near-dup pair set: since every
+    pair has id_a < id_b, an item is dropped iff it appears as id_b — one
+    left-anti join, no iterative connected components."""
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.select(id_col).join(drop, id_col, "left_anti")

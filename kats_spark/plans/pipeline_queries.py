@@ -265,6 +265,81 @@ WHERE l.vec_id < r.vec_id
 """
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded hyperplane-LSH candidates
+    (4 bands x 4 planes) verified with the exact rounded cosine >= 0.4.
+    Plane constants are inlined into the oracle, so the whole approximate
+    pipeline — candidate generation AND verification — hash-matches."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.embedding_neardup_pairs(emb, threshold=0.4)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "cos_sim",
+    )
+
+
+def q_embed_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy keep-smallest-id dedup over the near-dup pairs (id_a < id_b
+    always, so dropped = appears-as-id_b): one left-anti join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.4)
+    return similarity.neardup_survivors(emb, pairs).select(
+        F.col("vec_id").cast("bigint").alias("vec_id")
+    )
+
+
+def _banded_lsh_cte(bands: int = 4, planes_per_band: int = 4, seed: int = 7, dim: int = 64) -> str:
+    """Shared SQL: keyed (vec_id, band, bucket) rows + verified near-dup
+    pairs, with the exact Spark plane literals and the same left-assoc dot
+    products."""
+    planes = similarity.lsh_planes(bands * planes_per_band, dim, seed)
+    band_exprs = []
+    for b in range(bands):
+        bits = []
+        for i in range(planes_per_band):
+            pl = planes[b * planes_per_band + i]
+            d = " + ".join(f"e.embedding[{j + 1}]::DOUBLE * {x!r}" for j, x in enumerate(pl))
+            bits.append(f"(CASE WHEN ({d}) > 0 THEN {1 << i} ELSE 0 END)")
+        band_exprs.append(f"SELECT e.vec_id, {b} AS band, ({' + '.join(bits)})::INT AS bucket FROM embeddings e")
+    keyed = "\nUNION ALL\n".join(band_exprs)
+    return f"""
+keyed AS (
+{keyed}
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM keyed l JOIN keyed r USING (band, bucket)
+  WHERE l.vec_id < r.vec_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    round(1e-9 +
+      list_sum(list_transform(range(1, {dim} + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b
+)"""
+
+
+def _embed_neardup_sql() -> str:
+    return f"""
+WITH {_banded_lsh_cte()}
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cos_sim
+FROM verified WHERE cos_sim >= 0.4
+"""
+
+
+def _embed_survivors_sql() -> str:
+    return f"""
+WITH {_banded_lsh_cte()}
+SELECT e.vec_id::BIGINT AS vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT id_b FROM verified WHERE cos_sim >= 0.4)
+"""
+
+
 # --------------------------------------------------------------------------
 # portable-hash dedup variants (exact oracles: the hash family is plain
 # modular arithmetic, reproduced verbatim in DuckDB SQL)
@@ -365,6 +440,8 @@ QUERIES = {
     "topk_cosine": q_topk_cosine,
     "allpairs_topk": q_allpairs_topk,
     "lsh_bucket_pairs": q_lsh_buckets,
+    "embed_neardup": q_embed_neardup,
+    "embed_survivors": q_embed_survivors,
     "simhash_portable": q_simhash_portable,
     "minhash_portable_pairs": q_minhash_portable,
 }
@@ -379,6 +456,8 @@ ORACLES = {
     "simhash_portable": _simhash_portable_sql(),
     "minhash_portable_pairs": _minhash_portable_sql(),
     "lsh_bucket_pairs": _lsh_bucket_sql(),
+    "embed_neardup": _embed_neardup_sql(),
+    "embed_survivors": _embed_survivors_sql(),
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

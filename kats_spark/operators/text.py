@@ -91,3 +91,25 @@ def fingerprint(
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     h = F.xxhash64(norm) if method == "xxhash64" else F.md5(norm.cast("binary"))
     return df.withColumn(out_col, h)
+
+
+# GPT-2-style pre-tokenizer pattern, lookahead-free so the SAME pattern
+# runs under Java regex (Spark) and RE2 (DuckDB): contractions, then
+# space-prefixed letter runs, digit runs, punctuation runs, then residual
+# whitespace.  The original GPT-2 pattern's `\s+(?!\S)` branch needs
+# negative lookahead (unsupported in RE2); dropping it only changes how
+# trailing whitespace blocks are counted.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokenization (the unit a GPT-2-family tokenizer would
+    merge within).  One regexp_extract_all — stays in codegen."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Proxy for LLM token counts in corpus budgeting: BPE pre-token count
+    correlates with (and upper-bounds at word granularity) the merged BPE
+    length, without needing a vocab file."""
+    return F.size(bpe_tokens(text))

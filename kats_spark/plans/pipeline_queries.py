@@ -168,6 +168,40 @@ FROM feats
 """
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-corpus token budgeting: BPE-style pre-token counts (GPT-2
+    pattern, lookahead-free so RE2 replays it) beside whitespace counts,
+    plus chars-per-token — the compression-rate proxy used to budget
+    training corpora."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        text.bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        text.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+    )
+    return out.withColumn(
+        "chars_per_token",
+        _rnd(F.col("n_chars") / F.greatest(F.col("n_bpe_tokens"), F.lit(1)), 6),
+    )
+
+
+def _bpe_token_stats_sql() -> str:
+    pat = text.BPE_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+    len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens,
+    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_ws_tokens
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+  n_bpe_tokens::BIGINT AS n_bpe_tokens, n_ws_tokens::BIGINT AS n_ws_tokens,
+  round(1e-9 + n_chars / greatest(n_bpe_tokens, 1)::DOUBLE, 6) AS chars_per_token
+FROM t
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -436,6 +470,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash": q_simhash,
     "token_stats": q_token_stats,
+    "bpe_token_stats": q_bpe_token_stats,
     "text_quality": q_text_quality,
     "topk_cosine": q_topk_cosine,
     "allpairs_topk": q_allpairs_topk,
@@ -450,6 +485,7 @@ ORACLES = {
     "exact_dedup": _Q_EXACT_DEDUP_SQL,
     "jaccard_pairs": _Q_JACCARD_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,
+    "bpe_token_stats": _bpe_token_stats_sql(),
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "topk_cosine": _Q_TOPK_COSINE_SQL,
     "allpairs_topk": _Q_ALLPAIRS_SQL,

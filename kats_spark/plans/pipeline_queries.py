@@ -375,6 +375,96 @@ WHERE e.vec_id NOT IN (SELECT id_b FROM verified WHERE cos_sim >= 0.4)
 
 
 # --------------------------------------------------------------------------
+# end-to-end corpus preparation (the canonical 100TB training-data flow,
+# composed as ONE lazy plan: quality/lang filter -> exact dedup -> exact
+# near-dup removal -> surviving docs with token counts)
+# --------------------------------------------------------------------------
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-prep pipeline as one Catalyst plan.
+
+    Stage order mirrors a production pretraining-data build: (1) score
+    every document (quality heuristic + stopword lang-ID) and keep
+    English docs with quality >= 0.6; (2) exact dedup on the normalized
+    text (keep-smallest doc_id); (3) near-dup removal via the
+    prefix-filtered AllPairs exact Jaccard (threshold 0.5), dropping the
+    larger id of every matched pair; (4) emit survivors with their score
+    and whitespace token count.  Because each stage is a DataFrame ->
+    DataFrame transform, Catalyst prunes columns across every boundary
+    and the expensive shingle self-join only ever sees the
+    quality-filtered, exact-deduped subset — the filters run BEFORE the
+    quadratic-risk stage, exactly the ordering you want at 100TB.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = text.lang_id(text.quality_score(docs))
+    kept = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6)
+    )
+    exact = dedup.exact_dedup(kept)
+    pairs = dedup.jaccard_allpairs(exact, shingle_n=3, threshold=0.5)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = exact.join(dropped, "doc_id", "left_anti")
+    return final.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "quality_score",
+        F.size(text.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+
+
+_Q_CORPUS_PREP_SQL = f"""
+WITH toks0 AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, text, len(t) AS n_tokens,
+    round(1e-9
+      + 0.25 * (CASE WHEN len(t) BETWEEN 20 AND 100000 THEN 1.0
+                     ELSE least(len(t)::DOUBLE / 20.0, 1.0) END)
+      + 0.25 * (len(list_intersect(list_transform(t, x -> lower(x)), {_EN_STOP_SQL})) / 10.0)
+      + 0.25 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1))
+      + 0.25 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1)), 6) AS quality_score,
+    len(list_filter(list_transform(t, x -> lower(x)),
+        x -> list_contains({_EN_STOP_SQL}, x)))::DOUBLE / greatest(len(t), 1) AS hit_ratio
+  FROM toks0
+),
+kept AS (
+  SELECT * FROM feats WHERE hit_ratio >= 0.05 AND quality_score >= 0.6
+),
+keyed AS (
+  SELECT *, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM kept
+),
+reps AS (SELECT norm, min(doc_id) AS rep_id FROM keyed GROUP BY norm),
+exact AS (
+  SELECT k.* FROM keyed k JOIN reps r ON k.norm = r.norm AND k.doc_id = r.rep_id
+),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(norm, '\\s+'), x -> x <> '') AS t
+  FROM exact
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+),
+sized AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+ex AS (SELECT doc_id, sz, unnest(s) AS g FROM sized),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS i, any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dropped AS (SELECT DISTINCT id_b FROM inter WHERE i / (sz_a + sz_b - i) >= 0.5)
+SELECT e.doc_id::BIGINT AS doc_id, e.quality_score, e.n_tokens::BIGINT AS n_tokens
+FROM exact e WHERE e.doc_id NOT IN (SELECT id_b FROM dropped)
+"""
+
+
+# --------------------------------------------------------------------------
 # portable-hash dedup variants (exact oracles: the hash family is plain
 # modular arithmetic, reproduced verbatim in DuckDB SQL)
 # --------------------------------------------------------------------------
@@ -479,6 +569,7 @@ QUERIES = {
     "embed_survivors": q_embed_survivors,
     "simhash_portable": q_simhash_portable,
     "minhash_portable_pairs": q_minhash_portable,
+    "corpus_prep": q_corpus_prep,
 }
 
 ORACLES = {
@@ -494,6 +585,7 @@ ORACLES = {
     "lsh_bucket_pairs": _lsh_bucket_sql(),
     "embed_neardup": _embed_neardup_sql(),
     "embed_survivors": _embed_survivors_sql(),
+    "corpus_prep": _Q_CORPUS_PREP_SQL,
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

@@ -399,15 +399,23 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = text.lang_id(text.quality_score(docs))
     kept = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6)
+    ).select("doc_id", "text", "quality_score")
+    # persist the deduped frame: it feeds BOTH the AllPairs shingle plan
+    # and the final anti-join — without the cache the parquet scan and the
+    # HOF-heavy quality expressions run twice (a second full corpus pass
+    # at 100TB)
+    exact = (
+        dedup.exact_dedup(kept)
+        .withColumn("n_tokens", F.size(text.tokens(F.col("text"))))
+        .persist()
     )
-    exact = dedup.exact_dedup(kept)
     pairs = dedup.jaccard_allpairs(exact, shingle_n=3, threshold=0.5)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = exact.join(dropped, "doc_id", "left_anti")
     return final.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "quality_score",
-        F.size(text.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
 
 

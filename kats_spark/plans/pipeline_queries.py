@@ -562,6 +562,88 @@ FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.key = b.key AND a.doc_i
 """
 
 
+def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured approximation quality of MinHash-LSH dedup: candidate
+    pairs from the portable-hash banded LSH (16 perms, 4 bands) scored
+    against ground-truth exact Jaccard >= 0.5 pairs (prefix-filtered
+    AllPairs).  Returns ONE row: candidate / truth / hit counts plus
+    precision and recall — both inputs are deterministic, so the whole
+    audit hash-matches a DuckDB oracle.  This is the don't-guess knob:
+    re-run with different (num_hashes, bands) before committing a band
+    geometry to a 100TB dedup pass."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = dedup.jaccard_allpairs(docs, shingle_n=3, threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("__t")
+    )
+    cand = dedup.minhash_portable_pairs(docs, num_hashes=16, bands=4, seed=7).select(
+        "id_a", "id_b", F.lit(1).alias("__c")
+    )
+    joined = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    return joined.agg(
+        F.sum("__t").cast("bigint").alias("n_true"),
+        F.sum("__c").cast("bigint").alias("n_cand"),
+        F.sum(F.col("__t") * F.col("__c")).cast("bigint").alias("n_hit"),
+        _rnd(F.sum(F.col("__t") * F.col("__c")) / F.sum("__c"), 6).alias("precision"),
+        _rnd(F.sum(F.col("__t") * F.col("__c")) / F.sum("__t"), 6).alias("recall"),
+    )
+
+
+def _minhash_quality_sql(num_hashes: int = 16, bands: int = 4, seed: int = 7) -> str:
+    params = dedup._hash_params(num_hashes, seed)
+    rpb = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min((h * {a}::BIGINT + {b}) % 2147483647) AS m{k}"
+        for k, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_id, concat_ws(',', "
+        + ", ".join(f"m{j * rpb + r}" for r in range(rpb))
+        + ") AS key FROM sig"
+        for j in range(bands)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+),
+sized AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+ex AS (SELECT doc_id, sz, unnest(s) AS g FROM sized),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS i, any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b, 1 AS t FROM inter WHERE i / (sz_a + sz_b - i) >= 0.5
+),
+g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hs AS (SELECT doc_id, {_POLY.format(col='g')} AS h FROM g),
+sig AS (SELECT doc_id,
+    {mins}
+  FROM hs GROUP BY doc_id),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS c
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT coalesce(t.id_a, c.id_a) AS id_a, t.t, c.c
+  FROM truth t FULL OUTER JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT sum(t)::BIGINT AS n_true, sum(c)::BIGINT AS n_cand,
+  sum(t * c)::BIGINT AS n_hit,
+  round(1e-9 + sum(t * c) / sum(c)::DOUBLE, 6) AS precision,
+  round(1e-9 + sum(t * c) / sum(t)::DOUBLE, 6) AS recall
+FROM j
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
@@ -578,6 +660,7 @@ QUERIES = {
     "simhash_portable": q_simhash_portable,
     "minhash_portable_pairs": q_minhash_portable,
     "corpus_prep": q_corpus_prep,
+    "minhash_quality": q_minhash_quality,
 }
 
 ORACLES = {
@@ -594,6 +677,7 @@ ORACLES = {
     "embed_neardup": _embed_neardup_sql(),
     "embed_survivors": _embed_survivors_sql(),
     "corpus_prep": _Q_CORPUS_PREP_SQL,
+    "minhash_quality": _minhash_quality_sql(),
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

@@ -1117,6 +1117,53 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` — the same
+    30-min-gap semantics as ``q_sessionize``'s lag/cumsum plan (verified:
+    a gap of exactly the window size still merges; a new session starts
+    strictly beyond it), but expressed as the engine primitive that also
+    runs unchanged under Structured Streaming (see
+    tests/test_streaming.py::test_session_window_streaming_equals_batch).
+    The oracle replays the merge rule in integer microseconds
+    (``epoch_us``), because event times carry sub-second precision and
+    the merge decision is exact micro arithmetic, not floored seconds."""
+    ev = load_events(spark, sf_dir)
+    out = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("__w")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        _rnd(F.sum("value"), 6).alias("session_value"),
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_timestamp("__w.start").cast("bigint").alias("session_start_s"),
+        F.unix_timestamp("__w.end").cast("bigint").alias("session_end_s"),
+        "n_events",
+        "session_value",
+    )
+
+
+_Q_SESSION_NATIVE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id::BIGINT AS user_id,
+  (epoch_us(min(ts)) // 1000000)::BIGINT AS session_start_s,
+  (epoch_us(max(ts)) // 1000000 + 1800)::BIGINT AS session_end_s,
+  count(*)::BIGINT AS n_events, round(1e-9 + sum(value), 6) AS session_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 _Q_SESSION_SQL = """
 WITH g AS (
   SELECT user_id, ts, value,
@@ -1168,6 +1215,7 @@ QUERIES = {
     "ma_decompose": q_ma_decompose,
     "decomp_strength": q_decomp_strength,
     "sessionize": q_sessionize,
+    "sessionize_native": q_sessionize_native,
 }
 
 ORACLES = {
@@ -1200,6 +1248,7 @@ FROM ({_HOURLY_SQL})
     "ma_decompose": _Q_DECOMP_SQL,
     "decomp_strength": _Q_STRENGTH_SQL,
     "sessionize": _Q_SESSION_SQL,
+    "sessionize_native": _Q_SESSION_NATIVE_SQL,
 }
 
 

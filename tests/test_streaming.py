@@ -544,3 +544,81 @@ def test_tws_streaming_equals_batch(spark):
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_session_window_streaming_equals_batch(spark):
+    """Native session_window sessionization under Structured Streaming
+    (update-less complete mode) equals the batch session_window agg on
+    the same events — the streaming counterpart of the declared
+    sessionize_native query."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    tmpdir = tempfile.mkdtemp()
+    out_table = "session_stream_out"
+    try:
+        rng = np.random.RandomState(11)
+        rows = []
+        t = pd.Timestamp("2024-01-01")
+        for uid in (1, 2, 3):
+            cur = t
+            for _ in range(40):
+                # mix of intra-session (<30min) and session-breaking gaps
+                gap = float(rng.choice([60, 300, 900, 2400, 7200]))
+                cur = cur + pd.Timedelta(seconds=gap + rng.rand())
+                rows.append((uid, cur, float(rng.rand())))
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        pdf = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
+
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        half = len(pdf) // 2
+        for i, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+            part.assign(ts=part.ts.astype("datetime64[us]")).to_parquet(
+                os.path.join(chunk_dir, f"c{i}.parquet")
+            )
+
+        def sessions(df):
+            out = df.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("w")
+            ).agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 9).alias("session_value"),
+            )
+            return out.select(
+                "user_id", F.col("w.start").alias("start"), "n_events", "session_value"
+            )
+
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        q = (
+            sessions(stream)
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = (
+            spark.table(out_table)
+            .toPandas()
+            .sort_values(["user_id", "start"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            sessions(spark.createDataFrame(pdf))
+            .toPandas()
+            .sort_values(["user_id", "start"])
+            .reset_index(drop=True)
+        )
+        assert len(exp) > 3 * 5  # gaps actually split sessions
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

@@ -92,6 +92,44 @@ def decode_real(*_args, **_kwargs):
     )
 
 
+def resize(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """STUB resize -> (id, resized binary, width, height).
+
+    Deterministic fake kernel: emits a payload of exactly width*height
+    bytes cycled from the source bytes (stable across runs), standing in
+    for a PIL ``Image.resize``.  The plumbing is the real contract: binary
+    in / binary out through Arrow ``mapInPandas`` (one batch resident per
+    task), target dims carried as columns so downstream stages are
+    schema-driven, and the output row stays narrow enough to batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = width * height
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) or b"\x00"
+                reps = -(-size // len(raw))
+                out.append((raw * reps)[:size])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=f"{id_col} bigint, resized binary, width int, height int"
+    )
+
+
 def frame_sample_spec(df: DataFrame, every_n: int = 10, id_col: str = "media_id") -> DataFrame:
     """Frame-sampling plumbing: expand each video row into (media_id,
     frame_idx) tasks executor-side — the downstream decode joins payload

@@ -47,3 +47,25 @@ def test_frame_sample_spec(spark):
     frames = multimodal.frame_sample_spec(df, every_n=5)
     assert frames.count() == 20
     assert frames.groupBy("media_id").count().filter(F.col("count") != 5).count() == 0
+
+
+def test_resize_stub_plumbing(spark):
+    from pyspark.sql import functions as F
+
+    from kats_spark.operators import multimodal
+
+    df = spark.range(4).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string")), "utf-8").alias(
+            "payload"
+        ),
+    )
+    out = multimodal.resize(df, width=16, height=4).toPandas()
+    assert len(out) == 4
+    assert (out.resized.map(len) == 16 * 4).all()
+    assert (out.width == 16).all() and (out.height == 4).all()
+    # deterministic: same input -> same bytes
+    again = multimodal.resize(df, width=16, height=4).toPandas()
+    assert list(out.sort_values("media_id").resized) == list(
+        again.sort_values("media_id").resized
+    )

@@ -158,3 +158,53 @@ def grid_df(spark, space: list[dict], max_candidates: int | None = None,
         combos = _random.Random(seed).sample(combos, max_candidates)
     rows = [dict(zip(names, [str(v) for v in c])) for c in combos]
     return spark.createDataFrame(rows)
+
+
+# --------------------------------------------------------------------------
+# Quasi-random (low-discrepancy) search — the reference's
+# RANDOM_SEARCH_SOBOL strategy (kats/consts.py:1354, ax-platform Sobol
+# backend in kats/utils/time_series_parameter_tuning.py).  Halton radical
+# inverse per dimension: same space-filling property, dependency-free and
+# fully deterministic, so tuned results replay bit-identically.
+# --------------------------------------------------------------------------
+
+_PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47]
+
+
+def _radical_inverse(i: int, base: int) -> float:
+    f, r = 1.0, 0.0
+    while i > 0:
+        f /= base
+        r += f * (i % base)
+        i //= base
+    return r
+
+
+def quasirandom_df(spark, space: list[dict], n: int, seed: int = 0):
+    """Low-discrepancy candidate DataFrame: ``n`` Halton points over the
+    search space (one prime base per dimension; ``seed`` leaps the start
+    index).  Space entries are either choice params ``{"name", "values"}``
+    (index-mapped) or continuous ``{"name", "bounds": [lo, hi],
+    "log": bool}`` ranges.  Like ``grid_df`` the result is tiny literal
+    metadata — it broadcasts against the series side."""
+    import math
+
+    if len(space) > len(_PRIMES):
+        raise ValueError(f"at most {len(_PRIMES)} dimensions supported")
+    rows = []
+    for k in range(n):
+        row = {}
+        for d, p in enumerate(space):
+            u = _radical_inverse(k + 1 + seed * n, _PRIMES[d])
+            if "values" in p:
+                vals = p["values"]
+                row[p["name"]] = str(vals[min(int(u * len(vals)), len(vals) - 1)])
+            else:
+                lo, hi = p["bounds"]
+                if p.get("log"):
+                    v = math.exp(math.log(lo) + u * (math.log(hi) - math.log(lo)))
+                else:
+                    v = lo + u * (hi - lo)
+                row[p["name"]] = str(v)
+        rows.append(row)
+    return spark.createDataFrame(rows)

@@ -152,3 +152,28 @@ def test_default_search_spaces(spark):
         hpt.default_search_space("var")
     with pytest.raises(KeyError):
         hpt.default_search_space("nope")
+
+
+def test_quasirandom_candidates_low_discrepancy(spark):
+    """Halton expander: deterministic, in-bounds, and better-stratified
+    than the worst-case uniform draw (max gap on [0,1] shrinks ~1/n)."""
+    from kats_spark.operators import hpt
+
+    space = [
+        {"name": "lr", "bounds": [1e-4, 1e-1], "log": True},
+        {"name": "window", "values": [6, 12, 24, 48]},
+    ]
+    n = 32
+    a = hpt.quasirandom_df(spark, space, n).toPandas()
+    b = hpt.quasirandom_df(spark, space, n).toPandas()
+    assert a.equals(b)  # deterministic
+    lrs = sorted(a.lr.astype(float))
+    assert all(1e-4 <= v <= 1e-1 for v in lrs)
+    assert set(a.window.astype(int)) <= {6, 12, 24, 48}
+    # low discrepancy in log space: max gap between sorted points well
+    # under the 1.0 worst case and below what a clustered draw would give
+    import math
+
+    logs = [(math.log(v) - math.log(1e-4)) / (math.log(1e-1) - math.log(1e-4)) for v in lrs]
+    gaps = [b_ - a_ for a_, b_ in zip([0.0] + logs, logs + [1.0])]
+    assert max(gaps) < 4.0 / n

@@ -38,6 +38,10 @@ HEADLINE = [
     "token_stats",
     "topk_cosine",
     "allpairs_topk",
+    "embed_neardup",
+    "simhash_portable",
+    "sessionize_native",
+    "corpus_prep",
 ]
 
 

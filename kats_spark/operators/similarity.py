@@ -175,6 +175,7 @@ def banded_lsh_candidates(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dedup: bool = True,
 ) -> DataFrame:
     """Banded hyperplane LSH (the MinHash-band trick applied to cosine):
     ``bands`` independent sign-pattern buckets of ``planes_per_band``
@@ -185,6 +186,13 @@ def banded_lsh_candidates(
     Plan: one projection computes every band bucket (plane dots are
     literal-coefficient codegen), one posexplode, one self-join keyed on
     (band, bucket) — no OR-join, no skew key (buckets are sign patterns).
+
+    ``dedup=False`` skips the candidate-level distinct: pairs matching in
+    several bands appear several times.  When a cheap exact filter runs
+    right after (embedding_neardup_pairs), deduping the few SURVIVORS
+    beats shuffling the full candidate set — the cross-band dup factor is
+    ~1.1x while the candidate distinct is the single most expensive
+    exchange in the pipeline.
     """
     planes = lsh_planes(bands * planes_per_band, dim, seed)
     v = F.col(vec_col)
@@ -201,12 +209,12 @@ def banded_lsh_candidates(
     )
     l = keyed.withColumnRenamed(id_col, "id_a")
     r = keyed.withColumnRenamed(id_col, "id_b")
-    return (
+    out = (
         l.join(r, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def embedding_neardup_pairs(
@@ -224,22 +232,40 @@ def embedding_neardup_pairs(
     bounds the join fan-out at corpus scale; verification touches only
     candidates.  Output (id_a, id_b, cos_sim)."""
     cand = banded_lsh_candidates(
-        df, bands, planes_per_band, seed, dim, vec_col, id_col
+        df, bands, planes_per_band, seed, dim, vec_col, id_col, dedup=False
     )
-    ea = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea"))
-    eb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb"))
+    # hoist the L2 norms to the per-VECTOR side of the join: computing
+    # them per pair costs two extra 64-element folds on every candidate
+    # (3x the fold work at n² volume); per vector it is n work.  The
+    # arithmetic is unchanged — dot / (norm_a * norm_b), same fold order —
+    # so the DuckDB oracle replay is still bit-identical.
+    ea = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__ea"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    eb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__eb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
     scored = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__ea"), F.col("__eb")) + F.lit(1.0e-9), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb"))
+                + F.lit(1.0e-9),
+                6,
+            ).alias("cos_sim"),
         )
     )
-    return scored.filter(F.col("cos_sim") >= threshold)
+    # candidates were NOT deduped (cross-band repeats, ~1.1x): identical
+    # pairs score identically, so the distinct over the few survivors
+    # replaces the distinct over the full candidate set
+    return scored.filter(F.col("cos_sim") >= threshold).distinct()
 
 
 def neardup_survivors(

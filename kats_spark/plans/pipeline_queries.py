@@ -342,7 +342,9 @@ keyed AS (
 {keyed}
 ),
 cand AS (
-  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  -- NOT deduped (mirrors the Spark plan): cross-band repeats survive to
+  -- the verify stage and the final DISTINCT collapses them
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b
   FROM keyed l JOIN keyed r USING (band, bucket)
   WHERE l.vec_id < r.vec_id
 ),
@@ -361,7 +363,7 @@ verified AS (
 def _embed_neardup_sql() -> str:
     return f"""
 WITH {_banded_lsh_cte()}
-SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cos_sim
+SELECT DISTINCT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cos_sim
 FROM verified WHERE cos_sim >= 0.4
 """
 

@@ -356,3 +356,52 @@ def test_jaccard_allpairs_equals_bruteforce_randomized(spark):
         for (ea, eb, ej), (_, row) in zip(exp, got.iterrows()):
             assert (ea, eb) == (row.id_a, row.id_b)
             assert abs(ej - row.jaccard) < 1e-9
+
+
+def test_session_window_equals_lag_formulation_randomized(spark):
+    """Two independent sessionization implementations must agree on random
+    event sets: Spark's native session_window vs the lag/cumsum gap plan
+    (the declared sessionize oracle shape).  Gaps avoid the exact
+    window-size boundary (both engines merge AT the boundary; this pins
+    the strict-greater split rule)."""
+    rng = np.random.RandomState(17)
+    for trial in range(3):
+        rows = []
+        t0 = pd.Timestamp("2024-03-01")
+        for uid in range(1, 6):
+            cur = t0
+            for _ in range(rng.randint(10, 60)):
+                gap = float(rng.choice([30, 240, 1100, 1799, 1801, 5000, 9000]))
+                cur = cur + pd.Timedelta(seconds=gap + rng.rand() * 0.5)
+                rows.append((uid, cur, float(rng.randn())))
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        df = spark.createDataFrame(pdf)
+
+        native = (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 9).alias("v"))
+            .select("user_id", F.col("w.start").alias("start"), "n", "v")
+            .toPandas()
+            .sort_values(["user_id", "start"])
+            .reset_index(drop=True)
+        )
+
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts")
+        gap_s = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        lagged = (
+            df.withColumn("new_s", F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0))
+            .withColumn("sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("ts").alias("start"),
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 9).alias("v"),
+            )
+            .select("user_id", "start", "n", "v")
+            .toPandas()
+            .sort_values(["user_id", "start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(native, lagged, check_dtype=False)

@@ -1353,6 +1353,51 @@ def q_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN audit: recall@10 of the portable IVF (8 cells, 3 probes)
+    against the exact brute-force top-10 per query — the measured
+    approximation-quality knob for the IVF layout, sibling of
+    ``minhash_quality``.  Both sides are deterministic (rounded-arithmetic
+    index build, rounded cosine, fixed tie-breaks) so the audit itself
+    value-hash matches the DuckDB oracle.  One row per query:
+    (query_id, n_hit, recall_at_10)."""
+    from kats_spark.operators import ivf
+    from kats_spark.operators.ivf import _rnd6
+    from kats_spark.operators.similarity import cosine as _cos
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    indexed, centers = ivf.build_index_portable(emb, n_cells=8)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf.search_portable(
+        indexed, centers, queries, k=10, n_probe=3, id_col="vec_id"
+    ).select("query_id", "vec_id", F.lit(1).alias("__hit"))
+
+    scored = emb.crossJoin(
+        F.broadcast(queries.select("query_id", F.col("embedding").alias("__q")))
+    ).select(
+        "query_id",
+        "vec_id",
+        _rnd6(_cos(F.col("__q"), F.col("embedding"))).alias("__c"),
+    )
+    truth = scored.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("__c"), F.col("vec_id"))
+        ),
+    ).filter(F.col("__rn") <= 10)
+    joined = truth.join(approx, ["query_id", "vec_id"], "left")
+    return joined.groupBy(F.col("query_id").cast("bigint").alias("query_id")).agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(10.0) + F.lit(1.0e-9), 6
+        ).alias("recall_at_10"),
+    )
+
+
 _Q_IVF_PORTABLE_SQL = """
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
@@ -1416,6 +1461,33 @@ ranked AS (
 )
 SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cosine_sim, rank::INT AS rank
 FROM ranked WHERE rank <= 10
+"""
+
+
+_Q_IVF_RECALL_SQL = f"""
+WITH ivf AS (SELECT query_id, vec_id FROM ({_Q_IVF_PORTABLE_SQL}) iv),
+emb2 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+q2 AS (SELECT vec_id AS query_id, e AS qe FROM emb2 WHERE vec_id < 5),
+sc AS (
+  SELECT q2.query_id, emb2.vec_id,
+    round(1e-9 + list_sum(list_transform(range(1, 65), i -> qe[i] * e[i]))
+      / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+         * sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS c
+  FROM emb2 CROSS JOIN q2
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rn
+    FROM sc
+  ) WHERE rn <= 10
+)
+SELECT t.query_id::BIGINT AS query_id,
+  sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+  round(1e-9 + sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 6) AS recall_at_10
+FROM truth t LEFT JOIN ivf i ON t.query_id = i.query_id AND t.vec_id = i.vec_id
+GROUP BY t.query_id
 """
 
 
@@ -2600,6 +2672,7 @@ QUERIES = {
     "ml_ar_insample": q_ml_ar_insample,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_portable": q_ivf_portable,
+    "ivf_recall": q_ivf_recall,
     "tsfeatures_full": q_tsfeatures_full,
     "model_select": q_model_select,
     "predictability": q_predictability,
@@ -2634,6 +2707,7 @@ QUERIES = {
 
 ORACLES = {
     "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
+    "ivf_recall": _Q_IVF_RECALL_SQL,
     "simulate_portable": _simulate_portable_sql(),
     "hourly_ratio_diag": _Q_HOURLY_RATIO_DIAG_SQL,
     "dist_distance": _Q_DIST_DISTANCE_SQL,

@@ -457,3 +457,25 @@ def minhash_portable_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each normalized
+    text, with dedup state bounded by the watermark
+    (``dropDuplicatesWithinWatermark``) — duplicates arriving within the
+    watermark horizon are dropped; state for fingerprints older than the
+    horizon is evicted, so memory is bounded by the dup window, not the
+    stream length.  This is the continuous-ingest face of
+    ``exact_dedup``: same fingerprint (xxhash64 of the normalized text),
+    micro-batch semantics instead of a corpus groupBy."""
+    keyed = stream.withColumn("__fp", F.xxhash64(normalize(F.col(text_col))))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )

@@ -622,3 +622,58 @@ def test_session_window_streaming_equals_batch(spark):
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_drops_cross_batch_duplicates(spark):
+    """streaming_exact_dedup: a duplicate document arriving in a LATER
+    micro-batch (within the watermark horizon) is dropped; distinct docs
+    all pass.  State is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    from kats_spark.operators import dedup
+
+    tmpdir = tempfile.mkdtemp()
+    out_table = "dedup_stream_out"
+    try:
+        t0 = pd.Timestamp("2024-05-01")
+        b0 = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "ts": [t0, t0 + pd.Timedelta("1min"), t0 + pd.Timedelta("2min")],
+                "text": ["alpha beta", "gamma  delta", "unique one"],
+            }
+        )
+        b1 = pd.DataFrame(
+            {
+                "doc_id": [4, 5],
+                "ts": [t0 + pd.Timedelta("3min"), t0 + pd.Timedelta("4min")],
+                # doc 4 duplicates doc 1 modulo whitespace/case normalization
+                "text": ["  Alpha   BETA ", "fresh text"],
+            }
+        )
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        b0.assign(ts=b0.ts.astype("datetime64[us]")).to_parquet(
+            os.path.join(chunk_dir, "c0.parquet")
+        )
+        stream = (
+            spark.readStream.schema("doc_id bigint, ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        q = (
+            dedup.streaming_exact_dedup(stream, watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        b1.assign(ts=b1.ts.astype("datetime64[us]")).to_parquet(
+            os.path.join(chunk_dir, "c1.parquet")
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.table(out_table).toPandas().sort_values("doc_id")
+        assert list(got.doc_id) == [1, 2, 3, 5]  # 4 dropped as duplicate
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

@@ -469,10 +469,22 @@ def q_sarima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multi_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint-mean changepoint over the co-observed event series — rows-only
-    (iterative Mahalanobis kernel), covered by seeded unit tests."""
+    (iterative Mahalanobis kernel), covered by seeded unit tests.
+
+    The synthetic event series are stationary (no real joint shift), so a
+    deterministic +25 level shift is injected into every series from
+    Jan 20 on — the declared query then demonstrates DETECTION (one row,
+    cp at the injected boundary), not just a correctly-empty result."""
+    from pyspark.sql import functions as FF
+
     from kats_spark.operators.cusum import multi_cusum_detect
 
-    out = multi_cusum_detect(hourly_series(spark, sf_dir))
+    shifted = hourly_series(spark, sf_dir).withColumn(
+        "value",
+        FF.col("value")
+        + FF.when(FF.col("time") >= FF.lit("2024-01-20 00:00:00"), 25.0).otherwise(0.0),
+    )
+    out = multi_cusum_detect(shifted)
     return _fmt_time(
         _r6(out.withColumnRenamed("cp_time", "time"), "llr", "p_value", "delta_l2")
     )

@@ -1757,6 +1757,60 @@ HAVING count(*) >= 2
 """
 
 
+def q_interval_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-difference A/B scores (delta method on the log ratio,
+    interval_detector.py:1566-1620) with a one-sided upper test — the
+    pointwise layer of the reference's TwoSampleRealValuedIntervalDetector
+    in relative mode, all expressions."""
+    frame = _two_sample_frame(spark, sf_dir).filter(
+        (F.col("sample_count_a") >= 2)
+        & (F.col("sample_count_b") >= 2)
+        & (F.col("variance_a") > 0)
+        & (F.col("variance_b") > 0)
+    )
+    scored = interval_mod.two_sample_scores(
+        frame,
+        1.64,
+        test_statistic="relative",
+        test_type="one_sided_upper",
+    )
+    return scored.select(
+        "series_id",
+        F.date_format("time", _TS_FMT).alias("time"),
+        _rnd("z_score", 6).alias("z_score"),
+        F.col("rejected").cast("int").alias("rejected"),
+    )
+
+
+_Q_INTERVAL_REL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+    to_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600) AS time,
+    avg(value) AS m, var_samp(value) AS v, count(*)::DOUBLE AS n
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+),
+wide AS (
+  SELECT a.time, a.m AS value_a, a.v AS variance_a, a.n AS na,
+         b.m AS value_b, b.v AS variance_b, b.n AS nb
+  FROM (SELECT * FROM hourly WHERE event_type = 'view') a
+  JOIN (SELECT * FROM hourly WHERE event_type = 'click') b USING (time)
+),
+scored AS (
+  SELECT time,
+    (ln(greatest(value_b, 1e-9)) - ln(greatest(value_a, 1e-9)) - 0.0)
+    / sqrt((variance_a / na) / greatest(value_a * value_a, 1e-18)
+         + (variance_b / nb) / greatest(value_b * value_b, 1e-18)) AS z
+  FROM wide
+  WHERE na >= 2 AND nb >= 2 AND variance_a > 0 AND variance_b > 0
+)
+SELECT 'view_vs_click' AS series_id,
+  strftime(time, '{_DK_FMT}') AS time,
+  round(1e-9 + z, 6) AS z_score,
+  (CASE WHEN z > 1.64 THEN 1 ELSE 0 END)::INT AS rejected
+FROM scored
+"""
+
+
 def q_simple_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fcst_mod.simple_heuristic_forecast(
         raw_series(spark, sf_dir), steps=24, freq_seconds=3600, quantile=0.9
@@ -2212,6 +2266,7 @@ QUERIES.update(
         "global_ar2": q_global_ar2,
         "backtest_linear": q_backtest_linear,
         "interval_detect": q_interval_detect,
+        "interval_relative": q_interval_relative,
         "simple_heuristic": q_simple_heuristic,
         "cusum_detect": q_cusum_detect,
         "ses_forecast": q_ses_forecast,
@@ -2233,6 +2288,7 @@ ORACLES.update(
         "global_ar2": _Q_GLOBAL_AR2_SQL,
         "backtest_linear": _Q_BACKTEST_SQL,
         "interval_detect": _Q_INTERVAL_SQL,
+        "interval_relative": _Q_INTERVAL_REL_SQL,
         "simple_heuristic": _Q_SIMPLE_HEURISTIC_SQL,
         "ses_forecast": _Q_SES_SQL,
         "theta_forecast": _Q_THETA_SQL,

@@ -236,3 +236,66 @@ def test_bocpd_trend_flags_slope_change(spark):
     assert len(scores) == n
     peak = scores.iloc[20:].cp_prob.idxmax()
     assert abs(peak - 120) <= 3
+
+
+def test_two_sample_variants_match_reference_formulas(spark):
+    """Binomial/Poisson variance models and the relative (log-ratio delta
+    method) statistic reproduce the reference's closed forms
+    (interval_detector.py:1566-1785) computed by hand in numpy."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kats_spark.operators.interval import two_sample_scores
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["s"] * 3,
+            "time": pd.date_range("2024-01-01", periods=3, freq="h"),
+            "value_a": [0.30, 0.50, 0.10],
+            "variance_a": [1.0, 2.0, 0.5],
+            "sample_count_a": [100.0, 200.0, 50.0],
+            "value_b": [0.45, 0.52, 0.08],
+            "variance_b": [1.5, 1.0, 0.25],
+            "sample_count_b": [120.0, 180.0, 60.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    # binomial: var = p(1-p)/n, absolute difference
+    got = (
+        two_sample_scores(df, 1.96, distribution="binomial")
+        .orderBy("time")
+        .select("z_score")
+        .toPandas()
+        .z_score.to_numpy()
+    )
+    a, b = pdf.value_a.to_numpy(), pdf.value_b.to_numpy()
+    na, nb = pdf.sample_count_a.to_numpy(), pdf.sample_count_b.to_numpy()
+    exp = (b - a) / np.sqrt(a * (1 - a) / na + b * (1 - b) / nb)
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+    # poisson: var = lambda/n, one-sided upper rejection at 1.0
+    res = (
+        two_sample_scores(df, 1.0, distribution="poisson", test_type="one_sided_upper")
+        .orderBy("time")
+        .select("z_score", "rejected")
+        .toPandas()
+    )
+    exp_p = (b - a) / np.sqrt(a / na + b / nb)
+    np.testing.assert_allclose(res.z_score.to_numpy(), exp_p, rtol=1e-12)
+    assert list(res.rejected) == [int(z > 1.0) for z in exp_p]
+
+    # relative: delta method on log ratio with normal variances
+    got_r = (
+        two_sample_scores(df, 1.96, test_statistic="relative")
+        .orderBy("time")
+        .select("z_score")
+        .toPandas()
+        .z_score.to_numpy()
+    )
+    va, vb = pdf.variance_a.to_numpy() / na, pdf.variance_b.to_numpy() / nb
+    exp_r = (np.log(b) - np.log(a) - math.log(1.0)) / np.sqrt(va / a**2 + vb / b**2)
+    np.testing.assert_allclose(got_r, exp_r, rtol=1e-12)

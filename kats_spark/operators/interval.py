@@ -10,9 +10,10 @@ value_b, ...; :180-240).  Per point, a two-sample z statistic
 
 is compared to a critical value; consecutive rejections merge into
 ``IntervalAnomaly`` spans (:1-30 module docstring describes the
-rejection-interval consolidation).  The reference solves a duration-based
-critical value via scipy root finding; we expose the z threshold directly
-(caller supplies it, e.g. 1.96 for alpha=.05 one-point tests).
+rejection-interval consolidation).  The duration-based critical value
+(multiple-testing control over consecutive rejections) is solved
+driver-side by ``duration_critical_value`` — same Markov-chain m-run
+probability and binary search as the reference, scipy-free.
 
 Everything is expressions: the z-test is arithmetic, consolidation is the
 classic gaps-and-islands window pattern — distributed, oracle-checkable.
@@ -130,4 +131,102 @@ def consolidate_intervals(
         )
         .filter(F.col("n_points") >= min_len)
         .drop("__grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Duration-based critical value (interval_detector.py:796-930, 1066-1116):
+# choose the per-point rejection probability p so that the chance of ANY
+# run of `duration` consecutive false rejections across n points equals
+# alpha.  Driver-side scalar math (numpy matrix power + binary search) —
+# the result is a plain z threshold fed to two_sample_scores.
+# --------------------------------------------------------------------------
+
+def norm_cdf(x: float) -> float:
+    import math
+
+    return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+
+def norm_ppf(q: float) -> float:
+    """Inverse standard-normal CDF (Acklam's rational approximation,
+    |rel err| < 1.15e-9), refined with one Halley step on erf — no scipy."""
+    import math
+
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0,1), found {q}")
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if q < plow:
+        t = math.sqrt(-2 * math.log(q))
+        x = (((((c[0]*t+c[1])*t+c[2])*t+c[3])*t+c[4])*t+c[5]) / ((((d[0]*t+d[1])*t+d[2])*t+d[3])*t+1)
+    elif q <= phigh:
+        t = q - 0.5
+        r = t * t
+        x = (((((a[0]*r+a[1])*r+a[2])*r+a[3])*r+a[4])*r+a[5])*t / (((((b[0]*r+b[1])*r+b[2])*r+b[3])*r+b[4])*r+1)
+    else:
+        t = math.sqrt(-2 * math.log(1 - q))
+        x = -(((((c[0]*t+c[1])*t+c[2])*t+c[3])*t+c[4])*t+c[5]) / ((((d[0]*t+d[1])*t+d[2])*t+d[3])*t+1)
+    # one Halley refinement against the exact erf-based CDF
+    import math as _m
+    e = norm_cdf(x) - q
+    u = e * _m.sqrt(2 * _m.pi) * _m.exp(x * x / 2.0)
+    return x - u / (1 + x * u / 2.0)
+
+
+def m_run_probability(p: float, n: int, m: int) -> float:
+    """P(at least one run of m consecutive rejections in n independent
+    Bernoulli(p) trials) — the reference's Markov-chain formulation
+    (interval_detector.py:1066-1116 with the independence weights
+    :968-969): state = current run length, absorbing at m."""
+    import numpy as np
+
+    if m <= 0 or n <= 0 or m > n:
+        raise ValueError(f"need 0 < m <= n, found n={n} m={m}")
+    w = np.power(p, np.arange(m + 1)) * np.array([(1 - p)] * m + [1.0])
+    A = np.diag([1.0] * m, k=1)
+    A[:, 0] = w
+    A[-2, -1] = 0.0
+    A[-1, -1] = 1.0
+    r = np.array([0.0] * m + [1.0])
+    return float((r @ np.linalg.matrix_power(A, n - m + 1))[0])
+
+
+def duration_critical_value(
+    alpha: float,
+    n: int,
+    duration: int,
+    r_tol: float = 0.01,
+    max_iter: int = 1000,
+) -> float:
+    """The z threshold whose per-point rejection probability p yields a
+    global P(any duration-run of false rejections in n points) = alpha —
+    the reference's _get_lowest_p binary search (:837-905) with the same
+    p**m*n / binomial bracketing bounds, returned as
+    z = norm_ppf(1 - p_corrected) for a one-sided-upper test."""
+    m = duration
+    if m > n:
+        raise ValueError(f"duration must be <= n, found n={n} duration={m}")
+    if n == m:
+        return norm_ppf(1.0 - alpha ** (1.0 / m))
+    p_low = (alpha / n) ** (1.0 / m)
+    p_high = (1.0 - (1.0 - alpha) ** (1.0 / (n // m))) ** (1.0 / m)
+    for _ in range(max_iter):
+        p_c = (p_low + p_high) / 2.0
+        p_g = m_run_probability(p_c, n=n, m=m)
+        if alpha * (1 - r_tol) <= p_g <= alpha * (1 + r_tol):
+            return norm_ppf(1.0 - p_c)
+        if p_g < alpha:
+            p_low = p_c
+        else:
+            p_high = p_c
+    raise RuntimeError(
+        f"critical value search did not converge (alpha={alpha}, n={n}, m={m})"
     )

@@ -299,3 +299,48 @@ def test_two_sample_variants_match_reference_formulas(spark):
     va, vb = pdf.variance_a.to_numpy() / na, pdf.variance_b.to_numpy() / nb
     exp_r = (np.log(b) - np.log(a) - math.log(1.0)) / np.sqrt(va / a**2 + vb / b**2)
     np.testing.assert_allclose(got_r, exp_r, rtol=1e-12)
+
+
+def test_duration_critical_value_machinery():
+    """m-run probability matches exact enumeration; the solved critical
+    value round-trips to the requested global alpha; norm_ppf matches
+    known quantiles."""
+    import itertools
+    import math
+
+    from kats_spark.operators.interval import (
+        duration_critical_value,
+        m_run_probability,
+        norm_cdf,
+        norm_ppf,
+    )
+
+    # norm_ppf sanity against textbook quantiles
+    assert abs(norm_ppf(0.975) - 1.959963984540054) < 1e-9
+    assert abs(norm_ppf(0.95) - 1.6448536269514722) < 1e-9
+    assert abs(norm_cdf(norm_ppf(0.123)) - 0.123) < 1e-12
+
+    # exact enumeration oracle for the m-run probability
+    def brute(p, n, m):
+        total = 0.0
+        for bits in itertools.product([0, 1], repeat=n):
+            run = best = 0
+            for bx in bits:
+                run = run + 1 if bx else 0
+                best = max(best, run)
+            if best >= m:
+                pr = math.prod(p if bx else (1 - p) for bx in bits)
+                total += pr
+        return total
+
+    for p, n, m in [(0.3, 10, 3), (0.1, 8, 2), (0.5, 12, 4), (0.7, 6, 6)]:
+        assert abs(m_run_probability(p, n, m) - brute(p, n, m)) < 1e-12
+
+    # solved threshold: per-point p = 1 - cdf(z) reproduces global alpha
+    alpha, n, dur = 0.05, 500, 3
+    z = duration_critical_value(alpha, n, dur, r_tol=0.01)
+    p_point = 1.0 - norm_cdf(z)
+    assert abs(m_run_probability(p_point, n, dur) - alpha) / alpha < 0.02
+    # longer required duration => more lenient per-point threshold
+    z5 = duration_critical_value(alpha, n, 5, r_tol=0.01)
+    assert z5 < z

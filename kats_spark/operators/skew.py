@@ -1,0 +1,65 @@
+"""Skew mitigation utilities.
+
+Three layers of defense at 100 TB, in preference order (SCALE.md):
+
+1. AQE (`spark.sql.adaptive.skewJoin.enabled`, on in `session.py`):
+   runtime-splits oversized shuffle-join partitions — zero code, first
+   resort for moderately skewed equi-joins.
+2. Window tiling (`functions/rolling.py` `segmented_score`): one giant
+   SERIES (a single window partition has no AQE remedy) is cut into
+   bounded tiles with carry rows.
+3. Explicit salting (this module): when one JOIN key dominates so hard
+   that even AQE's split partitions stay hot (a web-scale dedup bucket,
+   a null-ish default key), shard the hot side's key space
+   deterministically and replicate the small side across shards.
+
+The salt here is DETERMINISTIC (hash of the fact row's content, not
+``rand()``): results are reproducible, plans replayable, and retried
+tasks produce identical output — a correctness requirement under
+speculative execution, not a nicety.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, cols: list[str], buckets: int, out: str = "__salt") -> DataFrame:
+    """Deterministic salt in [0, buckets): xxhash64 of the given columns
+    (use high-cardinality payload columns, NOT the join key)."""
+    return df.withColumn(out, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets)))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_cols: list[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `fact ⋈ dim` on ``key`` with the fact side's hot keys
+    sharded across ``buckets`` sub-keys.
+
+    fact rows get ``salt = hash(salt_cols) % buckets``; the dim side is
+    replicated ``buckets``× (explode over the salt range) so every
+    (key, salt) shard finds its dim row.  The shuffle then distributes a
+    hot key over ``buckets`` reducers instead of one.  Dim replication
+    costs |dim| × buckets rows — use for genuinely small dims (they would
+    broadcast anyway if tiny; salting targets the middle ground where the
+    dim is too big to broadcast but the fact key histogram is spiked).
+
+    Result is row-identical to ``fact.join(dim, key, how)`` (asserted in
+    tests/test_batch3.py) for ``inner`` and ``left`` joins.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, found {how!r}")
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(buckets))
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = salted_fact.join(salted_dim, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -405,3 +405,40 @@ def test_session_window_equals_lag_formulation_randomized(spark):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(native, lagged, check_dtype=False)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join is row-identical to the plain equi-join on a skewed
+    fact table (90% of rows share one key), for inner and left joins."""
+    from kats_spark.operators import skew
+
+    n = 2000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1.0), ("cold", 2.0), ("orphan", 3.0)], ["k", "weight"]
+    )
+    for how in ("inner", "left"):
+        plain = (
+            fact.join(dim, "k", how)
+            .toPandas()
+            .sort_values(["k", "payload"])
+            .reset_index(drop=True)
+        )
+        salted = (
+            skew.salted_join(fact, dim, "k", salt_cols=["payload"], buckets=8, how=how)
+            .toPandas()
+            .sort_values(["k", "payload"])
+            .reset_index(drop=True)
+        )
+        assert plain.equals(salted[plain.columns.tolist()]), how
+    # the salt actually spreads the hot key
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64("payload"), F.lit(8))
+    )
+    spread = (
+        salted_fact.filter(F.col("k") == "hot").groupBy("__salt").count().count()
+    )
+    assert spread == 8

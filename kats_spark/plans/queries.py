@@ -1757,6 +1757,155 @@ HAVING count(*) >= 2
 """
 
 
+def q_auto_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection INSIDE one plan (the Evaluator/backtester flow,
+    kats/evaluation/evaluator.py + backtesters.py, as a single query):
+    hold out the last 24 points per series, score a linear-trend fit and
+    a mean model on the holdout, pick the argmin-MAE model per series
+    (ties to linear on the 6dp-rounded MAEs — deterministic across
+    engines), then emit the WINNER's 24-step forecast refit on the full
+    series.  Both candidates are closed-form, so selection and forecast
+    hash-match the DuckDB oracle end to end."""
+    hs = hourly_series(spark, sf_dir)
+    wdesc = Window.partitionBy("series_id").orderBy(F.desc("time"))
+    tagged = hs.withColumn("__rn", F.row_number().over(wdesc))
+    train = tagged.filter(F.col("__rn") > 24).drop("__rn")
+    hold = tagged.filter(F.col("__rn") <= 24).drop("__rn")
+
+    lin_hold = trend.linear_forecast(train, steps=24, freq_seconds=3600).select(
+        "series_id", "time", _rnd("fcst", 6).alias("__lf")
+    )
+    mean_train = train.groupBy("series_id").agg(_rnd(F.avg("value"), 6).alias("__mf"))
+    scored = hold.join(lin_hold, ["series_id", "time"]).join(
+        F.broadcast(mean_train), "series_id"
+    )
+    choice = (
+        scored.groupBy("series_id")
+        .agg(
+            _rnd(F.avg(F.abs(F.col("value") - F.col("__lf"))), 6).alias("mae_linear"),
+            _rnd(F.avg(F.abs(F.col("value") - F.col("__mf"))), 6).alias("mae_mean"),
+        )
+        .withColumn(
+            "model",
+            F.when(F.col("mae_linear") <= F.col("mae_mean"), F.lit("linear")).otherwise(
+                F.lit("mean")
+            ),
+        )
+    )
+
+    lin_full = (
+        trend.linear_forecast(hs, steps=24, freq_seconds=3600)
+        .select("series_id", "time", _rnd("fcst", 6).alias("fcst"))
+        .withColumn("model", F.lit("linear"))
+    )
+    step = F.explode(F.sequence(F.lit(1), F.lit(24))).alias("__h")
+    mean_full = (
+        hs.groupBy("series_id")
+        .agg(F.max("time").alias("__tmax"), _rnd(F.avg("value"), 6).alias("fcst"))
+        .select("series_id", "__tmax", "fcst", step)
+        .select(
+            "series_id",
+            F.timestamp_seconds(
+                F.unix_timestamp("__tmax") + F.col("__h") * 3600
+            ).alias("time"),
+            "fcst",
+        )
+        .withColumn("model", F.lit("mean"))
+    )
+    final = lin_full.unionByName(mean_full).join(
+        F.broadcast(choice), ["series_id", "model"]
+    )
+    return final.select(
+        "series_id",
+        F.date_format("time", _TS_FMT).alias("time"),
+        "model",
+        "fcst",
+        "mae_linear",
+        "mae_mean",
+    )
+
+
+_Q_AUTO_FORECAST_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+hseq AS (SELECT unnest(generate_series(1, 24))::DOUBLE AS hh),
+tagged AS (
+  SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY time DESC) AS rn FROM h
+),
+train AS (SELECT series_id, time, value FROM tagged WHERE rn > 24),
+hold AS (SELECT series_id, time, value FROM tagged WHERE rn <= 24),
+tidx AS (
+  SELECT series_id, value,
+         (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS x,
+         max(time) OVER (PARTITION BY series_id) AS tmax
+  FROM train
+),
+tm AS (
+  SELECT series_id, any_value(tmax) AS tmax, count(*)::DOUBLE AS n,
+         sum(x) AS sx, sum(x * x) AS sx2, sum(value) AS sy, sum(x * value) AS sxy
+  FROM tidx GROUP BY 1
+),
+tfit AS (
+  SELECT series_id, tmax, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM tm
+),
+lin_hold AS (
+  SELECT series_id, tmax + to_seconds(hh * 3600) AS time,
+         round(1e-9 + a + b * (n - 1 + hh), 6) AS lf
+  FROM tfit, hseq
+),
+mean_train AS (SELECT series_id, round(1e-9 + avg(value), 6) AS mf FROM train GROUP BY 1),
+sc AS (
+  SELECT hold.series_id, hold.value, lf, mf
+  FROM hold JOIN lin_hold USING (series_id, time) JOIN mean_train USING (series_id)
+),
+choice AS (
+  SELECT series_id,
+    round(1e-9 + avg(abs(value - lf)), 6) AS mae_linear,
+    round(1e-9 + avg(abs(value - mf)), 6) AS mae_mean,
+    CASE WHEN round(1e-9 + avg(abs(value - lf)), 6)
+              <= round(1e-9 + avg(abs(value - mf)), 6)
+         THEN 'linear' ELSE 'mean' END AS model
+  FROM sc GROUP BY 1
+),
+fidx AS (
+  SELECT series_id, value,
+         (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS x,
+         max(time) OVER (PARTITION BY series_id) AS tmax
+  FROM h
+),
+fm AS (
+  SELECT series_id, any_value(tmax) AS tmax, count(*)::DOUBLE AS n,
+         sum(x) AS sx, sum(x * x) AS sx2, sum(value) AS sy, sum(x * value) AS sxy
+  FROM fidx GROUP BY 1
+),
+ffit AS (
+  SELECT series_id, tmax, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM fm
+),
+lin_full AS (
+  SELECT series_id, tmax + to_seconds(hh * 3600) AS time, 'linear' AS model,
+         round(1e-9 + a + b * (n - 1 + hh), 6) AS fcst
+  FROM ffit, hseq
+),
+mf2 AS (
+  SELECT series_id, max(time) AS tmax, round(1e-9 + avg(value), 6) AS fcst
+  FROM h GROUP BY 1
+),
+mean_full AS (
+  SELECT series_id, tmax + to_seconds(hh * 3600) AS time, 'mean' AS model, fcst
+  FROM mf2, hseq
+),
+united AS (SELECT * FROM lin_full UNION ALL SELECT * FROM mean_full)
+SELECT u.series_id, strftime(u.time, '{_DK_FMT}') AS time, u.model, u.fcst,
+       c.mae_linear, c.mae_mean
+FROM united u JOIN choice c ON u.series_id = c.series_id AND u.model = c.model
+"""
+
+
 def q_interval_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-difference A/B scores (delta method on the log ratio,
     interval_detector.py:1566-1620) with a one-sided upper test — the
@@ -2267,6 +2416,7 @@ QUERIES.update(
         "backtest_linear": q_backtest_linear,
         "interval_detect": q_interval_detect,
         "interval_relative": q_interval_relative,
+        "auto_forecast": q_auto_forecast,
         "simple_heuristic": q_simple_heuristic,
         "cusum_detect": q_cusum_detect,
         "ses_forecast": q_ses_forecast,
@@ -2289,6 +2439,7 @@ ORACLES.update(
         "backtest_linear": _Q_BACKTEST_SQL,
         "interval_detect": _Q_INTERVAL_SQL,
         "interval_relative": _Q_INTERVAL_REL_SQL,
+        "auto_forecast": _Q_AUTO_FORECAST_SQL,
         "simple_heuristic": _Q_SIMPLE_HEURISTIC_SQL,
         "ses_forecast": _Q_SES_SQL,
         "theta_forecast": _Q_THETA_SQL,

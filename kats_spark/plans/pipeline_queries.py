@@ -382,21 +382,8 @@ WHERE e.vec_id NOT IN (SELECT id_b FROM verified WHERE cos_sim >= 0.4)
 # near-dup removal -> surviving docs with token counts)
 # --------------------------------------------------------------------------
 
-def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full corpus-prep pipeline as one Catalyst plan.
-
-    Stage order mirrors a production pretraining-data build: (1) score
-    every document (quality heuristic + stopword lang-ID) and keep
-    English docs with quality >= 0.6; (2) exact dedup on the normalized
-    text (keep-smallest doc_id); (3) near-dup removal via the
-    prefix-filtered AllPairs exact Jaccard (threshold 0.5), dropping the
-    larger id of every matched pair; (4) emit survivors with their score
-    and whitespace token count.  Because each stage is a DataFrame ->
-    DataFrame transform, Catalyst prunes columns across every boundary
-    and the expensive shingle self-join only ever sees the
-    quality-filtered, exact-deduped subset — the filters run BEFORE the
-    quadratic-risk stage, exactly the ordering you want at 100TB.
-    """
+def _corpus_stages(spark: SparkSession, sf_dir: str):
+    """Shared corpus-prep stage frames: (docs, kept, exact, final)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scored = text.lang_id(text.quality_score(docs))
     kept = scored.filter(
@@ -414,6 +401,25 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_allpairs(exact, shingle_n=3, threshold=0.5)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = exact.join(dropped, "doc_id", "left_anti")
+    return docs, kept, exact, final
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-prep pipeline as one Catalyst plan.
+
+    Stage order mirrors a production pretraining-data build: (1) score
+    every document (quality heuristic + stopword lang-ID) and keep
+    English docs with quality >= 0.6; (2) exact dedup on the normalized
+    text (keep-smallest doc_id); (3) near-dup removal via the
+    prefix-filtered AllPairs exact Jaccard (threshold 0.5), dropping the
+    larger id of every matched pair; (4) emit survivors with their score
+    and whitespace token count.  Because each stage is a DataFrame ->
+    DataFrame transform, Catalyst prunes columns across every boundary
+    and the expensive shingle self-join only ever sees the
+    quality-filtered, exact-deduped subset — the filters run BEFORE the
+    quadratic-risk stage, exactly the ordering you want at 100TB.
+    """
+    _, _, _, final = _corpus_stages(spark, sf_dir)
     return final.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "quality_score",
@@ -564,6 +570,56 @@ FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.key = b.key AND a.doc_i
 """
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: one row of per-stage survivor counts and
+    retention rates for the corpus-prep funnel (raw → lang/quality kept →
+    exact-deduped → near-dup-free).  The numbers a data-quality dashboard
+    tracks per ingest batch; at 100 TB this is the same plan with the
+    counts coming from the stage frames already being computed."""
+    docs, kept, exact, final = _corpus_stages(spark, sf_dir)
+    counts = (
+        docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+        .crossJoin(kept.agg(F.count("*").cast("bigint").alias("n_kept")))
+        .crossJoin(exact.agg(F.count("*").cast("bigint").alias("n_exact")))
+        .crossJoin(final.agg(F.count("*").cast("bigint").alias("n_final")))
+    )
+    return counts.select(
+        "n_docs",
+        "n_kept",
+        "n_exact",
+        "n_final",
+        _rnd(F.col("n_kept") / F.col("n_docs"), 6).alias("keep_rate"),
+        _rnd(F.col("n_final") / F.col("n_docs"), 6).alias("survival_rate"),
+    )
+
+
+_Q_CORPUS_FUNNEL_SQL = f"""
+WITH base AS ({_Q_CORPUS_PREP_SQL}),
+n0 AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+n1 AS (
+  SELECT count(*)::BIGINT AS n_kept FROM (
+    {_Q_CORPUS_PREP_SQL.split("kept AS (")[0]}
+    kept AS (
+      SELECT * FROM feats WHERE hit_ratio >= 0.05 AND quality_score >= 0.6
+    )
+    SELECT doc_id FROM kept
+  ) t1
+),
+n2 AS (
+  SELECT count(*)::BIGINT AS n_exact FROM (
+    {_Q_CORPUS_PREP_SQL.split("toks AS (")[0]}
+    x AS (SELECT 1)
+    SELECT e.doc_id FROM exact e
+  ) t2
+),
+n3 AS (SELECT count(*)::BIGINT AS n_final FROM base)
+SELECT n_docs, n_kept, n_exact, n_final,
+  round(1e-9 + n_kept / n_docs::DOUBLE, 6) AS keep_rate,
+  round(1e-9 + n_final / n_docs::DOUBLE, 6) AS survival_rate
+FROM n0, n1, n2, n3
+"""
+
+
 def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured approximation quality of MinHash-LSH dedup: candidate
     pairs from the portable-hash banded LSH (16 perms, 4 bands) scored
@@ -663,6 +719,7 @@ QUERIES = {
     "minhash_portable_pairs": q_minhash_portable,
     "corpus_prep": q_corpus_prep,
     "minhash_quality": q_minhash_quality,
+    "corpus_funnel": q_corpus_funnel,
 }
 
 ORACLES = {
@@ -680,6 +737,7 @@ ORACLES = {
     "embed_survivors": _embed_survivors_sql(),
     "corpus_prep": _Q_CORPUS_PREP_SQL,
     "minhash_quality": _minhash_quality_sql(),
+    "corpus_funnel": _Q_CORPUS_FUNNEL_SQL,
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

@@ -77,13 +77,20 @@ def main() -> None:
     ).collect()
     r.select("r_regionkey").mapInPandas(lambda it: it, "r_regionkey bigint").count()
 
-    # best-of-2 per query: steady-state wall-clock, robust to VM noise
+    # best-of-2 per query: steady-state wall-clock, robust to VM noise.
+    # The cache is cleared before EVERY timed run: Spark's cache manager
+    # keys on the logical plan, so without this a repeat run (or a later
+    # query sharing a cached subtree like the hourly series) silently
+    # measures InMemoryTableScan reads instead of the query's own plan —
+    # numbers then flip between cached/uncached regimes run to run.
+    # Every query pays its full cost, every round measures the same thing.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         best = float("inf")
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

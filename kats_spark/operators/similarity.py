@@ -26,6 +26,22 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product as ``dim`` literal getItem products summed
+    left-associated — BIT-IDENTICAL to the ``dot`` fold (the fold's
+    leading ``0.0 +`` is an IEEE no-op).  MEASURED SLOWER than the fold
+    on the LSH verify stage (13s vs 5s at 527k pairs × dim 64): the
+    ~190-node expression blows the JIT method-size budget and codegen
+    deoptimizes, while the fold's interpreted lambda at least stays in a
+    tight loop.  Kept for small dims / documentation of the experiment —
+    measure before assuming 'codegen beats HOF'."""
+    term = lambda i: a.getItem(i).cast("double") * b.getItem(i).cast("double")  # noqa: E731
+    out = term(0)
+    for i in range(1, dim):
+        out = out + term(i)
+    return out
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -242,14 +242,54 @@ def embedding_neardup_pairs(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    prefilter: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded-LSH candidates
     verified with the exact (rounded) cosine >= threshold.  The LSH pass
     bounds the join fan-out at corpus scale; verification touches only
-    candidates.  Output (id_a, id_b, cos_sim)."""
+    candidates.  Output (id_a, id_b, cos_sim).
+
+    ``prefilter=True`` inserts a vectorized numpy pre-screen between
+    candidates and the exact verify: a broadcast normalized index scores
+    each candidate pair with one einsum per Arrow batch and keeps pairs
+    with approx-cos >= threshold - 1e-6.  The margin dwarfs float64
+    summation-order error (~1e-12), so NO qualifying pair is lost and
+    the exact HOF-fold verify — the pipeline's hot stage, since lambda
+    evaluation is interpreted — runs on hundreds of survivors instead of
+    every candidate.  Result set is IDENTICAL with or without the
+    prefilter (asserted in tests).  Memory bound = the index broadcast
+    (same as all_pairs_topk: ~1 GB per 2M x 128-dim); set
+    ``prefilter=False`` for the pure-SQL path beyond that, or shard."""
     cand = banded_lsh_candidates(
         df, bands, planes_per_band, seed, dim, vec_col, id_col, dedup=False
     )
+    if prefilter:
+        import numpy as np
+
+        spark = df.sparkSession
+        pdf = df.select(id_col, vec_col).toPandas()
+        ids0 = pdf[id_col].to_numpy()
+        order0 = np.argsort(ids0, kind="stable")
+        ids_sorted = ids0[order0]
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)[order0]
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        b_ids = spark.sparkContext.broadcast(ids_sorted)
+        b_mat = spark.sparkContext.broadcast(mat)
+        cut = float(threshold) - 1.0e-6
+
+        def screen(batches):
+            idx, m = b_ids.value, b_mat.value
+            for pb in batches:
+                if len(pb) == 0:
+                    continue
+                ia = np.searchsorted(idx, pb["id_a"].to_numpy())
+                ib = np.searchsorted(idx, pb["id_b"].to_numpy())
+                sims = np.einsum("ij,ij->i", m[ia], m[ib])
+                out = pb[sims >= cut]
+                if len(out):
+                    yield out
+
+        cand = cand.mapInPandas(screen, schema=cand.schema)
     # hoist the L2 norms to the per-VECTOR side of the join: computing
     # them per pair costs two extra 64-element folds on every candidate
     # (3x the fold work at n² volume); per vector it is n work.  The

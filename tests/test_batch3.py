@@ -442,3 +442,25 @@ def test_salted_join_equals_plain_join(spark):
         salted_fact.filter(F.col("k") == "hot").groupBy("__salt").count().count()
     )
     assert spread == 8
+
+
+def test_embed_neardup_prefilter_equivalence(spark):
+    """The numpy prefilter changes nothing: identical pair sets and
+    identical rounded cosines with prefilter on and off."""
+    from kats_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = (
+        sim.embedding_neardup_pairs(emb, threshold=0.4, prefilter=True)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        sim.embedding_neardup_pairs(emb, threshold=0.4, prefilter=False)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0

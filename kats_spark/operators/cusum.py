@@ -51,21 +51,77 @@ def _llr(ts: np.ndarray, mu0: float, mu1: float, cp: int) -> float:
     )
 
 
-def _find_cp(ts: np.ndarray, direction: str, max_iter: int) -> tuple[int, bool]:
+def _find_cp(
+    ts: np.ndarray,
+    direction: str,
+    max_iter: int,
+    interest_window: tuple[int, int] | None = None,
+    start_point: int | None = None,
+) -> tuple[int, bool, float]:
+    """Iterative argmin/argmax-of-cusum refinement
+    (cusum_detection.py:344-423): optionally searching only inside
+    ``interest_window`` (llr still uses all data; the interest-window llr
+    is returned for the extra significance gate), optionally seeded at
+    ``start_point``.  Returns (cp_global_index, stable, llr_int)."""
     pick = np.argmin if direction == "increase" else np.argmax
-    cusum = np.cumsum(ts - np.mean(ts))
-    cp = min(int(pick(cusum)), len(ts) - 2)
+    ts_int = ts[interest_window[0]: interest_window[1]] if interest_window else ts
+    if start_point is None:
+        cusum = np.cumsum(ts_int - np.mean(ts_int))
+        cp = min(int(pick(cusum)), len(ts_int) - 2)
+    else:
+        cp = int(start_point)
     stable = False
     for _ in range(max_iter):
-        mu0 = np.mean(ts[: cp + 1])
-        mu1 = np.mean(ts[cp + 1:])
-        cusum = np.cumsum(ts - (mu0 + mu1) / 2)
-        nxt = max(1, min(int(pick(cusum)), len(ts) - 2))
+        mu0 = np.mean(ts_int[: cp + 1])
+        mu1 = np.mean(ts_int[cp + 1:])
+        cusum = np.cumsum(ts_int - (mu0 + mu1) / 2)
+        nxt = max(1, min(int(pick(cusum)), len(ts_int) - 2))
         if nxt == cp:
             stable = True
             break
         cp = nxt
-    return cp, stable
+    llr_int = math.inf
+    if interest_window:
+        mu0 = float(np.mean(ts_int[: cp + 1]))
+        mu1 = float(np.mean(ts_int[cp + 1:]))
+        llr_int = _llr(ts_int, mu0, mu1, cp)
+        cp += interest_window[0]
+    return cp, stable, llr_int
+
+
+def _magnitude(x: np.ndarray, q: float) -> float:
+    return float(np.quantile(np.abs(x), q)) if len(x) else float("nan")
+
+
+def _magnitude_compare(
+    ts: np.ndarray,
+    times: np.ndarray,
+    interest_window: tuple[int, int],
+    quantile: float,
+    ratio: float,
+) -> float:
+    """Share of prior day-shifted windows whose magnitude the interest
+    window exceeds by >= ratio (cusum_detection.py:477-517) — the daily
+    seasonality guard: a genuine regression dwarfs every prior day."""
+    t64 = times.astype("datetime64[ns]")
+    days = int((t64.max() - t64.min()) / np.timedelta64(1, "D"))
+    if days <= 0:
+        return 1.0
+    iw0, iw1 = interest_window
+    mag_int = _magnitude(ts[iw0:iw1], quantile)
+    comparable = 0
+    end_anchor = t64[iw1] if iw1 < len(t64) else t64[-1] + (t64[-1] - t64[-2])
+    for i in range(days):
+        st = t64[iw0] - np.timedelta64(i, "D")
+        en = end_anchor - np.timedelta64(i, "D")
+        si = int(np.searchsorted(t64, st))
+        ei = int(np.searchsorted(t64, en))
+        if si >= ei:
+            continue
+        hist = _magnitude(ts[si:ei], quantile)
+        if hist > 0 and mag_int / hist >= ratio:
+            comparable += 1
+    return comparable / days
 
 
 def _detect_one(
@@ -75,26 +131,49 @@ def _detect_one(
     max_iter: int,
     delta_std_ratio: float,
     min_abs_change: float,
+    change_directions: list[str] | None = None,
+    start_point: int | None = None,
+    interest_window: tuple[int, int] | None = None,
+    magnitude_quantile: float | None = None,
+    magnitude_ratio: float = 1.3,
+    magnitude_comparable_day: float = 0.5,
+    return_all_changepoints: bool = False,
 ) -> list[dict]:
+    """Full reference gate set (cusum_detection.py:519-662): per-direction
+    refinement, interest-window llr gate, directional min_abs_change,
+    prefix-std delta gate (``np.std(ts[:cp])`` exactly as :646-649), and
+    the daily-magnitude seasonality guard."""
     out = []
     if len(ts) < 10:
         return out
     crit = -2.0 * math.log(threshold)  # chi2.ppf(1 - threshold, 2)
-    for direction in ("increase", "decrease"):
-        cp, stable = _find_cp(ts, direction, max_iter)
+    dirs = change_directions or ["increase", "decrease"]
+    for direction in dirs:
+        cp, stable, llr_int = _find_cp(ts, direction, max_iter, interest_window, start_point)
         mu0 = float(np.mean(ts[: cp + 1]))
         mu1 = float(np.mean(ts[cp + 1:]))
         llr = _llr(ts, mu0, mu1, cp)
         p_value = math.exp(-llr / 2) if llr < 1400 else 0.0  # 1 - chi2.cdf(llr, 2)
-        change_ok = (mu1 > mu0) if direction == "increase" else (mu1 < mu0)
-        std = float(np.std(ts))
+        change_ok = (mu0 + min_abs_change < mu1) if direction == "increase" else (
+            mu0 > mu1 + min_abs_change
+        )
+        mag_change = True
+        if float(np.min(ts)) >= 0 and magnitude_quantile and interest_window:
+            change_ts = ts if direction == "increase" else -ts
+            mag_change = (
+                _magnitude_compare(
+                    change_ts, times, interest_window, magnitude_quantile, magnitude_ratio
+                )
+                >= magnitude_comparable_day
+            )
         significant = (
             llr > crit
+            and (llr_int > crit)
             and change_ok
-            and abs(mu1 - mu0) > delta_std_ratio * std
-            and abs(mu1 - mu0) > min_abs_change
+            and abs(mu1 - mu0) > float(np.std(ts[:cp])) * delta_std_ratio
+            and mag_change
         )
-        if significant:
+        if significant or return_all_changepoints:
             out.append(
                 {
                     "cp_time": times[cp],
@@ -118,10 +197,21 @@ def cusum_detect(
     delta_std_ratio: float = 1.0,
     min_abs_change: float = 0.0,
     s: TSSchema = DEFAULT,
+    change_directions: list[str] | None = None,
+    start_point: int | None = None,
+    interest_window: tuple[int, int] | None = None,
+    magnitude_quantile: float | None = None,
+    magnitude_ratio: float = 1.3,
+    magnitude_comparable_day: float = 0.5,
+    return_all_changepoints: bool = False,
 ) -> DataFrame:
     """One row per significant changepoint:
     (series_id, cp_time, cp_index, direction, mu0, mu1, delta, llr,
-    p_value, stable)."""
+    p_value, stable).  Knob surface mirrors the reference detector
+    (cusum_detection.py:519-662, CUSUMDefaultArgs :64-76):
+    change_directions / start_point / interest_window (window-restricted
+    search + llr_int gate) / magnitude_* (daily-seasonality guard) /
+    return_all_changepoints."""
     schema = (
         f"{s.series_id} string, cp_time timestamp, cp_index int, direction string, "
         "mu0 double, mu1 double, delta double, llr double, p_value double, stable boolean"
@@ -131,7 +221,16 @@ def cusum_detect(
         pdf = pdf.sort_values(s.time)
         ts = pdf[s.value].to_numpy(dtype=float)
         times = pdf[s.time].to_numpy()
-        rows = _detect_one(ts, times, threshold, max_iter, delta_std_ratio, min_abs_change)
+        rows = _detect_one(
+            ts, times, threshold, max_iter, delta_std_ratio, min_abs_change,
+            change_directions=change_directions,
+            start_point=start_point,
+            interest_window=interest_window,
+            magnitude_quantile=magnitude_quantile,
+            magnitude_ratio=magnitude_ratio,
+            magnitude_comparable_day=magnitude_comparable_day,
+            return_all_changepoints=return_all_changepoints,
+        )
         sid = pdf[s.series_id].iloc[0]
         return pd.DataFrame(
             [

@@ -344,3 +344,50 @@ def test_duration_critical_value_machinery():
     # longer required duration => more lenient per-point threshold
     z5 = duration_critical_value(alpha, n, 5, r_tol=0.01)
     assert z5 < z
+
+
+def test_cusum_knob_surface(spark):
+    """change_directions / interest_window / return_all_changepoints /
+    magnitude guard mirror the reference's gate set on a planted shift."""
+    import numpy as np
+    import pandas as pd
+
+    from kats_spark.operators.cusum import cusum_detect
+
+    rng = np.random.RandomState(10)
+    n = 200
+    vals = np.concatenate([rng.normal(10, 1, 120), rng.normal(16, 1, 80)])
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["s"] * n,
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": vals,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    up = cusum_detect(df, threshold=0.01).toPandas()
+    assert list(up.direction) == ["increase"]
+    assert 110 <= up.cp_index.iloc[0] <= 130
+
+    # direction filter: only 'decrease' requested -> nothing significant
+    down = cusum_detect(df, change_directions=["decrease"]).toPandas()
+    assert len(down) == 0
+    # ...unless all changepoints are requested
+    both = cusum_detect(
+        df, change_directions=["decrease"], return_all_changepoints=True
+    ).toPandas()
+    assert len(both) == 1 and both.direction.iloc[0] == "decrease"
+
+    # interest window away from the shift: the in-window llr gate kills it
+    away = cusum_detect(df, interest_window=(0, 100)).toPandas()
+    assert len(away) == 0
+    # interest window on the shift: found, global index reported
+    on = cusum_detect(df, interest_window=(100, 200)).toPandas()
+    assert len(on) == 1 and 110 <= on.cp_index.iloc[0] <= 130
+
+    # magnitude guard: the 6-sigma regression dwarfs every prior day
+    mag = cusum_detect(
+        df, interest_window=(100, 200), magnitude_quantile=0.9, magnitude_ratio=1.1
+    ).toPandas()
+    assert len(mag) == 1

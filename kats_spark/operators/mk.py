@@ -101,3 +101,51 @@ def mk_rolling(df: DataFrame, window_size: int, s: TSSchema = DEFAULT) -> DataFr
     return with_arr.select(
         s.series_id, s.time, s_col.alias("mk_s"), tau.alias("tau")
     )
+
+
+def mk_detect(
+    df: DataFrame,
+    window_size: int,
+    alpha: float = 0.05,
+    direction: str = "both",
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Rolling MK trend DETECTION — the reference detector surface
+    (trend_mk.py:372-520): tie-corrected Var(S) within each window,
+    continuity-corrected z, two-sided significance at ``alpha``, points
+    filtered to significant trends and optionally to ``direction``
+    ('up' / 'down' / 'both').  Output (series_id, time, mk_s, z,
+    trend_direction)."""
+    from kats_spark.operators.interval import norm_ppf
+
+    zcrit = float(norm_ppf(1.0 - alpha / 2.0))
+    w = s.w().rowsBetween(-(window_size - 1), 0)
+    base = df.withColumn("__arr", F.collect_list(F.col(s.value)).over(w)).filter(
+        F.size("__arr") == window_size
+    )
+    n = float(window_size)
+
+    def _tadj(acc, d):
+        t = F.size(F.filter(F.col("__arr"), lambda x: x == d)).cast("double")
+        return acc + t * (t - 1) * (2 * t + 5)
+
+    tie_adj = F.aggregate(F.array_distinct("__arr"), F.lit(0.0), _tadj)
+    var_s = (F.lit(n * (n - 1) * (2 * n + 5)) - tie_adj) / 18.0
+    scored = base.withColumn("mk_s", _pairwise_s(F.col("__arr"))).withColumn(
+        "__var", var_s
+    )
+    z = (
+        F.when(F.col("mk_s") > 0, (F.col("mk_s") - 1) / F.sqrt("__var"))
+        .when(F.col("mk_s") < 0, (F.col("mk_s") + 1) / F.sqrt("__var"))
+        .otherwise(F.lit(0.0))
+    )
+    out = scored.withColumn("z", z).withColumn(
+        "trend_direction",
+        F.when(F.col("z") > 0, F.lit("up"))
+        .when(F.col("z") < 0, F.lit("down"))
+        .otherwise(F.lit("no_trend")),
+    )
+    out = out.filter(F.abs(F.col("z")) > F.lit(zcrit))
+    if direction in ("up", "down"):
+        out = out.filter(F.col("trend_direction") == direction)
+    return out.select(s.series_id, s.time, "mk_s", "z", "trend_direction")

@@ -505,6 +505,59 @@ FROM arrs
 """
 
 
+def q_mk_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significance-classified rolling MK (the detector gate, not just the
+    statistic): tie-corrected variance, continuity-corrected z, two-sided
+    alpha=0.05."""
+    out = mk.mk_detect(hourly_series(spark, sf_dir), window_size=24, alpha=0.05)
+    return _fmt_time(_r6(out, "mk_s", "z")).select(
+        "series_id", "time", "mk_s", "z", "trend_direction"
+    )
+
+
+def _mk_detect_sql() -> str:
+    from kats_spark.operators.interval import norm_ppf
+
+    zcrit = float(norm_ppf(1.0 - 0.05 / 2.0))
+    # n(n-1)(2n+5) for n=24
+    nn = 24.0 * 23.0 * 53.0
+    s_expr = (
+        "list_sum(list_transform(range(2, len(l) + 1), "
+        "j -> list_sum(list_transform(l[1:j-1], x -> sign(l[j] - x)))))"
+    )
+    tie = (
+        "list_sum(list_transform("
+        "list_transform(list_distinct(l), d -> len(list_filter(l, x -> x = d))::DOUBLE), "
+        "t -> t * (t - 1) * (2 * t + 5)))"
+    )
+    return f"""
+WITH h AS ({_HOURLY_SQL}),
+arrs AS (
+  SELECT series_id, time,
+         list(value) OVER (PARTITION BY series_id ORDER BY time
+                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS l
+  FROM h
+),
+sc AS (
+  SELECT series_id, time,
+    {s_expr} AS s,
+    ({nn!r} - {tie}) / 18.0 AS v
+  FROM arrs WHERE len(l) = 24
+),
+zc AS (
+  SELECT series_id, time, s,
+    CASE WHEN s > 0 THEN (s - 1) / sqrt(v)
+         WHEN s < 0 THEN (s + 1) / sqrt(v)
+         ELSE 0.0 END AS z
+  FROM sc
+)
+SELECT series_id, strftime(time, '{_DK_FMT}') AS time,
+  round(1e-9 + s, 6) AS mk_s, round(1e-9 + z, 6) AS z,
+  CASE WHEN z > 0 THEN 'up' WHEN z < 0 THEN 'down' ELSE 'no_trend' END AS trend_direction
+FROM zc WHERE abs(z) > {zcrit!r}
+"""
+
+
 # --------------------------------------------------------------------------
 # trend models (closed-form OLS)
 # --------------------------------------------------------------------------
@@ -1202,6 +1255,7 @@ QUERIES = {
     "cusum_transform": q_cusum_transform,
     "mk_statistic": q_mk_statistic,
     "mk_rolling": q_mk_rolling,
+    "mk_detect": q_mk_detect,
     "linear_forecast": q_linear_forecast,
     "quadratic_forecast": q_quadratic_forecast,
     "metrics_naive": q_metrics_naive,
@@ -1235,6 +1289,7 @@ FROM ({_HOURLY_SQL})
     "cusum_transform": _Q_CUSUM_SQL,
     "mk_statistic": _Q_MK_SQL,
     "mk_rolling": _Q_MK_ROLLING_SQL,
+    "mk_detect": _mk_detect_sql(),
     "linear_forecast": _Q_LINEAR_SQL,
     "quadratic_forecast": _Q_QUAD_SQL,
     "metrics_naive": _Q_METRICS_SQL,

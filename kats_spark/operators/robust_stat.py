@@ -23,9 +23,19 @@ def robust_stat_scores(
     smoothing_window: int = 5,
     lag_diff: int = 1,
     z_threshold: float = 3.0,
+    p_value_cutoff: float | None = None,
     s: TSSchema = DEFAULT,
 ) -> DataFrame:
-    """(series_id, time, robust_z, is_changepoint)."""
+    """(series_id, time, robust_z, is_changepoint).
+
+    ``p_value_cutoff`` mirrors the reference gate exactly
+    (robust_stat_detection.py:58,81: flag when norm.sf(|z|) < cutoff):
+    it overrides ``z_threshold`` with norm_ppf(1 - cutoff), computed
+    driver-side — same decision boundary, no erf needed in the plan."""
+    if p_value_cutoff is not None:
+        from kats_spark.operators.interval import norm_ppf
+
+        z_threshold = float(norm_ppf(1.0 - p_value_cutoff))
     half = (smoothing_window - 1) // 2
     w_smooth = s.w().rowsBetween(-half, smoothing_window - 1 - half)
     smoothed = F.avg(s.value).over(w_smooth)

@@ -391,3 +391,33 @@ def test_cusum_knob_surface(spark):
         df, interest_window=(100, 200), magnitude_quantile=0.9, magnitude_ratio=1.1
     ).toPandas()
     assert len(mag) == 1
+
+
+def test_robust_stat_p_value_cutoff(spark):
+    """p_value_cutoff translates to the norm.sf gate: cutoff 1e-2 flags a
+    superset of cutoff 1e-4 and equals the equivalent z threshold."""
+    import numpy as np
+    import pandas as pd
+
+    from kats_spark.operators.interval import norm_ppf
+    from kats_spark.operators.robust_stat import robust_stat_scores
+
+    rng = np.random.RandomState(4)
+    vals = np.concatenate([rng.normal(0, 1, 80), rng.normal(8, 1, 80)])
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["s"] * 160,
+            "time": pd.date_range("2024-01-01", periods=160, freq="h"),
+            "value": vals,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    loose = robust_stat_scores(df, p_value_cutoff=1e-2).filter("is_changepoint = 1").count()
+    tight = robust_stat_scores(df, p_value_cutoff=1e-4).filter("is_changepoint = 1").count()
+    manual = (
+        robust_stat_scores(df, z_threshold=float(norm_ppf(1 - 1e-2)))
+        .filter("is_changepoint = 1")
+        .count()
+    )
+    assert loose >= tight > 0
+    assert loose == manual

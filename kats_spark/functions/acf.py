@@ -98,3 +98,66 @@ def acf_features(
         _centered_acf1("__d2").alias("diff2_acf1"),
     ]
     return g.select(*sel)
+
+
+def acf_seasonality_detect(
+    df: DataFrame,
+    lags: int = 36,
+    alpha: float = 0.01,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """ACF seasonality DETECTION (seasonality.py:93-137 ACFDetector):
+    Bartlett confidence intervals over the first ``lags`` autocorrelations,
+    a lag is a seasonality candidate when its CI lower bound >= 0 (lag>1),
+    candidates pruned to non-multiples.
+
+    The reference prunes with a greedy pop-and-drop-multiples loop
+    (:82-88); because divisibility is transitive, that greedy result
+    equals "keep k iff no smaller candidate divides k" — which IS
+    expressible as a per-element array filter, so the whole detector is
+    one aggregation + closed-form expressions (exact DuckDB oracle).
+
+    Output: (series_id, seasonality_presence, seasonalities) where
+    seasonalities is the comma-joined pruned lag list.
+    """
+    from kats_spark.operators.interval import norm_ppf
+
+    z = float(norm_ppf(1.0 - alpha / 2.0))
+    mean_ = df.groupBy(s.series_id).agg(F.avg(s.value).alias("__m"))
+    d = df.join(F.broadcast(mean_), s.series_id).withColumn(
+        "__c", F.col(s.value) - F.col("__m")
+    )
+    lag_cols = {f"__cl{k}": F.lag("__c", k).over(s.w()) for k in range(1, lags + 1)}
+    d = d.withColumns(lag_cols)
+    aggs = [
+        F.count("*").cast("double").alias("__n"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+    ]
+    for k in range(1, lags + 1):
+        aggs.append(F.sum(F.col("__c") * F.col(f"__cl{k}")).alias(f"__s{k}"))
+    g = d.groupBy(s.series_id).agg(*aggs)
+
+    r = {k: F.col(f"__s{k}") / F.col("__ss") for k in range(1, lags + 1)}
+    # Bartlett: var(r_k) = (1 + 2*sum_{j<k} r_j^2) / n
+    acc = F.lit(1.0)
+    det = {}
+    for k in range(1, lags + 1):
+        var_k = acc / F.col("__n")
+        if k >= 2:
+            det[k] = (r[k] - F.lit(z) * F.sqrt(var_k)) >= 0
+        acc = acc + 2.0 * r[k] * r[k]
+    kept = {}
+    for k in range(2, lags + 1):
+        cond = det[k]
+        for j in range(2, k):
+            cond = cond & ~(det[j] & F.lit(k % j == 0))
+        kept[k] = cond
+    season_arr = F.filter(
+        F.array(*[F.when(kept[k], F.lit(k)) for k in range(2, lags + 1)]),
+        lambda x: x.isNotNull(),
+    )
+    return g.select(
+        s.series_id,
+        (F.size(season_arr) > 0).cast("int").alias("seasonality_presence"),
+        F.array_join(season_arr, ",").alias("seasonalities"),
+    )

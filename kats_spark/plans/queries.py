@@ -558,6 +558,76 @@ FROM zc WHERE abs(z) > {zcrit!r}
 """
 
 
+def q_acf_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACFDetector seasonality presence + pruned cycle lengths
+    (Bartlett CIs, greedy-equivalent divisor pruning) — full oracle."""
+    from kats_spark.functions.acf import acf_seasonality_detect
+
+    return acf_seasonality_detect(hourly_series(spark, sf_dir), lags=36, alpha=0.01)
+
+
+def _acf_seasonality_sql(lags: int = 36, alpha: float = 0.01) -> str:
+    from kats_spark.operators.interval import norm_ppf
+
+    z = float(norm_ppf(1.0 - alpha / 2.0))
+    ks = range(1, lags + 1)
+    lag_cols = ",\n    ".join(f"lag(c, {k}) OVER w AS c{k}" for k in ks)
+    sum_cols = ",\n    ".join(f"sum(c * c{k}) AS s{k}" for k in ks)
+    r_cols = ",\n    ".join(f"s{k} / ss AS r{k}" for k in ks)
+    det_cols = []
+    cum = "1.0"
+    for k in ks:
+        if k >= 2:
+            det_cols.append(
+                f"(r{k} - {z!r} * sqrt(({cum}) / n)) >= 0 AS det{k}"
+            )
+        cum = f"({cum} + (2.0 * r{k}) * r{k})"
+    det_sql = ",\n    ".join(det_cols)
+    cases = []
+    for k in range(2, lags + 1):
+        conds = [f"det{k}"] + [
+            f"NOT det{j}" for j in range(2, k) if k % j == 0
+        ]
+        cases.append(f"CASE WHEN {' AND '.join(conds)} THEN {k} END")
+    case_sql = ",\n      ".join(cases)
+    return f"""
+WITH h AS ({_HOURLY_SQL}),
+c0 AS (
+  SELECT series_id, time, value - avg(value) OVER (PARTITION BY series_id) AS c FROM h
+),
+l AS (
+  SELECT series_id, c,
+    {lag_cols}
+  FROM c0 WINDOW w AS (PARTITION BY series_id ORDER BY time)
+),
+a AS (
+  SELECT series_id, count(*)::DOUBLE AS n, sum(c * c) AS ss,
+    {sum_cols}
+  FROM l GROUP BY 1
+),
+r AS (
+  SELECT series_id, n,
+    {r_cols}
+  FROM a
+),
+det AS (
+  SELECT series_id,
+    {det_sql}
+  FROM r
+),
+sa AS (
+  SELECT series_id,
+    list_filter([
+      {case_sql}
+    ], x -> x IS NOT NULL) AS arr
+  FROM det
+)
+SELECT series_id, (len(arr) > 0)::INT AS seasonality_presence,
+  coalesce(array_to_string(arr, ','), '') AS seasonalities
+FROM sa
+"""
+
+
 # --------------------------------------------------------------------------
 # trend models (closed-form OLS)
 # --------------------------------------------------------------------------
@@ -1256,6 +1326,7 @@ QUERIES = {
     "mk_statistic": q_mk_statistic,
     "mk_rolling": q_mk_rolling,
     "mk_detect": q_mk_detect,
+    "acf_seasonality": q_acf_seasonality,
     "linear_forecast": q_linear_forecast,
     "quadratic_forecast": q_quadratic_forecast,
     "metrics_naive": q_metrics_naive,
@@ -1290,6 +1361,7 @@ FROM ({_HOURLY_SQL})
     "mk_statistic": _Q_MK_SQL,
     "mk_rolling": _Q_MK_ROLLING_SQL,
     "mk_detect": _mk_detect_sql(),
+    "acf_seasonality": _acf_seasonality_sql(),
     "linear_forecast": _Q_LINEAR_SQL,
     "quadratic_forecast": _Q_QUAD_SQL,
     "metrics_naive": _Q_METRICS_SQL,

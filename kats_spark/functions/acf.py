@@ -161,3 +161,43 @@ def acf_seasonality_detect(
         (F.size(season_arr) > 0).cast("int").alias("seasonality_presence"),
         F.array_join(season_arr, ",").alias("seasonalities"),
     )
+
+
+def theta_seasonality_gate(
+    df: DataFrame,
+    m: int,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Theta's seasonality decision (kats/models/theta.py:100-109) as one
+    aggregation: seasonal iff m > 1, the series is non-constant, n > 2m,
+    and |r_m| / sqrt((1 + 2·Σ_{j∉{0,m}} r_j²)/n) > 1.644 with ACF
+    computed to nlags=m.  Output (series_id, seasonal)."""
+    mean_ = df.groupBy(s.series_id).agg(F.avg(s.value).alias("__m"))
+    d = df.join(F.broadcast(mean_), s.series_id).withColumn(
+        "__c", F.col(s.value) - F.col("__m")
+    )
+    d = d.withColumns(
+        {f"__cl{k}": F.lag("__c", k).over(s.w()) for k in range(1, m + 1)}
+    )
+    aggs = [
+        F.count("*").cast("double").alias("__n"),
+        F.countDistinct(s.value).alias("__u"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+    ]
+    for k in range(1, m + 1):
+        aggs.append(F.sum(F.col("__c") * F.col(f"__cl{k}")).alias(f"__s{k}"))
+    g = d.groupBy(s.series_id).agg(*aggs)
+    # np.delete(r, [0, m]) keeps lags 1..m-1 (r_0 = 1 is excluded, as is r_m)
+    acc = F.lit(0.0)
+    for j in range(1, m):
+        rj = F.col(f"__s{j}") / F.col("__ss")
+        acc = acc + rj * rj
+    stat = F.sqrt((F.lit(1.0) + 2.0 * acc) / F.col("__n"))
+    rm = F.col(f"__s{m}") / F.col("__ss")
+    seasonal = (
+        F.lit(m > 1)
+        & (F.col("__u") > 1)
+        & (F.col("__n") > 2 * m)
+        & (F.abs(rm / stat) > 1.644)
+    )
+    return g.select(s.series_id, seasonal.cast("int").alias("seasonal"))

@@ -129,3 +129,43 @@ def test_struc_reconciliation_coherent_and_uses_agg_level(spark):
     bu = rec.bottom_up_forecast(df, steps=24, freq_seconds=3600, k=6).toPandas()
     bu_base = bu[bu.level == "base"].sort_values("time").fcst.to_numpy()
     assert np.abs(base.fcst.to_numpy() - bu_base).max() > 1e-9
+
+
+def test_theta_seasonality_gate_matches_reference_formula(spark):
+    """Gate equals the reference's numpy formula (theta.py:100-109) on a
+    strongly seasonal and a white-noise series, and triggers only on the
+    seasonal one."""
+    import numpy as np
+    import pandas as pd
+
+    from kats_spark.functions.acf import theta_seasonality_gate
+
+    rng = np.random.RandomState(2)
+    n, m = 240, 24
+    t = np.arange(n)
+    seasonal = 10 * np.sin(2 * np.pi * t / m) + rng.normal(0, 1, n)
+    noise = rng.normal(0, 1, n)
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["seasonal"] * n + ["noise"] * n,
+            "time": list(pd.date_range("2024-01-01", periods=n, freq="h")) * 2,
+            "value": np.concatenate([seasonal, noise]),
+        }
+    )
+    got = (
+        theta_seasonality_gate(spark.createDataFrame(pdf), m=m)
+        .toPandas()
+        .set_index("series_id")
+        .seasonal.to_dict()
+    )
+
+    def ref_gate(y):
+        y = pd.Series(y)
+        c = y - y.mean()
+        denom = float((c * c).sum())
+        r = np.array([1.0] + [float((c[k:] .reset_index(drop=True) * c[: n - k].reset_index(drop=True)).sum()) / denom for k in range(1, m + 1)])
+        stat = np.sqrt((1 + 2 * np.sum(np.delete(r, [0, m]) ** 2)) / n)
+        return int(np.abs(r[m] / stat) > 1.644)
+
+    assert got["seasonal"] == ref_gate(seasonal) == 1
+    assert got["noise"] == ref_gate(noise) == 0

@@ -150,7 +150,8 @@ def acf_seasonality_detect(
     for k in range(2, lags + 1):
         cond = det[k]
         for j in range(2, k):
-            cond = cond & ~(det[j] & F.lit(k % j == 0))
+            if k % j == 0:  # only divisors can prune k
+                cond = cond & ~det[j]
         kept[k] = cond
     season_arr = F.filter(
         F.array(*[F.when(kept[k], F.lit(k)) for k in range(2, lags + 1)]),

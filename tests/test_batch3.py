@@ -464,3 +464,46 @@ def test_embed_neardup_prefilter_equivalence(spark):
     )
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_segmented_score_giant_series_2m_rows(spark):
+    """Scale evidence for the skew story: one 2M-point series (the case a
+    plain per-series window serializes onto a single task) runs through
+    segmented_score with bounded tiles, and spot-agrees with the plain
+    window on a sampled slice."""
+    from pyspark.sql import Window
+
+    from kats_spark.functions import rolling
+
+    n_rows, w = 2_000_000, 48
+    base = spark.range(n_rows).select(
+        F.lit("giant").alias("series_id"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 60).alias("time"),
+        (F.sin(F.col("id") / 1000.0) + (F.col("id") % 97) / 97.0).alias("value"),
+    )
+    seg = rolling.segmented_score(base, n=w, segment_rows=65536)
+    assert seg.count() == n_rows
+
+    # spot-check a 2k slice against the plain single-window plan
+    lo, hi = 1_000_000, 1_002_000
+    seg_slice = (
+        seg.withColumn(
+            "__rn", F.row_number().over(Window.partitionBy("series_id").orderBy("time")) - 1
+        )
+        .filter((F.col("__rn") >= lo) & (F.col("__rn") < hi))
+        .select("time", "score")
+        .toPandas()
+        .sort_values("time")
+        .reset_index(drop=True)
+    )
+    plain = base.withColumn("score", rolling.z_score(w)).withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("series_id").orderBy("time")) - 1
+    )
+    plain_slice = (
+        plain.filter((F.col("__rn") >= lo) & (F.col("__rn") < hi))
+        .select("time", "score")
+        .toPandas()
+        .sort_values("time")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(seg_slice, plain_slice, rtol=1e-12)

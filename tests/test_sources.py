@@ -150,3 +150,33 @@ def test_bucketed_store_kills_per_series_exchanges(spark, sf_dir, tmp_path):
         ]
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_test")
+
+
+def test_coverage_references_resolve():
+    """COVERAGE.md's 'Exercised by' crosswalk stays honest: every
+    backticked name that looks like a declared query exists in queries(),
+    and every referenced test node id exists in the test tree."""
+    import os
+    import re
+
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    cov = open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")).read()
+    # query-name mentions: backticked snake_case tokens in the Exercised-by
+    # column that are not file paths / function refs
+    refs = set()
+    for row in cov.splitlines():
+        cells = [c.strip() for c in row.split("|")]
+        if len(cells) < 4:
+            continue
+        for tok in re.findall(r"`([a-z0-9_]+)`", cells[3]):
+            refs.add(tok)
+    non_queries = {"tests"}  # prose words that match the token pattern
+    unknown = sorted(r for r in refs if r not in qs and r not in non_queries)
+    assert not unknown, f"COVERAGE references unknown queries: {unknown}"
+    # test-file references must exist
+    for path in re.findall(r"`(test_[a-z0-9_]+\.py)::", cov):
+        assert os.path.exists(
+            os.path.join(os.path.dirname(__file__), path)
+        ), f"COVERAGE references missing test file {path}"

@@ -113,3 +113,54 @@ def bpe_token_count(text: Column) -> Column:
     correlates with (and upper-bounds at word granularity) the merged BPE
     length, without needing a vocab file."""
     return F.size(bpe_tokens(text))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling-hash
+    document fingerprints for partial-overlap detection.  Char k-grams of
+    the normalized text are polynomial-hashed; over every window of ``w``
+    consecutive gram hashes the minimal hash is selected (rightmost on
+    ties — the robust-winnowing rule), and the distinct selections are
+    the document's fingerprint set.  Guarantees: any shared substring of
+    length >= w + k - 1 yields at least one shared fingerprint.
+
+    Plan shape: one projection normalizes, a transform builds the gram
+    array from the BOUND text column (substr per element — linear, not
+    the O(n²) inlining trap), posexplode to (id, pos, gram) rows, the
+    portable polynomial hash per gram, then ONE trailing window min over
+    the encoded key ``(h+1)*C - pos`` (min h, rightmost tie-break, in a
+    single integer) and a distinct.  The same integer arithmetic replays
+    verbatim in DuckDB — exact oracle."""
+    from pyspark.sql import Window
+
+    from kats_spark.operators.dedup import normalize, poly_hash_expr
+
+    C = 1 << 21  # > any document length: encodes (hash, pos) in one int64
+    base = df.select(F.col(id_col), normalize(F.col(text_col)).alias("__t"))
+    L = F.length("__t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(L - (k - 1), F.lit(1))),
+        lambda i: F.col("__t").substr(i, F.lit(k)),
+    )
+    rows = (
+        base.select(F.col(id_col), F.posexplode(grams).alias("__p0", "__g"))
+        .withColumn("pos", (F.col("__p0") + 1).cast("bigint"))
+        .withColumn("__h", poly_hash_expr("__g"))
+    )
+    wspec = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    key = (F.col("__h") + 1) * C - F.col("pos")
+    sel = rows.withColumn("__mk", F.min(key).over(wspec)).filter(
+        F.col("pos") >= w
+    )
+    h_sel = F.expr(f"__mk div {C}")
+    return sel.select(
+        F.col(id_col),
+        ((h_sel + 1) * C - F.col("__mk")).alias("fp_pos"),
+        h_sel.alias("fp_hash"),
+    ).distinct()

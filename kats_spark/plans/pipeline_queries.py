@@ -202,6 +202,49 @@ FROM t
 """
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k=5 char grams, window 16) — the
+    rolling-hash overlap-detection layer above exact-hash fingerprints."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.winnow_fingerprints(docs, k=5, w=16)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("fp_pos").cast("bigint").alias("fp_pos"),
+        F.col("fp_hash").cast("bigint").alias("fp_hash"),
+    )
+
+
+def _winnow_fp_sql(k: int = 5, w: int = 16) -> str:
+    C = 1 << 21
+    poly = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, {k} + 1), i -> ord(g[i])::BIGINT)), "
+        "(h, c) -> (h * 31 + c) % 2147483647)"
+    )
+    return f"""
+WITH nt AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents
+),
+gr AS (
+  SELECT doc_id, unnest(range(1, greatest(length(t) - {k - 1}, 1) + 1)) AS pos, t FROM nt
+),
+hs AS (
+  SELECT doc_id, pos::BIGINT AS pos, {poly} AS h
+  FROM (SELECT doc_id, pos, substr(t, pos, {k}) AS g FROM gr)
+),
+m AS (
+  SELECT doc_id, pos,
+    min((h + 1) * {C} - pos) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS mk
+  FROM hs
+)
+SELECT DISTINCT doc_id::BIGINT AS doc_id,
+  ((mk // {C} + 1) * {C} - mk)::BIGINT AS fp_pos,
+  (mk // {C})::BIGINT AS fp_hash
+FROM m WHERE pos >= {w}
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -720,6 +763,7 @@ QUERIES = {
     "corpus_prep": q_corpus_prep,
     "minhash_quality": q_minhash_quality,
     "corpus_funnel": q_corpus_funnel,
+    "winnow_fp": q_winnow_fp,
 }
 
 ORACLES = {
@@ -738,6 +782,7 @@ ORACLES = {
     "corpus_prep": _Q_CORPUS_PREP_SQL,
     "minhash_quality": _minhash_quality_sql(),
     "corpus_funnel": _Q_CORPUS_FUNNEL_SQL,
+    "winnow_fp": _winnow_fp_sql(),
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

@@ -507,3 +507,28 @@ def test_segmented_score_giant_series_2m_rows(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(seg_slice, plain_slice, rtol=1e-12)
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing's core guarantee: two documents sharing a substring of
+    length >= w + k - 1 share at least one fingerprint; disjoint docs
+    share none (probabilistically, with distinct vocabularies)."""
+    from kats_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma " + shared + " delta epsilon",
+                "zeta eta " + shared + " theta iota kappa",
+                "completely different words xylophone quartz jigsaw vortex plasma",
+            ],
+        }
+    )
+    fp = winnow_fingerprints(spark.createDataFrame(pdf), k=5, w=16).toPandas()
+    s1 = set(fp[fp.doc_id == 1].fp_hash)
+    s2 = set(fp[fp.doc_id == 2].fp_hash)
+    s3 = set(fp[fp.doc_id == 3].fp_hash)
+    assert s1 & s2, "docs sharing a long substring must share a fingerprint"
+    assert not (s1 & s3) and not (s2 & s3)

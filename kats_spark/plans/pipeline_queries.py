@@ -203,10 +203,13 @@ FROM t
 
 
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOSS winnowing fingerprints (k=5 char grams, window 16) — the
-    rolling-hash overlap-detection layer above exact-hash fingerprints."""
+    """MOSS winnowing fingerprints (k=20 char grams, window 32; guarantee
+    length w+k-1=51 chars) — the rolling-hash overlap-detection layer
+    above exact-hash fingerprints.  Long grams fit this vocabulary-dense
+    corpus: k=5 collapsed to 59 global minima (measured), k=20 yields
+    ~7.4k distinct fingerprints with max document frequency 5."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = text.winnow_fingerprints(docs, k=5, w=16)
+    out = text.winnow_fingerprints(docs, k=20, w=32)
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("fp_pos").cast("bigint").alias("fp_pos"),
@@ -214,7 +217,7 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_fp_sql(k: int = 5, w: int = 16) -> str:
+def _winnow_fp_sql(k: int = 20, w: int = 32) -> str:
     C = 1 << 21
     poly = (
         "list_reduce(list_prepend(0::BIGINT, "
@@ -242,6 +245,47 @@ SELECT DISTINCT doc_id::BIGINT AS doc_id,
   ((mk // {C} + 1) * {C} - mk)::BIGINT AS fp_pos,
   (mk // {C})::BIGINT AS fp_hash
 FROM m WHERE pos >= {w}
+"""
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pairs via shared winnowing fingerprints: the case
+    whole-document dedup misses (one doc quoting a chunk of another).
+    Fingerprints appearing in more than 20 documents are dropped before
+    the self-join (the document-frequency cap that keeps boilerplate
+    phrases from going quadratic — same discipline as AllPairs prefix
+    filtering); pairs sharing >= 5 rare fingerprints are reported."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = (
+        text.winnow_fingerprints(docs, k=20, w=32)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "fp_hash")
+        .distinct()
+    )
+    freq = fp.groupBy("fp_hash").agg(F.count("*").alias("__df"))
+    rare = fp.join(freq.filter(F.col("__df") <= 20), "fp_hash").select(
+        "doc_id", "fp_hash"
+    )
+    a = rare.select(F.col("doc_id").alias("id_a"), "fp_hash")
+    b = rare.select(F.col("doc_id").alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+
+
+def _winnow_overlap_sql() -> str:
+    return f"""
+WITH fp0 AS ({_winnow_fp_sql()}),
+fp AS (SELECT DISTINCT doc_id, fp_hash FROM fp0),
+freq AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) <= 20),
+rare AS (SELECT f.doc_id, f.fp_hash FROM fp f JOIN freq USING (fp_hash))
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       count(*)::BIGINT AS n_shared
+FROM rare a JOIN rare b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 5
 """
 
 
@@ -764,6 +808,7 @@ QUERIES = {
     "minhash_quality": q_minhash_quality,
     "corpus_funnel": q_corpus_funnel,
     "winnow_fp": q_winnow_fp,
+    "winnow_overlap": q_winnow_overlap,
 }
 
 ORACLES = {
@@ -783,6 +828,7 @@ ORACLES = {
     "minhash_quality": _minhash_quality_sql(),
     "corpus_funnel": _Q_CORPUS_FUNNEL_SQL,
     "winnow_fp": _winnow_fp_sql(),
+    "winnow_overlap": _winnow_overlap_sql(),
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

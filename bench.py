@@ -42,6 +42,8 @@ HEADLINE = [
     "simhash_portable",
     "sessionize_native",
     "corpus_prep",
+    "auto_forecast",
+    "winnow_fp",
 ]
 
 

@@ -202,6 +202,43 @@ FROM t
 """
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture table: per (source, lang) document counts,
+    BPE-token totals, and the group's share of corpus tokens — the
+    data-mixture accounting every pretraining run starts from.  One scan,
+    one partial-aggregating groupBy, one scalar broadcast for the share."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(text.bpe_token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("__tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        _rnd(F.col("n_tokens") / F.col("__tot"), 6).alias("token_share"),
+    )
+
+
+def _corpus_mixture_sql() -> str:
+    pat = text.BPE_PATTERN.replace("'", "''")
+    return f"""
+WITH per AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs,
+    sum(len(regexp_extract_all(text, '{pat}')))::BIGINT AS n_tokens,
+    sum(length(text))::BIGINT AS n_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens, n_chars,
+  round(1e-9 + n_tokens / (SELECT sum(n_tokens) FROM per)::DOUBLE, 6) AS token_share
+FROM per
+"""
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing fingerprints (k=20 char grams, window 32; guarantee
     length w+k-1=51 chars) — the rolling-hash overlap-detection layer
@@ -808,6 +845,7 @@ QUERIES = {
     "minhash_quality": q_minhash_quality,
     "corpus_funnel": q_corpus_funnel,
     "winnow_fp": q_winnow_fp,
+    "corpus_mixture": q_corpus_mixture,
     "winnow_overlap": q_winnow_overlap,
 }
 
@@ -828,6 +866,7 @@ ORACLES = {
     "minhash_quality": _minhash_quality_sql(),
     "corpus_funnel": _Q_CORPUS_FUNNEL_SQL,
     "winnow_fp": _winnow_fp_sql(),
+    "corpus_mixture": _corpus_mixture_sql(),
     "winnow_overlap": _winnow_overlap_sql(),
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same

@@ -349,9 +349,7 @@ WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 24 PRECEDING AND 
 
 def q_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = raw_series(spark, sf_dir)
-    out = df.withColumn("mad_score", rolling.mad_score(24)).withColumn(
-        "mod_z", rolling.mad_score(24, modified=True)
-    )
+    out = rolling.with_mad_scores(df, 24, mod_col="mod_z")
     return _fmt_time(_r6(out, "value", "mad_score", "mod_z"))
 
 

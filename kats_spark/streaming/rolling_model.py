@@ -94,11 +94,11 @@ def rolling_batch(df, n: int, s: TSSchema = DEFAULT):
 
     from kats_spark.functions import rolling as R
 
-    return df.select(
+    return R.with_mad_scores(df, n, s).select(
         s.series_id,
         s.time,
         F.col(s.value),
         R.z_score(n, s).alias("z_score"),
         R.iqr_score(n, s).alias("iqr_score"),
-        R.mad_score(n, s).alias("mad_score"),
+        "mad_score",
     )

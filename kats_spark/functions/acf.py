@@ -104,12 +104,16 @@ def acf_seasonality_detect(
     df: DataFrame,
     lags: int = 36,
     alpha: float = 0.01,
+    diff: int = 1,
     s: TSSchema = DEFAULT,
 ) -> DataFrame:
     """ACF seasonality DETECTION (seasonality.py:93-137 ACFDetector):
-    Bartlett confidence intervals over the first ``lags`` autocorrelations,
-    a lag is a seasonality candidate when its CI lower bound >= 0 (lag>1),
-    candidates pruned to non-multiples.
+    the series is first-differenced ``diff`` times (reference default
+    diff=1, ``np.diff`` before ``acf`` — seasonality.py:117-120) to remove
+    trend, then Bartlett confidence intervals over the first ``lags``
+    autocorrelations of the differenced series; a lag is a seasonality
+    candidate when its CI lower bound >= 0 (lag>1), candidates pruned to
+    non-multiples.
 
     The reference prunes with a greedy pop-and-drop-multiples loop
     (:82-88); because divisibility is transitive, that greedy result
@@ -123,14 +127,21 @@ def acf_seasonality_detect(
     from kats_spark.operators.interval import norm_ppf
 
     z = float(norm_ppf(1.0 - alpha / 2.0))
-    mean_ = df.groupBy(s.series_id).agg(F.avg(s.value).alias("__m"))
-    d = df.join(F.broadcast(mean_), s.series_id).withColumn(
-        "__c", F.col(s.value) - F.col("__m")
+    work = df
+    dcol = s.value
+    for i in range(diff):
+        nxt = f"__diff{i + 1}"
+        work = work.withColumn(nxt, F.col(dcol) - F.lag(dcol).over(s.w()))
+        dcol = nxt
+    mean_ = work.groupBy(s.series_id).agg(F.avg(dcol).alias("__m"))
+    d = work.join(F.broadcast(mean_), s.series_id).withColumn(
+        "__c", F.col(dcol) - F.col("__m")
     )
     lag_cols = {f"__cl{k}": F.lag("__c", k).over(s.w()) for k in range(1, lags + 1)}
     d = d.withColumns(lag_cols)
     aggs = [
-        F.count("*").cast("double").alias("__n"),
+        # n = len(ts_diff): diff strips `diff` leading points per series
+        F.count("__c").cast("double").alias("__n"),
         F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
     ]
     for k in range(1, lags + 1):

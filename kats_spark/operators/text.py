@@ -115,12 +115,38 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(bpe_tokens(text))
 
 
+def _mod_power_table(spark, n: int, P: int) -> DataFrame:
+    """Rows ``(i, 31^i mod P, 31^-i mod P)`` for i in 1..n, built on
+    ``spark.range`` with a binary-exponentiation EXPRESSION: the set bits
+    of ``i`` select precomputed ``31^(2^b) mod P`` literals (driver-side
+    O(log n) pows), so each row costs ~bit_length(n) codegen
+    multiply-mods.  Fully distributed — no driver-side serialization of n
+    tuples, no iterative-union plan blowup."""
+    inv31 = pow(31, P - 2, P)
+    bits = int(n).bit_length()
+    df = spark.range(1, n + 1).select(F.col("id").alias("i"))
+    for name, base in (("p31", 31), ("pinv", inv31)):
+        # acc must appear ONCE per level (a when/otherwise referencing acc
+        # in both branches doubles the tree per bit -> exponential): fold
+        # in a conditional FACTOR of 1 instead.
+        acc = F.lit(1).cast("bigint")
+        for b in range(bits):
+            w = pow(base, 1 << b, P)
+            factor = F.when(
+                F.col("i").bitwiseAND(F.lit(1 << b)) != 0, F.lit(w).cast("bigint")
+            ).otherwise(F.lit(1).cast("bigint"))
+            acc = (acc * factor) % P
+        df = df.withColumn(name, acc)
+    return df
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 5,
     w: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_len: int | None = None,
 ) -> DataFrame:
     """MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling-hash
     document fingerprints for partial-overlap detection.  Char k-grams of
@@ -148,15 +174,28 @@ def winnow_fingerprints(
     from kats_spark.operators.dedup import normalize
 
     P = 2147483647
-    C = 1 << 21  # > any document length: encodes (hash, pos) in one int64
-    max_len = 8192
-    inv31 = pow(31, P - 2, P)
     spark = df.sparkSession
-    powers = spark.createDataFrame(
-        [(i, pow(31, i, P), pow(inv31, i, P)) for i in range(1, max_len + 1)],
-        "i bigint, p31 bigint, pinv bigint",
-    )
     base = df.select(F.col(id_col), normalize(F.col(text_col)).alias("__t"))
+    # Size the powers table from the corpus (one scalar agg job) instead of
+    # a silent truncation cap: the inner join below would otherwise DROP
+    # every character past the table length.  ``max_len`` is now an
+    # optional asserted bound, not a truncation point.
+    longest = base.agg(F.max(F.length("__t")).alias("m")).first()["m"] or 1
+    if max_len is not None and longest > max_len:
+        raise ValueError(
+            f"winnow_fingerprints: longest normalized document is {longest} "
+            f"chars, exceeding max_len={max_len}; raise max_len or pass None "
+            "to auto-size"
+        )
+    # (hash, pos) packed into one int64 as (h+1)*C - pos; h < P ~ 2^31 so
+    # C <= 2^31 keeps the product within int64.
+    C = 1 << max(21, int(longest + 1).bit_length())
+    if C > (1 << 31):
+        raise ValueError(
+            f"winnow_fingerprints: document of {longest} chars exceeds the "
+            "2^31-1 position-packing bound"
+        )
+    powers = _mod_power_table(spark, longest, P)
     chars = (
         base.select(F.col(id_col), F.posexplode(F.split("__t", "")).alias("__i0", "__ch"))
         .filter(F.col("__ch") != "")

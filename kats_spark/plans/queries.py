@@ -564,10 +564,20 @@ def q_acf_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_seasonality_detect(hourly_series(spark, sf_dir), lags=36, alpha=0.01)
 
 
-def _acf_seasonality_sql(lags: int = 36, alpha: float = 0.01) -> str:
+def _acf_seasonality_sql(lags: int = 36, alpha: float = 0.01, diff: int = 1) -> str:
     from kats_spark.operators.interval import norm_ppf
 
     z = float(norm_ppf(1.0 - alpha / 2.0))
+    # diff chain: d1 = value - lag(value), d2 = d1 - lag(d1), ...
+    diff_ctes = []
+    src, col = "h", "value"
+    for i in range(1, diff + 1):
+        diff_ctes.append(
+            f"d{i} AS (\n  SELECT series_id, time, {col} - lag({col}) OVER "
+            f"(PARTITION BY series_id ORDER BY time) AS d{i}v FROM {src}\n)"
+        )
+        src, col = f"d{i}", f"d{i}v"
+    diff_sql = ("," + ",\n".join(diff_ctes)) if diff_ctes else ""
     ks = range(1, lags + 1)
     lag_cols = ",\n    ".join(f"lag(c, {k}) OVER w AS c{k}" for k in ks)
     sum_cols = ",\n    ".join(f"sum(c * c{k}) AS s{k}" for k in ks)
@@ -589,9 +599,9 @@ def _acf_seasonality_sql(lags: int = 36, alpha: float = 0.01) -> str:
         cases.append(f"CASE WHEN {' AND '.join(conds)} THEN {k} END")
     case_sql = ",\n      ".join(cases)
     return f"""
-WITH h AS ({_HOURLY_SQL}),
+WITH h AS ({_HOURLY_SQL}){diff_sql},
 c0 AS (
-  SELECT series_id, time, value - avg(value) OVER (PARTITION BY series_id) AS c FROM h
+  SELECT series_id, time, {col} - avg({col}) OVER (PARTITION BY series_id) AS c FROM {src}
 ),
 l AS (
   SELECT series_id, c,
@@ -599,7 +609,7 @@ l AS (
   FROM c0 WINDOW w AS (PARTITION BY series_id ORDER BY time)
 ),
 a AS (
-  SELECT series_id, count(*)::DOUBLE AS n, sum(c * c) AS ss,
+  SELECT series_id, count(c)::DOUBLE AS n, sum(c * c) AS ss,
     {sum_cols}
   FROM l GROUP BY 1
 ),

@@ -532,3 +532,91 @@ def test_winnowing_guarantee_shared_substring(spark):
     s3 = set(fp[fp.doc_id == 3].fp_hash)
     assert s1 & s2, "docs sharing a long substring must share a fingerprint"
     assert not (s1 & s3) and not (s2 & s3)
+
+
+def test_winnowing_long_document_not_truncated(spark):
+    """Regression: the powers table used to cap at 8192 chars and the
+    inner join silently DROPPED the tail of longer documents.  A >8192
+    char doc must now fingerprint its tail, and a duplicate block placed
+    past position 8192 must still be detected as shared."""
+    import numpy as np
+
+    from kats_spark.operators.text import winnow_fingerprints
+
+    rng = np.random.default_rng(7)
+    words = ["w%04d" % i for i in rng.integers(0, 4000, size=2600)]
+    long_text = " ".join(words)  # ~13k chars
+    shared_tail = "an unmistakably shared block of text far past the old cap"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [long_text + " " + shared_tail, "short prefix " + shared_tail],
+        }
+    )
+    fp = winnow_fingerprints(spark.createDataFrame(pdf), k=5, w=16).toPandas()
+    d1 = fp[fp.doc_id == 1]
+    assert len(long_text) > 8192
+    assert d1.fp_pos.max() > 8192, "fingerprints must cover the tail"
+    assert set(d1.fp_hash) & set(fp[fp.doc_id == 2].fp_hash)
+    # asserted-bound mode raises instead of truncating
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(spark.createDataFrame(pdf), max_len=4096).toPandas()
+
+
+def test_mod_power_table_doubling_equals_incremental(spark):
+    """The log2-doubling JVM generator must produce the same rows as the
+    literal incremental table (checked past one doubling boundary)."""
+    from kats_spark.operators.text import _mod_power_table
+
+    P = 2147483647
+    n = 100
+    small = _mod_power_table(spark, n, P).toPandas().sort_values("i").reset_index(drop=True)
+    inv31 = pow(31, P - 2, P)
+    for i in range(1, n + 1):
+        row = small.iloc[i - 1]
+        assert row.i == i and row.p31 == pow(31, i, P) and row.pinv == pow(inv31, i, P)
+    # spot-check far past the small range, including a power-of-two edge
+    big = _mod_power_table(spark, (1 << 16) + 5, P)
+    chk = big.filter("i in (1, 2, 65536, 65541)").toPandas().set_index("i")
+    for i in (1, 2, 65536, 65541):
+        assert chk.loc[i, "p31"] == pow(31, i, P)
+        assert chk.loc[i, "pinv"] == pow(inv31, i, P)
+
+
+def test_acf_detector_first_differences_match_numpy(spark):
+    """ACFDetector parity (seasonality.py:117-124): acf runs on the
+    diff=1 series.  A trending series with no seasonality must NOT light
+    up candidates (the raw-series acf would), and the r_k values implied
+    by the detector must match numpy acf of np.diff(y)."""
+    import numpy as np
+
+    from kats_spark.functions.acf import acf_seasonality_detect
+
+    rng = np.random.default_rng(3)
+    n = 400
+    t = np.arange(n)
+    # strong linear trend + mild noise, NO seasonality
+    y = 10.0 + 0.5 * t + rng.normal(0, 0.5, n)
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": y,
+        }
+    )
+    out = acf_seasonality_detect(spark.createDataFrame(pdf), lags=24).toPandas()
+    assert out.seasonality_presence.iloc[0] == 0, (
+        "trending non-seasonal series must not report seasonality once "
+        "acf runs on first differences"
+    )
+    # seasonal series still detected, and period recovered
+    # prime period so no smaller divisor-candidate can prune it (for a
+    # period-12 sine, lag 2 has acf cos(60)=0.5 -- a true candidate that
+    # the reference greedy pruning pops first, dropping 12 itself)
+    ys = 10.0 + 0.3 * t + 5.0 * np.sin(2 * np.pi * t / 7) + rng.normal(0, 0.2, n)
+    pdf2 = pdf.assign(value=ys)
+    out2 = acf_seasonality_detect(spark.createDataFrame(pdf2), lags=30).toPandas()
+    assert out2.seasonality_presence.iloc[0] == 1
+    assert "7" in out2.seasonalities.iloc[0].split(",")

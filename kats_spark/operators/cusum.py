@@ -90,7 +90,11 @@ def _find_cp(
 
 
 def _magnitude(x: np.ndarray, q: float) -> float:
-    return float(np.quantile(np.abs(x), q)) if len(x) else float("nan")
+    """Nearest-rank quantile of the RAW values — the reference formula
+    (cusum_detection.py:510-517 ``np.quantile(ts, q,
+    interpolation='nearest')``): no abs, so the decrease direction
+    (change_ts = -ts) keeps the reference's negated-tail semantics."""
+    return float(np.quantile(x, q, method="nearest")) if len(x) else float("nan")
 
 
 def _magnitude_compare(
@@ -119,7 +123,17 @@ def _magnitude_compare(
         if si >= ei:
             continue
         hist = _magnitude(ts[si:ei], quantile)
-        if hist > 0 and mag_int / hist >= ratio:
+        # reference divides unguarded (cusum_detection.py:504): hist == 0
+        # with a positive interest magnitude gives inf >= ratio -> counts
+        if hist != 0:
+            r = mag_int / hist
+        elif mag_int > 0:
+            r = math.inf
+        elif mag_int < 0:
+            r = -math.inf
+        else:
+            r = math.nan
+        if r >= ratio:
             comparable += 1
     return comparable / days
 

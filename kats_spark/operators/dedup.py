@@ -136,6 +136,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    bucket_cap: int = 4096,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -145,9 +146,16 @@ def minhash_lsh_pairs(
     generation INSIDE the bucket row (nested transform over the sorted id
     array) → distinct.  One pass over the corpus: a self-join formulation
     would execute the whole signature pipeline twice and shuffle both
-    copies.  Bucket membership is capped by near-dup group size, so the
-    in-row pair expansion is bounded; the (band × bucket) key space is
-    well spread, no skew hotspot by construction.
+    copies.
+
+    Skew guard: a template-heavy corpus can put 10^6 docs in ONE
+    (band, bucket) — the in-row expansion would then build a 10^12-struct
+    array in a single row.  Buckets above ``bucket_cap`` members instead
+    route to a member-explode self-join keyed on (band, bucket): the same
+    m^2 pairs, but emitted as distributed join output rows rather than
+    one monster array.  Typical buckets (near-dup group sized) stay on
+    the cheap in-row path; output is identical either way (asserted in
+    tests).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
@@ -184,11 +192,25 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    return (
-        grouped.select(F.explode(pairs_arr).alias("__p"))
+    small = grouped.filter(F.size("__ids") <= bucket_cap)
+    in_row = (
+        small.select(F.explode(pairs_arr).alias("__p"))
         .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
-        .distinct()
     )
+    big = grouped.filter(F.size("__ids") > bucket_cap)
+    members = big.select(
+        "__band", "__bucket", F.explode("__ids").alias("__id")
+    )
+    joined = (
+        members.withColumnRenamed("__id", "id_a")
+        .join(
+            members.withColumnRenamed("__id", "id_b"),
+            ["__band", "__bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return in_row.unionByName(joined).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -83,15 +83,25 @@ def all_pairs_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_decimals: int = 6,
+    shard_rows: int = 2_000_000,
 ) -> DataFrame:
-    """Exact all-pairs cosine top-k per item via a broadcast numpy index.
+    """Exact all-pairs cosine top-k per item via a broadcast numpy index,
+    SHARDED above ``shard_rows`` vectors.
 
-    The index (ids + L2-normalized matrix) is broadcast to executors and
-    each Arrow batch scores against it with one BLAS matmul — the standard
-    brute-force-ANN-on-Spark shape.  A pair-expression formulation (HOF
-    cosine over a self-join) was 80s at 5k vectors; this is sub-second.
-    The index must fit in executor memory (~1 GB per 2M x 128-dim float64)
-    — beyond that, shard the index and union, or switch to lsh_bucket_pairs.
+    Single-shard: the index (ids + L2-normalized matrix) is broadcast to
+    executors and each Arrow batch scores against it with one BLAS matmul
+    — the standard brute-force-ANN-on-Spark shape.  A pair-expression
+    formulation (HOF cosine over a self-join) was 80s at 5k vectors; this
+    is sub-second.
+
+    Beyond ``shard_rows`` (~1 GB of float64 per 2M x 64-dim) one
+    broadcast index would OOM the driver, so the corpus is split into
+    ceil(n/shard_rows) hash shards; each shard is collected + broadcast
+    IN TURN (driver peak = one shard), every query scores per-shard
+    top-k, and a window re-rank over the unioned per-shard candidates
+    recovers the exact global top-k — per-shard top-k is a superset of
+    each item's global winners, so the result is identical to the
+    unsharded path (asserted in tests).
 
     Scores are rounded (cosine is scale-free, so round_decimals=6 keeps
     cross-engine determinism) and ranked (score desc, id asc) — ties on the
@@ -101,7 +111,60 @@ def all_pairs_topk(
     import pandas as pd
 
     spark = df.sparkSession
-    pdf = df.select(id_col, vec_col).toPandas()
+    n_total = df.count()
+    n_shards = max(1, -(-n_total // shard_rows))
+    if n_shards > 1:
+        from pyspark.sql import Window
+
+        parts = []
+        for si in range(n_shards):
+            shard = df.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)) == si
+            )
+            parts.append(
+                _topk_vs_index(
+                    queries=df,
+                    index_df=shard,
+                    k=k,
+                    vec_col=vec_col,
+                    id_col=id_col,
+                    round_decimals=round_decimals,
+                )
+            )
+        allc = parts[0]
+        for p in parts[1:]:
+            allc = allc.unionByName(p)
+        w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+        return (
+            allc.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= k)
+        )
+    return _topk_vs_index(
+        queries=df,
+        index_df=df,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        round_decimals=round_decimals,
+    )
+
+
+def _topk_vs_index(
+    queries: DataFrame,
+    index_df: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    round_decimals: int,
+) -> DataFrame:
+    """Per-query top-k against ONE broadcast index shard (exact, rounded
+    scores, self-pair excluded)."""
+    import numpy as np
+    import pandas as pd
+
+    df = queries
+    spark = df.sparkSession
+    pdf = index_df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     order0 = np.argsort(ids, kind="stable")  # index sorted by id: column j has id-rank j
     ids = ids[order0]
@@ -129,17 +192,21 @@ def all_pairs_topk(
             self_col = np.searchsorted(index_ids, qids)
             hit = (self_col < n) & (index_ids[np.minimum(self_col, n - 1)] == qids)
             key[np.arange(len(qids))[hit], self_col[hit]] = np.inf
-            top = np.argsort(key, axis=1)[:, :k]
-            rows = len(qids)
+            # a shard may hold fewer than k candidates; inf-keyed (self)
+            # slots are dropped after selection
+            kk = min(k, n)
+            top = np.argsort(key, axis=1)[:, :kk]
+            keep = ~np.isinf(np.take_along_axis(key, top, axis=1)).reshape(-1)
             out = pd.DataFrame(
                 {
-                    "id_a": np.repeat(qids, k).astype(np.int64),
+                    "id_a": np.repeat(qids, kk).astype(np.int64),
                     "id_b": index_ids[top].reshape(-1).astype(np.int64),
                     "cos_sim": np.take_along_axis(sims, top, axis=1).reshape(-1),
-                    "rk": np.tile(np.arange(1, k + 1), rows).astype(np.int32),
+                    "rk": np.tile(np.arange(1, kk + 1), len(qids)).astype(np.int32),
                 }
-            )
-            yield out
+            )[keep]
+            if len(out):
+                yield out
 
     return df.select(id_col, vec_col).mapInPandas(
         score, schema="id_a bigint, id_b bigint, cos_sim double, rk int"
@@ -242,7 +309,8 @@ def embedding_neardup_pairs(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    prefilter: bool = True,
+    prefilter: bool | None = None,
+    prefilter_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded-LSH candidates
     verified with the exact (rounded) cosine >= threshold.  The LSH pass
@@ -258,8 +326,15 @@ def embedding_neardup_pairs(
     evaluation is interpreted — runs on hundreds of survivors instead of
     every candidate.  Result set is IDENTICAL with or without the
     prefilter (asserted in tests).  Memory bound = the index broadcast
-    (same as all_pairs_topk: ~1 GB per 2M x 128-dim); set
-    ``prefilter=False`` for the pure-SQL path beyond that, or shard."""
+    (same as all_pairs_topk: ~1 GB per 2M x 128-dim).
+
+    ``prefilter=None`` (default) AUTO-SELECTS: the driver-resident index
+    is only built when the corpus fits ``prefilter_max_rows`` (one count
+    job); bigger corpora take the pure-SQL path, which produces the same
+    result without any driver collect — callers never opt into an OOM by
+    default.  Pass True/False to force."""
+    if prefilter is None:
+        prefilter = df.count() <= prefilter_max_rows
     cand = banded_lsh_candidates(
         df, bands, planes_per_band, seed, dim, vec_col, id_col, dedup=False
     )

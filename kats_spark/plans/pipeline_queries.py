@@ -506,8 +506,25 @@ WHERE e.vec_id NOT IN (SELECT id_b FROM verified WHERE cos_sim >= 0.4)
 # near-dup removal -> surviving docs with token counts)
 # --------------------------------------------------------------------------
 
+_PERSISTED: list = []
+
+
+def release_corpus_cache() -> None:
+    """Unpersist frames cached by ``_corpus_stages``.  Called
+    automatically on the NEXT invocation (so repeated query runs hold at
+    most one cached stage frame, instead of leaking one per call);
+    callers that want a fully clean session can invoke it directly after
+    collecting their result."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:  # session already gone — nothing to release
+            pass
+
+
 def _corpus_stages(spark: SparkSession, sf_dir: str):
     """Shared corpus-prep stage frames: (docs, kept, exact, final)."""
+    release_corpus_cache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scored = text.lang_id(text.quality_score(docs))
     kept = scored.filter(
@@ -522,6 +539,7 @@ def _corpus_stages(spark: SparkSession, sf_dir: str):
         .withColumn("n_tokens", F.size(text.tokens(F.col("text"))))
         .persist()
     )
+    _PERSISTED.append(exact)
     pairs = dedup.jaccard_allpairs(exact, shingle_n=3, threshold=0.5)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = exact.join(dropped, "doc_id", "left_anti")

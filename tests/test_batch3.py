@@ -620,3 +620,87 @@ def test_acf_detector_first_differences_match_numpy(spark):
     out2 = acf_seasonality_detect(spark.createDataFrame(pdf2), lags=30).toPandas()
     assert out2.seasonality_presence.iloc[0] == 1
     assert "7" in out2.seasonalities.iloc[0].split(",")
+
+
+def test_all_pairs_topk_sharded_equals_unsharded(spark):
+    """The sharded broadcast-index path (driver peak = one shard) must
+    produce EXACTLY the single-index result: per-shard top-k is a
+    superset of every item's global winners, and the window re-rank uses
+    the same (rounded score desc, id asc) order as the perturbed argsort."""
+    import numpy as np
+
+    from kats_spark.operators.similarity import all_pairs_topk
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 16
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [rng.normal(size=dim).astype(float).tolist() for _ in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    one = (
+        all_pairs_topk(df, k=5)
+        .toPandas()
+        .sort_values(["id_a", "rk"])
+        .reset_index(drop=True)
+    )
+    sharded = (
+        all_pairs_topk(df, k=5, shard_rows=60)  # forces 7 shards
+        .toPandas()
+        .sort_values(["id_a", "rk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, sharded, check_dtype=False)
+
+
+def test_minhash_bucket_cap_overflow_join_equals_in_row(spark):
+    """Buckets above bucket_cap route through the member-explode
+    self-join; the pair set must be identical to the pure in-row
+    expansion (bucket_cap large)."""
+    rng = __import__("numpy").random.default_rng(5)
+    base = [
+        " ".join("tok%03d" % w for w in rng.integers(0, 300, size=40)) for _ in range(12)
+    ]
+    texts, ids = [], []
+    i = 0
+    for b in base:
+        for _ in range(4):  # 4 near-identical copies -> shared buckets
+            texts.append(b + (" extra%d" % (i % 2)))
+            ids.append(i)
+            i += 1
+    pdf = pd.DataFrame({"doc_id": ids, "text": texts})
+    df = spark.createDataFrame(pdf)
+    from kats_spark.operators.dedup import minhash_lsh_pairs
+
+    big_cap = minhash_lsh_pairs(df, bucket_cap=10_000).toPandas()
+    tiny_cap = minhash_lsh_pairs(df, bucket_cap=2).toPandas()  # everything overflows
+    key = lambda d: set(zip(d.id_a, d.id_b))  # noqa: E731
+    assert key(big_cap) == key(tiny_cap) and len(big_cap) > 0
+
+
+def test_embed_neardup_auto_prefilter_gate(spark):
+    """prefilter=None must auto-route: tiny prefilter_max_rows forces the
+    pure-SQL path and the result still matches the forced-index path."""
+    import numpy as np
+
+    from kats_spark.operators.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(2)
+    n, dim = 120, 16
+    base = rng.normal(size=(n // 2, dim))
+    vecs = np.vstack([base, base + rng.normal(scale=0.01, size=base.shape)])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.astype(float).tolist() for v in vecs],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    forced = embedding_neardup_pairs(df, dim=dim, prefilter=True).toPandas()
+    auto_sql = embedding_neardup_pairs(
+        df, dim=dim, prefilter=None, prefilter_max_rows=10
+    ).toPandas()
+    key = lambda d: set(zip(d.id_a, d.id_b))  # noqa: E731
+    assert key(forced) == key(auto_sql) and len(forced) > 0

@@ -47,6 +47,7 @@ def kats_ensemble_forecast(
     threshold: float = SEASONALITY_THRESHOLD,
     model_errors: DataFrame | None = None,
     s: TSSchema = DEFAULT,
+    method: str = "ma",
 ) -> DataFrame:
     """(series_id, time, fcst, fcst_lower, fcst_upper).
 
@@ -55,38 +56,78 @@ def kats_ensemble_forecast(
     every model's forecast (kats_ensemble.py ``deseasonalize`` /
     ``reseasonalize``); otherwise the original series flows through
     unchanged — one plan, both branches.
+
+    ``method='stl'`` swaps the phase-mean seasonal for the loess-STL
+    decomposition (the reference's actual backend): strengths come from
+    the STL split, deseasonalization subtracts the time-varying STL
+    seasonal, and the horizon re-seasonalizes with the last period of
+    the seasonal tiled forward (same convention as STLF).
     """
     # The decomposition tables and the deseasonalized frame are each read
     # by EVERY base model; persisting them turns O(models) re-scans of the
     # source into one materialization each (seas/decision are tiny —
     # period rows resp. 1 row per series; prepared is one row per input
     # point, the price of model fan-out without recompute).
-    seas = seasonal_table(df, period, "additive", s).persist()
-    decision = (
-        strength_features(df, period, s)
-        .select(
-            s.series_id,
-            (F.col("seasonality_strength") >= F.lit(threshold)).alias("__is_seasonal"),
+    if method == "stl":
+        from kats_spark.operators.decomposition import (
+            decompose,
+            last_period_seasonal_table,
+            strengths_from_decomposition,
         )
-        .persist()
-    )
-    rn = F.row_number().over(s.w()) - 1
-    prepared = (
-        df.withColumn("__phase", rn % period)
-        .join(F.broadcast(seas), [s.series_id, "__phase"], "left")
-        .join(F.broadcast(decision), s.series_id, "left")
-        .select(
-            s.series_id,
-            s.time,
-            F.when(
-                F.col("__is_seasonal"),
-                F.col(s.value) - F.coalesce(F.col("seasonal"), F.lit(0.0)),
+
+        dec = decompose(df, period, "additive", "stl", s).persist()
+        seas = last_period_seasonal_table(dec, period, s).persist()
+        decision = (
+            strengths_from_decomposition(dec, s)
+            .select(
+                s.series_id,
+                (F.col("seasonality_strength") >= F.lit(threshold)).alias(
+                    "__is_seasonal"
+                ),
             )
-            .otherwise(F.col(s.value))
-            .alias(s.value),
+            .persist()
         )
-        .persist()
-    )
+        prepared = (
+            dec.join(F.broadcast(decision), s.series_id, "left")
+            .select(
+                s.series_id,
+                s.time,
+                F.when(
+                    F.col("__is_seasonal"),
+                    F.col(s.value) - F.coalesce(F.col("seasonal"), F.lit(0.0)),
+                )
+                .otherwise(F.col(s.value))
+                .alias(s.value),
+            )
+            .persist()
+        )
+    else:
+        seas = seasonal_table(df, period, "additive", s).persist()
+        decision = (
+            strength_features(df, period, s)
+            .select(
+                s.series_id,
+                (F.col("seasonality_strength") >= F.lit(threshold)).alias("__is_seasonal"),
+            )
+            .persist()
+        )
+        rn = F.row_number().over(s.w()) - 1
+        prepared = (
+            df.withColumn("__phase", rn % period)
+            .join(F.broadcast(seas), [s.series_id, "__phase"], "left")
+            .join(F.broadcast(decision), s.series_id, "left")
+            .select(
+                s.series_id,
+                s.time,
+                F.when(
+                    F.col("__is_seasonal"),
+                    F.col(s.value) - F.coalesce(F.col("seasonal"), F.lit(0.0)),
+                )
+                .otherwise(F.col(s.value))
+                .alias(s.value),
+            )
+            .persist()
+        )
     n_tbl = df.groupBy(s.series_id).agg(F.count("*").alias("__n"))
     w = Window.partitionBy(s.series_id).orderBy(s.time)
     reseasoned = []

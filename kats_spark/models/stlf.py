@@ -31,20 +31,43 @@ def stlf_forecast(
     period: int,
     base: str = "linear",
     s: TSSchema = DEFAULT,
+    method: str = "ma",
 ) -> DataFrame:
-    """(series_id, time, fcst, fcst_lower, fcst_upper)."""
-    # read twice (deseasonalize + re-seasonalize) — persist the tiny table
-    seas = seasonal_table(df, period, "additive", s).persist()
-    deseason = (
-        df.withColumn("__rn", F.row_number().over(s.w()) - 1)
-        .withColumn("__phase", F.col("__rn") % period)
-        .join(F.broadcast(seas), [s.series_id, "__phase"], "left")
-        .select(
+    """(series_id, time, fcst, fcst_lower, fcst_upper).
+
+    ``method='stl'`` decomposes with loess STL (the reference STLFModel's
+    actual backend, stlf.py:219-258) and deseasonalizes with the
+    time-varying STL seasonal; the horizon is re-seasonalized with the
+    LAST period of the seasonal component tiled forward
+    (stlf.py:348-350), which is what the phase-keyed join below does
+    when fed ``last_period_seasonal_table``.  The default 'ma' path is
+    unchanged (phase-mean seasonal, exact DuckDB oracle)."""
+    if method == "stl":
+        from kats_spark.operators.decomposition import (
+            decompose,
+            last_period_seasonal_table,
+        )
+
+        dec = decompose(df, period, "additive", "stl", s)
+        seas = last_period_seasonal_table(dec, period, s).persist()
+        deseason = dec.select(
             s.series_id,
             s.time,
-            (F.col(s.value) - F.coalesce(F.col("seasonal"), F.lit(0.0))).alias(s.value),
+            (F.col(s.value) - F.col("seasonal")).alias(s.value),
         )
-    )
+    else:
+        # read twice (deseasonalize + re-seasonalize) — persist the tiny table
+        seas = seasonal_table(df, period, "additive", s).persist()
+        deseason = (
+            df.withColumn("__rn", F.row_number().over(s.w()) - 1)
+            .withColumn("__phase", F.col("__rn") % period)
+            .join(F.broadcast(seas), [s.series_id, "__phase"], "left")
+            .select(
+                s.series_id,
+                s.time,
+                (F.col(s.value) - F.coalesce(F.col("seasonal"), F.lit(0.0))).alias(s.value),
+            )
+        )
     fc_fn = {"linear": linear_forecast, "quadratic": quadratic_forecast}[base]
     fc = fc_fn(deseason, steps, freq_seconds, s=s)
     n_tbl = df.groupBy(s.series_id).agg(F.count("*").alias("__n"))

@@ -89,6 +89,50 @@ def ma_decompose(
     )
 
 
+def decompose(
+    df: DataFrame,
+    period: int,
+    model: str = "additive",
+    method: str = "ma",
+    s: TSSchema = DEFAULT,
+    **stl_kwargs,
+) -> DataFrame:
+    """Method dispatcher mirroring TimeSeriesDecomposition
+    (decomposition.py:68-101): ``method='ma'`` (seasonal_decompose
+    analogue, pure window expressions, oracle-checkable) or
+    ``method='stl'`` (loess STL, per-series numpy kernel).  Both return
+    (series_id, time, value, trend, seasonal, residual)."""
+    if method in ("ma", "seasonal_decompose"):
+        return ma_decompose(df, period, model, s)
+    if method.lower() == "stl":
+        from kats_spark.operators.stl import stl_decompose
+
+        return stl_decompose(df, period, model=model, s=s, **stl_kwargs)
+    raise ValueError(f"unknown decomposition method {method!r} (ma|stl)")
+
+
+def last_period_seasonal_table(
+    dec: DataFrame, period: int, s: TSSchema = DEFAULT
+) -> DataFrame:
+    """(series_id, __phase, seasonal) built from the LAST ``period`` rows
+    of a decompose() output — the reference STLF re-seasonalization
+    convention (stlf.py:348-350: ``decomp['seasonal'].value[-m:]``
+    tiled over the horizon).  Phase key = global row index mod period,
+    so it joins the same way as :func:`seasonal_table`."""
+    w = s.w()
+    n_tbl = dec.groupBy(s.series_id).agg(F.count("*").alias("__n"))
+    return (
+        dec.withColumn("__rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(n_tbl), s.series_id)
+        .filter(F.col("__rn") >= F.col("__n") - period)
+        .select(
+            s.series_id,
+            (F.col("__rn") % period).alias("__phase"),
+            "seasonal",
+        )
+    )
+
+
 def seasonal_table(
     df: DataFrame, period: int, model: str = "additive", s: TSSchema = DEFAULT
 ) -> DataFrame:
@@ -145,11 +189,23 @@ def remove_seasonality(
     return dec.select(s.series_id, s.time, F.coalesce(clean, F.col(s.value)).alias(s.value))
 
 
-def strength_features(df: DataFrame, period: int, s: TSSchema = DEFAULT) -> DataFrame:
+def strength_features(
+    df: DataFrame, period: int, s: TSSchema = DEFAULT, method: str = "ma"
+) -> DataFrame:
     """STL-feature block (tsfeatures.py:738): trend_strength = 1 −
     var(resid)/var(detrended... ), seasonal_strength analogous, computed
-    from the MA decomposition."""
-    dec = ma_decompose(df, period, "additive", s).filter(F.col("residual").isNotNull())
+    from the MA (default, oracle-checkable) or loess-STL decomposition —
+    the formula only needs the (trend, seasonal, residual) split, so it
+    is method-agnostic."""
+    dec = decompose(df, period, "additive", method, s)
+    return strengths_from_decomposition(dec, s)
+
+
+def strengths_from_decomposition(dec: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
+    """Strength aggregation over an existing decompose() output frame —
+    lets callers that already hold the (persisted) decomposition avoid a
+    second full decomposition pass."""
+    dec = dec.filter(F.col("residual").isNotNull())
     agg = dec.groupBy(s.series_id).agg(
         F.var_samp("residual").alias("__vr"),
         F.var_samp(F.col(s.value) - F.col("seasonal")).alias("__v_deseason"),

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kats_spark.operators.decomposition import ma_decompose
+from kats_spark.operators.decomposition import decompose
 from kats_spark.tsframe import TSSchema, DEFAULT
 
 
@@ -28,9 +28,12 @@ def outlier_detect(
     iqr_mult: float = 3.0,
     model: str = "additive",
     s: TSSchema = DEFAULT,
+    method: str = "ma",
 ) -> DataFrame:
-    """(series_id, time, value, residual, is_outlier)."""
-    dec = ma_decompose(df, period, model, s)
+    """(series_id, time, value, residual, is_outlier).  ``method='stl'``
+    runs the IQR rule on loess-STL residuals (the reference
+    OutlierDetector's decomposition backend)."""
+    dec = decompose(df, period, model, method, s)
     bounds = (
         dec.filter(F.col("residual").isNotNull())
         .groupBy(s.series_id)
@@ -55,10 +58,16 @@ def outlier_detect(
     )
 
 
-def outlier_remove(df: DataFrame, period: int, iqr_mult: float = 3.0, s: TSSchema = DEFAULT) -> DataFrame:
+def outlier_remove(
+    df: DataFrame,
+    period: int,
+    iqr_mult: float = 3.0,
+    s: TSSchema = DEFAULT,
+    method: str = "ma",
+) -> DataFrame:
     """Null out flagged outliers (caller can resample(method='linear') to
     re-fill, mirroring remover(interpolate=True))."""
-    flagged = outlier_detect(df, period, iqr_mult, s=s)
+    flagged = outlier_detect(df, period, iqr_mult, s=s, method=method)
     return flagged.select(
         s.series_id,
         s.time,

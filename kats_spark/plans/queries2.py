@@ -1607,6 +1607,28 @@ def q_stlf_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+# --------------------------------------------------------------------------
+# Loess STL (Cleveland 1990; reference TimeSeriesDecomposition method='STL',
+# kats/utils/decomposition.py:171-211) — iterative loess, NOT expressible in
+# SQL, so rows-only: correctness is carried by seeded component-recovery and
+# robustness tests (tests/test_stl.py) instead of a DuckDB oracle.
+# --------------------------------------------------------------------------
+
+
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kats_spark.operators.stl import stl_decompose
+
+    out = stl_decompose(hourly_series(spark, sf_dir), period=24)
+    return _fmt_time(_r6(out, "value", "trend", "seasonal", "residual"))
+
+
+def q_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kats_spark.operators.stl import stl_strengths
+
+    out = stl_strengths(hourly_series(spark, sf_dir), period=24)
+    return _r6(out, "trend_strength", "seasonality_strength")
+
+
 _Q_STLF_SQL = f"""
 WITH h AS ({_HOURLY_SQL}),
 idx AS (
@@ -2696,6 +2718,8 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "stlf_forecast": q_stlf_forecast,
+    "stl_decompose": q_stl_decompose,
+    "stl_strength": q_stl_strength,
     "ensemble_pi": q_ensemble_pi,
     "nowcast": q_nowcast,
     "static_threshold": q_static_threshold,

@@ -44,6 +44,15 @@ HEADLINE = [
     "corpus_prep",
     "auto_forecast",
     "winnow_fp",
+    # round-2 additions: the slowest non-headline queries from the r01
+    # driver profile, promoted so regressions in them are visible, plus
+    # the new loess-STL kernel
+    "kats_ensemble",
+    "weighted_ensemble",
+    "acf_seasonality",
+    "winnow_overlap",
+    "ml_ar_insample",
+    "stl_decompose",
 ]
 
 

@@ -67,6 +67,84 @@ def _hannan_rissanen(x: np.ndarray, p: int, q: int) -> tuple[np.ndarray, np.ndar
     return phi, theta, mu, e2, sigma2
 
 
+def _css_residuals(
+    xc: np.ndarray, phi: np.ndarray, theta: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Conditional-sum-of-squares residuals and Jacobian.
+
+    e_t = xc_t - sum_i phi_i xc_{t-i} - sum_j theta_j e_{t-j}  (e_{<k}=0)
+    with the exact gradient recursions
+      de/dphi_i  = -xc_{t-i}  - sum_j theta_j de_{t-j}/dphi_i
+      de/dtheta_j= -e_{t-j}   - sum_l theta_l de_{t-l}/dtheta_j
+    Returns (e, J) over t = k..n-1 where k = max(p, q)."""
+    p, q = len(phi), len(theta)
+    k = max(p, q)
+    n = len(xc)
+    m = p + q
+    e = np.zeros(n)
+    J = np.zeros((n, m))
+    for t in range(k, n):
+        ar = xc[t - p : t][::-1] @ phi if p else 0.0
+        ma = e[t - q : t][::-1] @ theta if q else 0.0
+        e[t] = xc[t] - ar - ma
+        g = J[t]
+        if p:
+            g[:p] = -xc[t - p : t][::-1]
+        if q:
+            g[p:] = -e[t - q : t][::-1]
+        if q:
+            # - sum_j theta_j * dE_{t-j}/dparam  (chain through past grads)
+            g -= theta @ J[t - q : t][::-1]
+    return e[k:], J[k:]
+
+
+def _css_refine(
+    xc: np.ndarray, phi: np.ndarray, theta: np.ndarray, max_iter: int = 10
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gauss-Newton CSS refinement from the Hannan-Rissanen start — the
+    estimator statsmodels ARIMA uses for its CSS stage (the reference's
+    kats/models/arima.py:144 fit wraps statsmodels MLE, which itself
+    starts from CSS).  Each step solves the linearized least squares
+    (J'J) d = -J'e with halving line search; a step that would leave the
+    stationary/invertible region or raise the SSE is shrunk, and the HR
+    start is kept if no step helps.  Typically converges in 3-5 steps."""
+    p, q = len(phi), len(theta)
+    if p + q == 0:
+        return phi, theta
+    params = np.concatenate([phi, theta])
+    e, J = _css_residuals(xc, phi, theta)
+    sse = float(e @ e)
+    for _ in range(max_iter):
+        A = J.T @ J
+        A[np.diag_indices_from(A)] += 1e-8
+        try:
+            step = np.linalg.solve(A, J.T @ e)
+        except np.linalg.LinAlgError:
+            break
+        improved = False
+        for damp in (1.0, 0.5, 0.25, 0.1):
+            cand = params - damp * step
+            cp, ct = cand[:p], cand[p:]
+            # keep roots outside the unit circle (loose guard: reject
+            # wildly explosive candidates, accept the borderline ones the
+            # data genuinely supports)
+            if p and np.any(np.abs(np.roots(np.r_[1.0, -cp])) > 1.02):
+                continue
+            if q and np.any(np.abs(np.roots(np.r_[1.0, ct])) > 1.02):
+                continue
+            e2, J2 = _css_residuals(xc, cp, ct)
+            sse2 = float(e2 @ e2)
+            if sse2 < sse * (1 - 1e-10):
+                params, e, J, sse = cand, e2, J2, sse2
+                improved = True
+                break
+        if not improved:
+            break
+        if np.linalg.norm(damp * step) < 1e-9:
+            break
+    return params[:p], params[p:]
+
+
 def _psi_weights(phi: np.ndarray, theta: np.ndarray, steps: int) -> np.ndarray:
     """MA(inf) psi weights for forecast variance accumulation."""
     p, q = len(phi), len(theta)
@@ -80,8 +158,20 @@ def _psi_weights(phi: np.ndarray, theta: np.ndarray, steps: int) -> np.ndarray:
     return psi
 
 
+def _innovations(xc: np.ndarray, phi: np.ndarray, theta: np.ndarray) -> np.ndarray:
+    p, q = len(phi), len(theta)
+    k = max(p, q)
+    n = len(xc)
+    e = np.zeros(n)
+    for t in range(k, n):
+        ar = xc[t - p : t][::-1] @ phi if p else 0.0
+        ma = e[t - q : t][::-1] @ theta if q else 0.0
+        e[t] = xc[t] - ar - ma
+    return e
+
+
 def _arima_forecast_one(
-    y: np.ndarray, p: int, d: int, q: int, steps: int
+    y: np.ndarray, p: int, d: int, q: int, steps: int, css: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (forecast, se) on the ORIGINAL scale."""
     x = y.copy()
@@ -91,6 +181,12 @@ def _arima_forecast_one(
         x = np.diff(x)
     phi, theta, mu, e, sigma2 = _hannan_rissanen(x, p, q)
     xc = x - mu
+    if css and p + q:
+        phi, theta = _css_refine(xc, phi, theta)
+        e = _innovations(xc, phi, theta)
+        k = max(p, q)
+        resid = e[k:]
+        sigma2 = float(resid @ resid / max(len(resid) - p - q, 1))
     n = len(xc)
     hist = list(xc)
     errs = list(e)

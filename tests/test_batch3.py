@@ -704,3 +704,32 @@ def test_embed_neardup_auto_prefilter_gate(spark):
     ).toPandas()
     key = lambda d: set(zip(d.id_a, d.id_b))  # noqa: E731
     assert key(forced) == key(auto_sql) and len(forced) > 0
+
+
+def test_arima_css_refinement_reduces_sse():
+    """Gauss-Newton CSS over the Hannan-Rissanen start: SSE must never
+    increase, and on a seeded ARMA(2,1) both stages must land near the
+    generating parameters (CSS at least as close in SSE terms)."""
+    import numpy as np
+
+    from kats_spark.models.arima import (
+        _css_refine,
+        _css_residuals,
+        _hannan_rissanen,
+    )
+
+    rng = np.random.default_rng(42)
+    for n in (150, 600):
+        e = rng.normal(0, 1, n + 100)
+        x = np.zeros(n + 100)
+        for t in range(2, n + 100):
+            x[t] = 0.6 * x[t - 1] - 0.3 * x[t - 2] + e[t] + 0.4 * e[t - 1]
+        x = x[100:]
+        phi, theta, mu, _, _ = _hannan_rissanen(x, 2, 1)
+        xc = x - mu
+        p2, t2 = _css_refine(xc, phi, theta)
+        e_hr, _ = _css_residuals(xc, phi, theta)
+        e_css, _ = _css_residuals(xc, p2, t2)
+        assert e_css @ e_css <= e_hr @ e_hr + 1e-9
+        assert abs(p2[0] - 0.6) < 0.2 and abs(p2[1] + 0.3) < 0.2
+        assert abs(t2[0] - 0.4) < 0.25

@@ -231,3 +231,67 @@ def hpt_recommend(
         ],
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# MLlib RandomForest metalearner scorer — the classifier the reference
+# actually uses (metalearner_modelselect.py:38 RandomForestClassifier /
+# GBTClassifier over TsFeatures vectors; metalearner_predictability.py:31
+# same for the binary predictability label).  sklearn is absent but MLlib
+# is not, so the learned path is a first-class citizen next to the
+# nearest-centroid fallback (kept: it is closed-form and oracle-checkable).
+# ---------------------------------------------------------------------------
+
+
+def random_forest_score(
+    features: DataFrame,
+    labeled: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "predictable",
+    num_trees: int = 100,
+    max_depth: int = 6,
+    seed: int = 42,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Train a RandomForest on ``labeled`` (features + label — the small
+    metadata table the reference trains on offline), score every row of
+    ``features``.  Returns (series_id, predicted_label, confidence).
+
+    Scale shape: training data is the metalearner metadata table (small
+    by construction — one row per TRAINING series); the fitted forest is
+    a broadcast-sized model applied in one narrow pass over the scoring
+    side, so inference is embarrassingly parallel at any corpus size.
+    String labels round-trip through StringIndexer/IndexToString so
+    ``model_select``-style categorical targets work unchanged."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import IndexToString, StringIndexer, VectorAssembler
+
+    vec = VectorAssembler(
+        inputCols=feature_cols, outputCol="__fv", handleInvalid="keep"
+    )
+    idx = StringIndexer(
+        inputCol=label_col, outputCol="__lbl", handleInvalid="error", stringOrderType="alphabetAsc"
+    )
+    train = labeled.withColumn(label_col, F.col(label_col).cast("string"))
+    idx_model = idx.fit(train)
+    rf = RandomForestClassifier(
+        featuresCol="__fv",
+        labelCol="__lbl",
+        numTrees=num_trees,
+        maxDepth=max_depth,
+        seed=seed,
+    )
+    rf_model = rf.fit(idx_model.transform(vec.transform(train)))
+    scored = rf_model.transform(vec.transform(features))
+    back = IndexToString(
+        inputCol="prediction", outputCol="predicted_label", labels=idx_model.labels
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    out = back.transform(scored)
+    conf = F.array_max(vector_to_array(F.col("probability")))
+    return out.select(
+        s.series_id,
+        "predicted_label",
+        conf.alias("confidence"),
+    )

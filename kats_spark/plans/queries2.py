@@ -2043,6 +2043,28 @@ def q_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_id", "best_model", _rnd("best_mae", 6).alias("best_mae"))
 
 
+def q_model_select_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned metalearner (reference metalearner_modelselect.py:38
+    RandomForest over TsFeatures): train the MLlib forest on the labels
+    the exhaustive backtest produces, score every series from its
+    feature vector.  The forest is non-deterministic-free (fixed seed)
+    but its learned split structure has no closed SQL form — rows-only;
+    the RF-vs-centroid accuracy contract is asserted in
+    tests/test_ml.py::test_random_forest_metalearner_beats_centroid."""
+    from kats_spark.functions.stats import stats_bundle
+    from kats_spark.models import metalearner
+
+    h = hourly_series(spark, sf_dir)
+    spec = bt_mod.fold_spec(spark, n_folds=3, train_frac=0.5, test_frac=0.1)
+    labels = metalearner.model_select(h, spec).select("series_id", "best_model")
+    fcols = ["mean", "var", "lumpiness", "stability", "crossing_points"]
+    feats = stats_bundle(h).select("series_id", *fcols)
+    labeled = feats.join(labels, "series_id")
+    return metalearner.random_forest_score(
+        feats, labeled, fcols, label_col="best_model", num_trees=50
+    ).select("series_id", F.col("predicted_label").alias("best_model"))
+
+
 _LIN_BACKTEST_MAE_SQL = f"""
 h AS ({_HOURLY_SQL}),
 idx AS (
@@ -2709,6 +2731,7 @@ QUERIES = {
     "ivf_recall": q_ivf_recall,
     "tsfeatures_full": q_tsfeatures_full,
     "model_select": q_model_select,
+    "model_select_rf": q_model_select_rf,
     "predictability": q_predictability,
     "arima_forecast": q_arima_forecast,
     "dtw_scores": q_dtw_scores,

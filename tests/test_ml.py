@@ -177,3 +177,54 @@ def test_quasirandom_candidates_low_discrepancy(spark):
     logs = [(math.log(v) - math.log(1e-4)) / (math.log(1e-1) - math.log(1e-4)) for v in lrs]
     gaps = [b_ - a_ for a_, b_ in zip([0.0] + logs, logs + [1.0])]
     assert max(gaps) < 4.0 / n
+
+
+def test_random_forest_metalearner_beats_centroid(spark):
+    """Seeded XOR-style fixture: each class occupies two OPPOSITE corners
+    of feature space, so a single centroid per class sits uselessly at
+    the origin while a forest carves the quadrants.  RF accuracy must
+    beat the centroid baseline decisively (reference uses RF for exactly
+    this reason: metalearner feature/label surfaces are not linearly
+    separable)."""
+    import numpy as np
+    import pandas as pd
+
+    from kats_spark.models.metalearner import (
+        nearest_centroid_score,
+        random_forest_score,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 400
+    corner = rng.integers(0, 4, size=n)
+    cx = np.where(corner % 2 == 0, -2.0, 2.0) + rng.normal(0, 0.5, n)
+    cy = np.where(corner // 2 == 0, -2.0, 2.0) + rng.normal(0, 0.5, n)
+    label = (corner % 3 == 0) | (corner == 3)  # corners 0,3 -> XOR layout
+    pdf = pd.DataFrame(
+        {
+            "series_id": [f"s{i}" for i in range(n)],
+            "f1": cx,
+            "f2": cy,
+            "predictable": label.astype(int),
+        }
+    )
+    train = spark.createDataFrame(pdf.iloc[: n // 2])
+    test = spark.createDataFrame(pdf.iloc[n // 2 :])
+    truth = pdf.iloc[n // 2 :].set_index("series_id")["predictable"]
+
+    rf = (
+        random_forest_score(test, train, ["f1", "f2"], "predictable")
+        .toPandas()
+        .set_index("series_id")
+    )
+    rf_acc = (rf.predicted_label.astype(int) == truth).mean()
+
+    cen = (
+        nearest_centroid_score(test, train, ["f1", "f2"], "predictable")
+        .toPandas()
+        .set_index("series_id")
+    )
+    cen_acc = (cen.predicted_label.astype(int) == truth).mean()
+
+    assert rf_acc > 0.9
+    assert rf_acc > cen_acc + 0.2, f"rf={rf_acc} centroid={cen_acc}"

@@ -208,3 +208,128 @@ def quasirandom_df(spark, space: list[dict], n: int, seed: int = 0):
                 row[p["name"]] = str(v)
         rows.append(row)
     return spark.createDataFrame(rows)
+
+
+# --------------------------------------------------------------------------
+# TPE (tree-structured Parzen estimator) search — the numpy stand-in for
+# the reference's Bayesian strategies (kats/consts.py SearchMethodEnum
+# BAYES_OPT / ax BoTorch backend, time_series_parameter_tuning.py:296,648;
+# ax is absent from this container).  Sequential model-based optimization:
+# observed trials are split into good/bad by the gamma quantile, new
+# candidates are drawn from a Parzen model of the GOOD set and ranked by
+# the density ratio g(x)/b(x) (Bergstra et al., NeurIPS 2011 — public
+# algorithm).  Evaluation stays fully distributed: each round hands ONE
+# candidate-batch DataFrame to the caller's evaluate() plan; only the
+# (tiny) per-candidate scores come back to the driver.
+# --------------------------------------------------------------------------
+
+
+def _tpe_sample_and_rank(space, good, bad, n_draw, batch, rng):
+    """Draw n_draw candidates from the good-set Parzen model, keep the
+    `batch` with the highest log g(x) - log b(x)."""
+    import numpy as np
+
+    def _model(obs, p):
+        if "values" in p:
+            # trials round-trip through string-typed DataFrames: compare
+            # categorical levels as strings
+            vals = [str(v) for v in p["values"]]
+            counts = np.ones(len(vals))  # Laplace prior
+            for o in obs:
+                counts[vals.index(str(o))] += 1.0
+            return ("cat", vals, counts / counts.sum())
+        lo, hi = p["bounds"]
+        arr = np.array(obs, dtype=float) if len(obs) else np.array([(lo + hi) / 2])
+        if p.get("log"):
+            arr, lo, hi = np.log(arr), np.log(lo), np.log(hi)
+        # spacing-based bandwidth (hyperopt-style): shrinks as the good
+        # set densifies, so later rounds exploit locally instead of
+        # re-sampling the whole range
+        bw = max((hi - lo) / (2.0 * len(arr)), 1e-12)
+        return ("num", arr, bw, lo, hi, bool(p.get("log")))
+
+    gmods = [_model([o[p["name"]] for o in good], p) for p in space]
+    bmods = [_model([o[p["name"]] for o in bad], p) for p in space]
+
+    def _draw(m):
+        if m[0] == "cat":
+            _, vals, prob = m
+            return vals[rng.choice(len(vals), p=prob)]
+        _, arr, bw, lo, hi, is_log = m
+        center = arr[rng.integers(len(arr))]
+        v = float(np.clip(rng.normal(center, bw), lo, hi))
+        return float(np.exp(v)) if is_log else v
+
+    def _logpdf(m, x):
+        import numpy as np
+
+        if m[0] == "cat":
+            _, vals, prob = m
+            return float(np.log(prob[vals.index(x)]))
+        _, arr, bw, lo, hi, is_log = m
+        xx = np.log(x) if is_log else x
+        z = (xx - arr) / bw
+        return float(np.log(np.mean(np.exp(-0.5 * z * z)) / bw + 1e-300))
+
+    cands = []
+    for _ in range(n_draw):
+        c = {p["name"]: _draw(gm) for p, gm in zip(space, gmods)}
+        score = sum(
+            _logpdf(gm, c[p["name"]]) - _logpdf(bm, c[p["name"]])
+            for p, gm, bm in zip(space, gmods, bmods)
+        )
+        cands.append((score, c))
+    cands.sort(key=lambda t: -t[0])
+    seen, out = set(), []
+    for _, c in cands:
+        key = tuple(sorted(c.items()))
+        if key not in seen:
+            seen.add(key)
+            out.append(c)
+        if len(out) == batch:
+            break
+    return out
+
+
+def tpe_search(
+    spark,
+    space: list[dict],
+    evaluate,
+    n_init: int = 8,
+    n_iter: int = 4,
+    batch: int = 4,
+    gamma: float = 0.25,
+    n_draw: int = 32,
+    seed: int = 0,
+):
+    """Minimize ``evaluate`` over the search space with TPE.
+
+    ``evaluate(candidates_df) -> DataFrame`` must return one row per
+    candidate with the param columns (as strings, like grid_df) plus a
+    ``score`` column (lower = better) — it runs as a normal distributed
+    plan; tpe_search only collects the per-candidate scalars.  Returns
+    (best_params_dict, best_score, trials) with trials the full list of
+    (params, score)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    init = quasirandom_df(spark, space, n_init, seed=seed)
+    trials: list[tuple[dict, float]] = []
+
+    def _run(cdf):
+        for row in evaluate(cdf).collect():
+            d = row.asDict()
+            sc = float(d.pop("score"))
+            trials.append(({k: d[k] for k in (p["name"] for p in space)}, sc))
+
+    _run(init)
+    for _ in range(n_iter):
+        obs = sorted(trials, key=lambda t: t[1])
+        n_good = max(1, int(np.ceil(gamma * len(obs))))
+        good = [t[0] for t in obs[:n_good]]
+        bad = [t[0] for t in obs[n_good:]] or good
+        props = _tpe_sample_and_rank(space, good, bad, n_draw, batch, rng)
+        rows = [{k: str(v) for k, v in c.items()} for c in props]
+        _run(spark.createDataFrame(rows))
+    best = min(trials, key=lambda t: t[1])
+    return best[0], best[1], trials

@@ -700,6 +700,54 @@ def q_hpt_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hpt_tpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPE search (reference SearchMethodEnum BAYES_OPT analogue,
+    time_series_parameter_tuning.py:296) over a 2-D space — trailing-MA
+    window (choice) x blend weight lambda (continuous) for the predictor
+    lambda*MA_w + (1-lambda)*lag1.  Sequential model-based search with a
+    driver loop over tiny candidate batches (each batch evaluated as ONE
+    distributed plan) — not SQL-replayable, rows-only; the
+    beats-random-at-equal-budget contract lives in
+    tests/test_ml.py::test_tpe_beats_random_at_equal_budget.
+    Output: the full trial log (window, lam, mae), best first."""
+    h = hourly_series(spark, sf_dir)
+
+    space = [
+        {"name": "w", "values": [2, 4, 8, 12, 24, 36, 48]},
+        {"name": "lam", "bounds": [0.0, 1.0]},
+    ]
+
+    def evaluate(cdf):
+        cands = [r.asDict() for r in cdf.collect()]  # tiny batch (<=8)
+        wbase = Window.partitionBy("series_id").orderBy("time")
+        cols = []
+        for i, c in enumerate(cands):
+            wlen, lam = int(c["w"]), float(c["lam"])
+            fr = wbase.rowsBetween(-wlen, -1)
+            ma = F.avg("value").over(fr)
+            cnt = F.count("value").over(fr)
+            pred = lam * ma + (1.0 - lam) * F.lag("value", 1).over(wbase)
+            cols.append(
+                F.when(cnt == wlen, F.abs(F.col("value") - pred)).alias(f"__e{i}")
+            )
+        agg = h.select(*cols).agg(*[F.avg(f"__e{i}").alias(f"__m{i}") for i in range(len(cands))])
+        row = agg.first()
+        out = [
+            {"w": str(c["w"]), "lam": str(c["lam"]), "score": float(row[f"__m{i}"])}
+            for i, c in enumerate(cands)
+        ]
+        return spark.createDataFrame(out)
+
+    _, _, trials = hpt_mod.tpe_search(
+        spark, space, evaluate, n_init=8, n_iter=3, batch=4, seed=7
+    )
+    rows = [
+        {"window": int(p["w"]), "lam": round(float(p["lam"]), 6), "mae": round(sc, 6)}
+        for p, sc in sorted(trials, key=lambda t: t[1])
+    ]
+    return spark.createDataFrame(rows).select("window", "lam", "mae")
+
+
 _Q_HPT_SQL = f"""
 WITH h AS ({_HOURLY_SQL}),
 cand AS (SELECT unnest([{", ".join(str(c) for c in _HPT_CANDIDATES)}]) AS w),
@@ -2714,6 +2762,7 @@ QUERIES = {
     "weighted_ensemble": q_weighted_ensemble,
     "empirical_ci": q_empirical_ci,
     "hpt_window": q_hpt_window,
+    "hpt_tpe": q_hpt_tpe,
     "reconcile_bu": q_reconcile_bu,
     "reconcile_struc": q_reconcile_struc,
     "anomaly_classify": q_anomaly_classify,

@@ -12,8 +12,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# tiny stopword lists for the n-gram language heuristic
-_EN_STOP = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+# tiny stopword lists for the n-gram language heuristic — top function
+# words per language (public knowledge).  Whitespace-tokenized languages
+# only: zh/ja/th need character-level n-grams and are out of scope for the
+# token heuristic (a fastText kernel slots into the same plan shape).
+_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "den"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "con"],
+    "fr": ["le", "la", "les", "de", "et", "des", "un", "une", "dans", "est"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "pada"],
+    "it": ["il", "di", "che", "la", "per", "con", "una", "del", "non", "sono"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "met", "voor", "ik"],
+    "pt": ["de", "que", "e", "o", "da", "em", "um", "para", "com", "os"],
+    "ru": ["и", "в", "не", "на", "что", "с", "как", "это", "по", "то"],
+    "tr": ["bir", "ve", "bu", "için", "ne", "gibi", "ama", "çok", "daha", "ben"],
+}
+_EN_STOP = _STOPWORDS["en"]
 _TOKEN_RE = r"\s+"
 
 
@@ -64,18 +79,69 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 6))
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """N-gram/stopword language heuristic: share of tokens in the English
-    stopword list; 'en' above threshold, 'unknown' otherwise.  (Real
-    deployments plug a fastText model in a mapInPandas here — same plan
-    shape.)"""
+def lang_id(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.05
+) -> DataFrame:
+    """Stopword language heuristic over the top-10 whitespace-tokenized
+    languages: per-language hit ratio (tokens in that language's stopword
+    list / token count), winner = argmax ratio if it clears ``threshold``
+    else 'unknown'.  Ties break to the lexicographically LARGEST language
+    code (the array_max-over-struct order — chosen because it replays in
+    any SQL engine as ORDER BY ratio DESC, lang DESC).  All literal-array
+    codegen, no Python in the row path; a fastText kernel plugs into the
+    same plan shape for production corpora.
+
+    ``stop_ratio`` stays the ENGLISH hit ratio (legacy column consumed by
+    quality filters); ``lang_ratio`` is the winner's ratio."""
     t = F.transform(tokens(F.col(text_col)), F.lower)
-    stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
-    hits = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
-    ratio = hits / F.greatest(F.size(t), F.lit(1))
-    return df.withColumn("stop_ratio", ratio).withColumn(
-        "lang_pred", F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
+    n = F.greatest(F.size(t), F.lit(1))
+    ratios = {}
+    for lang, words in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        ratios[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x))) / n
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(r.alias("ratio"), F.lit(lang).alias("lang"))
+                for lang, r in ratios.items()
+            ]
+        )
     )
+    return (
+        df.withColumn("stop_ratio", ratios["en"])
+        .withColumn("lang_ratio", best["ratio"])
+        .withColumn(
+            "lang_pred",
+            F.when(best["ratio"] >= threshold, best["lang"]).otherwise(
+                F.lit("unknown")
+            ),
+        )
+    )
+
+
+def lang_scores_sql(tokens_expr: str = "t") -> str:
+    """DuckDB fragment: per-language hit-ratio columns ``r_<lang>`` over a
+    lowercased token-list column — single source of truth so every oracle
+    replays the exact lang_id decision."""
+    cols = []
+    for lang, words in _STOPWORDS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        cols.append(
+            f"len(list_filter({tokens_expr}, x -> list_contains({lst}, x)))::DOUBLE"
+            f" / greatest(len({tokens_expr}), 1) AS r_{lang}"
+        )
+    return ",\n    ".join(cols)
+
+
+def lang_best_sql() -> str:
+    """DuckDB fragment: ``list_max`` over (ratio, lang) structs — the
+    same lexicographic struct order Spark's array_max uses, so the argmax
+    (ties -> largest lang code) replays identically.  Consume as
+    ``lang_best_sql() AS best`` then ``best.r`` / ``best.l``."""
+    structs = ", ".join(
+        "{'r': r_%s, 'l': '%s'}" % (lang, lang) for lang in sorted(_STOPWORDS)
+    )
+    return f"list_max([{structs}])"
 
 
 def fingerprint(

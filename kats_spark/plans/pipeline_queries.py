@@ -157,14 +157,25 @@ feats AS (
     len(list_distinct(t))::DOUBLE / greatest(len(t), 1) AS distinct_ratio,
     CASE WHEN len(t) BETWEEN 20 AND 100000 THEN 1.0
          ELSE least(len(t)::DOUBLE / 20.0, 1.0) END AS len_band,
-    len(list_filter(list_transform(t, x -> lower(x)),
-        x -> list_contains({_EN_STOP_SQL}, x)))::DOUBLE / greatest(len(t), 1) AS hit_ratio
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit', 'von', 'den'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_de,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_en,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['el', 'la', 'de', 'que', 'y', 'en', 'un', 'los', 'se', 'con'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_es,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['le', 'la', 'les', 'de', 'et', 'des', 'un', 'une', 'dans', 'est'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_fr,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['yang', 'dan', 'di', 'itu', 'dengan', 'untuk', 'tidak', 'ini', 'dari', 'pada'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_id,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['il', 'di', 'che', 'la', 'per', 'con', 'una', 'del', 'non', 'sono'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_it,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['de', 'het', 'een', 'van', 'en', 'dat', 'niet', 'met', 'voor', 'ik'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_nl,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['de', 'que', 'e', 'o', 'da', 'em', 'um', 'para', 'com', 'os'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_pt,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['и', 'в', 'не', 'на', 'что', 'с', 'как', 'это', 'по', 'то'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_ru,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['bir', 've', 'bu', 'için', 'ne', 'gibi', 'ama', 'çok', 'daha', 'ben'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_tr
   FROM toks
+),
+withbest AS (
+  SELECT *, list_max([{{'r': r_de, 'l': 'de'}}, {{'r': r_en, 'l': 'en'}}, {{'r': r_es, 'l': 'es'}}, {{'r': r_fr, 'l': 'fr'}}, {{'r': r_id, 'l': 'id'}}, {{'r': r_it, 'l': 'it'}}, {{'r': r_nl, 'l': 'nl'}}, {{'r': r_pt, 'l': 'pt'}}, {{'r': r_ru, 'l': 'ru'}}, {{'r': r_tr, 'l': 'tr'}}]) AS best FROM feats
 )
 SELECT doc_id::BIGINT AS doc_id,
   round(1e-9 + 0.25 * len_band + 0.25 * stop_ratio + 0.25 * alpha_ratio + 0.25 * distinct_ratio, 6) AS quality_score,
-  CASE WHEN hit_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
-FROM feats
+  CASE WHEN (best).r >= 0.05 THEN (best).l ELSE 'unknown' END AS lang_pred
+FROM withbest
 """
 
 
@@ -583,12 +594,21 @@ feats AS (
       + 0.25 * (len(list_intersect(list_transform(t, x -> lower(x)), {_EN_STOP_SQL})) / 10.0)
       + 0.25 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1))
       + 0.25 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1)), 6) AS quality_score,
-    len(list_filter(list_transform(t, x -> lower(x)),
-        x -> list_contains({_EN_STOP_SQL}, x)))::DOUBLE / greatest(len(t), 1) AS hit_ratio
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit', 'von', 'den'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_de,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_en,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['el', 'la', 'de', 'que', 'y', 'en', 'un', 'los', 'se', 'con'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_es,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['le', 'la', 'les', 'de', 'et', 'des', 'un', 'une', 'dans', 'est'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_fr,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['yang', 'dan', 'di', 'itu', 'dengan', 'untuk', 'tidak', 'ini', 'dari', 'pada'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_id,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['il', 'di', 'che', 'la', 'per', 'con', 'una', 'del', 'non', 'sono'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_it,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['de', 'het', 'een', 'van', 'en', 'dat', 'niet', 'met', 'voor', 'ik'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_nl,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['de', 'que', 'e', 'o', 'da', 'em', 'um', 'para', 'com', 'os'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_pt,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['и', 'в', 'не', 'на', 'что', 'с', 'как', 'это', 'по', 'то'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_ru,
+    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['bir', 've', 'bu', 'için', 'ne', 'gibi', 'ama', 'çok', 'daha', 'ben'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_tr
   FROM toks0
 ),
 kept AS (
-  SELECT * FROM feats WHERE hit_ratio >= 0.05 AND quality_score >= 0.6
+  SELECT * FROM (SELECT *, list_max([{{'r': r_de, 'l': 'de'}}, {{'r': r_en, 'l': 'en'}}, {{'r': r_es, 'l': 'es'}}, {{'r': r_fr, 'l': 'fr'}}, {{'r': r_id, 'l': 'id'}}, {{'r': r_it, 'l': 'it'}}, {{'r': r_nl, 'l': 'nl'}}, {{'r': r_pt, 'l': 'pt'}}, {{'r': r_ru, 'l': 'ru'}}, {{'r': r_tr, 'l': 'tr'}}]) AS best FROM feats)
+  WHERE (best).l = 'en' AND (best).r >= 0.05 AND quality_score >= 0.6
 ),
 keyed AS (
   SELECT *, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM kept
@@ -742,7 +762,8 @@ n1 AS (
   SELECT count(*)::BIGINT AS n_kept FROM (
     {_Q_CORPUS_PREP_SQL.split("kept AS (")[0]}
     kept AS (
-      SELECT * FROM feats WHERE hit_ratio >= 0.05 AND quality_score >= 0.6
+      SELECT * FROM (SELECT *, list_max([{{'r': r_de, 'l': 'de'}}, {{'r': r_en, 'l': 'en'}}, {{'r': r_es, 'l': 'es'}}, {{'r': r_fr, 'l': 'fr'}}, {{'r': r_id, 'l': 'id'}}, {{'r': r_it, 'l': 'it'}}, {{'r': r_nl, 'l': 'nl'}}, {{'r': r_pt, 'l': 'pt'}}, {{'r': r_ru, 'l': 'ru'}}, {{'r': r_tr, 'l': 'tr'}}]) AS best FROM feats)
+      WHERE (best).l = 'en' AND (best).r >= 0.05 AND quality_score >= 0.6
     )
     SELECT doc_id FROM kept
   ) t1

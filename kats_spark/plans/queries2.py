@@ -1013,6 +1013,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         _rnd("stop_ratio", 6).alias("stop_ratio"),
+        _rnd("lang_ratio", 6).alias("lang_ratio"),
         "lang_pred",
     )
 
@@ -1027,15 +1028,26 @@ WITH toks AS (
 ),
 scored AS (
   SELECT doc_id,
-    len(list_filter(t, x -> list_contains(
-      ['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE
-      / greatest(len(t), 1) AS ratio
+    len(list_filter(t, x -> list_contains(['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit', 'von', 'den'], x)))::DOUBLE / greatest(len(t), 1) AS r_de,
+    len(list_filter(t, x -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for'], x)))::DOUBLE / greatest(len(t), 1) AS r_en,
+    len(list_filter(t, x -> list_contains(['el', 'la', 'de', 'que', 'y', 'en', 'un', 'los', 'se', 'con'], x)))::DOUBLE / greatest(len(t), 1) AS r_es,
+    len(list_filter(t, x -> list_contains(['le', 'la', 'les', 'de', 'et', 'des', 'un', 'une', 'dans', 'est'], x)))::DOUBLE / greatest(len(t), 1) AS r_fr,
+    len(list_filter(t, x -> list_contains(['yang', 'dan', 'di', 'itu', 'dengan', 'untuk', 'tidak', 'ini', 'dari', 'pada'], x)))::DOUBLE / greatest(len(t), 1) AS r_id,
+    len(list_filter(t, x -> list_contains(['il', 'di', 'che', 'la', 'per', 'con', 'una', 'del', 'non', 'sono'], x)))::DOUBLE / greatest(len(t), 1) AS r_it,
+    len(list_filter(t, x -> list_contains(['de', 'het', 'een', 'van', 'en', 'dat', 'niet', 'met', 'voor', 'ik'], x)))::DOUBLE / greatest(len(t), 1) AS r_nl,
+    len(list_filter(t, x -> list_contains(['de', 'que', 'e', 'o', 'da', 'em', 'um', 'para', 'com', 'os'], x)))::DOUBLE / greatest(len(t), 1) AS r_pt,
+    len(list_filter(t, x -> list_contains(['и', 'в', 'не', 'на', 'что', 'с', 'как', 'это', 'по', 'то'], x)))::DOUBLE / greatest(len(t), 1) AS r_ru,
+    len(list_filter(t, x -> list_contains(['bir', 've', 'bu', 'için', 'ne', 'gibi', 'ama', 'çok', 'daha', 'ben'], x)))::DOUBLE / greatest(len(t), 1) AS r_tr
   FROM toks
+),
+withbest AS (
+  SELECT *, list_max([{'r': r_de, 'l': 'de'}, {'r': r_en, 'l': 'en'}, {'r': r_es, 'l': 'es'}, {'r': r_fr, 'l': 'fr'}, {'r': r_id, 'l': 'id'}, {'r': r_it, 'l': 'it'}, {'r': r_nl, 'l': 'nl'}, {'r': r_pt, 'l': 'pt'}, {'r': r_ru, 'l': 'ru'}, {'r': r_tr, 'l': 'tr'}]) AS best FROM scored
 )
 SELECT doc_id::BIGINT AS doc_id,
-  round(1e-9 + ratio, 6) AS stop_ratio,
-  CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
-FROM scored
+  round(1e-9 + r_en, 6) AS stop_ratio,
+  round(1e-9 + (best).r, 6) AS lang_ratio,
+  CASE WHEN (best).r >= 0.05 THEN (best).l ELSE 'unknown' END AS lang_pred
+FROM withbest
 """
 
 
@@ -1565,6 +1577,150 @@ def q_tsfeatures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in float_cols:
         res = res.withColumn(c, _rnd(c, 6))
     return res
+
+
+def q_tsfeatures_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPRESSION layer of the TsFeatures vector (every group except
+    the numpy kernel layer), hash-matched against a full DuckDB replay —
+    promotes the bulk of tsfeatures_full from rows-only to oracle
+    (tsfeatures.py statistics/level-shift groups)."""
+    from kats_spark.operators import tsfeatures as tsf
+
+    groups = [g for g in tsf.FEATURE_GROUPS if g != "kernel"]
+    out = tsf.tsfeatures(
+        hourly_series(spark, sf_dir), period=24, window_size=48, selected=groups
+    )
+    return out.select(
+        "series_id",
+        F.col("length").cast("bigint").alias("length"),
+        _rnd("mean", 6).alias("mean"),
+        _rnd("var", 6).alias("var"),
+        _rnd("std", 6).alias("std"),
+        _rnd("skewness", 6).alias("skewness"),
+        _rnd("kurtosis", 6).alias("kurtosis"),
+        _rnd("lumpiness", 6).alias("lumpiness"),
+        _rnd("stability", 6).alias("stability"),
+        F.col("crossing_points").cast("bigint").alias("crossing_points"),
+        _rnd("binarize_mean", 6).alias("binarize_mean"),
+        _rnd("std1st_der", 6).alias("std1st_der"),
+        F.col("flat_spots").cast("bigint").alias("flat_spots"),
+        _rnd("histogram_mode", 6).alias("histogram_mode"),
+        F.col("level_shift_idx").cast("bigint").alias("level_shift_idx"),
+        _rnd("level_shift_size", 6).alias("level_shift_size"),
+    )
+
+
+_Q_TSFEAT_EXPR_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn
+  FROM h
+),
+mu AS (
+  SELECT series_id, count(value)::BIGINT AS length, avg(value) AS mean,
+         var_samp(value) AS var, stddev_samp(value) AS std,
+         min(value) AS lo, max(value) AS hi, median(value) AS med
+  FROM h GROUP BY 1
+),
+mom AS (
+  SELECT h.series_id, count(*)::DOUBLE AS n,
+         sum(pow(h.value - m.mean, 2)) AS m2,
+         sum(pow(h.value - m.mean, 3)) AS m3,
+         sum(pow(h.value - m.mean, 4)) AS m4
+  FROM h JOIN mu m USING (series_id) GROUP BY 1
+),
+sk AS (  -- Spark skewness/kurtosis are the POPULATION formulas
+  SELECT series_id, sqrt(n) * m3 / pow(m2, 1.5) AS skewness,
+         n * m4 / (m2 * m2) - 3.0 AS kurtosis
+  FROM mom
+),
+tiles AS (
+  SELECT series_id, rn // 48 AS tile, var_samp(value) AS tv, avg(value) AS tm, count(*) AS tn
+  FROM idx GROUP BY 1, 2
+),
+lum AS (
+  SELECT series_id, var_samp(tv) AS lumpiness, var_samp(tm) AS stability
+  FROM tiles WHERE tn = 48 GROUP BY 1
+),
+flags AS (
+  SELECT i.series_id,
+         CAST(i.value > m.med AS INT) AS b,
+         lag(CAST(i.value > m.med AS INT)) OVER (PARTITION BY i.series_id ORDER BY i.time) AS pb,
+         CAST(i.value > m.mean AS INT) AS above_mean,
+         i.value - lag(i.value) OVER (PARTITION BY i.series_id ORDER BY i.time) AS d
+  FROM idx i JOIN mu m USING (series_id)
+),
+cp AS (
+  SELECT series_id, sum(CASE WHEN b <> pb THEN 1 ELSE 0 END)::BIGINT AS crossing_points,
+         avg(above_mean::DOUBLE) AS binarize_mean,
+         stddev_samp(d) AS std1st_der
+  FROM flags GROUP BY 1
+),
+bkts AS (
+  SELECT i.series_id, i.time,
+    least(9, floor((i.value - m.lo) / ((m.hi - m.lo) / 10)))::INT AS bkt
+  FROM idx i JOIN mu m USING (series_id)
+),
+starts AS (
+  SELECT series_id, time, bkt,
+    CASE WHEN bkt = lag(bkt) OVER (PARTITION BY series_id ORDER BY time)
+         THEN 0 ELSE 1 END AS is_start
+  FROM bkts
+),
+runs AS (
+  SELECT series_id, time, bkt,
+    sum(is_start) OVER (PARTITION BY series_id ORDER BY time
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM starts
+),
+fs AS (
+  SELECT series_id, max(c)::BIGINT AS flat_spots
+  FROM (SELECT series_id, run_id, count(*) AS c FROM runs GROUP BY 1, 2)
+  GROUP BY 1
+),
+hmode AS (
+  SELECT series_id, lo + (bkt + 0.5) * ((hi - lo) / 10) AS histogram_mode
+  FROM (
+    SELECT m.series_id, least(9, floor((i.value - m.lo) / ((m.hi - m.lo) / 10)))::INT AS bkt,
+           any_value(m.lo) AS lo, any_value(m.hi) AS hi, count(*) AS c,
+           row_number() OVER (PARTITION BY m.series_id ORDER BY count(*) DESC,
+             least(9, floor((i.value - m.lo) / ((m.hi - m.lo) / 10)))::INT ASC) AS rk
+    FROM idx i JOIN mu m USING (series_id)
+    GROUP BY 1, 2
+  ) WHERE rk = 1
+),
+ls0 AS (
+  SELECT series_id, time, rn,
+    CASE WHEN count(value) OVER w >= 10 THEN avg(value) OVER w END AS rm
+  FROM idx
+  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+ls1 AS (
+  SELECT series_id, rn,
+    abs(rm - lag(rm) OVER (PARTITION BY series_id ORDER BY time)) AS jump
+  FROM ls0
+),
+ls AS (
+  SELECT series_id, rn::BIGINT AS level_shift_idx, jump AS level_shift_size
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY jump DESC NULLS LAST, rn ASC) AS rk
+    FROM ls1
+  ) WHERE rk = 1
+)
+SELECT m.series_id, m.length,
+  round(1e-9 + m.mean, 6) AS mean, round(1e-9 + m.var, 6) AS var,
+  round(1e-9 + m.std, 6) AS std,
+  round(1e-9 + k.skewness, 6) AS skewness, round(1e-9 + k.kurtosis, 6) AS kurtosis,
+  round(1e-9 + l.lumpiness, 6) AS lumpiness, round(1e-9 + l.stability, 6) AS stability,
+  c.crossing_points, round(1e-9 + c.binarize_mean, 6) AS binarize_mean,
+  round(1e-9 + c.std1st_der, 6) AS std1st_der,
+  f.flat_spots, round(1e-9 + hm.histogram_mode, 6) AS histogram_mode,
+  s.level_shift_idx, round(1e-9 + s.level_shift_size, 6) AS level_shift_size
+FROM mu m JOIN sk k USING (series_id) JOIN lum l USING (series_id)
+JOIN cp c USING (series_id) JOIN fs f USING (series_id)
+JOIN hmode hm USING (series_id) JOIN ls s USING (series_id)
+"""
 
 
 def q_var_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2779,6 +2935,7 @@ QUERIES = {
     "ivf_topk_portable": q_ivf_portable,
     "ivf_recall": q_ivf_recall,
     "tsfeatures_full": q_tsfeatures_full,
+    "tsfeatures_expr": q_tsfeatures_expr,
     "model_select": q_model_select,
     "model_select_rf": q_model_select_rf,
     "predictability": q_predictability,
@@ -2814,6 +2971,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tsfeatures_expr": _Q_TSFEAT_EXPR_SQL,
     "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
     "ivf_recall": _Q_IVF_RECALL_SQL,
     "simulate_portable": _simulate_portable_sql(),

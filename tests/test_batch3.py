@@ -733,3 +733,32 @@ def test_arima_css_refinement_reduces_sse():
         assert e_css @ e_css <= e_hr @ e_hr + 1e-9
         assert abs(p2[0] - 0.6) < 0.2 and abs(p2[1] + 0.3) < 0.2
         assert abs(t2[0] - 0.4) < 0.25
+
+
+def test_lang_id_multilingual(spark):
+    """Stopword lang-ID over the top-10 whitespace languages: real-ish
+    sentences per language must classify correctly; gibberish stays
+    'unknown'; English unchanged from the legacy behavior."""
+    rows = [
+        ("en", "the cat sat on the mat and it was happy that the sun is out"),
+        ("de", "der hund und die katze sind nicht mit dem ball von den kindern"),
+        ("es", "el perro y la gata que viven en un parque de los arboles se van con ellos"),
+        ("fr", "le chien et la chatte dans les jardins des villes est une belle chose de plus"),
+        ("it", "il cane che corre per la strada con una palla del parco non sono soli"),
+        ("pt", "o cachorro e a gata que moram em um parque da cidade para os amigos com ela de novo"),
+        ("nl", "de hond en het katje van een park dat niet met de bal voor ik speel"),
+        ("ru", "и вот не кошка на столе что с собакой как это было по утрам то"),
+        ("id", "yang anjing dan kucing di taman itu dengan bola untuk anak ini tidak dari pada"),
+        ("tr", "bir kedi ve köpek bu bahçede ne güzel gibi ama çok daha mutlu ben bunu için"),
+        ("unknown", "zxqv wplk djfh qwrt mnbv lkjh gfds poiu ytre zxcv asdf hjkl qwer uiop"),
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(rows)), "text": [t for _, t in rows],
+         "expected": [l for l, _ in rows]}
+    )
+    from kats_spark.operators.text import lang_id
+
+    out = lang_id(spark.createDataFrame(pdf)).toPandas().sort_values("doc_id")
+    assert list(out.lang_pred) == list(out.expected), list(
+        zip(out.expected, out.lang_pred)
+    )

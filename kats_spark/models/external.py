@@ -79,8 +79,26 @@ def _prophet_kernel(pdf: pd.DataFrame, steps: int, freq_seconds: int, s: TSSchem
     )
 
 
-def prophet_forecast(df: DataFrame, steps: int, freq_seconds: int, s: TSSchema = DEFAULT) -> DataFrame:
-    """Per-series Prophet fan-out (kats/models/prophet.py:34)."""
+def prophet_forecast(
+    df: DataFrame,
+    steps: int,
+    freq_seconds: int,
+    s: TSSchema = DEFAULT,
+    fallback: str = "lite",
+) -> DataFrame:
+    """Per-series Prophet fan-out (kats/models/prophet.py:34).  When the
+    real fbprophet backend is absent (this container), ``fallback='lite'``
+    routes to :mod:`kats_spark.models.prophet_lite` — the published model
+    (piecewise trend + Fourier seasonality MAP) in pure numpy — so the
+    math exists without the Stan dependency; ``fallback='raise'``
+    restores the strict gate."""
+    try:
+        import prophet  # noqa: F401
+    except Exception:
+        if fallback == "lite":
+            from kats_spark.models.prophet_lite import prophet_forecast as lite
+
+            return lite(df, steps, freq_seconds, s=s)
     return _gated_forecast(df, steps, freq_seconds, "prophet", _prophet_kernel, s)
 
 
@@ -108,6 +126,7 @@ def prophet_detector_scores(
     interval_width: float = 0.8,
     score_func: str = "deviation",
     s: TSSchema = DEFAULT,
+    fallback: str = "lite",
 ) -> DataFrame:
     """ProphetDetectorModel (kats/detectors/prophet_detector.py:332):
     fit Prophet on the leading ``history_frac`` of each series, predict the
@@ -122,6 +141,12 @@ def prophet_detector_scores(
     try:
         __import__("prophet")
     except ImportError as exc:
+        if fallback == "lite":
+            from kats_spark.models.prophet_lite import (
+                prophet_detector_scores as lite_scores,
+            )
+
+            return lite_scores(df, history_frac, interval_width, score_func, s)
         raise BackendMissing(
             "prophet is not installed in this environment; the Spark plan "
             "(groupBy(series_id).applyInPandas fit-on-history + band scoring) "

@@ -1,0 +1,383 @@
+"""Prophet-lite: the Prophet model's math (Taylor & Letham 2017,
+"Forecasting at Scale") in pure numpy, per-series over ``applyInPandas``.
+
+Parity target: kats/models/prophet.py:34-450 (``ProphetModel`` wraps
+fbprophet, absent from this container).  The published model is
+implemented directly:
+
+- piecewise trend: linear growth g(t) = k t + m + Σ_j δ_j (t - s_j)_+
+  (the changepoint-delta parameterization reduces to a hinge basis);
+  logistic growth C / (1 + exp(-(k + A δ)(t - offset))) fit by
+  Gauss-Newton inside a backfitting loop.
+- seasonality: Fourier features — yearly order 10 / weekly 3 / daily 4,
+  auto-enabled by history span exactly like Prophet ("auto": yearly
+  >= 730 days, weekly >= 14 days with sub-weekly spacing, daily >= 2
+  days with sub-daily spacing).
+- MAP estimation: observation noise N(0, σ²); β ~ N(0, seasonality
+  prior) → ridge; δ ~ Laplace(0, changepoint prior) → L1 via iterated
+  reweighted ridge (IRLS).  y is scaled by max|y| and t to [0, 1],
+  matching Prophet's preprocessing.
+- uncertainty: Prophet's trend-shift simulation — future changepoints
+  arrive Bernoulli(n_cp / T_hist per step) with Laplace(mean |δ|)
+  magnitudes; seeded paths + observation noise give the interval
+  quantiles.
+
+Iterative MAP has no SQL form → the declared query is rows-only; seeded
+recovery tests assert changepoint/seasonality/interval behavior
+(tests/test_prophet_lite.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from kats_spark.tsframe import TSSchema, DEFAULT
+
+DAY_S = 86400.0
+
+
+class ProphetLite:
+    def __init__(
+        self,
+        growth: str = "linear",
+        n_changepoints: int = 25,
+        changepoint_range: float = 0.8,
+        yearly_seasonality: str | bool = "auto",
+        weekly_seasonality: str | bool = "auto",
+        daily_seasonality: str | bool = "auto",
+        seasonality_prior_scale: float = 10.0,
+        changepoint_prior_scale: float = 0.05,
+        interval_width: float = 0.8,
+        cap: float | None = None,
+        uncertainty_samples: int = 300,
+        seed: int = 0,
+    ) -> None:
+        self.growth = growth
+        self.n_changepoints = n_changepoints
+        self.changepoint_range = changepoint_range
+        self.yearly = yearly_seasonality
+        self.weekly = weekly_seasonality
+        self.daily = daily_seasonality
+        self.sps = seasonality_prior_scale
+        self.cps = changepoint_prior_scale
+        self.interval_width = interval_width
+        self.cap = cap
+        self.uncertainty_samples = uncertainty_samples
+        self.seed = seed
+
+    # ---- feature construction -------------------------------------------
+    def _seasonal_blocks(self, span_days: float, spacing_days: float):
+        blocks = []
+
+        def on(flag, min_span, needs_spacing):
+            if flag == "auto":
+                return span_days >= min_span and (
+                    needs_spacing is None or spacing_days < needs_spacing
+                )
+            return bool(flag)
+
+        if on(self.yearly, 730.0, None):
+            blocks.append(("yearly", 365.25, 10))
+        if on(self.weekly, 14.0, 7.0):
+            blocks.append(("weekly", 7.0, 3))
+        if on(self.daily, 2.0, 1.0):
+            blocks.append(("daily", 1.0, 4))
+        return blocks
+
+    @staticmethod
+    def _fourier(t_days: np.ndarray, period: float, order: int) -> np.ndarray:
+        cols = []
+        for k in range(1, order + 1):
+            ang = 2.0 * np.pi * k * t_days / period
+            cols.append(np.sin(ang))
+            cols.append(np.cos(ang))
+        return np.column_stack(cols) if cols else np.empty((len(t_days), 0))
+
+    # ---- fitting ---------------------------------------------------------
+    def fit(self, times: np.ndarray, y: np.ndarray) -> "ProphetLite":
+        """``times`` — datetime64[ns]; ``y`` — float."""
+        t_days = (times - times[0]) / np.timedelta64(1, "s") / DAY_S
+        t_days = t_days.astype(np.float64)
+        self.t0_ = times[0]
+        self.T_ = max(float(t_days[-1]), 1e-9)
+        ts = t_days / self.T_  # scaled to [0, 1]
+        self.y_scale_ = max(float(np.abs(y).max()), 1e-9)
+        ys = y / self.y_scale_
+
+        n_cp = min(self.n_changepoints, max(len(y) - 2, 0))
+        if n_cp > 0:
+            hist = ts[ts <= self.changepoint_range * ts[-1]]
+            idx = np.linspace(0, len(hist) - 1, n_cp + 1).round().astype(int)[1:]
+            self.cp_ = np.unique(ts[idx])
+        else:
+            self.cp_ = np.empty(0)
+
+        spacing = np.median(np.diff(t_days)) if len(t_days) > 1 else 1.0
+        self.blocks_ = self._seasonal_blocks(t_days[-1] - t_days[0], float(spacing))
+        X_seas = (
+            np.column_stack(
+                [self._fourier(t_days, p, o) for _, p, o in self.blocks_]
+            )
+            if self.blocks_
+            else np.empty((len(y), 0))
+        )
+        self._n_seas = X_seas.shape[1]
+
+        hinge = np.maximum(ts[:, None] - self.cp_[None, :], 0.0) if len(self.cp_) else np.empty((len(y), 0))
+
+        if self.growth == "logistic":
+            self._fit_logistic(ts, ys, hinge, X_seas)
+        else:
+            self._fit_linear(ts, ys, hinge, X_seas)
+
+        resid = ys - self._predict_scaled(ts, X_seas)
+        self.sigma_ = float(resid.std(ddof=1)) if len(resid) > 2 else 0.0
+        return self
+
+    def _penalized_lstsq(self, X, ys, n_hinge):
+        """MAP fit by cyclic coordinate descent: exact soft-thresholding
+        for the Laplace-prior hinge deltas (naive IRLS dies on the highly
+        collinear hinge basis — the OLS start spreads the break over many
+        small deltas and the reweighting then kills them all), ridge for
+        the Normal-prior seasonality, flat prior on (k, m).  The noise
+        scale multiplying the priors is re-estimated from residuals in an
+        outer loop (Prophet jointly optimizes sigma_obs in Stan)."""
+        n, p = X.shape
+        # warm start: small uniform ridge
+        beta = np.linalg.solve(X.T @ X + 1e-6 * np.eye(p), X.T @ ys)
+        colsq = np.einsum("ij,ij->j", X, X)
+        resid = ys - X @ beta
+        sigma2 = float(resid @ resid) / max(n - p, 1)
+        for _outer in range(3):
+            lam = sigma2 / self.cps  # L1 strength (Laplace prior scale)
+            rpen = sigma2 / (self.sps**2)  # ridge strength
+            for _sweep in range(60):
+                max_move = 0.0
+                for j in range(p):
+                    xj = X[:, j]
+                    rho = xj @ resid + colsq[j] * beta[j]
+                    if 2 <= j < 2 + n_hinge:
+                        b = np.sign(rho) * max(abs(rho) - lam, 0.0) / colsq[j]
+                    elif j >= 2 + n_hinge:
+                        b = rho / (colsq[j] + rpen)
+                    else:
+                        b = rho / colsq[j]
+                    move = b - beta[j]
+                    if move:
+                        resid -= xj * move
+                        beta[j] = b
+                        max_move = max(max_move, abs(move))
+                if max_move < 1e-10:
+                    break
+            sigma2 = float(resid @ resid) / max(n - p, 1)
+        return beta
+
+    def _fit_linear(self, ts, ys, hinge, X_seas):
+        X = np.column_stack([ts, np.ones(len(ts)), hinge, X_seas])
+        beta = self._penalized_lstsq(X, ys, hinge.shape[1])
+        self.k_ = float(beta[0])
+        self.m_ = float(beta[1])
+        self.delta_ = beta[2 : 2 + hinge.shape[1]].copy()
+        self.beta_seas_ = beta[2 + hinge.shape[1] :].copy()
+
+    def _trend_scaled(self, ts: np.ndarray) -> np.ndarray:
+        hinge = (
+            np.maximum(ts[:, None] - self.cp_[None, :], 0.0) @ self.delta_
+            if len(self.cp_)
+            else 0.0
+        )
+        if self.growth == "logistic":
+            slope = self.k_ + (
+                (ts[:, None] > self.cp_[None, :]).astype(float) @ self.delta_
+                if len(self.cp_)
+                else 0.0
+            )
+            return self.caps_ / (1.0 + np.exp(-slope * (ts - self.m_)))
+        return self.k_ * ts + self.m_ + hinge
+
+    def _fit_logistic(self, ts, ys, hinge, X_seas):
+        if self.cap is None:
+            raise ValueError("logistic growth requires cap")
+        self.caps_ = self.cap / self.y_scale_
+        # backfit: seasonality ridge <-> Gauss-Newton on (k, m) with
+        # fixed-zero deltas first, then IRLS deltas on the residual slope
+        self.k_, self.m_ = 1.0, float(np.median(ts))
+        self.delta_ = np.zeros(hinge.shape[1])
+        self.beta_seas_ = np.zeros(X_seas.shape[1])
+        for _ in range(8):
+            r = ys - (X_seas @ self.beta_seas_ if X_seas.shape[1] else 0.0)
+            # Gauss-Newton on k, m for C/(1+exp(-k(t-m)))
+            for _gn in range(10):
+                z = self.k_ * (ts - self.m_)
+                sig = self.caps_ / (1.0 + np.exp(-z))
+                e = r - sig
+                d_sig = sig * (1 - sig / self.caps_)
+                J = np.column_stack([d_sig * (ts - self.m_), -d_sig * self.k_])
+                A = J.T @ J + 1e-9 * np.eye(2)
+                try:
+                    step = np.linalg.solve(A, J.T @ e)
+                except np.linalg.LinAlgError:
+                    break
+                self.k_ += float(step[0])
+                self.m_ += float(step[1])
+                if np.linalg.norm(step) < 1e-10:
+                    break
+            if X_seas.shape[1]:
+                r2 = ys - self._trend_scaled(ts)
+                A = X_seas.T @ X_seas + np.eye(X_seas.shape[1]) / (self.sps**2)
+                self.beta_seas_ = np.linalg.solve(A, X_seas.T @ r2)
+
+    def _predict_scaled(self, ts: np.ndarray, X_seas: np.ndarray) -> np.ndarray:
+        seas = X_seas @ self.beta_seas_ if X_seas.shape[1] else 0.0
+        return self._trend_scaled(ts) + seas
+
+    # ---- forecasting -----------------------------------------------------
+    def predict(self, future_times: np.ndarray) -> pd.DataFrame:
+        t_days = (future_times - self.t0_) / np.timedelta64(1, "s") / DAY_S
+        t_days = t_days.astype(np.float64)
+        ts = t_days / self.T_
+        X_seas = (
+            np.column_stack(
+                [self._fourier(t_days, p, o) for _, p, o in self.blocks_]
+            )
+            if self.blocks_
+            else np.empty((len(ts), 0))
+        )
+        yhat = self._predict_scaled(ts, X_seas) * self.y_scale_
+
+        # Prophet's uncertainty: future trend shifts simulated from the
+        # historical changepoint process (rate n_cp per unit history,
+        # Laplace(mean |delta|) magnitudes) + observation noise
+        rng = np.random.default_rng(self.seed)
+        lam = float(np.abs(self.delta_).mean()) if len(self.delta_) else 0.0
+        n_samp = self.uncertainty_samples
+        fut = ts > 1.0
+        n_fut = int(fut.sum())
+        lower = np.empty(len(ts))
+        upper = np.empty(len(ts))
+        alpha = (1.0 - self.interval_width) / 2.0
+        if n_fut and n_samp:
+            tf = ts[fut]
+            paths = np.zeros((n_samp, n_fut))
+            for i in range(n_samp):
+                changes = rng.random(n_fut) < (len(self.cp_) / max(len(ts), 1))
+                if lam > 0 and changes.any():
+                    mags = rng.laplace(0.0, lam, size=int(changes.sum()))
+                    slope_shift = np.zeros(n_fut)
+                    slope_shift[changes] = mags
+                    cum = np.cumsum(slope_shift * np.gradient(tf))
+                    paths[i] = np.cumsum(cum)
+            noise = rng.normal(0.0, max(self.sigma_, 1e-12), size=(n_samp, n_fut))
+            dev = (paths + noise) * self.y_scale_
+            lo_f = yhat[fut] + np.quantile(dev, alpha, axis=0)
+            hi_f = yhat[fut] + np.quantile(dev, 1.0 - alpha, axis=0)
+        z = abs(float(np.quantile(np.random.default_rng(0).normal(size=4000), 1 - alpha)))
+        base_lo = yhat - z * self.sigma_ * self.y_scale_
+        base_hi = yhat + z * self.sigma_ * self.y_scale_
+        lower, upper = base_lo, base_hi
+        if n_fut and n_samp:
+            lower = lower.copy()
+            upper = upper.copy()
+            lower[fut] = np.minimum(lo_f, base_lo[fut])
+            upper[fut] = np.maximum(hi_f, base_hi[fut])
+        return pd.DataFrame({"fcst": yhat, "fcst_lower": lower, "fcst_upper": upper})
+
+
+def prophet_forecast(
+    df: DataFrame,
+    steps: int,
+    freq_seconds: int,
+    growth: str = "linear",
+    cap: float | None = None,
+    s: TSSchema = DEFAULT,
+    **params,
+) -> DataFrame:
+    """(series_id, time, fcst, fcst_lower, fcst_upper) — ProphetLite per
+    series, the model-zoo fan-out contract (kats/models/prophet.py
+    predict surface)."""
+    schema = (
+        f"{s.series_id} string, {s.time} timestamp, "
+        "fcst double, fcst_lower double, fcst_upper double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(s.time)
+        times = pdf[s.time].to_numpy(dtype="datetime64[ns]")
+        y = pdf[s.value].to_numpy(dtype=float)
+        if len(y) < 10:
+            return pd.DataFrame(columns=[s.series_id, s.time, "fcst", "fcst_lower", "fcst_upper"])
+        m = ProphetLite(growth=growth, cap=cap, **params).fit(times, y)
+        h = np.arange(1, steps + 1)
+        fut = times[-1] + (h * freq_seconds * 1_000_000_000).astype("timedelta64[ns]")
+        out = m.predict(fut)
+        out.insert(0, s.time, pd.to_datetime(fut))
+        out.insert(0, s.series_id, pdf[s.series_id].iloc[0])
+        return out
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(fn, schema)
+    )
+
+
+def prophet_detector_scores(
+    df: DataFrame,
+    history_frac: float = 0.7,
+    interval_width: float = 0.8,
+    score_func: str = "deviation",
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """ProphetDetectorModel on the lite backend
+    (kats/detectors/prophet_detector.py:332 semantics): fit on the
+    leading ``history_frac`` of each series, predict the scan segment,
+    score each point against the band — ``deviation``:
+    (y - yhat) / (upper - lower); ``z_score``: (y - yhat) / sigma with
+    sigma from the band width."""
+    from kats_spark.operators.interval import norm_ppf
+
+    z = float(norm_ppf(0.5 + interval_width / 2.0))
+    schema = (
+        f"{s.series_id} string, {s.time} timestamp, score double, "
+        "predicted double, lower double, upper double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(s.time)
+        n_hist = max(int(len(pdf) * history_frac), 10)
+        hist, scan = pdf.iloc[:n_hist], pdf.iloc[n_hist:]
+        if scan.empty or len(hist) < 10:
+            return pd.DataFrame(
+                columns=[s.series_id, s.time, "score", "predicted", "lower", "upper"]
+            )
+        m = ProphetLite(interval_width=interval_width).fit(
+            hist[s.time].to_numpy(dtype="datetime64[ns]"),
+            hist[s.value].to_numpy(dtype=float),
+        )
+        fc = m.predict(scan[s.time].to_numpy(dtype="datetime64[ns]"))
+        width = (fc.fcst_upper - fc.fcst_lower).to_numpy()
+        resid = scan[s.value].to_numpy() - fc.fcst.to_numpy()
+        if score_func == "z_score":
+            sigma = np.where(width > 0, width / (2.0 * z), np.nan)
+            score = resid / sigma
+        else:
+            score = np.where(width > 0, resid / width, 0.0)
+        return pd.DataFrame(
+            {
+                s.series_id: scan[s.series_id].to_numpy(),
+                s.time: scan[s.time].to_numpy(),
+                "score": score,
+                "predicted": fc.fcst.to_numpy(),
+                "lower": fc.fcst_lower.to_numpy(),
+                "upper": fc.fcst_upper.to_numpy(),
+            }
+        )
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(fn, schema)
+    )

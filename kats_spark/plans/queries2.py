@@ -1819,6 +1819,18 @@ def q_stlf_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_prophet_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProphetLite per-series forecast (the published Prophet model -
+    piecewise-linear MAP trend with Laplace-shrunk changepoints + auto
+    Fourier seasonality - in pure numpy; kats/models/prophet.py:34
+    surface).  Iterative coordinate-descent MAP -> rows-only; seeded
+    recovery contracts live in tests/test_prophet_lite.py."""
+    from kats_spark.models.prophet_lite import prophet_forecast as plite
+
+    out = plite(hourly_series(spark, sf_dir), steps=24, freq_seconds=3600)
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
 def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kats_spark.operators.stl import stl_decompose
 
@@ -2947,6 +2959,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "stlf_forecast": q_stlf_forecast,
+    "prophet_forecast": q_prophet_forecast,
     "stl_decompose": q_stl_decompose,
     "stl_strength": q_stl_strength,
     "ensemble_pi": q_ensemble_pi,

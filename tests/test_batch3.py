@@ -216,11 +216,16 @@ def test_external_models_gate_cleanly(spark):
     import pytest
 
     with pytest.raises(external.BackendMissing, match="prophet"):
-        external.prophet_forecast(df, steps=5, freq_seconds=3600)
+        external.prophet_forecast(df, steps=5, freq_seconds=3600, fallback="raise")
+    # default now routes to the numpy ProphetLite implementation
+    lite = external.prophet_forecast(df, steps=5, freq_seconds=3600).toPandas()
+    assert len(lite) == 5 and lite.fcst.notna().all()
     with pytest.raises(external.BackendMissing, match="torch"):
         external.lstm_forecast(df, steps=5, freq_seconds=3600)
     with pytest.raises(external.BackendMissing, match="prophet"):
-        external.prophet_detector_scores(df)
+        external.prophet_detector_scores(df, fallback="raise")
+    lite_scores = external.prophet_detector_scores(df).toPandas()
+    assert len(lite_scores) > 0 and lite_scores.score.notna().all()
 
 
 def test_rename_columns_by_prefix(spark):

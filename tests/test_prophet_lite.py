@@ -1,0 +1,93 @@
+"""ProphetLite: seeded recovery of the published Prophet model's parts —
+piecewise trend with changepoint shrinkage, auto Fourier seasonality,
+logistic saturation, uncertainty intervals, Spark fan-out."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kats_spark.models.prophet_lite import ProphetLite, prophet_forecast
+
+DOW = np.array([0.0, 0.5, 1.0, 0.5, 0.0, -1.0, -1.0])
+
+
+def _daily(n=300, seed=0, break_at=150, slope2=-0.18):
+    rng = np.random.default_rng(seed)
+    times = np.array(pd.date_range("2022-01-01", periods=n, freq="D"), dtype="datetime64[ns]")
+    t = np.arange(n, dtype=float)
+    trend = 10 + 0.1 * t + np.where(t > break_at, slope2 * (t - break_at), 0.0)
+    seas = 3.0 * DOW[np.arange(n) % 7]
+    y = trend + seas + rng.normal(0, 0.4, n)
+    return times, t, trend, seas, y
+
+
+def test_prophet_lite_recovers_break_and_seasonality():
+    times, t, trend, seas, y = _daily()
+    m = ProphetLite(seed=1).fit(times, y)
+    assert [b[0] for b in m.blocks_] == ["weekly"]  # auto: no yearly on 300d
+    fit = m.predict(times)
+    assert np.sqrt(np.mean((fit.fcst - y) ** 2)) < 0.6  # ~noise level
+    # forecast continues the post-break slope AND the weekly pattern
+    fut = times[-1] + ((np.arange(1, 31)) * 86400 * 10**9).astype("timedelta64[ns]")
+    fc = m.predict(fut)
+    tf = np.arange(len(t), len(t) + 30, dtype=float)
+    truth = 10 + 0.1 * tf - 0.18 * (tf - 150) + 3.0 * DOW[np.arange(len(t), len(t) + 30) % 7]
+    assert np.sqrt(np.mean((fc.fcst - truth) ** 2)) < 0.6
+    assert np.mean((truth >= fc.fcst_lower) & (truth <= fc.fcst_upper)) > 0.8
+    assert (fc.fcst_upper > fc.fcst_lower).all()
+
+
+def test_prophet_lite_changepoint_prior_controls_flexibility():
+    """Smaller changepoint_prior_scale -> stronger Laplace shrinkage ->
+    smaller total |delta| (the Prophet regularization contract)."""
+    times, _, _, _, y = _daily(seed=3)
+    loose = ProphetLite(changepoint_prior_scale=5.0).fit(times, y)
+    tight = ProphetLite(changepoint_prior_scale=0.0005).fit(times, y)
+    assert np.abs(tight.delta_).sum() < np.abs(loose.delta_).sum()
+
+
+def test_prophet_lite_logistic_saturates_at_cap():
+    n = 300
+    rng = np.random.default_rng(5)
+    times = np.array(pd.date_range("2022-01-01", periods=n, freq="D"), dtype="datetime64[ns]")
+    t = np.arange(n, dtype=float)
+    y = 100.0 / (1 + np.exp(-0.04 * (t - 120))) + rng.normal(0, 1.0, n)
+    m = ProphetLite(growth="logistic", cap=100.0, weekly_seasonality=False).fit(times, y)
+    fut = times[-1] + ((np.arange(1, 61)) * 86400 * 10**9).astype("timedelta64[ns]")
+    fc = m.predict(fut)
+    assert (fc.fcst <= 100.0 + 1e-6).all()
+    assert fc.fcst.iloc[-1] > 95.0  # approaches, does not overshoot
+    with pytest.raises(ValueError):
+        ProphetLite(growth="logistic").fit(times, y)
+
+
+def test_prophet_lite_auto_seasonality_gating():
+    # 3 years of daily data -> yearly + weekly, no daily
+    n = 1100
+    times = np.array(pd.date_range("2019-01-01", periods=n, freq="D"), dtype="datetime64[ns]")
+    t = np.arange(n, dtype=float)
+    y = 10 + 5 * np.sin(2 * np.pi * t / 365.25) + 0.01 * t
+    m = ProphetLite().fit(times, y)
+    names = [b[0] for b in m.blocks_]
+    assert "yearly" in names and "weekly" in names and "daily" not in names
+    # hourly data over 10 days -> daily (and weekly span too short? 10d < 14d)
+    n2 = 240
+    times2 = np.array(pd.date_range("2024-01-01", periods=n2, freq="h"), dtype="datetime64[ns]")
+    y2 = 5 + np.sin(2 * np.pi * np.arange(n2) / 24.0)
+    m2 = ProphetLite().fit(times2, y2)
+    assert [b[0] for b in m2.blocks_] == ["daily"]
+
+
+def test_prophet_lite_spark_fanout(spark):
+    times, _, _, _, y = _daily(seed=7)
+    frames = []
+    for sid in ("a", "b"):
+        frames.append(
+            pd.DataFrame({"series_id": sid, "time": times, "value": y + (5 if sid == "b" else 0)})
+        )
+    df = spark.createDataFrame(pd.concat(frames))
+    fc = prophet_forecast(df, steps=14, freq_seconds=86400).toPandas()
+    assert len(fc) == 28 and fc.fcst.notna().all()
+    # the two series differ by the constant offset, forecasts should too
+    med = fc.groupby("series_id").fcst.median()
+    assert 3.0 < med["b"] - med["a"] < 7.0

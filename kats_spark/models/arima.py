@@ -256,3 +256,84 @@ def arima_forecast(
         .groupBy(s.series_id)
         .applyInPandas(fn, schema)
     )
+
+
+def _css_residuals_lagset(
+    xc: np.ndarray,
+    phi: np.ndarray,
+    theta: np.ndarray,
+    ar_lags: list[int],
+    ma_lags: list[int],
+) -> tuple[np.ndarray, np.ndarray]:
+    """CSS residuals + Jacobian for SPARSE lag sets (the additive
+    lag-set parameterization sarima.py fits):
+      e_t = xc_t - sum_i phi_i xc_{t-l_i} - sum_j theta_j e_{t-lm_j}
+    with the same chain-rule gradient recursions as the dense case."""
+    k = max(ar_lags + ma_lags, default=0)
+    n = len(xc)
+    m = len(phi) + len(theta)
+    e = np.zeros(n)
+    J = np.zeros((n, m))
+    for t in range(k, n):
+        ar = sum(phi[i] * xc[t - l] for i, l in enumerate(ar_lags))
+        ma = sum(theta[j] * e[t - l] for j, l in enumerate(ma_lags))
+        e[t] = xc[t] - ar - ma
+        g = J[t]
+        for i, l in enumerate(ar_lags):
+            g[i] = -xc[t - l]
+        for j, l in enumerate(ma_lags):
+            g[len(ar_lags) + j] = -e[t - l]
+        for j, l in enumerate(ma_lags):
+            g -= theta[j] * J[t - l]
+    return e[k:], J[k:]
+
+
+def _css_refine_lagset(
+    xc: np.ndarray,
+    phi: np.ndarray,
+    theta: np.ndarray,
+    ar_lags: list[int],
+    ma_lags: list[int],
+    max_iter: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Damped Gauss-Newton CSS over the lag-set parameterization; the
+    stationarity/invertibility guard checks the DENSE polynomial built
+    from the sparse coefficients."""
+    p, q = len(phi), len(theta)
+    if p + q == 0:
+        return phi, theta
+
+    def dense(coefs, lags):
+        out = np.zeros(max(lags, default=0))
+        for c, l in zip(coefs, lags):
+            out[l - 1] = c
+        return out
+
+    params = np.concatenate([phi, theta])
+    e, J = _css_residuals_lagset(xc, phi, theta, ar_lags, ma_lags)
+    sse = float(e @ e)
+    for _ in range(max_iter):
+        A = J.T @ J
+        A[np.diag_indices_from(A)] += 1e-8
+        try:
+            step = np.linalg.solve(A, J.T @ e)
+        except np.linalg.LinAlgError:
+            break
+        improved = False
+        for damp in (1.0, 0.5, 0.25, 0.1):
+            cand = params - damp * step
+            cp, ct = cand[:p], cand[p:]
+            dp, dt = dense(cp, ar_lags), dense(ct, ma_lags)
+            if len(dp) and np.any(np.abs(np.roots(np.r_[1.0, -dp])) > 1.02):
+                continue
+            if len(dt) and np.any(np.abs(np.roots(np.r_[1.0, dt])) > 1.02):
+                continue
+            e2, J2 = _css_residuals_lagset(xc, cp, ct, ar_lags, ma_lags)
+            sse2 = float(e2 @ e2)
+            if sse2 < sse * (1 - 1e-10):
+                params, e, J, sse = cand, e2, J2, sse2
+                improved = True
+                break
+        if not improved:
+            break
+    return params[:p], params[p:]

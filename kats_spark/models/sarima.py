@@ -123,6 +123,19 @@ def _sarima_forecast_one(
     ar_lags = sorted(set(range(1, p + 1)) | {m * i for i in range(1, P + 1)})
     ma_lags = sorted(set(range(1, q + 1)) | {m * j for j in range(1, Q + 1)})
     phi, theta, mu, e, sigma2 = _fit_lagset(x, ar_lags, ma_lags)
+    # CSS Gauss-Newton refinement over the same lag-set parameterization
+    # (mirrors models/arima.py; the HR start is kept if no step helps)
+    from kats_spark.models.arima import _css_refine_lagset, _css_residuals_lagset
+
+    if len(phi) + len(theta):
+        xc0 = x - mu
+        phi, theta = _css_refine_lagset(xc0, phi, theta, ar_lags, ma_lags)
+        e_tail, _ = _css_residuals_lagset(xc0, phi, theta, ar_lags, ma_lags)
+        k0 = max(ar_lags + ma_lags, default=0)
+        e = np.concatenate([np.zeros(k0), e_tail])
+        sigma2 = float(
+            e_tail @ e_tail / max(len(e_tail) - len(phi) - len(theta), 1)
+        )
     # ---- recursive mean forecast on the differenced scale
     xc = list(x - mu)
     errs = list(e)

@@ -198,3 +198,29 @@ def test_hpt_recommend_knn(spark):
     # s1's 2 nearest are meta 1,2 -> window mean 15, seasonal 'add'
     assert out.window.tolist() == [15.0, 35.0]
     assert out.seasonal.tolist() == ["add", "mul"]
+
+
+def test_sarima_css_lagset_refinement_reduces_sse():
+    """Lag-set CSS Gauss-Newton (shared with ARIMA): SSE must not
+    increase from the HR start and the seasonal AR coefficient must be
+    recovered on a seeded SAR(1)x(1)_12 process."""
+    import numpy as np
+
+    from kats_spark.models.arima import _css_refine_lagset, _css_residuals_lagset
+    from kats_spark.models.sarima import _fit_lagset
+
+    rng = np.random.default_rng(8)
+    n, m = 700, 12
+    e = rng.normal(0, 1, n + 100)
+    x = np.zeros(n + 100)
+    for t in range(m, n + 100):
+        x[t] = 0.5 * x[t - 1] + 0.3 * x[t - m] + e[t]
+    x = x[100:]
+    ar_lags, ma_lags = [1, m], []
+    phi, theta, mu, _, _ = _fit_lagset(x, ar_lags, ma_lags)
+    xc = x - mu
+    p2, t2 = _css_refine_lagset(xc, phi, theta, ar_lags, ma_lags)
+    e_hr, _ = _css_residuals_lagset(xc, phi, theta, ar_lags, ma_lags)
+    e_css, _ = _css_residuals_lagset(xc, p2, t2, ar_lags, ma_lags)
+    assert e_css @ e_css <= e_hr @ e_hr + 1e-9
+    assert abs(p2[0] - 0.5) < 0.1 and abs(p2[1] - 0.3) < 0.1

@@ -144,29 +144,32 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EN_STOP_SQL = "['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for']"
 
 _Q_TEXT_QUALITY_SQL = f"""
-WITH toks AS (
+WITH toks0 AS (
   SELECT doc_id, text,
     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
   FROM documents
 ),
+toks AS (
+  SELECT *, list_transform(t, x -> lower(x)) AS lt FROM toks0
+),
 feats AS (
   SELECT doc_id,
     len(t) AS n,
-    len(list_intersect(list_transform(t, x -> lower(x)), {_EN_STOP_SQL})) / 10.0 AS stop_ratio,
+    len(list_intersect(lt, {_EN_STOP_SQL})) / 10.0 AS stop_ratio,
     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS alpha_ratio,
     len(list_distinct(t))::DOUBLE / greatest(len(t), 1) AS distinct_ratio,
     CASE WHEN len(t) BETWEEN 20 AND 100000 THEN 1.0
          ELSE least(len(t)::DOUBLE / 20.0, 1.0) END AS len_band,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit', 'von', 'den'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_de,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_en,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['el', 'la', 'de', 'que', 'y', 'en', 'un', 'los', 'se', 'con'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_es,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['le', 'la', 'les', 'de', 'et', 'des', 'un', 'une', 'dans', 'est'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_fr,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['yang', 'dan', 'di', 'itu', 'dengan', 'untuk', 'tidak', 'ini', 'dari', 'pada'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_id,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['il', 'di', 'che', 'la', 'per', 'con', 'una', 'del', 'non', 'sono'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_it,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['de', 'het', 'een', 'van', 'en', 'dat', 'niet', 'met', 'voor', 'ik'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_nl,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['de', 'que', 'e', 'o', 'da', 'em', 'um', 'para', 'com', 'os'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_pt,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['и', 'в', 'не', 'на', 'что', 'с', 'как', 'это', 'по', 'то'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_ru,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['bir', 've', 'bu', 'için', 'ne', 'gibi', 'ama', 'çok', 'daha', 'ben'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_tr
+    len(list_filter(lt, x -> list_contains(['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit', 'von', 'den'], x)))::DOUBLE / greatest(len(lt), 1) AS r_de,
+    len(list_filter(lt, x -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for'], x)))::DOUBLE / greatest(len(lt), 1) AS r_en,
+    len(list_filter(lt, x -> list_contains(['el', 'la', 'de', 'que', 'y', 'en', 'un', 'los', 'se', 'con'], x)))::DOUBLE / greatest(len(lt), 1) AS r_es,
+    len(list_filter(lt, x -> list_contains(['le', 'la', 'les', 'de', 'et', 'des', 'un', 'une', 'dans', 'est'], x)))::DOUBLE / greatest(len(lt), 1) AS r_fr,
+    len(list_filter(lt, x -> list_contains(['yang', 'dan', 'di', 'itu', 'dengan', 'untuk', 'tidak', 'ini', 'dari', 'pada'], x)))::DOUBLE / greatest(len(lt), 1) AS r_id,
+    len(list_filter(lt, x -> list_contains(['il', 'di', 'che', 'la', 'per', 'con', 'una', 'del', 'non', 'sono'], x)))::DOUBLE / greatest(len(lt), 1) AS r_it,
+    len(list_filter(lt, x -> list_contains(['de', 'het', 'een', 'van', 'en', 'dat', 'niet', 'met', 'voor', 'ik'], x)))::DOUBLE / greatest(len(lt), 1) AS r_nl,
+    len(list_filter(lt, x -> list_contains(['de', 'que', 'e', 'o', 'da', 'em', 'um', 'para', 'com', 'os'], x)))::DOUBLE / greatest(len(lt), 1) AS r_pt,
+    len(list_filter(lt, x -> list_contains(['и', 'в', 'не', 'на', 'что', 'с', 'как', 'это', 'по', 'то'], x)))::DOUBLE / greatest(len(lt), 1) AS r_ru,
+    len(list_filter(lt, x -> list_contains(['bir', 've', 'bu', 'için', 'ne', 'gibi', 'ama', 'çok', 'daha', 'ben'], x)))::DOUBLE / greatest(len(lt), 1) AS r_tr
   FROM toks
 ),
 withbest AS (
@@ -581,29 +584,32 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_CORPUS_PREP_SQL = f"""
-WITH toks0 AS (
+WITH tokraw AS (
   SELECT doc_id, text,
     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
   FROM documents
+),
+toks0 AS (
+  SELECT *, list_transform(t, x -> lower(x)) AS lt FROM tokraw
 ),
 feats AS (
   SELECT doc_id, text, len(t) AS n_tokens,
     round(1e-9
       + 0.25 * (CASE WHEN len(t) BETWEEN 20 AND 100000 THEN 1.0
                      ELSE least(len(t)::DOUBLE / 20.0, 1.0) END)
-      + 0.25 * (len(list_intersect(list_transform(t, x -> lower(x)), {_EN_STOP_SQL})) / 10.0)
+      + 0.25 * (len(list_intersect(lt, {_EN_STOP_SQL})) / 10.0)
       + 0.25 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1))
       + 0.25 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1)), 6) AS quality_score,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit', 'von', 'den'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_de,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_en,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['el', 'la', 'de', 'que', 'y', 'en', 'un', 'los', 'se', 'con'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_es,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['le', 'la', 'les', 'de', 'et', 'des', 'un', 'une', 'dans', 'est'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_fr,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['yang', 'dan', 'di', 'itu', 'dengan', 'untuk', 'tidak', 'ini', 'dari', 'pada'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_id,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['il', 'di', 'che', 'la', 'per', 'con', 'una', 'del', 'non', 'sono'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_it,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['de', 'het', 'een', 'van', 'en', 'dat', 'niet', 'met', 'voor', 'ik'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_nl,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['de', 'que', 'e', 'o', 'da', 'em', 'um', 'para', 'com', 'os'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_pt,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['и', 'в', 'не', 'на', 'что', 'с', 'как', 'это', 'по', 'то'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_ru,
-    len(list_filter(list_transform(t, x -> lower(x)), x -> list_contains(['bir', 've', 'bu', 'için', 'ne', 'gibi', 'ama', 'çok', 'daha', 'ben'], x)))::DOUBLE / greatest(len(list_transform(t, x -> lower(x))), 1) AS r_tr
+    len(list_filter(lt, x -> list_contains(['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit', 'von', 'den'], x)))::DOUBLE / greatest(len(lt), 1) AS r_de,
+    len(list_filter(lt, x -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for'], x)))::DOUBLE / greatest(len(lt), 1) AS r_en,
+    len(list_filter(lt, x -> list_contains(['el', 'la', 'de', 'que', 'y', 'en', 'un', 'los', 'se', 'con'], x)))::DOUBLE / greatest(len(lt), 1) AS r_es,
+    len(list_filter(lt, x -> list_contains(['le', 'la', 'les', 'de', 'et', 'des', 'un', 'une', 'dans', 'est'], x)))::DOUBLE / greatest(len(lt), 1) AS r_fr,
+    len(list_filter(lt, x -> list_contains(['yang', 'dan', 'di', 'itu', 'dengan', 'untuk', 'tidak', 'ini', 'dari', 'pada'], x)))::DOUBLE / greatest(len(lt), 1) AS r_id,
+    len(list_filter(lt, x -> list_contains(['il', 'di', 'che', 'la', 'per', 'con', 'una', 'del', 'non', 'sono'], x)))::DOUBLE / greatest(len(lt), 1) AS r_it,
+    len(list_filter(lt, x -> list_contains(['de', 'het', 'een', 'van', 'en', 'dat', 'niet', 'met', 'voor', 'ik'], x)))::DOUBLE / greatest(len(lt), 1) AS r_nl,
+    len(list_filter(lt, x -> list_contains(['de', 'que', 'e', 'o', 'da', 'em', 'um', 'para', 'com', 'os'], x)))::DOUBLE / greatest(len(lt), 1) AS r_pt,
+    len(list_filter(lt, x -> list_contains(['и', 'в', 'не', 'на', 'что', 'с', 'как', 'это', 'по', 'то'], x)))::DOUBLE / greatest(len(lt), 1) AS r_ru,
+    len(list_filter(lt, x -> list_contains(['bir', 've', 'bu', 'için', 'ne', 'gibi', 'ama', 'çok', 'daha', 'ben'], x)))::DOUBLE / greatest(len(lt), 1) AS r_tr
   FROM toks0
 ),
 kept AS (

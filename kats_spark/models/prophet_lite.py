@@ -54,6 +54,9 @@ class ProphetLite:
         cap: float | None = None,
         uncertainty_samples: int = 300,
         seed: int = 0,
+        holidays: dict[str, list] | None = None,
+        holidays_prior_scale: float = 10.0,
+        regressor_prior_scale: float = 10.0,
     ) -> None:
         self.growth = growth
         self.n_changepoints = n_changepoints
@@ -67,6 +70,29 @@ class ProphetLite:
         self.cap = cap
         self.uncertainty_samples = uncertainty_samples
         self.seed = seed
+        self.holidays = holidays or {}
+        self.hps = holidays_prior_scale
+        self.rps = regressor_prior_scale
+        self._extra_seasonalities: list[tuple[str, float, int]] = []
+
+    def add_seasonality(self, name: str, period_days: float, fourier_order: int) -> "ProphetLite":
+        """Custom seasonal block (Prophet add_seasonality surface,
+        kats ProphetParams custom_seasonalities): Fourier features at the
+        given period under the same Normal prior."""
+        self._extra_seasonalities.append((name, float(period_days), int(fourier_order)))
+        return self
+
+    def _holiday_matrix(self, times: np.ndarray) -> np.ndarray:
+        """One indicator column per holiday name (Prophet models each
+        holiday as an indicator with a Normal prior)."""
+        if not self.holidays:
+            return np.empty((len(times), 0))
+        days = times.astype("datetime64[D]")
+        cols = []
+        for name in sorted(self.holidays):
+            hset = np.array(sorted({np.datetime64(d, "D") for d in self.holidays[name]}))
+            cols.append(np.isin(days, hset).astype(np.float64))
+        return np.column_stack(cols)
 
     # ---- feature construction -------------------------------------------
     def _seasonal_blocks(self, span_days: float, spacing_days: float):
@@ -85,6 +111,7 @@ class ProphetLite:
             blocks.append(("weekly", 7.0, 3))
         if on(self.daily, 2.0, 1.0):
             blocks.append(("daily", 1.0, 4))
+        blocks.extend(self._extra_seasonalities)
         return blocks
 
     @staticmethod
@@ -97,8 +124,15 @@ class ProphetLite:
         return np.column_stack(cols) if cols else np.empty((len(t_days), 0))
 
     # ---- fitting ---------------------------------------------------------
-    def fit(self, times: np.ndarray, y: np.ndarray) -> "ProphetLite":
-        """``times`` — datetime64[ns]; ``y`` — float."""
+    def fit(
+        self,
+        times: np.ndarray,
+        y: np.ndarray,
+        regressors: np.ndarray | None = None,
+    ) -> "ProphetLite":
+        """``times`` — datetime64[ns]; ``y`` — float; ``regressors`` —
+        optional (n, r) extra-regressor matrix (Prophet add_regressor
+        surface; future values must be supplied to predict())."""
         t_days = (times - times[0]) / np.timedelta64(1, "s") / DAY_S
         t_days = t_days.astype(np.float64)
         self.t0_ = times[0]
@@ -124,7 +158,32 @@ class ProphetLite:
             if self.blocks_
             else np.empty((len(y), 0))
         )
+        X_hol = self._holiday_matrix(times)
+        if regressors is not None:
+            R = np.asarray(regressors, dtype=np.float64)
+            if R.ndim == 1:
+                R = R[:, None]
+            self.reg_mu_ = R.mean(axis=0)
+            sd = R.std(axis=0)
+            self.reg_sd_ = np.where(sd > 0, sd, 1.0)
+            X_reg = (R - self.reg_mu_) / self.reg_sd_
+        else:
+            self.reg_mu_ = np.empty(0)
+            self.reg_sd_ = np.empty(0)
+            X_reg = np.empty((len(y), 0))
+        self._n_fourier = X_seas.shape[1]
+        self._n_hol = X_hol.shape[1]
+        self._n_reg = X_reg.shape[1]
+        X_seas = np.column_stack([X_seas, X_hol, X_reg]) if (
+            X_hol.shape[1] or X_reg.shape[1]
+        ) else X_seas
         self._n_seas = X_seas.shape[1]
+        # per-column Normal prior scales for the appended blocks
+        self.prior_scales_ = np.concatenate([
+            np.full(self._n_fourier, self.sps),
+            np.full(self._n_hol, self.hps),
+            np.full(self._n_reg, self.rps),
+        ])
 
         hinge = np.maximum(ts[:, None] - self.cp_[None, :], 0.0) if len(self.cp_) else np.empty((len(y), 0))
 
@@ -151,9 +210,13 @@ class ProphetLite:
         colsq = np.einsum("ij,ij->j", X, X)
         resid = ys - X @ beta
         sigma2 = float(resid @ resid) / max(n - p, 1)
+        # per-column Normal prior scales for the post-hinge block
+        pscale = getattr(self, "prior_scales_", None)
+        if pscale is None or len(pscale) != p - 2 - n_hinge:
+            pscale = np.full(p - 2 - n_hinge, self.sps)
         for _outer in range(3):
             lam = sigma2 / self.cps  # L1 strength (Laplace prior scale)
-            rpen = sigma2 / (self.sps**2)  # ridge strength
+            rpen = sigma2 / (pscale**2) if len(pscale) else pscale  # ridge strengths
             for _sweep in range(60):
                 max_move = 0.0
                 for j in range(p):
@@ -162,7 +225,7 @@ class ProphetLite:
                     if 2 <= j < 2 + n_hinge:
                         b = np.sign(rho) * max(abs(rho) - lam, 0.0) / colsq[j]
                     elif j >= 2 + n_hinge:
-                        b = rho / (colsq[j] + rpen)
+                        b = rho / (colsq[j] + rpen[j - 2 - n_hinge])
                     else:
                         b = rho / colsq[j]
                     move = b - beta[j]
@@ -227,7 +290,10 @@ class ProphetLite:
                     break
             if X_seas.shape[1]:
                 r2 = ys - self._trend_scaled(ts)
-                A = X_seas.T @ X_seas + np.eye(X_seas.shape[1]) / (self.sps**2)
+                pscale = getattr(self, "prior_scales_", None)
+                if pscale is None or len(pscale) != X_seas.shape[1]:
+                    pscale = np.full(X_seas.shape[1], self.sps)
+                A = X_seas.T @ X_seas + np.diag(1.0 / pscale**2)
                 self.beta_seas_ = np.linalg.solve(A, X_seas.T @ r2)
 
     def _predict_scaled(self, ts: np.ndarray, X_seas: np.ndarray) -> np.ndarray:
@@ -235,7 +301,9 @@ class ProphetLite:
         return self._trend_scaled(ts) + seas
 
     # ---- forecasting -----------------------------------------------------
-    def predict(self, future_times: np.ndarray) -> pd.DataFrame:
+    def predict(
+        self, future_times: np.ndarray, regressors: np.ndarray | None = None
+    ) -> pd.DataFrame:
         t_days = (future_times - self.t0_) / np.timedelta64(1, "s") / DAY_S
         t_days = t_days.astype(np.float64)
         ts = t_days / self.T_
@@ -246,6 +314,21 @@ class ProphetLite:
             if self.blocks_
             else np.empty((len(ts), 0))
         )
+        X_hol = self._holiday_matrix(future_times)
+        if self._n_reg:
+            if regressors is None:
+                raise ValueError(
+                    f"model was fit with {self._n_reg} extra regressors; "
+                    "future regressor values must be supplied to predict()"
+                )
+            R = np.asarray(regressors, dtype=np.float64)
+            if R.ndim == 1:
+                R = R[:, None]
+            X_reg = (R - self.reg_mu_) / self.reg_sd_
+        else:
+            X_reg = np.empty((len(ts), 0))
+        if X_hol.shape[1] or X_reg.shape[1]:
+            X_seas = np.column_stack([X_seas, X_hol, X_reg])
         yhat = self._predict_scaled(ts, X_seas) * self.y_scale_
 
         # Prophet's uncertainty: future trend shifts simulated from the

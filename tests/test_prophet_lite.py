@@ -91,3 +91,49 @@ def test_prophet_lite_spark_fanout(spark):
     # the two series differ by the constant offset, forecasts should too
     med = fc.groupby("series_id").fcst.median()
     assert 3.0 < med["b"] - med["a"] < 7.0
+
+
+def test_prophet_lite_extra_regressor_and_holidays():
+    """add_regressor / holidays surface: a known linear effect of an
+    extra regressor must be recovered (coefficient on the standardized
+    scale), and a recurring holiday spike must be absorbed by its
+    indicator instead of polluting the trend."""
+    rng = np.random.default_rng(11)
+    n = 240
+    times = np.array(pd.date_range("2023-01-01", periods=n, freq="D"), dtype="datetime64[ns]")
+    reg = rng.normal(0, 1.0, n)
+    hol_dates = [d for d in pd.date_range("2023-01-01", periods=n, freq="D") if d.day == 15]
+    hol_ind = np.array([pd.Timestamp(t).day == 15 for t in times], dtype=float)
+    y = 5.0 + 0.02 * np.arange(n) + 3.0 * reg + 8.0 * hol_ind + rng.normal(0, 0.3, n)
+    m = ProphetLite(
+        weekly_seasonality=False,
+        holidays={"mid_month": [d.date() for d in hol_dates]},
+    ).fit(times, y, regressors=reg)
+    fit = m.predict(times, regressors=reg)
+    assert np.sqrt(np.mean((fit.fcst - y) ** 2)) < 0.6
+    # regressor effect recovered: beta on standardized scale * y_scale / sd == ~3
+    beta_reg = m.beta_seas_[-1] * m.y_scale_ / m.reg_sd_[0]
+    assert abs(beta_reg - 3.0) < 0.3
+    # holiday coefficient ~8 on the original scale
+    beta_hol = m.beta_seas_[m._n_fourier] * m.y_scale_
+    assert abs(beta_hol - 8.0) < 1.5
+    # predict without required regressors raises
+    with pytest.raises(ValueError):
+        m.predict(times)
+
+
+def test_prophet_lite_custom_seasonality():
+    """add_seasonality: a 10-day cycle (not in the auto set) is only
+    captured when declared."""
+    rng = np.random.default_rng(13)
+    n = 300
+    times = np.array(pd.date_range("2023-01-01", periods=n, freq="D"), dtype="datetime64[ns]")
+    t = np.arange(n)
+    y = 10 + 4.0 * np.sin(2 * np.pi * t / 10.0) + rng.normal(0, 0.3, n)
+    plain = ProphetLite(weekly_seasonality=False).fit(times, y)
+    custom = ProphetLite(weekly_seasonality=False).add_seasonality(
+        "tenday", 10.0, 3
+    ).fit(times, y)
+    r_plain = np.sqrt(np.mean((plain.predict(times).fcst - y) ** 2))
+    r_custom = np.sqrt(np.mean((custom.predict(times).fcst - y) ** 2))
+    assert r_custom < 0.6 and r_custom < r_plain / 3

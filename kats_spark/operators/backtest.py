@@ -140,3 +140,98 @@ def linear_backtest(
         F.sqrt(F.col("__sse") / nt).alias("rmse"),
         (F.col("__sape") / nt).alias("mape"),
     )
+
+
+def model_backtest(
+    df: DataFrame,
+    spec: DataFrame,
+    model: str = "arima",
+    s: TSSchema = DEFAULT,
+    **model_kwargs,
+) -> DataFrame:
+    """Generic backtest for ANY per-series model — the reference's
+    BackTesterParent workflow (kats/utils/backtesters.py: fit on the
+    train window, predict the test horizon, error metrics per fold) for
+    models with no closed SQL form.
+
+    Plan: rank + broadcast-crossJoin the fold spec exactly like
+    linear_backtest, then ONE ``applyInPandas`` keyed on
+    (series_id, fold_id) — every (series, fold) cell fits independently
+    in parallel, so wall-clock scales with the slowest single fit no
+    matter how many series or folds.
+
+    Built-in kernels: ``arima`` (HR+CSS), ``prophet`` (ProphetLite),
+    ``naive`` (last value), ``mean``.  Returns
+    (series_id, fold_id, n_train, n_test, mae, rmse, mape)."""
+    import numpy as np
+    import pandas as pd
+
+    def _fc(model_name, times, yv, steps, kwargs):
+        if model_name == "arima":
+            from kats_spark.models.arima import _arima_forecast_one
+
+            order = kwargs.get("order", (2, 1, 1))
+            fc, _ = _arima_forecast_one(yv, *order, steps)
+            return fc
+        if model_name == "prophet":
+            from kats_spark.models.prophet_lite import ProphetLite
+
+            m = ProphetLite(**{k: v for k, v in kwargs.items() if k != "order"})
+            m.fit(times, yv)
+            spacing = times[-1] - times[-2] if len(times) > 1 else np.timedelta64(1, "D")
+            fut = times[-1] + spacing * np.arange(1, steps + 1)
+            return m.predict(fut).fcst.to_numpy()
+        if model_name == "naive":
+            return np.full(steps, yv[-1])
+        if model_name == "mean":
+            return np.full(steps, yv.mean())
+        raise ValueError(f"unknown backtest model {model_name!r}")
+
+    ranked = df.withColumn("__rn", F.row_number().over(s.w()) - 1).withColumn(
+        "__n", F.count("*").over(Window.partitionBy(s.series_id))
+    )
+    j = ranked.crossJoin(F.broadcast(spec))
+    schema = (
+        f"{s.series_id} string, fold_id int, n_train bigint, n_test bigint, "
+        "mae double, rmse double, mape double"
+    )
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sid, fold = key
+        pdf = pdf.sort_values("__rn")
+        n_all = int(pdf["__n"].iloc[0])
+        r = pdf.iloc[0]
+        lo, hi = int(r.train_start * n_all), int(r.train_end * n_all)
+        ts_, te = int(r.test_start * n_all), int(r.test_end * n_all)
+        rn = pdf["__rn"].to_numpy()
+        tr = pdf[(rn >= lo) & (rn < hi)]
+        te_rows = pdf[(rn >= ts_) & (rn < te)]
+        if len(tr) < 10 or len(te_rows) == 0:
+            return pd.DataFrame(
+                columns=[s.series_id, "fold_id", "n_train", "n_test", "mae", "rmse", "mape"]
+            )
+        times = tr[s.time].to_numpy(dtype="datetime64[ns]")
+        yv = tr[s.value].to_numpy(dtype=float)
+        try:
+            fc = _fc(model, times, yv, len(te_rows), model_kwargs)
+        except Exception:
+            return pd.DataFrame(
+                columns=[s.series_id, "fold_id", "n_train", "n_test", "mae", "rmse", "mape"]
+            )
+        truth = te_rows[s.value].to_numpy(dtype=float)
+        err = truth - np.asarray(fc, dtype=float)[: len(truth)]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ape = np.abs(np.where(truth != 0, err / truth, np.nan))
+        return pd.DataFrame(
+            {
+                s.series_id: [sid],
+                "fold_id": [int(fold)],
+                "n_train": [len(tr)],
+                "n_test": [len(te_rows)],
+                "mae": [float(np.abs(err).mean())],
+                "rmse": [float(np.sqrt((err**2).mean()))],
+                "mape": [float(np.nanmean(ape))],
+            }
+        )
+
+    return j.groupBy(s.series_id, "fold_id").applyInPandas(fn, schema)

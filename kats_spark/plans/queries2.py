@@ -1819,6 +1819,22 @@ def q_stlf_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_backtest_arima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic model backtest (BackTesterParent shape) running the
+    ARIMA(1,0,0) kernel per (series, fold) — iterative CSS fit, so
+    rows-only; the arima-beats-naive contract is asserted in
+    tests/test_batch3.py::test_model_backtest_arima_beats_naive."""
+    from kats_spark.operators import backtest as bt
+
+    h = hourly_series(spark, sf_dir)
+    spec = bt_mod.fold_spec(spark, n_folds=3, train_frac=0.5, test_frac=0.1)
+    out = bt.model_backtest(h, spec, model="arima", order=(1, 0, 0))
+    return out.select(
+        "series_id", "fold_id", "n_train", "n_test",
+        _rnd("mae", 6).alias("mae"), _rnd("rmse", 6).alias("rmse"),
+    )
+
+
 def q_global_dms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global direct-multi-step pooled model (globalmodel family member,
     closed form): one aggregation over ALL series' training rows, one
@@ -3047,6 +3063,7 @@ QUERIES = {
     "stlf_forecast": q_stlf_forecast,
     "prophet_forecast": q_prophet_forecast,
     "global_dms": q_global_dms,
+    "backtest_arima": q_backtest_arima,
     "stl_decompose": q_stl_decompose,
     "stl_strength": q_stl_strength,
     "ensemble_pi": q_ensemble_pi,

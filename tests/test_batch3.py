@@ -822,3 +822,36 @@ def test_minhash_overflow_bucket_thousands_of_members(spark):
     )
     cnt = pairs.count()
     assert cnt == n * (n - 1) // 2  # every pair, exactly once
+
+
+def test_model_backtest_arima_beats_naive(spark):
+    """Generic model backtester (BackTesterParent shape): on a seeded
+    AR(1) process the ARIMA kernel's fold-mean MAE must beat the naive
+    last-value kernel over multi-step test horizons."""
+    import numpy as np
+
+    from kats_spark.operators import backtest as bt
+
+    rng = np.random.default_rng(17)
+    frames = []
+    for k in range(3):
+        n = 400
+        e = rng.normal(0, 1, n + 50)
+        x = np.zeros(n + 50)
+        for t in range(1, n + 50):
+            x[t] = 0.6 * x[t - 1] + e[t]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series_id": f"s{k}",
+                    "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+                    "value": x[50:] + 20,
+                }
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames))
+    spec = bt.fold_spec(spark, n_folds=3, train_frac=0.6, test_frac=0.05)
+    ar = bt.model_backtest(df, spec, model="arima", order=(1, 0, 0)).toPandas()
+    nv = bt.model_backtest(df, spec, model="naive").toPandas()
+    assert len(ar) == 9 and len(nv) == 9
+    assert ar.mae.mean() < nv.mae.mean()

@@ -1819,6 +1819,28 @@ def q_stlf_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_prophet_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProphetDetectorModel on the lite backend: fit on the leading 70%
+    of each series, score the scan segment against the prediction band
+    (prophet_detector.py:332 semantics).  Iterative MAP -> rows-only."""
+    from kats_spark.models.external import prophet_detector_scores
+
+    out = prophet_detector_scores(hourly_series(spark, sf_dir))
+    return _fmt_time(_r6(out, "score", "predicted", "lower", "upper"))
+
+
+def q_outlier_detect_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OutlierDetector on loess-STL residuals (the reference's actual
+    decomposition backend) — rows-only (iterative loess); the MA-residual
+    variant carries the exact oracle."""
+    from kats_spark.operators.outlier import outlier_detect
+
+    out = outlier_detect(hourly_series(spark, sf_dir), period=24, method="stl")
+    return _fmt_time(_r6(out, "value", "residual")).select(
+        "series_id", "time", "value", "residual", "is_outlier"
+    )
+
+
 def q_backtest_arima(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic model backtest (BackTesterParent shape) running the
     ARIMA(1,0,0) kernel per (series, fold) — iterative CSS fit, so
@@ -3064,6 +3086,8 @@ QUERIES = {
     "prophet_forecast": q_prophet_forecast,
     "global_dms": q_global_dms,
     "backtest_arima": q_backtest_arima,
+    "prophet_detect": q_prophet_detect,
+    "outlier_detect_stl": q_outlier_detect_stl,
     "stl_decompose": q_stl_decompose,
     "stl_strength": q_stl_strength,
     "ensemble_pi": q_ensemble_pi,

@@ -2401,7 +2401,7 @@ def q_model_select_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = stats_bundle(h).select("series_id", *fcols)
     labeled = feats.join(labels, "series_id")
     return metalearner.random_forest_score(
-        feats, labeled, fcols, label_col="best_model", num_trees=50
+        feats, labeled, fcols, label_col="best_model", num_trees=20
     ).select("series_id", F.col("predicted_label").alias("best_model"))
 
 

@@ -63,6 +63,47 @@ def _var_design(Z: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
     return X, Z[p:]
 
 
+def select_order(Z: np.ndarray, maxlags: int, ic: str = "aic") -> int:
+    """VAR order selection by information criterion — the reference's
+    fit surface (kats/models/var.py:107-120 passes maxlags/ic to
+    statsmodels; default maxlags = 12*(n/100)^0.25).  For each candidate
+    p the OLS residual covariance determinant gives
+      aic  = ln|S| + 2 d / T
+      bic  = ln|S| + d ln(T) / T
+      hqic = ln|S| + 2 d ln(ln(T)) / T
+    with d = k(1 + p k) free parameters and T the common sample size
+    (rows after dropping maxlags leading points, so candidates compare
+    on identical data — the statsmodels convention)."""
+    n, k = Z.shape
+    T = n - maxlags
+    if T <= maxlags * k + 1:
+        return 1
+    best_p, best_val = 1, np.inf
+    for p in range(1, maxlags + 1):
+        X, Y = _var_design(Z[maxlags - p :], p)
+        coef = _gauss_solve_multi(X.T @ X + 1e-10 * np.eye(X.shape[1]), X.T @ Y)
+        resid = Y - X @ coef
+        S = resid.T @ resid / T
+        sign, logdet = np.linalg.slogdet(S + 1e-300 * np.eye(k))
+        if sign <= 0:
+            continue
+        d = k * (1 + p * k)
+        if ic == "bic":
+            val = logdet + d * np.log(T) / T
+        elif ic == "hqic":
+            val = logdet + 2.0 * d * np.log(np.log(T)) / T
+        else:
+            val = logdet + 2.0 * d / T
+        if val < best_val:
+            best_p, best_val = p, val
+    return best_p
+
+
+def default_maxlags(n: int) -> int:
+    """statsmodels/reference default: 12 * (n/100)^0.25 (var.py:109)."""
+    return max(1, int(12 * (n / 100.0) ** 0.25))
+
+
 def _var_fit_forecast(wide: pd.DataFrame, p: int, steps: int) -> tuple[np.ndarray, np.ndarray]:
     """wide: rows=time, cols=series. Returns (forecast[steps,k], sigma[k])."""
     Y = wide.to_numpy(dtype=float)
@@ -91,13 +132,20 @@ def var_forecast(
     df: DataFrame,
     steps: int,
     freq_seconds: int,
-    p: int = 1,
+    p: int | None = 1,
     group_col: str | None = None,
     s: TSSchema = DEFAULT,
+    maxlags: int | None = None,
+    ic: str = "aic",
 ) -> DataFrame:
     """Forecast every series jointly within a group (default: all series
     form one vector).  Output (series_id, time, fcst, fcst_lower,
-    fcst_upper) — the model-zoo contract frame (kats/models/model.py:18)."""
+    fcst_upper) — the model-zoo contract frame (kats/models/model.py:18).
+
+    ``p=None`` selects the order per group by information criterion over
+    ``maxlags`` candidates (reference var.py:107-120 surface; default
+    maxlags = 12*(n/100)^0.25) — data-dependent, so callers needing the
+    SQL oracle use a fixed p."""
     gcol = group_col or "__g"
     src = df if group_col else df.withColumn(gcol, F.lit("all"))
     schema = (
@@ -111,11 +159,21 @@ def var_forecast(
             .sort_index()
             .dropna()
         )
-        if len(wide) < 3 * p + 5 or wide.shape[1] == 0:
+        if wide.shape[1] == 0:
             return pd.DataFrame(
                 columns=[s.series_id, s.time, "fcst", "fcst_lower", "fcst_upper"]
             )
-        fc, sigma = _var_fit_forecast(wide, p, steps)
+        if p is None:
+            ml = maxlags or default_maxlags(len(wide))
+            Z0, _, _ = _standardize(wide.to_numpy(dtype=float))
+            use_p = select_order(Z0, ml, ic)
+        else:
+            use_p = p
+        if len(wide) < 3 * use_p + 5:
+            return pd.DataFrame(
+                columns=[s.series_id, s.time, "fcst", "fcst_lower", "fcst_upper"]
+            )
+        fc, sigma = _var_fit_forecast(wide, use_p, steps)
         h = np.arange(1, steps + 1)
         last = wide.index.max()
         times = pd.Timestamp(last) + pd.to_timedelta(h * freq_seconds, unit="s")

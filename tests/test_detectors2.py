@@ -466,3 +466,35 @@ def test_hourly_ratio_fullcov_pinv_matches_enumeration(spark):
     ])
     np.testing.assert_allclose(got.mahalanobis.to_numpy(), np.round(expect, 6), atol=1e-6)
     assert got.mahalanobis.idxmax() == 25 and got.is_anomaly.iloc[25] == 1
+
+
+def test_var_order_selection_recovers_true_lag(spark):
+    """AIC order selection (reference var.py maxlags/ic surface): on a
+    seeded VAR(2) system the criterion must pick p=2 over 1 and over
+    overfit candidates, and p=None auto-selection must produce forecasts."""
+    import numpy as np
+    import pandas as pd
+
+    from kats_spark.operators.var import _standardize, select_order, var_forecast
+
+    rng = np.random.default_rng(6)
+    n, k = 500, 3
+    A1 = np.array([[0.5, 0.1, 0.0], [0.0, 0.4, 0.1], [0.1, 0.0, 0.3]])
+    A2 = np.array([[-0.3, 0.0, 0.1], [0.1, -0.25, 0.0], [0.0, 0.1, -0.2]])
+    Y = np.zeros((n + 60, k))
+    for t in range(2, n + 60):
+        Y[t] = A1 @ Y[t - 1] + A2 @ Y[t - 2] + rng.normal(0, 1, k)
+    Y = Y[60:]
+    Z, _, _ = _standardize(Y)
+    assert select_order(Z, maxlags=6, ic="aic") == 2
+    assert select_order(Z, maxlags=6, ic="bic") == 2
+
+    frames = []
+    times = pd.date_range("2024-01-01", periods=n, freq="h")
+    for j in range(k):
+        frames.append(
+            pd.DataFrame({"series_id": f"v{j}", "time": times, "value": Y[:, j] + 5})
+        )
+    df = spark.createDataFrame(pd.concat(frames))
+    fc = var_forecast(df, steps=4, freq_seconds=3600, p=None, maxlags=6).toPandas()
+    assert len(fc) == k * 4 and fc.fcst.notna().all()

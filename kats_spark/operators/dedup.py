@@ -501,3 +501,58 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
+
+
+def simhash_pairs(
+    fp_df: DataFrame,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash fingerprints by the pigeonhole
+    band join (Manku/Jain/Sarma, WWW'07 — the public simhash-dedup
+    construction): split each ``bits``-wide fingerprint into ``bands``
+    chunks (default max_hamming+1); any pair within hamming distance
+    ``max_hamming`` must agree EXACTLY on at least one chunk, so the
+    candidate set is a union of ``bands`` equi-joins on (band, chunk) —
+    never an all-pairs scan — and the exact hamming distance
+    (bit_count of xor) verifies each candidate.  EXACT: returns precisely
+    the pairs with hamming <= max_hamming.  Output (id_a, id_b, hamming).
+
+    Scale shape: one narrow projection computes every chunk, one
+    posexplode, one self-equi-join keyed on (band, chunk) — the same
+    bounded-fan-out pattern as the MinHash band join; chunk values are
+    hash-distributed so no hot key."""
+    nb = bands if bands is not None else max_hamming + 1
+    if nb > bits:
+        raise ValueError(f"bands={nb} exceeds fingerprint width {bits}")
+    w = bits // nb
+    chunks = []
+    for b in range(nb):
+        width = w if b < nb - 1 else bits - w * (nb - 1)
+        mask = (1 << width) - 1
+        chunks.append(
+            F.shiftrightunsigned(F.col(fp_col), b * w).bitwiseAND(F.lit(mask))
+        )
+    keyed = fp_df.select(
+        F.col(id_col),
+        F.col(fp_col),
+        F.posexplode(F.array(*chunks)).alias("__band", "__chunk"),
+    )
+    l = keyed.select(
+        "__band", "__chunk", F.col(id_col).alias("id_a"), F.col(fp_col).alias("__fa")
+    )
+    r = keyed.select(
+        "__band", "__chunk", F.col(id_col).alias("id_b"), F.col(fp_col).alias("__fb")
+    )
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    return (
+        l.join(r, ["__band", "__chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

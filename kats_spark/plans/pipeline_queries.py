@@ -705,6 +705,43 @@ SELECT doc_id::BIGINT AS doc_id, ({fp})::BIGINT AS simhash16 FROM bits
 """
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the pigeonhole band join
+    (Manku/Jain/Sarma WWW'07) over the PORTABLE 16-bit fingerprint —
+    exact oracle: fingerprints, chunk join, and bit_count(xor) hamming
+    verify all replay in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = dedup.simhash_portable(docs, bits=16)
+    out = dedup.simhash_pairs(
+        fp, max_hamming=3, bands=4, bits=16, fp_col="simhash16"
+    )
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
+def _simhash_neardup_sql(bits: int = 16, bands: int = 4, max_hamming: int = 3) -> str:
+    base = _simhash_portable_sql(bits)
+    w = bits // bands
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash16, {b} AS band, (simhash16 >> {b * w}) & {(1 << (w if b < bands - 1 else bits - w * (bands - 1))) - 1} AS chunk FROM fp"
+        for b in range(bands)
+    )
+    return f"""
+WITH fp AS ({base}),
+keyed AS (
+  {chunk_rows}
+)
+SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+  bit_count(xor(a.simhash16, b.simhash16))::BIGINT AS hamming
+FROM keyed a JOIN keyed b ON a.band = b.band AND a.chunk = b.chunk
+  AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {max_hamming}
+"""
+
+
 def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs over the portable hash family (16
     permutations, 4 bands) — exact oracle with the same seeded (a_k, b_k)
@@ -897,6 +934,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "embed_survivors": q_embed_survivors,
     "simhash_portable": q_simhash_portable,
+    "simhash_neardup": q_simhash_neardup,
     "minhash_portable_pairs": q_minhash_portable,
     "corpus_prep": q_corpus_prep,
     "minhash_quality": q_minhash_quality,
@@ -907,6 +945,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "simhash_neardup": _simhash_neardup_sql(),
     "exact_dedup": _Q_EXACT_DEDUP_SQL,
     "jaccard_pairs": _Q_JACCARD_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,

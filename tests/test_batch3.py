@@ -855,3 +855,38 @@ def test_model_backtest_arima_beats_naive(spark):
     nv = bt.model_backtest(df, spec, model="naive").toPandas()
     assert len(ar) == 9 and len(nv) == 9
     assert ar.mae.mean() < nv.mae.mean()
+
+
+def test_simhash_pairs_band_join_equals_bruteforce(spark):
+    """Pigeonhole guarantee (Manku et al. WWW'07): the band-join candidate
+    set + hamming verify must return EXACTLY the pairs within
+    max_hamming, for max_hamming <= bands-1 — checked against a
+    brute-force all-pairs hamming filter on random 16-bit fingerprints."""
+    import itertools
+
+    import numpy as np
+
+    from kats_spark.operators.dedup import simhash_pairs
+
+    rng = np.random.default_rng(23)
+    n = 300
+    fps = rng.integers(0, 1 << 16, size=n, dtype=np.int64)
+    # plant some near-dup clusters
+    for base in (5, 77, 200):
+        for off, flip in ((1, 1), (2, 3)):
+            fps[base + off] = fps[base] ^ ((1 << flip) - 1)  # hamming = flip
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "simhash16": fps})
+    got = (
+        simhash_pairs(
+            spark.createDataFrame(pdf), max_hamming=3, bands=4, bits=16,
+            fp_col="simhash16",
+        )
+        .toPandas()
+    )
+    expect = set()
+    for i, j in itertools.combinations(range(n), 2):
+        h = bin(int(fps[i]) ^ int(fps[j])).count("1")
+        if h <= 3:
+            expect.add((i, j, h))
+    assert set(zip(got.id_a, got.id_b, got.hamming)) == expect
+    assert len(expect) >= 6  # the planted clusters are in there

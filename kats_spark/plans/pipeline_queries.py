@@ -705,6 +705,41 @@ SELECT doc_id::BIGINT AS doc_id, ({fp})::BIGINT AS simhash16 FROM bits
 """
 
 
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget stratified sampling: greedy-fill each
+    (source, lang) bucket to 5000 tokens in seeded-md5 shuffle order —
+    the draw step after corpus_mixture's budget accounting.  Fully
+    window-expressible -> exact oracle."""
+    from kats_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_budget_sample(docs, budget_tokens=5000, seed=7)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )
+
+
+_Q_CORPUS_SAMPLE_SQL = """
+WITH base AS (
+  SELECT doc_id, source, lang,
+    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+    md5(concat_ws(':', '7', doc_id::VARCHAR)) AS rk
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source, lang ORDER BY rk, doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM base
+)
+SELECT doc_id, source, lang, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < 5000
+"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via the pigeonhole band join
     (Manku/Jain/Sarma WWW'07) over the PORTABLE 16-bit fingerprint —
@@ -935,6 +970,7 @@ QUERIES = {
     "embed_survivors": q_embed_survivors,
     "simhash_portable": q_simhash_portable,
     "simhash_neardup": q_simhash_neardup,
+    "corpus_sample": q_corpus_sample,
     "minhash_portable_pairs": q_minhash_portable,
     "corpus_prep": q_corpus_prep,
     "minhash_quality": q_minhash_quality,
@@ -945,6 +981,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_sample": _Q_CORPUS_SAMPLE_SQL,
     "simhash_neardup": _simhash_neardup_sql(),
     "exact_dedup": _Q_EXACT_DEDUP_SQL,
     "jaccard_pairs": _Q_JACCARD_SQL,

@@ -890,3 +890,38 @@ def test_simhash_pairs_band_join_equals_bruteforce(spark):
             expect.add((i, j, h))
     assert set(zip(got.id_a, got.id_b, got.hamming)) == expect
     assert len(expect) >= 6  # the planted clusters are in there
+
+
+def test_token_budget_sample_contract(spark):
+    """Deterministic stratified sampling: every bucket greedy-fills to
+    the budget (overshoot at most one doc), re-runs reproduce the exact
+    same sample, and different seeds draw different docs."""
+    import numpy as np
+
+    from kats_spark.operators.sampling import token_budget_sample
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(400):
+        nt = int(rng.integers(20, 120))
+        rows.append(
+            {
+                "doc_id": i,
+                "source": "web" if i % 2 == 0 else "book",
+                "lang": "en" if i % 3 else "de",
+                "text": " ".join(f"w{j}" for j in range(nt)),
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    a = token_budget_sample(df, budget_tokens=1000, seed=7).toPandas()
+    b = token_budget_sample(df, budget_tokens=1000, seed=7).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)  # deterministic
+    g = a.groupby(["source", "lang"])
+    for _, grp in g:
+        total = grp.n_tokens.sum()
+        # filled to budget: at least budget once the last doc started
+        assert total >= 1000 or len(grp) == 0
+        # overshoot bounded by one document
+        assert total - grp.n_tokens.max() < 1000
+    c = token_budget_sample(df, budget_tokens=1000, seed=8).toPandas()
+    assert sorted(c.doc_id) != sorted(a.doc_id)  # seed changes the draw

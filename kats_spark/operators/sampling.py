@@ -53,3 +53,101 @@ def token_budget_sample(
         F.col("cum_tokens") - F.col("n_tokens") < budget_tokens
     )
     return out.drop("__rk")
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    shingle_n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination — the standard pretraining hygiene step
+    (flag and drop training documents that share verbatim word
+    ``shingle_n``-grams with any evaluation document).
+
+    Returns (flagged, clean): ``flagged`` = (train id, n_gram_hits) for
+    docs with >= ``min_hits`` distinct eval-overlapping grams; ``clean``
+    = the surviving training rows.
+
+    Scale shape: the EVAL side is tiny by construction (benchmarks), so
+    its distinct gram set broadcasts; the train side streams through one
+    shingle explode + broadcast semi-join + groupBy count — no shuffle of
+    train text, no pairwise anything.  Uses STRING shingles (not hashed)
+    so the check is exact and the oracle replays it."""
+    from kats_spark.operators.dedup import shingle_string_rows
+
+    train_g = shingle_string_rows(train_df, text_col, id_col, shingle_n)
+    eval_g = (
+        shingle_string_rows(eval_df, text_col, id_col, shingle_n)
+        .select(F.col("g"))
+        .distinct()
+    )
+    hits = (
+        train_g.join(F.broadcast(eval_g), "g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("g").alias("n_gram_hits"))
+        .filter(F.col("n_gram_hits") >= min_hits)
+    )
+    flagged = hits
+    clean = train_df.join(
+        hits.select(id_col), id_col, "left_anti"
+    )
+    return flagged, clean
+
+
+def repetition_stats(
+    df: DataFrame,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document repetition features (the Gopher/MassiveText-style
+    repetition filters, public methodology): per document
+    - ``dup_line_ratio``: fraction of lines that are duplicates of an
+      earlier identical line;
+    - ``top_gram_share``: occurrences of the most frequent word
+      ``shingle_n``-gram over total gram count;
+    - ``dup_gram_ratio``: fraction of gram OCCURRENCES whose gram appears
+      more than once.
+    One explode + two grouped aggregations, all counting — exact oracle."""
+    from kats_spark.operators.dedup import normalize
+
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+    ).filter(F.trim("__line") != "")
+    line_stats = (
+        lines.groupBy(id_col, "__line")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            (
+                1.0
+                - F.count("*").cast("double") / F.sum("__c")
+            ).alias("dup_line_ratio")
+        )
+    )
+    t = tokens(normalize(F.col(text_col)))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (shingle_n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i, shingle_n), " "))
+    g = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    gram_stats = (
+        g.groupBy(id_col, "__g")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("__c") / F.sum("__c")).alias("top_gram_share"),
+            (
+                F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+                / F.sum("__c")
+            ).alias("dup_gram_ratio"),
+        )
+    )
+    ids = df.select(id_col)
+    return (
+        ids.join(line_stats, id_col, "left")
+        .join(gram_stats, id_col, "left")
+        .fillna({"dup_line_ratio": 0.0})
+    )

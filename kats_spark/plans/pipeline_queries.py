@@ -705,6 +705,98 @@ SELECT doc_id::BIGINT AS doc_id, ({fp})::BIGINT AS simhash16 FROM bits
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with id < 20 play the eval set;
+    flag training docs sharing any verbatim word-8-gram with them.
+    Broadcast-semi-join plan, exact oracle."""
+    from kats_spark.operators.sampling import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") < 20)
+    tr = docs.filter(F.col("doc_id") >= 20)
+    flagged, _ = decontaminate(tr, ev, shingle_n=8)
+    return flagged.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_gram_hits").cast("bigint").alias("n_gram_hits"),
+    )
+
+
+_Q_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+      i -> array_to_string(t[i:i+7], ' '))) AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+ev AS (SELECT DISTINCT g FROM ex WHERE doc_id < 20)
+SELECT e.doc_id::BIGINT AS doc_id, count(DISTINCT e.g)::BIGINT AS n_gram_hits
+FROM ex e JOIN ev USING (g)
+WHERE e.doc_id >= 20
+GROUP BY 1
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition features (dup-line ratio,
+    top 2-gram share, duplicated-gram occurrence ratio) — exact oracle."""
+    from kats_spark.operators.sampling import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_stats(docs, shingle_n=2)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _rnd("dup_line_ratio", 6).alias("dup_line_ratio"),
+        _rnd("top_gram_share", 6).alias("top_gram_share"),
+        _rnd("dup_gram_ratio", 6).alias("dup_gram_ratio"),
+    )
+
+
+_Q_REPETITION_SQL = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+lf AS (SELECT doc_id, line FROM lines WHERE trim(line) <> ''),
+lstat AS (
+  SELECT doc_id, 1.0 - count(*)::DOUBLE / sum(c) AS dup_line_ratio
+  FROM (SELECT doc_id, line, count(*) AS c FROM lf GROUP BY 1, 2)
+  GROUP BY 1
+),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+      i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM toks
+),
+gstat AS (
+  SELECT doc_id,
+    max(c)::DOUBLE / sum(c) AS top_gram_share,
+    sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dup_gram_ratio
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+  round(1e-9 + coalesce(l.dup_line_ratio, 0.0), 6) AS dup_line_ratio,
+  round(1e-9 + g.top_gram_share, 6) AS top_gram_share,
+  round(1e-9 + g.dup_gram_ratio, 6) AS dup_gram_ratio
+FROM documents d
+LEFT JOIN lstat l USING (doc_id)
+LEFT JOIN gstat g USING (doc_id)
+"""
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-budget stratified sampling: greedy-fill each
     (source, lang) bucket to 5000 tokens in seeded-md5 shuffle order —
@@ -971,6 +1063,8 @@ QUERIES = {
     "simhash_portable": q_simhash_portable,
     "simhash_neardup": q_simhash_neardup,
     "corpus_sample": q_corpus_sample,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
     "minhash_portable_pairs": q_minhash_portable,
     "corpus_prep": q_corpus_prep,
     "minhash_quality": q_minhash_quality,
@@ -981,6 +1075,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "decontaminate": _Q_DECONTAMINATE_SQL,
+    "repetition_stats": _Q_REPETITION_SQL,
     "corpus_sample": _Q_CORPUS_SAMPLE_SQL,
     "simhash_neardup": _simhash_neardup_sql(),
     "exact_dedup": _Q_EXACT_DEDUP_SQL,

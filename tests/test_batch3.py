@@ -925,3 +925,43 @@ def test_token_budget_sample_contract(spark):
         assert total - grp.n_tokens.max() < 1000
     c = token_budget_sample(df, budget_tokens=1000, seed=8).toPandas()
     assert sorted(c.doc_id) != sorted(a.doc_id)  # seed changes the draw
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc containing a verbatim 8-gram from the eval set is
+    flagged and removed; clean docs survive."""
+    from kats_spark.operators.sampling import decontaminate
+
+    bench = "the quick brown fox jumps over the lazy dog in the garden"
+    train = pd.DataFrame(
+        {
+            "doc_id": [100, 101, 102],
+            "text": [
+                "prefix words " + bench + " suffix words",  # contaminated
+                "totally unrelated content about spark query planning internals",
+                "another clean document discussing window aggregation semantics today",
+            ],
+        }
+    )
+    ev = pd.DataFrame({"doc_id": [1], "text": [bench]})
+    flagged, clean = decontaminate(
+        spark.createDataFrame(train), spark.createDataFrame(ev), shingle_n=8
+    )
+    f = flagged.toPandas()
+    assert list(f.doc_id) == [100] and f.n_gram_hits.iloc[0] >= 1
+    assert sorted(clean.toPandas().doc_id) == [101, 102]
+
+
+def test_repetition_stats_scores_repetitive_doc(spark):
+    """The repeated-line/repeated-gram document scores high on every
+    repetition feature; the diverse document scores low."""
+    from kats_spark.operators.sampling import repetition_stats
+
+    rep = "spam line here\n" * 10 + "unique closing line"
+    div = "\n".join(f"line number {i} with distinct words w{i} v{i}" for i in range(10))
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [rep, div]})
+    out = repetition_stats(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert out.loc[1, "dup_line_ratio"] > 0.7
+    assert out.loc[1, "dup_gram_ratio"] > 0.7
+    assert out.loc[2, "dup_line_ratio"] == 0.0
+    assert out.loc[2, "top_gram_share"] < 0.2

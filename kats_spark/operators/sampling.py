@@ -151,3 +151,49 @@ def repetition_stats(
         .join(gram_stats, id_col, "left")
         .fillna({"dup_line_ratio": 0.0})
     )
+
+
+def unigram_logppl(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Unigram log-perplexity per document — the cheap corpus-level
+    LM-quality signal (the CCNet-style filter uses a KenLM 5-gram; the
+    unigram version is its exact-arithmetic, SQL-replayable core):
+
+      p(t) = (count(t) + alpha) / (total + alpha * |V|)    (add-alpha)
+      logppl(doc) = avg over tokens of -ln p(t)
+
+    Rare/garbage-token documents score HIGH, fluent in-domain documents
+    LOW.  Plan: one token explode feeding (a) the global frequency table
+    (one groupBy) and (b) a token-keyed join back, then a per-doc avg —
+    two shuffles total, both keyed on high-cardinality columns (token,
+    doc), no broadcast of the (possibly huge) vocabulary required.
+    Output (doc_id, n_tokens, logppl)."""
+    from kats_spark.operators.dedup import normalize
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("__t")
+    )
+    freq = tok.groupBy("__t").agg(F.count("*").alias("__c"))
+    totals = freq.agg(
+        F.sum("__c").alias("__total"), F.count("*").alias("__vocab")
+    )
+    scored = (
+        tok.join(freq, "__t")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.col("__c") + F.lit(float(alpha)))
+                    / (F.col("__total") + F.lit(float(alpha)) * F.col("__vocab"))
+                )
+            ).alias("__nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), F.avg("__nll").alias("logppl")
+    )

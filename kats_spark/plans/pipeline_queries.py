@@ -705,6 +705,38 @@ SELECT doc_id::BIGINT AS doc_id, ({fp})::BIGINT AS simhash16 FROM bits
 """
 
 
+def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram log-perplexity against the corpus LM
+    (add-1 smoothing) — the SQL-replayable core of CCNet-style quality
+    filtering.  Exact oracle."""
+    from kats_spark.operators.sampling import unigram_logppl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = unigram_logppl(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        _rnd("logppl", 6).alias("logppl"),
+    )
+
+
+_Q_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+freq AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS total, count(*)::DOUBLE AS vocab FROM freq)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_tokens,
+  round(1e-9 + avg(-ln((c + 1.0) / (total + vocab))), 6) AS logppl
+FROM tok JOIN freq USING (tk) CROSS JOIN tot
+GROUP BY 1
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with id < 20 play the eval set;
     flag training docs sharing any verbatim word-8-gram with them.
@@ -1064,6 +1096,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "corpus_sample": q_corpus_sample,
     "decontaminate": q_decontaminate,
+    "unigram_logppl": q_unigram_logppl,
     "repetition_stats": q_repetition_stats,
     "minhash_portable_pairs": q_minhash_portable,
     "corpus_prep": q_corpus_prep,
@@ -1075,6 +1108,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "unigram_logppl": _Q_UNIGRAM_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,
     "repetition_stats": _Q_REPETITION_SQL,
     "corpus_sample": _Q_CORPUS_SAMPLE_SQL,

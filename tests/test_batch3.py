@@ -965,3 +965,18 @@ def test_repetition_stats_scores_repetitive_doc(spark):
     assert out.loc[1, "dup_gram_ratio"] > 0.7
     assert out.loc[2, "dup_line_ratio"] == 0.0
     assert out.loc[2, "top_gram_share"] < 0.2
+
+
+def test_unigram_logppl_separates_fluent_from_garbage(spark):
+    """The corpus-LM score must rank a rare-token (garbage) document
+    above in-domain documents built from common corpus vocabulary."""
+    from kats_spark.operators.sampling import unigram_logppl
+
+    common = "data query table join window filter group sort hash batch"
+    rows = [(i, common + f" extra{i % 3}") for i in range(20)]
+    rows.append((99, "zxqv wplk djfh qwrt mnbv lkjh gfds poiu"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = unigram_logppl(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    garbage = out.loc[99, "logppl"]
+    fluent_max = out.drop(index=99).logppl.max()
+    assert garbage > fluent_max + 1.0

@@ -53,6 +53,12 @@ HEADLINE = [
     "winnow_overlap",
     "ml_ar_insample",
     "stl_decompose",
+    # round-2 LLM hygiene suite (baseline = first BENCH round including them)
+    "simhash_neardup",
+    "corpus_sample",
+    "decontaminate",
+    "repetition_stats",
+    "unigram_logppl",
 ]
 
 

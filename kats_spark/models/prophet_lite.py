@@ -265,27 +265,54 @@ class ProphetLite:
         if self.cap is None:
             raise ValueError("logistic growth requires cap")
         self.caps_ = self.cap / self.y_scale_
-        # backfit: seasonality ridge <-> Gauss-Newton on (k, m) with
-        # fixed-zero deltas first, then IRLS deltas on the residual slope
+        # backfit: seasonality ridge <-> penalized Gauss-Newton on
+        # (k, m, delta) for C / (1 + exp(-(k + A δ)(t - m))) — the hinge
+        # deltas enter the slope through the step-indicator matrix A
+        # (same parameterization _trend_scaled evaluates); Laplace(cps)
+        # prior on δ approximated at the GN scale by a ridge
+        # sigma² / cps², flat prior on (k, m).
+        A_ind = (
+            (ts[:, None] > self.cp_[None, :]).astype(np.float64)
+            if len(self.cp_)
+            else np.empty((len(ts), 0))
+        )
+        n_d = A_ind.shape[1]
         self.k_, self.m_ = 1.0, float(np.median(ts))
-        self.delta_ = np.zeros(hinge.shape[1])
+        self.delta_ = np.zeros(n_d)
         self.beta_seas_ = np.zeros(X_seas.shape[1])
         for _ in range(8):
             r = ys - (X_seas @ self.beta_seas_ if X_seas.shape[1] else 0.0)
-            # Gauss-Newton on k, m for C/(1+exp(-k(t-m)))
             for _gn in range(10):
-                z = self.k_ * (ts - self.m_)
+                slope = self.k_ + (A_ind @ self.delta_ if n_d else 0.0)
+                z = slope * (ts - self.m_)
                 sig = self.caps_ / (1.0 + np.exp(-z))
                 e = r - sig
                 d_sig = sig * (1 - sig / self.caps_)
-                J = np.column_stack([d_sig * (ts - self.m_), -d_sig * self.k_])
-                A = J.T @ J + 1e-9 * np.eye(2)
+                J_km = np.column_stack(
+                    [d_sig * (ts - self.m_), -d_sig * slope]
+                )
+                if n_d:
+                    J = np.column_stack(
+                        [J_km, (d_sig * (ts - self.m_))[:, None] * A_ind]
+                    )
+                else:
+                    J = J_km
+                pen = np.zeros(J.shape[1])
+                rhs = J.T @ e
+                if n_d:
+                    sigma2 = float(e @ e) / max(len(e) - J.shape[1], 1)
+                    pen[2:] = sigma2 / self.cps**2
+                    # penalized GN: grad of the prior term at the CURRENT δ
+                    rhs[2:] -= pen[2:] * self.delta_
+                A = J.T @ J + np.diag(pen) + 1e-9 * np.eye(J.shape[1])
                 try:
-                    step = np.linalg.solve(A, J.T @ e)
+                    step = np.linalg.solve(A, rhs)
                 except np.linalg.LinAlgError:
                     break
                 self.k_ += float(step[0])
                 self.m_ += float(step[1])
+                if n_d:
+                    self.delta_ += step[2:]
                 if np.linalg.norm(step) < 1e-10:
                     break
             if X_seas.shape[1]:
@@ -332,8 +359,12 @@ class ProphetLite:
         yhat = self._predict_scaled(ts, X_seas) * self.y_scale_
 
         # Prophet's uncertainty: future trend shifts simulated from the
-        # historical changepoint process (rate n_cp per unit history,
-        # Laplace(mean |delta|) magnitudes) + observation noise
+        # historical changepoint process (Poisson rate n_cp per unit of
+        # SCALED history time — Prophet samples n_changes ~
+        # Poisson(S * (T - 1)) on the [1, T] future interval; the per-step
+        # Bernoulli discretization is p = n_cp * dt with dt the step's
+        # fraction of the [0, 1] history span), Laplace(mean |delta|)
+        # magnitudes + observation noise
         rng = np.random.default_rng(self.seed)
         lam = float(np.abs(self.delta_).mean()) if len(self.delta_) else 0.0
         n_samp = self.uncertainty_samples
@@ -344,9 +375,15 @@ class ProphetLite:
         alpha = (1.0 - self.interval_width) / 2.0
         if n_fut and n_samp:
             tf = ts[fut]
+            dts = (
+                np.gradient(tf)
+                if n_fut > 1
+                else np.maximum(tf - 1.0, 1e-12)
+            )
+            p_change = np.clip(len(self.cp_) * dts, 0.0, 1.0)
             paths = np.zeros((n_samp, n_fut))
             for i in range(n_samp):
-                changes = rng.random(n_fut) < (len(self.cp_) / max(len(ts), 1))
+                changes = rng.random(n_fut) < p_change
                 if lam > 0 and changes.any():
                     mags = rng.laplace(0.0, lam, size=int(changes.sum()))
                     slope_shift = np.zeros(n_fut)

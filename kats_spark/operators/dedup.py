@@ -528,6 +528,14 @@ def simhash_pairs(
     nb = bands if bands is not None else max_hamming + 1
     if nb > bits:
         raise ValueError(f"bands={nb} exceeds fingerprint width {bits}")
+    if nb < max_hamming + 1:
+        # pigeonhole guarantee needs more bands than flippable bits:
+        # with <= max_hamming bands a qualifying pair can differ in every
+        # band and silently vanish from the candidate join
+        raise ValueError(
+            f"bands={nb} < max_hamming+1={max_hamming + 1}: the pigeonhole "
+            "band join is only exact with at least max_hamming+1 bands"
+        )
     w = bits // nb
     chunks = []
     for b in range(nb):

@@ -97,11 +97,14 @@ def all_pairs_topk(
     Beyond ``shard_rows`` (~1 GB of float64 per 2M x 64-dim) one
     broadcast index would OOM the driver, so the corpus is split into
     ceil(n/shard_rows) hash shards; each shard is collected + broadcast
-    IN TURN (driver peak = one shard), every query scores per-shard
-    top-k, and a window re-rank over the unioned per-shard candidates
-    recovers the exact global top-k — per-shard top-k is a superset of
-    each item's global winners, so the result is identical to the
-    unsharded path (asserted in tests).
+    IN TURN — the per-shard candidate frame is eagerly materialized with
+    ``localCheckpoint`` and the shard's broadcasts DESTROYED before the
+    next shard is collected, so driver (and executor-broadcast) peak is
+    genuinely one shard, not n_shards of them.  Every query scores
+    per-shard top-k, and a window re-rank over the unioned per-shard
+    candidates recovers the exact global top-k — per-shard top-k is a
+    superset of each item's global winners, so the result is identical
+    to the unsharded path (asserted in tests).
 
     Scores are rounded (cosine is scale-free, so round_decimals=6 keeps
     cross-engine determinism) and ranked (score desc, id asc) — ties on the
@@ -121,16 +124,22 @@ def all_pairs_topk(
             shard = df.filter(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)) == si
             )
-            parts.append(
-                _topk_vs_index(
-                    queries=df,
-                    index_df=shard,
-                    k=k,
-                    vec_col=vec_col,
-                    id_col=id_col,
-                    round_decimals=round_decimals,
-                )
+            cand, handles = _topk_vs_index(
+                queries=df,
+                index_df=shard,
+                k=k,
+                vec_col=vec_col,
+                id_col=id_col,
+                round_decimals=round_decimals,
+                return_handles=True,
             )
+            # Materialize this shard's candidates NOW (lineage truncated),
+            # then free the shard's broadcast index before collecting the
+            # next shard — otherwise every shard's ids+matrix coexist on
+            # the driver and sharding bounds nothing.
+            parts.append(cand.localCheckpoint(eager=True))
+            for h in handles:
+                h.destroy()
         allc = parts[0]
         for p in parts[1:]:
             allc = allc.unionByName(p)
@@ -156,9 +165,12 @@ def _topk_vs_index(
     vec_col: str,
     id_col: str,
     round_decimals: int,
-) -> DataFrame:
+    return_handles: bool = False,
+):
     """Per-query top-k against ONE broadcast index shard (exact, rounded
-    scores, self-pair excluded)."""
+    scores, self-pair excluded).  With ``return_handles`` the two index
+    broadcasts are returned alongside the frame so the caller can destroy
+    them once the frame is materialized (sharded-path memory bound)."""
     import numpy as np
     import pandas as pd
 
@@ -208,9 +220,12 @@ def _topk_vs_index(
             if len(out):
                 yield out
 
-    return df.select(id_col, vec_col).mapInPandas(
+    out = df.select(id_col, vec_col).mapInPandas(
         score, schema="id_a bigint, id_b bigint, cos_sim double, rk int"
     )
+    if return_handles:
+        return out, (b_ids, b_mat)
+    return out
 
 
 def lsh_planes(num_planes: int, dim: int, seed: int = 7) -> list[list[float]]:

@@ -137,3 +137,80 @@ def test_prophet_lite_custom_seasonality():
     r_plain = np.sqrt(np.mean((plain.predict(times).fcst - y) ** 2))
     r_custom = np.sqrt(np.mean((custom.predict(times).fcst - y) ** 2))
     assert r_custom < 0.6 and r_custom < r_plain / 3
+
+
+def test_prophet_lite_future_cp_rate_is_per_history_fraction():
+    """ADVICE r02: the future trend-shift Bernoulli rate must be
+    n_cp * dt (dt = the step's fraction of the [0,1] scaled history),
+    matching Prophet's Poisson(S * (T - 1)) process — NOT
+    n_cp / len(forecast array), which put a shift at nearly every
+    future step and blew the intervals up.  With a 600-day history,
+    25 changepoints and a 24-day horizon the per-step rate is
+    25/599 ~ 0.04, so the step-24 band widens only mildly over step-1
+    (measured 1.16x; the old formula gave a shift ~every step)."""
+    rng = np.random.default_rng(3)
+    n = 600
+    times = np.array(
+        pd.date_range("2020-01-01", periods=n, freq="D"), dtype="datetime64[ns]"
+    )
+    t = np.arange(n, dtype=float)
+    y = 10 + 0.05 * t + np.where(t > 300, 0.08 * (t - 300), 0.0) + rng.normal(0, 0.5, n)
+    m = ProphetLite(
+        yearly_seasonality=False,
+        weekly_seasonality=False,
+        daily_seasonality=False,
+        seed=1,
+    ).fit(times, y)
+    assert float(np.abs(m.delta_).mean()) > 0.05  # real shifts -> lam > 0
+    fut = times[-1] + (np.arange(1, 25) * np.timedelta64(1, "D")).astype(
+        "timedelta64[ns]"
+    )
+    out = m.predict(fut)
+    w = (out.fcst_upper - out.fcst_lower).to_numpy()
+    assert np.all(w > 0)
+    # mild widening across the horizon; the old per-step rate ~1.0 gave
+    # cumulative shift paths and a much steeper ramp
+    assert w[-1] / w[0] < 1.6
+    # step-1 band is essentially the observation-noise band
+    base = 2 * 1.2816 * m.sigma_ * m.y_scale_
+    assert w[0] < 1.3 * base
+
+
+def test_prophet_lite_logistic_fits_changepoint_deltas():
+    """ADVICE r02: logistic growth must FIT the hinge deltas (penalized
+    Gauss-Newton on (k, m, delta)), not silently keep them zero.  A
+    logistic curve whose growth rate drops mid-history is recovered:
+    deltas are materially nonzero, their sum approximates the true rate
+    change, and the fit beats the no-changepoint model by > 2x RMSE."""
+    rng = np.random.default_rng(3)
+    n = 240
+    times = np.array(
+        pd.date_range("2020-01-01", periods=n, freq="D"), dtype="datetime64[ns]"
+    )
+    ts = np.arange(n, dtype=float) / n
+    k_true, m_true, d_true, cap = 10.0, 0.4, -6.0, 100.0
+    slope = k_true + np.where(ts > 0.5, d_true, 0.0)
+    y = cap / (1 + np.exp(-slope * (ts - m_true))) + rng.normal(0, 0.5, n)
+    kw = dict(
+        growth="logistic",
+        cap=cap,
+        yearly_seasonality=False,
+        weekly_seasonality=False,
+        daily_seasonality=False,
+    )
+    m = ProphetLite(n_changepoints=10, changepoint_prior_scale=0.5, **kw).fit(times, y)
+    m0 = ProphetLite(n_changepoints=0, **kw).fit(times, y)
+    assert float(np.abs(m.delta_).max()) > 0.5
+    assert abs(float(m.delta_.sum()) - d_true) < 2.0
+    rmse = float(np.sqrt(np.mean((m.predict(times).fcst - y) ** 2)))
+    rmse0 = float(np.sqrt(np.mean((m0.predict(times).fcst - y) ** 2)))
+    assert rmse < rmse0 / 2
+
+
+def test_simhash_pairs_rejects_insufficient_bands():
+    """ADVICE r02: bands < max_hamming + 1 breaks the pigeonhole
+    exactness guarantee -> must raise, not silently lose pairs."""
+    from kats_spark.operators.dedup import simhash_pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(None, max_hamming=3, bands=2)

@@ -22,6 +22,7 @@ def token_budget_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 0,
+    salt_shards: int = 256,
 ) -> DataFrame:
     """Deterministic stratified sample: within every ``by`` bucket, take
     documents in a seeded-hash shuffle order until the cumulative token
@@ -29,30 +30,67 @@ def token_budget_sample(
     budget line is kept whole — the standard greedy fill, so each bucket
     may overshoot by at most one document).
 
-    Plan: one narrow projection (token counts + portable md5 rank key),
-    one window pass keyed on the bucket (cumulative sum in rank order),
-    one filter — a single shuffle on the bucket columns, no sort beyond
-    the window's own, no driver participation.  At 100 TB the bucket key
-    set is small (sources x languages) while rows are huge — exactly the
-    high-volume/low-cardinality shape a window-cumsum handles; if one
-    bucket dominated, the same greedy fill can run per (bucket, salt)
-    shard with per-shard budget = budget/shards.
-
     The rank key is ``md5(seed || id)`` — portable across engines (the
     DuckDB oracle replays the identical ordering), unlike xxhash64.
+
+    SALTED-EXACT plan (the 100 TB shape; VERDICT r02 item #3): a naive
+    ``sum().over(partitionBy(bucket).orderBy(rank))`` makes ONE task
+    sort and scan each bucket — a scale-killer when a single (web, en)
+    bucket is most of the corpus.  Instead the salt is the leading hex
+    of the md5 rank key itself, so ordering by the key is ALREADY
+    shard-major: the exact global cumulative sum decomposes as
+    ``exclusive_prefix_sum(per-shard totals) + within-shard cumsum``.
+
+      1. one narrow projection: n_tokens + __rk + __salt = hex prefix;
+      2. per-(bucket, salt) totals — a tiny aggregate
+         (|buckets| x salt_shards rows);
+      3. exclusive prefix over salts within each bucket (window on the
+         tiny frame), broadcast-joined back;
+      4. the big window runs ``partitionBy(bucket, salt)`` — parallelism
+         multiplied by salt_shards, identical output to the single-
+         window plan (equivalence asserted in tests).
+
     Output: input columns + n_tokens + cum_tokens (budget audit
-    columns)."""
+    columns).  ``salt_shards`` in {1, 16, 256}; 1 = the naive single
+    window (kept for the equivalence test)."""
     by = list(by)
     rank_key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     base = df.withColumn("n_tokens", F.size(tokens(F.col(text_col)))).withColumn(
         "__rk", rank_key
     )
-    w = Window.partitionBy(*by).orderBy("__rk", id_col)
-    cum = F.sum("n_tokens").over(w)
-    out = base.withColumn("cum_tokens", cum).filter(
-        F.col("cum_tokens") - F.col("n_tokens") < budget_tokens
+    if salt_shards <= 1:
+        w = Window.partitionBy(*by).orderBy("__rk", id_col)
+        cum = F.sum("n_tokens").over(w)
+        out = base.withColumn("cum_tokens", cum).filter(
+            F.col("cum_tokens") - F.col("n_tokens") < budget_tokens
+        )
+        return out.drop("__rk")
+    prefix_len = {16: 1, 256: 2}.get(salt_shards)
+    if prefix_len is None:
+        raise ValueError("salt_shards must be 1, 16 or 256 (hex-prefix widths)")
+    base = base.withColumn("__salt", F.substring("__rk", 1, prefix_len))
+    shard_totals = base.groupBy(*by, "__salt").agg(
+        F.sum("n_tokens").alias("__shard_tok")
     )
-    return out.drop("__rk")
+    w_off = (
+        Window.partitionBy(*by)
+        .orderBy("__salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_totals.select(
+        *by,
+        "__salt",
+        F.coalesce(F.sum("__shard_tok").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy(*by, "__salt").orderBy("__rk", id_col)
+    out = (
+        base.join(F.broadcast(offsets), [*by, "__salt"])
+        .withColumn(
+            "cum_tokens", F.col("__off") + F.sum("n_tokens").over(w_in)
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+    )
+    return out.drop("__rk", "__salt", "__off")
 
 
 def decontaminate(
@@ -167,33 +205,51 @@ def unigram_logppl(
       logppl(doc) = avg over tokens of -ln p(t)
 
     Rare/garbage-token documents score HIGH, fluent in-domain documents
-    LOW.  Plan: one token explode feeding (a) the global frequency table
-    (one groupBy) and (b) a token-keyed join back, then a per-doc avg —
-    two shuffles total, both keyed on high-cardinality columns (token,
-    doc), no broadcast of the (possibly huge) vocabulary required.
+    LOW.
+
+    DE-SKEWED plan (VERDICT r02 item #4 — token frequency is Zipf, so a
+    raw per-occurrence join lands ~5% of ALL occurrences on one key):
+
+      1. pre-aggregate the exploded stream to (doc, token, count) —
+         shrinks the join input ~5-10x and the join multiplicity from
+         occurrences to document frequency;
+      2. the global frequency table derives from that same aggregate
+         (no second explode);
+      3. the vocabulary HEAD (top ``head_k`` tokens by count — the skew
+         mass) broadcast-joins; only the long tail takes the shuffle
+         join, whose keys are now near-uniform.
+
+    Identical arithmetic on every path; the DuckDB oracle is unchanged.
     Output (doc_id, n_tokens, logppl)."""
     from kats_spark.operators.dedup import normalize
 
+    head_k = 4096
     tok = df.select(
         F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("__t")
     )
-    freq = tok.groupBy("__t").agg(F.count("*").alias("__c"))
+    # (doc, token, count): one shuffle keyed on (doc, token) — high
+    # cardinality, no skew (a single doc repeating one token stays in
+    # one row)
+    doc_tok = tok.groupBy(id_col, "__t").agg(F.count("*").alias("__k"))
+    freq = doc_tok.groupBy("__t").agg(F.sum("__k").alias("__c"))
     totals = freq.agg(
         F.sum("__c").alias("__total"), F.count("*").alias("__vocab")
     )
+    head = freq.orderBy(F.desc("__c"), F.asc("__t")).limit(head_k)
+    scored_head = doc_tok.join(F.broadcast(head), "__t")
+    scored_tail = doc_tok.join(
+        F.broadcast(head.select("__t")), "__t", "left_anti"
+    ).join(freq, "__t")
+    nll = -F.log(
+        (F.col("__c") + F.lit(float(alpha)))
+        / (F.col("__total") + F.lit(float(alpha)) * F.col("__vocab"))
+    )
     scored = (
-        tok.join(freq, "__t")
+        scored_head.unionByName(scored_tail)
         .crossJoin(F.broadcast(totals))
-        .select(
-            F.col(id_col),
-            (
-                -F.log(
-                    (F.col("__c") + F.lit(float(alpha)))
-                    / (F.col("__total") + F.lit(float(alpha)) * F.col("__vocab"))
-                )
-            ).alias("__nll"),
-        )
+        .select(id_col, F.col("__k"), (F.col("__k") * nll).alias("__nll_sum"))
     )
     return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"), F.avg("__nll").alias("logppl")
+        F.sum("__k").cast("long").alias("n_tokens"),
+        (F.sum("__nll_sum") / F.sum("__k")).alias("logppl"),
     )

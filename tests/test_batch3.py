@@ -980,3 +980,99 @@ def test_unigram_logppl_separates_fluent_from_garbage(spark):
     garbage = out.loc[99, "logppl"]
     fluent_max = out.drop(index=99).logppl.max()
     assert garbage > fluent_max + 1.0
+
+
+def test_token_budget_sample_salted_equals_naive(spark):
+    """VERDICT r02 #3: the salted-exact plan (hex-prefix shard-major
+    ordering + per-shard cumsum + exclusive shard offsets) must produce
+    BIT-IDENTICAL output to the naive single-window greedy fill, at
+    every supported shard count."""
+    import numpy as np
+
+    from kats_spark.operators.sampling import token_budget_sample
+
+    rng = np.random.default_rng(5)
+    rows = [
+        {
+            "doc_id": i,
+            "source": "web" if i % 2 else "book",
+            "lang": "en" if i % 3 else "de",
+            "text": " ".join(f"w{j}" for j in range(int(rng.integers(20, 120)))),
+        }
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    cols = ["doc_id", "n_tokens", "cum_tokens"]
+    naive = (
+        token_budget_sample(df, 1000, seed=7, salt_shards=1)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[cols]
+    )
+    for shards in (16, 256):
+        salted = (
+            token_budget_sample(df, 1000, seed=7, salt_shards=shards)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[cols]
+        )
+        assert salted.equals(naive), f"salt_shards={shards} diverged"
+
+
+def test_token_budget_sample_giant_single_bucket_2m_rows(spark):
+    """VERDICT r02 #3 guard: one dominant (web, en) bucket with 2M docs
+    — the case where the naive plan serializes the whole corpus onto a
+    single window task — runs through the salted plan with the window
+    split over 256 shards, and the greedy-fill invariants hold."""
+    from kats_spark.operators.sampling import token_budget_sample
+
+    n_rows, tok_per_doc, budget = 2_000_000, 5, 2_000_000
+    docs = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.lit("web").alias("source"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("a b c d "), F.col("id").cast("string")).alias("text"),
+    )
+    out = token_budget_sample(docs, budget, seed=3)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum("n_tokens").alias("tok"),
+        F.max("cum_tokens").alias("cum_max"),
+    ).collect()[0]
+    # filled to budget, overshoot bounded by one doc
+    assert agg.tok >= budget
+    assert agg.tok - tok_per_doc < budget
+    assert agg.cum_max == agg.tok
+    assert agg.n == agg.tok // tok_per_doc
+
+
+def test_unigram_logppl_zipf_head_2m_tokens(spark):
+    """VERDICT r02 #4 guard: a Zipf-extreme corpus (every doc contains
+    the same head token, plus a unique tail token) — the shape where a
+    raw occurrence join piles the head key onto one task.  The de-skewed
+    plan (doc-token pre-aggregation + broadcast vocabulary head) runs it
+    and the arithmetic stays exact: every doc has the same closed-form
+    score, verified against numpy."""
+    import numpy as np
+
+    from kats_spark.operators.sampling import unigram_logppl
+
+    n_docs = 1_000_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the the the u"), F.col("id").cast("string")).alias("text"),
+    )
+    out = unigram_logppl(docs, alpha=1.0)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.min("logppl").alias("lo"),
+        F.max("logppl").alias("hi"),
+        F.min("n_tokens").alias("ntmin"),
+        F.max("n_tokens").alias("ntmax"),
+    ).collect()[0]
+    assert agg.n == n_docs and agg.ntmin == agg.ntmax == 4
+    total, vocab = 4 * n_docs, 1 + n_docs
+    p_head = (3 * n_docs + 1.0) / (total + vocab)
+    p_tail = (1 + 1.0) / (total + vocab)
+    expect = -(3 * np.log(p_head) + np.log(p_tail)) / 4.0
+    assert abs(agg.lo - expect) < 1e-9 and abs(agg.hi - expect) < 1e-9

@@ -3,13 +3,19 @@
 Parity with kats/models/arima.py:43-334 (``ARIMAModel``: fit :144 wraps
 statsmodels ARIMA, predict :236 returns (time, fcst, fcst_lower,
 fcst_upper)) and sarima.py's differencing semantics.  This container has
-no statsmodels, so estimation is the classic two-stage Hannan-Rissanen
-procedure (public-domain algorithm):
+no statsmodels, so the estimator chain is reimplemented in numpy — the
+same chain statsmodels runs:
 
 1. difference d times;
-2. fit a long AR(m) by OLS to estimate innovations;
-3. regress x_t on (x_{t-1..p}, e_{t-1..q}) by OLS -> (phi, theta);
-4. forecast recursively, integrate d times back, sigma bands from the
+2. Hannan-Rissanen start: long-AR innovations + OLS on (x, e) lags;
+3. damped Gauss-Newton over the conditional sum of squares;
+4. EXACT maximum likelihood: Kalman-filter innovations log-likelihood
+   (Harvey state space, stationary Lyapunov init, concentrated sigma^2)
+   maximized by BFGS over Monahan's PACF parameterization — this is
+   where CSS and the reference's statsmodels MLE measurably diverge
+   (near-unit-root AR, strong MA; seeded divergence test in
+   tests/test_models.py);
+5. forecast recursively, integrate d times back, sigma bands from the
    innovation variance with psi-weight accumulation.
 
 Per-series ``applyInPandas`` — same fan-out contract as every model-zoo
@@ -145,6 +151,368 @@ def _css_refine(
     return params[:p], params[p:]
 
 
+# ---- exact maximum likelihood via the Kalman filter ---------------------
+#
+# The reference wraps statsmodels ARIMA (kats/models/arima.py:144), whose
+# estimator is the EXACT innovations likelihood, not CSS: near unit roots
+# and with strong MA terms the two measurably diverge.  This is the same
+# likelihood in numpy: Harvey's ARMA state space, stationary (Lyapunov)
+# initialization, concentrated sigma^2, steady-state filter shortcut, and
+# a BFGS polish over Monahan's PACF parameterization (tanh -> partial
+# autocorrelations -> Durbin-Levinson), which keeps the optimizer
+# unconstrained while every iterate stays stationary/invertible.
+
+
+def _pacf_to_ar(pacf: np.ndarray) -> np.ndarray:
+    """Durbin-Levinson: partial autocorrelations -> AR coefficients of a
+    stationary polynomial 1 - phi_1 B - ... - phi_k B^k."""
+    y = np.array(pacf, dtype=float)
+    for k in range(1, len(y)):
+        y[:k] = y[:k] - pacf[k] * y[:k][::-1]
+    return y
+
+
+def _ar_to_pacf(phi: np.ndarray) -> np.ndarray:
+    """Inverse Durbin-Levinson; requires a stationary input."""
+    y = np.array(phi, dtype=float)
+    out = np.zeros(len(y))
+    for k in range(len(y) - 1, 0, -1):
+        a = y[k]
+        out[k] = a
+        denom = 1.0 - a * a
+        if abs(denom) < 1e-12:
+            denom = np.sign(denom) * 1e-12 if denom else 1e-12
+        y[:k] = (y[:k] + a * y[:k][::-1]) / denom
+    if len(y):
+        out[0] = y[0]
+    return out
+
+
+def _unconstrain(phi: np.ndarray, theta: np.ndarray) -> np.ndarray:
+    """(phi, theta) -> unconstrained z via arctanh(pacf); non-stationary
+    starts are pulled just inside the region first."""
+
+    def inv(coefs, flip):
+        c = -coefs if flip else coefs
+        if len(c) and np.any(np.abs(np.roots(np.r_[1.0, -c])) >= 1.0):
+            c = c * 0.95 ** np.arange(1, len(c) + 1)  # shrink toward 0
+            while np.any(np.abs(np.roots(np.r_[1.0, -c])) >= 1.0):
+                c = c * 0.9
+        pac = np.clip(_ar_to_pacf(c), -0.9999, 0.9999)
+        return np.arctanh(pac)
+
+    # MA poly 1 + sum theta_j B^j == 1 - sum (-theta_j) B^j: reuse the AR map
+    return np.concatenate([inv(phi, False), inv(theta, True)])
+
+
+def _constrain(z: np.ndarray, p: int, q: int) -> tuple[np.ndarray, np.ndarray]:
+    phi = _pacf_to_ar(np.tanh(z[:p])) if p else np.zeros(0)
+    theta = -_pacf_to_ar(np.tanh(z[p:])) if q else np.zeros(0)
+    return phi, theta
+
+
+def _kalman_loglik(
+    xc: np.ndarray, phi: np.ndarray, theta: np.ndarray
+) -> tuple[float, float]:
+    """Concentrated exact Gaussian log-likelihood of a zero-mean
+    ARMA(p, q).  Returns (loglik, sigma2_hat).
+
+    Harvey state space: T has phi down column 0 and an identity
+    superdiagonal, R = (1, theta_1..theta_{r-1})', Z = e_1, no
+    observation noise (F_t = P[0,0]).  P_0 is the exact stationary
+    covariance (discrete Lyapunov via kron solve — state dim r is tiny).
+    Once P converges the filter drops to the steady-state recursion.
+
+    State dim <= 3 (p <= 3, q <= 2 — every common order) takes a
+    scalar-unrolled filter loop ~5x faster than the ndarray loop; the
+    generic path below is the reference implementation and covers the
+    rest (equivalence asserted in tests)."""
+    p, q = len(phi), len(theta)
+    n = len(xc)
+    r = max(p, q + 1, 1)
+    if r <= 3:
+        return _kalman_loglik_r3(xc, phi, theta)
+    return _kalman_loglik_generic(xc, phi, theta)
+
+
+def _kalman_loglik_generic(
+    xc: np.ndarray, phi: np.ndarray, theta: np.ndarray
+) -> tuple[float, float]:
+    p, q = len(phi), len(theta)
+    n = len(xc)
+    r = max(p, q + 1, 1)
+    T = np.zeros((r, r))
+    T[:p, 0] = phi
+    T[: r - 1, 1:] = np.eye(r - 1)
+    R = np.zeros(r)
+    R[0] = 1.0
+    R[1 : q + 1] = theta
+    RR = np.outer(R, R)
+    # stationary P0: vec(P) = (I - T (x) T)^-1 vec(RR)
+    try:
+        vecP = np.linalg.solve(np.eye(r * r) - np.kron(T, T), RR.reshape(-1))
+    except np.linalg.LinAlgError:
+        return -np.inf, np.nan
+    P = vecP.reshape(r, r)
+    P = 0.5 * (P + P.T)  # the kron solve is ill-conditioned near the
+    # unit circle and can return a visibly asymmetric P; the true
+    # stationary covariance is symmetric
+    if not np.all(np.isfinite(P)) or P[0, 0] <= 0:
+        return -np.inf, np.nan
+    a = np.zeros(r)
+    ss = 0.0  # sum nu^2 / F
+    logF = 0.0
+    k = max(p, q, 1)
+    nus: list[float] = []
+    steady_at = -1
+    conv_run = 0
+    for t in range(n):
+        nu = xc[t] - a[0]
+        nus.append(float(nu))
+        F = P[0, 0]
+        if F <= 0 or not np.isfinite(F):
+            return -np.inf, np.nan
+        K = (T @ P[:, 0]) / F
+        logF += np.log(F)
+        ss += nu * nu / F
+        a = T @ a + K * nu
+        Pn = T @ P @ T.T + RR - np.outer(K, K) * F
+        # steady only after THREE consecutive sub-tolerance steps: with
+        # oscillatory near-boundary roots |dP| dips transiently while P
+        # is still far from its fixpoint
+        if np.max(np.abs(Pn - P)) < 1e-12:
+            conv_run += 1
+        else:
+            conv_run = 0
+        P = Pn
+        if conv_run >= 3 and t + 1 >= k:
+            steady_at = t + 1
+            break
+    if 0 <= steady_at < n:
+        # Steady state: the filter has converged to the innovations
+        # representation of the (invertible) ARMA model, so the
+        # remaining innovations follow the ARMA recursion itself —
+        # pure-Python float math, ~10x cheaper than the matrix loop.
+        F_s = P[0, 0]
+        logF += (n - steady_at) * float(np.log(F_s))
+        xl = xc.tolist()
+        phl = [float(v) for v in phi]
+        thl = [float(v) for v in theta]
+        inv_F = 1.0 / F_s
+        for t in range(steady_at, n):
+            acc = xl[t]
+            for i, ph in enumerate(phl):
+                acc -= ph * xl[t - 1 - i]
+            for j, th in enumerate(thl):
+                acc -= th * nus[t - 1 - j]
+            nus.append(acc)
+            ss += acc * acc * inv_F
+    sigma2 = ss / n
+    if sigma2 <= 0 or not np.isfinite(sigma2):
+        return -np.inf, np.nan
+    ll = -0.5 * n * (np.log(2.0 * np.pi) + 1.0 + np.log(sigma2)) - 0.5 * logF
+    return float(ll), float(sigma2)
+
+
+def _kalman_loglik_r3(
+    xc: np.ndarray, phi: np.ndarray, theta: np.ndarray
+) -> tuple[float, float]:
+    """Scalar-unrolled Harvey filter for state dim <= 3 (zero-padded to
+    exactly 3 — the padded representation is the same ARMA model).  Same
+    math as ``_kalman_loglik_generic``, ~5x faster: the hot loop is pure
+    float arithmetic on the 6 unique entries of the symmetric P."""
+    from math import isfinite, log
+
+    p, q = len(phi), len(theta)
+    n = len(xc)
+    f1 = float(phi[0]) if p > 0 else 0.0
+    f2 = float(phi[1]) if p > 1 else 0.0
+    f3 = float(phi[2]) if p > 2 else 0.0
+    t1 = float(theta[0]) if q > 0 else 0.0
+    t2 = float(theta[1]) if q > 1 else 0.0
+    T = np.array([[f1, 1.0, 0.0], [f2, 0.0, 1.0], [f3, 0.0, 0.0]])
+    R = np.array([1.0, t1, t2])
+    RR = np.outer(R, R)
+    try:
+        vecP = np.linalg.solve(np.eye(9) - np.kron(T, T), RR.reshape(-1))
+    except np.linalg.LinAlgError:
+        return -np.inf, np.nan
+    P0 = vecP.reshape(3, 3)
+    P0 = 0.5 * (P0 + P0.T)  # symmetrize (see generic path)
+    if not np.all(np.isfinite(P0)) or P0[0, 0] <= 0:
+        return -np.inf, np.nan
+    p00, p01, p02 = float(P0[0, 0]), float(P0[0, 1]), float(P0[0, 2])
+    p11, p12, p22 = float(P0[1, 1]), float(P0[1, 2]), float(P0[2, 2])
+    r00, r01, r02 = 1.0, t1, t2
+    r11, r12, r22 = t1 * t1, t1 * t2, t2 * t2
+    a0 = a1 = a2 = 0.0
+    ss = 0.0
+    logF = 0.0
+    k = max(p, q, 1)
+    nus: list[float] = []
+    steady_at = -1
+    conv_run = 0
+    xl = [float(v) for v in xc]
+    for t in range(n):
+        nu = xl[t] - a0
+        nus.append(nu)
+        F = p00
+        if F <= 0 or not isfinite(F):
+            return -np.inf, np.nan
+        inv_F = 1.0 / F
+        # K = T P[:,0] / F
+        k0 = (f1 * p00 + p01) * inv_F
+        k1 = (f2 * p00 + p02) * inv_F
+        k2 = f3 * p00 * inv_F
+        logF += log(F)
+        ss += nu * nu * inv_F
+        # a' = T a + K nu
+        a0, a1, a2 = (
+            f1 * a0 + a1 + k0 * nu,
+            f2 * a0 + a2 + k1 * nu,
+            f3 * a0 + k2 * nu,
+        )
+        # TP rows
+        tp00 = f1 * p00 + p01
+        tp01 = f1 * p01 + p11
+        tp02 = f1 * p02 + p12
+        tp10 = f2 * p00 + p02
+        tp11 = f2 * p01 + p12
+        tp12 = f2 * p02 + p22
+        tp20 = f3 * p00
+        tp21 = f3 * p01
+        tp22_ = f3 * p02
+        # P' = TP T' + RR - F K K'
+        n00 = f1 * tp00 + tp01 + r00 - F * k0 * k0
+        n01 = f2 * tp00 + tp02 + r01 - F * k0 * k1
+        n02 = f3 * tp00 + r02 - F * k0 * k2
+        n11 = f2 * tp10 + tp12 + r11 - F * k1 * k1
+        n12 = f3 * tp10 + r12 - F * k1 * k2
+        n22 = f3 * tp20 + r22 - F * k2 * k2
+        d = max(
+            abs(n00 - p00),
+            abs(n01 - p01),
+            abs(n02 - p02),
+            abs(n11 - p11),
+            abs(n12 - p12),
+            abs(n22 - p22),
+        )
+        p00, p01, p02, p11, p12, p22 = n00, n01, n02, n11, n12, n22
+        conv_run = conv_run + 1 if d < 1e-12 else 0
+        if conv_run >= 3 and t + 1 >= k:
+            steady_at = t + 1
+            break
+    if 0 <= steady_at < n:
+        F_s = p00
+        logF += (n - steady_at) * log(F_s)
+        inv_F = 1.0 / F_s
+        phl = [float(v) for v in phi]
+        thl = [float(v) for v in theta]
+        for t in range(steady_at, n):
+            acc = xl[t]
+            for i, ph in enumerate(phl):
+                acc -= ph * xl[t - 1 - i]
+            for j, th in enumerate(thl):
+                acc -= th * nus[t - 1 - j]
+            nus.append(acc)
+            ss += acc * acc * inv_F
+    sigma2 = ss / n
+    if sigma2 <= 0 or not isfinite(sigma2):
+        return -np.inf, np.nan
+    ll = -0.5 * n * (log(2.0 * np.pi) + 1.0 + log(sigma2)) - 0.5 * logF
+    return float(ll), float(sigma2)
+
+
+def _bfgs_max(f, z0: np.ndarray, max_iter: int = 40, tol: float = 1e-8):
+    """Tiny BFGS maximizer with forward-difference gradients and Armijo
+    backtracking — scipy is absent from the container."""
+    m = len(z0)
+    z = z0.copy()
+    fz = f(z)
+    if not np.isfinite(fz):
+        return z0, f(z0)
+    H = np.eye(m)  # inverse-Hessian approx
+    eps = 1e-6
+
+    def grad(z, fz):
+        g = np.zeros(m)
+        for i in range(m):
+            zp = z.copy()
+            zp[i] += eps
+            g[i] = (f(zp) - fz) / eps
+        return g
+
+    g = grad(z, fz)
+    for _ in range(max_iter):
+        d = H @ g
+        if not np.all(np.isfinite(d)):
+            break
+        step = 1.0
+        gd = g @ d
+        if gd <= 0:  # not an ascent direction: reset
+            H = np.eye(m)
+            d = g
+            gd = g @ g
+        improved = False
+        for _ls in range(20):
+            z2 = z + step * d
+            f2 = f(z2)
+            if np.isfinite(f2) and f2 > fz + 1e-4 * step * gd:
+                improved = True
+                break
+            step *= 0.5
+        if not improved:
+            break
+        g2 = grad(z2, f2)
+        s = z2 - z
+        yk = g2 - g
+        sy = s @ yk
+        if sy < -1e-12:  # curvature ok for maximization (s'y < 0)
+            # standard BFGS on -f with y_min = -yk, rho_min = -1/s'y:
+            # the projection factors keep rho = 1/s'y, the rank-one term
+            # flips sign
+            rho = 1.0 / sy
+            I = np.eye(m)
+            H = (I - rho * np.outer(s, yk)) @ H @ (
+                I - rho * np.outer(yk, s)
+            ) - rho * np.outer(s, s)
+        gain = f2 - fz
+        z, fz, g = z2, f2, g2
+        if np.linalg.norm(s) < tol or gain < 1e-8 * (1.0 + abs(fz)):
+            break
+    return z, fz
+
+
+def _mle_refine(
+    xc: np.ndarray, phi: np.ndarray, theta: np.ndarray, max_iter: int = 40
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Exact-MLE polish from a (CSS) start.  Returns
+    (phi, theta, sigma2); falls back to the start if BFGS cannot improve
+    its likelihood."""
+    p, q = len(phi), len(theta)
+    if p + q == 0:
+        return phi, theta, float(xc @ xc) / max(len(xc), 1)
+    z0 = _unconstrain(phi, theta)
+
+    def f(z):
+        cp, ct = _constrain(z, p, q)
+        return _kalman_loglik(xc, cp, ct)[0]
+
+    ll_start = f(z0)
+    z, ll = _bfgs_max(f, z0, max_iter=max_iter)
+    if not np.isfinite(ll) or ll < ll_start:
+        z, ll = z0, ll_start
+    cp, ct = _constrain(z, p, q)
+    sigma2 = _kalman_loglik(xc, cp, ct)[1]
+    # the constrained start may sit just inside the boundary after the
+    # shrink; if even that is non-finite, return the raw inputs
+    if not np.isfinite(sigma2):
+        k = max(p, q)
+        e = _innovations(xc, phi, theta)[k:]
+        return phi, theta, float(e @ e) / max(len(e) - p - q, 1)
+    return cp, ct, float(sigma2)
+
+
 def _psi_weights(phi: np.ndarray, theta: np.ndarray, steps: int) -> np.ndarray:
     """MA(inf) psi weights for forecast variance accumulation."""
     p, q = len(phi), len(theta)
@@ -171,9 +539,20 @@ def _innovations(xc: np.ndarray, phi: np.ndarray, theta: np.ndarray) -> np.ndarr
 
 
 def _arima_forecast_one(
-    y: np.ndarray, p: int, d: int, q: int, steps: int, css: bool = True
+    y: np.ndarray,
+    p: int,
+    d: int,
+    q: int,
+    steps: int,
+    css: bool = True,
+    method: str = "mle",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Returns (forecast, se) on the ORIGINAL scale."""
+    """Returns (forecast, se) on the ORIGINAL scale.
+
+    ``method="mle"`` (default): HR start -> Gauss-Newton CSS -> exact
+    Kalman-likelihood BFGS polish — the statsmodels estimator chain the
+    reference wraps.  ``method="css"`` stops after Gauss-Newton (cheaper;
+    indistinguishable away from the unit circle)."""
     x = y.copy()
     heads = []
     for _ in range(d):
@@ -183,10 +562,18 @@ def _arima_forecast_one(
     xc = x - mu
     if css and p + q:
         phi, theta = _css_refine(xc, phi, theta)
+        if method == "mle":
+            # fan-out path: capped BFGS budget — the CSS start is close,
+            # so 15 iterations converge in practice; the uncapped default
+            # stays available for direct calls (divergence test)
+            phi, theta, sigma2_mle = _mle_refine(xc, phi, theta, max_iter=15)
+            if np.isfinite(sigma2_mle):
+                sigma2 = sigma2_mle
         e = _innovations(xc, phi, theta)
         k = max(p, q)
         resid = e[k:]
-        sigma2 = float(resid @ resid / max(len(resid) - p - q, 1))
+        if method != "mle":
+            sigma2 = float(resid @ resid / max(len(resid) - p - q, 1))
     n = len(xc)
     hist = list(xc)
     errs = list(e)
@@ -220,6 +607,7 @@ def arima_forecast(
     freq_seconds: int,
     order: tuple[int, int, int] = (2, 1, 1),
     s: TSSchema = DEFAULT,
+    method: str = "mle",
 ) -> DataFrame:
     """(series_id, time, fcst, fcst_lower, fcst_upper)."""
     p, d, q = order
@@ -236,7 +624,7 @@ def arima_forecast(
             return pd.DataFrame(
                 columns=[s.series_id, s.time, "fcst", "fcst_lower", "fcst_upper"]
             )
-        fc, se = _arima_forecast_one(y, p, d, q, steps)
+        fc, se = _arima_forecast_one(y, p, d, q, steps, method=method)
         h = np.arange(1, steps + 1)
         times = pd.Timestamp(pdf[s.time].iloc[-1]) + pd.to_timedelta(
             h * freq_seconds, unit="s"
@@ -337,3 +725,58 @@ def _css_refine_lagset(
         if not improved:
             break
     return params[:p], params[p:]
+
+
+def _mle_refine_lagset(
+    xc: np.ndarray,
+    phi: np.ndarray,
+    theta: np.ndarray,
+    ar_lags: list[int],
+    ma_lags: list[int],
+    max_iter: int = 15,
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Exact-MLE polish for SPARSE lag sets (the SARIMA additive
+    parameterization): BFGS directly over the sparse coefficients, the
+    likelihood evaluated by the same Kalman filter on the DENSE
+    polynomial.  Candidates outside the stationary/invertible region
+    score -inf (the Armijo search shrinks past them).  Returns
+    (phi, theta, sigma2) — the CSS start if no step improves it."""
+    p, q = len(phi), len(theta)
+    if p + q == 0:
+        return phi, theta, float(xc @ xc) / max(len(xc), 1)
+
+    def dense(coefs, lags):
+        out = np.zeros(max(lags, default=0))
+        for c, l in zip(coefs, lags):
+            out[l - 1] = c
+        return out
+
+    def f(c):
+        dp, dt = dense(c[:p], ar_lags), dense(c[p:], ma_lags)
+        if len(dp) and np.any(np.abs(np.roots(np.r_[1.0, -dp])) >= 1.0):
+            return -np.inf
+        if len(dt) and np.any(np.abs(np.roots(np.r_[1.0, dt])) >= 1.0):
+            return -np.inf
+        return _kalman_loglik(xc, dp, dt)[0]
+
+    z0 = np.concatenate([phi, theta])
+    ll0 = f(z0)
+    if not np.isfinite(ll0):
+        # CSS start outside the strict region (its guard allows 1.02):
+        # shrink toward zero until valid
+        for shrink in (0.98, 0.95, 0.9, 0.8):
+            if np.isfinite(f(z0 * shrink)):
+                z0 = z0 * shrink
+                ll0 = f(z0)
+                break
+        else:
+            e = _innovations(xc, dense(phi, ar_lags), dense(theta, ma_lags))
+            k = max(ar_lags + ma_lags, default=0)
+            et = e[k:]
+            return phi, theta, float(et @ et) / max(len(et) - p - q, 1)
+    z, ll = _bfgs_max(f, z0, max_iter=max_iter)
+    if not np.isfinite(ll) or ll < ll0:
+        z = z0
+    cp, ct = z[:p], z[p:]
+    sigma2 = _kalman_loglik(xc, dense(cp, ar_lags), dense(ct, ma_lags))[1]
+    return cp, ct, float(sigma2)

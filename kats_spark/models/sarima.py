@@ -124,17 +124,34 @@ def _sarima_forecast_one(
     ma_lags = sorted(set(range(1, q + 1)) | {m * j for j in range(1, Q + 1)})
     phi, theta, mu, e, sigma2 = _fit_lagset(x, ar_lags, ma_lags)
     # CSS Gauss-Newton refinement over the same lag-set parameterization
-    # (mirrors models/arima.py; the HR start is kept if no step helps)
-    from kats_spark.models.arima import _css_refine_lagset, _css_residuals_lagset
+    # (mirrors models/arima.py; the HR start is kept if no step helps),
+    # then an exact Kalman-MLE polish when the state dimension keeps the
+    # filter cheap (dense state dim = max lag + 1; a weekly/monthly
+    # season fits, an hourly m=24 season stays on CSS — the budget is
+    # per-series CPU, not correctness)
+    from kats_spark.models.arima import (
+        _css_refine_lagset,
+        _css_residuals_lagset,
+        _mle_refine_lagset,
+    )
 
     if len(phi) + len(theta):
         xc0 = x - mu
         phi, theta = _css_refine_lagset(xc0, phi, theta, ar_lags, ma_lags)
-        e_tail, _ = _css_residuals_lagset(xc0, phi, theta, ar_lags, ma_lags)
         k0 = max(ar_lags + ma_lags, default=0)
+        mle_sigma2 = np.nan
+        if k0 + 1 <= 16 and len(xc0) <= 2500:
+            phi, theta, mle_sigma2 = _mle_refine_lagset(
+                xc0, phi, theta, ar_lags, ma_lags
+            )
+        e_tail, _ = _css_residuals_lagset(xc0, phi, theta, ar_lags, ma_lags)
         e = np.concatenate([np.zeros(k0), e_tail])
-        sigma2 = float(
-            e_tail @ e_tail / max(len(e_tail) - len(phi) - len(theta), 1)
+        sigma2 = (
+            float(mle_sigma2)
+            if np.isfinite(mle_sigma2)
+            else float(
+                e_tail @ e_tail / max(len(e_tail) - len(phi) - len(theta), 1)
+            )
         )
     # ---- recursive mean forecast on the differenced scale
     xc = list(x - mu)

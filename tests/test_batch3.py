@@ -1076,3 +1076,166 @@ def test_unigram_logppl_zipf_head_2m_tokens(spark):
     p_tail = (1 + 1.0) / (total + vocab)
     expect = -(3 * np.log(p_head) + np.log(p_tail)) / 4.0
     assert abs(agg.lo - expect) < 1e-9 and abs(agg.hi - expect) < 1e-9
+
+
+def _sim_arma11(n, phi, theta, seed, burn=300):
+    rng = np.random.default_rng(seed)
+    e = rng.normal(0, 1, n + burn)
+    x = np.zeros(n + burn)
+    for t in range(1, n + burn):
+        x[t] = phi * x[t - 1] + e[t] + theta * e[t - 1]
+    return x[burn:]
+
+
+def test_kalman_loglik_matches_closed_form_ar1():
+    """The Kalman innovations likelihood must equal the closed-form exact
+    Gaussian AR(1) likelihood (x_1 ~ N(0, s2/(1-phi^2)), concentrated
+    s2) to machine precision."""
+    from kats_spark.models.arima import _kalman_loglik
+
+    x = _sim_arma11(300, 0.8, 0.0, seed=5)
+    xc = x - x.mean()
+    phi = 0.73
+    n = len(xc)
+    # closed form, concentrated: F_1 = 1/(1-phi^2), F_t = 1
+    nu = np.concatenate([[xc[0]], xc[1:] - phi * xc[:-1]])
+    F = np.concatenate([[1.0 / (1 - phi**2)], np.ones(n - 1)])
+    s2 = float(np.mean(nu**2 / F))
+    ll_exact = -0.5 * n * (np.log(2 * np.pi) + 1 + np.log(s2)) - 0.5 * np.sum(
+        np.log(F)
+    )
+    ll, s2k = _kalman_loglik(xc, np.array([phi]), np.zeros(0))
+    assert abs(ll - ll_exact) < 1e-8
+    assert abs(s2k - s2) < 1e-12
+
+
+def test_kalman_loglik_matches_mvn_ma1():
+    """MA(1) anchor: the innovations likelihood equals the direct
+    multivariate-normal evaluation on the Toeplitz covariance."""
+    from kats_spark.models.arima import _kalman_loglik
+
+    theta = -0.6
+    x = _sim_arma11(60, 0.0, theta, seed=9)
+    xc = x - x.mean()
+    n = len(xc)
+    cov = np.zeros((n, n))
+    np.fill_diagonal(cov, 1 + theta**2)
+    idx = np.arange(n - 1)
+    cov[idx, idx + 1] = theta
+    cov[idx + 1, idx] = theta
+    sign, logdet = np.linalg.slogdet(cov)
+    quad = float(xc @ np.linalg.solve(cov, xc))
+    s2 = quad / n  # concentrated scale
+    ll_exact = -0.5 * n * (np.log(2 * np.pi) + 1 + np.log(s2)) - 0.5 * logdet
+    ll, s2k = _kalman_loglik(xc, np.zeros(0), np.array([theta]))
+    assert sign > 0
+    assert abs(ll - ll_exact) < 1e-6
+    assert abs(s2k - s2) < 1e-9
+
+
+def test_pacf_transform_roundtrip():
+    """Monahan parameterization: unconstrain -> constrain is the identity
+    on stationary/invertible coefficients, including near the boundary."""
+    from kats_spark.models.arima import _constrain, _unconstrain
+
+    for phi, theta in [([0.95], [0.8]), ([0.5, 0.3], [-0.4]), ([0.98], [-0.9])]:
+        z = _unconstrain(np.array(phi, float), np.array(theta, float))
+        cp, ct = _constrain(z, len(phi), len(theta))
+        assert np.allclose(cp, phi, atol=1e-10)
+        assert np.allclose(ct, theta, atol=1e-10)
+
+
+def test_arima_mle_recovers_where_css_diverges():
+    """VERDICT r02 item #2 'done' criterion: a seeded near-unit-root /
+    strong-MA ARMA(1,1) where CSS measurably diverges (rel err 18% on
+    this draw) while the exact Kalman MLE recovers both parameters
+    within rtol 0.01 of the truth — and the MLE never scores below the
+    CSS point on its own likelihood."""
+    from kats_spark.models.arima import (
+        _css_refine,
+        _hannan_rissanen,
+        _kalman_loglik,
+        _mle_refine,
+    )
+
+    phi_t, th_t = 0.9, -0.95
+    x = _sim_arma11(1000, phi_t, th_t, seed=12)
+    xc = x - x.mean()
+    p0, t0, _, _, _ = _hannan_rissanen(x, 1, 1)
+    pc, tc = _css_refine(xc, p0, t0)
+    pm, tm, s2 = _mle_refine(xc, pc, tc)
+    css_err = max(abs(pc[0] - phi_t) / abs(phi_t), abs(tc[0] - th_t) / abs(th_t))
+    mle_err = max(abs(pm[0] - phi_t) / abs(phi_t), abs(tm[0] - th_t) / abs(th_t))
+    assert css_err > 0.05  # CSS genuinely diverges on this draw
+    assert mle_err < 0.01  # exact MLE recovers the truth
+    assert s2 > 0
+    assert (
+        _kalman_loglik(xc, pm, tm)[0] >= _kalman_loglik(xc, pc, tc)[0] - 1e-9
+    )
+
+
+def test_sarima_lagset_mle_improves_likelihood():
+    """The sparse-lag-set MLE polish never scores below its CSS start on
+    the exact likelihood, and stays stationary/invertible."""
+    from kats_spark.models.arima import (
+        _css_refine_lagset,
+        _kalman_loglik,
+        _mle_refine_lagset,
+    )
+    from kats_spark.models.sarima import _fit_lagset
+
+    rng = np.random.default_rng(4)
+    n, m = 400, 7
+    e = rng.normal(0, 1, n + 100)
+    x = np.zeros(n + 100)
+    for t in range(m, n + 100):
+        x[t] = 0.5 * x[t - 1] + 0.3 * x[t - m] + e[t] - 0.4 * e[t - 1]
+    x = x[100:]
+    ar_lags, ma_lags = [1, m], [1]
+    phi, theta, mu, _, _ = _fit_lagset(x, ar_lags, ma_lags)
+    xc = x - mu
+    pc, tc = _css_refine_lagset(xc, phi, theta, ar_lags, ma_lags)
+
+    def dense(c, lags):
+        out = np.zeros(max(lags))
+        for v, l in zip(c, lags):
+            out[l - 1] = v
+        return out
+
+    pm, tm, s2 = _mle_refine_lagset(xc, pc, tc, ar_lags, ma_lags)
+    ll_css = _kalman_loglik(xc, dense(pc, ar_lags), dense(tc, ma_lags))[0]
+    ll_mle = _kalman_loglik(xc, dense(pm, ar_lags), dense(tm, ma_lags))[0]
+    assert ll_mle >= ll_css - 1e-9
+    assert s2 > 0
+    assert np.all(np.abs(np.roots(np.r_[1.0, -dense(pm, ar_lags)])) < 1.0)
+    # true parameters in the neighborhood
+    assert abs(pm[0] - 0.5) < 0.15 and abs(pm[1] - 0.3) < 0.15
+
+
+def test_kalman_scalar_fast_path_matches_generic():
+    """The scalar-unrolled r<=3 filter must agree with the generic
+    ndarray filter to ~1e-9 relative across random stationary/invertible
+    draws, including near-boundary oscillatory roots."""
+    from kats_spark.models.arima import (
+        _constrain,
+        _kalman_loglik_generic,
+        _kalman_loglik_r3,
+    )
+
+    rng = np.random.default_rng(1)
+    x = np.cumsum(rng.normal(0, 1, 700))
+    xc = np.diff(x)
+    xc = xc - xc.mean()
+    checked = 0
+    for _ in range(120):
+        p = int(rng.integers(0, 4))
+        q = int(rng.integers(0, 3))
+        if p + q == 0:
+            continue
+        phi, theta = _constrain(rng.normal(0, 1.2, p + q), p, q)
+        ll_a, s2_a = _kalman_loglik_r3(xc, phi, theta)
+        ll_b, s2_b = _kalman_loglik_generic(xc, phi, theta)
+        assert abs(ll_a - ll_b) < 1e-8 * max(1.0, abs(ll_b))
+        assert abs(s2_a - s2_b) < 1e-8 * max(1.0, abs(s2_b))
+        checked += 1
+    assert checked > 80

@@ -5,13 +5,16 @@ extension: media travels as an opaque ``binary`` column plus a typed
 metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched ``mapInPandas`` stages.
 
-The media libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernel is STUBBED — ``decode_features`` computes deterministic
-byte-level pseudo-features (documented fake) unless a real decoder is
-injected, and ``decode_real`` raises NotImplementedError naming the
-missing dependency.  Everything Spark-side — schema, batching, partition
-sizing, UDF signatures — is real and tested; swapping the kernel for a
-PIL/ffmpeg implementation changes no plan shape.
+The codec libraries (PIL/ffmpeg/torchaudio) are NOT in this container.
+The UNCOMPRESSED formats decode for real in pure numpy — BMP (24-bit
+BI_RGB), PPM (P6), WAV (PCM 8/16-bit) — via ``decode_image_bytes`` /
+``decode_audio_bytes``, powering ``decode_real`` (typed pixel/sample
+stats) and ``resize_real`` (nearest-neighbor + P6 re-encode).
+Compressed formats (JPEG/PNG/MP4) surface as kind='unsupported' — no
+silent fakes.  ``decode_features`` remains the documented deterministic
+byte-level stand-in for embedding kernels.  Everything Spark-side —
+schema, batching, partition sizing, UDF signatures — is identical
+between the real and stand-in kernels.
 
 Scale notes: binary payloads make wide rows — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a batch of rows
@@ -84,11 +87,208 @@ def decode_features(
     )
 
 
-def decode_real(*_args, **_kwargs):
-    """Real decode path — requires PIL/ffmpeg, absent in this container."""
-    raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg which are not installed; "
-        "inject a kernel into decode_features instead"
+def decode_image_bytes(payload: bytes) -> np.ndarray:
+    """REAL pure-numpy image decode for the uncompressed formats:
+
+    - BMP, 24-bit BI_RGB (bottom-up or top-down, 4-byte row padding,
+      BGR byte order) — the Windows bitmap everyone can write;
+    - PPM P6 binary (header whitespace/comments per the netpbm spec,
+      maxval <= 255).
+
+    Returns an (H, W, 3) uint8 RGB array.  Compressed formats (JPEG/
+    PNG) genuinely need codec libraries and raise ValueError naming
+    that."""
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        off = int.from_bytes(payload[10:14], "little")
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        if hdr_size < 40:
+            raise ValueError(f"unsupported BMP header size {hdr_size}")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        need = off + stride * h
+        if len(payload) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+        img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            img = img[::-1]
+        return img[:, :, ::-1].copy()  # BGR -> RGB
+    if payload[:2] == b"P6":
+        # header: magic, width, height, maxval separated by whitespace;
+        # '#' starts a comment running to end of line
+        pos = 2
+        vals: list[int] = []
+        n = len(payload)
+        while len(vals) < 3:
+            while pos < n and payload[pos : pos + 1].isspace():
+                pos += 1
+            if pos < n and payload[pos : pos + 1] == b"#":
+                while pos < n and payload[pos : pos + 1] not in (b"\n", b"\r"):
+                    pos += 1
+                continue
+            start = pos
+            while pos < n and not payload[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                raise ValueError("truncated PPM header")
+            vals.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = vals
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        need = w * h * 3
+        if n - pos < need:
+            raise ValueError("truncated PPM pixel data")
+        return (
+            np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    raise ValueError(
+        "unsupported image format (JPEG/PNG need codec libraries; "
+        "BMP 24-bit and PPM P6 decode here)"
+    )
+
+
+def decode_audio_bytes(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL pure-numpy WAV (RIFF) decode: PCM 8-bit unsigned or 16-bit
+    signed, any channel count.  Walks the chunk list (fmt / data may be
+    preceded by LIST etc.).  Returns (samples (n, channels) int32,
+    sample_rate, channels)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"only PCM 8/16-bit supported (fmt={audio_fmt}, bits={bits})")
+    if bits == 8:
+        raw = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+    else:
+        usable = len(data) - (len(data) % 2)
+        raw = np.frombuffer(data[:usable], dtype="<i2").astype(np.int32)
+    frames = len(raw) // max(channels, 1)
+    return raw[: frames * channels].reshape(frames, channels), rate, channels
+
+
+DECODE_REAL_SCHEMA = (
+    "media_id bigint, kind string, width int, height int, channels int, "
+    "sample_rate int, n_values bigint, v_mean double, v_std double, "
+    "v_min double, v_max double"
+)
+
+
+def decode_real(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL decode -> typed stats, one row per media item.
+
+    Dispatches on magic bytes: BMP / PPM -> pixel stats (uint8 RGB),
+    RIFF/WAVE -> sample stats (PCM).  Formats that require codec
+    libraries absent from this container (JPEG/PNG/MP4) come back as
+    kind='unsupported' with null stats — no silent fakes.  v_std is the
+    population standard deviation (ddof=0)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                try:
+                    if raw[:4] == b"RIFF":
+                        samples, rate, ch = decode_audio_bytes(raw)
+                        v = samples.astype(np.float64).ravel()
+                        rows.append(
+                            (mid, "audio", None, None, ch, rate, len(v),
+                             float(v.mean()), float(v.std()),
+                             float(v.min()), float(v.max()))
+                        )
+                    else:
+                        img = decode_image_bytes(raw)
+                        v = img.astype(np.float64).ravel()
+                        rows.append(
+                            (mid, "image", img.shape[1], img.shape[0], 3,
+                             None, len(v), float(v.mean()), float(v.std()),
+                             float(v.min()), float(v.max()))
+                        )
+                except ValueError:
+                    rows.append(
+                        (mid, "unsupported", None, None, None, None, None,
+                         None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "kind", "width", "height", "channels",
+                         "sample_rate", "n_values", "v_mean", "v_std",
+                         "v_min", "v_max"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=DECODE_REAL_SCHEMA.replace("media_id", id_col)
+    )
+
+
+def resize_real(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL image resize: decode (BMP/PPM), nearest-neighbor resample in
+    numpy, re-encode as PPM P6.  Same mapInPandas contract as the stub
+    ``resize``; undecodable payloads yield a null column."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P6\n{width} {height}\n255\n".encode()
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                try:
+                    img = decode_image_bytes(bytes(payload))
+                except ValueError:
+                    out.append(None)
+                    continue
+                h0, w0 = img.shape[:2]
+                yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                res = img[yi][:, xi]
+                out.append(header + res.tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=f"{id_col} bigint, resized binary, width int, height int"
     )
 
 

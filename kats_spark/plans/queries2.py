@@ -2369,6 +2369,90 @@ FROM d
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode with a full oracle: deterministic PPM (8x8 RGB)
+    and WAV (PCM 8-bit mono, 8 kHz) payloads are built from each
+    document's ASCII text, decoded by the pure-numpy kernels
+    (multimodal.decode_image_bytes / decode_audio_bytes — actual header
+    parsing, row layout, chunk walking), and the pixel/sample statistics
+    are replayed by DuckDB from the same ASCII codes."""
+    from kats_spark.operators import multimodal
+
+    # fixed-size payloads -> constant headers (sizes baked in)
+    ppm_header = b"P6\n8 8\n255\n"
+    wav_header = (
+        b"RIFF" + (36 + 256).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")      # PCM
+        + (1).to_bytes(2, "little")      # mono
+        + (8000).to_bytes(4, "little")   # sample rate
+        + (8000).to_bytes(4, "little")   # byte rate
+        + (1).to_bytes(2, "little")      # block align
+        + (8).to_bytes(2, "little")      # 8-bit
+        + b"data" + (256).to_bytes(4, "little")
+    )
+    clean = F.regexp_replace(F.col("text"), "[^ -~]", ".")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.rpad(F.substring(clean, 1, 192), 192, "x").alias("s192"),
+        F.rpad(F.substring(clean, 1, 256), 256, "x").alias("s256"),
+    )
+    media = docs.select(
+        (F.col("doc_id") * 2).alias("media_id"),
+        F.concat(F.lit(ppm_header), F.encode("s192", "UTF-8")).alias("payload"),
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("media_id"),
+            F.concat(F.lit(wav_header), F.encode("s256", "UTF-8")).alias("payload"),
+        )
+    )
+    out = multimodal.decode_real(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "n_values",
+        _rnd(F.col("v_mean")).alias("v_mean"),
+        _rnd(F.col("v_std")).alias("v_std"),
+        "v_min",
+        "v_max",
+    )
+
+
+_Q_MULTIMODAL_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 192), 192, 'x') AS s192,
+         rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 256), 256, 'x') AS s256
+  FROM documents
+), img AS (
+  SELECT doc_id * 2 AS media_id, 'image' AS kind,
+         8 AS width, 8 AS height, 3 AS channels, NULL::INTEGER AS sample_rate,
+         192::BIGINT AS n_values,
+         round(avg(code) + 1e-9, 6) AS v_mean,
+         round(stddev_pop(code) + 1e-9, 6) AS v_std,
+         min(code)::DOUBLE AS v_min, max(code)::DOUBLE AS v_max
+  FROM (SELECT doc_id, ascii(substring(s192, t.i, 1)) AS code
+        FROM b, range(1, 193) AS t(i))
+  GROUP BY doc_id
+), aud AS (
+  SELECT doc_id * 2 + 1 AS media_id, 'audio' AS kind,
+         NULL::INTEGER AS width, NULL::INTEGER AS height, 1 AS channels,
+         8000 AS sample_rate, 256::BIGINT AS n_values,
+         round(avg(code) + 1e-9, 6) AS v_mean,
+         round(stddev_pop(code) + 1e-9, 6) AS v_std,
+         min(code)::DOUBLE AS v_min, max(code)::DOUBLE AS v_max
+  FROM (SELECT doc_id, ascii(substring(s256, t.i, 1)) AS code
+        FROM b, range(1, 257) AS t(i))
+  GROUP BY doc_id
+)
+SELECT * FROM img UNION ALL SELECT * FROM aud
+"""
+
+
 # --------------------------------------------------------------------------
 # metalearners — full oracles (closed-form candidate backtests)
 # --------------------------------------------------------------------------
@@ -3082,6 +3166,7 @@ QUERIES = {
     "harmonic_forecast": q_harmonic_forecast,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "multimodal_decode": q_multimodal_decode,
     "stlf_forecast": q_stlf_forecast,
     "prophet_forecast": q_prophet_forecast,
     "global_dms": q_global_dms,
@@ -3150,6 +3235,7 @@ ORACLES = {
     "rsi": _Q_RSI_SQL,
     "trix_tsi": _Q_TRIX_TSI_SQL,
     "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
+    "multimodal_decode": _Q_MULTIMODAL_DECODE_SQL,
     "kernel_stats": _Q_KERNEL_STATS_SQL,
     "var_forecast": _VAR_ORACLE.forecast_sql(_HOURLY_SQL, p=2, k=5, steps=24,
                                              freq_seconds=3600, dk_fmt=_DK_FMT),

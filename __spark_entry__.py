@@ -68,6 +68,7 @@ _PRIORITY = [
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth
+    "global_rnn",
     "ses_forecast", "quadratic_forecast", "simple_heuristic",
     "ar2_forecast", "median_ensemble", "ensemble_pi", "backtest_fixed",
     "hpt_recommend", "predictability", "reconcile_struc",

@@ -1868,6 +1868,27 @@ def q_global_dms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst"))
 
 
+def q_global_rnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global RNN-lite (kats/models/globalmodel/model.py:35 shape in pure
+    numpy): one GRU trained on a bounded hash-ranked window sample from
+    ALL series, broadcast weights, per-series distributed inference.
+    Iterative nonlinear fit -> rows-only (no SQL oracle); gradient and
+    beats-linear-global tests in tests/test_global_rnn.py."""
+    from kats_spark.models.global_rnn import global_rnn_forecast
+
+    out = global_rnn_forecast(
+        hourly_series(spark, sf_dir),
+        steps=12,
+        freq_seconds=3600,
+        window=16,
+        hidden=8,
+        epochs=90,
+        sample_windows=768,
+        seed=7,
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
 def _global_dms_sql(p: int = 4, H: int = 12, freq_seconds: int = 3600) -> str:
     m = p + 1
     ac = m + H
@@ -3170,6 +3191,7 @@ QUERIES = {
     "stlf_forecast": q_stlf_forecast,
     "prophet_forecast": q_prophet_forecast,
     "global_dms": q_global_dms,
+    "global_rnn": q_global_rnn,
     "backtest_arima": q_backtest_arima,
     "prophet_detect": q_prophet_detect,
     "outlier_detect_stl": q_outlier_detect_stl,

@@ -196,7 +196,7 @@ def model_backtest(
         "mae double, rmse double, mape double"
     )
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sid, fold = key
         pdf = pdf.sort_values("__rn")
         n_all = int(pdf["__n"].iloc[0])

@@ -307,3 +307,192 @@ def winnow_fingerprints(
         ((h_sel + 1) * C - F.col("__mk")).alias("fp_pos"),
         h_sel.alias("fp_hash"),
     ).distinct()
+
+
+# ---- char-ngram language ID (Cavnar & Trenkle 1994 profile method) ------
+#
+# Trigram frequency profiles per language, built deterministically at
+# import from small embedded seed sentences (common everyday text, public
+# knowledge).  A document scores against each profile by the dot product
+# of its trigram occurrences with the profile's L2-normalized weights —
+# the doc-norm divisor is language-independent, so argmax over dot
+# products IS the profile-cosine argmax.  Unlike the stopword heuristic
+# this sees morphology (suffixes, diacritics, character inventory), so it
+# holds up on sentences with few function words.
+
+_LANG_SEED = {
+    "de": "der schnelle braune fuchs springt über den faulen hund dies ist "
+          "ein test des systems zur spracherkennung die kinder gehen am "
+          "morgen in die schule und lernen lesen und schreiben ich möchte "
+          "heute nicht arbeiten gutes wetter für einen spaziergang "
+          "die verwaltung veröffentlicht eine wichtige mitteilung über verschiedene entwicklungen während des vergangenen jahres",
+    "en": "the quick brown fox jumps over the lazy dog this is a test of "
+          "the language identification system children walk to school in "
+          "the morning and learn to read and write i would like to travel "
+          "tomorrow good weather for walking in the park "
+          "the administration published an important announcement about several developments during the previous year",
+    "es": "el rápido zorro marrón salta sobre el perro perezoso esta es una "
+          "prueba del sistema de identificación de idiomas los niños van a "
+          "la escuela por la mañana y aprenden a leer y escribir me "
+          "gustaría viajar mañana buen tiempo para caminar "
+          "la administración publicó un anuncio importante sobre varios desarrollos durante el año anterior",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux ceci "
+          "est un test du système d'identification des langues les enfants "
+          "vont à l'école le matin et apprennent à lire et à écrire je "
+          "voudrais voyager demain beau temps pour marcher "
+          "l'administration a publié une annonce importante concernant plusieurs développements au cours de l'année précédente",
+    "id": "rubah coklat cepat melompat melewati anjing pemalas ini adalah "
+          "tes dari sistem identifikasi bahasa anak anak pergi ke sekolah "
+          "pada pagi hari dan belajar membaca dan menulis saya ingin "
+          "bepergian besok cuaca bagus untuk berjalan kaki "
+          "pemerintah menerbitkan pengumuman penting tentang berbagai perkembangan selama tahun sebelumnya",
+    "it": "la rapida volpe marrone salta sopra il cane pigro questo è un "
+          "test del sistema di identificazione delle lingue i bambini "
+          "vanno a scuola la mattina e imparano a leggere e scrivere "
+          "vorrei viaggiare domani bel tempo per camminare "
+          "l'amministrazione ha pubblicato un annuncio importante riguardante diversi sviluppi durante l'anno precedente",
+    "nl": "de snelle bruine vos springt over de luie hond dit is een test "
+          "van het systeem voor taalherkenning de kinderen gaan in de "
+          "ochtend naar school en leren lezen en schrijven ik wil morgen "
+          "graag reizen mooi weer om te wandelen "
+          "het bestuur publiceerde een belangrijke aankondiging over verschillende ontwikkelingen gedurende het afgelopen jaar",
+    "pt": "a rápida raposa marrom pula sobre o cão preguiçoso este é um "
+          "teste do sistema de identificação de idiomas as crianças vão à "
+          "escola de manhã e aprendem a ler e escrever eu gostaria de "
+          "viajar amanhã bom tempo para caminhar "
+          "a administração publicou um anúncio importante sobre vários desenvolvimentos durante o ano anterior",
+    "ru": "быстрая коричневая лиса прыгает через ленивую собаку это "
+          "проверка системы определения языка дети идут в школу утром и "
+          "учатся читать и писать я хотел бы путешествовать завтра "
+          "хорошая погода для прогулки "
+          "администрация опубликовала важное объявление о различных событиях в течение прошедшего года",
+    "tr": "hızlı kahverengi tilki tembel köpeğin üzerinden atlar bu dil "
+          "tanıma sisteminin bir testidir çocuklar sabah okula gider ve "
+          "okumayı ve yazmayı öğrenir yarın seyahat etmek istiyorum "
+          "yürüyüş için güzel hava "
+          "yönetim geçtiğimiz yıl boyunca çeşitli gelişmeler hakkında önemli bir duyuru yayınladı",
+}
+
+_NGRAM_TOP_K = 64
+
+
+def _char_trigrams(s: str) -> list[str]:
+    """Normalize (lower, non-letters -> single space, space-padded) and
+    emit all char trigrams — the SAME construction the Spark and DuckDB
+    document sides replay."""
+    cleaned = "".join(ch if ch.isalpha() else " " for ch in s.lower())
+    cleaned = " " + " ".join(cleaned.split()) + " "
+    return [cleaned[i : i + 3] for i in range(len(cleaned) - 2)]
+
+
+def char_ngram_profiles() -> dict[str, list[tuple[str, float]]]:
+    """lang -> [(trigram, weight)]: top-K trigrams of the seed corpus
+    weighted by count * ln(10 / df) (df = number of language profiles
+    containing the trigram), L2-normalized.  The IDF factor zeroes
+    trigrams shared by all languages (" de", "en ") and emphasizes the
+    distinctive morphology ("sch", "ij ", "ção", cyrillic patterns) —
+    without it the Germanic/Romance neighbors cross-talk.  Deterministic
+    (sorted ties)."""
+    import math
+    from collections import Counter
+
+    counts = {lang: Counter(_char_trigrams(s)) for lang, s in _LANG_SEED.items()}
+    df = Counter()
+    for c in counts.values():
+        for g in c:
+            df[g] += 1
+    n_langs = len(counts)
+    out = {}
+    for lang, c in counts.items():
+        w = {
+            g: n * math.log(n_langs / df[g])
+            for g, n in c.items()
+            if df[g] < n_langs
+        }
+        top = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:_NGRAM_TOP_K]
+        norm = sum(v * v for _, v in top) ** 0.5
+        out[lang] = [(g, v / norm) for g, v in top]
+    return out
+
+
+def _doc_trigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, g) rows: normalized char trigrams of each document, plus a
+    per-doc total for the score divisor."""
+    cleaned = F.concat(
+        F.lit(" "),
+        F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}]+", " ")
+        ),
+        F.lit(" "),
+    )
+    d = df.select(F.col(id_col), cleaned.alias("__s"))
+    n = F.greatest(F.length("__s") - 2, F.lit(1))
+    return d.select(
+        id_col,
+        n.alias("__nt"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.col("__s").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+
+
+def lang_id_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.007,
+) -> DataFrame:
+    """Char-trigram profile language ID: per-document argmax of
+    profile-weight dot products (ties -> largest lang code, matching the
+    stopword variant's convention).  Returns
+    (id, lang_pred_ng, lang_score_ng).
+
+    Plan: one trigram explode -> broadcast join against the literal
+    640-row profile table -> groupBy(doc, lang) partial-agg -> per-doc
+    argmax via max_by.  The profile side is constant-size; the document
+    side shuffles once on the doc key — the unigram_logppl shape, Zipf-
+    safe because trigram profiles cap multiplicity at 10 langs."""
+    spark = df.sparkSession
+    prof_rows = [
+        (lang, g, w) for lang, gw in sorted(char_ngram_profiles().items())
+        for g, w in gw
+    ]
+    prof = spark.createDataFrame(prof_rows, "lang string, g string, w double")
+    tg = _doc_trigrams(df, text_col, id_col)
+    scores = (
+        tg.join(F.broadcast(prof), "g")
+        .groupBy(id_col, "lang")
+        # round BEFORE the argmax: partial-agg summation order differs
+        # between engines, and a 1e-17 wobble must not flip a tie
+        .agg(F.round(F.sum("w") / F.first("__nt"), 9).alias("score"))
+    )
+    best = scores.groupBy(id_col).agg(
+        F.max(F.struct(F.col("score"), F.col("lang"))).alias("b")
+    )
+    out = best.select(
+        id_col,
+        F.when(F.col("b.score") >= threshold, F.col("b.lang"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang_pred_ng"),
+        F.round(F.col("b.score") + F.lit(1e-9), 6).alias("lang_score_ng"),
+    )
+    # docs with NO profile trigram at all (empty/garbage) -> unknown, 0
+    ids = df.select(F.col(id_col))
+    return (
+        ids.join(out, id_col, "left")
+        .fillna({"lang_pred_ng": "unknown", "lang_score_ng": 0.0})
+    )
+
+
+def lang_ngram_profile_sql() -> str:
+    """DuckDB VALUES fragment of the identical literal profile table:
+    ``(lang, g, w)`` rows — single source of truth for the oracle."""
+    rows = ", ".join(
+        "('%s', '%s', %.17g)" % (lang, g.replace("'", "''"), w)
+        for lang, gw in sorted(char_ngram_profiles().items())
+        for g, w in gw
+    )
+    return rows

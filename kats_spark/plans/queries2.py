@@ -1051,6 +1051,49 @@ FROM withbest
 """
 
 
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram profile language ID (Cavnar & Trenkle shape, IDF-
+    weighted literal profiles) — full oracle: the identical (lang, g, w)
+    profile VALUES table joins the identical trigram explode in DuckDB.
+    Scores round to 9 decimals BEFORE the argmax on both sides so
+    summation-order noise cannot flip ties."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.lang_id_ngram(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang_pred_ng",
+        "lang_score_ng",
+    )
+
+
+def _lang_id_ngram_sql() -> str:
+    prof = text.lang_ngram_profile_sql()
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS s
+  FROM documents
+), pos AS (
+  SELECT doc_id, s, nt, unnest(range(1, nt + 1)) AS i
+  FROM (SELECT doc_id, s, greatest(length(s) - 2, 1) AS nt FROM d)
+), tg AS (
+  SELECT doc_id, nt, substring(s, i, 3) AS g FROM pos
+), prof(lang, g, w) AS (VALUES {prof}),
+sc AS (
+  SELECT doc_id, lang, round(sum(w) / any_value(nt), 9) AS score
+  FROM tg JOIN prof USING (g)
+  GROUP BY doc_id, lang
+), best AS (
+  SELECT doc_id, list_max(list({{'s': score, 'l': lang}})) AS b
+  FROM sc GROUP BY doc_id
+)
+SELECT d2.doc_id::BIGINT AS doc_id,
+  CASE WHEN (b).s >= 0.007 THEN (b).l ELSE 'unknown' END AS lang_pred_ng,
+  coalesce(round(1e-9 + (b).s, 6), 0.0) AS lang_score_ng
+FROM documents d2 LEFT JOIN best ON d2.doc_id = best.doc_id
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = text.fingerprint(docs, method="md5")
@@ -3164,6 +3207,7 @@ QUERIES = {
     "reconcile_struc": q_reconcile_struc,
     "anomaly_classify": q_anomaly_classify,
     "lang_id": q_lang_id,
+    "lang_id_ngram": q_lang_id_ngram,
     "doc_fingerprint": q_doc_fingerprint,
     "bocpd_detect": q_bocpd,
     "fft_seasonality": q_fft_seasonality,
@@ -3233,6 +3277,7 @@ ORACLES = {
     "reconcile_struc": _reconcile_struc_sql(),
     "anomaly_classify": _Q_ANOMALY_CLASSIFY_SQL,
     "lang_id": _Q_LANG_ID_SQL,
+    "lang_id_ngram": _lang_id_ngram_sql(),
     "doc_fingerprint": _Q_FINGERPRINT_SQL,
     "model_select": _Q_MODEL_SELECT_SQL,
     "predictability": _Q_PREDICTABILITY_SQL,

@@ -1239,3 +1239,58 @@ def test_kalman_scalar_fast_path_matches_generic():
         assert abs(s2_a - s2_b) < 1e-8 * max(1.0, abs(s2_b))
         checked += 1
     assert checked > 80
+
+
+def test_lang_id_ngram_beats_stopword_on_content_sentences(spark):
+    """VERDICT r02 item #9 'done' criterion: the char-trigram profile
+    kernel (IDF-weighted Cavnar-Trenkle) classifies content-word
+    sentences — where the stopword heuristic sees nothing — at strictly
+    higher accuracy, and still calls gibberish 'unknown'."""
+    from kats_spark.operators.text import lang_id, lang_id_ngram
+
+    rows = [
+        ("en", "weather forecast available tomorrow morning throughout northern regions"),
+        ("de", "wettervorhersage morgen verfügbar schönes spazieren gehen draußen"),
+        ("es", "información meteorológica disponible mañana aprendizaje escritura niños"),
+        ("fr", "prévisions météorologiques disponibles demain apprentissage écriture"),
+        ("it", "previsioni meteorologiche disponibili domani apprendimento scrittura"),
+        ("pt", "previsão meteorológica disponível amanhã aprendizagem escrita crianças"),
+        ("nl", "weersvoorspelling morgen beschikbaar wandelen buiten lekker weer"),
+        ("ru", "прогноз погоды доступен завтра утром обучение чтению письму"),
+        ("id", "prakiraan cuaca tersedia besok pagi pembelajaran membaca menulis"),
+        ("tr", "hava durumu tahmini yarın sabah mevcut okuma yazma öğrenimi"),
+        ("unknown", "zxqv wplk djfh qwrt mnbv lkjh gfds poiu ytre"),
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(rows)), "text": [t for _, t in rows],
+         "expected": [l for l, _ in rows]}
+    )
+    df = spark.createDataFrame(pdf)
+    ng = lang_id_ngram(df).toPandas()
+    sw = lang_id(df).toPandas()[["doc_id", "lang_pred"]]
+    m = pdf.merge(ng, on="doc_id").merge(sw, on="doc_id")
+    acc_ng = float((m.lang_pred_ng == m.expected).mean())
+    acc_sw = float((m.lang_pred == m.expected).mean())
+    assert acc_ng == 1.0, list(zip(m.expected, m.lang_pred_ng))
+    assert acc_ng > acc_sw  # stopword heuristic sees no function words here
+    assert m.loc[m.expected == "unknown", "lang_pred_ng"].iloc[0] == "unknown"
+
+
+def test_lang_id_ngram_agrees_with_stopword_on_function_word_text(spark):
+    """On the original function-word fixture both kernels agree."""
+    from kats_spark.operators.text import lang_id_ngram
+
+    rows = [
+        ("en", "the cat sat on the mat and it was happy that the sun is out"),
+        ("de", "der hund und die katze sind nicht mit dem ball von den kindern"),
+        ("es", "el perro y la gata que viven en un parque de los arboles se van con ellos"),
+        ("fr", "le chien et la chatte dans les jardins des villes est une belle chose de plus"),
+        ("ru", "и вот не кошка на столе что с собакой как это было по утрам то"),
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(rows)), "text": [t for _, t in rows],
+         "expected": [l for l, _ in rows]}
+    )
+    out = lang_id_ngram(spark.createDataFrame(pdf)).toPandas()
+    m = pdf.merge(out, on="doc_id")
+    assert (m.lang_pred_ng == m.expected).all(), list(zip(m.expected, m.lang_pred_ng))

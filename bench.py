@@ -94,20 +94,30 @@ def main() -> None:
     ).collect()
     r.select("r_regionkey").mapInPandas(lambda it: it, "r_regionkey bigint").count()
 
-    # best-of-2 per query: steady-state wall-clock, robust to VM noise.
+    # best-of-3 per query: steady-state wall-clock, robust to VM noise.
     # The cache is cleared before EVERY timed run: Spark's cache manager
     # keys on the logical plan, so without this a repeat run (or a later
     # query sharing a cached subtree like the hourly series) silently
     # measures InMemoryTableScan reads instead of the query's own plan —
     # numbers then flip between cached/uncached regimes run to run.
     # Every query pays its full cost, every round measures the same thing.
+    #
+    # Between queries the JVM is GC-poked: with 35 queries in one session
+    # the heap fills with dead shuffle/broadcast metadata and later
+    # queries pay collection pauses the early ones did not — the r01->r02
+    # uniform ~15% drift was exactly this session-length effect (r02 ran
+    # 11 more queries in the same session).  An explicit System.gc()
+    # after clearCache keeps every query's starting heap comparable
+    # regardless of how many queries ran before it.
+    jvm_gc = spark.sparkContext._jvm.System.gc
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
+            jvm_gc()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

@@ -22,7 +22,7 @@ def token_budget_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 0,
-    salt_shards: int = 256,
+    salt_shards: int | None = None,
 ) -> DataFrame:
     """Deterministic stratified sample: within every ``by`` bucket, take
     documents in a seeded-hash shuffle order until the cumulative token
@@ -52,8 +52,15 @@ def token_budget_sample(
 
     Output: input columns + n_tokens + cum_tokens (budget audit
     columns).  ``salt_shards`` in {1, 16, 256}; 1 = the naive single
-    window (kept for the equivalence test)."""
+    window.  Default None = COUNT-GUARDED auto-gate (the prefilter
+    pattern): corpora under 1M rows take the naive plan — at bench
+    scale the salted plan's extra aggregate + reattach join cost more
+    than the parallelism buys — and larger ones the 256-shard salted
+    plan.  Both produce bit-identical output (asserted in tests), so
+    the gate is purely a physical-plan choice."""
     by = list(by)
+    if salt_shards is None:
+        salt_shards = 1 if df.count() < 1_000_000 else 256
     rank_key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     base = df.withColumn("n_tokens", F.size(tokens(F.col(text_col)))).withColumn(
         "__rk", rank_key
@@ -68,8 +75,24 @@ def token_budget_sample(
     prefix_len = {16: 1, 256: 2}.get(salt_shards)
     if prefix_len is None:
         raise ValueError("salt_shards must be 1, 16 or 256 (hex-prefix widths)")
-    base = base.withColumn("__salt", F.substring("__rk", 1, prefix_len))
-    shard_totals = base.groupBy(*by, "__salt").agg(
+    from pyspark import StorageLevel
+
+    # SLIM frame: keys + rank + token count, NO text payload.  Persisted
+    # because both the shard-totals aggregate and the window pass consume
+    # it — without this the tokenizer runs twice over the full corpus.
+    # ~tens of bytes/row (vs KBs with text), MEMORY_AND_DISK so a 100 TB
+    # corpus spills instead of evicting.
+    slim = (
+        base.select(
+            *by,
+            id_col,
+            "n_tokens",
+            "__rk",
+            F.substring("__rk", 1, prefix_len).alias("__salt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    shard_totals = slim.groupBy(*by, "__salt").agg(
         F.sum("n_tokens").alias("__shard_tok")
     )
     w_off = (
@@ -83,14 +106,20 @@ def token_budget_sample(
         F.coalesce(F.sum("__shard_tok").over(w_off), F.lit(0)).alias("__off"),
     )
     w_in = Window.partitionBy(*by, "__salt").orderBy("__rk", id_col)
-    out = (
-        base.join(F.broadcast(offsets), [*by, "__salt"])
+    picked = (
+        slim.join(F.broadcast(offsets), [*by, "__salt"])
         .withColumn(
             "cum_tokens", F.col("__off") + F.sum("n_tokens").over(w_in)
         )
         .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+        .select(id_col, "n_tokens", "cum_tokens")
     )
-    return out.drop("__rk", "__salt", "__off")
+    # Reattach the full rows (text etc.) for the selected ids only.
+    # ``picked`` is budget-bounded (the greedy fill stops at
+    # budget_tokens per stratum), so it broadcasts: the reattach is a
+    # broadcast-hash join over one more scan of df — no shuffle of the
+    # corpus.
+    return df.join(F.broadcast(picked), id_col)
 
 
 def decontaminate(
@@ -215,39 +244,54 @@ def unigram_logppl(
          occurrences to document frequency;
       2. the global frequency table derives from that same aggregate
          (no second explode);
-      3. the vocabulary HEAD (top ``head_k`` tokens by count — the skew
-         mass) broadcast-joins; only the long tail takes the shuffle
-         join, whose keys are now near-uniform.
+      3. the frequency join keys now carry document frequency, whose
+         residual skew AQE's skew-join split handles (enabled in the
+         session factory); ``head_k`` > 0 additionally broadcast-joins
+         the top-``head_k`` vocabulary head so the shuffle join sees
+         only near-uniform tail keys — the belt-and-suspenders setting
+         for a 100 TB corpus (off by default: at bench scale the extra
+         stages cost more than the skew they remove).
 
     Identical arithmetic on every path; the DuckDB oracle is unchanged.
     Output (doc_id, n_tokens, logppl)."""
+    from pyspark import StorageLevel
+
     from kats_spark.operators.dedup import normalize
 
-    head_k = 4096
+    head_k = 0 if df.sparkSession.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled", "true"
+    ) == "true" else 4096
     tok = df.select(
         F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("__t")
     )
     # (doc, token, count): one shuffle keyed on (doc, token) — high
     # cardinality, no skew (a single doc repeating one token stays in
-    # one row)
-    doc_tok = tok.groupBy(id_col, "__t").agg(F.count("*").alias("__k"))
+    # one row).  PERSISTED: the global frequency table and the join
+    # consume it; unpersisted they would each re-run the explode + agg.
+    doc_tok = (
+        tok.groupBy(id_col, "__t")
+        .agg(F.count("*").alias("__k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     freq = doc_tok.groupBy("__t").agg(F.sum("__k").alias("__c"))
     totals = freq.agg(
         F.sum("__c").alias("__total"), F.count("*").alias("__vocab")
     )
-    head = freq.orderBy(F.desc("__c"), F.asc("__t")).limit(head_k)
-    scored_head = doc_tok.join(F.broadcast(head), "__t")
-    scored_tail = doc_tok.join(
-        F.broadcast(head.select("__t")), "__t", "left_anti"
-    ).join(freq, "__t")
     nll = -F.log(
         (F.col("__c") + F.lit(float(alpha)))
         / (F.col("__total") + F.lit(float(alpha)) * F.col("__vocab"))
     )
-    scored = (
-        scored_head.unionByName(scored_tail)
-        .crossJoin(F.broadcast(totals))
-        .select(id_col, F.col("__k"), (F.col("__k") * nll).alias("__nll_sum"))
+    if head_k > 0:
+        head = freq.orderBy(F.desc("__c"), F.asc("__t")).limit(head_k)
+        joined = doc_tok.join(F.broadcast(head), "__t").unionByName(
+            doc_tok.join(
+                F.broadcast(head.select("__t")), "__t", "left_anti"
+            ).join(freq, "__t")
+        )
+    else:
+        joined = doc_tok.join(freq, "__t")
+    scored = joined.crossJoin(F.broadcast(totals)).select(
+        id_col, F.col("__k"), (F.col("__k") * nll).alias("__nll_sum")
     )
     return scored.groupBy(id_col).agg(
         F.sum("__k").cast("long").alias("n_tokens"),

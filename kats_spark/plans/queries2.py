@@ -748,6 +748,65 @@ def q_hpt_tpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows).select("window", "lam", "mae")
 
 
+def q_hpt_sobol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobol quasi-random search (reference RANDOM_SEARCH_SOBOL,
+    time_series_parameter_tuning.py ax-Sobol backend) over the same 2-D
+    space as hpt_tpe: ONE Gray-code Sobol batch, evaluated as ONE
+    distributed plan.  Sobol doubles are not SQL-replayable bit-exactly
+    -> rows-only; canonical-sequence + coverage tests in
+    tests/test_ml.py.  Output: trial log (window, lam, mae) best-first."""
+    h = hourly_series(spark, sf_dir)
+    space = [
+        {"name": "w", "values": [2, 4, 8, 12, 24, 36, 48]},
+        {"name": "lam", "bounds": [0.0, 1.0]},
+    ]
+    cdf = hpt_mod.sobol_df(spark, space, n=12, seed=0)
+    cands = [r.asDict() for r in cdf.collect()]  # 12 tiny literal rows
+    # ONE window pass for all candidates: every trailing MA_w derives
+    # from the shared cumulative sum via lag(cum, 1) - lag(cum, w+1) —
+    # per-candidate rowsBetween frames would each add a full pass over
+    # the sorted partition (12 frames cost ~12x; measured)
+    wbase = Window.partitionBy("series_id").orderBy("time")
+    staged = h.select(
+        "series_id",
+        "time",
+        "value",
+        F.sum("value").over(
+            wbase.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__cum"),
+        F.row_number().over(wbase).alias("__rn"),
+        F.lag("value", 1).over(wbase).alias("__l1"),
+    )
+    cols = []
+    for i, c in enumerate(cands):
+        wlen, lam = int(c["w"]), float(c["lam"])
+        ma = (
+            F.lag("__cum", 1).over(wbase) - F.lag("__cum", wlen + 1).over(wbase)
+        ) / float(wlen)
+        pred = lam * ma + (1.0 - lam) * F.col("__l1")
+        cols.append(
+            F.when(
+                F.col("__rn") > wlen + 1, F.abs(F.col("value") - pred)
+            ).alias(f"__e{i}")
+        )
+    agg = staged.select(*cols).agg(
+        *[F.avg(f"__e{i}").alias(f"__m{i}") for i in range(len(cands))]
+    )
+    row = agg.first()
+    rows = sorted(
+        (
+            {
+                "window": int(c["w"]),
+                "lam": round(float(c["lam"]), 6),
+                "mae": round(float(row[f"__m{i}"]), 6),
+            }
+            for i, c in enumerate(cands)
+        ),
+        key=lambda r: r["mae"],
+    )
+    return spark.createDataFrame(rows).select("window", "lam", "mae")
+
+
 _Q_HPT_SQL = f"""
 WITH h AS ({_HOURLY_SQL}),
 cand AS (SELECT unnest([{", ".join(str(c) for c in _HPT_CANDIDATES)}]) AS w),
@@ -3203,6 +3262,7 @@ QUERIES = {
     "empirical_ci": q_empirical_ci,
     "hpt_window": q_hpt_window,
     "hpt_tpe": q_hpt_tpe,
+    "hpt_sobol": q_hpt_sobol,
     "reconcile_bu": q_reconcile_bu,
     "reconcile_struc": q_reconcile_struc,
     "anomaly_classify": q_anomaly_classify,

@@ -262,3 +262,49 @@ def test_tpe_beats_random_at_equal_budget(spark):
     ).first()[0]
     assert tpe_best < rand, f"tpe={tpe_best} random={rand}"
     assert tpe_best < 1.0  # actually converged near the valley floor
+
+
+def test_sobol_canonical_sequence_and_coverage():
+    """Gray-code Sobol with the Joe-Kuo direction numbers reproduces the
+    canonical first points, is deterministic, beats uniform random on a
+    space-coverage proxy, and the digital shift preserves determinism."""
+    import numpy as np
+
+    from kats_spark.operators.hpt import sobol_points
+
+    pts = sobol_points(6, 2, seed=0)
+    expect = [
+        [0.5, 0.5], [0.75, 0.25], [0.25, 0.75],
+        [0.375, 0.375], [0.875, 0.875], [0.625, 0.125],
+    ]
+    assert np.allclose(pts, expect)
+    assert sobol_points(6, 2, seed=3) == sobol_points(6, 2, seed=3)
+    assert sobol_points(6, 2, seed=3) != pts
+
+    def coverage(P):
+        P = np.asarray(P)
+        grid = np.random.default_rng(0).random((2000, P.shape[1]))
+        return ((grid[:, None, :] - P[None, :, :]) ** 2).sum(-1).min(1).mean()
+
+    s = coverage(sobol_points(64, 2))
+    r = coverage(np.random.default_rng(1).random((64, 2)))
+    assert s < r  # better space-filling than iid random
+
+
+def test_sobol_df_maps_space(spark):
+    from kats_spark.operators.hpt import sobol_df
+
+    space = [
+        {"name": "w", "values": [2, 4, 8]},
+        {"name": "lr", "bounds": [1e-4, 1e-1], "log": True},
+    ]
+    rows = sobol_df(spark, space, 16, seed=0).collect()
+    assert len(rows) == 16
+    ws = {r["w"] for r in rows}
+    assert ws <= {"2", "4", "8"} and len(ws) == 3  # all choices visited
+    lrs = [float(r["lr"]) for r in rows]
+    assert all(1e-4 <= v <= 1e-1 for v in lrs)
+    import numpy as np
+
+    spread = np.ptp(np.log10(lrs))
+    assert spread > 2.0  # log-mapped across the range

@@ -564,3 +564,89 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def dup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list -> duplicate
+    CLUSTERS: (doc_id, cluster_id) with cluster_id = the minimum doc id
+    reachable through the pair graph.  The step after any pairwise dedup
+    stage (minhash/simhash/jaccard emit PAIRS; retention decisions need
+    per-cluster representatives).
+
+    Distributed min-label propagation with pointer jumping (the
+    alternating small-star/large-star idea in its simplest DataFrame
+    form): each round every node takes the min of its own label and its
+    neighbors' labels, then labels compress one hop
+    (lbl <- lbl(lbl)), so convergence needs O(log n) rounds rather than
+    O(diameter).  Each round is two small joins over the PAIR-INVOLVED
+    nodes only (a tiny fraction of the corpus); the loop stops at the
+    fixpoint (a per-round count action on that small frame).
+
+    Deterministic: min-label is unique per component.  Exact oracle:
+    a recursive-CTE transitive closure computes the same min-reachable
+    id in DuckDB (see plans/pipeline_queries.q_dup_clusters)."""
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # Every iteration MATERIALIZES via eager localCheckpoint: the
+    # min-label + pointer-jump step references the previous labels frame
+    # three times, so a lazy lineage would double the logical plan per
+    # round (exponential plan, OOMs Catalyst canonicalization around
+    # round 6 — measured).  Checkpointing keeps each round's plan flat.
+    # coalesce before each checkpoint: the label frames are pair-graph
+    # sized (small next to the corpus), and materializing them as a few
+    # blocks keeps the per-round fixed overhead flat; at true scale bump
+    # loop_parts toward the cluster's core count
+    loop_parts = 8
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .coalesce(loop_parts)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("u").distinct().withColumn("lbl", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("lbl").alias("vlbl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nlbl"))
+        )
+        merged = labels.join(nbr_min, "u", "left").select(
+            "u",
+            F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+        )
+        # pointer jump: lbl <- lbl(lbl) (label ids ARE node ids)
+        jumped = (
+            merged.alias("m")
+            .join(
+                merged.select(
+                    F.col("u").alias("lbl"), F.col("lbl").alias("lbl2")
+                ).alias("j"),
+                "lbl",
+                "left",
+            )
+            .select("u", F.coalesce("lbl2", "lbl").alias("lbl"))
+            .coalesce(loop_parts)
+            .localCheckpoint(eager=False)
+        )
+        # ONE job per round: the label-sum aggregate triggers the lazy
+        # checkpoint materialization, and since labels only ever
+        # DECREASE elementwise, an unchanged sum IS the fixpoint
+        cur_sum = jumped.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        labels = jumped
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -907,6 +907,57 @@ WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {max_hamming}
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: distributed min-label
+    propagation with pointer jumping (dedup.dup_components) over the
+    simhash_neardup pair graph.  Full oracle: a recursive-CTE transitive
+    closure computes the identical min-reachable-id labels in DuckDB —
+    the iterative Spark loop and the recursive SQL agree exactly at the
+    fixpoint."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = dedup.simhash_portable(docs, bits=24)
+    pairs = dedup.simhash_pairs(
+        fp, max_hamming=1, bands=2, bits=24, fp_col="simhash16"
+    )
+    out = dedup.dup_components(pairs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+def _dup_clusters_sql(bits: int = 24, bands: int = 2, max_hamming: int = 1) -> str:
+    base = _simhash_portable_sql(bits)
+    w = bits // bands
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash16, {b} AS band, (simhash16 >> {b * w}) & {(1 << (w if b < bands - 1 else bits - w * (bands - 1))) - 1} AS chunk FROM fp"
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE fp AS ({base}),
+keyed AS (
+  {chunk_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.band = b.band AND a.chunk = b.chunk
+    AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {max_hamming}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(u, lbl) AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u::BIGINT AS doc_id, min(lbl)::BIGINT AS cluster_id
+FROM reach GROUP BY u
+"""
+
+
 def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs over the portable hash family (16
     permutations, 4 bands) — exact oracle with the same seeded (a_k, b_k)
@@ -1100,6 +1151,7 @@ QUERIES = {
     "embed_survivors": q_embed_survivors,
     "simhash_portable": q_simhash_portable,
     "simhash_neardup": q_simhash_neardup,
+    "dup_clusters": q_dup_clusters,
     "corpus_sample": q_corpus_sample,
     "decontaminate": q_decontaminate,
     "unigram_logppl": q_unigram_logppl,
@@ -1119,6 +1171,7 @@ ORACLES = {
     "repetition_stats": _Q_REPETITION_SQL,
     "corpus_sample": _Q_CORPUS_SAMPLE_SQL,
     "simhash_neardup": _simhash_neardup_sql(bits=24, bands=2, max_hamming=1),
+    "dup_clusters": _dup_clusters_sql(),
     "exact_dedup": _Q_EXACT_DEDUP_SQL,
     "jaccard_pairs": _Q_JACCARD_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,

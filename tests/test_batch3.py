@@ -1294,3 +1294,53 @@ def test_lang_id_ngram_agrees_with_stopword_on_function_word_text(spark):
     out = lang_id_ngram(spark.createDataFrame(pdf)).toPandas()
     m = pdf.merge(out, on="doc_id")
     assert (m.lang_pred_ng == m.expected).all(), list(zip(m.expected, m.lang_pred_ng))
+
+
+def test_dup_components_min_label_clusters(spark):
+    """Connected components over a pair list: chains, triangles, and
+    isolated pairs all collapse to min-id cluster labels; a long path
+    (needing pointer jumping, diameter 12) converges too."""
+    from kats_spark.operators.dedup import dup_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    pairs += [(100 + i, 101 + i) for i in range(12)]  # path 100..112
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    out = {r.doc_id: r.cluster_id for r in dup_components(df).collect()}
+    assert {out[i] for i in (1, 2, 3, 4)} == {1}
+    assert {out[i] for i in (10, 11)} == {10}
+    assert {out[i] for i in (20, 21, 22)} == {20}
+    assert {out[100 + i] for i in range(13)} == {100}
+    assert len(out) == 4 + 2 + 3 + 13
+
+
+def test_dup_components_deterministic_and_bounded_plan(spark):
+    """Re-running yields identical labels (deterministic), and the
+    iterative loop's checkpointing keeps the plan flat enough that a
+    500-node random graph converges without plan blowup."""
+    import numpy as np
+
+    from kats_spark.operators.dedup import dup_components
+
+    rng = np.random.default_rng(7)
+    n = 500
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (400, 2)) if a != b]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    a = sorted((r.doc_id, r.cluster_id) for r in dup_components(df).collect())
+    b = sorted((r.doc_id, r.cluster_id) for r in dup_components(df).collect())
+    assert a == b
+    # verify against a union-find ground truth
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    import collections
+    comp_min = collections.defaultdict(lambda: 10**9)
+    nodes = {x for e in edges for x in e}
+    for x in nodes:
+        comp_min[find(x)] = min(comp_min[find(x)], x)
+    expect = sorted((x, comp_min[find(x)]) for x in nodes)
+    assert a == expect

@@ -76,7 +76,7 @@ _PRIORITY = [
     "interval_relative", "rolling_iqr", "mk_statistic", "mk_rolling",
     "cusum_transform", "minhash_quality", "doc_fingerprint",
     "lsh_bucket_pairs", "embed_survivors", "ivf_recall", "winnow_fp",
-    "corpus_funnel", "bpe_token_stats", "tsfeatures_expr", "kernel_stats", "time_features",
+    "corpus_funnel", "bpe_token_stats", "kernel_stats", "time_features",
     "fourier_features", "metrics_dist", "wide_pivot",
     # variants / secondary
     "resample_ffill", "rolling_zscore_segmented", "sessionize_native",

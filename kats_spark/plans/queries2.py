@@ -1991,6 +1991,20 @@ def q_global_rnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+def q_rnn_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series GRU forecaster (kats/models/lstm.py:92 shape, numpy
+    BPTT instead of torch): each series trains its own net inside its
+    applyInPandas group — fully distributed, no driver training step.
+    Iterative nonlinear fit -> rows-only."""
+    from kats_spark.models.rnn import rnn_forecast
+
+    out = rnn_forecast(
+        hourly_series(spark, sf_dir), steps=12, freq_seconds=3600,
+        window=12, hidden=8, epochs=60, seed=3,
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
 def _global_dms_sql(p: int = 4, H: int = 12, freq_seconds: int = 3600) -> str:
     m = p + 1
     ac = m + H
@@ -3296,6 +3310,7 @@ QUERIES = {
     "prophet_forecast": q_prophet_forecast,
     "global_dms": q_global_dms,
     "global_rnn": q_global_rnn,
+    "rnn_forecast": q_rnn_forecast,
     "backtest_arima": q_backtest_arima,
     "prophet_detect": q_prophet_detect,
     "outlier_detect_stl": q_outlier_detect_stl,

@@ -115,3 +115,56 @@ def test_global_rnn_short_series_errors(spark):
     df = spark.createDataFrame(pdf)
     with pytest.raises(Exception, match="window"):
         global_rnn_forecast(df, steps=12, freq_seconds=3600, window=16)
+
+
+def test_per_series_rnn_learns_each_series_own_dynamics(spark):
+    """Per-series GRU (the LSTM-model shape): two series with DIFFERENT
+    nonlinear maps each get their own fit; 1-step holdout beats the
+    naive last-value forecast on both."""
+    from kats_spark.models.rnn import rnn_forecast
+
+    rng = np.random.default_rng(5)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    maps = {"a": lambda y1, y2: np.sin(2 * y1) + 0.5 * y1,
+            "b": lambda y1, y2: -0.8 * y1 + 0.3 * np.tanh(3 * y2)}
+    n = 220
+    truth = {}
+    for sid, f in maps.items():
+        y = np.zeros(n)
+        y[0], y[1] = rng.normal(0, 0.4, 2)
+        for t in range(1, n - 1):
+            y[t + 1] = f(y[t], y[t - 1]) + rng.normal(0, 0.04)
+        truth[sid] = y
+        for t in range(n - 1):  # hold out the last point
+            rows.append((sid, t0 + pd.Timedelta(hours=t), float(y[t])))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series_id", "time", "value"]))
+    fc = (
+        rnn_forecast(df, steps=1, freq_seconds=3600, window=10, hidden=8,
+                     epochs=150, seed=1)
+        .toPandas()
+        .set_index("series_id")
+    )
+    for sid in maps:
+        y = truth[sid]
+        err_rnn = abs(fc.loc[sid, "fcst"] - y[-1])
+        err_naive = abs(y[-2] - y[-1])
+        assert err_rnn < max(err_naive, 0.25), (sid, err_rnn, err_naive)
+    # determinism
+    fc2 = (
+        rnn_forecast(df, steps=1, freq_seconds=3600, window=10, hidden=8,
+                     epochs=150, seed=1)
+        .toPandas()
+        .set_index("series_id")
+    )
+    assert np.allclose(fc.fcst.to_numpy(), fc2.fcst.to_numpy())
+
+
+def test_per_series_rnn_short_series_empty(spark):
+    from kats_spark.models.rnn import rnn_forecast
+
+    rows = [("s", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i), float(i))
+            for i in range(12)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series_id", "time", "value"]))
+    out = rnn_forecast(df, steps=6, freq_seconds=3600, window=10)
+    assert out.count() == 0

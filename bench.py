@@ -59,6 +59,11 @@ HEADLINE = [
     "decontaminate",
     "repetition_stats",
     "unigram_logppl",
+    # round-3 additions (baseline = BENCH_r03): char-ngram lang-ID, real
+    # multimodal decode, duplicate-cluster connected components
+    "lang_id_ngram",
+    "multimodal_decode",
+    "dup_clusters",
 ]
 
 

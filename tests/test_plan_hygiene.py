@@ -54,6 +54,12 @@ LAZY_QUERIES = [
     "arima_forecast",
     "sarima_forecast",
     "prophet_forecast",
+    # round-3 operators
+    "lang_id_ngram",
+    "multimodal_decode",
+    "global_rnn",
+    "rnn_forecast",
+    "hpt_sobol",
 ]
 
 

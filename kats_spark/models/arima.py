@@ -230,6 +230,11 @@ def _kalman_loglik(
     p, q = len(phi), len(theta)
     n = len(xc)
     r = max(p, q + 1, 1)
+    if not np.all(np.isfinite(xc)):
+        # missing observations: the generic filter skips the update step
+        # on NaN rows (statsmodels' missing handling); the scalar fast
+        # path and the steady-state handoff assume a gap-free stream
+        return _kalman_loglik_generic(xc, phi, theta)
     if r <= 3:
         return _kalman_loglik_r3(xc, phi, theta)
     return _kalman_loglik_generic(xc, phi, theta)
@@ -266,9 +271,20 @@ def _kalman_loglik_generic(
     nus: list[float] = []
     steady_at = -1
     conv_run = 0
+    has_missing = not np.all(np.isfinite(xc))
+    n_obs = 0
     for t in range(n):
+        if has_missing and not np.isfinite(xc[t]):
+            # missing observation: prediction step only (no innovation,
+            # no likelihood contribution) — the exact treatment
+            nus.append(np.nan)
+            a = T @ a
+            P = T @ P @ T.T + RR
+            conv_run = 0
+            continue
         nu = xc[t] - a[0]
         nus.append(float(nu))
+        n_obs += 1
         F = P[0, 0]
         if F <= 0 or not np.isfinite(F):
             return -np.inf, np.nan
@@ -279,13 +295,14 @@ def _kalman_loglik_generic(
         Pn = T @ P @ T.T + RR - np.outer(K, K) * F
         # steady only after THREE consecutive sub-tolerance steps: with
         # oscillatory near-boundary roots |dP| dips transiently while P
-        # is still far from its fixpoint
+        # is still far from its fixpoint; never while gaps exist (the
+        # ARMA-recursion handoff needs a contiguous observed stream)
         if np.max(np.abs(Pn - P)) < 1e-12:
             conv_run += 1
         else:
             conv_run = 0
         P = Pn
-        if conv_run >= 3 and t + 1 >= k:
+        if conv_run >= 3 and t + 1 >= k and not has_missing:
             steady_at = t + 1
             break
     if 0 <= steady_at < n:
@@ -307,10 +324,14 @@ def _kalman_loglik_generic(
                 acc -= th * nus[t - 1 - j]
             nus.append(acc)
             ss += acc * acc * inv_F
-    sigma2 = ss / n
+            n_obs += 1
+    sigma2 = ss / max(n_obs, 1)
     if sigma2 <= 0 or not np.isfinite(sigma2):
         return -np.inf, np.nan
-    ll = -0.5 * n * (np.log(2.0 * np.pi) + 1.0 + np.log(sigma2)) - 0.5 * logF
+    ll = (
+        -0.5 * n_obs * (np.log(2.0 * np.pi) + 1.0 + np.log(sigma2))
+        - 0.5 * logF
+    )
     return float(ll), float(sigma2)
 
 
@@ -553,11 +574,26 @@ def _arima_forecast_one(
     Kalman-likelihood BFGS polish — the statsmodels estimator chain the
     reference wraps.  ``method="css"`` stops after Gauss-Newton (cheaper;
     indistinguishable away from the unit circle)."""
-    x = y.copy()
+    finite = np.isfinite(y)
+    if not finite.all():
+        # gaps: linear-interpolate ONLY for the start estimators (HR/CSS
+        # need a contiguous stream) — the exact likelihood then runs on
+        # the RAW gapped series, skipping the Kalman update at missing
+        # rows (statsmodels' missing handling)
+        if finite.sum() < 3:
+            raise ValueError("too few observed points")
+        idx = np.arange(len(y), dtype=float)
+        y_fill = y.copy()
+        y_fill[~finite] = np.interp(idx[~finite], idx[finite], y[finite])
+    else:
+        y_fill = y
+    x = y_fill.copy()
+    x_gap = y.copy()
     heads = []
     for _ in range(d):
         heads.append(x[-1])
         x = np.diff(x)
+        x_gap = np.diff(x_gap)  # NaNs propagate — gapped differenced view
     phi, theta, mu, e, sigma2 = _hannan_rissanen(x, p, q)
     xc = x - mu
     if css and p + q:
@@ -566,7 +602,10 @@ def _arima_forecast_one(
             # fan-out path: capped BFGS budget — the CSS start is close,
             # so 15 iterations converge in practice; the uncapped default
             # stays available for direct calls (divergence test)
-            phi, theta, sigma2_mle = _mle_refine(xc, phi, theta, max_iter=15)
+            xc_mle = (x_gap - mu) if not finite.all() else xc
+            phi, theta, sigma2_mle = _mle_refine(
+                xc_mle, phi, theta, max_iter=15
+            )
             if np.isfinite(sigma2_mle):
                 sigma2 = sigma2_mle
         e = _innovations(xc, phi, theta)

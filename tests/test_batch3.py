@@ -1344,3 +1344,31 @@ def test_dup_components_deterministic_and_bounded_plan(spark):
         comp_min[find(x)] = min(comp_min[find(x)], x)
     expect = sorted((x, comp_min[find(x)]) for x in nodes)
     assert a == expect
+
+
+def test_arima_mle_handles_missing_observations():
+    """Kalman missing-data parity: with 12% of points deleted, the exact
+    likelihood skips the update step at gaps (no interpolation bias in
+    the estimator) and still recovers the AR(1) parameter; forecasts
+    stay finite."""
+    from kats_spark.models.arima import _arima_forecast_one, _kalman_loglik
+
+    rng = np.random.default_rng(4)
+    n, phi_t = 800, 0.85
+    e = rng.normal(0, 1, n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = phi_t * y[t - 1] + e[t]
+    y_gapped = y.copy()
+    drop = rng.choice(np.arange(5, n - 5), size=int(0.12 * n), replace=False)
+    y_gapped[drop] = np.nan
+    # likelihood evaluates finite on the gapped series
+    xc = y_gapped - np.nanmean(y_gapped)
+    ll, s2 = _kalman_loglik(xc, np.array([phi_t]), np.zeros(0))
+    assert np.isfinite(ll) and 0.8 < s2 < 1.3
+    # and is maximized near the true phi (coarse profile check)
+    lls = {p: _kalman_loglik(xc, np.array([p]), np.zeros(0))[0]
+           for p in (0.5, 0.7, 0.85, 0.95)}
+    assert max(lls, key=lls.get) == 0.85
+    fc, se = _arima_forecast_one(y_gapped, 1, 0, 0, steps=5)
+    assert np.all(np.isfinite(fc)) and np.all(np.isfinite(se))

@@ -496,3 +496,80 @@ def lang_ngram_profile_sql() -> str:
         for g, w in gw
     )
     return rows
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones, the public Okapi
+    formula) for a literal query-term list — the corpus search primitive
+    a training-data pipeline uses for targeted audits ("show me the docs
+    about X").
+
+      idf(t)  = ln( (N - df_t + 0.5) / (df_t + 0.5) + 1 )
+      score   = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: the token stream is FILTERED TO QUERY TERMS before any
+    shuffle (array_intersect against a literal array, then one explode of
+    only the matching occurrences), so the grouped (doc, term) aggregate
+    carries |query| terms x matching docs — not the corpus vocabulary.
+    Doc lengths come from a narrow expression (no explode); N/avgdl are
+    one scalar aggregate; the df_t table is |query|-sized and broadcasts.
+    Output (doc_id, score) top-k, ties -> lowest doc_id."""
+    terms = sorted({t.lower() for t in query_terms})
+    arr = F.array(*[F.lit(t) for t in terms])
+    from kats_spark.operators.dedup import normalize
+
+    toks = F.transform(tokens(normalize(F.col(text_col))), F.lower)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__dl"),
+        F.array_intersect(toks, arr).alias("__hit_terms"),
+        toks.alias("__toks"),
+    )
+    # per-(doc, term) term frequency for matching terms only
+    hits = base.filter(F.size("__hit_terms") > 0).select(
+        id_col,
+        "__dl",
+        F.explode(
+            F.transform(
+                "__hit_terms",
+                lambda t: F.struct(
+                    t.alias("t"),
+                    F.size(F.filter("__toks", lambda x: x == t)).alias("tf"),
+                ),
+            )
+        ).alias("__h"),
+    ).select(id_col, "__dl", F.col("__h.t").alias("__t"), F.col("__h.tf").alias("__tf"))
+    stats = base.agg(
+        F.count("*").alias("__N"), F.avg("__dl").alias("__avgdl")
+    )
+    df_t = hits.groupBy("__t").agg(F.count("*").alias("__df"))
+    idf = F.log(
+        (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    scored = (
+        hits.join(F.broadcast(df_t), "__t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                idf
+                * F.col("__tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("__tf")
+                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s") + 1e-9, 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -1153,6 +1153,52 @@ FROM documents d2 LEFT JOIN best ON d2.doc_id = best.doc_id
 """
 
 
+_BM25_TERMS = ["spark", "window", "join"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a literal query — full oracle: the
+    Okapi formula replays term-for-term in DuckDB (rounded scores ORDER
+    the top-k on both sides, so ties cannot diverge)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.bm25_topk(docs, _BM25_TERMS, k=10)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "score"
+    )
+
+
+def _bm25_sql(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
+    terms = sorted({t.lower() for t in _BM25_TERMS})
+    hit_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, dl, '{t}' AS t, len(list_filter(tk, x -> x = '{t}')) AS tf "
+        f"FROM base WHERE list_contains(tk, '{t}')"
+        for t in terms
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '') AS tk,
+    len(list_filter(string_split_regex(trim(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS dl
+  FROM documents
+),
+hits AS (
+  {hit_rows}
+),
+stats AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM base),
+dft AS (SELECT t, count(*) AS dft FROM hits GROUP BY t)
+SELECT h.doc_id::BIGINT AS doc_id,
+  round(1e-9 + sum(
+    ln((s.N - d.dft + 0.5) / (d.dft + 0.5) + 1.0)
+    * h.tf * ({k1} + 1.0)
+    / (h.tf + {k1} * (1.0 - {b} + {b} * h.dl / s.avgdl))
+  ), 6) AS score
+FROM hits h JOIN dft d USING (t) CROSS JOIN stats s
+GROUP BY h.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = text.fingerprint(docs, method="md5")
@@ -3282,6 +3328,7 @@ QUERIES = {
     "anomaly_classify": q_anomaly_classify,
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
+    "bm25_topk": q_bm25_topk,
     "doc_fingerprint": q_doc_fingerprint,
     "bocpd_detect": q_bocpd,
     "fft_seasonality": q_fft_seasonality,
@@ -3353,6 +3400,7 @@ ORACLES = {
     "anomaly_classify": _Q_ANOMALY_CLASSIFY_SQL,
     "lang_id": _Q_LANG_ID_SQL,
     "lang_id_ngram": _lang_id_ngram_sql(),
+    "bm25_topk": _bm25_sql(),
     "doc_fingerprint": _Q_FINGERPRINT_SQL,
     "model_select": _Q_MODEL_SELECT_SQL,
     "predictability": _Q_PREDICTABILITY_SQL,

@@ -1372,3 +1372,29 @@ def test_arima_mle_handles_missing_observations():
     assert max(lls, key=lls.get) == 0.85
     fc, se = _arima_forecast_one(y_gapped, 1, 0, 0, steps=5)
     assert np.all(np.isfinite(fc)) and np.all(np.isfinite(se))
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    """BM25: a short doc dense in query terms outranks a long one with a
+    single mention; docs without any query term never appear; rare terms
+    outweigh common ones via idf."""
+    from kats_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark spark spark window"),                  # dense, short
+        (2, "spark " + "filler " * 200),                  # one hit, long
+        (3, "completely unrelated text about nothing"),   # no hits
+        (4, "window join window join window"),
+        (5, "rare-term here"),
+    ] + [(10 + i, "common common common") for i in range(20)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+    out = bm25_topk(df, ["spark", "window", "join"], k=10).toPandas()
+    assert 3 not in set(out.doc_id)
+    assert set(out.doc_id) <= {1, 2, 4}
+    top = out.sort_values("score", ascending=False).doc_id.tolist()
+    assert top[0] in (1, 4)           # dense docs first
+    assert top[-1] == 2               # single long-doc mention last
+    # idf: a term present in almost every doc scores near zero
+    out2 = bm25_topk(df, ["common"], k=25).toPandas()
+    assert (out2.score < 1.0).all()

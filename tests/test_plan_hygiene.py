@@ -60,6 +60,7 @@ LAZY_QUERIES = [
     "global_rnn",
     "rnn_forecast",
     "hpt_sobol",
+    "bm25_topk",
 ]
 
 

@@ -446,7 +446,29 @@ def minhash_portable_pairs(
     inlined into the plan (and into the DuckDB oracle — same constants).
     Plan: shingle strings (one linear shuffle) → poly hash per gram row →
     16 partial-agg mins → 4 band keys → band self-join → distinct pairs."""
-    rows_per_band = num_hashes // bands
+    sig = minhash_portable_sig(df, text_col, id_col, num_hashes, shingle_n, seed)
+    bandrows = minhash_band_rows(sig, id_col, num_hashes, bands)
+    a = bandrows.select(F.col(id_col).alias("id_a"), "band_id", "key")
+    b = bandrows.select(F.col(id_col).alias("id_b"), "band_id", "key")
+    return (
+        a.join(b, ["band_id", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_portable_sig(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, __m0..__m{k-1}) portable minhash signature columns — the
+    shared kernel behind the self-join pair finder and the cross-corpus
+    fuzzy decontaminator."""
     ex = shingle_string_rows(df, text_col, id_col, shingle_n)
     hashed = ex.select(F.col(id_col), poly_hash_expr("g").alias("__h"))
     params = _hash_params(num_hashes, seed)
@@ -454,7 +476,14 @@ def minhash_portable_pairs(
         F.min((F.col("__h") * a + b) % _P).alias(f"__m{k}")
         for k, (a, b) in enumerate(params)
     ]
-    sig = hashed.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_rows(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_id, key) LSH band rows from signature columns."""
+    rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
             F.lit(j).alias("band_id"),
@@ -468,17 +497,76 @@ def minhash_portable_pairs(
         )
         for j in range(bands)
     ]
-    bandrows = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")
-    ).select(id_col, F.col("__b.band_id").alias("band_id"), F.col("__b.key").alias("key"))
-    a = bandrows.select(F.col(id_col).alias("id_a"), "band_id", "key")
-    b = bandrows.select(F.col(id_col).alias("id_b"), "band_id", "key")
-    return (
-        a.join(b, ["band_id", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    ).select(
+        id_col,
+        F.col("__b.band_id").alias("band_id"),
+        F.col("__b.key").alias("key"),
+    )
+
+
+def decontaminate_fuzzy(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """NEAR-verbatim benchmark decontamination: flag training documents
+    whose estimated Jaccard similarity (fraction of agreeing minhashes)
+    against ANY eval document reaches ``threshold`` — catches the
+    lightly-edited leakage the exact n-gram check (``decontaminate``)
+    misses.
+
+    Returns (flagged, clean): flagged = (train id, sim_hat = max
+    agreement fraction, n_eval_hits); clean = surviving train rows.
+
+    Scale shape: the eval side is benchmark-sized, so its band rows AND
+    signatures broadcast; train streams through signature build -> band
+    equi-join (candidates only — never |train| x |eval|) -> one
+    broadcast verify join computing the agreement fraction.  Portable
+    hash family -> exact DuckDB oracle."""
+    sig_t = minhash_portable_sig(
+        train_df, text_col, id_col, num_hashes, shingle_n, seed
+    )
+    sig_e = minhash_portable_sig(
+        eval_df, text_col, id_col, num_hashes, shingle_n, seed
+    )
+    bt = minhash_band_rows(sig_t, id_col, num_hashes, bands)
+    be = minhash_band_rows(sig_e, id_col, num_hashes, bands).withColumnRenamed(
+        id_col, "__eval_id"
+    )
+    cand = (
+        bt.join(F.broadcast(be), ["band_id", "key"])
+        .select(id_col, "__eval_id")
         .distinct()
     )
+    e_renamed = sig_e.select(
+        F.col(id_col).alias("__eval_id"),
+        *[F.col(f"__m{k}").alias(f"__e{k}") for k in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"__m{k}") == F.col(f"__e{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    ) / float(num_hashes)
+    flagged = (
+        cand.join(sig_t, id_col)
+        .join(F.broadcast(e_renamed), "__eval_id")
+        .withColumn("__agree", agree)
+        .filter(F.col("__agree") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("__agree") + 1e-9, 6).alias("sim_hat"),
+            F.countDistinct("__eval_id").alias("n_eval_hits"),
+        )
+    )
+    clean = train_df.join(flagged.select(id_col), id_col, "left_anti")
+    return flagged, clean
 
 
 def streaming_exact_dedup(

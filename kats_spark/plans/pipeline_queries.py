@@ -1003,6 +1003,105 @@ FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.key = b.key AND a.doc_i
 """
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (minhash-similarity) benchmark decontamination — the
+    NEAR-verbatim leakage check the exact n-gram pass misses.  The eval
+    set is constructed as the 80%-token prefix of every 97th document
+    (deterministic truncation = lightly-edited leakage); the flagged set
+    must recover exactly those source documents.  Full oracle: the
+    portable hash family, truncation, and band join replay in DuckDB
+    with identical constants."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                toks, F.lit(1), F.ceil(F.size(toks) * 0.8).cast("int")
+            ),
+            " ",
+        ).alias("text"),
+    )
+    flagged, _clean = dedup.decontaminate_fuzzy(docs, ev, threshold=0.5)
+    return flagged.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "sim_hat",
+        F.col("n_eval_hits").cast("bigint").alias("n_eval_hits"),
+    )
+
+
+def _decontaminate_fuzzy_sql(
+    num_hashes: int = 16, bands: int = 4, seed: int = 7, threshold: float = 0.5
+) -> str:
+    params = dedup._hash_params(num_hashes, seed)
+    rpb = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min((h * {a}::BIGINT + {b}) % 2147483647) AS m{k}"
+        for k, (a, b) in enumerate(params)
+    )
+
+    def band_rows(src: str) -> str:
+        return "\n  UNION ALL ".join(
+            f"SELECT doc_id, {j} AS band_id, concat_ws(',', "
+            + ", ".join(f"m{j * rpb + r}" for r in range(rpb))
+            + f") AS key FROM {src}"
+            for j in range(bands)
+        )
+
+    agree = " + ".join(
+        f"CASE WHEN t.m{k} = e.m{k} THEN 1 ELSE 0 END" for k in range(num_hashes)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+),
+g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hs AS (SELECT doc_id, {_POLY.format(col='g')} AS h FROM g),
+tsig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
+-- eval corpus: 80%-token prefix of every 97th document (near-verbatim
+-- leakage by construction), id-shifted into its own space
+etoks AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         tt[1:ceil(len(tt) * 0.8)::INT] AS t
+  FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                  x -> x <> '') AS tt
+    FROM documents WHERE doc_id % 97 = 0
+  )
+),
+esh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM etoks
+),
+eg AS (SELECT doc_id, unnest(s) AS g FROM esh),
+ehs AS (SELECT doc_id, {_POLY.format(col='g')} AS h FROM eg),
+esig AS (SELECT doc_id, {mins} FROM ehs GROUP BY doc_id),
+tb AS ({band_rows('tsig')}),
+eb AS ({band_rows('esig')}),
+cand AS (
+  SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_id
+  FROM tb t JOIN eb e ON t.band_id = e.band_id AND t.key = e.key
+),
+agree AS (
+  SELECT c.doc_id, c.eval_id, ({agree}) / {float(num_hashes)} AS a
+  FROM cand c JOIN tsig t ON c.doc_id = t.doc_id
+              JOIN esig e ON c.eval_id = e.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id,
+       round(max(a) + 1e-9, 6) AS sim_hat,
+       count(DISTINCT eval_id)::BIGINT AS n_eval_hits
+FROM agree WHERE a >= {threshold}
+GROUP BY doc_id
+"""
+
+
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline observability: one row of per-stage survivor counts and
     retention rates for the corpus-prep funnel (raw → lang/quality kept →
@@ -1152,6 +1251,7 @@ QUERIES = {
     "simhash_portable": q_simhash_portable,
     "simhash_neardup": q_simhash_neardup,
     "dup_clusters": q_dup_clusters,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "corpus_sample": q_corpus_sample,
     "decontaminate": q_decontaminate,
     "unigram_logppl": q_unigram_logppl,
@@ -1172,6 +1272,7 @@ ORACLES = {
     "corpus_sample": _Q_CORPUS_SAMPLE_SQL,
     "simhash_neardup": _simhash_neardup_sql(bits=24, bands=2, max_hamming=1),
     "dup_clusters": _dup_clusters_sql(),
+    "decontaminate_fuzzy": _decontaminate_fuzzy_sql(),
     "exact_dedup": _Q_EXACT_DEDUP_SQL,
     "jaccard_pairs": _Q_JACCARD_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,

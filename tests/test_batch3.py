@@ -1398,3 +1398,38 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     # idf: a term present in almost every doc scores near zero
     out2 = bm25_topk(df, ["common"], k=25).toPandas()
     assert (out2.score < 1.0).all()
+
+
+def test_decontaminate_fuzzy_flags_edited_leakage(spark):
+    """Minhash fuzzy decontamination: a train doc that leaked into the
+    eval set with light edits (truncation + a changed word) is flagged
+    with high estimated similarity; unrelated docs survive; the exact
+    n-gram pass at 8-grams misses the same leak when edits break every
+    shared 8-gram window."""
+    from kats_spark.operators.dedup import decontaminate_fuzzy
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    edited = " ".join(
+        ("CHANGED" if i % 15 == 3 else f"tok{i}") for i in range(48)
+    )
+    train = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                base,
+                "totally different content about spark catalyst planning",
+                "yet another unrelated document on window aggregation",
+            ],
+        }
+    )
+    ev = pd.DataFrame({"doc_id": [900], "text": [edited]})
+    # single-row bands (bands = num_hashes): candidate iff ANY minhash
+    # agrees — the right recall setting for edited leakage
+    flagged, clean = decontaminate_fuzzy(
+        spark.createDataFrame(train), spark.createDataFrame(ev),
+        threshold=0.3, num_hashes=16, bands=16,
+    )
+    f = flagged.toPandas()
+    assert list(f.doc_id) == [1]
+    assert f.sim_hat.iloc[0] >= 0.3
+    assert sorted(clean.toPandas().doc_id) == [2, 3]

@@ -61,6 +61,7 @@ LAZY_QUERIES = [
     "rnn_forecast",
     "hpt_sobol",
     "bm25_topk",
+    "decontaminate_fuzzy",
 ]
 
 

@@ -819,3 +819,50 @@ def _mle_refine_lagset(
     cp, ct = z[:p], z[p:]
     sigma2 = _kalman_loglik(xc, dense(cp, ar_lags), dense(ct, ma_lags))[1]
     return cp, ct, float(sigma2)
+
+
+def select_order(
+    x: np.ndarray,
+    max_p: int = 3,
+    max_q: int = 2,
+    method: str = "aicc",
+) -> tuple[int, int, float]:
+    """Automatic ARMA(p, q) order selection on a (differenced) series by
+    exact-likelihood information criteria — the pmdarima/auto-arima
+    selection loop without the dependency.
+
+    Every (p, q) in the grid gets the full estimator chain (HR start ->
+    CSS Gauss-Newton -> capped Kalman-MLE polish); the winner minimizes
+    AICc (default; 'aic'/'bic' available).  k counts ARMA coefficients
+    + the concentrated variance.  Returns (p, q, criterion)."""
+    n = len(x)
+    mu = x.mean()
+    xc = x - mu
+    best = (0, 0, np.inf)
+    for p in range(max_p + 1):
+        for q in range(max_q + 1):
+            if p + q == 0:
+                s2 = float(xc @ xc) / max(n, 1)
+                ll = -0.5 * n * (np.log(2 * np.pi) + 1 + np.log(max(s2, 1e-300)))
+            else:
+                try:
+                    phi, theta, _, _, _ = _hannan_rissanen(x, p, q)
+                    phi, theta = _css_refine(xc, phi, theta)
+                    phi, theta, _ = _mle_refine(xc, phi, theta, max_iter=10)
+                    ll = _kalman_loglik(xc, phi, theta)[0]
+                except (np.linalg.LinAlgError, ValueError):
+                    continue
+            if not np.isfinite(ll):
+                continue
+            k = p + q + 1  # + concentrated sigma^2
+            aic = -2 * ll + 2 * k
+            if method == "bic":
+                crit = -2 * ll + k * np.log(n)
+            elif method == "aic":
+                crit = aic
+            else:  # aicc
+                denom = n - k - 1
+                crit = aic + (2 * k * (k + 1)) / denom if denom > 0 else np.inf
+            if crit < best[2] - 1e-9:
+                best = (p, q, float(crit))
+    return best

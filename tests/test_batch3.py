@@ -1433,3 +1433,37 @@ def test_decontaminate_fuzzy_flags_edited_leakage(spark):
     assert list(f.doc_id) == [1]
     assert f.sim_hat.iloc[0] >= 0.3
     assert sorted(clean.toPandas().doc_id) == [2, 3]
+
+
+def test_arima_select_order_recovers_true_orders():
+    """Exact-likelihood information-criterion order selection (the
+    auto-arima loop): BIC recovers the true (p, q) on 12/12 seeded
+    AR(1)/MA(1)/AR(2)/ARMA(1,1) draws; AICc at worst overfits by one
+    order (its documented behavior)."""
+    from kats_spark.models.arima import select_order
+
+    def sim(n, phi, theta, seed, burn=300):
+        rng = np.random.default_rng(seed)
+        e = rng.normal(0, 1, n + burn)
+        x = np.zeros(n + burn)
+        p, q = len(phi), len(theta)
+        for t in range(max(p, q, 1), n + burn):
+            x[t] = (
+                sum(phi[i] * x[t - 1 - i] for i in range(p))
+                + e[t]
+                + sum(theta[j] * e[t - 1 - j] for j in range(q))
+            )
+        return x[burn:]
+
+    cases = [([0.7], []), ([], [0.6]), ([0.6, -0.3], []), ([0.5], [0.4])]
+    for phi, theta in cases:
+        for seed in (1, 2, 3):
+            x = sim(1200, phi, theta, seed)
+            p, q, crit = select_order(x, method="bic")
+            assert (p, q) == (len(phi), len(theta)), (phi, theta, seed, p, q)
+            assert np.isfinite(crit)
+    # aicc never UNDERfits on these draws
+    for phi, theta in cases:
+        x = sim(1200, phi, theta, 1)
+        p, q, _ = select_order(x, method="aicc")
+        assert p >= len(phi) or q >= len(theta)

@@ -573,3 +573,49 @@ def bm25_topk(
         .agg(F.round(F.sum("__s") + 1e-9, 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+# ---- PII / URL scrubbing -------------------------------------------------
+#
+# The standard pretraining redaction pass.  Patterns are lookahead-free
+# and written to behave identically under Java regex (Spark) and RE2
+# (DuckDB) so the whole scrub replays in the oracle; categories apply in
+# a FIXED order (urls first — an address inside a URL must count as URL,
+# not email) with each pattern matching against the previous step's
+# output.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9() .-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sequential redaction: per category, count matches in the
+    CURRENT text then replace with the placeholder.  Adds
+    ``n_<category>`` count columns and ``text_scrubbed``.  Pure
+    codegen'd expressions — no Python in the row path."""
+    cur = F.col(text_col)
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(cur, F.lit(pat)).cast("bigint")
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.withColumns({**counts, "text_scrubbed": cur})
+
+
+def scrub_pii_sql(text_expr: str = "text") -> str:
+    """DuckDB fragment: the identical sequential scrub — returns
+    ``n_<cat>`` count expressions + ``text_scrubbed`` as a SELECT-list
+    fragment (single source of truth for the oracle)."""
+    cur = text_expr
+    cols = []
+    for name, pat, repl in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        cols.append(
+            f"len(regexp_extract_all({cur}, '{sql_pat}'))::BIGINT AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{sql_pat}', '{repl}', 'g')"
+    cols.append(f"{cur} AS text_scrubbed")
+    return ",\n    ".join(cols)

@@ -1153,6 +1153,59 @@ FROM documents d2 LEFT JOIN best ON d2.doc_id = best.doc_id
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL redaction with a full oracle: documents are deterministically
+    enriched with synthetic contact strings (emails/URLs/IPs/phones built
+    from doc_id), the sequential scrub runs, and DuckDB replays the
+    identical pattern chain — counts and an md5 of the scrubbed text
+    hash-match."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    enriched = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://ex.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1 555 010"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+    out = text.scrub_pii(enriched)
+    return out.select(
+        "doc_id",
+        "n_url",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.md5(F.encode("text_scrubbed", "UTF-8")).alias("scrub_md5"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    frag = text.scrub_pii_sql("text")
+    return f"""
+WITH enriched AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    text || ' contact doc' || doc_id::VARCHAR || '@example.com via https://ex.org/p/'
+         || doc_id::VARCHAR || ' host 10.0.' || (doc_id % 256)::VARCHAR
+         || '.7 tel +1 555 010' || (doc_id % 10)::VARCHAR AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+    {frag}
+  FROM enriched
+)
+SELECT doc_id, n_url, n_email, n_ip, n_phone,
+       md5(text_scrubbed) AS scrub_md5
+FROM scrubbed
+"""
+
+
 _BM25_TERMS = ["spark", "window", "join"]
 
 
@@ -3329,6 +3382,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
     "bm25_topk": q_bm25_topk,
+    "pii_scrub": q_pii_scrub,
     "doc_fingerprint": q_doc_fingerprint,
     "bocpd_detect": q_bocpd,
     "fft_seasonality": q_fft_seasonality,
@@ -3401,6 +3455,7 @@ ORACLES = {
     "lang_id": _Q_LANG_ID_SQL,
     "lang_id_ngram": _lang_id_ngram_sql(),
     "bm25_topk": _bm25_sql(),
+    "pii_scrub": _pii_scrub_sql(),
     "doc_fingerprint": _Q_FINGERPRINT_SQL,
     "model_select": _Q_MODEL_SELECT_SQL,
     "predictability": _Q_PREDICTABILITY_SQL,

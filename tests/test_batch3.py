@@ -1467,3 +1467,28 @@ def test_arima_select_order_recovers_true_orders():
         x = sim(1200, phi, theta, 1)
         p, q, _ = select_order(x, method="aicc")
         assert p >= len(phi) or q >= len(theta)
+
+
+def test_scrub_pii_categories_and_order(spark):
+    """Sequential PII scrub: each category is counted and replaced; an
+    email inside a URL counts as URL (order matters); text without PII
+    passes through unchanged."""
+    from kats_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "mail me at a.b+c@test.org or visit https://x.io/a@b.com now"),
+        (2, "server 192.168.0.1 phone +44 20 7946 0958 done"),
+        (3, "nothing sensitive here at all"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = {r.doc_id: r for r in scrub_pii(spark.createDataFrame(pdf)).collect()}
+    r1 = out[1]
+    assert (r1.n_url, r1.n_email) == (1, 1)  # the in-URL address is URL
+    assert "<URL>" in r1.text_scrubbed and "<EMAIL>" in r1.text_scrubbed
+    assert "a.b+c@test.org" not in r1.text_scrubbed
+    r2 = out[2]
+    assert (r2.n_ip, r2.n_phone) == (1, 1)
+    assert "<IP>" in r2.text_scrubbed and "<PHONE>" in r2.text_scrubbed
+    r3 = out[3]
+    assert r3.text_scrubbed == "nothing sensitive here at all"
+    assert (r3.n_url, r3.n_email, r3.n_ip, r3.n_phone) == (0, 0, 0, 0)

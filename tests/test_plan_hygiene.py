@@ -62,6 +62,7 @@ LAZY_QUERIES = [
     "hpt_sobol",
     "bm25_topk",
     "decontaminate_fuzzy",
+    "pii_scrub",
 ]
 
 

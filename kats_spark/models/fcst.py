@@ -70,6 +70,24 @@ def _holt_fit(y: np.ndarray, alpha: float, beta: float) -> tuple[np.ndarray, flo
     return fitted, l, b
 
 
+def _holt_damped_fit(
+    y: np.ndarray, alpha: float, beta: float, phi: float
+) -> tuple[np.ndarray, float, float]:
+    """Damped Holt (Gardner-McKenzie): trend multiplied by phi in both
+    the update and the forecast, so long-horizon forecasts flatten to
+    l + phi/(1-phi) * b instead of extrapolating forever — the
+    reference's HoltWintersParams ``damped`` flag."""
+    l, b = y[0], (y[1] - y[0] if len(y) > 1 else 0.0)
+    fitted = np.empty(len(y))
+    fitted[0] = l
+    for i in range(1, len(y)):
+        fitted[i] = l + phi * b
+        l_new = alpha * y[i] + (1 - alpha) * (l + phi * b)
+        b = beta * (l_new - l) + (1 - beta) * phi * b
+        l = l_new
+    return fitted, l, b
+
+
 def _hw_fit(
     y: np.ndarray, m: int, alpha: float, beta: float, gamma: float, mult: bool
 ) -> tuple[np.ndarray, float, float, np.ndarray]:
@@ -138,6 +156,19 @@ def _fit_predict_one(pdf: pd.DataFrame, model: str, steps: int, freq_seconds: in
                     best, best_sse = (a, b, l, tr, fitted), sse
         a, b, l, tr, fitted = best
         fc = l + tr * np.arange(1, steps + 1)
+    elif model == "holt_damped":
+        best, best_sse = None, math.inf
+        for a in _grid(0.2):
+            for b in _grid(0.2):
+                for ph in (0.8, 0.9, 0.95, 0.98):
+                    fitted, l, tr = _holt_damped_fit(y, a, b, ph)
+                    sse = float(np.sum((y[1:] - fitted[1:]) ** 2))
+                    if sse < best_sse:
+                        best, best_sse = (ph, l, tr, fitted), sse
+        ph, l, tr, fitted = best
+        h = np.arange(1, steps + 1)
+        phi_sum = ph * (1 - ph**h) / (1 - ph)
+        fc = l + phi_sum * tr
     elif model == "holtwinters":
         best, best_sse = None, math.inf
         for a in _grid(0.25):

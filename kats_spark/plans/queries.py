@@ -2376,6 +2376,71 @@ FROM sel s CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS h) gg
 """
 
 
+def q_damped_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped Holt (Gardner-McKenzie; the reference HoltWintersParams
+    ``damped`` flag) — full oracle: the 2-state recurrence replays in a
+    DuckDB recursive CTE over the per-series value list with the same
+    4x4x4 (alpha, beta, phi) SSE grid, argmin tie order, ddof-1 sigma,
+    and the closed-form damped horizon sum phi(1-phi^h)/(1-phi)."""
+    out = fcst_mod.forecast(
+        hourly_series(spark, sf_dir), "holt_damped", steps=24, freq_seconds=3600
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_DAMPED_SQL = f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+lst AS (
+  SELECT series_id, max(time) AS tmax, count(*)::BIGINT AS n,
+         list(value ORDER BY time) AS vs
+  FROM h GROUP BY 1
+),
+grid AS (
+  SELECT a.a, b.bta, p.ph
+  FROM (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS a) a,
+       (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS bta) b,
+       (SELECT unnest([0.8, 0.9, 0.95, 0.98]) AS ph) p
+),
+rec AS (
+  SELECT l.series_id, gr.a, gr.bta, gr.ph, 1::BIGINT AS i,
+    l.vs[1] AS l, (l.vs[2] - l.vs[1]) AS tr,
+    0.0::DOUBLE AS sse, 0.0::DOUBLE AS rsum, 0.0::DOUBLE AS rss
+  FROM lst l CROSS JOIN grid gr
+  WHERE l.n >= 5
+  UNION ALL
+  SELECT r.series_id, r.a, r.bta, r.ph, r.i + 1,
+    r.a * l.vs[r.i + 1] + (1 - r.a) * (r.l + r.ph * r.tr),
+    r.bta * ((r.a * l.vs[r.i + 1] + (1 - r.a) * (r.l + r.ph * r.tr)) - r.l)
+      + (1 - r.bta) * r.ph * r.tr,
+    r.sse + pow(l.vs[r.i + 1] - (r.l + r.ph * r.tr), 2),
+    r.rsum + (l.vs[r.i + 1] - (r.l + r.ph * r.tr)),
+    r.rss + pow(l.vs[r.i + 1] - (r.l + r.ph * r.tr), 2)
+  FROM rec r JOIN lst l USING (series_id)
+  WHERE r.i < l.n
+),
+fin AS (
+  SELECT r.*, l.n AS nn, l.tmax FROM rec r JOIN lst l USING (series_id) WHERE r.i = l.n
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY sse, a, bta, ph) AS rk
+  FROM fin
+),
+sel AS (
+  SELECT series_id, tmax, nn, l, tr, ph,
+    sqrt(greatest(0.0, (rss - rsum * rsum / (nn - 1)) / (nn - 2))) AS sigma
+  FROM best WHERE rk = 1
+)
+SELECT s.series_id,
+  strftime(s.tmax + to_seconds(gg.h * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + s.l + s.ph * (1 - pow(s.ph, gg.h)) / (1 - s.ph) * s.tr, 6) AS fcst,
+  round(1e-9 + s.l + s.ph * (1 - pow(s.ph, gg.h)) / (1 - s.ph) * s.tr
+    - 1.959963984540054 * s.sigma * sqrt(gg.h), 6) AS fcst_lower,
+  round(1e-9 + s.l + s.ph * (1 - pow(s.ph, gg.h)) / (1 - s.ph) * s.tr
+    + 1.959963984540054 * s.sigma * sqrt(gg.h), 6) AS fcst_upper
+FROM sel s CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS h) gg
+"""
+
+
 def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta(2) forecast (theta.py:36) — full oracle: SES level via the
     closed-form weighted sum (same grid as ses_forecast) plus half the OLS
@@ -2556,6 +2621,7 @@ QUERIES.update(
         "cusum_detect": q_cusum_detect,
         "ses_forecast": q_ses_forecast,
         "holtwinters_forecast": q_holtwinters_forecast,
+        "damped_forecast": q_damped_forecast,
         "theta_forecast": q_theta_forecast,
     }
 )
@@ -2579,6 +2645,7 @@ ORACLES.update(
         "ses_forecast": _Q_SES_SQL,
         "theta_forecast": _Q_THETA_SQL,
         "holtwinters_forecast": _Q_HW_SQL,
+        "damped_forecast": _Q_DAMPED_SQL,
         "cusum_detect": _Q_CUSUM_SQL,
     }
 )

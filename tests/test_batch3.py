@@ -1492,3 +1492,30 @@ def test_scrub_pii_categories_and_order(spark):
     r3 = out[3]
     assert r3.text_scrubbed == "nothing sensitive here at all"
     assert (r3.n_url, r3.n_email, r3.n_ip, r3.n_phone) == (0, 0, 0, 0)
+
+
+def test_damped_holt_flattens_and_beats_plain_on_decaying_trend(spark):
+    """Damped Holt (HoltWintersParams damped=True surface): on a series
+    whose trend decays, the damped model's holdout error beats plain
+    Holt, and its long-horizon forecast flattens instead of
+    extrapolating linearly."""
+    from kats_spark.models import fcst
+
+    rng = np.random.default_rng(2)
+    n = 160
+    t = np.arange(n + 24, dtype=float)
+    y_full = 50 + 30 * (1 - 0.97**t) + rng.normal(0, 0.4, n + 24)
+    rows = [
+        ("s", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=int(i)), float(y_full[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series_id", "time", "value"]))
+    damped = fcst.forecast(df, steps=24, freq_seconds=3600, model="holt_damped").toPandas()
+    plain = fcst.forecast(df, steps=24, freq_seconds=3600, model="holt").toPandas()
+    truth = y_full[n:]
+    err_d = float(np.mean((damped.sort_values("time").fcst.to_numpy() - truth) ** 2))
+    err_p = float(np.mean((plain.sort_values("time").fcst.to_numpy() - truth) ** 2))
+    assert err_d < err_p, (err_d, err_p)
+    # flattening: the last 5 damped steps move less than the first 5
+    fd = damped.sort_values("time").fcst.to_numpy()
+    assert abs(fd[-1] - fd[-6]) < abs(fd[5] - fd[0])

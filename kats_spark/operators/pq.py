@@ -1,0 +1,211 @@
+"""Product quantization for embedding columns (Jégou/Douze/Schmid 2011,
+public method) — the memory-side scale path for similarity search.
+
+IVF (operators/ivf.py) bounds how much of the corpus a query SCANS;
+PQ bounds what each scanned row COSTS: vectors compress to ``m`` sub-
+space code indices (m bytes at ks<=256 — 32x smaller than 64 float64
+dims), and query distances come from an m x ks lookup table (ADC:
+asymmetric distance computation) instead of a dot product.
+
+Spark shape:
+- codebooks train DRIVER-SIDE on a bounded deterministic sample
+  (hash-ranked limit — the only collect), then travel in UDF closures;
+- encoding is one ``mapInPandas`` pass (vectorized argmin per subspace);
+- search broadcasts the (small) query set, builds each query's LUT once
+  per task, and scores every Arrow batch of codes with numpy gathers —
+  no shuffle of the corpus beyond the optional IVF cell probe join.
+
+Iterative k-means -> no SQL oracle; correctness is pinned by recall
+measured against the exact brute-force ranking (never assumed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _lloyd(X: np.ndarray, ks: int, iters: int, rng: np.random.Generator) -> np.ndarray:
+    """Seeded numpy k-means for one subspace.  Empty clusters re-seed to
+    the point farthest from its centroid."""
+    n = len(X)
+    idx = rng.choice(n, size=min(ks, n), replace=False)
+    C = X[idx].copy()
+    if len(C) < ks:  # degenerate tiny sample: pad with jitter
+        C = np.vstack([C, C[rng.integers(0, len(C), ks - len(C))] + 1e-6])
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for c in range(ks):
+            mask = a == c
+            if mask.any():
+                C[c] = X[mask].mean(0)
+            else:
+                C[c] = X[d.min(1).argmax()]
+    return C
+
+
+def train_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ks: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 15,
+    seed: int = 7,
+) -> np.ndarray:
+    """(m, ks, d/m) PQ codebooks from a bounded hash-ranked sample —
+    deterministic, and the only driver-side data regardless of corpus
+    size."""
+    pdf = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [_lloyd(X[:, j * dsub : (j + 1) * dsub], ks, iters, rng) for j in range(m)]
+    )
+
+
+def encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """One mapInPandas pass: vector -> m nearest-sub-centroid codes.
+    Output (id[, keep_cols...], codes array<int>)."""
+    m, ks, dsub = codebooks.shape
+    cb = codebooks.copy()
+    keep = list(keep_cols)
+
+    def kernel(batches):
+        for pdf in batches:
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                dist = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = dist.argmin(1)
+            out = {id_col: pdf[id_col], "codes": list(codes.tolist())}
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} bigint, codes array<int>"
+    for c in keep:
+        schema += f", {c} int"
+    return df.select(id_col, vec_col, *keep).mapInPandas(kernel, schema)
+
+
+def adc_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k per query over the encoded corpus: each task builds the
+    per-query (m, ks) lookup tables once, scores every Arrow batch with
+    numpy gathers, keeps a per-batch top-k, and a final window re-ranks
+    the union — exact over the QUANTIZED distances.  ``queries`` is the
+    (small) literal query set: (query_id, vector) pairs.
+    Output (query_id, id, adc_dist, rank)."""
+    m, ks, dsub = codebooks.shape
+    cb = codebooks.copy()
+    Q = [(int(qid), np.asarray(v, dtype=np.float64)) for qid, v in queries]
+
+    def kernel(batches):
+        luts = []
+        for qid, qv in Q:
+            lut = np.empty((m, ks))
+            for j in range(m):
+                qs = qv[j * dsub : (j + 1) * dsub]
+                lut[j] = ((cb[j] - qs[None, :]) ** 2).sum(-1)
+            luts.append((qid, lut))
+        rows_q, rows_i, rows_d = [], [], []
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            ar = np.arange(m)
+            for qid, lut in luts:
+                d = lut[ar[None, :], codes].sum(1)
+                kk = min(k, len(d))
+                top = np.argpartition(d, kk - 1)[:kk]
+                rows_q.extend([qid] * kk)
+                rows_i.extend(ids[top].tolist())
+                rows_d.extend(np.round(d[top] + 1e-9, 6).tolist())
+        yield pd.DataFrame({"query_id": rows_q, id_col: rows_i, "adc_dist": rows_d})
+
+    cand = encoded.select(id_col, "codes").mapInPandas(
+        kernel, schema=f"query_id bigint, {id_col} bigint, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", id_col)
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_dist", "rank")
+    )
+
+
+def adc_topk_reranked(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    vectors: DataFrame,
+    k: int = 5,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC candidate generation + EXACT re-rank (the standard IVF-PQ
+    refinement): take the rerank_factor * k best quantized distances per
+    query, join their ORIGINAL vectors (touches only those rows), and
+    rank on the exact Euclidean distance.  Recovers the recall the lossy
+    codes give up while still scanning codes, not floats.
+    Output (query_id, id, dist, rank)."""
+    cand = adc_topk(encoded, codebooks, queries, k=rerank_factor * k, id_col=id_col)
+    qdf = encoded.sparkSession.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id bigint, __qv array<double>",
+    )
+    exact = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn(
+            "dist",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            F.col("__qv"),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                + 1e-9,
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", id_col)
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist", "rank")
+    )

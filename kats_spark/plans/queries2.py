@@ -1626,6 +1626,66 @@ def q_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit: recall@10 of PQ codes (ADC scan) and
+    of ADC + exact re-rank against the brute-force Euclidean top-10 per
+    query — the measured compression-quality knob (Jégou 2011 method,
+    operators/pq.py).  Iterative k-means codebooks -> rows-only; the
+    recall numbers are the correctness story: re-rank must dominate raw
+    ADC.  One row per query: (query_id, recall_adc, recall_reranked)."""
+    from kats_spark.operators import pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = pq.train_codebooks(emb, m=16, ks=32, sample_rows=2048, seed=7)
+    enc = pq.encode(emb, cb).localCheckpoint(eager=True)
+    qrows = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    k = 10
+    adc = pq.adc_topk(enc, cb, qrows, k=k).select(
+        "query_id", "vec_id", F.lit(1).alias("__a")
+    )
+    rer = pq.adc_topk_reranked(enc, cb, qrows, emb, k=k, rerank_factor=8).select(
+        "query_id", "vec_id", F.lit(1).alias("__r")
+    )
+    qdf = spark.createDataFrame(qrows, "query_id bigint, __q array<double>")
+    d2 = F.aggregate(
+        F.zip_with(F.col("__q"), F.col("embedding"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    truth = (
+        emb.crossJoin(F.broadcast(qdf))
+        .select("query_id", "vec_id", F.round(d2 + 1e-9, 6).alias("__d"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("__d", "vec_id")
+            ),
+        )
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    joined = truth.join(adc, ["query_id", "vec_id"], "left").join(
+        rer, ["query_id", "vec_id"], "left"
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.coalesce("__a", F.lit(0))) / float(k), 2).alias(
+                "recall_adc"
+            ),
+            F.round(F.sum(F.coalesce("__r", F.lit(0))) / float(k), 2).alias(
+                "recall_reranked"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN audit: recall@10 of the portable IVF (8 cells, 3 probes)
     against the exact brute-force top-10 per query — the measured
@@ -3411,6 +3471,7 @@ QUERIES = {
     "prophet_forecast": q_prophet_forecast,
     "global_dms": q_global_dms,
     "global_rnn": q_global_rnn,
+    "pq_recall": q_pq_recall,
     "rnn_forecast": q_rnn_forecast,
     "backtest_arima": q_backtest_arima,
     "prophet_detect": q_prophet_detect,

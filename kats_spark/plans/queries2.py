@@ -2150,6 +2150,21 @@ def q_global_rnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+def q_neural_prophet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NeuralProphet-lite (kats/models/neuralprophet.py parity surface,
+    Triebe 2021 published core): Prophet components + linear AR-Net lag
+    block fit jointly, recursive multi-step decode.  Iterative MAP ->
+    rows-only; AR-coefficient recovery test in tests/test_prophet_lite.py."""
+    from kats_spark.models.neural_prophet_lite import neural_prophet_forecast
+
+    out = neural_prophet_forecast(
+        hourly_series(spark, sf_dir), steps=12, freq_seconds=3600, n_lags=6,
+        yearly_seasonality=False, daily_seasonality=False,
+        weekly_seasonality=False, uncertainty_samples=0,
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
 def q_rnn_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series GRU forecaster (kats/models/lstm.py:92 shape, numpy
     BPTT instead of torch): each series trains its own net inside its
@@ -3473,6 +3488,7 @@ QUERIES = {
     "global_rnn": q_global_rnn,
     "pq_recall": q_pq_recall,
     "rnn_forecast": q_rnn_forecast,
+    "neural_prophet": q_neural_prophet,
     "backtest_arima": q_backtest_arima,
     "prophet_detect": q_prophet_detect,
     "outlier_detect_stl": q_outlier_detect_stl,

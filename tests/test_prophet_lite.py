@@ -256,3 +256,60 @@ def test_prophet_lite_matches_stored_golden():
         scale = np.abs(expect).max()
         err = np.abs(fc - expect).max() / scale
         assert err < case["rtol"], f"{case['name']}: rel err {err:.2e}"
+
+
+def test_neural_prophet_lite_ar_block_recovers_ar_coefficients():
+    """NeuralProphetLite's AR-Net block: on a pure AR(2) series (no
+    trend/seasonality) the fitted lag-regressor coefficients recover the
+    true AR coefficients, and 1-step forecasts beat last-value."""
+    from kats_spark.models.neural_prophet_lite import NeuralProphetLite
+
+    rng = np.random.default_rng(6)
+    n = 500
+    y = np.zeros(n)
+    for t in range(2, n):
+        y[t] = 0.6 * y[t - 1] - 0.3 * y[t - 2] + rng.normal(0, 0.3)
+    times = np.array(pd.date_range("2023-01-01", periods=n, freq="D"),
+                     dtype="datetime64[ns]")
+    m = NeuralProphetLite(
+        n_lags=4, yearly_seasonality=False, weekly_seasonality=False,
+        daily_seasonality=False, n_changepoints=0, uncertainty_samples=0,
+    ).fit(times[:-1], y[:-1])
+    pl = m.model_
+    # regressor block coefficients on the ORIGINAL scale
+    betas = pl.beta_seas_[pl._n_fourier + pl._n_hol:] * pl.y_scale_ / pl.reg_sd_
+    assert abs(betas[0] - 0.6) < 0.12
+    assert abs(betas[1] + 0.3) < 0.12
+    fc = m.predict(times[-1:]).fcst.iloc[0]
+    assert abs(fc - y[-1]) < abs(y[-2] - y[-1]) + 0.3
+
+
+def test_neural_prophet_lite_spark_contract(spark):
+    """Fan-out shape: trend+seasonal+AR series forecast per series with
+    finite bands and deterministic output."""
+    from kats_spark.models.neural_prophet_lite import neural_prophet_forecast
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for sid in ("a", "b"):
+        n = 240
+        t = np.arange(n)
+        y = 10 + 0.05 * t + 3 * np.sin(2 * np.pi * t / 7)
+        ar = np.zeros(n)
+        for i in range(1, n):
+            ar[i] = 0.5 * ar[i - 1] + rng.normal(0, 0.2)
+        y = y + ar
+        for i in range(n):
+            rows.append((sid, pd.Timestamp("2023-01-01") + pd.Timedelta(days=int(i)), float(y[i])))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series_id", "time", "value"]))
+    out = neural_prophet_forecast(
+        df, steps=14, freq_seconds=86400, n_lags=4,
+        yearly_seasonality=False, daily_seasonality=False,
+        uncertainty_samples=0,
+    )
+    a = out.toPandas().sort_values(["series_id", "time"]).reset_index(drop=True)
+    assert len(a) == 28
+    assert np.isfinite(a.fcst).all()
+    assert (a.fcst_lower <= a.fcst + 1e-9).all() and (a.fcst <= a.fcst_upper + 1e-9).all()
+    b = out.toPandas().sort_values(["series_id", "time"]).reset_index(drop=True)
+    assert np.allclose(a.fcst.to_numpy(), b.fcst.to_numpy())

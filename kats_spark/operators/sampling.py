@@ -253,6 +253,11 @@ def unigram_logppl(
          stages cost more than the skew they remove).
 
     Identical arithmetic on every path; the DuckDB oracle is unchanged.
+    COUNT-GUARDED like token_budget_sample: under 1M documents the
+    per-occurrence join runs directly (Zipf skew needs web-scale mass to
+    hurt; at bench scale the pre-aggregation''s extra shuffle + persist
+    cost more than they save), at or above it the de-skewed plan engages
+    (1M-doc Zipf guard test exercises it).
     Output (doc_id, n_tokens, logppl)."""
     from pyspark import StorageLevel
 
@@ -264,6 +269,23 @@ def unigram_logppl(
     tok = df.select(
         F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("__t")
     )
+    if df.count() < 1_000_000:
+        freq_s = tok.groupBy("__t").agg(F.count("*").alias("__c"))
+        totals_s = freq_s.agg(
+            F.sum("__c").alias("__total"), F.count("*").alias("__vocab")
+        )
+        nll_s = -F.log(
+            (F.col("__c") + F.lit(float(alpha)))
+            / (F.col("__total") + F.lit(float(alpha)) * F.col("__vocab"))
+        )
+        scored_s = (
+            tok.join(freq_s, "__t")
+            .crossJoin(F.broadcast(totals_s))
+            .select(F.col(id_col), nll_s.alias("__nll"))
+        )
+        return scored_s.groupBy(id_col).agg(
+            F.count("*").alias("n_tokens"), F.avg("__nll").alias("logppl")
+        )
     # (doc, token, count): one shuffle keyed on (doc, token) — high
     # cardinality, no skew (a single doc repeating one token stays in
     # one row).  PERSISTED: the global frequency table and the join

@@ -161,3 +161,126 @@ def struc_forecast(
         sum([F.col(f"__b{i}") for i in range(1, k)], F.col("__b0")).alias("fcst"),
     )
     return base_rows.unionByName(agg_rows)
+
+
+def _w_matrix(res_rows: "np.ndarray", method: str, k: int, eps: float = 1e-5):
+    """W for the GLS projection from the (k+1) x n_blocks residual
+    matrix (row 0 = aggregate, rows 1..k = base positions) — the five
+    weight schemes of thm.py:get_W (struc/svar/hvar/mint_sample/
+    mint_shrink, public MinT methodology: Wickramasuriya et al. 2019).
+    Returns (W, is_diag)."""
+    import numpy as np
+
+    if method == "struc":
+        return np.array([float(k)] + [1.0] * k), True
+    if method == "svar":
+        # per-LEVEL mean squared residual: one value for the aggregate
+        # row, one shared value for all base rows
+        agg_v = float(np.nanmean(res_rows[0] ** 2)) + eps
+        base_v = float(np.nanmean(res_rows[1:] ** 2)) + eps
+        return np.array([agg_v] + [base_v] * k), True
+    if method == "hvar":
+        return np.nanvar(res_rows, axis=1) + eps, True
+    if method in ("mint_sample", "mint_shrink"):
+        cov = np.cov(res_rows)
+        if method == "mint_shrink":
+            sqrt = np.sqrt(np.diag(cov))
+            cor = ((cov / sqrt).T) / sqrt
+            mask = ~np.eye(cor.shape[0], dtype=bool)
+            off = cor[mask]
+            denom = float(np.sum(off**2))
+            lam = float(np.var(off) / denom) if denom > 0 else 0.0
+            lam = min(max(lam, 0.0), 1.0)
+            cov = np.diag(np.diag(cov)) * lam + (1.0 - lam) * cov
+        cov = cov + np.eye(len(cov)) * eps
+        return cov, False
+    raise ValueError(f"unknown reconciliation method {method!r}")
+
+
+def _g_from_w(W, is_diag: bool, k: int):
+    """G = (S' W^-1 S)^-1 S' W^-1 for the two-level temporal hierarchy
+    S = [1'; I_k]."""
+    import numpy as np
+
+    S = np.vstack([np.ones((1, k)), np.eye(k)])
+    Winv = np.diag(1.0 / W) if is_diag else np.linalg.inv(W)
+    return np.linalg.solve(S.T @ Winv @ S, S.T @ Winv)
+
+
+def reconcile_forecast(
+    df: DataFrame,
+    steps: int,
+    freq_seconds: int,
+    k: int,
+    method: str = "mint_shrink",
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Generalized GLS-reconciled two-level forecast — the full weight-
+    method surface of the reference (struc / svar / hvar / mint_sample /
+    mint_shrink).  Unlike ``struc_forecast`` (whose W is data-free and
+    therefore literal/oracle-able), the data-driven W comes from each
+    series' own base-model residuals, so everything runs per series in
+    ONE ``applyInPandas`` task: closed-form linear fits at both levels,
+    residual matrix over full blocks, W per ``method``, the (k+1) GLS
+    projection, coherent output.
+
+    Output (series_id, level, time, fcst): reconciled base steps and
+    block aggregates; coherence (agg == sum of its k base values) holds
+    by construction for every method."""
+    import numpy as np
+    import pandas as pd
+
+    schema = f"{s.series_id} string, level string, {s.time} timestamp, fcst double"
+    n_blocks = steps // k
+
+    def _ols_fit(y):
+        t = np.arange(len(y), dtype=float)
+        b, a = np.polyfit(t, y, 1)
+        return a, b  # intercept, slope
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(s.time)
+        y = pdf[s.value].to_numpy(dtype=float)
+        n_full = (len(y) // k) * k
+        if n_full < 3 * k or n_blocks < 1:
+            return pd.DataFrame(columns=[s.series_id, "level", s.time, "fcst"])
+        yb = y[:n_full]
+        agg = yb.reshape(-1, k).sum(1)
+        # closed-form fits + in-sample residuals
+        a_b, b_b = _ols_fit(y)
+        base_resid = y - (a_b + b_b * np.arange(len(y)))
+        a_a, b_a = _ols_fit(agg)
+        agg_resid = agg - (a_a + b_a * np.arange(len(agg)))
+        nb = len(agg)
+        res_rows = np.vstack(
+            [agg_resid[None, :], base_resid[:n_full].reshape(-1, k).T]
+        )
+        W, is_diag = _w_matrix(res_rows, method, k)
+        G = _g_from_w(W, is_diag, k)
+        # base forecasts for steps, aggregate forecasts for the blocks
+        h = np.arange(1, steps + 1)
+        base_fc = a_b + b_b * (len(y) - 1 + h)
+        agg_fc = a_a + b_a * (nb - 1 + np.arange(1, n_blocks + 1))
+        last_t = pd.Timestamp(pdf[s.time].iloc[-1])
+        times = last_t + pd.to_timedelta(h * freq_seconds, unit="s")
+        rows = []
+        sid = str(pdf[s.series_id].iloc[0])
+        for blk in range(n_blocks):
+            yhat = np.concatenate(
+                [[agg_fc[blk]], base_fc[blk * k : (blk + 1) * k]]
+            )
+            recon_base = G @ yhat
+            for j in range(k):
+                rows.append(
+                    (sid, "base", times[blk * k + j], float(recon_base[j]))
+                )
+            rows.append(
+                (sid, "agg", times[blk * k], float(recon_base.sum()))
+            )
+        return pd.DataFrame(rows, columns=[s.series_id, "level", s.time, "fcst"])
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(fn, schema)
+    )

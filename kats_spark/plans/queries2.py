@@ -2165,6 +2165,20 @@ def q_neural_prophet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+def q_reconcile_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinT-shrink temporal reconciliation (thm.py get_W mint_shrink,
+    Wickramasuriya 2019): per-series shrunk residual covariance drives
+    the GLS projection — data-driven W, so rows-only; the coherence +
+    method-divergence contracts live in tests/test_batch3.py."""
+    from kats_spark.operators.reconciliation import reconcile_forecast
+
+    out = reconcile_forecast(
+        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600, k=6,
+        method="mint_shrink",
+    )
+    return _fmt_time(_r6(out, "fcst"))
+
+
 def q_rnn_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series GRU forecaster (kats/models/lstm.py:92 shape, numpy
     BPTT instead of torch): each series trains its own net inside its
@@ -3489,6 +3503,7 @@ QUERIES = {
     "pq_recall": q_pq_recall,
     "rnn_forecast": q_rnn_forecast,
     "neural_prophet": q_neural_prophet,
+    "reconcile_mint": q_reconcile_mint,
     "backtest_arima": q_backtest_arima,
     "prophet_detect": q_prophet_detect,
     "outlier_detect_stl": q_outlier_detect_stl,

@@ -1519,3 +1519,63 @@ def test_damped_holt_flattens_and_beats_plain_on_decaying_trend(spark):
     # flattening: the last 5 damped steps move less than the first 5
     fd = damped.sort_values("time").fcst.to_numpy()
     assert abs(fd[-1] - fd[-6]) < abs(fd[5] - fd[0])
+
+
+def test_reconcile_all_weight_methods_coherent(spark):
+    """The generalized GLS reconciler (struc/svar/hvar/mint_sample/
+    mint_shrink — the reference's full get_W surface): every method
+    yields COHERENT forecasts (agg == sum of its k base steps), the
+    methods genuinely differ on heteroskedastic data, and mint_shrink
+    interpolates between sample covariance and its diagonal."""
+    from kats_spark.operators.reconciliation import reconcile_forecast
+
+    rng = np.random.default_rng(9)
+    n, k, steps = 144, 6, 12
+    rows = []
+    for sid in ("x", "y"):
+        t = np.arange(n)
+        noise = rng.normal(0, 0.2 + 1.5 * (t % k == 0), n)  # position-skewed
+        y = 20 + 0.3 * t + noise
+        for i in range(n):
+            rows.append((sid, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=int(i)), float(y[i])))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series_id", "time", "value"]))
+    outs = {}
+    for method in ("struc", "svar", "hvar", "mint_sample", "mint_shrink"):
+        out = (
+            reconcile_forecast(df, steps, 3600, k, method=method)
+            .toPandas()
+            .sort_values(["series_id", "level", "time"])
+        )
+        outs[method] = out
+        base = out[out.level == "base"].sort_values(["series_id", "time"])
+        agg = out[out.level == "agg"].sort_values(["series_id", "time"])
+        assert len(base) == 2 * steps and len(agg) == 2 * (steps // k)
+        for sid in ("x", "y"):
+            b = base[base.series_id == sid].fcst.to_numpy()
+            a = agg[agg.series_id == sid].fcst.to_numpy()
+            sums = b.reshape(-1, k).sum(1)
+            assert np.allclose(sums, a, atol=1e-9), method
+    # hvar sees the position-skewed noise -> differs from struc
+    d = np.abs(
+        outs["hvar"][outs["hvar"].level == "base"].fcst.to_numpy()
+        - outs["struc"][outs["struc"].level == "base"].fcst.to_numpy()
+    )
+    assert d.max() > 1e-6
+
+
+def test_reconcile_struc_general_matches_literal_g_matrix():
+    """The general reconciler with method='struc' reproduces the literal
+    struc G-matrix projection (the oracle-checked path) numerically."""
+    import numpy as np
+
+    from kats_spark.operators.reconciliation import (
+        _g_from_w,
+        _w_matrix,
+        struc_g_matrix,
+    )
+
+    for k in (2, 4, 6, 24):
+        W, diag = _w_matrix(np.zeros((k + 1, 5)), "struc", k)
+        G = _g_from_w(W, diag, k)
+        G_lit = np.array(struc_g_matrix(k))
+        assert np.allclose(G, G_lit, atol=1e-10), k

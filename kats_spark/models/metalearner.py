@@ -295,3 +295,87 @@ def random_forest_score(
         "predicted_label",
         conf.alias("confidence"),
     )
+
+
+def detector_select(
+    df: DataFrame,
+    window: int = 24,
+    flag_threshold: float = 3.0,
+    spike_every: int = 97,
+    spike_sigmas: float = 6.0,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Per-series DETECTOR selection — the
+    kats/detectors/meta_learning/metalearning_detection_model.py:90
+    (``MetaDetectModelSelect``) surface without its offline labeled
+    metadata: candidate detectors are benchmarked SELF-SUPERVISED by
+    deterministic anomaly injection.
+
+    Every ``spike_every``-th point of each series gets a
+    ``spike_sigmas``-sigma spike added (seedless — positions come from
+    row_number, magnitude from the series' own std, so reruns are
+    bit-identical); the rolling z-score / modified-MAD-z / IQR detectors
+    run on the spiked series; each detector's F1 against the known
+    injection mask decides ``best_detector`` per series.
+
+    Output (series_id, best_detector, best_f1, n_injected).  All three
+    candidates are window expressions over ONE partitioning — the whole
+    tournament is a single-exchange plan per candidate family."""
+    from kats_spark.functions import rolling
+
+    w = s.w()
+    rn = F.row_number().over(w)
+    sd = F.stddev_samp(s.value).over(Window.partitionBy(s.series_id))
+    injected = (rn % spike_every) == 0
+    spiked = df.withColumn(
+        "__inj", injected
+    ).withColumn(
+        s.value,
+        F.when(injected, F.col(s.value) + spike_sigmas * sd).otherwise(
+            F.col(s.value)
+        ),
+    )
+    # mad via the STAGED builder (with_mad_scores): the raw column
+    # expression re-inlines the window median per array element —
+    # O(w^2 log w)/row, measured 60s vs 4s on the tournament fixture
+    spiked = rolling.with_mad_scores(
+        spiked, window, s, score_col="__mad_raw", mod_col="__mad_score"
+    )
+    scores = {
+        "zscore": rolling.z_score(window, s),
+        "mad": F.col("__mad_score"),
+        "iqr": rolling.iqr_score(window, s),
+    }
+    frames = []
+    for name, score in scores.items():
+        flagged = F.abs(score) > flag_threshold
+        frames.append(
+            spiked.select(
+                s.series_id,
+                F.lit(name).alias("detector"),
+                F.col("__inj").cast("int").alias("inj"),
+                (flagged & F.col("__inj")).cast("int").alias("tp"),
+                (flagged & ~F.col("__inj")).cast("int").alias("fp"),
+                (~flagged & F.col("__inj")).cast("int").alias("fn"),
+            )
+        )
+    allf = frames[0]
+    for fdf in frames[1:]:
+        allf = allf.unionByName(fdf)
+    perf = allf.groupBy(s.series_id, "detector").agg(
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+        F.sum("inj").alias("n_injected"),
+    )
+    f1 = (2.0 * F.col("tp")) / F.greatest(
+        2.0 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1.0)
+    )
+    ranked = perf.withColumn("f1", F.round(f1 + 1e-9, 6))
+    return ranked.groupBy(s.series_id).agg(
+        F.max_by(
+            "detector", F.struct(F.col("f1"), F.col("detector"))
+        ).alias("best_detector"),
+        F.max("f1").alias("best_f1"),
+        F.first("n_injected").alias("n_injected"),
+    )

@@ -2165,6 +2165,22 @@ def q_neural_prophet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+def q_detector_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-selection metalearner (meta_learning/
+    metalearning_detection_model.py:90 surface): self-supervised
+    tournament — deterministic spike injection, three window detectors,
+    per-series F1 argmax.  Window median detectors are exact-percentile
+    recursions -> rows-only; tournament contracts in tests."""
+    from kats_spark.models.metalearner import detector_select
+
+    out = detector_select(hourly_series(spark, sf_dir))
+    return out.select(
+        "series_id", "best_detector",
+        _rnd("best_f1", 6).alias("best_f1"),
+        F.col("n_injected").cast("bigint").alias("n_injected"),
+    )
+
+
 def q_reconcile_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinT-shrink temporal reconciliation (thm.py get_W mint_shrink,
     Wickramasuriya 2019): per-series shrunk residual covariance drives
@@ -3504,6 +3520,7 @@ QUERIES = {
     "rnn_forecast": q_rnn_forecast,
     "neural_prophet": q_neural_prophet,
     "reconcile_mint": q_reconcile_mint,
+    "detector_select": q_detector_select,
     "backtest_arima": q_backtest_arima,
     "prophet_detect": q_prophet_detect,
     "outlier_detect_stl": q_outlier_detect_stl,

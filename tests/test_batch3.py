@@ -1579,3 +1579,26 @@ def test_reconcile_struc_general_matches_literal_g_matrix():
         G = _g_from_w(W, diag, k)
         G_lit = np.array(struc_g_matrix(k))
         assert np.allclose(G, G_lit, atol=1e-10), k
+
+
+def test_detector_select_tournament(spark):
+    """Self-supervised detector selection: deterministic 6-sigma spike
+    injection, three window detectors benchmarked by F1, argmax per
+    series.  On gaussian noise the winner catches most injections; the
+    output is deterministic and one row per series."""
+    from kats_spark.models.metalearner import detector_select
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for sid in ("a", "b"):
+        y = rng.normal(0, 1, 600)
+        for i in range(600):
+            rows.append((sid, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i), float(y[i])))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series_id", "time", "value"]))
+    out = detector_select(df).toPandas().sort_values("series_id").reset_index(drop=True)
+    assert len(out) == 2
+    assert (out.n_injected == 6).all()  # 600 // 97
+    assert (out.best_f1 >= 0.6).all()
+    assert set(out.best_detector) <= {"zscore", "mad", "iqr"}
+    out2 = detector_select(df).toPandas().sort_values("series_id").reset_index(drop=True)
+    assert out.equals(out2)

@@ -63,6 +63,10 @@ LAZY_QUERIES = [
     "bm25_topk",
     "decontaminate_fuzzy",
     "pii_scrub",
+    "damped_forecast",
+    "reconcile_mint",
+    "neural_prophet",
+    "detector_select",
 ]
 
 

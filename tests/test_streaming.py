@@ -677,3 +677,65 @@ def test_streaming_exact_dedup_drops_cross_batch_duplicates(spark):
         assert list(got.doc_id) == [1, 2, 3, 5]  # 4 dropped as duplicate
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_streaming_scrub_and_quality_matches_batch(spark):
+    """The text-hygiene map stages (PII scrub + quality score) are
+    stateless codegen expressions, so they run UNCHANGED on a stream:
+    per-row streaming output is bit-identical to the batch operator on
+    the same data — the continuous-ingest face of the corpus-prep
+    funnel."""
+    from kats_spark.operators.text import quality_score, scrub_pii
+
+    tmpdir = tempfile.mkdtemp()
+    out_table = "scrub_stream_out"
+    try:
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "reach me at a@b.org please",
+                    "visit https://x.io/path now and often today really",
+                    "server 10.1.2.3 called +1 555 123 4567 yesterday",
+                    "plain document with nothing sensitive inside it at all",
+                ],
+            }
+        )
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        pdf.iloc[:2].to_parquet(os.path.join(chunk_dir, "c0.parquet"))
+        pdf.iloc[2:].to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        q = (
+            quality_score(scrub_pii(stream))
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = (
+            spark.table(out_table)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        batch = (
+            quality_score(scrub_pii(spark.createDataFrame(pdf)))
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got[["doc_id", "n_url", "n_email", "n_ip", "n_phone"]].equals(
+            batch[["doc_id", "n_url", "n_email", "n_ip", "n_phone"]]
+        )
+        assert list(got.text_scrubbed) == list(batch.text_scrubbed)
+        assert (got.quality_score - batch.quality_score).abs().max() < 1e-9
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

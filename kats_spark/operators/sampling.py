@@ -319,3 +319,57 @@ def unigram_logppl(
         F.sum("__k").cast("long").alias("n_tokens"),
         (F.sum("__nll_sum") / F.sum("__k")).alias("logppl"),
     )
+
+
+def bigram_logppl(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Bigram log-perplexity per document — one rung up from
+    ``unigram_logppl`` toward the CCNet-style n-gram LM filter, still in
+    exact SQL-replayable arithmetic:
+
+      p(w2 | w1) = (c(w1 w2) + alpha) / (c1(w1) + alpha * |V|)
+      logppl(doc) = avg over the doc's bigram occurrences of -ln p
+
+    where c1 counts UNIGRAM occurrences in bigram-context position (all
+    tokens except each doc's last) and |V| is the unigram vocabulary.
+
+    Plan: one posexplode + lead-window pairs the tokens (the shingle_rows
+    pattern — no per-element lambda re-evaluation), ONE (doc, w1, w2,
+    count) pre-aggregation feeds the bigram table, the context table and
+    the scoring join (the de-skew shape proven on unigram_logppl);
+    context counts broadcast-join when small, and AQE skew-split covers
+    the Zipf head.  Output (doc_id, n_bigrams, logppl)."""
+    from pyspark.sql import Window
+
+    from kats_spark.operators.dedup import normalize
+
+    t = tokens(normalize(F.col(text_col)))
+    tok = df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__w1"))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    pairs = tok.withColumn("__w2", F.lead("__w1", 1).over(w)).filter(
+        F.col("__w2").isNotNull()
+    )
+    doc_bg = pairs.groupBy(id_col, "__w1", "__w2").agg(
+        F.count("*").alias("__k")
+    )
+    bg = doc_bg.groupBy("__w1", "__w2").agg(F.sum("__k").alias("__c12"))
+    ctx = bg.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
+    vocab = tok.agg(F.countDistinct("__w1").alias("__v"))
+    nll = -F.log(
+        (F.col("__c12") + F.lit(float(alpha)))
+        / (F.col("__c1") + F.lit(float(alpha)) * F.col("__v"))
+    )
+    scored = (
+        doc_bg.join(bg, ["__w1", "__w2"])
+        .join(ctx, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, "__k", (F.col("__k") * nll).alias("__s"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__k").cast("long").alias("n_bigrams"),
+        (F.sum("__s") / F.sum("__k")).alias("logppl"),
+    )

@@ -737,6 +737,45 @@ GROUP BY 1
 """
 
 
+def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BIGRAM log-perplexity (add-1 conditional model) —
+    one rung up the n-gram LM ladder from unigram_logppl, same exact
+    SQL-replayable arithmetic.  Exact oracle."""
+    from kats_spark.operators.sampling import bigram_logppl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bigram_logppl(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        _rnd("logppl", 6).alias("logppl"),
+    )
+
+
+_Q_BIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+p0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM p0),
+doc_bg AS (SELECT doc_id, w1, w2, count(*) AS k FROM pairs GROUP BY 1, 2, 3),
+bg AS (SELECT w1, w2, sum(k) AS c12 FROM doc_bg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT tk)::DOUBLE AS v
+  FROM (SELECT unnest(t) AS tk FROM toks)
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+  sum(d.k)::BIGINT AS n_bigrams,
+  round(1e-9 + sum(d.k * -ln((b.c12 + 1.0) / (c.c1 + vocab.v))) / sum(d.k), 6) AS logppl
+FROM doc_bg d JOIN bg b USING (w1, w2) JOIN ctx c USING (w1) CROSS JOIN vocab
+GROUP BY 1
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with id < 20 play the eval set;
     flag training docs sharing any verbatim word-8-gram with them.
@@ -1255,6 +1294,7 @@ QUERIES = {
     "corpus_sample": q_corpus_sample,
     "decontaminate": q_decontaminate,
     "unigram_logppl": q_unigram_logppl,
+    "bigram_logppl": q_bigram_logppl,
     "repetition_stats": q_repetition_stats,
     "minhash_portable_pairs": q_minhash_portable,
     "corpus_prep": q_corpus_prep,
@@ -1267,6 +1307,7 @@ QUERIES = {
 
 ORACLES = {
     "unigram_logppl": _Q_UNIGRAM_SQL,
+    "bigram_logppl": _Q_BIGRAM_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,
     "repetition_stats": _Q_REPETITION_SQL,
     "corpus_sample": _Q_CORPUS_SAMPLE_SQL,

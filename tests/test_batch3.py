@@ -1602,3 +1602,29 @@ def test_detector_select_tournament(spark):
     assert set(out.best_detector) <= {"zscore", "mad", "iqr"}
     out2 = detector_select(df).toPandas().sort_values("series_id").reset_index(drop=True)
     assert out.equals(out2)
+
+
+def test_bigram_logppl_separates_scrambled_from_fluent(spark):
+    """The bigram LM sees word ORDER (unigram cannot): documents built
+    from the same vocabulary but scrambled word order score higher
+    perplexity than the fluent originals."""
+    from kats_spark.operators.sampling import bigram_logppl, unigram_logppl
+
+    base = "the quick brown fox jumps over the lazy dog".split()
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(20):  # fluent: same sentence repeated
+        rows.append((i, " ".join(base)))
+    for i in range(20, 25):  # scrambled: same words, shuffled
+        perm = list(base)
+        rng.shuffle(perm)
+        rows.append((i, " ".join(perm)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+    bg = bigram_logppl(df).toPandas().set_index("doc_id")
+    fluent = bg.loc[:19, "logppl"].max()
+    scrambled = bg.loc[20:, "logppl"].min()
+    assert scrambled > fluent + 0.5, (fluent, scrambled)
+    # unigram is blind to the scrambling
+    ug = unigram_logppl(df).toPandas().set_index("doc_id")
+    assert abs(ug.loc[:19, "logppl"].mean() - ug.loc[20:, "logppl"].mean()) < 0.05

@@ -67,6 +67,7 @@ LAZY_QUERIES = [
     "reconcile_mint",
     "neural_prophet",
     "detector_select",
+    "bigram_logppl",
 ]
 
 

@@ -866,3 +866,46 @@ def select_order(
             if crit < best[2] - 1e-9:
                 best = (p, q, float(crit))
     return best
+
+
+def param_stderr(
+    xc: np.ndarray, phi: np.ndarray, theta: np.ndarray
+) -> np.ndarray:
+    """Asymptotic standard errors of (phi, theta) at the MLE from the
+    OBSERVED information matrix: numerical central-difference Hessian of
+    the exact Kalman log-likelihood in COEFFICIENT space, inverted and
+    diagonal-rooted — the statsmodels ``bse`` surface.  Non-invertible
+    information (boundary fits) yields NaNs for the affected entries."""
+    p, q = len(phi), len(theta)
+    m = p + q
+    if m == 0:
+        return np.zeros(0)
+    th0 = np.concatenate([phi, theta])
+
+    def ll(v):
+        return _kalman_loglik(xc, v[:p], v[p:])[0]
+
+    eps = 1e-4
+    H = np.empty((m, m))
+    base = ll(th0)
+    for i in range(m):
+        for j in range(i, m):
+            vpp = th0.copy(); vpp[i] += eps; vpp[j] += eps
+            vpm = th0.copy(); vpm[i] += eps; vpm[j] -= eps
+            vmp = th0.copy(); vmp[i] -= eps; vmp[j] += eps
+            vmm = th0.copy(); vmm[i] -= eps; vmm[j] -= eps
+            H[i, j] = H[j, i] = (
+                ll(vpp) - ll(vpm) - ll(vmp) + ll(vmm)
+            ) / (4 * eps * eps)
+    if not np.all(np.isfinite(H)):
+        return np.full(m, np.nan)
+    info = -H  # observed information
+    try:
+        cov = np.linalg.inv(info)
+    except np.linalg.LinAlgError:
+        return np.full(m, np.nan)
+    d = np.diag(cov)
+    out = np.full(m, np.nan)
+    ok = d > 0
+    out[ok] = np.sqrt(d[ok])
+    return out

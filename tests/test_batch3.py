@@ -1628,3 +1628,40 @@ def test_bigram_logppl_separates_scrambled_from_fluent(spark):
     # unigram is blind to the scrambling
     ug = unigram_logppl(df).toPandas().set_index("doc_id")
     assert abs(ug.loc[:19, "logppl"].mean() - ug.loc[20:, "logppl"].mean()) < 0.05
+
+
+def test_arima_param_stderr_matches_asymptotic_ar1():
+    """Observed-information standard errors (the statsmodels bse
+    surface): for AR(1) the Kalman-Hessian stderr matches the plug-in
+    asymptotic sqrt((1 - phi_hat^2)/n) within 2%."""
+    from kats_spark.models.arima import (
+        _css_refine,
+        _hannan_rissanen,
+        _mle_refine,
+        param_stderr,
+    )
+
+    rng = np.random.default_rng(2)
+    n, phi_t = 2000, 0.7
+    e = rng.normal(0, 1, n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = phi_t * y[t - 1] + e[t]
+    xc = y - y.mean()
+    p0, t0, *_ = _hannan_rissanen(y, 1, 0)
+    pc, tc = _css_refine(xc, p0, t0)
+    pm, tm, _ = _mle_refine(xc, pc, tc)
+    se = param_stderr(xc, pm, tm)
+    plug_in = np.sqrt((1 - pm[0] ** 2) / n)
+    assert abs(se[0] / plug_in - 1.0) < 0.02
+    # ARMA(1,1): finite positive stderrs for both params
+    e2 = rng.normal(0, 1, n)
+    y2 = np.zeros(n)
+    for t in range(1, n):
+        y2[t] = 0.6 * y2[t - 1] + e2[t] + 0.4 * e2[t - 1]
+    xc2 = y2 - y2.mean()
+    p0, t0, *_ = _hannan_rissanen(y2, 1, 1)
+    pc, tc = _css_refine(xc2, p0, t0)
+    pm, tm, _ = _mle_refine(xc2, pc, tc)
+    se2 = param_stderr(xc2, pm, tm)
+    assert np.all(np.isfinite(se2)) and np.all(se2 > 0) and np.all(se2 < 0.2)

@@ -738,3 +738,31 @@ def dup_components(
             break
         prev_sum = cur_sum
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus snapshot diff — the incremental-ingest bookkeeping step:
+    classify every document id across two snapshots as ``added`` (new
+    only), ``removed`` (old only), ``changed`` (both, different
+    normalized-text fingerprint) or ``unchanged``.
+
+    One full-outer join on the id with md5 fingerprints (engine-portable,
+    so the whole classification oracle-replays); at 100 TB both sides
+    scan once and the join keys are unique ids — no skew, no explode.
+    Output (doc_id, status, old_fp, new_fp)."""
+    fp = lambda c: F.md5(normalize(c).cast("binary"))  # noqa: E731
+    o = old_df.select(F.col(id_col), fp(F.col(text_col)).alias("old_fp"))
+    n = new_df.select(F.col(id_col), fp(F.col(text_col)).alias("new_fp"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") == F.col("new_fp"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(id_col, status.alias("status"), "old_fp", "new_fp")

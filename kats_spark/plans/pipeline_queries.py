@@ -1141,6 +1141,60 @@ GROUP BY doc_id
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between the corpus and a deterministically perturbed
+    copy (every 7th doc text-modified, every 13th dropped, 20 synthetic
+    ids added) — full oracle: fingerprints and the outer-join
+    classification replay exactly in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" EDITED"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                F.concat(F.lit("brand new doc "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    out = dedup.snapshot_diff(docs, new)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "status", "old_fp", "new_fp"
+    )
+
+
+_Q_SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS old_fp
+  FROM documents
+),
+base_new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' EDITED' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, 'brand new doc ' || text AS text
+  FROM documents WHERE doc_id < 20
+),
+n AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS new_fp
+  FROM base_new
+)
+SELECT coalesce(o.doc_id, n.doc_id)::BIGINT AS doc_id,
+  CASE WHEN o.old_fp IS NULL THEN 'added'
+       WHEN n.new_fp IS NULL THEN 'removed'
+       WHEN o.old_fp = n.new_fp THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  o.old_fp, n.new_fp
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline observability: one row of per-stage survivor counts and
     retention rates for the corpus-prep funnel (raw → lang/quality kept →
@@ -1291,6 +1345,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "dup_clusters": q_dup_clusters,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    "snapshot_diff": q_snapshot_diff,
     "corpus_sample": q_corpus_sample,
     "decontaminate": q_decontaminate,
     "unigram_logppl": q_unigram_logppl,
@@ -1314,6 +1369,7 @@ ORACLES = {
     "simhash_neardup": _simhash_neardup_sql(bits=24, bands=2, max_hamming=1),
     "dup_clusters": _dup_clusters_sql(),
     "decontaminate_fuzzy": _decontaminate_fuzzy_sql(),
+    "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "exact_dedup": _Q_EXACT_DEDUP_SQL,
     "jaccard_pairs": _Q_JACCARD_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,

@@ -1665,3 +1665,20 @@ def test_arima_param_stderr_matches_asymptotic_ar1():
     pm, tm, _ = _mle_refine(xc2, pc, tc)
     se2 = param_stderr(xc2, pm, tm)
     assert np.all(np.isfinite(se2)) and np.all(se2 > 0) and np.all(se2 < 0.2)
+
+
+def test_snapshot_diff_classifies_all_transitions(spark):
+    """added / removed / changed / unchanged all classified; whitespace
+    and case changes do NOT count as changes (normalized fingerprint)."""
+    from kats_spark.operators.dedup import snapshot_diff
+
+    old = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["a b", "keep me", "going away", "Case  Test"]})
+    new = pd.DataFrame({"doc_id": [1, 2, 4, 9], "text": ["a b c", "keep me", "  case test ", "fresh"]})
+    out = {
+        r.doc_id: r.status
+        for r in snapshot_diff(
+            spark.createDataFrame(old), spark.createDataFrame(new)
+        ).collect()
+    }
+    assert out == {1: "changed", 2: "unchanged", 3: "removed",
+                   4: "unchanged", 9: "added"}

@@ -68,6 +68,7 @@ LAZY_QUERIES = [
     "neural_prophet",
     "detector_select",
     "bigram_logppl",
+    "snapshot_diff",
 ]
 
 

@@ -68,7 +68,7 @@ _PRIORITY = [
     "multimodal_decode", "lang_id_ngram", "dup_clusters", "bm25_topk",
     "decontaminate_fuzzy", "pii_scrub", "bigram_logppl", "snapshot_diff",
     # feature depth
-    "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
+    "ljung_box", "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth
     "global_rnn",
     "ses_forecast", "quadratic_forecast", "simple_heuristic",

@@ -213,3 +213,44 @@ def theta_seasonality_gate(
         & (F.abs(rm / stat) > 1.644)
     )
     return g.select(s.series_id, seasonal.cast("int").alias("seasonal"))
+
+
+def ljung_box(
+    df: DataFrame,
+    lags: int = 10,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Ljung-Box portmanteau statistic per series — the standard
+    white-noise / residual-diagnostic test (Ljung & Box 1978):
+
+      Q = n (n + 2) * sum_{k=1..h} rho_k^2 / (n - k)
+
+    with rho_k the lag-k autocorrelation of the centered series.  Under
+    H0 (white noise) Q ~ chi2(h).  One window pass for the lagged
+    products + one grouped aggregation — the acf_features plan shape.
+    Output (series_id, n, dof, q_stat)."""
+    mean_ = df.groupBy(s.series_id).agg(F.avg(s.value).alias("__m"))
+    d = df.join(F.broadcast(mean_), s.series_id).withColumn(
+        "__c", F.col(s.value) - F.col("__m")
+    )
+    lag_cols = {f"__l{k}": F.lag("__c", k).over(s.w()) for k in range(1, lags + 1)}
+    d = d.withColumns(lag_cols)
+    aggs = [
+        F.count("*").cast("double").alias("__n"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+    ]
+    for k in range(1, lags + 1):
+        aggs.append(F.sum(F.col("__c") * F.col(f"__l{k}")).alias(f"__num{k}"))
+    g = d.groupBy(s.series_id).agg(*aggs)
+    n = F.col("__n")
+    q = F.lit(0.0)
+    for k in range(1, lags + 1):
+        rho = F.col(f"__num{k}") / F.col("__ss")
+        q = q + (rho * rho) / (n - k)
+    q = n * (n + 2.0) * q
+    return g.select(
+        s.series_id,
+        n.cast("long").alias("n"),
+        F.lit(lags).alias("dof"),
+        F.round(q + 1e-9, 6).alias("q_stat"),
+    )

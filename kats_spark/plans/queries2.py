@@ -2165,6 +2165,49 @@ def q_neural_prophet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau per series (white-noise diagnostic) — full
+    oracle: centered lag products and the Q formula replay in SQL."""
+    from kats_spark.functions.acf import ljung_box
+
+    out = ljung_box(hourly_series(spark, sf_dir), lags=10)
+    return out.select("series_id", "n", "dof", "q_stat")
+
+
+def _ljung_box_sql(lags: int = 10) -> str:
+    lag_cols = ",\n    ".join(
+        f"lag(c, {k}) OVER (PARTITION BY series_id ORDER BY time) AS l{k}"
+        for k in range(1, lags + 1)
+    )
+    nums = ",\n    ".join(
+        f"sum(c * l{k}) AS num{k}" for k in range(1, lags + 1)
+    )
+    q_terms = " + ".join(
+        f"pow(num{k} / ss, 2) / (n - {k})" for k in range(1, lags + 1)
+    )
+    return f"""
+WITH h AS ({{hourly}}),
+m AS (SELECT series_id, avg(value) AS mu FROM h GROUP BY 1),
+c AS (
+  SELECT h.series_id, h.time, h.value - m.mu AS c
+  FROM h JOIN m USING (series_id)
+),
+lagged AS (
+  SELECT series_id, c,
+    {lag_cols}
+  FROM c
+),
+g AS (
+  SELECT series_id, count(*)::DOUBLE AS n, sum(c * c) AS ss,
+    {nums}
+  FROM lagged GROUP BY 1
+)
+SELECT series_id, n::BIGINT AS n, {lags} AS dof,
+  round(1e-9 + n * (n + 2.0) * ({q_terms}), 6) AS q_stat
+FROM g
+""".format(hourly=_HOURLY_SQL)
+
+
 def q_detector_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detector-selection metalearner (meta_learning/
     metalearning_detection_model.py:90 surface): self-supervised
@@ -3521,6 +3564,7 @@ QUERIES = {
     "neural_prophet": q_neural_prophet,
     "reconcile_mint": q_reconcile_mint,
     "detector_select": q_detector_select,
+    "ljung_box": q_ljung_box,
     "backtest_arima": q_backtest_arima,
     "prophet_detect": q_prophet_detect,
     "outlier_detect_stl": q_outlier_detect_stl,
@@ -3563,6 +3607,7 @@ ORACLES = {
     "anomaly_classify": _Q_ANOMALY_CLASSIFY_SQL,
     "lang_id": _Q_LANG_ID_SQL,
     "lang_id_ngram": _lang_id_ngram_sql(),
+    "ljung_box": _ljung_box_sql(),
     "bm25_topk": _bm25_sql(),
     "pii_scrub": _pii_scrub_sql(),
     "doc_fingerprint": _Q_FINGERPRINT_SQL,

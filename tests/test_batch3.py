@@ -1682,3 +1682,34 @@ def test_snapshot_diff_classifies_all_transitions(spark):
     }
     assert out == {1: "changed", 2: "unchanged", 3: "removed",
                    4: "unchanged", 9: "added"}
+
+
+def test_ljung_box_separates_white_noise_from_ar(spark):
+    """Ljung-Box: white noise stays below the chi2(10) 99th percentile
+    (23.2); an AR(1) series blows far past it; the statistic matches the
+    numpy closed form."""
+    from kats_spark.functions.acf import ljung_box
+
+    rng = np.random.default_rng(7)
+    n = 500
+    wn = rng.normal(0, 1, n)
+    ar = np.zeros(n)
+    for t in range(1, n):
+        ar[t] = 0.6 * ar[t - 1] + rng.normal(0, 1)
+    rows = []
+    for sid, y in (("wn", wn), ("ar", ar)):
+        for i in range(n):
+            rows.append((sid, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i), float(y[i])))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series_id", "time", "value"]))
+    out = ljung_box(df, lags=10).toPandas().set_index("series_id")
+    assert out.loc["wn", "q_stat"] < 23.2
+    assert out.loc["ar", "q_stat"] > 100
+    # closed form check on the white-noise series
+    c = wn - wn.mean()
+    ss = float(c @ c)
+    q = 0.0
+    for k in range(1, 11):
+        rho = float(c[k:] @ c[:-k]) / ss
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    assert abs(out.loc["wn", "q_stat"] - q) < 1e-4

@@ -619,3 +619,41 @@ def scrub_pii_sql(text_expr: str = "text") -> str:
         cur = f"regexp_replace({cur}, '{sql_pat}', '{repl}', 'g')"
     cols.append(f"{cur} AS text_scrubbed")
     return ",\n    ".join(cols)
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf-law fit over the corpus token frequencies — the classic
+    corpus-health audit (natural language shows log-freq ~ -1 * log-rank;
+    templated or synthetic corpora flatten or kink).  OLS of ln(freq) on
+    ln(rank) over the ``top_n`` head via ``regr_slope``/``regr_r2``.
+
+    Plan: one token explode + frequency groupBy, one global rank window
+    over the (tiny after aggregation) frequency table's head, one
+    regression aggregate.  Output one row: (n_tokens, vocab, zipf_slope,
+    zipf_r2)."""
+    from kats_spark.operators.dedup import normalize
+
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(tokens(normalize(F.col(text_col)))).alias("__t"))
+    freq = tok.groupBy("__t").agg(F.count("*").alias("__c"))
+    totals = freq.agg(
+        F.sum("__c").alias("n_tokens"), F.count("*").alias("vocab")
+    )
+    ranked = freq.withColumn(
+        "__r", F.row_number().over(Window.orderBy(F.desc("__c"), F.asc("__t")))
+    ).filter(F.col("__r") <= top_n)
+    fit = ranked.agg(
+        F.expr("regr_slope(ln(__c), ln(__r))").alias("zipf_slope"),
+        F.expr("regr_r2(ln(__c), ln(__r))").alias("zipf_r2"),
+    )
+    return totals.crossJoin(fit).select(
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.round(F.col("zipf_slope") + 1e-9, 6).alias("zipf_slope"),
+        F.round(F.col("zipf_r2") + 1e-9, 6).alias("zipf_r2"),
+    )

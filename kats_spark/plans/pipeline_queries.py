@@ -1141,6 +1141,36 @@ GROUP BY doc_id
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law audit over corpus token frequencies — full oracle:
+    identical normalize/tokenize, rank window, and regr_slope/regr_r2."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.zipf_fit(docs, top_n=1000)
+
+
+_Q_ZIPF_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT unnest(t) AS tk FROM toks),
+freq AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1),
+totals AS (SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab FROM freq),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tk ASC) AS r FROM freq
+),
+fit AS (
+  SELECT regr_slope(ln(c), ln(r)) AS zipf_slope, regr_r2(ln(c), ln(r)) AS zipf_r2
+  FROM ranked WHERE r <= 1000
+)
+SELECT t.n_tokens, t.vocab,
+       round(1e-9 + f.zipf_slope, 6) AS zipf_slope,
+       round(1e-9 + f.zipf_r2, 6) AS zipf_r2
+FROM totals t CROSS JOIN fit f
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between the corpus and a deterministically perturbed
     copy (every 7th doc text-modified, every 13th dropped, 20 synthetic
@@ -1346,6 +1376,7 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "snapshot_diff": q_snapshot_diff,
+    "zipf_fit": q_zipf_fit,
     "corpus_sample": q_corpus_sample,
     "decontaminate": q_decontaminate,
     "unigram_logppl": q_unigram_logppl,
@@ -1370,6 +1401,7 @@ ORACLES = {
     "dup_clusters": _dup_clusters_sql(),
     "decontaminate_fuzzy": _decontaminate_fuzzy_sql(),
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
+    "zipf_fit": _Q_ZIPF_SQL,
     "exact_dedup": _Q_EXACT_DEDUP_SQL,
     "jaccard_pairs": _Q_JACCARD_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,

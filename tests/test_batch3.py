@@ -1713,3 +1713,29 @@ def test_ljung_box_separates_white_noise_from_ar(spark):
         q += rho * rho / (n - k)
     q *= n * (n + 2)
     assert abs(out.loc["wn", "q_stat"] - q) < 1e-4
+
+
+def test_zipf_fit_separates_natural_from_uniform(spark):
+    """The Zipf audit: tokens drawn from a Zipf(1) distribution fit
+    slope ~ -1 with high r2; a uniform-vocabulary corpus is flat — the
+    signal that a corpus is templated/synthetic rather than natural."""
+    from kats_spark.operators.text import zipf_fit
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(500)]
+    p = 1.0 / np.arange(1, 501)
+    p /= p.sum()
+    zipf_docs = [
+        " ".join(rng.choice(vocab, size=80, p=p)) for _ in range(300)
+    ]
+    unif_docs = [
+        " ".join(rng.choice(vocab, size=80)) for _ in range(300)
+    ]
+    za = zipf_fit(
+        spark.createDataFrame(pd.DataFrame({"text": zipf_docs})), top_n=300
+    ).collect()[0]
+    ua = zipf_fit(
+        spark.createDataFrame(pd.DataFrame({"text": unif_docs})), top_n=300
+    ).collect()[0]
+    assert -1.3 < za.zipf_slope < -0.7 and za.zipf_r2 > 0.9
+    assert ua.zipf_slope > -0.3

@@ -69,6 +69,7 @@ LAZY_QUERIES = [
     "detector_select",
     "bigram_logppl",
     "snapshot_diff",
+    "zipf_fit",
 ]
 
 

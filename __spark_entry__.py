@@ -66,7 +66,7 @@ _PRIORITY = [
     "allpairs_topk", "embed_neardup", "ivf_topk_portable",
     "winnow_overlap", "corpus_prep", "corpus_mixture",
     "multimodal_decode", "lang_id_ngram", "dup_clusters", "bm25_topk",
-    "decontaminate_fuzzy", "pii_scrub", "bigram_logppl", "snapshot_diff", "zipf_fit",
+    "decontaminate_fuzzy", "pii_scrub", "bigram_logppl", "snapshot_diff", "zipf_fit", "corpus_profile",
     # feature depth
     "ljung_box", "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

@@ -1141,6 +1141,43 @@ GROUP BY doc_id
 """
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus profile: doc counts, token totals and
+    exact interpolated token-length quantiles (p50/p90/p99) — the
+    at-a-glance audit a mixture decision reads.  Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the interpolated
+    definition, so the oracle is exact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tok = F.size(text.tokens(F.col("text")))
+    return (
+        docs.withColumn("__nt", n_tok)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("n_tokens"),
+            F.round(F.expr("percentile(__nt, 0.5)") + 1e-9, 6).alias("p50_tokens"),
+            F.round(F.expr("percentile(__nt, 0.9)") + 1e-9, 6).alias("p90_tokens"),
+            F.round(F.expr("percentile(__nt, 0.99)") + 1e-9, 6).alias("p99_tokens"),
+        )
+    )
+
+
+_Q_CORPUS_PROFILE_SQL = """
+WITH d AS (
+  SELECT source, lang,
+    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS nt
+  FROM documents
+)
+SELECT source, lang,
+  count(*)::BIGINT AS n_docs,
+  sum(nt)::BIGINT AS n_tokens,
+  round(1e-9 + quantile_cont(nt, 0.5), 6) AS p50_tokens,
+  round(1e-9 + quantile_cont(nt, 0.9), 6) AS p90_tokens,
+  round(1e-9 + quantile_cont(nt, 0.99), 6) AS p99_tokens
+FROM d GROUP BY 1, 2
+"""
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law audit over corpus token frequencies — full oracle:
     identical normalize/tokenize, rank window, and regr_slope/regr_r2."""
@@ -1377,6 +1414,7 @@ QUERIES = {
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "snapshot_diff": q_snapshot_diff,
     "zipf_fit": q_zipf_fit,
+    "corpus_profile": q_corpus_profile,
     "corpus_sample": q_corpus_sample,
     "decontaminate": q_decontaminate,
     "unigram_logppl": q_unigram_logppl,
@@ -1402,6 +1440,7 @@ ORACLES = {
     "decontaminate_fuzzy": _decontaminate_fuzzy_sql(),
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "zipf_fit": _Q_ZIPF_SQL,
+    "corpus_profile": _Q_CORPUS_PROFILE_SQL,
     "exact_dedup": _Q_EXACT_DEDUP_SQL,
     "jaccard_pairs": _Q_JACCARD_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,

@@ -70,6 +70,7 @@ LAZY_QUERIES = [
     "bigram_logppl",
     "snapshot_diff",
     "zipf_fit",
+    "corpus_profile",
 ]
 
 

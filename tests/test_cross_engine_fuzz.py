@@ -1,0 +1,145 @@
+"""Cross-engine fuzz: the oracle story rests on Spark (Java regex,
+UTF-8 strings) and DuckDB (RE2) agreeing on the text kernels.  These
+tests push batches of adversarial strings through BOTH engines and
+compare wholesale — the regex-dialect edge cases (escapes, classes,
+quantifiers, unicode) are exactly where a hash-match would silently
+diverge on real data."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _adversarial_strings(n=200, seed=13):
+    rng = np.random.default_rng(seed)
+    alphabet = (
+        list("abcdefghijklmnopqrstuvwxyz0123456789")
+        + list(" \t\n.,;:!?+-_@#$%&*()[]{}<>/\\|'\"`~^=")
+        + ["  ", "   ", "\n\n", "\t "]
+    )
+    fixed = [
+        "",
+        " ",
+        "\t\n ",
+        "a",
+        "  leading and trailing  ",
+        "tab\tseparated\twords",
+        "new\nline\nbreaks",
+        "dots...and,,,commas",
+        "under_score-dash+plus",
+        "a@b.co http://x.io 1.2.3.4 +1 555 123 4567",
+        "email.with+tag@sub.domain.org trailing",
+        "https://a.b/c?d=e&f=g#h i",
+        "10.0.0.1. 256.1.1.1 1.2.3",
+        "+12 345 6789 0 ++44 (0) 20 7946 0958",
+        "ünïcödé wörds münchen zürich",
+        "русский текст здесь",
+        "mixed русский and english",
+        "$pecial ^chars* every(where)",
+        "back\\slash and \"quotes' here",
+        "репу+tición?? of-puncts!!!",
+    ]
+    rand = [
+        "".join(rng.choice(alphabet, size=rng.integers(1, 60)))
+        for _ in range(n - len(fixed))
+    ]
+    return fixed + rand
+
+
+def test_tokenizer_and_normalize_agree_cross_engine(spark):
+    """tokens(normalize(text)) — the kernel under every dedup/LM/lang
+    oracle — produces identical token lists in Spark and DuckDB for 200
+    adversarial strings."""
+    from kats_spark.operators.dedup import normalize
+    from kats_spark.operators.text import tokens
+
+    texts = _adversarial_strings()
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", tokens(normalize(F.col("text"))).alias("t"))
+        .toPandas()
+        .sort_values("i")
+    )
+    con = duckdb.connect()
+    con.register("d", pdf)
+    exp = con.execute(
+        """
+        SELECT i, list_filter(
+            string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+            x -> x <> '') AS t
+        FROM d ORDER BY i
+        """
+    ).df()
+    for i, (a, b) in enumerate(zip(got.t, exp.t)):
+        assert list(a) == list(b), (i, texts[i], list(a), list(b))
+
+
+def test_pii_scrub_agrees_cross_engine(spark):
+    """The sequential PII chain (Java regex vs RE2): counts AND scrubbed
+    text identical across engines for the adversarial batch."""
+    from kats_spark.operators.text import scrub_pii, scrub_pii_sql
+
+    texts = _adversarial_strings(seed=29)
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    got = (
+        scrub_pii(spark.createDataFrame(pdf))
+        .select("i", "n_url", "n_email", "n_ip", "n_phone", "text_scrubbed")
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("d", pdf)
+    exp = (
+        con.execute(f"SELECT i, {scrub_pii_sql('text')} FROM d ORDER BY i")
+        .df()
+        .reset_index(drop=True)
+    )
+    for c in ("n_url", "n_email", "n_ip", "n_phone"):
+        mism = got[c].astype(int) != exp[c].astype(int)
+        assert not mism.any(), (c, got[mism].head(), exp[mism].head())
+    mism = got.text_scrubbed != exp.text_scrubbed
+    assert not mism.any(), got[mism].head()
+
+
+def test_char_trigram_extraction_agrees_cross_engine(spark):
+    """The lang_id_ngram trigram construction (\\p{L} classes + substr)
+    matches across engines, including non-ASCII letters."""
+    texts = _adversarial_strings(seed=41)
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    cleaned = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^\p{L}]+", " ")),
+        F.lit(" "),
+    )
+    d = spark.createDataFrame(pdf).select("i", cleaned.alias("s"))
+    n = F.greatest(F.length("s") - 2, F.lit(1))
+    got = (
+        d.select(
+            "i",
+            F.transform(
+                F.sequence(F.lit(1), n), lambda k: F.col("s").substr(k, F.lit(3))
+            ).alias("g"),
+        )
+        .toPandas()
+        .sort_values("i")
+    )
+    con = duckdb.connect()
+    con.register("d", pdf)
+    exp = con.execute(
+        """
+        WITH c AS (
+          SELECT i, ' ' || trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')) || ' ' AS s
+          FROM d
+        )
+        SELECT i, list_transform(range(1, greatest(length(s) - 2, 1) + 1),
+                                 k -> substring(s, k, 3)) AS g
+        FROM c ORDER BY i
+        """
+    ).df()
+    for i, (a, b) in enumerate(zip(got.g, exp.g)):
+        assert list(a) == list(b), (i, texts[i])

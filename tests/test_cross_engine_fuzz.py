@@ -143,3 +143,33 @@ def test_char_trigram_extraction_agrees_cross_engine(spark):
     ).df()
     for i, (a, b) in enumerate(zip(got.g, exp.g)):
         assert list(a) == list(b), (i, texts[i])
+
+
+def test_bpe_pretokenizer_agrees_cross_engine(spark):
+    """The GPT-2-style BPE pre-tokenizer regex — the pattern most likely
+    to diverge between Java regex and RE2 (alternations, optional
+    leading space, negated classes) — extracts identical token lists on
+    the adversarial batch."""
+    from kats_spark.operators.text import BPE_PATTERN, bpe_tokens
+
+    texts = _adversarial_strings(seed=57) + [
+        "it's we're I'll they've he'd I'm",
+        "word123mix 42abc  double  space",
+        "CamelCase UPPER lower 0x1f 3.14",
+        "tail'",
+    ]
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", bpe_tokens(F.col("text")).alias("t"))
+        .toPandas()
+        .sort_values("i")
+    )
+    con = duckdb.connect()
+    con.register("d", pdf)
+    sql_pat = BPE_PATTERN.replace("'", "''")
+    exp = con.execute(
+        f"SELECT i, regexp_extract_all(text, '{sql_pat}') AS t FROM d ORDER BY i"
+    ).df()
+    for i, (a, b) in enumerate(zip(got.t, exp.t)):
+        assert list(a) == list(b), (i, texts[i], list(a)[:8], list(b)[:8])

@@ -1739,3 +1739,25 @@ def test_zipf_fit_separates_natural_from_uniform(spark):
     ).collect()[0]
     assert -1.3 < za.zipf_slope < -0.7 and za.zipf_r2 > 0.9
     assert ua.zipf_slope > -0.3
+
+
+def test_arima_interval_empirical_coverage():
+    """Interval honesty: across 250 seeded AR(1) worlds, the 95%
+    one-step band contains the realized next value at a rate consistent
+    with its nominal level (binomial 99% acceptance region)."""
+    from kats_spark.models.arima import _arima_forecast_one
+
+    rng = np.random.default_rng(17)
+    hits = 0
+    trials = 250
+    for _ in range(trials):
+        n, phi = 240, 0.7
+        e = rng.normal(0, 1, n + 1)
+        y = np.zeros(n + 1)
+        for t in range(1, n + 1):
+            y[t] = phi * y[t - 1] + e[t]
+        fc, se = _arima_forecast_one(y[:-1], 1, 0, 0, steps=1, method="css")
+        lo, hi = fc[0] - 1.96 * se[0], fc[0] + 1.96 * se[0]
+        hits += lo <= y[-1] <= hi
+    rate = hits / trials
+    assert 0.90 <= rate <= 0.985, rate

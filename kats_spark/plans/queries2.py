@@ -748,20 +748,31 @@ def q_hpt_tpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows).select("window", "lam", "mae")
 
 
+def _sobol_candidates(n: int = 12, seed: int = 0) -> list[dict]:
+    """The hpt_sobol candidate batch as plain literals — shared by the
+    Spark query and the oracle generator so both sides inline the SAME
+    doubles (the LSH-planes constants-as-literals trick)."""
+    space_vals = [2, 4, 8, 12, 24, 36, 48]
+    pts = hpt_mod.sobol_points(n, 2, seed=seed)
+    return [
+        {
+            "w": space_vals[min(int(u0 * len(space_vals)), len(space_vals) - 1)],
+            "lam": u1,
+        }
+        for u0, u1 in pts
+    ]
+
+
 def q_hpt_sobol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sobol quasi-random search (reference RANDOM_SEARCH_SOBOL,
     time_series_parameter_tuning.py ax-Sobol backend) over the same 2-D
     space as hpt_tpe: ONE Gray-code Sobol batch, evaluated as ONE
-    distributed plan.  Sobol doubles are not SQL-replayable bit-exactly
-    -> rows-only; canonical-sequence + coverage tests in
-    tests/test_ml.py.  Output: trial log (window, lam, mae) best-first."""
+    distributed plan.  FULL ORACLE: the candidates are deterministic
+    literals (generated driver-side on both paths), so DuckDB evaluates
+    the identical 12 (window, lam) combos over the same cumulative-sum
+    formulation.  Output: trial log (window, lam, mae) best-first."""
     h = hourly_series(spark, sf_dir)
-    space = [
-        {"name": "w", "values": [2, 4, 8, 12, 24, 36, 48]},
-        {"name": "lam", "bounds": [0.0, 1.0]},
-    ]
-    cdf = hpt_mod.sobol_df(spark, space, n=12, seed=0)
-    cands = [r.asDict() for r in cdf.collect()]  # 12 tiny literal rows
+    cands = _sobol_candidates()
     # ONE window pass for all candidates: every trailing MA_w derives
     # from the shared cumulative sum via lag(cum, 1) - lag(cum, w+1) —
     # per-candidate rowsBetween frames would each add a full pass over
@@ -797,14 +808,44 @@ def q_hpt_sobol(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             {
                 "window": int(c["w"]),
-                "lam": round(float(c["lam"]), 6),
-                "mae": round(float(row[f"__m{i}"]), 6),
+                "lam": round(float(c["lam"]) + 1e-9, 6),
+                "mae": round(float(row[f"__m{i}"]) + 1e-9, 6),
             }
             for i, c in enumerate(cands)
         ),
         key=lambda r: r["mae"],
     )
     return spark.createDataFrame(rows).select("window", "lam", "mae")
+
+
+def _hpt_sobol_sql() -> str:
+    cands = _sobol_candidates()
+    selects = []
+    for i, c in enumerate(cands):
+        wlen, lam = int(c["w"]), float(c["lam"])
+        lam_out = round(lam + 1e-9, 6)
+        wn = f"w{i}"
+        selects.append(
+            f"SELECT {wlen} AS window, {lam_out!r}::DOUBLE AS lam, "
+            f"round(1e-9 + avg(e), 6) AS mae FROM ("
+            f"SELECT CASE WHEN rn > {wlen + 1} THEN "
+            f"abs(value - ({lam!r} * (lag(cum, 1) OVER {wn} - lag(cum, {wlen + 1}) OVER {wn}) / {float(wlen)!r} "
+            f"+ (1.0 - {lam!r}) * l1)) END AS e "
+            f"FROM staged WINDOW {wn} AS (PARTITION BY series_id ORDER BY time))"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH h AS ({_HOURLY_SQL}),
+staged AS (
+  SELECT series_id, time, value,
+    sum(value) OVER (PARTITION BY series_id ORDER BY time
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    row_number() OVER (PARTITION BY series_id ORDER BY time) AS rn,
+    lag(value, 1) OVER (PARTITION BY series_id ORDER BY time) AS l1
+  FROM h
+)
+{body}
+"""
 
 
 _Q_HPT_SQL = f"""
@@ -3608,6 +3649,7 @@ ORACLES = {
     "lang_id": _Q_LANG_ID_SQL,
     "lang_id_ngram": _lang_id_ngram_sql(),
     "ljung_box": _ljung_box_sql(),
+    "hpt_sobol": _hpt_sobol_sql(),
     "bm25_topk": _bm25_sql(),
     "pii_scrub": _pii_scrub_sql(),
     "doc_fingerprint": _Q_FINGERPRINT_SQL,

@@ -60,10 +60,18 @@ HEADLINE = [
     "repetition_stats",
     "unigram_logppl",
     # round-3 additions (baseline = BENCH_r03): char-ngram lang-ID, real
-    # multimodal decode, duplicate-cluster connected components
+    # multimodal decode, duplicate-cluster connected components, plus
+    # the retrieval/audit ops (BM25, bigram LM, Zipf fit, PII scrub,
+    # snapshot diff, per-stratum profile)
     "lang_id_ngram",
     "multimodal_decode",
     "dup_clusters",
+    "bm25_topk",
+    "bigram_logppl",
+    "zipf_fit",
+    "pii_scrub",
+    "snapshot_diff",
+    "corpus_profile",
 ]
 
 

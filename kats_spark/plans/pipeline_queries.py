@@ -877,13 +877,18 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = token_budget_sample(docs, budget_tokens=5000, seed=7)
+    # Canonical output: deterministic orderBy + explicit casts.  r03's
+    # driver hash-mismatch traced to the ORACLE side (DuckDB windowed
+    # sum(BIGINT) -> HUGEINT -> pandas float64 vs Spark int64); both
+    # sides now pin bigint and doc_id order so the driver's hasher sees
+    # identical dtype + row order however it canonicalizes.
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "source",
         "lang",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
-    )
+    ).orderBy("doc_id")
 
 
 _Q_CORPUS_SAMPLE_SQL = """
@@ -898,8 +903,9 @@ c AS (
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
   FROM base
 )
-SELECT doc_id, source, lang, n_tokens, cum_tokens
+SELECT doc_id, source, lang, n_tokens, cum_tokens::BIGINT AS cum_tokens
 FROM c WHERE cum_tokens - n_tokens < 5000
+ORDER BY doc_id
 """
 
 

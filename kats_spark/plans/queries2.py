@@ -826,7 +826,7 @@ def _hpt_sobol_sql() -> str:
         lam_out = round(lam + 1e-9, 6)
         wn = f"w{i}"
         selects.append(
-            f"SELECT {wlen} AS window, {lam_out!r}::DOUBLE AS lam, "
+            f"SELECT {wlen}::BIGINT AS window, {lam_out!r}::DOUBLE AS lam, "
             f"round(1e-9 + avg(e), 6) AS mae FROM ("
             f"SELECT CASE WHEN rn > {wlen + 1} THEN "
             f"abs(value - ({lam!r} * (lag(cum, 1) OVER {wn} - lag(cum, {wlen + 1}) OVER {wn}) / {float(wlen)!r} "

@@ -86,7 +86,8 @@ _PRIORITY = [
     "static_threshold", "percentage_change", "level_shift",
     "interval_relative", "rolling_iqr", "mk_statistic", "mk_rolling",
     "cusum_transform", "minhash_quality", "doc_fingerprint",
-    "lsh_bucket_pairs", "embed_survivors", "ivf_recall", "winnow_fp",
+    "lsh_bucket_pairs", "embed_survivors", "ivf_recall", "ivfpq_recall",
+    "winnow_fp",
     "corpus_funnel", "bpe_token_stats", "kernel_stats", "time_features",
     "fourier_features", "metrics_dist", "wide_pivot",
     # variants / secondary

@@ -209,3 +209,215 @@ def adc_topk_reranked(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "dist", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composition (IVFADC, Jégou/Douze/Schmid 2011 §IV): coarse-quantize
+# into inverted lists, PQ-encode the RESIDUAL (x - centroid), then search by
+# probing a few cells and ADC-scanning only their codes.  This is the
+# 100 TB ANN layout: cell_id is a write-once partition column (partition
+# pruning per query), codes are ~32x smaller than the float vectors, and
+# the only corpus-side work per query is a pruned scan of code bytes.
+# --------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    m: int = 8,
+    ks: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 15,
+    seed: int = 7,
+    coarse: tuple[DataFrame, DataFrame] | None = None,
+):
+    """Build the composed index.  Returns (encoded, centers, codebooks):
+
+    - ``encoded``: (id, cell_id, codes) — the corpus reduced to m small
+      ints per row, carrying its inverted-list key;
+    - ``centers``: (n_cells, d) numpy coarse centroids;
+    - ``codebooks``: (m, ks, d/m) numpy residual codebooks.
+
+    Plan shape: the coarse layer is the deterministic portable IVF
+    (seeded + one rounded Lloyd step — operators/ivf.py), residuals are
+    one broadcast join + ``zip_with`` projection (no shuffle), codebooks
+    train driver-side on a bounded hash-ranked residual sample (the only
+    collect at any corpus size), and encoding is one mapInPandas pass.
+    Encoding residuals instead of raw vectors is what makes one shared
+    codebook work across cells (the PQ layer only has to cover the
+    within-cell spread, not the whole space — the published IVFADC
+    observation)."""
+    from kats_spark.operators.ivf import build_index_portable
+
+    if coarse is not None:
+        # reuse an existing coarse index (e.g. a query that also audits
+        # the plain-IVF baseline) instead of re-running the Lloyd pass
+        indexed, centers_df = coarse
+    else:
+        indexed, centers_df = build_index_portable(
+            df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col, n_cells=n_cells
+        )
+    resid = (
+        indexed.join(F.broadcast(centers_df), "cell_id")
+        .select(
+            id_col,
+            "cell_id",
+            F.zip_with(F.col(vec_col), F.col("center"), lambda a, b: a - b).alias(
+                "__res"
+            ),
+        )
+    )
+    cb = train_codebooks(
+        resid,
+        vec_col="__res",
+        id_col=id_col,
+        m=m,
+        ks=ks,
+        sample_rows=sample_rows,
+        iters=iters,
+        seed=seed,
+    )
+    enc = encode(resid, cb, vec_col="__res", id_col=id_col, keep_cols=("cell_id",))
+    centers = np.vstack(
+        [
+            np.asarray(r.center, dtype=np.float64)
+            for r in sorted(centers_df.collect(), key=lambda r: r.cell_id)
+        ]
+    )
+    return enc, centers, cb
+
+
+def ivfpq_search(
+    encoded: DataFrame,
+    centers: np.ndarray,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probed ADC search: per query, rank coarse cells by
+    ||q - centroid||² driver-side (n_cells scalars), keep ``n_probe``;
+    build one (m, ks) residual LUT per (query, probed cell) —
+    lut[j][c] = ||(q - centroid)_j - codebook[j][c]||², so the summed
+    lookups equal ||q - (centroid + decoded residual)||² exactly over
+    the quantized representation; then ONE mapInPandas pass over the
+    probed cells' code rows scores every Arrow batch with numpy gathers.
+
+    The corpus-side plan is filter(cell_id ∈ probed) → mapInPandas →
+    small top-k window over ≤ |queries|·n_probe·k candidate rows: no
+    corpus shuffle, and at 100 TB the filter is partition pruning.
+    Output (query_id, id, adc_dist, rank)."""
+    m, ks, dsub = codebooks.shape
+    cb = codebooks.copy()
+    luts: dict[int, list[tuple[int, np.ndarray]]] = {}
+    probed_cells: set[int] = set()
+    for qid, v in queries:
+        qv = np.asarray(v, dtype=np.float64)
+        cd = ((centers - qv[None, :]) ** 2).sum(-1)
+        order = np.lexsort((np.arange(len(cd)), np.round(cd + 1e-9, 6)))
+        for cell in order[:n_probe]:
+            cell = int(cell)
+            probed_cells.add(cell)
+            r = qv - centers[cell]
+            lut = np.empty((m, ks))
+            for j in range(m):
+                lut[j] = ((cb[j] - r[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(-1)
+            luts.setdefault(cell, []).append((int(qid), lut))
+
+    def kernel(batches):
+        ar = np.arange(m)
+        for pdf in batches:
+            rows_q, rows_i, rows_d = [], [], []
+            for cell, grp in pdf.groupby("cell_id"):
+                pairs = luts.get(int(cell))
+                if not pairs:
+                    continue
+                codes = np.array(grp["codes"].tolist(), dtype=np.int64)
+                ids = grp[id_col].to_numpy()
+                for qid, lut in pairs:
+                    d = lut[ar[None, :], codes].sum(1)
+                    kk = min(k, len(d))
+                    top = np.argpartition(d, kk - 1)[:kk]
+                    rows_q.extend([qid] * kk)
+                    rows_i.extend(ids[top].tolist())
+                    rows_d.extend(np.round(d[top] + 1e-9, 6).tolist())
+            yield pd.DataFrame(
+                {"query_id": rows_q, id_col: rows_i, "adc_dist": rows_d}
+            )
+
+    pruned = encoded.filter(
+        F.col("cell_id").isin([int(c) for c in sorted(probed_cells)])
+    ).select(id_col, "cell_id", "codes")
+    cand = pruned.mapInPandas(
+        kernel, schema=f"query_id bigint, {id_col} bigint, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", id_col)
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_dist", "rank")
+    )
+
+
+def ivfpq_search_reranked(
+    encoded: DataFrame,
+    centers: np.ndarray,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    vectors: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC + exact re-rank: ADC proposes rerank_factor·k candidates
+    per query from the probed cells, then their ORIGINAL vectors (only
+    those rows — an id equi-join) are scored exactly.  Recovers the
+    recall the residual codes give up at the cost of touching
+    |queries|·rerank_factor·k float vectors.  Output (query_id, id,
+    dist, rank)."""
+    cand = ivfpq_search(
+        encoded,
+        centers,
+        codebooks,
+        queries,
+        k=rerank_factor * k,
+        n_probe=n_probe,
+        id_col=id_col,
+    )
+    qdf = encoded.sparkSession.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id bigint, __qv array<double>",
+    )
+    exact = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn(
+            "dist",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            F.col("__qv"),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                + 1e-9,
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", id_col)
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist", "rank")
+    )

@@ -83,3 +83,69 @@ def test_adc_topk_recall_vs_bruteforce(spark):
         recalls_r.append(len(approx & set(int(i) for i in exact)) / k)
     assert np.mean(recalls_r) >= 0.9, recalls_r
     assert np.mean(recalls_r) > np.mean(recalls)
+
+
+def test_ivfpq_composition_recall_and_plan(spark):
+    """IVFADC composition (VERDICT r03 item #3): coarse cells + residual
+    PQ + probed ADC + exact re-rank.  Asserts (a) recall@10 beats the
+    plain-IVF exact scan at EQUAL probe budget in bytes (4 code cells
+    ~ 1/8 the bytes of 1 float cell), (b) the ADC plan has no
+    corpus-side shuffle (exactly one Exchange: the candidate top-k
+    window), (c) the query point is always its own nearest neighbor
+    after re-rank."""
+    from kats_spark.operators import ivf
+
+    # OVERLAPPING clusters (noise ~ center spread): true top-10 straddle
+    # cell boundaries, the regime the multi-probe composition exists for
+    # — with cleanly separated clusters probe-1 IVF is already perfect
+    # and the comparison degenerates.
+    rng = np.random.default_rng(11)
+    centers0 = rng.normal(0, 1.5, (12, 16))
+    rows = [
+        (i, (centers0[i % 12] + rng.normal(0, 1.2, 16)).tolist())
+        for i in range(600)
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf)
+    indexed, centers_df = ivf.build_index_portable(df, id_col="vec_id", n_cells=8)
+    enc, centers, cb = pq.ivfpq_build(
+        df, id_col="vec_id", n_cells=8, m=8, ks=32, coarse=(indexed, centers_df)
+    )
+    enc = enc.localCheckpoint(eager=True)
+    X = np.vstack(pdf.embedding.to_numpy())
+    k = 10
+    queries = [(int(q), X[q].tolist()) for q in (3, 77, 250, 511)]
+
+    # plan hygiene: ADC search = pruned scan -> mapInPandas -> ONE
+    # exchange (the |queries|*n_probe*k candidate window)
+    plan = (
+        pq.ivfpq_search(enc, centers, cb, queries, k=k, n_probe=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+    rer = pq.ivfpq_search_reranked(
+        enc, centers, cb, queries, df, k=k, n_probe=4, rerank_factor=4
+    ).toPandas()
+
+    # plain-IVF baseline: exact scan of the single nearest cell
+    cells = {int(r.vec_id): int(r.cell_id) for r in indexed.select("vec_id", "cell_id").collect()}
+    cell_of = np.array([cells[i] for i in range(len(X))])
+    recalls_pq, recalls_ivf = [], []
+    for qid, qv in queries:
+        qv = np.asarray(qv)
+        exact = set(np.argsort(((X - qv) ** 2).sum(1))[:k].tolist())
+        d2c = ((centers - qv[None, :]) ** 2).sum(1)
+        near = int(np.argmin(d2c))
+        in_cell = np.where(cell_of == near)[0]
+        d_in = ((X[in_cell] - qv) ** 2).sum(1)
+        ivf_top = set(in_cell[np.argsort(d_in)[:k]].tolist())
+        recalls_ivf.append(len(ivf_top & exact) / k)
+        got = set(int(v) for v in rer[rer.query_id == qid].vec_id)
+        recalls_pq.append(len(got & exact) / k)
+        top1 = rer[(rer.query_id == qid) & (rer["rank"] == 1)].vec_id.iloc[0]
+        assert top1 == qid
+    assert np.mean(recalls_pq) >= 0.85, recalls_pq
+    assert np.mean(recalls_pq) > np.mean(recalls_ivf), (recalls_pq, recalls_ivf)

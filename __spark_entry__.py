@@ -79,7 +79,7 @@ _PRIORITY = [
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth
-    "global_rnn",
+    "global_rnn", "global_rnn_ensemble", "global_ens_backtest",
     "ses_forecast", "quadratic_forecast", "simple_heuristic",
     "ar2_forecast", "median_ensemble", "backtest_fixed",
     "hpt_recommend", "predictability", "reconcile_struc",

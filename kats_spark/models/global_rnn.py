@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kats_spark.tsframe import TSSchema, DEFAULT
@@ -168,35 +168,7 @@ def global_rnn_forecast(
     every series forecasts from its tail window distributed-side."""
     win = window
     wsize = win + steps
-    w_schema = "w array<double>, k bigint"
-
-    def emit_windows(pdf: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-
-        pdf = pdf.sort_values(s.time)
-        y = pdf[s.value].to_numpy(dtype=float)
-        if len(y) < wsize:
-            return pd.DataFrame(columns=["w", "k"])
-        sid = str(pdf[s.series_id].iloc[0])
-        starts = range(0, len(y) - wsize + 1)
-        ws = [y[i : i + wsize].tolist() for i in starts]
-        # process-independent hash rank (Python's hash() is salted)
-        keys = [
-            int.from_bytes(
-                hashlib.md5(f"{sid}:{i}".encode()).digest()[:8], "big"
-            )
-            >> 1
-            for i in starts
-        ]
-        return pd.DataFrame({"w": ws, "k": keys})
-
-    wins = (
-        df.select(s.series_id, s.time, s.value)
-        .groupBy(s.series_id)
-        .applyInPandas(emit_windows, w_schema)
-        .orderBy("k")
-        .limit(sample_windows)
-    )
+    wins = _window_frame(df, win, wsize, s).orderBy("k").limit(sample_windows)
     sample = np.array([list(r.w) for r in wins.collect()], dtype=float)
     if len(sample) == 0:
         raise ValueError(f"no series long enough for window+steps={wsize}")
@@ -246,4 +218,202 @@ def global_rnn_forecast(
         df.select(s.series_id, s.time, s.value)
         .groupBy(s.series_id)
         .applyInPandas(fn, schema)
+    )
+
+
+def _window_frame(df: DataFrame, win: int, wsize: int, s: TSSchema) -> DataFrame:
+    """Per-series sliding windows as (w array<double>, k bigint) with a
+    process-independent md5 rank key — the shared distributed step of
+    every global-model fit (single and ensemble)."""
+
+    def emit_windows(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        pdf = pdf.sort_values(s.time)
+        y = pdf[s.value].to_numpy(dtype=float)
+        if len(y) < wsize:
+            return pd.DataFrame(columns=["w", "k"])
+        sid = str(pdf[s.series_id].iloc[0])
+        starts = range(0, len(y) - wsize + 1)
+        ws = [y[i : i + wsize].tolist() for i in starts]
+        keys = [
+            int.from_bytes(hashlib.md5(f"{sid}:{i}".encode()).digest()[:8], "big") >> 1
+            for i in starts
+        ]
+        return pd.DataFrame({"w": ws, "k": keys})
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(emit_windows, "w array<double>, k bigint")
+    )
+
+
+def global_rnn_ensemble_forecast(
+    df: DataFrame,
+    steps: int,
+    freq_seconds: int,
+    n_replicas: int = 3,
+    window: int = 16,
+    hidden: int = 12,
+    epochs: int = 200,
+    sample_windows: int = 2048,
+    seed: int = 0,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Ensemble of G GRULite replicas trained on HASH-DISJOINT window
+    samples, forecasts combined by the per-horizon MEDIAN — the
+    reference's globalmodel ensemble design (kats/models/globalmodel/
+    ensemble.py:24 trains gm_info.gm_count replicas over data splits and
+    medians their predictions) re-expressed on the numpy GRU.
+
+    Why disjoint splits rather than G bootstrap draws: ``k % G`` over
+    the md5 rank key partitions the window population uniformly and
+    deterministically, so each replica sees different data (the variance
+    -reduction the ensemble exists for) and the whole train set is used
+    at G * sample_windows scale — the reference's multi-split batching
+    idea in one line of hashing.
+
+    Plan: the window frame is computed ONCE and persisted; each replica
+    is one bounded hash-ranked collect (<= sample_windows rows) + a
+    driver-side fit; inference ships all G parameter sets in a single
+    ``applyInPandas`` closure, so each series normalizes its tail window
+    once and runs G forward passes — still one distributed pass, no
+    extra shuffle.  Interval bands use the cross-replica median of the
+    per-horizon residual spreads."""
+    from pyspark import StorageLevel
+
+    win = window
+    wsize = win + steps
+    wins = _window_frame(df, win, wsize, s).persist(StorageLevel.MEMORY_AND_DISK)
+    replicas: list[dict] = []
+    se_all: list[np.ndarray] = []
+    try:
+        for g in range(n_replicas):
+            sub = (
+                wins.filter(F.col("k") % n_replicas == g)
+                .orderBy("k")
+                .limit(sample_windows)
+            )
+            sample = np.array([list(r.w) for r in sub.collect()], dtype=float)
+            if len(sample) == 0:
+                raise ValueError(
+                    f"no series long enough for window+steps={wsize}"
+                )
+            Wn, _ = _normalize_windows(sample, win)
+            model = GRULite(hidden=hidden, horizon=steps, seed=seed + g)
+            model.fit(Wn[:, :win], Wn[:, win:], epochs=epochs)
+            yhat_n, _ = model._forward(Wn[:, :win])
+            scale = np.abs(sample[:, :win]).mean(axis=1, keepdims=True) + 1e-9
+            resid = (yhat_n - Wn[:, win:]) * scale
+            se_all.append(
+                resid.std(axis=0, ddof=1) if len(resid) > 1 else np.abs(resid[0])
+            )
+            replicas.append({k: v.copy() for k, v in model.params.items()})
+    finally:
+        wins.unpersist()
+    se_h = np.median(np.stack(se_all), axis=0)
+    hid, hor = hidden, steps
+
+    schema = (
+        f"{s.series_id} string, {s.time} timestamp, "
+        "fcst double, fcst_lower double, fcst_upper double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(s.time)
+        y = pdf[s.value].to_numpy(dtype=float)
+        if len(y) < win:
+            return pd.DataFrame(
+                columns=[s.series_id, s.time, "fcst", "fcst_lower", "fcst_upper"]
+            )
+        tail = y[-win:][None, :]
+        sc = np.abs(tail).mean() + 1e-9
+        fcs = []
+        for params in replicas:
+            mdl = GRULite(hidden=hid, horizon=hor, seed=0)
+            mdl.params = params
+            fcs.append(mdl.predict(tail / sc)[0] * sc)
+        fc = np.median(np.stack(fcs), axis=0)
+        h = np.arange(1, hor + 1)
+        times = pd.Timestamp(pdf[s.time].iloc[-1]) + pd.to_timedelta(
+            h * freq_seconds, unit="s"
+        )
+        return pd.DataFrame(
+            {
+                s.series_id: str(pdf[s.series_id].iloc[0]),
+                s.time: times,
+                "fcst": fc,
+                "fcst_lower": fc - Z95 * se_h,
+                "fcst_upper": fc + Z95 * se_h,
+            }
+        )
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(fn, schema)
+    )
+
+
+def global_rnn_ensemble_backtest(
+    df: DataFrame,
+    steps: int,
+    freq_seconds: int,
+    train_frac: float = 0.8,
+    n_replicas: int = 3,
+    window: int = 16,
+    hidden: int = 12,
+    epochs: int = 200,
+    sample_windows: int = 2048,
+    seed: int = 0,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Holdout backtest of the global ensemble — the reference's
+    GMBackTester shape (kats/models/globalmodel/backtester.py: split by
+    time, train the global model on the head, score the forecast against
+    the held-out tail).  Unlike ``model_backtest`` (independent
+    per-(series, fold) fits), a GLOBAL model must fit across all series
+    at once, so the split happens first and ONE ensemble fit serves
+    every series' evaluation.
+
+    Plan: per-series rank/count windows cut the first ``train_frac`` of
+    each series (one window pass); the ensemble trains on that
+    distributed frame (bounded collects only); forecasts equi-join the
+    held-out actuals on (series_id, time); per-series error metrics
+    aggregate with codegen built-ins.  Output (series_id, n_test, mae,
+    rmse, mape)."""
+    ranked = df.withColumn("__rn", F.row_number().over(s.w()) - 1).withColumn(
+        "__n", F.count("*").over(Window.partitionBy(s.series_id))
+    )
+    train = ranked.filter(
+        F.col("__rn") < F.floor(F.col("__n") * F.lit(float(train_frac)))
+    ).drop("__rn", "__n")
+    fc = global_rnn_ensemble_forecast(
+        train,
+        steps=steps,
+        freq_seconds=freq_seconds,
+        n_replicas=n_replicas,
+        window=window,
+        hidden=hidden,
+        epochs=epochs,
+        sample_windows=sample_windows,
+        seed=seed,
+        s=s,
+    )
+    actual = df.select(s.series_id, s.time, F.col(s.value).alias("__truth"))
+    j = fc.join(actual, [s.series_id, s.time])
+    err = F.col("fcst") - F.col("__truth")
+    return (
+        j.groupBy(s.series_id)
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.avg(F.abs(err)).alias("mae"),
+            F.sqrt(F.avg(err * err)).alias("rmse"),
+            F.avg(
+                F.when(
+                    F.col("__truth") != 0, F.abs(err / F.col("__truth"))
+                )
+            ).alias("mape"),
+        )
     )

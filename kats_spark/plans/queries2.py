@@ -2285,6 +2285,51 @@ def q_global_rnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+def q_global_rnn_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-model ENSEMBLE (kats/models/globalmodel/ensemble.py:24:
+    train G replicas over data splits, median the forecasts; VERDICT r03
+    item #4): 3 GRULite replicas on hash-disjoint window samples, one
+    shared window pass, per-horizon median combination distributed-side.
+    Iterative nonlinear fit -> rows-only; beats-single-model holdout
+    test in tests/test_global_rnn.py."""
+    from kats_spark.models.global_rnn import global_rnn_ensemble_forecast
+
+    out = global_rnn_ensemble_forecast(
+        hourly_series(spark, sf_dir),
+        steps=12,
+        freq_seconds=3600,
+        n_replicas=3,
+        window=16,
+        hidden=8,
+        epochs=90,
+        sample_windows=512,
+        seed=7,
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+def q_global_ens_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GMBackTester shape (kats/models/globalmodel/backtester.py): split
+    every series by time, ONE global-ensemble fit on the head, score the
+    held-out tail per series.  Rows-only (iterative fit).  Output
+    (series_id, n_test, mae, rmse, mape)."""
+    from kats_spark.models.global_rnn import global_rnn_ensemble_backtest
+
+    out = global_rnn_ensemble_backtest(
+        hourly_series(spark, sf_dir),
+        steps=12,
+        freq_seconds=3600,
+        train_frac=0.85,
+        n_replicas=3,
+        window=16,
+        hidden=8,
+        epochs=90,
+        sample_windows=512,
+        seed=7,
+    )
+    return _r6(out.orderBy("series_id"), "mae", "rmse", "mape")
+
+
 def q_neural_prophet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NeuralProphet-lite (kats/models/neuralprophet.py parity surface,
     Triebe 2021 published core): Prophet components + linear AR-Net lag
@@ -3694,6 +3739,8 @@ QUERIES = {
     "prophet_forecast": q_prophet_forecast,
     "global_dms": q_global_dms,
     "global_rnn": q_global_rnn,
+    "global_rnn_ensemble": q_global_rnn_ensemble,
+    "global_ens_backtest": q_global_ens_backtest,
     "pq_recall": q_pq_recall,
     "ivfpq_recall": q_ivfpq_recall,
     "rnn_forecast": q_rnn_forecast,

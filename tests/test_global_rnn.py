@@ -168,3 +168,54 @@ def test_per_series_rnn_short_series_empty(spark):
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["series_id", "time", "value"]))
     out = rnn_forecast(df, steps=6, freq_seconds=3600, window=10)
     assert out.count() == 0
+
+
+def test_global_rnn_ensemble_beats_single_on_holdout(spark):
+    """VERDICT r03 item #4 'done' criterion: the 3-replica hash-disjoint
+    ensemble's holdout MSE beats the single global GRU's on the seeded
+    nonlinear panel (variance reduction from median-combining replicas
+    trained on disjoint window samples)."""
+    from kats_spark.models.global_rnn import global_rnn_ensemble_forecast
+
+    pdf = _nonlinear_panel(n_series=8, n=240, seed=3)
+    last_idx = pdf.groupby("series_id")["time"].idxmax()
+    train = pdf.drop(index=last_idx)
+    df = spark.createDataFrame(train)
+    kw = dict(steps=1, freq_seconds=3600, window=12, hidden=10, epochs=250)
+    single = (
+        global_rnn_forecast(df, seed=0, **kw).toPandas().set_index("series_id")
+    )
+    ens = (
+        global_rnn_ensemble_forecast(df, n_replicas=3, seed=0, **kw)
+        .toPandas()
+        .set_index("series_id")
+    )
+    truth = pdf.groupby("series_id").tail(1).set_index("series_id")
+    err_s, err_e = [], []
+    for sid in truth.index:
+        y = truth.loc[sid, "value"]
+        err_s.append((single.loc[sid, "fcst"] - y) ** 2)
+        err_e.append((ens.loc[sid, "fcst"] - y) ** 2)
+    mse_s, mse_e = float(np.mean(err_s)), float(np.mean(err_e))
+    assert mse_e < mse_s, (mse_e, mse_s)
+
+
+def test_global_rnn_ensemble_backtest_contract(spark):
+    """GMBackTester shape: one global fit on the head of every series,
+    per-series holdout metrics; the nonlinear panel is predictable so
+    MAE must be small and finite for every series."""
+    from kats_spark.models.global_rnn import global_rnn_ensemble_backtest
+
+    pdf = _nonlinear_panel(n_series=6, n=200, seed=5)
+    df = spark.createDataFrame(pdf)
+    out = global_rnn_ensemble_backtest(
+        df, steps=8, freq_seconds=3600, train_frac=0.9, n_replicas=2,
+        window=12, hidden=8, epochs=150, sample_windows=512, seed=1,
+    ).toPandas()
+    assert len(out) == 6
+    assert (out.n_test == 8).all()
+    assert np.isfinite(out[["mae", "rmse", "mape"]].to_numpy()).all()
+    assert (out.rmse >= out.mae - 1e-12).all()
+    # the fixture's 1..8-step dynamics are learnable: demand real skill
+    # (naive-last-value on this panel is much worse)
+    assert out.mae.mean() < 0.5, out.mae.tolist()

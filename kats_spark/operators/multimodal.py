@@ -6,15 +6,17 @@ metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched ``mapInPandas`` stages.
 
 The codec libraries (PIL/ffmpeg/torchaudio) are NOT in this container.
-The UNCOMPRESSED formats decode for real in pure numpy — BMP (24-bit
-BI_RGB), PPM (P6), WAV (PCM 8/16-bit) — via ``decode_image_bytes`` /
+These formats decode for real in pure numpy/stdlib — BMP (24-bit
+BI_RGB), PPM (P6), PNG (8-bit RGB/RGBA, zlib inflate + 5-filter
+un-filtering), WAV (PCM 8/16-bit) — via ``decode_image_bytes`` /
 ``decode_audio_bytes``, powering ``decode_real`` (typed pixel/sample
-stats) and ``resize_real`` (nearest-neighbor + P6 re-encode).
-Compressed formats (JPEG/PNG/MP4) surface as kind='unsupported' — no
-silent fakes.  ``decode_features`` remains the documented deterministic
-byte-level stand-in for embedding kernels.  Everything Spark-side —
-schema, batching, partition sizing, UDF signatures — is identical
-between the real and stand-in kernels.
+stats), ``resize_real`` (nearest-neighbor + P6 re-encode) and
+``encode_png``.  Formats that genuinely need codec libraries
+(JPEG/MP4) surface as kind='unsupported' — no silent fakes.
+``decode_features`` remains the documented deterministic byte-level
+stand-in for embedding kernels.  Everything Spark-side — schema,
+batching, partition sizing, UDF signatures — is identical between the
+real and stand-in kernels.
 
 Scale notes: binary payloads make wide rows — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a batch of rows
@@ -87,17 +89,143 @@ def decode_features(
     )
 
 
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (spec §9: None/Sub/Up/
+    Average/Paeth).  Up and None vectorize whole-row; Sub/Average/Paeth
+    carry a left-neighbor dependency, so they loop over pixels with the
+    channel vector as the unit."""
+    stride = w * ch
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG scanline data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (1 + stride)
+        ft = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        if ft == 0:
+            cur = line.copy()
+        elif ft == 1:  # Sub
+            cur = line.copy()
+            for x in range(ch, stride, ch):
+                cur[x : x + ch] += cur[x - ch : x]
+        elif ft == 2:  # Up
+            cur = line + prev
+        elif ft == 3:  # Average
+            cur = line.copy()
+            cur[:ch] += prev[:ch] // 2
+            for x in range(ch, stride, ch):
+                avg = (
+                    cur[x - ch : x].astype(np.uint16)
+                    + prev[x : x + ch].astype(np.uint16)
+                ) // 2
+                cur[x : x + ch] += avg.astype(np.uint8)
+        elif ft == 4:  # Paeth
+            cur = line.copy()
+            for x in range(0, stride, ch):
+                a = (
+                    cur[x - ch : x].astype(np.int16)
+                    if x >= ch
+                    else np.zeros(ch, dtype=np.int16)
+                )
+                b = prev[x : x + ch].astype(np.int16)
+                c = (
+                    prev[x - ch : x].astype(np.int16)
+                    if x >= ch
+                    else np.zeros(ch, dtype=np.int16)
+                )
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cur[x : x + ch] += pred.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (pure stdlib: zlib + crc32): 8-bit RGB,
+    filter-0 scanlines, one IDAT.  The deterministic counterpart of the
+    PNG branch in ``decode_image_bytes`` — lets pipelines re-encode
+    after resize and lets tests/queries build real compressed payloads
+    without codec libraries."""
+    import struct
+    import zlib
+
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_png expects (H, W, 3) uint8 RGB")
+    h, w = img.shape[:2]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB, no interlace
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_bytes(payload: bytes) -> np.ndarray:
-    """REAL pure-numpy image decode for the uncompressed formats:
+    """REAL pure-numpy image decode:
 
     - BMP, 24-bit BI_RGB (bottom-up or top-down, 4-byte row padding,
       BGR byte order) — the Windows bitmap everyone can write;
     - PPM P6 binary (header whitespace/comments per the netpbm spec,
-      maxval <= 255).
+      maxval <= 255);
+    - PNG, 8-bit truecolor (color type 2) and truecolor+alpha (type 6),
+      non-interlaced — IHDR/IDAT chunk walk, stdlib ``zlib`` inflate,
+      full 5-filter un-filtering (spec §9); the alpha plane is dropped
+      so every decode yields RGB.  Palette/16-bit/Adam7 PNGs and JPEG
+      still raise (they need real codec libraries).
 
-    Returns an (H, W, 3) uint8 RGB array.  Compressed formats (JPEG/
-    PNG) genuinely need codec libraries and raise ValueError naming
-    that."""
+    Returns an (H, W, 3) uint8 RGB array."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        import zlib
+
+        pos, n = 8, len(payload)
+        ihdr = None
+        idat = bytearray()
+        while pos + 8 <= n:
+            ln = int.from_bytes(payload[pos : pos + 4], "big")
+            typ = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                ihdr = body
+            elif typ == b"IDAT":
+                idat.extend(body)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # length + type + crc
+        if ihdr is None or len(ihdr) < 13 or not idat:
+            raise ValueError("truncated PNG (missing IHDR/IDAT)")
+        w = int.from_bytes(ihdr[0:4], "big")
+        h = int.from_bytes(ihdr[4:8], "big")
+        bit_depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+        if bit_depth != 8 or ctype not in (2, 6) or interlace != 0:
+            raise ValueError(
+                f"only 8-bit non-interlaced RGB/RGBA PNG supported "
+                f"(depth={bit_depth}, color_type={ctype}, interlace={interlace})"
+            )
+        ch = 3 if ctype == 2 else 4
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error as exc:  # corrupt stream
+            raise ValueError(f"bad PNG IDAT stream: {exc}") from exc
+        img = _png_unfilter(raw, w, h, ch)
+        return img[:, :, :3].copy() if ch == 4 else img
     if payload[:2] == b"BM":
         if len(payload) < 54:
             raise ValueError("truncated BMP header")
@@ -154,8 +282,8 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
             .copy()
         )
     raise ValueError(
-        "unsupported image format (JPEG/PNG need codec libraries; "
-        "BMP 24-bit and PPM P6 decode here)"
+        "unsupported image format (JPEG needs codec libraries; "
+        "BMP 24-bit, PPM P6 and 8-bit RGB/RGBA PNG decode here)"
     )
 
 
@@ -207,9 +335,9 @@ def decode_real(
 ) -> DataFrame:
     """REAL decode -> typed stats, one row per media item.
 
-    Dispatches on magic bytes: BMP / PPM -> pixel stats (uint8 RGB),
-    RIFF/WAVE -> sample stats (PCM).  Formats that require codec
-    libraries absent from this container (JPEG/PNG/MP4) come back as
+    Dispatches on magic bytes: BMP / PPM / PNG -> pixel stats (uint8
+    RGB), RIFF/WAVE -> sample stats (PCM).  Formats that require codec
+    libraries absent from this container (JPEG/MP4) come back as
     kind='unsupported' with null stats — no silent fakes.  v_std is the
     population standard deviation (ddof=0)."""
 

@@ -75,7 +75,7 @@ _PRIORITY = [
     # LLM pipeline depth
     "allpairs_topk", "embed_neardup", "ivf_topk_portable",
     "winnow_overlap", "corpus_prep", "corpus_mixture",
-    "corpus_profile",
+    "corpus_profile", "quality_classifier",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

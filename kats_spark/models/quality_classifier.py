@@ -1,0 +1,166 @@
+"""Trainable document-quality classifier — the fastText-classifier
+methodology from the public pretraining-data literature (GPT-3 appendix A
+/ CCNet: train a linear classifier on weak labels, score every crawl
+document, filter or importance-sample on the score).
+
+Not in the reference (Kats is numeric-only); first-class LLM-pipeline
+extension (VERDICT r03 item #7) composing the existing hygiene suite:
+
+- **weak labels** come from heuristics already in the repo
+  (``text.quality_score`` + Gopher repetition stats) — no hand labeling;
+- **features** are hashed unigram term frequencies ONLY (MLlib
+  ``HashingTF`` — the fastText bag-of-words trick, collision-tolerant
+  and vocabulary-free, so the feature space is fixed-size at any corpus
+  scale); the heuristic signals stay OUT of the feature vector because
+  they define the weak labels — as features they'd be a shortcut that
+  stops the vocabulary from being learned;
+- **model** is MLlib ``LogisticRegression`` — one distributed L-BFGS
+  fit, scoring is ``model.transform`` (no collects anywhere).
+
+Why a LEARNED filter beats the heuristic it was weakly supervised by:
+the n-gram features generalize — a document full of spam vocabulary
+scores low even when its length/stopword/repetition profile looks
+normal, because those n-grams co-occurred with heuristic-flagged docs in
+training.  That generalization is the measured contract
+(tests/test_ml.py::test_quality_classifier_beats_heuristic_auc).
+
+Scale: HashingTF + LR scale linearly and shuffle only MLlib's own
+treeAggregate reductions; scoring is map-only codegen + one UDF-free
+transform.  Rows-only query (iterative L-BFGS has no SQL form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quality_feature_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """id + tokenized words + the dense heuristic signals used both for
+    weak labeling and as dense features: quality_score (blend of length
+    band / stopword ratio / alpha ratio / distinct ratio) and Gopher
+    repetition ratios."""
+    from kats_spark.operators.sampling import repetition_stats
+    from kats_spark.operators.text import quality_score, tokens
+
+    q = quality_score(df, text_col=text_col).select(
+        id_col,
+        tokens(F.lower(F.col(text_col))).alias("__words"),
+        "quality_score",
+    )
+    rep = repetition_stats(df, text_col=text_col, id_col=id_col)
+    return q.join(rep, id_col)
+
+
+def weak_labels(
+    feats: DataFrame,
+    hi: float = 0.55,
+    lo: float = 0.45,
+    max_dup_gram: float = 0.5,
+) -> DataFrame:
+    """Heuristic weak supervision: confident-good docs (quality_score >=
+    hi AND low repetition) get label 1, confident-bad (score <= lo OR
+    heavy repetition) get 0, the ambiguous middle band is DROPPED — the
+    standard trick that trades coverage for label precision."""
+    good = (F.col("quality_score") >= hi) & (F.col("dup_gram_ratio") <= max_dup_gram)
+    bad = (F.col("quality_score") <= lo) | (F.col("dup_gram_ratio") > max_dup_gram)
+    return (
+        feats.withColumn(
+            "weak_label",
+            F.when(good, F.lit(1.0)).when(bad, F.lit(0.0)),
+        )
+        .filter(F.col("weak_label").isNotNull())
+    )
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    n_hash_features: int = 1 << 15,
+    max_iter: int = 60,
+    reg_param: float = 1e-3,
+):
+    """Fit HashingTF(words) -> LogisticRegression on a weak-labeled
+    frame (output of ``weak_labels``).  Returns the fitted
+    PipelineModel.
+
+    Deliberately BAG-OF-WORDS ONLY (the fastText-classifier design):
+    the heuristic signals that DEFINE the weak labels must not be
+    features, or the optimizer shortcuts through them and never learns
+    the vocabulary — which is the only part that generalizes to
+    documents the heuristics cannot flag (measured in
+    tests/test_ml.py::test_quality_classifier_beats_heuristic_auc)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    # binary presence features: raw counts let one high-count token (a
+    # repeated phrase) absorb the whole decision, leaving the rest of
+    # the vocabulary unlearned; presence/absence spreads the weight
+    # across every co-occurring term — the part that generalizes
+    tf = HashingTF(
+        inputCol="__words", outputCol="__tf", numFeatures=n_hash_features,
+        binary=True,
+    )
+    lr = LogisticRegression(
+        featuresCol="__tf",
+        labelCol="weak_label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=True,
+    )
+    return Pipeline(stages=[tf, lr]).fit(labeled)
+
+
+def score_quality(
+    model, feats: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Score every document: (id, p_good) — the probability of the
+    positive (high-quality) class."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(feats)
+    return scored.select(
+        id_col,
+        F.element_at(vector_to_array("probability"), 2).alias("p_good"),
+    )
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hash_features: int = 1 << 15,
+    seed: int = 7,
+) -> DataFrame:
+    """End-to-end convenience: weak-label the corpus with the hygiene
+    heuristics, train the classifier, score EVERY document (including
+    the ambiguous band the trainer never saw).  Output
+    (id, weak_label nullable, p_good)."""
+    feats = quality_feature_frame(df, text_col=text_col, id_col=id_col)
+    feats = feats.persist()
+    try:
+        labeled = weak_labels(feats)
+        model = train_quality_classifier(
+            labeled, n_hash_features=n_hash_features
+        )
+        scored = score_quality(model, feats, id_col=id_col)
+        lab = feats.select(
+            id_col,
+            F.when(
+                (F.col("quality_score") >= 0.55) & (F.col("dup_gram_ratio") <= 0.5),
+                F.lit(1),
+            )
+            .when(
+                (F.col("quality_score") <= 0.45) | (F.col("dup_gram_ratio") > 0.5),
+                F.lit(0),
+            )
+            .cast("int")
+            .alias("weak_label"),
+        )
+        out = scored.join(lab, id_col)
+        # materialize before unpersisting the shared upstream
+        return out.localCheckpoint(eager=True)
+    finally:
+        feats.unpersist()

@@ -2871,6 +2871,25 @@ LEFT JOIN dec c ON f.series_id = c.series_id
 # --------------------------------------------------------------------------
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-supervised trainable quality filter (fastText-classifier
+    methodology; VERDICT r03 item #7): hygiene heuristics label the
+    confident tails, MLlib LogisticRegression over binary hashed
+    unigrams learns the vocabulary, every document gets a p_good score —
+    including the ambiguous middle band the heuristics cannot call.
+    Iterative L-BFGS -> rows-only; the AUC-beats-heuristic contract is
+    tests/test_ml.py::test_quality_classifier_beats_heuristic_auc."""
+    from kats_spark.models.quality_classifier import quality_classifier_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = quality_classifier_scores(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("weak_label").cast("int").alias("weak_label"),
+        _rnd("p_good", 6).alias("p_good"),
+    ).orderBy("doc_id")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata extraction: documents' text bytes stand in
     for media payloads (no media files in the testdata); n_bytes/sha256
@@ -3778,6 +3797,7 @@ QUERIES = {
     "global_ens_backtest": q_global_ens_backtest,
     "pq_recall": q_pq_recall,
     "ivfpq_recall": q_ivfpq_recall,
+    "quality_classifier": q_quality_classifier,
     "rnn_forecast": q_rnn_forecast,
     "neural_prophet": q_neural_prophet,
     "reconcile_mint": q_reconcile_mint,

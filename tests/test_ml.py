@@ -308,3 +308,96 @@ def test_sobol_df_maps_space(spark):
 
     spread = np.ptp(np.log10(lrs))
     assert spread > 2.0  # log-mapped across the range
+
+
+def _auc(scores, labels):
+    """Rank-based AUC (Mann-Whitney), ties handled by average rank."""
+    import numpy as np
+
+    scores = np.asarray(scores, dtype=float)
+    labels = np.asarray(labels, dtype=int)
+    order = scores.argsort(kind="mergesort")
+    ranks = np.empty(len(scores), dtype=float)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    # average ranks for ties
+    import pandas as pd
+
+    ranks = pd.Series(scores).rank(method="average").to_numpy()
+    n1 = labels.sum()
+    n0 = len(labels) - n1
+    if n1 == 0 or n0 == 0:
+        return 0.5
+    return (ranks[labels == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+
+
+def _mixed_quality_corpus(n_good=120, n_bad=120, seed=11):
+    """Seeded fixture where the HEURISTIC is weak but n-grams are
+    informative: bad docs use spam vocabulary at normal length /
+    diversity / stopword density (heuristic ~ blind on them), and a 70%
+    subset of bad docs also repeats a phrase (tripping the Gopher
+    repetition weak label).  A learned model can generalize from that
+    flagged subset to ALL spam-vocabulary docs — including the 30% the
+    heuristic misses entirely; the heuristic cannot."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    stop = ["the", "and", "of", "to", "in", "is", "that", "with", "for", "on"]
+    good_vocab = [
+        "science", "history", "nature", "report", "analysis", "method",
+        "result", "measure", "theory", "climate", "energy", "culture",
+        "river", "mountain", "music", "garden", "bridge", "letter",
+    ]
+    spam_vocab = [
+        "buy", "cheap", "click", "free", "winner", "casino", "pills",
+        "offer", "deal", "prize", "bonus", "discount", "jackpot",
+        "subscribe", "unlock", "exclusive", "limited", "guarantee",
+    ]
+    rows = []
+    did = 0
+    for _ in range(n_good):
+        n = int(rng.integers(30, 60))
+        words = [
+            rng.choice(stop) if rng.random() < 0.35 else rng.choice(good_vocab)
+            for _ in range(n)
+        ]
+        rows.append((did, " ".join(words), 1))
+        did += 1
+    for i in range(n_bad):
+        n = int(rng.integers(30, 60))
+        words = [
+            rng.choice(stop) if rng.random() < 0.35 else rng.choice(spam_vocab)
+            for _ in range(n)
+        ]
+        if i % 10 < 7:  # 70%: also repetitive -> heuristically flaggable
+            # append the repeated phrase to a FULL spam-vocab document so
+            # the weak negatives carry the vocabulary the model must
+            # generalize from, not just the phrase itself
+            words = words + ["click", "here", "now"] * 30
+        rows.append((did, " ".join(words), 0))
+        did += 1
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["doc_id", "text", "truth"])
+
+
+def test_quality_classifier_beats_heuristic_auc(spark):
+    """VERDICT r03 item #7 'done' criterion: the weakly-supervised MLlib
+    LR (hashed n-grams + dense signals) must beat the heuristic
+    quality_score's AUC against ground truth on the seeded
+    mixed-quality fixture — the generalization the fastText-classifier
+    methodology exists for."""
+    import numpy as np
+
+    from kats_spark.models.quality_classifier import quality_classifier_scores
+    from kats_spark.operators.text import quality_score
+
+    pdf = _mixed_quality_corpus()
+    df = spark.createDataFrame(pdf[["doc_id", "text"]])
+    heur = quality_score(df).select("doc_id", "quality_score").toPandas()
+    clf = quality_classifier_scores(df).toPandas()
+    m = pdf.merge(heur, on="doc_id").merge(clf[["doc_id", "p_good"]], on="doc_id")
+    auc_heur = _auc(m.quality_score, m.truth)
+    auc_clf = _auc(m.p_good, m.truth)
+    # the classifier must generalize beyond its own weak supervision
+    assert auc_clf > auc_heur + 0.1, (auc_clf, auc_heur)
+    assert auc_clf > 0.9, auc_clf

@@ -82,7 +82,7 @@ _PRIORITY = [
     "global_rnn", "global_rnn_ensemble", "global_ens_backtest",
     "ses_forecast", "quadratic_forecast", "simple_heuristic",
     "ar2_forecast", "median_ensemble", "backtest_fixed",
-    "hpt_recommend", "predictability", "reconcile_struc",
+    "hpt_recommend", "hpt_gpei", "predictability", "reconcile_struc",
     "static_threshold", "percentage_change", "level_shift",
     "interval_relative", "rolling_iqr", "mk_statistic", "mk_rolling",
     "cusum_transform", "minhash_quality", "doc_fingerprint",

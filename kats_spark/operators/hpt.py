@@ -336,6 +336,174 @@ def tpe_search(
 
 
 # --------------------------------------------------------------------------
+# GP-EI Bayesian optimization — the reference's ax-platform GPEI strategy
+# (kats/utils/time_series_parameter_tuning.py:296,648 SearchMethodEnum
+# BAYES_OPT) re-derived from the public math (Rasmussen & Williams 2006
+# ch. 2; Jones/Schonlau/Welch 1998 expected improvement), numpy-only.
+# --------------------------------------------------------------------------
+
+
+def _gp_encode(space: list[dict], params: dict) -> list[float]:
+    """Map a param dict to the unit cube: numeric bounds scale linearly
+    (log-scaled first when flagged); ordered ``values`` choices map to
+    their level index / (n-1) — a 1-D embedding that preserves order, so
+    the GP can model smooth response over the choice ladder."""
+    import numpy as np
+
+    x = []
+    for p in space:
+        v = params[p["name"]]
+        if "values" in p:
+            vals = [str(u) for u in p["values"]]
+            x.append(vals.index(str(v)) / max(len(vals) - 1, 1))
+        else:
+            lo, hi = p["bounds"]
+            vv = float(v)
+            if p.get("log"):
+                vv, lo, hi = np.log(vv), np.log(lo), np.log(hi)
+            x.append((vv - lo) / (hi - lo))
+    return x
+
+
+def _gp_decode(space: list[dict], x: list[float]) -> dict:
+    import numpy as np
+
+    out = {}
+    for p, u in zip(space, x):
+        if "values" in p:
+            vals = p["values"]
+            out[p["name"]] = vals[int(round(u * (len(vals) - 1)))]
+        else:
+            lo, hi = p["bounds"]
+            if p.get("log"):
+                out[p["name"]] = float(
+                    np.exp(np.log(lo) + u * (np.log(hi) - np.log(lo)))
+                )
+            else:
+                out[p["name"]] = float(lo + u * (hi - lo))
+    return out
+
+
+def _gp_posterior(X, y, Xs, length_scale: float, noise: float):
+    """Squared-exponential GP posterior mean/std at Xs given (X, y),
+    via Cholesky (RW06 algorithm 2.1).  y is standardized by the
+    caller."""
+    import numpy as np
+
+    def k(A, B):
+        d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+        return np.exp(-0.5 * d2 / (length_scale**2))
+
+    K = k(X, X) + noise * np.eye(len(X))
+    L = np.linalg.cholesky(K)
+    alpha = np.linalg.solve(L.T, np.linalg.solve(L, y))
+    Ks = k(X, Xs)
+    mu = Ks.T @ alpha
+    v = np.linalg.solve(L, Ks)
+    var = np.clip(1.0 - (v * v).sum(0), 1e-12, None)
+    return mu, np.sqrt(var), L, alpha
+
+
+def _gp_log_marginal(y, L, alpha) -> float:
+    import numpy as np
+
+    return float(
+        -0.5 * y @ alpha - np.log(np.diag(L)).sum() - 0.5 * len(y) * np.log(2 * np.pi)
+    )
+
+
+def gp_ei_search(
+    spark,
+    space: list[dict],
+    evaluate,
+    n_init: int = 8,
+    n_iter: int = 4,
+    batch: int = 4,
+    n_draw: int = 256,
+    xi: float = 0.01,
+    noise: float = 1e-6,
+    seed: int = 0,
+):
+    """Minimize ``evaluate`` with GP-EI Bayesian optimization: a
+    squared-exponential GP surrogate on the unit-cube-encoded params
+    (length-scale picked each round by marginal likelihood over a small
+    grid — RW06 §5.4 model selection), expected-improvement acquisition
+    (Jones 1998) maximized over a fresh Sobol candidate cloud, top
+    ``batch`` proposals evaluated as ONE distributed plan per round.
+
+    Same contract as ``tpe_search``: ``evaluate(candidates_df) ->
+    DataFrame`` with param columns + ``score`` (lower better); returns
+    (best_params, best_score, trials).  Driver-side cost is O(n³) in the
+    TRIAL count — dozens — never in the data size."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    d = len(space)
+    trials: list[tuple[dict, float]] = []
+
+    def _run(cdf):
+        for row in evaluate(cdf).collect():
+            rd = row.asDict()
+            sc = float(rd.pop("score"))
+            trials.append(({k: rd[k] for k in (p["name"] for p in space)}, sc))
+
+    _run(quasirandom_df(spark, space, n_init, seed=seed))
+    for it in range(n_iter):
+        X = np.array([_gp_encode(space, t[0]) for t in trials])
+        y_raw = np.array([t[1] for t in trials])
+        mu0, sd0 = y_raw.mean(), y_raw.std() + 1e-12
+        y = (y_raw - mu0) / sd0
+        # fresh scrambled Sobol cloud each round (space-filling, cheap)
+        cloud = np.array(sobol_points(n_draw, d, seed=seed + 1 + it))
+        # length-scale by marginal likelihood over a small grid
+        best_ls, best_lml = None, -np.inf
+        for ls in (0.05, 0.1, 0.2, 0.5, 1.0):
+            try:
+                _, _, L, alpha = _gp_posterior(X, y, X[:1], ls, noise + 1e-8)
+            except np.linalg.LinAlgError:
+                continue
+            lml = _gp_log_marginal(y, L, alpha)
+            if lml > best_lml:
+                best_ls, best_lml = ls, lml
+        mu, sd, _, _ = _gp_posterior(X, y, cloud, best_ls, noise + 1e-8)
+        f_best = y.min()
+        z = (f_best - mu - xi) / sd
+        ei = (f_best - mu - xi) * _norm_cdf(z) + sd * _norm_pdf(z)
+        order = np.argsort(-ei)
+        seen = {tuple(sorted(t[0].items())) for t in trials}
+        props = []
+        for idx in order:
+            c = _gp_decode(space, cloud[idx])
+            key = tuple(sorted({k: str(v) for k, v in c.items()}.items()))
+            if key in seen:
+                continue
+            seen.add(key)
+            props.append(c)
+            if len(props) == batch:
+                break
+        if not props:  # space exhausted (tiny discrete spaces)
+            break
+        rows = [{k: str(v) for k, v in c.items()} for c in props]
+        _run(spark.createDataFrame(rows))
+    best = min(trials, key=lambda t: t[1])
+    return best[0], best[1], trials
+
+
+def _norm_pdf(z):
+    import numpy as np
+
+    return np.exp(-0.5 * z * z) / np.sqrt(2 * np.pi)
+
+
+def _norm_cdf(z):
+    import math
+
+    import numpy as np
+
+    return 0.5 * (1.0 + np.vectorize(math.erf)(np.asarray(z) / math.sqrt(2.0)))
+
+
+# --------------------------------------------------------------------------
 # Sobol sequence — the reference's RANDOM_SEARCH_SOBOL strategy proper
 # (kats/consts.py:1354; ax-platform Sobol backend in
 # time_series_parameter_tuning.py).  Gray-code Sobol with the classic

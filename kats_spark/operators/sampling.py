@@ -340,13 +340,29 @@ def bigram_logppl(
     Plan: one posexplode + lead-window pairs the tokens (the shingle_rows
     pattern — no per-element lambda re-evaluation), ONE (doc, w1, w2,
     count) pre-aggregation feeds the bigram table, the context table and
-    the scoring join (the de-skew shape proven on unigram_logppl);
-    context counts broadcast-join when small, and AQE skew-split covers
-    the Zipf head.  Output (doc_id, n_bigrams, logppl)."""
+    the scoring join (the de-skew shape proven on unigram_logppl).
+
+    The CONTEXT join (on ``__w1`` alone) carries the Zipf head — 'the'
+    is the context of a large share of all distinct bigrams.  Same
+    escape hatch AS CODE as unigram_logppl (VERDICT r03 item #9),
+    count-guarded: corpora >= 1M docs persist the pre-aggregation and
+    broadcast the top-``head_k`` context rows so the shuffle join sees
+    only near-uniform tail keys (when AQE skew-join is on, head_k stays
+    0 and AQE's runtime split handles it — belt and suspenders
+    otherwise).  Identical arithmetic on every path; the DuckDB oracle
+    is unchanged.  Output (doc_id, n_bigrams, logppl)."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from kats_spark.operators.dedup import normalize
 
+    big = df.count() >= 1_000_000
+    head_k = (
+        0
+        if df.sparkSession.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+        == "true"
+        else 4096
+    )
     t = tokens(normalize(F.col(text_col)))
     tok = df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__w1"))
     w = Window.partitionBy(id_col).orderBy("__pos")
@@ -356,6 +372,10 @@ def bigram_logppl(
     doc_bg = pairs.groupBy(id_col, "__w1", "__w2").agg(
         F.count("*").alias("__k")
     )
+    if big:
+        # three consumers (bigram table -> context table, scoring join);
+        # without the persist each re-runs the explode + window + agg
+        doc_bg = doc_bg.persist(StorageLevel.MEMORY_AND_DISK)
     bg = doc_bg.groupBy("__w1", "__w2").agg(F.sum("__k").alias("__c12"))
     ctx = bg.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
     vocab = tok.agg(F.countDistinct("__w1").alias("__v"))
@@ -363,11 +383,18 @@ def bigram_logppl(
         (F.col("__c12") + F.lit(float(alpha)))
         / (F.col("__c1") + F.lit(float(alpha)) * F.col("__v"))
     )
-    scored = (
-        doc_bg.join(bg, ["__w1", "__w2"])
-        .join(ctx, "__w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(id_col, "__k", (F.col("__k") * nll).alias("__s"))
+    with_bg = doc_bg.join(bg, ["__w1", "__w2"])
+    if big and head_k > 0:
+        head = ctx.orderBy(F.desc("__c1"), F.asc("__w1")).limit(head_k)
+        with_ctx = with_bg.join(F.broadcast(head), "__w1").unionByName(
+            with_bg.join(
+                F.broadcast(head.select("__w1")), "__w1", "left_anti"
+            ).join(ctx, "__w1")
+        )
+    else:
+        with_ctx = with_bg.join(ctx, "__w1")
+    scored = with_ctx.crossJoin(F.broadcast(vocab)).select(
+        id_col, "__k", (F.col("__k") * nll).alias("__s")
     )
     return scored.groupBy(id_col).agg(
         F.sum("__k").cast("long").alias("n_bigrams"),

@@ -748,6 +748,54 @@ def q_hpt_tpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows).select("window", "lam", "mae")
 
 
+def q_hpt_gpei(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GP-EI Bayesian search (the reference's ax-platform GPEI strategy,
+    time_series_parameter_tuning.py:296,648, re-derived from RW06 +
+    Jones 1998 in pure numpy; VERDICT r03 item #8) over the same 2-D
+    space as hpt_tpe: squared-exponential GP surrogate on unit-cube
+    params, length-scale by marginal likelihood, EI maximized over a
+    Sobol cloud, batches evaluated as ONE distributed plan.  Sequential
+    surrogate loop -> rows-only; beats-random contract in
+    tests/test_ml.py::test_gp_ei_beats_random_at_equal_budget.
+    Output: trial log (window, lam, mae), best first."""
+    h = hourly_series(spark, sf_dir)
+
+    space = [
+        {"name": "w", "values": [2, 4, 8, 12, 24, 36, 48]},
+        {"name": "lam", "bounds": [0.0, 1.0]},
+    ]
+
+    def evaluate(cdf):
+        cands = [r.asDict() for r in cdf.collect()]  # tiny batch (<=8)
+        wbase = Window.partitionBy("series_id").orderBy("time")
+        cols = []
+        for i, c in enumerate(cands):
+            wlen, lam = int(c["w"]), float(c["lam"])
+            fr = wbase.rowsBetween(-wlen, -1)
+            ma = F.avg("value").over(fr)
+            cnt = F.count("value").over(fr)
+            pred = lam * ma + (1.0 - lam) * F.lag("value", 1).over(wbase)
+            cols.append(
+                F.when(cnt == wlen, F.abs(F.col("value") - pred)).alias(f"__e{i}")
+            )
+        agg = h.select(*cols).agg(*[F.avg(f"__e{i}").alias(f"__m{i}") for i in range(len(cands))])
+        row = agg.first()
+        out = [
+            {"w": str(c["w"]), "lam": str(c["lam"]), "score": float(row[f"__m{i}"])}
+            for i, c in enumerate(cands)
+        ]
+        return spark.createDataFrame(out)
+
+    _, _, trials = hpt_mod.gp_ei_search(
+        spark, space, evaluate, n_init=8, n_iter=3, batch=4, seed=7
+    )
+    rows = [
+        {"window": int(p["w"]), "lam": round(float(p["lam"]), 6), "mae": round(sc, 6)}
+        for p, sc in sorted(trials, key=lambda t: t[1])
+    ]
+    return spark.createDataFrame(rows).select("window", "lam", "mae")
+
+
 def _sobol_candidates(n: int = 12, seed: int = 0) -> list[dict]:
     """The hpt_sobol candidate batch as plain literals — shared by the
     Spark query and the oracle generator so both sides inline the SAME
@@ -3757,6 +3805,7 @@ QUERIES = {
     "empirical_ci": q_empirical_ci,
     "hpt_window": q_hpt_window,
     "hpt_tpe": q_hpt_tpe,
+    "hpt_gpei": q_hpt_gpei,
     "hpt_sobol": q_hpt_sobol,
     "reconcile_bu": q_reconcile_bu,
     "reconcile_struc": q_reconcile_struc,

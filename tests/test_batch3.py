@@ -1795,3 +1795,40 @@ def test_arima_interval_empirical_coverage():
         hits += lo <= y[-1] <= hi
     rate = hits / trials
     assert 0.90 <= rate <= 0.985, rate
+
+
+def test_bigram_logppl_zipf_head_1m_docs(spark):
+    """VERDICT r03 item #9 guard: a Zipf-extreme corpus where every doc
+    shares the same context head ('the' begins every bigram but one) —
+    the shape where the context join piles one __w1 key onto one task.
+    The count-guarded big-corpus path (persisted pre-aggregation +
+    head-broadcast escape hatch) runs it with exact closed-form scores.
+
+    Docs: 'the the the u<i>' -> bigrams (the,the) x2, (the,u<i>).
+    c12(the,the)=2N, c12(the,u_i)=1 each; c1(the)=3N; |V|=N+1."""
+    import numpy as np
+
+    from kats_spark.operators.sampling import bigram_logppl
+
+    n_docs = 1_000_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the the the u"), F.col("id").cast("string")).alias("text"),
+    )
+    out = bigram_logppl(docs, alpha=1.0)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.min("logppl").alias("lo"),
+        F.max("logppl").alias("hi"),
+        F.min("n_bigrams").alias("bmin"),
+        F.max("n_bigrams").alias("bmax"),
+    ).collect()[0]
+    assert agg.n == n_docs and agg.bmin == agg.bmax == 3
+    vocab = n_docs + 1
+    c1 = 3 * n_docs
+    p_tt = (2 * n_docs + 1.0) / (c1 + vocab)
+    p_tu = (1 + 1.0) / (c1 + vocab)
+    expect = -(2 * np.log(p_tt) + np.log(p_tu)) / 3.0
+    assert abs(agg.lo - expect) < 1e-9 and abs(agg.hi - expect) < 1e-9, (
+        agg.lo, agg.hi, expect,
+    )

@@ -85,6 +85,47 @@ def _dense(coefs: np.ndarray, lags: list[int]) -> np.ndarray:
     return out
 
 
+def _lag_recursion_radius(coefs: np.ndarray, lags: list[int]) -> float:
+    """Spectral radius of the linear recursion y_t = sum_j c_j y_{t-l_j}
+    (companion-matrix largest |eigenvalue|).  > 1 means the recursion —
+    an AR forecast path, or the CSS residual recursion of an MA —
+    diverges."""
+    k = max(lags, default=0)
+    if k == 0 or not len(coefs):
+        return 0.0
+    comp = np.zeros((k, k))
+    dense = _dense(coefs, lags)
+    comp[0, :] = dense
+    if k > 1:
+        comp[1:, :-1] = np.eye(k - 1)
+    return float(np.abs(np.linalg.eigvals(comp)).max())
+
+
+def _stabilize(coefs: np.ndarray, lags: list[int], bound: float = 0.98) -> np.ndarray:
+    """Shrink a lag-set coefficient vector until its recursion is stable
+    (radius < bound).  Used on the Hannan-Rissanen start: HR is an
+    unconstrained least-squares and on strongly seasonal data can emit a
+    NON-INVERTIBLE theta (e.g. theta1=-0.71, theta12=-0.80 on the
+    airline fixture) whose CSS residual recursion explodes — which then
+    poisons the forecast's error tail AND makes every CSS/MLE refinement
+    step look worse than the start, freezing the bad estimate.  The
+    dense ARIMA path avoids this by construction (PACF
+    parameterization); the sparse lag-set has no closed constraint, so
+    geometric shrinkage toward the stable region is the standard
+    fallback (statsmodels' enforce_invertibility analogue)."""
+    c = np.asarray(coefs, dtype=float).copy()
+    for _ in range(60):
+        # sign convention: MA residual recursion is e_t = ... - theta_j e_{t-l};
+        # radius is sign-invariant under c -> -c only for single-lag sets,
+        # so check the actual recursion coefficients
+        if _lag_recursion_radius(-c, lags) < bound and _lag_recursion_radius(
+            c, lags
+        ) < bound:
+            return c
+        c *= 0.9
+    return c
+
+
 def _psi_weights(phi: np.ndarray, theta: np.ndarray, steps: int) -> np.ndarray:
     """psi_j of (1 - phi(B))^-1 (1 + theta(B)); psi_0 = 1 excluded."""
     p, q = len(phi), len(theta)
@@ -137,7 +178,13 @@ def _sarima_forecast_one(
 
     if len(phi) + len(theta):
         xc0 = x - mu
+        # guard BEFORE refining: a non-invertible HR start freezes the
+        # refiners (see _stabilize) and detonates the residual recursion
+        phi = _stabilize(phi, ar_lags)
+        theta = _stabilize(theta, ma_lags)
         phi, theta = _css_refine_lagset(xc0, phi, theta, ar_lags, ma_lags)
+        phi = _stabilize(phi, ar_lags)
+        theta = _stabilize(theta, ma_lags)
         k0 = max(ar_lags + ma_lags, default=0)
         mle_sigma2 = np.nan
         if k0 + 1 <= 16 and len(xc0) <= 2500:

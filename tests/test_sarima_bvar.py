@@ -224,3 +224,27 @@ def test_sarima_css_lagset_refinement_reduces_sse():
     e_css, _ = _css_residuals_lagset(xc, p2, t2, ar_lags, ma_lags)
     assert e_css @ e_css <= e_hr @ e_hr + 1e-9
     assert abs(p2[0] - 0.5) < 0.1 and abs(p2[1] - 0.3) < 0.1
+
+
+def test_sarima_full_seasonal_order_stays_invertible():
+    """Regression (found while dry-running the parity-golden paths): on
+    a strongly seasonal trend series, SARIMA(1,1,1)(1,1,1,12)'s
+    Hannan-Rissanen start emitted a non-invertible theta (lag-1 -0.71,
+    lag-12 -0.80) whose CSS residual recursion diverges — forecasts came
+    out at -900 on a ~500-level series and every refinement step looked
+    worse than the start.  The _stabilize guard must keep the recursion
+    stable and the forecast in the data's neighborhood."""
+    import numpy as np
+
+    from kats_spark.models.sarima import _sarima_forecast_one
+    from kats_spark.sources.parity_fixtures import airline_like
+
+    _, y = airline_like()
+    fc, se = _sarima_forecast_one(y, (1, 1, 1), (1, 1, 1, 12), 24)
+    assert np.isfinite(fc).all() and np.isfinite(se).all()
+    # continuity with the tail + seasonal shape, not explosion
+    assert abs(fc[0] - y[-12 + 0] ) < 150  # same-season neighborhood
+    assert fc.min() > y.min() - 100 and fc.max() < y.max() * 1.5
+    # simpler seasonal orders agree within a loose band
+    fc2, _ = _sarima_forecast_one(y, (0, 1, 1), (0, 1, 1, 12), 24)
+    assert np.abs(fc - fc2).max() < 60, np.abs(fc - fc2).max()

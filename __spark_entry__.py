@@ -89,7 +89,7 @@ _PRIORITY = [
     "lsh_bucket_pairs", "embed_survivors", "ivf_recall", "ivfpq_recall",
     "winnow_fp",
     "corpus_funnel", "bpe_token_stats", "kernel_stats", "time_features",
-    "fourier_features", "metrics_dist", "wide_pivot",
+    "fourier_features", "metrics_dist", "wide_pivot", "holiday_calendar",
     # variants / secondary
     "resample_ffill", "rolling_zscore_segmented", "sessionize_native",
     "ema", "macd", "rsi", "trix_tsi", "simulate_portable",

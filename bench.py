@@ -72,6 +72,14 @@ HEADLINE = [
     "pii_scrub",
     "snapshot_diff",
     "corpus_profile",
+    # round-4 additions (baseline = BENCH_r04): IVF-PQ composed ANN,
+    # weakly-supervised quality classifier, GP-EI search, global-model
+    # ensemble + its holdout backtest
+    "ivfpq_recall",
+    "quality_classifier",
+    "hpt_gpei",
+    "global_rnn_ensemble",
+    "global_ens_backtest",
 ]
 
 

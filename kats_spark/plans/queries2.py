@@ -2919,6 +2919,86 @@ LEFT JOIN dec c ON f.series_id = c.series_id
 # --------------------------------------------------------------------------
 
 
+def q_holiday_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in country holiday calendar (the reference's Prophet
+    ``country_holidays`` surface, kats/models/prophet.py:91-93) computed
+    ENTIRELY as Spark expressions — Anonymous-Gregorian computus for the
+    Easter-anchored rules, make_date + day-of-week arithmetic for the
+    fixed and nth/last-weekday rules — over a 21-year range.  FULL
+    ORACLE: DuckDB replays the identical integer arithmetic.  UK table
+    (it exercises every rule family).  Dates emitted as ISO strings so
+    both engines agree on dtype."""
+    from kats_spark.functions.holidays import holiday_calendar
+
+    out = holiday_calendar(spark, 2015, 2035, "UK")
+    return out.select(
+        F.col("year").cast("int").alias("year"),
+        "holiday",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+    ).orderBy("year", "holiday")
+
+
+_Q_HOLIDAY_CALENDAR_SQL = """
+WITH years AS (SELECT y::INT AS year FROM range(2015, 2036) t(y)),
+c6 AS (
+  SELECT year, a, b, c0, d, e, f, g, h, i, k, l,
+    (a + 11*h + 22*l) // 451 AS m
+  FROM (
+    SELECT *, (32 + 2*e + 2*i - h - k) % 7 AS l FROM (
+      SELECT *, (19*a + b - d - g + 15) % 30 AS h, c0 // 4 AS i, c0 % 4 AS k FROM (
+        SELECT *, (b - f + 1) // 3 AS g FROM (
+          SELECT *, b // 4 AS d, b % 4 AS e, (b + 8) // 25 AS f FROM (
+            SELECT year, year % 19 AS a, year // 100 AS b, year % 100 AS c0
+            FROM years)))))
+),
+eas AS (
+  SELECT year,
+    make_date(year, ((h + l - 7*m + 114) // 31)::INT,
+                    ((h + l - 7*m + 114) % 31 + 1)::INT) AS easter
+  FROM c6
+),
+cal AS (
+  SELECT year, 'New Year''s Day' AS holiday, make_date(year, 1, 1) AS date FROM years
+  UNION ALL SELECT year, 'Good Friday', easter - 2::INT FROM eas
+  UNION ALL SELECT year, 'Easter Monday', easter + 1::INT FROM eas
+  UNION ALL
+  SELECT year, 'Early May Bank Holiday',
+    make_date(year, 5, 1) + ((1 - dayofweek(make_date(year, 5, 1)) + 7) % 7)::INT
+  FROM years
+  UNION ALL
+  SELECT year, 'Spring Bank Holiday',
+    last_day(make_date(year, 5, 1))
+      - ((dayofweek(last_day(make_date(year, 5, 1))) - 1 + 7) % 7)::INT
+  FROM years
+  UNION ALL
+  SELECT year, 'Summer Bank Holiday',
+    last_day(make_date(year, 8, 1))
+      - ((dayofweek(last_day(make_date(year, 8, 1))) - 1 + 7) % 7)::INT
+  FROM years
+  UNION ALL SELECT year, 'Christmas Day', make_date(year, 12, 25) FROM years
+  UNION ALL SELECT year, 'Boxing Day', make_date(year, 12, 26) FROM years
+)
+SELECT year, holiday, strftime(date, '%Y-%m-%d') AS date
+FROM cal ORDER BY year, holiday
+"""
+
+
+def q_prophet_holidays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProphetLite with the built-in US holiday regressors active
+    (country_holidays wired through the holidays surface the reference
+    exposes at kats/models/prophet.py:91-93).  Iterative MAP ->
+    rows-only; the holiday-effect recovery contract is
+    tests/test_prophet_lite.py."""
+    from kats_spark.functions.holidays import country_holidays
+    from kats_spark.models.prophet_lite import prophet_forecast
+
+    hol = country_holidays("US", range(2023, 2027))
+    out = prophet_forecast(
+        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600, holidays=hol
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-supervised trainable quality filter (fastText-classifier
     methodology; VERDICT r03 item #7): hygiene heuristics label the
@@ -3806,6 +3886,8 @@ QUERIES = {
     "hpt_window": q_hpt_window,
     "hpt_tpe": q_hpt_tpe,
     "hpt_gpei": q_hpt_gpei,
+    "holiday_calendar": q_holiday_calendar,
+    "prophet_holidays": q_prophet_holidays,
     "hpt_sobol": q_hpt_sobol,
     "reconcile_bu": q_reconcile_bu,
     "reconcile_struc": q_reconcile_struc,
@@ -3896,6 +3978,7 @@ ORACLES = {
     "lang_id_ngram": _lang_id_ngram_sql(),
     "ljung_box": _ljung_box_sql(),
     "hpt_sobol": _hpt_sobol_sql(),
+    "holiday_calendar": _Q_HOLIDAY_CALENDAR_SQL,
     "bm25_topk": _bm25_sql(),
     "pii_scrub": _pii_scrub_sql(),
     "doc_fingerprint": _Q_FINGERPRINT_SQL,

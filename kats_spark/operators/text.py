@@ -371,9 +371,63 @@ _LANG_SEED = {
           "okumayı ve yazmayı öğrenir yarın seyahat etmek istiyorum "
           "yürüyüş için güzel hava "
           "yönetim geçtiğimiz yıl boyunca çeşitli gelişmeler hakkında önemli bir duyuru yayınladı",
+    # round-4 breadth (VERDICT r03 'what's missing' #5): ten more seed
+    # corpora chosen for script/morphology diversity — Slavic latin +
+    # cyrillic, Uralic, Romanian, Vietnamese diacritics, Greek script,
+    # Bantu — the same translated-paragraph construction as above
+    "pl": "szybki brązowy lis przeskakuje nad leniwym psem to jest test "
+          "systemu rozpoznawania języka dzieci idą rano do szkoły i uczą "
+          "się czytać i pisać chciałbym jutro podróżować dobra pogoda na "
+          "spacer "
+          "administracja opublikowała ważne ogłoszenie o różnych wydarzeniach w ciągu minionego roku",
+    "sv": "den snabba bruna räven hoppar över den lata hunden detta är "
+          "ett test av systemet för språkidentifiering barnen går till "
+          "skolan på morgonen och lär sig läsa och skriva jag skulle "
+          "vilja resa imorgon fint väder för en promenad "
+          "förvaltningen publicerade ett viktigt meddelande om flera utvecklingar under det gångna året",
+    "fi": "nopea ruskea kettu hyppää laiskan koiran yli tämä on kielen "
+          "tunnistusjärjestelmän testi lapset menevät aamulla kouluun ja "
+          "oppivat lukemaan ja kirjoittamaan haluaisin matkustaa huomenna "
+          "hyvä sää kävelylle "
+          "hallinto julkaisi tärkeän tiedotteen useista tapahtumista kuluneen vuoden aikana",
+    "cs": "rychlá hnědá liška skáče přes líného psa toto je test systému "
+          "rozpoznávání jazyka děti jdou ráno do školy a učí se číst a "
+          "psát chtěl bych zítra cestovat dobré počasí na procházku "
+          "správa zveřejnila důležité oznámení o různých událostech během uplynulého roku",
+    "ro": "vulpea maro rapidă sare peste câinele leneș acesta este un "
+          "test al sistemului de identificare a limbii copiii merg "
+          "dimineața la școală și învață să citească și să scrie aș dori "
+          "să călătoresc mâine vreme bună pentru o plimbare "
+          "administrația a publicat un anunț important despre mai multe evoluții din cursul anului trecut",
+    "hu": "a gyors barna róka átugrik a lusta kutya felett ez a "
+          "nyelvfelismerő rendszer tesztje a gyerekek reggel iskolába "
+          "mennek és megtanulnak olvasni és írni szeretnék holnap utazni "
+          "jó idő van a sétához "
+          "az igazgatás fontos közleményt tett közzé az elmúlt év különböző fejleményeiről",
+    "vi": "con cáo nâu nhanh nhẹn nhảy qua con chó lười biếng đây là bài "
+          "kiểm tra của hệ thống nhận dạng ngôn ngữ trẻ em đi học vào "
+          "buổi sáng và học đọc và viết tôi muốn đi du lịch vào ngày mai "
+          "thời tiết đẹp để đi dạo "
+          "chính quyền đã công bố một thông báo quan trọng về nhiều diễn biến trong năm vừa qua",
+    "uk": "швидка коричнева лисиця стрибає через ледачого пса це "
+          "перевірка системи визначення мови діти йдуть до школи вранці "
+          "і вчаться читати і писати я хотів би подорожувати завтра "
+          "гарна погода для прогулянки "
+          "адміністрація опублікувала важливе оголошення про різні події протягом минулого року",
+    "el": "η γρήγορη καφέ αλεπού πηδά πάνω από τον τεμπέλη σκύλο αυτό "
+          "είναι μια δοκιμή του συστήματος αναγνώρισης γλώσσας τα παιδιά "
+          "πηγαίνουν στο σχολείο το πρωί και μαθαίνουν να διαβάζουν και "
+          "να γράφουν θα ήθελα να ταξιδέψω αύριο καλός καιρός για "
+          "περπάτημα "
+          "η διοίκηση δημοσίευσε μια σημαντική ανακοίνωση για διάφορες εξελίξεις κατά τη διάρκεια του περασμένου έτους",
+    "sw": "mbweha mwepesi wa kahawia anaruka juu ya mbwa mvivu hii ni "
+          "jaribio la mfumo wa utambuzi wa lugha watoto huenda shuleni "
+          "asubuhi na kujifunza kusoma na kuandika ningependa kusafiri "
+          "kesho hali ya hewa nzuri kwa matembezi "
+          "utawala ulichapisha tangazo muhimu kuhusu maendeleo mbalimbali katika mwaka uliopita",
 }
 
-_NGRAM_TOP_K = 64
+_NGRAM_TOP_K = 128
 
 
 def _char_trigrams(s: str) -> list[str]:
@@ -451,10 +505,11 @@ def lang_id_ngram(
     (id, lang_pred_ng, lang_score_ng).
 
     Plan: one trigram explode -> broadcast join against the literal
-    640-row profile table -> groupBy(doc, lang) partial-agg -> per-doc
-    argmax via max_by.  The profile side is constant-size; the document
-    side shuffles once on the doc key — the unigram_logppl shape, Zipf-
-    safe because trigram profiles cap multiplicity at 10 langs."""
+    profile table (20 languages x top-128 trigrams = 2,560 rows) ->
+    groupBy(doc, lang) partial-agg -> per-doc argmax via max_by.  The
+    profile side is constant-size; the document side shuffles once on
+    the doc key — the unigram_logppl shape, Zipf-safe because trigram
+    profiles cap multiplicity at the language count."""
     spark = df.sparkSession
     prof_rows = [
         (lang, g, w) for lang, gw in sorted(char_ngram_profiles().items())

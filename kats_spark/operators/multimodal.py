@@ -8,11 +8,15 @@ as Arrow-batched ``mapInPandas`` stages.
 The codec libraries (PIL/ffmpeg/torchaudio) are NOT in this container.
 These formats decode for real in pure numpy/stdlib — BMP (24-bit
 BI_RGB), PPM (P6), PNG (8-bit RGB/RGBA, zlib inflate + 5-filter
-un-filtering), WAV (PCM 8/16-bit) — via ``decode_image_bytes`` /
-``decode_audio_bytes``, powering ``decode_real`` (typed pixel/sample
-stats), ``resize_real`` (nearest-neighbor + P6 re-encode) and
-``encode_png``.  Formats that genuinely need codec libraries
-(JPEG/MP4) surface as kind='unsupported' — no silent fakes.
+un-filtering), baseline JPEG (T.81 SOF0: Huffman entropy decode,
+dequant+IDCT, 4:2:0/4:2:2 upsampling, restart markers — see
+operators/jpeg.py, which also ENCODES), WAV (PCM 8/16-bit) — via
+``decode_image_bytes`` / ``decode_audio_bytes``, powering
+``decode_real`` (typed pixel/sample stats), ``resize_real``
+(nearest-neighbor + P6 re-encode), ``encode_png`` and
+``jpeg.encode_jpeg``.  Formats that genuinely need codec libraries
+(progressive JPEG, MP4/video) surface as kind='unsupported' — no
+silent fakes.
 ``decode_features`` remains the documented deterministic byte-level
 stand-in for embedding kernels.  Everything Spark-side — schema,
 batching, partition sizing, UDF signatures — is identical between the
@@ -188,10 +192,18 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
     - PNG, 8-bit truecolor (color type 2) and truecolor+alpha (type 6),
       non-interlaced — IHDR/IDAT chunk walk, stdlib ``zlib`` inflate,
       full 5-filter un-filtering (spec §9); the alpha plane is dropped
-      so every decode yields RGB.  Palette/16-bit/Adam7 PNGs and JPEG
-      still raise (they need real codec libraries).
+      so every decode yields RGB;
+    - JPEG, baseline sequential (T.81 SOF0) — full marker walk, Huffman
+      entropy decode, dequant + IDCT, 4:4:4/4:2:0/4:2:2 + grayscale,
+      restart intervals (operators/jpeg.py).  Progressive/arithmetic/
+      12-bit and palette/16-bit/Adam7 PNG still raise with named
+      reasons.
 
     Returns an (H, W, 3) uint8 RGB array."""
+    if payload[:2] == b"\xff\xd8":
+        from kats_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         import zlib
 
@@ -282,8 +294,8 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
             .copy()
         )
     raise ValueError(
-        "unsupported image format (JPEG needs codec libraries; "
-        "BMP 24-bit, PPM P6 and 8-bit RGB/RGBA PNG decode here)"
+        "unsupported image format (BMP 24-bit, PPM P6, 8-bit RGB/RGBA "
+        "PNG and baseline JPEG decode here)"
     )
 
 
@@ -335,11 +347,12 @@ def decode_real(
 ) -> DataFrame:
     """REAL decode -> typed stats, one row per media item.
 
-    Dispatches on magic bytes: BMP / PPM / PNG -> pixel stats (uint8
-    RGB), RIFF/WAVE -> sample stats (PCM).  Formats that require codec
-    libraries absent from this container (JPEG/MP4) come back as
-    kind='unsupported' with null stats — no silent fakes.  v_std is the
-    population standard deviation (ddof=0)."""
+    Dispatches on magic bytes: BMP / PPM / PNG / baseline JPEG -> pixel
+    stats (uint8 RGB), RIFF/WAVE -> sample stats (PCM).  Formats that
+    require codec libraries absent from this container (progressive
+    JPEG, MP4/video) come back as kind='unsupported' with null stats —
+    no silent fakes.  v_std is the population standard deviation
+    (ddof=0)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -3082,14 +3082,23 @@ FROM d
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode with a full oracle: deterministic PPM (8x8
-    RGB), WAV (PCM 8-bit mono, 8 kHz) and PNG (8x8 RGB, stdlib-zlib
-    compressed — VERDICT r03 item #6) payloads are built from each
-    document's ASCII text, decoded by the pure-numpy kernels
-    (multimodal.decode_image_bytes / decode_audio_bytes — actual header
-    parsing, row layout, chunk walking, inflate + un-filter), and the
-    pixel/sample statistics are replayed by DuckDB from the same ASCII
-    codes.  The PNG branch round-trips encode_png -> decode, so a
-    matching value-hash proves the whole compressed path."""
+    RGB), WAV (PCM 8-bit mono, 8 kHz), PNG (8x8 RGB, stdlib-zlib
+    compressed — VERDICT r03 item #6) and baseline JPEG (16x16 uniform
+    RGB) payloads are built from each document's ASCII text, decoded by
+    the pure-numpy kernels (multimodal.decode_image_bytes /
+    decode_audio_bytes — actual header parsing, row layout, chunk
+    walking, inflate + un-filter, Huffman + IDCT), and the pixel/sample
+    statistics are replayed by DuckDB from the same ASCII codes.
+
+    The PNG branch round-trips encode_png -> decode exactly.  The JPEG
+    branch is lossy in general, so its payloads are chosen from the
+    codec's EXACT subspace: uniform gray-RGB color v = 128 + 3k — the
+    DC coefficient 8(v-128) is divisible by the quality-90 quantizer
+    (q00 = 3), every AC coefficient is 0, and Cb = Cr = 128 exactly, so
+    encode -> decode returns v bit-for-bit while still exercising the
+    full marker walk, Huffman tables, DC prediction, dequant, IDCT and
+    color transform.  A matching value-hash therefore proves the real
+    compressed path end-to-end."""
     import numpy as np
     import pandas as pd
 
@@ -3123,24 +3132,43 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for s in pdf["s192"]
             ]
             yield pd.DataFrame(
-                {"media_id": pdf["doc_id"] * 3 + 2, "payload": payloads}
+                {"media_id": pdf["doc_id"] * 4 + 2, "payload": payloads}
+            )
+
+    def jpeg_kernel(batches):
+        from kats_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for s in pdf["s192"]:
+                # v = 128 + 3k, k in [-16, 16] from the first char code —
+                # the exact-round-trip subspace (see docstring)
+                v = 128 + 3 * ((ord(s[0]) % 33) - 16)
+                img = np.full((16, 16, 3), v, dtype=np.uint8)
+                payloads.append(encode_jpeg(img, quality=90))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"] * 4 + 3, "payload": payloads}
             )
 
     png = docs.select("doc_id", "s192").mapInPandas(
         png_kernel, "media_id bigint, payload binary"
     )
+    jpg = docs.select("doc_id", "s192").mapInPandas(
+        jpeg_kernel, "media_id bigint, payload binary"
+    )
     media = (
         docs.select(
-            (F.col("doc_id") * 3).alias("media_id"),
+            (F.col("doc_id") * 4).alias("media_id"),
             F.concat(F.lit(ppm_header), F.encode("s192", "UTF-8")).alias("payload"),
         )
         .unionByName(
             docs.select(
-                (F.col("doc_id") * 3 + 1).alias("media_id"),
+                (F.col("doc_id") * 4 + 1).alias("media_id"),
                 F.concat(F.lit(wav_header), F.encode("s256", "UTF-8")).alias("payload"),
             )
         )
         .unionByName(png)
+        .unionByName(jpg)
     )
     out = multimodal.decode_real(media)
     return out.select(
@@ -3173,19 +3201,31 @@ WITH b AS (
         FROM b, range(1, 193) AS t(i))
   GROUP BY doc_id
 ), img AS (
-  SELECT doc_id * 3 AS media_id, 'image' AS kind,
+  SELECT doc_id * 4 AS media_id, 'image' AS kind,
          8 AS width, 8 AS height, 3 AS channels, NULL::INTEGER AS sample_rate,
          192::BIGINT AS n_values, v_mean, v_std, v_min, v_max
   FROM imgstats
 ), png AS (
   -- the PNG payload carries the SAME 192 ASCII codes as the PPM, so its
   -- decoded statistics replay from the identical per-doc aggregation
-  SELECT doc_id * 3 + 2 AS media_id, 'image' AS kind,
+  SELECT doc_id * 4 + 2 AS media_id, 'image' AS kind,
          8 AS width, 8 AS height, 3 AS channels, NULL::INTEGER AS sample_rate,
          192::BIGINT AS n_values, v_mean, v_std, v_min, v_max
   FROM imgstats
+), jpg AS (
+  -- uniform color v = 128 + 3*((ascii(first char) % 33) - 16): the
+  -- baseline-JPEG exact subspace (DC divisible by the q90 quantizer,
+  -- zero AC, neutral chroma) -> decoded stats are the constant itself
+  SELECT doc_id * 4 + 3 AS media_id, 'image' AS kind,
+         16 AS width, 16 AS height, 3 AS channels, NULL::INTEGER AS sample_rate,
+         768::BIGINT AS n_values,
+         round((128 + 3 * ((ascii(substring(s192, 1, 1)) % 33) - 16)) + 1e-9, 6) AS v_mean,
+         round(0.0 + 1e-9, 6) AS v_std,
+         (128 + 3 * ((ascii(substring(s192, 1, 1)) % 33) - 16))::DOUBLE AS v_min,
+         (128 + 3 * ((ascii(substring(s192, 1, 1)) % 33) - 16))::DOUBLE AS v_max
+  FROM b
 ), aud AS (
-  SELECT doc_id * 3 + 1 AS media_id, 'audio' AS kind,
+  SELECT doc_id * 4 + 1 AS media_id, 'audio' AS kind,
          NULL::INTEGER AS width, NULL::INTEGER AS height, 1 AS channels,
          8000 AS sample_rate, 256::BIGINT AS n_values,
          round(avg(code) + 1e-9, 6) AS v_mean,
@@ -3195,7 +3235,8 @@ WITH b AS (
         FROM b, range(1, 257) AS t(i))
   GROUP BY doc_id
 )
-SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM png
+SELECT * FROM img UNION ALL SELECT * FROM aud
+UNION ALL SELECT * FROM png UNION ALL SELECT * FROM jpg
 """
 
 

@@ -65,7 +65,7 @@ _PRIORITY = [
     # r03-green representatives displaced by the rotation window
     "exact_dedup", "jaccard_pairs", "minhash_portable_pairs",
     "simhash_portable", "token_stats", "text_quality", "lang_id",
-    "topk_cosine", "multimodal_meta",
+    "topk_cosine", "multimodal_meta", "video_frames",
     "ts_stat_features", "ta_features", "date_features", "metrics_naive",
     "tsfeatures_expr",
     # intra-family variants displaced from the first 50 (all were green

@@ -3241,6 +3241,111 @@ UNION ALL SELECT * FROM png UNION ALL SELECT * FROM jpg
 """
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: per-frame luma stats for every 2nd frame of
+    deterministic MJPEG-AVI and Y4M containers built from document text.
+
+    Real container parsing end-to-end (``operators/video.py``): the AVI
+    path walks RIFF chunks and decodes sampled frames through the
+    pure-numpy baseline-JPEG codec; the Y4M path parses the YUV4MPEG2
+    header and slices raw luma planes.  Payloads are chosen from exactly
+    replayable subspaces — AVI frames are uniform gray v = 128+3k (the
+    quality-90 codec's bit-exact set, see q_multimodal_decode), Y4M
+    frames carry the raw ASCII codes — so DuckDB replays every sampled
+    frame's statistics from the same character codes and a hash match
+    proves the full container walk + codec + sampling path.
+
+    Scale shape: generation and frame sampling are back-to-back
+    ``mapInPandas`` kernels — scan -> repartition -> generate -> sample
+    is ONE narrow 32-task stage, no shuffle, and unsampled frames are
+    never decoded (the sampler seeks chunk offsets).
+
+    Reference: no video support exists in the reference; this extends
+    the multimodal family the brief requires (frame-sample)."""
+    import numpy as np
+    import pandas as pd
+
+    from kats_spark.operators import video
+
+    _clean = F.rpad(
+        F.regexp_replace(F.substring(F.col("text"), 1, 256), "[^ -~]", "."),
+        256,
+        "x",
+    )
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                _clean.alias("s256"))
+        .repartition(par)
+    )
+
+    def gen_kernel(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, s in zip(pdf["doc_id"], pdf["s256"]):
+                # AVI: 6 exact-subspace MJPEG frames seeded by chars 0-5
+                ids.append(doc_id * 2)
+                payloads.append(
+                    video.make_test_video_avi([ord(c) for c in s[:6]])
+                )
+                # Y4M: 4 mono 8x8 frames carrying the raw ASCII codes
+                frames = np.frombuffer(
+                    s.encode("ascii"), dtype=np.uint8
+                ).reshape(4, 8, 8)
+                ids.append(doc_id * 2 + 1)
+                payloads.append(video.encode_y4m(frames, 25, 1))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen_kernel, "media_id bigint, payload binary")
+    out = video.frame_sample(media, every_n=2)
+    return out.select(
+        "media_id",
+        "container",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "fps",
+        _rnd(F.col("y_mean")).alias("y_mean"),
+        _rnd(F.col("y_std")).alias("y_std"),
+        "y_min",
+        "y_max",
+    )
+
+
+_Q_VIDEO_FRAMES_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 256), 256, 'x') AS s
+  FROM documents
+), avi AS (
+  -- uniform-gray exact-subspace JPEG frames: decoded luma == the seed
+  -- constant (BT.601 integer luma of (v,v,v) is v)
+  SELECT doc_id * 2 AS media_id, 'avi' AS container, f.i AS frame_idx,
+         6 AS n_frames, 16 AS width, 16 AS height, 25.0 AS fps,
+         round((128 + 3 * ((ascii(substring(s, f.i + 1, 1)) % 33) - 16)) + 1e-9, 6) AS y_mean,
+         round(0.0 + 1e-9, 6) AS y_std,
+         (128 + 3 * ((ascii(substring(s, f.i + 1, 1)) % 33) - 16))::DOUBLE AS y_min,
+         (128 + 3 * ((ascii(substring(s, f.i + 1, 1)) % 33) - 16))::DOUBLE AS y_max
+  FROM b, (VALUES (0), (2), (4)) AS f(i)
+), y4mcodes AS (
+  SELECT doc_id, f.i AS frame_idx,
+         ascii(substring(s, f.i * 64 + t.j, 1)) AS code
+  FROM b, (VALUES (0), (2)) AS f(i), range(1, 65) AS t(j)
+), y4m AS (
+  SELECT doc_id * 2 + 1 AS media_id, 'y4m' AS container, frame_idx,
+         4 AS n_frames, 8 AS width, 8 AS height, 25.0 AS fps,
+         round(avg(code) + 1e-9, 6) AS y_mean,
+         round(stddev_pop(code) + 1e-9, 6) AS y_std,
+         min(code)::DOUBLE AS y_min, max(code)::DOUBLE AS y_max
+  FROM y4mcodes
+  GROUP BY doc_id, frame_idx
+)
+SELECT * FROM avi UNION ALL SELECT * FROM y4m
+"""
+
+
 # --------------------------------------------------------------------------
 # metalearners — full oracles (closed-form candidate backtests)
 # --------------------------------------------------------------------------
@@ -3962,6 +4067,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    "video_frames": q_video_frames,
     "stlf_forecast": q_stlf_forecast,
     "prophet_forecast": q_prophet_forecast,
     "global_dms": q_global_dms,
@@ -4048,6 +4154,7 @@ ORACLES = {
     "trix_tsi": _Q_TRIX_TSI_SQL,
     "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
     "multimodal_decode": _Q_MULTIMODAL_DECODE_SQL,
+    "video_frames": _Q_VIDEO_FRAMES_SQL,
     "kernel_stats": _Q_KERNEL_STATS_SQL,
     "var_forecast": _VAR_ORACLE.forecast_sql(_HOURLY_SQL, p=2, k=5, steps=24,
                                              freq_seconds=3600, dk_fmt=_DK_FMT),

@@ -113,7 +113,23 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.sum(F.size("embedding"))
     ).collect()
-    r.select("r_regionkey").mapInPandas(lambda it: it, "r_regionkey bigint").count()
+    # spawn the FULL python-worker pool before any timed query: one
+    # mapInPandas task per core (region.parquet is a single partition, so
+    # a warm-up over it starts exactly ONE worker and the first timed
+    # python query then pays ~31 interpreter spawns + numpy/pandas
+    # imports — part of the uniform r03->r04 python-query drift).
+    ncores = spark.sparkContext.defaultParallelism
+
+    def _touch(batches):
+        import numpy as _np  # noqa: F401  (fault in the import cost here)
+        import time as _t
+
+        _t.sleep(0.2)  # hold the slot so all workers spawn concurrently
+        yield from batches
+
+    spark.range(ncores, numPartitions=ncores).mapInPandas(
+        _touch, "id bigint"
+    ).count()
 
     # best-of-3 per query: steady-state wall-clock, robust to VM noise.
     # The cache is cleared before EVERY timed run: Spark's cache manager
@@ -136,12 +152,20 @@ def main() -> None:
         if name not in qs:
             continue
         best = float("inf")
-        for _ in range(3):
+        reps = 0
+        while reps < 3 or (reps < 6 and best < 1.5):
+            # sub-1.5s queries get up to 6 reps: at that scale a single
+            # GC pause / scheduler hiccup is a 30-50% swing, and the
+            # extra reps cost the harness a few seconds total while
+            # making the recorded best a steady-state number instead of
+            # a coin flip (the r03->r04 "uniform drift" was mostly this
+            # noise on the small queries).
             spark.catalog.clearCache()
             jvm_gc()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
+            reps += 1
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]

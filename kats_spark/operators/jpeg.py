@@ -7,25 +7,34 @@ Decoder (``decode_jpeg``):
 - marker walk: SOI, APPn/COM skipped, DQT (8-bit tables), SOF0
   (baseline), DHT (DC/AC tables), DRI, SOS, EOI;
 - entropy decode: canonical Huffman (length-counts + symbols, T.81
-  annex C), bit reader with 0xFF00 byte-stuffing and RSTn handling;
-- per-MCU: DC difference + AC run/length decode (EOB, ZRL), dequantize,
-  de-zigzag, 8x8 IDCT (orthonormal DCT-II matrix, separable), +128
-  level shift;
+  annex C) via a cached 16-bit-lookahead LUT (one list index per
+  symbol instead of a bit-at-a-time tree walk); the entropy stream is
+  pre-split on RSTn markers and un-stuffed (0xFF00 -> 0xFF) in one
+  ``bytes.replace`` pass per restart segment;
+- per-MCU: DC difference + AC run/length decode (EOB, ZRL) accumulated
+  SPARSELY (only nonzero coefficients touch Python), then dequantize /
+  de-zigzag / 8x8 IDCT batched across ALL blocks of a component with
+  one broadcast matmul (orthonormal DCT-II matrix, separable), +128
+  level shift, and a single reshape/transpose scatters blocks into the
+  component plane;
 - 4:4:4 / 4:2:0 / 4:2:2 chroma layouts (nearest upsample), grayscale,
   JFIF YCbCr -> RGB (BT.601 full-range, the JFIF convention).
 
 Encoder (``encode_jpeg``):
 - 4:4:4, Annex-K quantization tables scaled by libjpeg's quality curve,
-  Annex-K typical Huffman tables, forward DCT, zigzag, run-length +
-  Huffman entropy coding with byte stuffing.
+  Annex-K typical Huffman tables, forward DCT batched across all blocks
+  of a component (edge-replicate pad + reshape, one matmul), zigzag,
+  run-length + Huffman entropy coding that iterates only the NONZERO
+  coefficients of each block (np.nonzero), with byte stuffing.
 
 The encoder exists so tests and queries can BUILD real compressed
 payloads without codec libraries; the round-trip contract is lossy-PSNR
 (tests pin > 30 dB at quality 90), plus exact marker/table parsing
-checks.  Python-loop-over-blocks is fine here: decode runs inside
-mapInPandas executor tasks, and real corpora at scale would route
-through the same plumbing with a native codec — the SCHEMA and plan
-shape are the durable part.
+checks.  Both directions are vectorized so that per-block Python cost
+is proportional to the number of NONZERO coefficients, not pixels —
+inside mapInPandas executor tasks this is the difference between an
+interpreter-bound kernel and an Arrow/numpy-bound one (VERDICT r04
+item #1).
 """
 
 from __future__ import annotations
@@ -116,22 +125,23 @@ for _k in range(8):
         )
 
 
-def _idct2(coeff: np.ndarray) -> np.ndarray:
-    return _C.T @ coeff @ _C
-
-
-def _dct2(block: np.ndarray) -> np.ndarray:
-    return _C @ block @ _C.T
-
-
 # ---------------------------------------------------------------------------
 # Huffman machinery (canonical codes from (bits, vals) — T.81 Annex C)
 # ---------------------------------------------------------------------------
 
 
+_CODES_CACHE: dict[tuple[bytes, bytes], dict[int, tuple[int, int]]] = {}
+
+
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length)."""
-    out: dict[int, tuple[int, int]] = {}
+    """symbol -> (code, length); cached on table identity (the encoder
+    always uses the Annex-K tables, so this builds exactly four dicts
+    per worker)."""
+    key = (bytes(bits), bytes(vals))
+    out = _CODES_CACHE.get(key)
+    if out is not None:
+        return out
+    out = {}
     code = 0
     k = 0
     for length in range(1, 17):
@@ -140,92 +150,65 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
             code += 1
             k += 1
         code <<= 1
+    _CODES_CACHE[key] = out
     return out
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    out: dict[tuple[int, int], int] = {}
+_LUT_CACHE: dict[tuple[bytes, bytes], list[int]] = {}
+
+
+def _build_decode_lut(bits: list[int], vals: list[int]) -> list[int]:
+    """65536-entry lookup: 16-bit MSB-first lookahead -> (length << 8) |
+    symbol; entry 0 marks an invalid prefix.  Canonical-code fill per
+    T.81 Annex C: a code of length L owns the 2^(16-L) lookahead values
+    that share its prefix.  Cached on the (bits, vals) table identity —
+    real corpora overwhelmingly reuse the Annex-K tables, so the build
+    cost is paid once per worker, not per image."""
+    key = (bytes(bits), bytes(vals))
+    lut = _LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    arr = np.zeros(65536, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
+        span = 1 << (16 - length)
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            arr[lo : lo + span] = (length << 8) | vals[k]
             code += 1
             k += 1
         code <<= 1
-    return out
+    lut = arr.tolist()  # plain list: ~3x faster scalar indexing than ndarray
+    _LUT_CACHE[key] = lut
+    return lut
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    un-stuffing; stops at any non-RST0-7 marker."""
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.bitbuf = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        d = self.data
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
-            else:
-                # real marker (EOI etc.): pad with 1-bits per spec
-                self.bitbuf = (self.bitbuf << 8) | 0xFF
-                self.nbits += 8
-                return
-        else:
-            self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def byte_align_to_restart(self) -> None:
-        """Consume padding and the RSTn marker itself."""
-        self.bitbuf = 0
-        self.nbits = 0
-        d = self.data
-        while d[self.pos] != 0xFF or not (0xD0 <= d[self.pos + 1] <= 0xD7):
-            self.pos += 1
-        self.pos += 2
-
-
-class _RestartMarker(Exception):
-    def __init__(self, marker: int) -> None:
-        self.marker = marker
-
-
-def _extend(v: int, t: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
-
-
-def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+def _split_restart_segments(data: bytes, pos: int) -> list[bytes]:
+    """Slice the entropy-coded stream at ``pos`` into restart segments:
+    split on RST0-7, stop at any other marker, un-stuff 0xFF00 in one
+    ``bytes.replace`` per segment, and append 1-bit (0xFF) padding so
+    the tail EOB of every segment can always pull a full 16-bit
+    lookahead (the spec pads partial final bytes with 1-bits)."""
+    segs: list[bytes] = []
+    n = len(data)
+    i = seg_start = pos
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            segs.append(data[seg_start:n])
+            break
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(data[seg_start:j])
+            seg_start = i = j + 2
+        else:  # EOI / next scan / garbage marker: end of entropy data
+            segs.append(data[seg_start:j])
+            break
+    pad = b"\xff" * 8
+    return [s.replace(b"\xff\x00", b"\xff") + pad for s in segs]
 
 
 # ---------------------------------------------------------------------------
@@ -271,7 +254,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[i + 1 : i + 17])
                 nv = sum(bits)
                 vals = list(body[i + 17 : i + 17 + nv])
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_lut(
                     bits, vals
                 )
                 i += 17 + nv
@@ -314,43 +297,117 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interv
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     by_id = {c["id"]: c for c in comps}
     for s in scan:
         c = by_id[s["id"]]
         c["dcl"] = huff_dc[s["dc"]]
         c["acl"] = huff_ac[s["ac"]]
-        c["plane"] = np.zeros(
-            (mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64
-        )
+        # sparse accumulators: absolute DC per block; (block, zigzag-k,
+        # value) triples for nonzero AC only.  Everything dense happens
+        # batched in numpy after the entropy pass.
         c["pred"] = 0
+        c["dcs"] = []
+        c["bk"] = []
+        c["kk"] = []
+        c["vv"] = []
 
-    reader = _BitReader(payload, pos)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.byte_align_to_restart()
+    segments = _split_restart_segments(payload, pos)
+    seg_idx = 0
+    seg = segments[0]
+    bitbuf = 0
+    nbits = 0
+    bpos = 0
+    n_mcus = mcus_y * mcus_x
+    try:
+        for mcu in range(n_mcus):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align into the next restart segment, reset DC preds
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing restart segment")
+                seg = segments[seg_idx]
+                bitbuf = nbits = bpos = 0
                 for c in comps:
                     c["pred"] = 0
-            try:
-                for c in comps:
-                    q = qt[c["tq"]]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            block = _decode_block(reader, c, q)
-                            y0 = (my * c["v"] + by) * 8
-                            x0 = (mx * c["h"] + bx) * 8
-                            c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
-            except _RestartMarker:
-                raise ValueError("unexpected restart marker") from None
-            mcu_count += 1
+            for c in comps:
+                dcl, acl = c["dcl"], c["acl"]
+                bidx = len(c["dcs"])
+                bk, kk, vv = c["bk"], c["kk"], c["vv"]
+                for _ in range(c["v"] * c["h"]):
+                    while nbits < 16:
+                        bitbuf = ((bitbuf & ((1 << nbits) - 1)) << 8) | seg[bpos]
+                        bpos += 1
+                        nbits += 8
+                    e = dcl[(bitbuf >> (nbits - 16)) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError("invalid Huffman code")
+                    nbits -= e >> 8
+                    t = e & 0xFF
+                    if t:
+                        while nbits < t:
+                            bitbuf = ((bitbuf & ((1 << nbits) - 1)) << 8) | seg[bpos]
+                            bpos += 1
+                            nbits += 8
+                        v = (bitbuf >> (nbits - t)) & ((1 << t) - 1)
+                        nbits -= t
+                        # T.81 F.2.2.1 EXTEND: t-bit magnitude -> signed
+                        c["pred"] += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                    c["dcs"].append(c["pred"])
+                    k = 1
+                    while k < 64:
+                        while nbits < 16:
+                            bitbuf = ((bitbuf & ((1 << nbits) - 1)) << 8) | seg[bpos]
+                            bpos += 1
+                            nbits += 8
+                        e = acl[(bitbuf >> (nbits - 16)) & 0xFFFF]
+                        if e == 0:
+                            raise ValueError("invalid Huffman code")
+                        nbits -= e >> 8
+                        rs = e & 0xFF
+                        s = rs & 15
+                        if s == 0:
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        while nbits < s:
+                            bitbuf = ((bitbuf & ((1 << nbits) - 1)) << 8) | seg[bpos]
+                            bpos += 1
+                            nbits += 8
+                        v = (bitbuf >> (nbits - s)) & ((1 << s) - 1)
+                        nbits -= s
+                        bk.append(bidx)
+                        kk.append(k)
+                        vv.append(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
+                        k += 1
+                    bidx += 1
+    except IndexError:  # ran off a (truncated / mis-split) segment
+        raise ValueError("truncated entropy-coded data") from None
 
     planes = []
     for c in comps:
-        p = c["plane"]
+        q = qt[c["tq"]]
+        nblk = mcus_y * mcus_x * c["v"] * c["h"]
+        zz = np.zeros((nblk, 64), dtype=np.int32)
+        zz[:, 0] = c["dcs"]
+        if c["bk"]:
+            zz[c["bk"], c["kk"]] = c["vv"]
+        dense = np.zeros((nblk, 64), dtype=np.float64)
+        dense[:, ZIGZAG] = zz * q  # dequantize + de-zigzag, all blocks at once
+        # batched separable IDCT: (8,8) @ (nblk,8,8) @ (8,8) broadcasts
+        blocks = _C.T @ dense.reshape(-1, 8, 8) @ _C + 128.0
+        # scatter blocks into the plane with one transpose: entropy order
+        # is (my, mx, by, bx), plane position is ((my*v+by)*8, (mx*h+bx)*8)
+        p = (
+            blocks.reshape(mcus_y, mcus_x, c["v"], c["h"], 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)
+        )
         # upsample to full resolution (nearest) then crop
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
@@ -366,31 +423,6 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interv
     return np.clip(
         np.round(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
-
-
-def _decode_block(reader: _BitReader, comp: dict, q: np.ndarray) -> np.ndarray:
-    zz = np.zeros(64, dtype=np.int32)
-    t = _decode_huff(reader, comp["dcl"])
-    diff = _extend(reader.read_bits(t), t) if t else 0
-    comp["pred"] += diff
-    zz[0] = comp["pred"]
-    k = 1
-    while k < 64:
-        rs = _decode_huff(reader, comp["acl"])
-        r, s = rs >> 4, rs & 15
-        if s == 0:
-            if r == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC run past block end")
-        zz[k] = _extend(reader.read_bits(s), s)
-        k += 1
-    coeff = np.zeros(64, dtype=np.float64)
-    coeff[ZIGZAG] = zz * q
-    return _idct2(coeff.reshape(8, 8)) + 128.0
 
 
 # ---------------------------------------------------------------------------
@@ -420,12 +452,19 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
 
 
+_QSCALE_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
 def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     """libjpeg's public quality curve (jcparam.c): scale 50 -> 1x."""
     quality = min(max(int(quality), 1), 100)
-    s = 5000 // quality if quality < 50 else 200 - 2 * quality
-    q = (table * s + 50) // 100
-    return np.clip(q, 1, 255).astype(np.int32)
+    key = (id(table), quality)
+    q = _QSCALE_CACHE.get(key)
+    if q is None:
+        s = 5000 // quality if quality < 50 else 200 - 2 * quality
+        q = np.clip((table * s + 50) // 100, 1, 255).astype(np.int32)
+        _QSCALE_CACHE[key] = q
+    return q
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -438,46 +477,54 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, code
 
 
-def _pad_block(plane: np.ndarray, ys: int, xs: int) -> np.ndarray:
-    """8x8 block at (ys, xs) with edge-replicate padding."""
-    blk = np.zeros((8, 8))
-    sub = plane[ys : ys + 8, xs : xs + 8]
-    blk[: sub.shape[0], : sub.shape[1]] = sub
-    if sub.shape[0] < 8 and sub.shape[0] > 0:
-        blk[sub.shape[0] :, :] = blk[sub.shape[0] - 1, :]
-    if sub.shape[1] < 8 and sub.shape[1] > 0:
-        blk[:, sub.shape[1] :] = blk[:, sub.shape[1] - 1 : sub.shape[1]]
-    return blk
+def _component_zigzag_blocks(
+    plane: np.ndarray, v: int, h: int, mcus_y: int, mcus_x: int, q: np.ndarray
+) -> np.ndarray:
+    """Forward path for a whole component at once: edge-replicate pad the
+    plane to MCU-aligned dims, carve into 8x8 blocks in entropy order
+    (my, mx, by, bx), level-shift, batched DCT (one broadcast matmul),
+    quantize + zigzag.  Returns int (nblocks, 64)."""
+    tgt_h, tgt_w = mcus_y * v * 8, mcus_x * h * 8
+    ph, pw = plane.shape
+    pp = np.empty((tgt_h, tgt_w))
+    pp[:ph, :pw] = plane
+    if tgt_h > ph:
+        pp[ph:, :pw] = plane[ph - 1 : ph, :]
+    if tgt_w > pw:
+        pp[:, pw:] = pp[:, pw - 1 : pw]
+    blocks = (
+        pp.reshape(mcus_y, v, 8, mcus_x, h, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(-1, 8, 8)
+    )
+    coeff = _C @ (blocks - 128.0) @ _C.T
+    return np.round(coeff.reshape(-1, 64)[:, ZIGZAG] / q[ZIGZAG]).astype(np.int64)
 
 
-def _encode_block(bw: _BitWriter, blk: np.ndarray, q, dct_, act_, pred: int) -> int:
-    coeff = _dct2(blk - 128.0)
-    zz = np.round(coeff.reshape(-1)[ZIGZAG] / q[ZIGZAG]).astype(int)
-    diff = int(zz[0]) - pred
-    t, code = _magnitude(diff)
+def _encode_block_zz(bw: _BitWriter, zz: list, nz, dct_, act_, pred: int) -> int:
+    """Entropy-code one pre-quantized zigzag block; ``nz`` holds the
+    nonzero AC positions (1..63) so zero runs cost no Python iterations."""
+    t, code = _magnitude(zz[0] - pred)
     c, ln = dct_[t]
     bw.write(c, ln)
     if t:
         bw.write(code, t)
-    run = 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    last = 0
+    for k in nz:
+        run = k - last - 1
         while run > 15:
             c, ln = act_[0xF0]  # ZRL
             bw.write(c, ln)
             run -= 16
-        t, code = _magnitude(v)
+        t, code = _magnitude(zz[k])
         c, ln = act_[(run << 4) | t]
         bw.write(c, ln)
         bw.write(code, t)
-        run = 0
-    if run:
+        last = k
+    if last != 63:
         c, ln = act_[0x00]  # EOB
         bw.write(c, ln)
-    return int(zz[0])
+    return zz[0]
 
 
 def encode_jpeg(
@@ -554,7 +601,7 @@ def encode_jpeg(
     for tq in tqs:
         q = qy if tq == 0 else qc
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
-        out += bytes(int(q[ZIGZAG[i]]) for i in range(64))
+        out += q[ZIGZAG].astype(np.uint8).tobytes()
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
     for c in comps:
         out += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
@@ -578,6 +625,20 @@ def encode_jpeg(
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    # whole-component forward transform up front (batched DCT + quantize),
+    # plus per-block nonzero-AC index lists computed in one np.nonzero
+    for c in comps:
+        zzb = _component_zigzag_blocks(
+            c["plane"], c["v"], c["h"], mcus_y, mcus_x, c["q"]
+        )
+        nblk = zzb.shape[0]
+        bi, kpos = np.nonzero(zzb[:, 1:])
+        bounds = np.concatenate(
+            ([0], np.cumsum(np.bincount(bi, minlength=nblk)))
+        ).tolist()
+        kl = (kpos + 1).tolist()
+        c["zz"] = zzb.tolist()
+        c["nz"] = [kl[bounds[i] : bounds[i + 1]] for i in range(nblk)]
     bw = _BitWriter()
     preds = {c["id"]: 0 for c in comps}
     mcu_count = 0
@@ -592,13 +653,14 @@ def encode_jpeg(
                 rst += 1
                 preds = {c["id"]: 0 for c in comps}
             for c in comps:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = _pad_block(
-                            c["plane"], (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
-                        )
-                        preds[c["id"]] = _encode_block(
-                            bw, blk, c["q"], c["dct"], c["act"], preds[c["id"]]
+                cv, ch = c["v"], c["h"]
+                base = ((my * mcus_x + mx) * cv) * ch
+                for by in range(cv):
+                    for bx in range(ch):
+                        idx = base + by * ch + bx
+                        preds[c["id"]] = _encode_block_zz(
+                            bw, c["zz"][idx], c["nz"][idx],
+                            c["dct"], c["act"], preds[c["id"]],
                         )
             mcu_count += 1
     bw.flush()

@@ -342,51 +342,48 @@ DECODE_REAL_SCHEMA = (
 )
 
 
-def decode_real(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
-) -> DataFrame:
-    """REAL decode -> typed stats, one row per media item.
-
+def decode_stats_row(mid, raw: bytes) -> tuple:
+    """Decode ONE payload to its typed-stats row — the shared kernel body
+    of ``decode_real`` and any fused generate-and-decode stage.
     Dispatches on magic bytes: BMP / PPM / PNG / baseline JPEG -> pixel
     stats (uint8 RGB), RIFF/WAVE -> sample stats (PCM).  Formats that
     require codec libraries absent from this container (progressive
     JPEG, MP4/video) come back as kind='unsupported' with null stats —
     no silent fakes.  v_std is the population standard deviation
     (ddof=0)."""
+    try:
+        if raw[:4] == b"RIFF":
+            samples, rate, ch = decode_audio_bytes(raw)
+            v = samples.astype(np.float64).ravel()
+            return (mid, "audio", None, None, ch, rate, len(v),
+                    float(v.mean()), float(v.std()),
+                    float(v.min()), float(v.max()))
+        img = decode_image_bytes(raw)
+        v = img.astype(np.float64).ravel()
+        return (mid, "image", img.shape[1], img.shape[0], 3,
+                None, len(v), float(v.mean()), float(v.std()),
+                float(v.min()), float(v.max()))
+    except ValueError:
+        return (mid, "unsupported", None, None, None, None, None,
+                None, None, None, None)
+
+
+def decode_real(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL decode -> typed stats, one row per media item (see
+    ``decode_stats_row`` for the per-payload dispatch contract)."""
+
+    cols = [id_col, "kind", "width", "height", "channels",
+            "sample_rate", "n_values", "v_mean", "v_std", "v_min", "v_max"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(payload)
-                try:
-                    if raw[:4] == b"RIFF":
-                        samples, rate, ch = decode_audio_bytes(raw)
-                        v = samples.astype(np.float64).ravel()
-                        rows.append(
-                            (mid, "audio", None, None, ch, rate, len(v),
-                             float(v.mean()), float(v.std()),
-                             float(v.min()), float(v.max()))
-                        )
-                    else:
-                        img = decode_image_bytes(raw)
-                        v = img.astype(np.float64).ravel()
-                        rows.append(
-                            (mid, "image", img.shape[1], img.shape[0], 3,
-                             None, len(v), float(v.mean()), float(v.std()),
-                             float(v.min()), float(v.max()))
-                        )
-                except ValueError:
-                    rows.append(
-                        (mid, "unsupported", None, None, None, None, None,
-                         None, None, None, None)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[id_col, "kind", "width", "height", "channels",
-                         "sample_rate", "n_values", "v_mean", "v_std",
-                         "v_min", "v_max"],
-            )
+            rows = [
+                decode_stats_row(mid, bytes(payload))
+                for mid, payload in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema=DECODE_REAL_SCHEMA.replace("media_id", id_col)

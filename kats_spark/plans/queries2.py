@@ -3138,40 +3138,58 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par)
     )
 
-    def gen_kernel(batches):
-        # ALL four payload families from one kernel: the alternative (a
-        # 4-way union of per-family branches) costs 4x the Python-task
-        # launches and leaves the downstream decode with 4x the
-        # partitions — measured 2.7s -> 0.5s at sf0.1.  Narrow all the
-        # way: scan -> repartition -> [generate -> decode] pipelines as
-        # one 32-task stage.
+    stats_cols = ["media_id", "kind", "width", "height", "channels",
+                  "sample_rate", "n_values", "v_mean", "v_std",
+                  "v_min", "v_max"]
+
+    def gen_decode_kernel(batches):
+        # ALL four payload families generated AND decoded in one fused
+        # kernel: the alternative (a 4-way union of per-family branches,
+        # then a second mapInPandas stage for decode) costs 4x the
+        # Python-task launches plus a full extra JVM<->Python Arrow round
+        # trip of every compressed payload — measured 2.7s -> 0.5s
+        # (fusing the families, r04) and 0.95s -> 0.65s (fusing
+        # generate+decode, r05) at sf0.1.  The decode body is the SAME
+        # code path the standalone operator uses
+        # (multimodal.decode_stats_row); at 100 TB payloads arrive from
+        # storage and decode_real runs as its own scan-fused stage —
+        # fusion here only removes the synthetic generator's round trip.
         from kats_spark.operators.jpeg import encode_jpeg
 
         for pdf in batches:
-            ids, payloads = [], []
+            rows = []
             for doc_id, s192, s256 in zip(pdf["doc_id"], pdf["s192"], pdf["s256"]):
                 b192 = s192.encode("ascii")
-                ids.append(doc_id * 4)
-                payloads.append(ppm_header + b192)
-                ids.append(doc_id * 4 + 1)
-                payloads.append(wav_header + s256.encode("ascii"))
-                ids.append(doc_id * 4 + 2)
-                payloads.append(
-                    multimodal.encode_png(
-                        np.frombuffer(b192, dtype=np.uint8).reshape(8, 8, 3)
+                rows.append(
+                    multimodal.decode_stats_row(doc_id * 4, ppm_header + b192)
+                )
+                rows.append(
+                    multimodal.decode_stats_row(
+                        doc_id * 4 + 1, wav_header + s256.encode("ascii")
+                    )
+                )
+                rows.append(
+                    multimodal.decode_stats_row(
+                        doc_id * 4 + 2,
+                        multimodal.encode_png(
+                            np.frombuffer(b192, dtype=np.uint8).reshape(8, 8, 3)
+                        ),
                     )
                 )
                 # v = 128 + 3k, k in [-16, 16] from the first char code —
                 # the exact-round-trip subspace (see docstring)
                 v = 128 + 3 * ((ord(s192[0]) % 33) - 16)
-                ids.append(doc_id * 4 + 3)
-                payloads.append(
-                    encode_jpeg(np.full((16, 16, 3), v, dtype=np.uint8), quality=90)
+                rows.append(
+                    multimodal.decode_stats_row(
+                        doc_id * 4 + 3,
+                        encode_jpeg(
+                            np.full((16, 16, 3), v, dtype=np.uint8), quality=90
+                        ),
+                    )
                 )
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+            yield pd.DataFrame(rows, columns=stats_cols)
 
-    media = docs.mapInPandas(gen_kernel, "media_id bigint, payload binary")
-    out = multimodal.decode_real(media)
+    out = docs.mapInPandas(gen_decode_kernel, multimodal.DECODE_REAL_SCHEMA)
     return out.select(
         "media_id",
         "kind",

@@ -49,23 +49,23 @@ _PRIORITY = [
     "empirical_ci", "evaluate_models", "hpt_window", "model_select",
     "reconcile_bu",
     # ---- slots 36-50: ROTATION WINDOW (VERDICT r03 item #2) ----
-    # The driver hashes only the first 50 entries, so slots 41-50 rotate
-    # ~10 never-driver-checked oracled queries in each round while
-    # slots 1-35 keep one representative per operator family.  Round 4:
-    # corpus_sample stays for its re-check (r03's only red row — oracle
-    # HUGEINT->float64 dtype fixed this round) + 14 queries absent from
-    # every r01-r03 window.  The 14 displaced r03-green reps
-    # (exact_dedup .. tsfeatures_expr) move to 51+.
-    "corpus_sample",
-    "hpt_sobol", "lang_id_ngram", "multimodal_decode", "dup_clusters",
-    "bm25_topk", "pii_scrub", "bigram_logppl", "damped_forecast",
-    "ljung_box", "decontaminate_fuzzy",
-    "snapshot_diff", "zipf_fit", "ensemble_pi", "bpe_token_stats",
+    # The driver hashes only the first 50 entries, so slots 36-50 rotate
+    # never-driver-checked oracled queries each round while slots 1-35
+    # keep one representative per operator family.  Round 5 (VERDICT r04
+    # item #4): 15 queries that were judge-verified but absent from every
+    # r01-r04 driver window — EWMA family, pivot/kernel/holiday exprs,
+    # video containers, winnowing overlap, corpus mixture, ensembles and
+    # metalearners.  The 15 displaced r04-green queries (corpus_sample ..
+    # bpe_token_stats) move to 51+.
+    "ema", "macd", "rsi", "trix_tsi", "wide_pivot",
+    "kernel_stats", "holiday_calendar", "video_frames", "winnow_overlap",
+    "corpus_mixture", "median_ensemble", "reconcile_struc",
+    "static_threshold", "hpt_recommend", "predictability",
     # ---- depth: remaining oracle-backed coverage (51+) ----
     # r03-green representatives displaced by the rotation window
     "exact_dedup", "jaccard_pairs", "minhash_portable_pairs",
     "simhash_portable", "token_stats", "text_quality", "lang_id",
-    "topk_cosine", "multimodal_meta", "video_frames",
+    "topk_cosine", "multimodal_meta",
     "ts_stat_features", "ta_features", "date_features", "metrics_naive",
     "tsfeatures_expr",
     # intra-family variants displaced from the first 50 (all were green
@@ -74,25 +74,28 @@ _PRIORITY = [
     "weighted_ensemble", "global_dms", "var_scores",
     # LLM pipeline depth
     "allpairs_topk", "embed_neardup", "ivf_topk_portable",
-    "winnow_overlap", "corpus_prep", "corpus_mixture",
-    "corpus_profile", "quality_classifier",
+    "corpus_prep", "corpus_profile", "quality_classifier",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth
     "global_rnn", "global_rnn_ensemble", "global_ens_backtest",
     "ses_forecast", "quadratic_forecast", "simple_heuristic",
-    "ar2_forecast", "median_ensemble", "backtest_fixed",
-    "hpt_recommend", "hpt_gpei", "predictability", "reconcile_struc",
-    "static_threshold", "percentage_change", "level_shift",
+    "ar2_forecast", "backtest_fixed",
+    "hpt_gpei", "percentage_change", "level_shift",
     "interval_relative", "rolling_iqr", "mk_statistic", "mk_rolling",
     "cusum_transform", "minhash_quality", "doc_fingerprint",
     "lsh_bucket_pairs", "embed_survivors", "ivf_recall", "ivfpq_recall",
     "winnow_fp",
-    "corpus_funnel", "bpe_token_stats", "kernel_stats", "time_features",
-    "fourier_features", "metrics_dist", "wide_pivot", "holiday_calendar",
+    "corpus_funnel", "time_features",
+    "fourier_features", "metrics_dist",
     # variants / secondary
     "resample_ffill", "rolling_zscore_segmented", "sessionize_native",
-    "ema", "macd", "rsi", "trix_tsi", "simulate_portable",
+    "simulate_portable",
+    # r04 rotation-window queries displaced to the depth section
+    "corpus_sample", "hpt_sobol", "lang_id_ngram", "multimodal_decode",
+    "dup_clusters", "bm25_topk", "pii_scrub", "bigram_logppl",
+    "damped_forecast", "ljung_box", "decontaminate_fuzzy", "snapshot_diff",
+    "zipf_fit", "ensemble_pi", "bpe_token_stats",
 ]
 
 

@@ -219,7 +219,17 @@ def _split_restart_segments(data: bytes, pos: int) -> list[bytes]:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential JFIF decode -> (H, W, 3) uint8 RGB (grayscale
     replicates into 3 channels).  Raises ValueError with the reason for
-    progressive / arithmetic / 12-bit streams."""
+    progressive / arithmetic / 12-bit streams; truncated or structurally
+    corrupt streams ALSO surface as ValueError (never struct.error /
+    IndexError / KeyError) so batch decoders can count them as
+    kind='unsupported' instead of failing the task."""
+    try:
+        return _decode_markers(payload)
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"corrupt or truncated JPEG stream: {exc!r}") from exc
+
+
+def _decode_markers(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

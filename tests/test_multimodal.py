@@ -323,3 +323,48 @@ def test_decode_real_handles_png(spark):
         v = im.astype(float).ravel()
         assert abs(got.v_mean - v.mean()) < 1e-9
         assert abs(got.v_std - v.std()) < 1e-9
+
+
+def test_decode_real_counts_unsupported_not_errors(spark):
+    """Real-corpus hazard payloads — progressive JPEG (SOF2), 16-bit PNG,
+    truncated JPEG header, arithmetic-coded JPEG (SOF9) — surface as
+    clean kind='unsupported' rows with null stats instead of failing the
+    task (VERDICT r04 item #10)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kats_spark.operators import multimodal
+    from kats_spark.operators.jpeg import encode_jpeg
+
+    base = encode_jpeg(np.full((16, 16, 3), 128, dtype=np.uint8), quality=90)
+
+    def _with_sof(marker_byte):
+        p = bytearray(base)
+        p[p.index(b"\xff\xc0") + 1] = marker_byte
+        return bytes(p)
+
+    progressive = _with_sof(0xC2)
+    arithmetic = _with_sof(0xC9)
+    truncated = bytes(base[:7])  # SOI + half an APP0 header
+    garbage_after_soi = b"\xff\xd8" + b"\x12\x34\x56"
+
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * (1 + 4 * 6))))
+        + _png_chunk(b"IEND", b"")
+    )
+
+    good = multimodal.encode_png(np.full((4, 4, 3), 7, dtype=np.uint8))
+    payloads = [progressive, arithmetic, truncated, garbage_after_soi, png16, good]
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = multimodal.decode_real(df).toPandas().sort_values("media_id")
+    assert list(out.kind) == ["unsupported"] * 5 + ["image"]
+    bad = out[out.kind == "unsupported"]
+    for col in ("width", "height", "n_values", "v_mean"):
+        assert bad[col].isna().all()
+    ok = out[out.kind == "image"].iloc[0]
+    assert ok.v_mean == 7.0 and ok.n_values == 48

@@ -86,6 +86,102 @@ def hourly_ratio_detect(
     return prof.groupBy("series_id").applyInPandas(fn, schema)
 
 
+def hourly_ratio_full_scores(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
+    """FULL-covariance Mahalanobis day-profile score, expression-only and
+    exactly SQL-replayable (VERDICT r04 item #8: upgrade the full-cov
+    variant from rows-only to a value-hash oracle).
+
+    The 24-dim profile's covariance needs a numeric pinv (the
+    ``hourly_ratio_detect`` path), which no SQL engine replays.  This
+    variant keeps the covariance FULL — cross-correlation terms and a
+    data-estimated matrix inverse included — by scoring the compositional
+    day profile at day-part granularity: shares of the daily total in
+    four 6-hour buckets.  Shares sum to 1 (rank deficient, exactly like
+    the 24-dim case), so the last component is dropped — the standard
+    compositional-data treatment — leaving a 3x3 sample covariance whose
+    inverse has a closed cofactor form.  Every step (avg, covar_samp,
+    adjugate/det, quadratic form) is a Spark expression AND a DuckDB
+    expression, so the oracle hash-checks the whole pipeline including
+    the inverse.
+
+    d(day) = sqrt(diffᵀ Σ⁻¹ diff) over (q0, q1, q2); days with missing
+    hours are dropped (reference parity: hourly_ratio_detection.py:29
+    drops incomplete days); series need >= 4 complete days and a
+    non-singular covariance (|det| > 1e-18), else they are omitted."""
+    hourly = (
+        df.groupBy(
+            F.col(s.series_id).alias("series_id"),
+            F.to_date(s.time).alias("date"),
+            F.hour(s.time).alias("hour"),
+        )
+        .agg(F.avg(s.value).alias("v"))
+    )
+    daily = hourly.groupBy("series_id", "date").agg(
+        F.sum("v").alias("tot"), F.count("*").alias("n_hours")
+    )
+    part = (F.col("hour") / 6).cast("int")
+    prof = (
+        hourly.join(daily, ["series_id", "date"])
+        .filter(F.col("n_hours") == 24)
+        .groupBy("series_id", "date")
+        .agg(
+            *[
+                (
+                    F.sum(F.when(part == i, F.col("v")).otherwise(F.lit(0.0)))
+                    / F.first("tot")
+                ).alias(f"q{i}")
+                for i in range(3)
+            ]
+        )
+    )
+    stats = prof.groupBy("series_id").agg(
+        F.count("*").alias("n_days"),
+        *[F.avg(f"q{i}").alias(f"m{i}") for i in range(3)],
+        *[
+            F.covar_samp(f"q{i}", f"q{j}").alias(f"c{i}{j}")
+            for i in range(3)
+            for j in range(i, 3)
+        ],
+    )
+    c = {k: F.col(k) for k in ["c00", "c01", "c02", "c11", "c12", "c22"]}
+    det = (
+        c["c00"] * (c["c11"] * c["c22"] - c["c12"] * c["c12"])
+        - c["c01"] * (c["c01"] * c["c22"] - c["c12"] * c["c02"])
+        + c["c02"] * (c["c01"] * c["c12"] - c["c11"] * c["c02"])
+    )
+    joined = (
+        prof.join(stats, "series_id")
+        .filter((F.col("n_days") >= 4) & (F.abs(det) > F.lit(1e-18)))
+        .withColumns(
+            {
+                "d0": F.col("q0") - F.col("m0"),
+                "d1": F.col("q1") - F.col("m1"),
+                "d2": F.col("q2") - F.col("m2"),
+                "det": det,
+            }
+        )
+    )
+    # adjugate / det: closed-form 3x3 inverse (symmetric input)
+    i00 = (c["c11"] * c["c22"] - c["c12"] * c["c12"]) / F.col("det")
+    i11 = (c["c00"] * c["c22"] - c["c02"] * c["c02"]) / F.col("det")
+    i22 = (c["c00"] * c["c11"] - c["c01"] * c["c01"]) / F.col("det")
+    i01 = (c["c02"] * c["c12"] - c["c01"] * c["c22"]) / F.col("det")
+    i02 = (c["c01"] * c["c12"] - c["c02"] * c["c11"]) / F.col("det")
+    i12 = (c["c02"] * c["c01"] - c["c00"] * c["c12"]) / F.col("det")
+    d0, d1, d2 = F.col("d0"), F.col("d1"), F.col("d2")
+    d2q = (
+        i00 * d0 * d0
+        + i11 * d1 * d1
+        + i22 * d2 * d2
+        + F.lit(2.0) * (i01 * d0 * d1 + i02 * d0 * d2 + i12 * d1 * d2)
+    )
+    return joined.select(
+        "series_id",
+        "date",
+        F.sqrt(F.greatest(d2q, F.lit(0.0))).alias("mahalanobis_full"),
+    )
+
+
 def hourly_ratio_diag_scores(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
     """Diagonal-covariance Mahalanobis day-profile score — the
     expression-only scale variant of ``hourly_ratio_detect``:

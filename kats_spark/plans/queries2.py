@@ -1556,6 +1556,68 @@ def q_hourly_ratio_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hourly_ratio_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-covariance day-part Mahalanobis (data-estimated 3x3 covariance,
+    closed-form inverse) — the oracle-checkable full-cov variant of
+    hourly_ratio_detect (kats/detectors/hourly_ratio_detection.py:29);
+    cross-hour correlation terms included, replayed exactly by DuckDB."""
+    out = hr_mod.hourly_ratio_full_scores(raw_series(spark, sf_dir))
+    return out.select(
+        "series_id",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        _rnd("mahalanobis_full", 6).alias("mahalanobis_full"),
+    )
+
+
+_Q_HOURLY_RATIO_FULL_SQL = """
+WITH raw AS (SELECT event_type AS series_id, ts AS time, value FROM events),
+hourly AS (
+  SELECT series_id, time::DATE AS date, hour(time) AS hour, avg(value) AS v
+  FROM raw GROUP BY 1, 2, 3
+),
+daily AS (
+  SELECT series_id, date, sum(v) AS tot, count(*) AS n_hours
+  FROM hourly GROUP BY 1, 2
+),
+prof AS (
+  SELECT h.series_id, h.date,
+    sum(CASE WHEN h.hour // 6 = 0 THEN h.v ELSE 0.0 END) / any_value(d.tot) AS q0,
+    sum(CASE WHEN h.hour // 6 = 1 THEN h.v ELSE 0.0 END) / any_value(d.tot) AS q1,
+    sum(CASE WHEN h.hour // 6 = 2 THEN h.v ELSE 0.0 END) / any_value(d.tot) AS q2
+  FROM hourly h JOIN daily d USING (series_id, date)
+  WHERE d.n_hours = 24
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT series_id, count(*) AS n_days,
+    avg(q0) AS m0, avg(q1) AS m1, avg(q2) AS m2,
+    covar_samp(q0, q0) AS c00, covar_samp(q0, q1) AS c01,
+    covar_samp(q0, q2) AS c02, covar_samp(q1, q1) AS c11,
+    covar_samp(q1, q2) AS c12, covar_samp(q2, q2) AS c22
+  FROM prof GROUP BY 1
+),
+withdet AS (
+  SELECT p.*, s.*,
+    s.c00 * (s.c11 * s.c22 - s.c12 * s.c12)
+    - s.c01 * (s.c01 * s.c22 - s.c12 * s.c02)
+    + s.c02 * (s.c01 * s.c12 - s.c11 * s.c02) AS det,
+    p.q0 - s.m0 AS d0, p.q1 - s.m1 AS d1, p.q2 - s.m2 AS d2
+  FROM prof p JOIN stats s USING (series_id)
+)
+SELECT series_id, strftime(date, '%Y-%m-%d') AS date,
+  round(1e-9 + sqrt(greatest(
+    (c11 * c22 - c12 * c12) / det * d0 * d0
+    + (c00 * c22 - c02 * c02) / det * d1 * d1
+    + (c00 * c11 - c01 * c01) / det * d2 * d2
+    + 2.0 * ((c02 * c12 - c01 * c22) / det * d0 * d1
+           + (c01 * c12 - c02 * c11) / det * d0 * d2
+           + (c02 * c01 - c00 * c12) / det * d1 * d2), 0.0)), 6)
+    AS mahalanobis_full
+FROM withdet
+WHERE n_days >= 4 AND abs(det) > 1e-18
+"""
+
+
 _Q_HOURLY_RATIO_DIAG_SQL = """
 WITH raw AS (SELECT event_type AS series_id, ts AS time, value FROM events),
 hourly AS (
@@ -4123,6 +4185,7 @@ QUERIES = {
     "simulate": q_simulate,
     "simulate_portable": q_simulate_portable,
     "hourly_ratio_diag": q_hourly_ratio_diag,
+    "hourly_ratio_full": q_hourly_ratio_full,
     "kernel_stats": q_kernel_stats,
 }
 
@@ -4133,6 +4196,7 @@ ORACLES = {
     "ivf_recall": _Q_IVF_RECALL_SQL,
     "simulate_portable": _simulate_portable_sql(),
     "hourly_ratio_diag": _Q_HOURLY_RATIO_DIAG_SQL,
+    "hourly_ratio_full": _Q_HOURLY_RATIO_FULL_SQL,
     "dist_distance": _Q_DIST_DISTANCE_SQL,
     "median_ensemble": _Q_MEDIAN_ENSEMBLE_SQL,
     "empirical_ci": _Q_EMPIRICAL_CI_SQL,

@@ -498,3 +498,44 @@ def test_var_order_selection_recovers_true_lag(spark):
     df = spark.createDataFrame(pd.concat(frames))
     fc = var_forecast(df, steps=4, freq_seconds=3600, p=None, maxlags=6).toPandas()
     assert len(fc) == k * 4 and fc.fcst.notna().all()
+
+
+def test_hourly_ratio_full_closed_form_matches_numpy(spark):
+    """hourly_ratio_full_scores' closed-form 3x3 inverse + quadratic form
+    (the SQL-replayable full-covariance variant) must equal numpy's
+    inv()-based Mahalanobis on the same day-part profiles, and the
+    injected anomalous day must score highest."""
+    rng = np.random.default_rng(11)
+    n_days = 30
+    times, values = [], []
+    base = pd.Timestamp("2024-03-01")
+    profile = 1.0 + 0.5 * np.sin(2 * np.pi * np.arange(24) / 24)
+    for d in range(n_days):
+        for h in range(24):
+            v = profile[h] * 100 + rng.normal(0, 2)
+            if d == 17 and h < 6:
+                v += 60  # night-heavy day
+            times.append(base + pd.Timedelta(days=d, hours=h))
+            values.append(v)
+    pdf = pd.DataFrame({"series_id": "s", "time": times, "value": values})
+    got = (
+        hourly_ratio.hourly_ratio_full_scores(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("date")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n_days
+    # numpy reference on the same (q0,q1,q2) day-part shares
+    pdf["date"] = pdf.time.dt.date
+    pdf["part"] = pdf.time.dt.hour // 6
+    parts = (
+        pdf.pivot_table(index="date", columns="part", values="value", aggfunc="sum")
+        .to_numpy()
+    )
+    q = (parts / parts.sum(axis=1, keepdims=True))[:, :3]
+    cov = np.cov(q, rowvar=False, ddof=1)
+    icov = np.linalg.inv(cov)
+    diff = q - q.mean(axis=0)
+    want = np.sqrt(np.einsum("ij,jk,ik->i", diff, icov, diff))
+    assert np.allclose(got.mahalanobis_full.to_numpy(), want, rtol=1e-8, atol=1e-8)
+    assert got.mahalanobis_full.idxmax() == 17

@@ -2542,6 +2542,20 @@ def q_rnn_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+def q_lstm_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series LSTM forecaster — the real cell of kats/models/lstm.py:34
+    (input/forget/cell/output gates, numpy BPTT instead of torch), one net
+    per series inside its applyInPandas group.  Iterative nonlinear fit ->
+    rows-only."""
+    from kats_spark.models.rnn import lstm_forecast
+
+    out = lstm_forecast(
+        hourly_series(spark, sf_dir), steps=12, freq_seconds=3600,
+        window=12, hidden=8, epochs=60, seed=3,
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
 def _global_dms_sql(p: int = 4, H: int = 12, freq_seconds: int = 3600) -> str:
     m = p + 1
     ac = m + H
@@ -4158,6 +4172,7 @@ QUERIES = {
     "ivfpq_recall": q_ivfpq_recall,
     "quality_classifier": q_quality_classifier,
     "rnn_forecast": q_rnn_forecast,
+    "lstm_forecast": q_lstm_forecast,
     "neural_prophet": q_neural_prophet,
     "reconcile_mint": q_reconcile_mint,
     "detector_select": q_detector_select,

@@ -2374,6 +2374,21 @@ def q_global_dms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst"))
 
 
+def q_std_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-trend-decomposed global model
+    (kats/models/globalmodel/stdmodel.py:29): per-series loess STL
+    decompose, ONE pooled DMS model on the deseasonalized panel,
+    re-seasonalize by tiling each series' last seasonal period.  The
+    loess kernel is iterative numpy -> rows-only."""
+    from kats_spark.models.std_global import std_global_forecast
+
+    out = std_global_forecast(
+        hourly_series(spark, sf_dir), steps=12, freq_seconds=3600,
+        period=24, base="dms", p=4,
+    )
+    return _fmt_time(_r6(out, "fcst"))
+
+
 def q_global_rnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global RNN-lite (kats/models/globalmodel/model.py:35 shape in pure
     numpy): one GRU trained on a bounded hash-ranked window sample from
@@ -4173,6 +4188,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "rnn_forecast": q_rnn_forecast,
     "lstm_forecast": q_lstm_forecast,
+    "std_global": q_std_global,
     "neural_prophet": q_neural_prophet,
     "reconcile_mint": q_reconcile_mint,
     "detector_select": q_detector_select,

@@ -211,3 +211,63 @@ def test_global_dms_pools_across_series(spark):
         err_model.append(np.abs(got - truth[sid]).mean())
         err_naive.append(np.abs(last - truth[sid]).mean())
     assert np.mean(err_model) < 0.9 * np.mean(err_naive)
+
+
+def test_std_global_beats_plain_dms_on_seasonal_panel(spark):
+    """STDGlobalModel composition (stdmodel.py:29): on a strongly seasonal
+    panel, STL-deseasonalize -> pooled DMS -> re-seasonalize must beat the
+    SAME pooled DMS fit on the raw values (VERDICT r04 item #6 'done'
+    criterion), and fit_trend / multiplicative variants must run."""
+    import numpy as np
+    import pandas as pd
+
+    from kats_spark.models.global_dms import global_dms_forecast
+    from kats_spark.models.std_global import std_global_forecast
+
+    rng = np.random.default_rng(21)
+    period, n, n_series, H = 24, 24 * 8, 6, 12
+    frames, truth = [], {}
+    for k in range(n_series):
+        t = np.arange(n + H)
+        # per-series RANDOM phase profile: a pure sinusoid satisfies an
+        # AR(2) recurrence so a pooled linear model rides it for free —
+        # a spiky per-series shape is what actually needs decomposition
+        profile = rng.normal(0, 3.0, period)
+        profile -= profile.mean()
+        seas = profile[t % period]
+        e = rng.normal(0, 0.3, n + H)
+        x = np.zeros(n + H)
+        for i in range(1, n + H):
+            x[i] = 0.6 * x[i - 1] + e[i]
+        y = 20.0 + k + x + seas
+        frames.append(pd.DataFrame({
+            "series_id": f"s{k}",
+            "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": y[:n],
+        }))
+        truth[f"s{k}"] = y[n:]
+    df = spark.createDataFrame(pd.concat(frames))
+
+    def mae(fc):
+        errs = []
+        for k in range(n_series):
+            got = fc[fc.series_id == f"s{k}"].sort_values("time").fcst.to_numpy()
+            errs.append(np.abs(got - truth[f"s{k}"]).mean())
+        return float(np.mean(errs))
+
+    std = std_global_forecast(
+        df, steps=H, freq_seconds=3600, period=period, base="dms", p=4
+    ).toPandas()
+    plain = global_dms_forecast(df, steps=H, freq_seconds=3600, p=4).toPandas()
+    assert len(std) == n_series * H
+    assert mae(std) < 0.7 * mae(plain), (mae(std), mae(plain))
+    # variant smoke: fit_trend and multiplicative both produce full grids
+    tr = std_global_forecast(
+        df, steps=H, freq_seconds=3600, period=period, fit_trend=True
+    ).toPandas()
+    assert len(tr) == n_series * H and np.isfinite(tr.fcst).all()
+    mu = std_global_forecast(
+        df, steps=H, freq_seconds=3600, period=period,
+        decomposition="multiplicative",
+    ).toPandas()
+    assert len(mu) == n_series * H and np.isfinite(mu.fcst).all()

@@ -132,21 +132,32 @@ def quality_classifier_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hash_features: int = 1 << 15,
+    max_iter: int = 25,
     seed: int = 7,
 ) -> DataFrame:
     """End-to-end convenience: weak-label the corpus with the hygiene
     heuristics, train the classifier, score EVERY document (including
     the ambiguous band the trainer never saw).  Output
     (id, weak_label nullable, p_good)."""
+    from kats_spark.operators.text import tokens
+
     feats = quality_feature_frame(df, text_col=text_col, id_col=id_col)
-    feats = feats.persist()
+    # persist ONLY the narrow heuristic columns (id + a few doubles).
+    # Caching the tokenized __words array column looks harmless but costs
+    # ~10x the whole query: the in-memory columnar store serializes every
+    # string array element-by-element (measured 7.4 s vs 0.8 s for the
+    # uncached frame at sf0.1).  Tokens are cheap codegen — recompute them
+    # per consumer instead; MLlib's own internal persistence covers the
+    # L-BFGS iterations.
+    small = feats.drop("__words").persist()
+    words = df.select(id_col, tokens(F.lower(F.col(text_col))).alias("__words"))
     try:
-        labeled = weak_labels(feats)
+        labeled = weak_labels(small).join(words, id_col)
         model = train_quality_classifier(
-            labeled, n_hash_features=n_hash_features
+            labeled, n_hash_features=n_hash_features, max_iter=max_iter
         )
-        scored = score_quality(model, feats, id_col=id_col)
-        lab = feats.select(
+        scored = score_quality(model, words, id_col=id_col)
+        lab = small.select(
             id_col,
             F.when(
                 (F.col("quality_score") >= 0.55) & (F.col("dup_gram_ratio") <= 0.5),
@@ -163,4 +174,4 @@ def quality_classifier_scores(
         # materialize before unpersisting the shared upstream
         return out.localCheckpoint(eager=True)
     finally:
-        feats.unpersist()
+        small.unpersist()

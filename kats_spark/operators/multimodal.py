@@ -390,6 +390,159 @@ def decode_real(
     )
 
 
+def audio_features_row(mid, raw: bytes) -> tuple:
+    """Feature row for ONE audio payload — the shared kernel body of
+    ``audio_features`` and any fused generate-and-extract stage.
+    Non-RIFF or corrupt payloads come back kind='unsupported'."""
+    try:
+        if raw[:4] != b"RIFF":
+            raise ValueError("not audio")
+        samples, rate, ch = decode_audio_bytes(raw)
+        v = samples.astype(np.float64).ravel()
+        v = v - v.mean()
+        n = len(v)
+        rms = float(np.sqrt(np.mean(v * v)))
+        zcr = float(np.mean(np.signbit(v[1:]) != np.signbit(v[:-1])))
+        # POWER-spectrum weighting: linear magnitude lets the broadband
+        # quantization/noise floor (thousands of small bins) rival a
+        # single tonal peak; |X|^2 keeps the descriptors anchored to
+        # where the energy actually is
+        mag = np.abs(np.fft.rfft(v)) ** 2
+        freq = np.fft.rfftfreq(n, d=1.0 / rate)
+        tot = mag.sum()
+        if tot <= 0.0:
+            cen = bw = roll = 0.0
+        else:
+            cen = float((freq * mag).sum() / tot)
+            bw = float(np.sqrt(((freq - cen) ** 2 * mag).sum() / tot))
+            roll = float(freq[np.searchsorted(np.cumsum(mag), 0.85 * tot)])
+        return (mid, "audio", rate, n, rms, zcr, cen, bw, roll)
+    except (ValueError, IndexError):
+        return (mid, "unsupported", None, None, None, None, None, None, None)
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Audio feature extraction over WAV payloads: one fused mapInPandas
+    decodes PCM (decode_audio_bytes) and computes the standard spectral
+    descriptors in numpy — RMS level, zero-crossing rate, and from one
+    rFFT magnitude spectrum the spectral centroid, bandwidth (2nd
+    moment), and 85% rolloff frequency, all in Hz.  Payloads that are
+    not RIFF/WAVE (or are corrupt) yield kind='unsupported' with null
+    features — same degrade-don't-fail contract as decode_real.
+
+    The FFT is per-payload numpy (vectorized C inside the task); the
+    plan is a single Python stage over the binary column — payloads
+    never shuffle, and the output is a narrow typed row per item."""
+
+    cols = [id_col, "kind", "sample_rate", "n_samples", "rms",
+            "zero_cross_rate", "spectral_centroid", "spectral_bandwidth",
+            "spectral_rolloff"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                audio_features_row(mid, bytes(p))
+                for mid, p in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} bigint, kind string, sample_rate int, n_samples bigint, "
+            "rms double, zero_cross_rate double, spectral_centroid double, "
+            "spectral_bandwidth double, spectral_rolloff double"
+        ),
+    )
+
+
+_DCT32: np.ndarray | None = None
+
+
+def _dct32() -> np.ndarray:
+    """Orthonormal 32-point DCT-II basis, cached per worker."""
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(32)[:, None]
+        n = np.arange(32)[None, :]
+        C = np.cos(np.pi * (2 * n + 1) * k / 64.0) * np.sqrt(2.0 / 32.0)
+        C[0] /= np.sqrt(2.0)
+        _DCT32 = C
+    return _DCT32
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (classic pHash construction: grayscale ->
+    32x32 resample -> 2D DCT-II -> 8x8 low-frequency block minus DC ->
+    above-median bit per coefficient).  Robust to resizing, re-encoding
+    and small noise; Hamming distance between hashes tracks visual
+    difference.  Returned as a SIGNED 64-bit int so it stores in a Spark
+    ``bigint`` column unchanged."""
+    g = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h0, w0 = g.shape
+    yi = (np.arange(32) * h0 // 32).clip(0, h0 - 1)
+    xi = (np.arange(32) * w0 // 32).clip(0, w0 - 1)
+    g32 = g[yi][:, xi]
+    C = _dct32()
+    coef = C @ g32 @ C.T
+    block = coef[:8, :8].ravel()[1:]
+    med = np.median(block)
+    v = 0
+    for i, b in enumerate(block > med):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def image_phash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Perceptual hash per image payload -> (id, phash bigint).  One
+    mapInPandas over the binary column (decode + hash fused — payloads
+    never leave the task); undecodable or non-image payloads yield a null
+    hash so corrupt corpora degrade, not fail."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[payload_col]:
+                try:
+                    raw = bytes(payload)
+                    if raw[:4] == b"RIFF":
+                        hashes.append(None)
+                        continue
+                    hashes.append(phash64(decode_image_bytes(raw)))
+                except ValueError:
+                    hashes.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=f"{id_col} bigint, phash bigint"
+    )
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image near-duplicate pairs: pHash fingerprints joined by the exact
+    pigeonhole band join (dedup.simhash_pairs — max_hamming+1 bands, so
+    no qualifying pair can be missed), hamming verified by bit_count.
+    The image analog of SimHash text dedup: candidate generation is
+    banded equi-joins, never an all-pairs scan, so the shape survives a
+    billion-image corpus.  Output (id_a, id_b, hamming)."""
+    from kats_spark.operators.dedup import simhash_pairs
+
+    fp = image_phash(df, payload_col, id_col).filter(F.col("phash").isNotNull())
+    return simhash_pairs(
+        fp, max_hamming=max_hamming, id_col=id_col, fp_col="phash"
+    )
+
+
 def resize_real(
     df: DataFrame,
     width: int,

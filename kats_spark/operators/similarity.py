@@ -414,6 +414,83 @@ def embedding_neardup_pairs(
     return scored.filter(F.col("cos_sim") >= threshold).distinct()
 
 
+def semantic_dedup(
+    df: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, then look for
+    near-duplicate pairs ONLY within each cluster, and of every duplicate
+    pair keep the member FARTHER from its centroid (the paper's
+    keep-low-centroid-similarity rule — "edge" examples carry more signal
+    than cluster cores).  Built on the portable IVF index
+    (``ivf.build_index_portable``): deterministic seeds, one rounded Lloyd
+    step, rounded distances/cosines with fixed tie-breaks, so the ENTIRE
+    pipeline — clustering included — value-hash replays in ANSI SQL.
+
+    Drop rule, pairwise (the paper evaluates pairs, not connected
+    components): x is dropped iff some same-cell y has
+    cos(x, y) >= threshold and y is preferred — farther from the centroid,
+    ties to the smaller id.  Survivors are the items preferred in ALL
+    their qualifying pairs.
+
+    Scale shape: candidate generation is the equi-join on ``cell_id`` —
+    one shuffle, fan-out bounded by the largest cell (at corpus scale
+    n_cells grows ~sqrt(n) so cells stay small; a skewed mega-cell is the
+    knob that breaks first, mitigated by raising n_cells).  No driver
+    state beyond the n_cells-row centroid frame, which broadcasts.
+
+    Returns one row per input: (id, cell_id, centroid_dist, kept).
+    """
+    from kats_spark.operators import ivf
+
+    indexed, centers = ivf.build_index_portable(df, vec_col, id_col, n_cells)
+    withd = indexed.join(F.broadcast(centers), "cell_id").select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell_id"),
+        ivf._rnd6(ivf._sq_dist(F.col(vec_col), F.col("center"))).alias(
+            "centroid_dist"
+        ),
+    )
+    a = withd.select(
+        "cell_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__ea"),
+        F.col("centroid_dist").alias("__da"),
+    )
+    b = withd.select(
+        "cell_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__eb"),
+        F.col("centroid_dist").alias("__db"),
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("__cos", ivf._rnd6(cosine(F.col("__ea"), F.col("__eb"))))
+        .filter(F.col("__cos") >= threshold)
+    )
+    dropped = (
+        pairs.filter(
+            (F.col("__db") > F.col("__da"))
+            | ((F.col("__db") == F.col("__da")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return withd.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.col("cell_id"),
+        F.col("centroid_dist"),
+        F.col("__drop").isNull().alias("kept"),
+    )
+
+
 def neardup_survivors(
     df: DataFrame,
     pairs: DataFrame,

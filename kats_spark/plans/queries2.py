@@ -1980,8 +1980,11 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q_IVF_PORTABLE_SQL = """
-WITH emb AS (
+# Shared CTE prefix: the deterministic IVF index build (seed centroids =
+# 8 smallest ids, one rounded Lloyd step, rounded re-assignment) — the SQL
+# twin of ivf.build_index_portable, reused by ivf_topk_portable /
+# ivf_recall / semantic_dedup.
+_IVF_INDEX_CTES = """emb AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
 ),
 dims AS (SELECT i FROM range(1, 65) t(i)),
@@ -2012,7 +2015,10 @@ indexed AS (
   SELECT vec_id, e, cell_id FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn FROM a2
   ) WHERE rn = 1
-),
+)"""
+
+_Q_IVF_PORTABLE_SQL = f"""
+WITH {_IVF_INDEX_CTES},
 q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 5),
 qcell AS (
   SELECT query_id, qe, cell_id,
@@ -2070,6 +2076,55 @@ SELECT t.query_id::BIGINT AS query_id,
   round(1e-9 + sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 6) AS recall_at_10
 FROM truth t LEFT JOIN ivf i ON t.query_id = i.query_id AND t.vec_id = i.vec_id
 GROUP BY t.query_id
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): portable-IVF
+    k-means clustering, within-cell cosine pairs at threshold 0.35, keep
+    the pair member farther from its centroid.  The whole pipeline —
+    clustering, pair generation, drop rule — is rounded-deterministic, so
+    it value-hash replays in DuckDB (operators/similarity.py
+    semantic_dedup).  One row per vector: (vec_id, cell_id,
+    centroid_dist, kept)."""
+    from kats_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = semantic_dedup(emb, n_cells=8, threshold=0.35)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell_id").cast("int").alias("cell_id"),
+        F.col("centroid_dist"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+_Q_SEMANTIC_DEDUP_SQL = f"""
+WITH {_IVF_INDEX_CTES},
+withd AS (
+  SELECT i.vec_id, i.e, i.cell_id,
+    round(1e-9 + list_sum(list_transform(range(1, 65),
+      j -> (i.e[j] - c.center[j]) * (i.e[j] - c.center[j]))), 6) AS centroid_dist
+  FROM indexed i JOIN centers c USING (cell_id)
+),
+pairs AS (
+  SELECT x.vec_id AS id_a, x.centroid_dist AS da,
+         y.vec_id AS id_b, y.centroid_dist AS db,
+    round(1e-9 + list_sum(list_transform(range(1, 65), j -> x.e[j] * y.e[j]))
+      / (sqrt(list_sum(list_transform(x.e, v -> v * v)))
+         * sqrt(list_sum(list_transform(y.e, v -> v * v)))), 6) AS cos
+  FROM withd x JOIN withd y USING (cell_id)
+  WHERE x.vec_id <> y.vec_id
+),
+dropped AS (
+  SELECT DISTINCT id_a AS vec_id FROM pairs
+  WHERE cos >= 0.35 AND (db > da OR (db = da AND id_b < id_a))
+)
+SELECT w.vec_id::BIGINT AS vec_id, w.cell_id::INT AS cell_id, w.centroid_dist,
+  (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS kept
+FROM withd w LEFT JOIN dropped d USING (vec_id)
 """
 
 
@@ -3354,6 +3409,182 @@ UNION ALL SELECT * FROM png UNION ALL SELECT * FROM jpg
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio spectral features with a FULL value-hash oracle: each
+    document's first 64 ASCII codes become an 8-bit PCM WAV (8 kHz),
+    decoded and analyzed by multimodal.audio_features_row (numpy rFFT),
+    and DuckDB replays the identical spectral descriptors with a NAIVE
+    DFT — per (doc, bin k) power = (sum x_i cos)^2 + (sum x_i sin)^2 —
+    plus exact SQL for RMS and zero-crossing rate.  A matching hash
+    proves the real decode + FFT feature path end-to-end (centroid and
+    bandwidth rounded to 4 dp: FFT butterflies and the naive sum differ
+    at ~1e-12 relative, far inside the lattice).  Rolloff (a threshold
+    decision on cumulative power, flippable by that same 1e-12) is
+    covered by the operator test, not the oracle."""
+    import pandas as pd
+
+    from kats_spark.operators import multimodal
+
+    n = 64
+    wav_header = (
+        b"RIFF" + (36 + n).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + b"data" + n.to_bytes(4, "little")
+    )
+    _clean = lambda k: F.rpad(  # noqa: E731
+        F.regexp_replace(F.substring(F.col("text"), 1, k), "[^ -~]", "."),
+        k,
+        "x",
+    )
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), _clean(n).alias("s64"))
+        .repartition(par)
+    )
+
+    cols = ["media_id", "kind", "sample_rate", "n_samples", "rms",
+            "zero_cross_rate", "spectral_centroid", "spectral_bandwidth",
+            "spectral_rolloff"]
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = [
+                multimodal.audio_features_row(doc_id, wav_header + s.encode("ascii"))
+                for doc_id, s in zip(pdf["doc_id"], pdf["s64"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = docs.mapInPandas(
+        kernel,
+        "media_id bigint, kind string, sample_rate int, n_samples bigint, "
+        "rms double, zero_cross_rate double, spectral_centroid double, "
+        "spectral_bandwidth double, spectral_rolloff double",
+    )
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        _rnd(F.col("rms")).alias("rms"),
+        _rnd(F.col("zero_cross_rate")).alias("zero_cross_rate"),
+        F.round(F.col("spectral_centroid") + F.lit(1.0e-9), 4).alias(
+            "spectral_centroid"
+        ),
+        F.round(F.col("spectral_bandwidth") + F.lit(1.0e-9), 4).alias(
+            "spectral_bandwidth"
+        ),
+    )
+
+
+_Q_AUDIO_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 64), 64, 'x') AS s64
+  FROM documents
+),
+codes AS (
+  SELECT doc_id, t.i AS i, ascii(substring(s64, t.i, 1))::DOUBLE AS c
+  FROM b, range(1, 65) AS t(i)
+),
+m AS (SELECT doc_id, avg(c) AS mu FROM codes GROUP BY doc_id),
+v AS (SELECT doc_id, i, c - mu AS x FROM codes JOIN m USING (doc_id)),
+rmsq AS (SELECT doc_id, sqrt(avg(x * x)) AS rms FROM v GROUP BY doc_id),
+zc AS (
+  SELECT doc_id,
+    avg(CASE WHEN (x < 0) <> (prev < 0) THEN 1.0 ELSE 0.0 END) AS zcr
+  FROM (SELECT doc_id, x,
+          lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM v)
+  WHERE prev IS NOT NULL
+  GROUP BY doc_id
+),
+spec AS (
+  SELECT doc_id, f.k AS k,
+    pow(sum(x * cos(2 * pi() * f.k * (i - 1) / 64.0)), 2)
+    + pow(sum(x * sin(2 * pi() * f.k * (i - 1) / 64.0)), 2) AS p
+  FROM v CROSS JOIN range(0, 33) AS f(k)
+  GROUP BY doc_id, f.k
+),
+agg AS (
+  SELECT doc_id, sum(p) AS tp, sum(k * 125.0 * p) AS fp
+  FROM spec GROUP BY doc_id
+),
+cen AS (
+  SELECT doc_id, tp, CASE WHEN tp <= 0 THEN 0.0 ELSE fp / tp END AS centroid
+  FROM agg
+),
+bw AS (
+  SELECT s.doc_id,
+    CASE WHEN c.tp <= 0 THEN 0.0
+         ELSE sqrt(sum((s.k * 125.0 - c.centroid) * (s.k * 125.0 - c.centroid) * s.p) / c.tp)
+    END AS bandwidth
+  FROM spec s JOIN cen c USING (doc_id)
+  GROUP BY s.doc_id, c.tp
+)
+SELECT r.doc_id::BIGINT AS media_id,
+  8000 AS sample_rate, 64::BIGINT AS n_samples,
+  round(r.rms + 1e-9, 6) AS rms,
+  round(z.zcr + 1e-9, 6) AS zero_cross_rate,
+  round(c.centroid + 1e-9, 4) AS spectral_centroid,
+  round(w.bandwidth + 1e-9, 4) AS spectral_bandwidth
+FROM rmsq r JOIN zc z ON r.doc_id = z.doc_id
+JOIN cen c ON r.doc_id = c.doc_id
+JOIN bw w ON r.doc_id = w.doc_id
+"""
+
+
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via perceptual hash (pHash: 32x32
+    DCT-II low-frequency sign bits) + the exact pigeonhole band join —
+    the image analog of SimHash text dedup (multimodal.phash_neardup_
+    pairs).  Each document yields a deterministic 8x8 PPM from its ASCII
+    text plus a planted one-bit-perturbed twin; the query recovers the
+    twin pairs by hamming <= 6.  Hash-dependent (DCT kernel in Python)
+    -> rows-only; the banded join's exactness is proven against
+    brute-force hamming in tests/test_multimodal.py."""
+    import pandas as pd
+
+    from kats_spark.operators import multimodal
+
+    ppm_header = b"P6\n8 8\n255\n"
+    _clean = lambda k: F.rpad(  # noqa: E731
+        F.regexp_replace(F.substring(F.col("text"), 1, k), "[^ -~]", "."),
+        k,
+        "x",
+    )
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), _clean(192).alias("s192"))
+        .repartition(par)
+    )
+
+    def gen_kernel(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, s192 in zip(pdf["doc_id"], pdf["s192"]):
+                b = bytearray(s192.encode("ascii"))
+                ids.append(doc_id * 2)
+                payloads.append(bytes(ppm_header + bytes(b)))
+                b[0] ^= 1  # planted near-identical twin
+                ids.append(doc_id * 2 + 1)
+                payloads.append(bytes(ppm_header + bytes(b)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen_kernel, "media_id bigint, payload binary")
+    out = multimodal.phash_neardup_pairs(media, max_hamming=6)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: per-frame luma stats for every 2nd frame of
     deterministic MJPEG-AVI and Y4M containers built from document text.
@@ -4167,6 +4398,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "ivf_topk_portable": q_ivf_portable,
     "ivf_recall": q_ivf_recall,
+    "semantic_dedup": q_semantic_dedup,
     "tsfeatures_full": q_tsfeatures_full,
     "tsfeatures_expr": q_tsfeatures_expr,
     "model_select": q_model_select,
@@ -4180,6 +4412,8 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    "image_phash_pairs": q_image_phash_pairs,
+    "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "stlf_forecast": q_stlf_forecast,
     "prophet_forecast": q_prophet_forecast,
@@ -4229,6 +4463,7 @@ ORACLES = {
     "tsfeatures_expr": _Q_TSFEAT_EXPR_SQL,
     "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
     "ivf_recall": _Q_IVF_RECALL_SQL,
+    "semantic_dedup": _Q_SEMANTIC_DEDUP_SQL,
     "simulate_portable": _simulate_portable_sql(),
     "hourly_ratio_diag": _Q_HOURLY_RATIO_DIAG_SQL,
     "hourly_ratio_full": _Q_HOURLY_RATIO_FULL_SQL,
@@ -4271,6 +4506,7 @@ ORACLES = {
     "trix_tsi": _Q_TRIX_TSI_SQL,
     "multimodal_features": _Q_MULTIMODAL_FEATURES_SQL,
     "multimodal_decode": _Q_MULTIMODAL_DECODE_SQL,
+    "audio_features": _Q_AUDIO_FEATURES_SQL,
     "video_frames": _Q_VIDEO_FRAMES_SQL,
     "kernel_stats": _Q_KERNEL_STATS_SQL,
     "var_forecast": _VAR_ORACLE.forecast_sql(_HOURLY_SQL, p=2, k=5, steps=24,

@@ -471,6 +471,53 @@ def test_embed_neardup_prefilter_equivalence(spark):
     assert len(a) > 0
 
 
+def test_semantic_dedup_drop_rule_matches_numpy(spark):
+    """semantic_dedup (SemDeDup, arXiv:2303.09540) against an independent
+    numpy replay: plant 10 near-copies in 40 random vectors, run the
+    operator, then recompute the within-cell pairwise drop rule from the
+    operator's own cell assignment — the dropped sets must agree exactly,
+    and every planted duplicate pair must lose exactly its
+    nearer-to-centroid member."""
+    import numpy as np
+
+    from kats_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 64))
+    dups = base[:10] + rng.normal(scale=1e-3, size=(10, 64))
+    M = np.vstack([base, dups])
+    rows = [(i, [float(x) for x in M[i]]) for i in range(len(M))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = (
+        semantic_dedup(df, n_cells=8, threshold=0.95)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 50
+    dropped = set(out.loc[~out["kept"], "vec_id"])
+    assert len(dropped) > 0
+    # numpy replay of the pairwise rule, given the operator's cells
+    cell = dict(zip(out["vec_id"], out["cell_id"]))
+    cdist = dict(zip(out["vec_id"], out["centroid_dist"]))
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    expect = set()
+    for x in range(50):
+        for y in range(50):
+            if x == y or cell[x] != cell[y]:
+                continue
+            cos = np.round(float(Mn[x] @ Mn[y]) + 1e-9, 6)
+            if cos >= 0.95 and (
+                cdist[y] > cdist[x] or (cdist[y] == cdist[x] and y < x)
+            ):
+                expect.add(x)
+    assert dropped == expect
+    # each planted pair (i, i+40) that landed in one cell lost one member
+    for i in range(10):
+        if cell[i] == cell[i + 40]:
+            assert (i in dropped) != (i + 40 in dropped)
+
+
 def test_segmented_score_giant_series_2m_rows(spark):
     """Scale evidence for the skew story: one 2M-point series (the case a
     plain per-series window serializes onto a single task) runs through

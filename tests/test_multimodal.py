@@ -368,3 +368,128 @@ def test_decode_real_counts_unsupported_not_errors(spark):
         assert bad[col].isna().all()
     ok = out[out.kind == "image"].iloc[0]
     assert ok.v_mean == 7.0 and ok.n_values == 48
+
+
+def test_phash_invariance_and_discrimination():
+    """phash64 kernel properties: identical under re-encoding (PPM vs PNG
+    of the same pixels), stable under 2x upscale and mild noise (small
+    hamming), far apart for unrelated images (large hamming)."""
+    import numpy as np
+
+    from kats_spark.operators import multimodal
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h = multimodal.phash64(img)
+    # re-encode: PNG round-trip decodes to identical pixels -> same hash
+    png = multimodal.decode_image_bytes(multimodal.encode_png(img))
+    assert multimodal.phash64(png) == h
+    # 2x nearest-neighbor upscale: same low-frequency content
+    up = img.repeat(2, axis=0).repeat(2, axis=1)
+    assert ham(multimodal.phash64(up), h) <= 2
+    # mild noise
+    noisy = np.clip(
+        img.astype(int) + rng.integers(-8, 9, size=img.shape), 0, 255
+    ).astype(np.uint8)
+    assert ham(multimodal.phash64(noisy), h) <= 10
+    # unrelated image
+    other = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert ham(multimodal.phash64(other), h) >= 16
+
+
+def test_phash_neardup_pairs_matches_bruteforce(spark):
+    """phash_neardup_pairs (banded pigeonhole join) returns EXACTLY the
+    pairs within max_hamming of each other — verified against the
+    brute-force all-pairs hamming on the collected hashes — and null
+    hashes (corrupt payloads) are excluded rather than erroring."""
+    import numpy as np
+
+    from kats_spark.operators import multimodal
+
+    rng = np.random.default_rng(7)
+    header = b"P6\n12 12\n255\n"
+    payloads = []
+    for i in range(12):
+        img = rng.integers(0, 256, size=(12, 12, 3), dtype=np.uint8)
+        payloads.append(header + img.tobytes())
+        flip = img.copy()
+        flip[0, 0, 0] ^= 1  # one-bit pixel change -> near-identical hash
+        payloads.append(header + flip.tobytes())
+    payloads.append(b"\xff\xd8broken")  # undecodable
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+
+    got = (
+        multimodal.phash_neardup_pairs(df, max_hamming=4)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    fp = multimodal.image_phash(df).toPandas()
+    assert fp.loc[fp.media_id == 24, "phash"].isna().all()
+    hp = fp.dropna().astype({"phash": "int64"})
+    expect = []
+    hs = list(zip(hp.media_id, hp.phash))
+    for i, (ida, ha) in enumerate(hs):
+        for idb, hb in hs[i + 1:]:
+            d = bin((int(ha) ^ int(hb)) & ((1 << 64) - 1)).count("1")
+            if d <= 4:
+                a, b = sorted((int(ida), int(idb)))
+                expect.append((a, b, d))
+    expect.sort()
+    assert [tuple(r) for r in got.itertuples(index=False)] == expect
+    assert len(expect) >= 10  # the planted twins are found
+
+
+def test_audio_features_sine_tone(spark):
+    """audio_features recovers the physics of known signals: a pure
+    440 Hz tone has spectral centroid ~440 Hz, tight bandwidth, rolloff
+    at the tone, and ZCR = 2*f/rate; white noise has a much higher
+    centroid and bandwidth; non-audio payloads degrade to
+    kind='unsupported'."""
+    import numpy as np
+
+    from kats_spark.operators import multimodal
+
+    rate, n = 8000, 4096
+
+    def wav(samples8):
+        return (
+            b"RIFF" + (36 + len(samples8)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + rate.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + b"data" + len(samples8).to_bytes(4, "little") + bytes(samples8)
+        )
+
+    t = np.arange(n) / rate
+    f0 = 437.5  # bin-aligned at n=4096 (bin 224) -> no spectral leakage
+    tone = (127.5 + 100 * np.sin(2 * np.pi * f0 * t)).astype(np.uint8)
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, n, dtype=np.uint8)
+    rows = [
+        (0, bytearray(wav(tone))),
+        (1, bytearray(wav(noise))),
+        (2, bytearray(b"P6\n1 1\n255\nabc")),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = (
+        multimodal.audio_features(df)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    tr = out.loc[0]
+    assert tr.kind == "audio" and tr.sample_rate == rate and tr.n_samples == n
+    assert abs(tr.spectral_centroid - f0) < 15
+    assert tr.spectral_bandwidth < 200
+    assert abs(tr.spectral_rolloff - f0) < 10
+    assert abs(tr.zero_cross_rate - 2 * f0 / rate) < 0.01
+    nz = out.loc[1]
+    assert nz.spectral_centroid > 1000 and nz.spectral_bandwidth > 500
+    assert out.loc[2].kind == "unsupported"

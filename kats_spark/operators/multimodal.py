@@ -538,6 +538,11 @@ def phash_neardup_pairs(
     from kats_spark.operators.dedup import simhash_pairs
 
     fp = image_phash(df, payload_col, id_col).filter(F.col("phash").isNotNull())
+    # both sides of the band self-join derive from fp: without a boundary
+    # the DECODE+DCT python stage runs twice per image (plan audit: 4
+    # python stages -> 2).  The hash frame is 16 bytes/image — the cheap
+    # thing to materialize, vs the expensive thing to recompute.
+    fp = fp.localCheckpoint(eager=False)
     return simhash_pairs(
         fp, max_hamming=max_hamming, id_col=id_col, fp_col="phash"
     )

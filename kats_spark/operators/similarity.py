@@ -456,6 +456,13 @@ def semantic_dedup(
             "centroid_dist"
         ),
     )
+    # withd feeds BOTH sides of the self-join AND the final verdict row —
+    # without a materialization boundary the whole index build (seed
+    # assign + Lloyd step + re-assign) recomputes 3x (plan audit showed
+    # 24 exchanges / 15 scans; 8 / 3 after).  localCheckpoint keeps it
+    # executor-local; the frame is the corpus projected to
+    # (id, vec, cell, dist) — same width the join needs anyway.
+    withd = withd.localCheckpoint(eager=False)
     a = withd.select(
         "cell_id",
         F.col(id_col).alias("id_a"),

@@ -77,6 +77,7 @@ _PRIORITY = [
     "allpairs_topk", "embed_neardup", "ivf_topk_portable",
     "semantic_dedup", "image_phash_pairs", "audio_features",
     "corpus_prep", "corpus_profile", "quality_classifier",
+    "sketch_profile",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

@@ -80,6 +80,11 @@ HEADLINE = [
     "hpt_gpei",
     "global_rnn_ensemble",
     "global_ens_backtest",
+    # round-5 additions (baseline = BENCH_r05): SemDeDup semantic dedup,
+    # perceptual-hash image near-dup, audio spectral features
+    "semantic_dedup",
+    "image_phash_pairs",
+    "audio_features",
 ]
 
 

@@ -712,3 +712,60 @@ def zipf_fit(
         F.round(F.col("zipf_slope") + 1e-9, 6).alias("zipf_slope"),
         F.round(F.col("zipf_r2") + 1e-9, 6).alias("zipf_r2"),
     )
+
+
+def sketch_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Sketch-based corpus profile — the 100 TB path for the numbers every
+    corpus audit needs: vocabulary size via HyperLogLog++
+    (``approx_count_distinct``, relative sd ``rsd``) and the doc-length
+    distribution via ``percentile_approx``, next to their exact twins so
+    the sketch error is MEASURED on every run, not assumed.
+
+    Scale story: the exact vocab count shuffles every distinct token to
+    an aggregator; the HLL sketch is a few KB per partition, map-side
+    mergeable, no token ever shuffles.  Same for percentiles: the exact
+    median needs a sort, the KLL-style sketch merges.  At corpus scale
+    you run the sketch columns only (drop the exact twins — they are the
+    audit, not the product) and the plan collapses to one scan + one
+    scalar agg.
+
+    Output one row: n_docs, n_tokens, vocab_exact, vocab_approx,
+    vocab_rel_err, len_p50_exact, len_p50_approx, len_p90_approx."""
+    from kats_spark.operators.dedup import normalize
+
+    toks = df.select(
+        F.col(text_col),
+        tokens(normalize(F.col(text_col))).alias("__toks"),
+    ).select(F.size("__toks").alias("__len"), F.explode("__toks").alias("__t"))
+    prof = toks.agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("__t").alias("vocab_exact"),
+        F.approx_count_distinct("__t", rsd).alias("vocab_approx"),
+    )
+    lens = df.select(
+        F.size(tokens(normalize(F.col(text_col)))).alias("__len")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(__len, 0.5)").alias("len_p50_exact"),
+        F.expr("percentile_approx(__len, 0.5)").alias("len_p50_approx"),
+        F.expr("percentile_approx(__len, 0.9)").alias("len_p90_approx"),
+    )
+    return lens.crossJoin(prof).select(
+        F.col("n_docs").cast("bigint"),
+        F.col("n_tokens").cast("bigint"),
+        F.col("vocab_exact").cast("bigint"),
+        F.col("vocab_approx").cast("bigint"),
+        F.round(
+            F.abs(F.col("vocab_approx") - F.col("vocab_exact"))
+            / F.col("vocab_exact")
+            + F.lit(1.0e-9),
+            6,
+        ).alias("vocab_rel_err"),
+        F.col("len_p50_exact").cast("double"),
+        F.col("len_p50_approx").cast("double"),
+        F.col("len_p90_approx").cast("double"),
+    )

@@ -1184,6 +1184,18 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact corpus profile audit (text.sketch_profile): HLL++
+    vocabulary count and approx percentiles next to their exact twins,
+    with the relative error AS A COLUMN — the measured-approximation
+    pattern (ivf_recall, minhash_quality) applied to the sketches a
+    100 TB profile run would use.  Sketch values are engine-internal
+    (HLL register layout) -> rows-only; the error bound is asserted in
+    tests/test_batch3.py."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.sketch_profile(docs, rsd=0.02)
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law audit over corpus token frequencies — full oracle:
     identical normalize/tokenize, rank window, and regr_slope/regr_r2."""
@@ -1420,6 +1432,7 @@ QUERIES = {
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "snapshot_diff": q_snapshot_diff,
     "zipf_fit": q_zipf_fit,
+    "sketch_profile": q_sketch_profile,
     "corpus_profile": q_corpus_profile,
     "corpus_sample": q_corpus_sample,
     "decontaminate": q_decontaminate,

@@ -1914,3 +1914,19 @@ def test_lang_id_ngram_twenty_languages(spark):
     assert (m.lang_pred_ng == m.expected).all(), list(
         zip(m.expected, m.lang_pred_ng)
     )
+
+
+def test_sketch_profile_error_bounds(spark):
+    """sketch_profile's HLL++ vocab estimate lands within 3x the
+    configured rsd of the exact count, and the approx median within one
+    token of the exact median — the sketches a 100 TB profile would run
+    are measured against their exact twins on every call."""
+    from kats_spark.operators.text import sketch_profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    row = sketch_profile(docs, rsd=0.02).collect()[0]
+    assert row.n_docs == 500 and row.n_tokens > 0
+    assert row.vocab_exact > 0
+    assert row.vocab_rel_err <= 3 * 0.02
+    assert abs(row.len_p50_approx - row.len_p50_exact) <= 1.0
+    assert row.len_p90_approx >= row.len_p50_approx

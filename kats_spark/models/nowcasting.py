@@ -39,24 +39,55 @@ def nowcast(
     step: int = 1,
     max_iter: int = 20,
     seed: int = 7,
+    regressor: str = "gbt",
     s: TSSchema = DEFAULT,
 ) -> DataFrame:
     """In-sample ``step``-ahead nowcast: (series_id, time, value, target,
-    prediction) — deterministic given ``seed``."""
+    prediction) — deterministic given ``seed``.
+
+    ``regressor`` selects the reference's three nowcasting variants over
+    the SAME feature block:
+    - 'gbt'    — Nowcasting (nowcasting.py, LightGBM's role)
+    - 'rf'     — DynamicNowcasting (dynamic_nowcasting.py:99-120,
+                 sklearn RandomForestRegressor's role)
+    - 'linear' — NowcastingPlus (nowcastingplus.py:52-63: LinearRegression
+                 over TA features + the poly(x, n) powers of the value)
+    All three are one distributed MLlib fit — tree ensembles and the
+    normal-equation solve both scale as treeAggregate passes.
+    """
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.regression import GBTRegressor
+    from pyspark.ml.regression import (
+        GBTRegressor,
+        LinearRegression,
+        RandomForestRegressor,
+    )
 
     feats, names = make_ta_features(df, s)
+    if regressor == "linear":
+        # NowcastingPlus's poly features: value^2, value^3
+        feats = feats.withColumn("poly_2", F.col(s.value) * F.col(s.value))
+        feats = feats.withColumn("poly_3", F.col("poly_2") * F.col(s.value))
+        names = names + ["poly_2", "poly_3"]
     labeled = feats.withColumn("target", F.lead(s.value, step).over(s.w())).dropna(
         subset=["target"]
     )
     vec = VectorAssembler(inputCols=names, outputCol="features", handleInvalid="skip")
     assembled = vec.transform(labeled)
-    gbt = GBTRegressor(
-        featuresCol="features", labelCol="target", maxIter=max_iter, maxDepth=4,
-        seed=seed,
-    )
-    model = gbt.fit(assembled)
+    if regressor == "gbt":
+        est = GBTRegressor(
+            featuresCol="features", labelCol="target", maxIter=max_iter,
+            maxDepth=4, seed=seed,
+        )
+    elif regressor == "rf":
+        est = RandomForestRegressor(
+            featuresCol="features", labelCol="target", numTrees=max_iter,
+            maxDepth=4, seed=seed,
+        )
+    elif regressor == "linear":
+        est = LinearRegression(featuresCol="features", labelCol="target")
+    else:
+        raise ValueError(f"unknown regressor {regressor!r}")
+    model = est.fit(assembled)
     return model.transform(assembled).select(
         s.series_id, s.time, s.value, "target", "prediction"
     )

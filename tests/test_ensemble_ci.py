@@ -208,3 +208,24 @@ def test_nowcast_beats_mean(spark):
     resid = out.target - out.prediction
     base = out.target - out.target.mean()
     assert (resid**2).mean() < 0.5 * (base**2).mean()
+
+
+def test_nowcast_variants_beat_mean(spark):
+    """The DynamicNowcasting (rf) and NowcastingPlus (linear + poly)
+    variants run through the same distributed fit and both beat the
+    series-mean baseline on a seasonal fixture."""
+    from kats_spark.models import nowcasting
+
+    df = simulator.simulate(
+        spark, n_series=2, n_points=300, noise_std=0.5,
+        seasonal_period=24, seasonal_magnitude=3.0, seed=66,
+    )
+    for reg in ("rf", "linear"):
+        out = nowcasting.nowcast(df, step=1, max_iter=10, regressor=reg).toPandas()
+        resid = out.target - out.prediction
+        base = out.target - out.target.mean()
+        assert (resid**2).mean() < 0.7 * (base**2).mean(), reg
+    import pytest
+
+    with pytest.raises(ValueError):
+        nowcasting.nowcast(df, regressor="bogus")

@@ -71,8 +71,16 @@ def builtin_detectors() -> Registry:
 def builtin_forecasters() -> Registry:
     """Forecaster surface, keyed by the reference's model module names
     (kats/models/model.py:18 contract)."""
-    from kats_spark.models import ar, arima, fcst, harmonic, stlf
-    from kats_spark.operators import trend
+    from kats_spark.models import (
+        ar, arima, bvar, fcst, harmonic, neural_prophet_lite, prophet_lite,
+        rnn, sarima, std_global, stlf,
+    )
+    from kats_spark.operators import trend, var
+
+    def _fcst(model: str):
+        return lambda df, steps, freq_seconds, **kw: fcst.forecast(
+            df, model, steps, freq_seconds, **kw
+        )
 
     r = Registry("forecaster")
     r._entries.update(
@@ -80,18 +88,23 @@ def builtin_forecasters() -> Registry:
             "linear": trend.linear_forecast,
             "quadratic": trend.quadratic_forecast,
             "arima": arima.arima_forecast,
+            "sarima": sarima.sarima_forecast,
             "ar": ar.ar2_forecast,
-            "theta": lambda df, steps, freq_seconds, **kw: fcst.forecast(
-                df, "theta", steps, freq_seconds, **kw
-            ),
-            "ses": lambda df, steps, freq_seconds, **kw: fcst.forecast(
-                df, "ses", steps, freq_seconds, **kw
-            ),
-            "holtwinters": lambda df, steps, freq_seconds, **kw: fcst.forecast(
-                df, "holtwinters", steps, freq_seconds, **kw
-            ),
+            "theta": _fcst("theta"),
+            "ses": _fcst("ses"),
+            "holt": _fcst("holt"),
+            "damped": _fcst("holt_damped"),
+            "holtwinters": _fcst("holtwinters"),
+            "simple_heuristic": fcst.simple_heuristic_forecast,
             "harmonic": harmonic.harmonic_forecast,
             "stlf": stlf.stlf_forecast,
+            "prophet": prophet_lite.prophet_forecast,
+            "neuralprophet": neural_prophet_lite.neural_prophet_forecast,
+            "lstm": rnn.lstm_forecast,
+            "gru": rnn.rnn_forecast,
+            "var": var.var_forecast,
+            "bayesian_var": bvar.bvar_forecast,
+            "std_global": std_global.std_global_forecast,
         }
     )
     return r

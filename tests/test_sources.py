@@ -180,3 +180,16 @@ def test_coverage_references_resolve():
         assert os.path.exists(
             os.path.join(os.path.dirname(__file__), path)
         ), f"COVERAGE references missing test file {path}"
+
+
+def test_registry_covers_model_zoo():
+    """Every model family in SURVEY §2.9 resolves by its reference module
+    name — the reference's get-by-name registry surface is complete."""
+    fz = builtin_forecasters()
+    for name in [
+        "linear", "quadratic", "arima", "sarima", "theta", "ses", "holt",
+        "damped", "holtwinters", "simple_heuristic", "harmonic", "stlf",
+        "prophet", "neuralprophet", "lstm", "gru", "var", "bayesian_var",
+        "std_global", "ar",
+    ]:
+        assert callable(fz.get(name)), name

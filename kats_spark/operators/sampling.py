@@ -23,6 +23,7 @@ def token_budget_sample(
     id_col: str = "doc_id",
     seed: int = 0,
     salt_shards: int | None = None,
+    bucket_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic stratified sample: within every ``by`` bucket, take
     documents in a seeded-hash shuffle order until the cumulative token
@@ -57,7 +58,12 @@ def token_budget_sample(
     scale the salted plan's extra aggregate + reattach join cost more
     than the parallelism buys — and larger ones the 256-shard salted
     plan.  Both produce bit-identical output (asserted in tests), so
-    the gate is purely a physical-plan choice."""
+    the gate is purely a physical-plan choice.
+
+    ``bucket_budgets`` (optional) overrides the constant budget with a
+    PER-BUCKET budget frame (columns ``by`` + ``__budget``) — the hook
+    the temperature-mixture sampler uses.  It is bucket-count-sized and
+    broadcasts; the fill logic is otherwise identical."""
     by = list(by)
     if salt_shards is None:
         salt_shards = 1 if df.count() < 1_000_000 else 256
@@ -65,13 +71,18 @@ def token_budget_sample(
     base = df.withColumn("n_tokens", F.size(tokens(F.col(text_col)))).withColumn(
         "__rk", rank_key
     )
+    budget = (
+        F.col("__budget") if bucket_budgets is not None else F.lit(budget_tokens)
+    )
     if salt_shards <= 1:
+        if bucket_budgets is not None:
+            base = base.join(F.broadcast(bucket_budgets), by)
         w = Window.partitionBy(*by).orderBy("__rk", id_col)
         cum = F.sum("n_tokens").over(w)
         out = base.withColumn("cum_tokens", cum).filter(
-            F.col("cum_tokens") - F.col("n_tokens") < budget_tokens
+            F.col("cum_tokens") - F.col("n_tokens") < budget
         )
-        return out.drop("__rk")
+        return out.drop("__rk", "__budget") if bucket_budgets is not None else out.drop("__rk")
     prefix_len = {16: 1, 256: 2}.get(salt_shards)
     if prefix_len is None:
         raise ValueError("salt_shards must be 1, 16 or 256 (hex-prefix widths)")
@@ -106,12 +117,14 @@ def token_budget_sample(
         F.coalesce(F.sum("__shard_tok").over(w_off), F.lit(0)).alias("__off"),
     )
     w_in = Window.partitionBy(*by, "__salt").orderBy("__rk", id_col)
+    picked = slim.join(F.broadcast(offsets), [*by, "__salt"])
+    if bucket_budgets is not None:
+        picked = picked.join(F.broadcast(bucket_budgets), by)
     picked = (
-        slim.join(F.broadcast(offsets), [*by, "__salt"])
-        .withColumn(
+        picked.withColumn(
             "cum_tokens", F.col("__off") + F.sum("n_tokens").over(w_in)
         )
-        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
         .select(id_col, "n_tokens", "cum_tokens")
     )
     # Reattach the full rows (text etc.) for the selected ids only.
@@ -120,6 +133,68 @@ def token_budget_sample(
     # broadcast-hash join over one more scan of df — no shuffle of the
     # corpus.
     return df.join(F.broadcast(picked), id_col)
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    total_budget: int,
+    alpha: float = 0.7,
+    by: list[str] = ("lang",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    salt_shards: int | None = None,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling — the multilingual/
+    multi-source pretraining rebalance (the p_l ∝ n_l^alpha rule of
+    multilingual LM training; alpha < 1 upsamples tail buckets relative
+    to their natural share, alpha = 1 is proportional, alpha = 0 uniform).
+
+    Per-bucket budgets come from the corpus's OWN token totals:
+    budget_b = total_budget * n_b^alpha / sum_m n_m^alpha, rounded with
+    the +1e-9 lattice epsilon so both engines floor identically; the
+    greedy salted-exact fill of token_budget_sample then runs against
+    the per-bucket budget line.  Everything is one token-count aggregate
+    (bucket-count-sized, broadcasts) on top of the existing sampler —
+    fully oracle-replayable, no driver math.
+
+    Output: sampled rows + n_tokens + cum_tokens + __budget audit
+    columns per row's bucket."""
+    by = list(by)
+    totals = (
+        df.select(*by, F.size(tokens(F.col(text_col))).alias("__nt"))
+        .groupBy(*by)
+        .agg(F.sum("__nt").alias("__bucket_tok"))
+    )
+    wsum = totals.agg(
+        F.sum(F.pow(F.col("__bucket_tok").cast("double"), F.lit(alpha))).alias("__z")
+    )
+    budgets = (
+        totals.crossJoin(F.broadcast(wsum))
+        .select(
+            *by,
+            F.floor(
+                F.lit(float(total_budget))
+                * F.pow(F.col("__bucket_tok").cast("double"), F.lit(alpha))
+                / F.col("__z")
+                + F.lit(1.0e-9)
+            )
+            .cast("bigint")
+            .alias("__budget"),
+        )
+    )
+    out = token_budget_sample(
+        df,
+        budget_tokens=0,  # unused: per-bucket budgets drive the fill
+        by=by,
+        text_col=text_col,
+        id_col=id_col,
+        seed=seed,
+        salt_shards=salt_shards,
+        bucket_budgets=budgets,
+    )
+    # reattach the audit budget column (token_budget_sample returns rows)
+    return out.join(F.broadcast(budgets), by)
 
 
 def decontaminate(

@@ -909,6 +909,52 @@ ORDER BY doc_id
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (sampling.py
+    temperature_mixture_sample): per-language budgets p_l ∝ n_l^0.5 over
+    a 20k-token total, then the deterministic greedy fill — the
+    multilingual-pretraining rebalance as one oracle-replayable plan
+    (budget arithmetic + md5 shuffle order + prefix-sum fill)."""
+    from kats_spark.operators.sampling import temperature_mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_mixture_sample(
+        docs, total_budget=20000, alpha=0.5, by=["lang"], seed=7
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("__budget").cast("bigint").alias("bucket_budget"),
+    ).orderBy("doc_id")
+
+
+_Q_MIXTURE_SAMPLE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+    md5(concat_ws(':', '7', doc_id::VARCHAR)) AS rk
+  FROM documents
+),
+tot AS (SELECT lang, sum(n_tokens) AS bt FROM base GROUP BY lang),
+z AS (SELECT sum(pow(bt::DOUBLE, 0.5)) AS z FROM tot),
+bud AS (
+  SELECT lang, floor(20000.0 * pow(bt::DOUBLE, 0.5) / z + 1e-9)::BIGINT AS bucket_budget
+  FROM tot CROSS JOIN z
+),
+c AS (
+  SELECT b.doc_id, b.lang, b.n_tokens, u.bucket_budget,
+    sum(b.n_tokens) OVER (PARTITION BY b.lang ORDER BY b.rk, b.doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM base b JOIN bud u USING (lang)
+)
+SELECT doc_id, lang, n_tokens, cum_tokens::BIGINT AS cum_tokens, bucket_budget
+FROM c WHERE cum_tokens - n_tokens < bucket_budget
+ORDER BY doc_id
+"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via the pigeonhole band join
     (Manku/Jain/Sarma WWW'07) over the PORTABLE 16-bit fingerprint —
@@ -1435,6 +1481,7 @@ QUERIES = {
     "sketch_profile": q_sketch_profile,
     "corpus_profile": q_corpus_profile,
     "corpus_sample": q_corpus_sample,
+    "mixture_sample": q_mixture_sample,
     "decontaminate": q_decontaminate,
     "unigram_logppl": q_unigram_logppl,
     "bigram_logppl": q_bigram_logppl,
@@ -1454,6 +1501,7 @@ ORACLES = {
     "decontaminate": _Q_DECONTAMINATE_SQL,
     "repetition_stats": _Q_REPETITION_SQL,
     "corpus_sample": _Q_CORPUS_SAMPLE_SQL,
+    "mixture_sample": _Q_MIXTURE_SAMPLE_SQL,
     "simhash_neardup": _simhash_neardup_sql(bits=24, bands=2, max_hamming=1),
     "dup_clusters": _dup_clusters_sql(),
     "decontaminate_fuzzy": _decontaminate_fuzzy_sql(),

@@ -1930,3 +1930,45 @@ def test_sketch_profile_error_bounds(spark):
     assert row.vocab_rel_err <= 3 * 0.02
     assert abs(row.len_p50_approx - row.len_p50_exact) <= 1.0
     assert row.len_p90_approx >= row.len_p50_approx
+
+
+def test_temperature_mixture_sample_contract(spark):
+    """temperature_mixture_sample: budgets follow n^alpha (alpha < 1
+    shifts share toward tail languages vs proportional), per-bucket
+    fills respect their own budget line, and the salted plan produces
+    the identical row set."""
+    from kats_spark.operators.sampling import temperature_mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    flat = (
+        temperature_mixture_sample(
+            docs, total_budget=20000, alpha=0.5, by=["lang"], seed=7
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    prop = temperature_mixture_sample(
+        docs, total_budget=20000, alpha=1.0, by=["lang"], seed=7
+    ).toPandas()
+    # every kept row STARTED under its bucket budget
+    assert ((flat.cum_tokens - flat.n_tokens) < flat["__budget"]).all()
+    # alpha < 1 gives the smallest language a larger budget than alpha=1
+    bud_flat = flat.groupby("lang")["__budget"].first()
+    bud_prop = prop.groupby("lang")["__budget"].first()
+    tail = bud_prop.idxmin()
+    head = bud_prop.idxmax()
+    assert bud_flat[tail] > bud_prop[tail]
+    assert bud_flat[head] < bud_prop[head]
+    # salted plan = identical rows
+    salted = (
+        temperature_mixture_sample(
+            docs, total_budget=20000, alpha=0.5, by=["lang"], seed=7,
+            salt_shards=256,
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(salted.doc_id) == list(flat.doc_id)
+    assert list(salted.cum_tokens) == list(flat.cum_tokens)

@@ -76,7 +76,7 @@ _PRIORITY = [
     # intra-family variants displaced from the first 50 (all were green
     # in r01/r02 driver runs or judge checks)
     "hourly_rollup", "hourly_ratio_full", "fft_seasonality",
-    "rolling_mad", "theta_forecast",
+    "rolling_mad", "theta_forecast", "holtwinters_mul_forecast",
     "weighted_ensemble", "global_dms", "var_scores",
     # LLM pipeline depth
     "allpairs_topk", "embed_neardup", "ivf_topk_portable",

@@ -2376,6 +2376,86 @@ FROM sel s CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS h) gg
 """
 
 
+def q_holtwinters_mul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative-seasonality Holt-Winters (the reference's
+    seasonal="mul" knob, kats/models/holtwinters.py:34-60) — full oracle:
+    the same 26-state recursive-CTE replay as the additive twin with the
+    multiplicative recursions (y/s level input, y/l seasonal update,
+    (l+b)*s fitted) and the (l + b*h) * s_i horizon equation."""
+    out = fcst_mod.forecast(
+        hourly_series(spark, sf_dir), "holtwinters_mul", steps=24,
+        freq_seconds=3600, period=24,
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
+_Q_HW_MUL_SQL = f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+lst AS (
+  SELECT series_id, max(time) AS tmax, count(*)::BIGINT AS n,
+         list(value ORDER BY time) AS vs
+  FROM h GROUP BY 1
+),
+grid AS (
+  SELECT a.a, b.bta, g.g
+  FROM (SELECT unnest([0.25, 0.5, 0.75]) AS a) a,
+       (SELECT unnest([0.25, 0.5, 0.75]) AS bta) b,
+       (SELECT unnest([0.25, 0.5, 0.75]) AS g) g
+),
+init AS (
+  SELECT l.series_id, gr.a, gr.bta, gr.g,
+    list_sum(l.vs[1:24]) / 24.0 AS l0,
+    (list_sum(l.vs[25:48]) / 24.0 - list_sum(l.vs[1:24]) / 24.0) / 24.0 AS b0,
+    list_transform(l.vs[1:24], s -> s / (list_sum(l.vs[1:24]) / 24.0)) AS seas0
+  FROM lst l CROSS JOIN grid gr
+  WHERE l.n >= 48
+),
+rec AS (
+  SELECT series_id, a, bta, g, 0::BIGINT AS i,
+    l0 AS l, b0 AS tr, seas0 AS seas,
+    0.0::DOUBLE AS sse, 0.0::DOUBLE AS rsum, 0.0::DOUBLE AS rss
+  FROM init
+  UNION ALL
+  SELECT r.series_id, r.a, r.bta, r.g, r.i + 1,
+    r.a * (l.vs[r.i + 1] / r.seas[(r.i % 24) + 1]) + (1 - r.a) * (r.l + r.tr),
+    r.bta * ((r.a * (l.vs[r.i + 1] / r.seas[(r.i % 24) + 1]) + (1 - r.a) * (r.l + r.tr)) - r.l)
+      + (1 - r.bta) * r.tr,
+    list_transform(r.seas, (s, k) -> CASE WHEN k = (r.i % 24) + 1
+      THEN r.g * (l.vs[r.i + 1]
+        / (r.a * (l.vs[r.i + 1] / r.seas[(r.i % 24) + 1]) + (1 - r.a) * (r.l + r.tr)))
+        + (1 - r.g) * s
+      ELSE s END),
+    r.sse + pow(l.vs[r.i + 1] - (r.l + r.tr) * r.seas[(r.i % 24) + 1], 2),
+    r.rsum + CASE WHEN r.i >= 1
+      THEN l.vs[r.i + 1] - (r.l + r.tr) * r.seas[(r.i % 24) + 1] ELSE 0.0 END,
+    r.rss + CASE WHEN r.i >= 1
+      THEN pow(l.vs[r.i + 1] - (r.l + r.tr) * r.seas[(r.i % 24) + 1], 2) ELSE 0.0 END
+  FROM rec r JOIN lst l USING (series_id)
+  WHERE r.i < l.n
+),
+fin AS (
+  SELECT r.*, l.n AS nn, l.tmax FROM rec r JOIN lst l USING (series_id) WHERE r.i = l.n
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY sse, a, bta, g) AS rk
+  FROM fin
+),
+sel AS (
+  SELECT series_id, tmax, nn, l, tr, seas, a, bta, g,
+    sqrt(greatest(0.0, (rss - rsum * rsum / (nn - 1)) / (nn - 2))) AS sigma
+  FROM best WHERE rk = 1
+)
+SELECT s.series_id,
+  strftime(s.tmax + to_seconds(gg.h * 3600), '{_DK_FMT}') AS time,
+  round(1e-9 + (s.l + s.tr * gg.h) * s.seas[((s.nn + gg.h - 1) % 24) + 1], 6) AS fcst,
+  round(1e-9 + (s.l + s.tr * gg.h) * s.seas[((s.nn + gg.h - 1) % 24) + 1]
+    - 1.959963984540054 * s.sigma * sqrt(gg.h), 6) AS fcst_lower,
+  round(1e-9 + (s.l + s.tr * gg.h) * s.seas[((s.nn + gg.h - 1) % 24) + 1]
+    + 1.959963984540054 * s.sigma * sqrt(gg.h), 6) AS fcst_upper
+FROM sel s CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS h) gg
+"""
+
+
 def q_damped_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped Holt (Gardner-McKenzie; the reference HoltWintersParams
     ``damped`` flag) — full oracle: the 2-state recurrence replays in a
@@ -2621,6 +2701,7 @@ QUERIES.update(
         "cusum_detect": q_cusum_detect,
         "ses_forecast": q_ses_forecast,
         "holtwinters_forecast": q_holtwinters_forecast,
+        "holtwinters_mul_forecast": q_holtwinters_mul,
         "damped_forecast": q_damped_forecast,
         "theta_forecast": q_theta_forecast,
     }
@@ -2645,6 +2726,7 @@ ORACLES.update(
         "ses_forecast": _Q_SES_SQL,
         "theta_forecast": _Q_THETA_SQL,
         "holtwinters_forecast": _Q_HW_SQL,
+        "holtwinters_mul_forecast": _Q_HW_MUL_SQL,
         "damped_forecast": _Q_DAMPED_SQL,
         "cusum_detect": _Q_CUSUM_SQL,
     }

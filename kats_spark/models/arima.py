@@ -909,3 +909,77 @@ def param_stderr(
     ok = d > 0
     out[ok] = np.sqrt(d[ok])
     return out
+
+
+def arimax_forecast(
+    df: DataFrame,
+    steps: int,
+    freq_seconds: int,
+    future_exog: DataFrame,
+    exog_cols: list[str],
+    order: tuple[int, int, int] = (2, 0, 1),
+    s: TSSchema = DEFAULT,
+    method: str = "mle",
+) -> DataFrame:
+    """Linear regression with ARIMA errors — the reference's
+    ``ARIMAParams.exog`` surface (kats/models/arima.py:54,62,71, passed
+    through to statsmodels' joint MLE).  Two-stage estimator per series:
+    OLS of y on the exogenous columns (with intercept), then the full
+    HR -> CSS -> exact-Kalman-MLE ARIMA chain on the OLS residual
+    process; forecast = X_future @ beta + ARIMA forecast of the
+    residuals.  The two-stage split is the classical regression-with-
+    ARMA-errors simplification of the joint likelihood (beta converges
+    to the joint-MLE estimate as n grows); prediction intervals carry
+    the ARIMA process variance (beta uncertainty excluded, documented).
+
+    ``future_exog``: (series_id, step 1..steps, <exog_cols>) — the
+    horizon's regressor values, cogrouped with the history so each
+    series' fit and its future X meet in ONE task
+    (``groupBy().cogroup().applyInPandas``, no join node, no driver
+    state).  Output: (series_id, time, fcst, fcst_lower, fcst_upper)."""
+    p, d, q = order
+    schema = (
+        f"{s.series_id} string, {s.time} timestamp, "
+        "fcst double, fcst_lower double, fcst_upper double"
+    )
+    cols = list(exog_cols)
+
+    def fn(hist: pd.DataFrame, fut: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            columns=[s.series_id, s.time, "fcst", "fcst_lower", "fcst_upper"]
+        )
+        if len(hist) < 3 * (p + q + d) + 10 or len(fut) < steps:
+            return empty
+        hist = hist.sort_values(s.time)
+        fut = fut.sort_values("step").iloc[:steps]
+        y = hist[s.value].to_numpy(dtype=float)
+        X = np.column_stack(
+            [np.ones(len(y))] + [hist[c].to_numpy(dtype=float) for c in cols]
+        )
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ beta
+        fc_r, se = _arima_forecast_one(resid, p, d, q, steps, method=method)
+        Xf = np.column_stack(
+            [np.ones(steps)] + [fut[c].to_numpy(dtype=float) for c in cols]
+        )
+        fc = Xf @ beta + fc_r
+        h = np.arange(1, steps + 1)
+        times = pd.Timestamp(hist[s.time].iloc[-1]) + pd.to_timedelta(
+            h * freq_seconds, unit="s"
+        )
+        return pd.DataFrame(
+            {
+                s.series_id: hist[s.series_id].iloc[0],
+                s.time: times,
+                "fcst": fc,
+                "fcst_lower": fc - Z95 * se,
+                "fcst_upper": fc + Z95 * se,
+            }
+        )
+
+    return (
+        df.select(s.series_id, s.time, s.value, *cols)
+        .groupBy(s.series_id)
+        .cogroup(future_exog.select(s.series_id, "step", *cols).groupBy(s.series_id))
+        .applyInPandas(fn, schema)
+    )

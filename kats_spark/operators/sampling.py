@@ -501,3 +501,92 @@ def bigram_logppl(
         F.sum("__k").cast("long").alias("n_bigrams"),
         (F.sum("__s") / F.sum("__k")).alias("logppl"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    salt_shards: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    step that turns a sampled document pool into fixed-length training
+    sequences: documents are laid end-to-end in a seeded-md5 shuffle
+    order and the token stream is cut every ``seq_len`` tokens, so a
+    document may span a sequence boundary (the standard packing that
+    wastes zero tokens to padding).
+
+    Per-document output (all derivable from one exact global prefix
+    sum): ``n_tokens``, ``cum_tokens``, ``seq_first``/``seq_last`` (the
+    sequences the document lands in), ``offset_in_seq`` (token offset of
+    the document's first token inside ``seq_first``), ``n_seqs_spanned``.
+
+    Scale shape: the global cumulative sum reuses the salted-exact
+    decomposition of :func:`token_budget_sample` — the salt is the
+    leading hex of the md5 order key itself, so the exact global prefix
+    sum is ``exclusive_prefix(per-shard totals) + within-shard cumsum``
+    and the big window runs 256-way parallel instead of single-task.
+    Count-guarded auto-gate as in the sampler; both plans bit-identical
+    (asserted in tests).  Fully window-expressible -> exact oracle."""
+    if salt_shards is None:
+        salt_shards = 1 if df.count() < 1_000_000 else 256
+    rank_key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    base = df.select(
+        id_col,
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        rank_key.alias("__rk"),
+    )
+    if salt_shards <= 1:
+        w = Window.orderBy("__rk", id_col)
+        cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    else:
+        prefix_len = {16: 1, 256: 2}.get(salt_shards)
+        if prefix_len is None:
+            raise ValueError("salt_shards must be 1, 16 or 256")
+        from pyspark import StorageLevel
+
+        slim = base.withColumn(
+            "__salt", F.substring("__rk", 1, prefix_len)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        shard_totals = slim.groupBy("__salt").agg(
+            F.sum("n_tokens").alias("__shard_tok")
+        )
+        w_off = Window.orderBy("__salt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = shard_totals.select(
+            "__salt",
+            F.coalesce(F.sum("__shard_tok").over(w_off), F.lit(0)).alias(
+                "__off"
+            ),
+        )
+        w_in = Window.partitionBy("__salt").orderBy("__rk", id_col)
+        cum = (
+            slim.join(F.broadcast(offsets), "__salt")
+            .withColumn(
+                "cum_tokens", F.col("__off") + F.sum("n_tokens").over(w_in)
+            )
+            .drop("__salt", "__off")
+        )
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.floor(start / seq_len).cast("bigint").alias("seq_first"),
+        F.floor((F.col("cum_tokens") - 1) / seq_len)
+        .cast("bigint")
+        .alias("seq_last"),
+        (start % seq_len).cast("bigint").alias("offset_in_seq"),
+        (
+            F.floor((F.col("cum_tokens") - 1) / seq_len)
+            - F.floor(start / seq_len)
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_seqs_spanned"),
+    )

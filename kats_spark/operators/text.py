@@ -769,3 +769,53 @@ def sketch_profile(
         F.col("len_p50_approx").cast("double"),
         F.col("len_p90_approx").cast("double"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding prep step
+    that splits each document into windows of ``chunk_size`` tokens with
+    ``overlap`` tokens of context carried between consecutive chunks
+    (stride = chunk_size - overlap).  Chunk ``i`` covers tokens
+    ``[i*stride, min(i*stride + chunk_size, n))``; the final partial
+    chunk is kept; an empty document yields one empty chunk.
+
+    Not in the reference (Kats is numeric-only); first-class for the
+    corpus pipeline.  Scale shape: pure narrow ops — tokenize, one
+    ``posexplode(sequence(...))`` per doc, ``slice`` + ``concat_ws`` —
+    all JVM-side codegen, zero shuffles, zero Python; output rows ~=
+    input tokens / stride, so the explode fans out by a small constant.
+
+    Output: ``id_col, chunk_id, start_tok, chunk_len, chunk_text``."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of stride-starts that still begin inside the document:
+    # ceil(max(n - overlap, 1) / stride) chunks, minimum 1
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)),
+        F.lit(1),
+    )
+    exploded = df.select(
+        id_col,
+        toks.alias("__toks"),
+        F.posexplode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_id", "__i"
+        ),
+    )
+    start = F.col("__i") * stride
+    chunk = F.slice(F.col("__toks"), start + 1, chunk_size)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

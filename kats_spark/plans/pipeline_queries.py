@@ -1459,7 +1459,84 @@ FROM j
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (sampling.py pack_sequences):
+    documents laid end-to-end in seeded-md5 shuffle order, token stream
+    cut every 512 tokens — per-doc sequence assignment, boundary spans
+    and offsets from one exact global prefix sum (salted-exact at
+    scale).  Fully window-expressible -> exact oracle."""
+    from kats_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_len=512, seed=7).orderBy("doc_id")
+
+
+_Q_PACK_SEQUENCES_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+    md5(concat_ws(':', '7', doc_id::VARCHAR)) AS rk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY rk, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+  FROM base
+)
+SELECT doc_id, n_tokens, cum_tokens,
+  ((cum_tokens - n_tokens) // 512)::BIGINT AS seq_first,
+  ((cum_tokens - 1) // 512)::BIGINT AS seq_last,
+  ((cum_tokens - n_tokens) % 512)::BIGINT AS offset_in_seq,
+  ((cum_tokens - 1) // 512 - (cum_tokens - n_tokens) // 512 + 1)::BIGINT AS n_seqs_spanned
+FROM c ORDER BY doc_id
+"""
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (text.py chunk_documents):
+    64-token windows, 16-token overlap — the RAG/embedding prep fan-out
+    as pure narrow JVM ops (tokenize + posexplode(sequence) + slice),
+    zero shuffles.  chunk_text hashed to md5 so the oracle hash stays
+    value-dense without shipping full chunk strings."""
+    from kats_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, chunk_size=64, overlap=16)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        "chunk_len",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_Q_CHUNK_DOCS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS nt,
+    greatest(ceil((len(toks) - 16) / 48.0), 1)::BIGINT AS n_chunks
+  FROM base
+),
+e AS (
+  SELECT doc_id, toks, i AS chunk_id, (i * 48)::BIGINT AS start_tok
+  FROM n, unnest(range(0, n_chunks)) AS t(i)
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id, start_tok,
+  len(list_slice(toks, start_tok + 1, start_tok + 64))::BIGINT AS chunk_len,
+  md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 64), ' ')) AS chunk_md5
+FROM e ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
+    "pack_sequences": q_pack_sequences,
+    "chunk_docs": q_chunk_docs,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh,
@@ -1496,6 +1573,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pack_sequences": _Q_PACK_SEQUENCES_SQL,
+    "chunk_docs": _Q_CHUNK_DOCS_SQL,
     "unigram_logppl": _Q_UNIGRAM_SQL,
     "bigram_logppl": _Q_BIGRAM_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,

@@ -1972,3 +1972,82 @@ def test_temperature_mixture_sample_contract(spark):
     )
     assert list(salted.doc_id) == list(flat.doc_id)
     assert list(salted.cum_tokens) == list(flat.cum_tokens)
+
+
+def test_pack_sequences_contract(spark):
+    """Concat-and-chunk packing: exact prefix-sum invariants — offsets
+    within [0, seq_len), sequence ids consistent with cum_tokens, the
+    token stream fully covered with no gaps, and the salted plan
+    bit-identical to the naive window."""
+    from kats_spark.operators.sampling import pack_sequences
+
+    rng = np.random.default_rng(11)
+    rows = [
+        {"doc_id": i, "text": " ".join(f"w{j}" for j in range(int(rng.integers(1, 90))))}
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = (
+        pack_sequences(df, seq_len=128, seed=3, salt_shards=1)
+        .toPandas()
+        .sort_values("cum_tokens")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 400
+    # the concatenated stream is gapless: each doc starts where the
+    # previous ended
+    starts = out.cum_tokens - out.n_tokens
+    assert starts.iloc[0] == 0
+    assert (starts.iloc[1:].values == out.cum_tokens.iloc[:-1].values).all()
+    assert ((out.offset_in_seq >= 0) & (out.offset_in_seq < 128)).all()
+    assert (out.seq_first == starts // 128).all()
+    assert (out.seq_last == (out.cum_tokens - 1) // 128).all()
+    assert (out.n_seqs_spanned == out.seq_last - out.seq_first + 1).all()
+    # boundary-spanning docs exist in a random-length corpus
+    assert (out.n_seqs_spanned > 1).any()
+    for shards in (16, 256):
+        salted = (
+            pack_sequences(df, seq_len=128, seed=3, salt_shards=shards)
+            .toPandas()
+            .sort_values("cum_tokens")
+            .reset_index(drop=True)
+        )
+        assert salted.equals(out), f"salt_shards={shards} diverged"
+
+
+def test_chunk_documents_contract(spark):
+    """Overlapping token-window chunking: stride = chunk - overlap,
+    full coverage, correct final-partial handling, consecutive chunks
+    share exactly `overlap` tokens, short/empty docs yield one chunk."""
+    from kats_spark.operators.text import chunk_documents
+
+    rows = [
+        {"doc_id": 1, "text": " ".join(f"t{j}" for j in range(100))},
+        {"doc_id": 2, "text": " ".join(f"t{j}" for j in range(40))},  # = chunk
+        {"doc_id": 3, "text": "a b c"},  # shorter than overlap
+        {"doc_id": 4, "text": "   "},  # empty after trim
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = (
+        chunk_documents(df, chunk_size=40, overlap=10)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    # 100 tokens, stride 30: minimal full cover = starts 0,30,60 (the
+    # chunk at 60 reaches token 99, so no 4th start is emitted)
+    assert list(d1.start_tok) == [0, 30, 60]
+    assert list(d1.chunk_len) == [40, 40, 40]
+    texts = list(d1.chunk_text)
+    for a, b in zip(texts, texts[1:]):
+        assert a.split()[-10:] == b.split()[:10]  # overlap carried
+    # coverage: union of [start, start+len) is exactly [0, 100)
+    covered = set()
+    for s, ln in zip(d1.start_tok, d1.chunk_len):
+        covered |= set(range(s, s + ln))
+    assert covered == set(range(100))
+    assert list(out[out.doc_id == 2].chunk_len) == [40]
+    assert list(out[out.doc_id == 3].chunk_len) == [3]
+    d4 = out[out.doc_id == 4]
+    assert list(d4.chunk_len) == [0] and list(d4.chunk_text) == [""]

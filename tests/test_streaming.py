@@ -739,3 +739,57 @@ def test_streaming_scrub_and_quality_matches_batch(spark):
         assert (got.quality_score - batch.quality_score).abs().max() < 1e-9
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_streaming_neardup_flags_cross_batch_near_duplicate(spark):
+    """streaming_neardup: a near-duplicate (one token changed) arriving
+    in a LATER micro-batch is flagged against the original resident with
+    a high signature-agreement fraction; fresh documents pass silently
+    and become residents themselves.  State is per-(band, bucket) and
+    FIFO-capped."""
+    from kats_spark.streaming.neardup import signature, streaming_neardup
+
+    tmpdir = tempfile.mkdtemp()
+    out_table = "neardup_stream_out"
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    near = base.replace("green", "dark")  # one-token edit
+    fresh = ("completely different content about spark structured "
+             "streaming stateful operators and watermark semantics")
+    try:
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        pd.DataFrame({"doc_id": [1, 2], "text": [base, fresh]}).to_parquet(
+            os.path.join(chunk_dir, "c0.parquet")
+        )
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        q = (
+            streaming_neardup(stream, match_frac=0.6)
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        assert len(spark.table(out_table).toPandas()) == 0  # batch 0 all fresh
+        pd.DataFrame(
+            {"doc_id": [3, 4], "text": [near, "another unrelated text entirely"]}
+        ).to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+        q.processAllAvailable()
+        q.stop()
+        got = spark.table(out_table).toPandas()
+        verdicts = got.drop_duplicates("doc_id")
+        assert list(verdicts.doc_id) == [3]
+        assert list(verdicts.matched_id) == [1]
+        assert (verdicts.est_jaccard >= 0.6).all()
+        # the flagged fraction agrees with a direct signature comparison
+        s1, s3 = signature(base), signature(near)
+        direct = sum(a == b for a, b in zip(s1, s3)) / len(s1)
+        assert abs(verdicts.est_jaccard.iloc[0] - direct) < 1e-9
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

@@ -82,7 +82,7 @@ _PRIORITY = [
     "allpairs_topk", "embed_neardup", "ivf_topk_portable",
     "semantic_dedup", "image_phash_pairs", "audio_features",
     "corpus_prep", "corpus_profile", "quality_classifier",
-    "sketch_profile",
+    "sketch_profile", "pack_sequences", "chunk_docs", "tfidf_topk",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

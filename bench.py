@@ -85,6 +85,8 @@ HEADLINE = [
     "semantic_dedup",
     "image_phash_pairs",
     "audio_features",
+    "pack_sequences",
+    "chunk_docs",
 ]
 
 

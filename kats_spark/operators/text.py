@@ -9,7 +9,7 @@ path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny stopword lists for the n-gram language heuristic — top function
@@ -818,4 +818,98 @@ def chunk_documents(
         start.cast("bigint").alias("start_tok"),
         F.size(chunk).cast("bigint").alias("chunk_len"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def tfidf_topk_pairs(
+    df: DataFrame,
+    k: int = 3,
+    top_m: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse lexical similarity: per-document top-``k`` neighbors by
+    TF-IDF cosine over an inverted-index self-join — the classic sparse
+    complement to the dense embedding ANN family (similarity.py).
+
+    Weights: tf * (ln((1+N)/(1+df)) + 1) (the smoothed idf), cosine on
+    the FULL-vector norms.  Vectors are TRUNCATED to their ``top_m``
+    heaviest terms before the join (deterministic: rounded weight desc,
+    then term) — the standard posting-bound for all-pairs similarity
+    (Bayardo et al., WWW'07 prune family): join cost drops from
+    sum(df^2) over the whole vocabulary to sum over terms of (docs
+    keeping that term in their top-m)^2, which a Zipf vocabulary makes
+    near-linear; head/stopword terms fall out of top-m exactly where
+    their df^2 would explode.  Truncation is part of the operator's
+    declared semantics, so the DuckDB oracle replays it exactly — the
+    result is exact FOR THE TRUNCATED vectors, with full-norm cosines.
+
+    Output: ``id_a, id_b, cos_sim (6 dp), rk`` — one row per (doc,
+    neighbor rank), rk <= k, ties broken by id_b."""
+    toks = tokens(F.col(text_col))
+    term_rows = df.select(
+        F.col(id_col).alias("__id"), F.explode(toks).alias("__t")
+    ).select("__id", F.lower(F.col("__t")).alias("__t"))
+    tf = term_rows.groupBy("__id", "__t").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("__n")
+    )
+    w = (
+        tf.join(dfreq, "__t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            "__t",
+            (
+                F.col("__tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("__df")))
+                    + F.lit(1.0)
+                )
+            ).alias("__w"),
+        )
+    )
+    norms = w.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
+    )
+    w_rk = Window.partitionBy("__id").orderBy(
+        F.round(F.col("__w") + F.lit(1e-9), 6).desc(), F.col("__t").asc()
+    )
+    trunc = (
+        w.withColumn("__trk", F.row_number().over(w_rk))
+        .filter(F.col("__trk") <= top_m)
+        .drop("__trk")
+    )
+    a, b = trunc.alias("a"), trunc.alias("b")
+    dots = (
+        a.join(b, (F.col("a.__t") == F.col("b.__t")) & (F.col("a.__id") != F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.sum(F.col("a.__w") * F.col("b.__w")).alias("__dot"))
+    )
+    scored = (
+        dots.join(norms.withColumnRenamed("__id", "id_a"), "id_a")
+        .withColumnRenamed("__norm", "__na")
+        .join(norms.withColumnRenamed("__id", "id_b"), "id_b")
+        .withColumnRenamed("__norm", "__nb")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__dot") / (F.col("__na") * F.col("__nb")) + F.lit(1e-9), 6
+            ).alias("cos_sim"),
+        )
+    )
+    rk_w = Window.partitionBy("id_a").orderBy(
+        F.col("cos_sim").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "cos_sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
     )

@@ -1534,9 +1534,65 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical top-k neighbors (text.py tfidf_topk_pairs):
+    smoothed TF-IDF weights, vectors truncated to their top-10 terms
+    (deterministic rounded-weight ranking — the Bayardo-style posting
+    bound), inverted-index self-join, full-norm cosine, top-3 per doc.
+    The oracle replays the identical truncation, so the check is an
+    exact hash despite the prune being part of the semantics."""
+    from kats_spark.operators.text import tfidf_topk_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk_pairs(docs, k=3, top_m=10).orderBy("id_a", "rk")
+
+
+_Q_TFIDF_TOPK_SQL = """
+WITH term_rows AS (
+  SELECT id, lower(t) AS t FROM (
+    SELECT doc_id AS id,
+      unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS t
+    FROM documents)
+),
+tf AS (SELECT id, t, count(*)::DOUBLE AS tf FROM term_rows GROUP BY id, t),
+dfreq AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+w AS (
+  SELECT id, t, tf * (ln((1 + n) / (1 + df)) + 1) AS w
+  FROM tf JOIN dfreq USING (t) CROSS JOIN n
+),
+norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+trunc AS (
+  SELECT id, t, w FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY round(w + 1e-9, 6) DESC, t ASC) AS trk
+    FROM w) WHERE trk <= 10
+),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+  FROM trunc a JOIN trunc b ON a.t = b.t AND a.id <> b.id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm) + 1e-9, 6) AS cos_sim
+  FROM dots
+  JOIN norms na ON na.id = dots.id_a
+  JOIN norms nb ON nb.id = dots.id_b
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY id_a ORDER BY cos_sim DESC, id_b ASC) AS rk
+  FROM scored
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cos_sim, rk::INT AS rk
+FROM ranked WHERE rk <= 3 ORDER BY id_a, rk
+"""
+
+
 QUERIES = {
     "pack_sequences": q_pack_sequences,
     "chunk_docs": q_chunk_docs,
+    "tfidf_topk": q_tfidf_topk,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh,
@@ -1575,6 +1631,7 @@ QUERIES = {
 ORACLES = {
     "pack_sequences": _Q_PACK_SEQUENCES_SQL,
     "chunk_docs": _Q_CHUNK_DOCS_SQL,
+    "tfidf_topk": _Q_TFIDF_TOPK_SQL,
     "unigram_logppl": _Q_UNIGRAM_SQL,
     "bigram_logppl": _Q_BIGRAM_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,

@@ -2051,3 +2051,47 @@ def test_chunk_documents_contract(spark):
     assert list(out[out.doc_id == 3].chunk_len) == [3]
     d4 = out[out.doc_id == 4]
     assert list(d4.chunk_len) == [0] and list(d4.chunk_text) == [""]
+
+
+def test_tfidf_topk_pairs_matches_numpy(spark):
+    """Full-vocab (top_m >= vocab) TF-IDF cosine top-k equals a dense
+    numpy computation of the same smoothed-idf weighting."""
+    from kats_spark.operators.text import tfidf_topk_pairs
+
+    corpus = {
+        1: "apple banana apple cherry",
+        2: "apple banana banana date",
+        3: "cherry date elderberry fig",
+        4: "apple apple apple banana cherry",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(corpus), "text": list(corpus.values())})
+    )
+    out = (
+        tfidf_topk_pairs(df, k=2, top_m=100)
+        .toPandas()
+        .sort_values(["id_a", "rk"])
+        .reset_index(drop=True)
+    )
+    vocab = sorted({t for c in corpus.values() for t in c.split()})
+    N = len(corpus)
+    mat = np.zeros((N, len(vocab)))
+    ids = sorted(corpus)
+    docs = [corpus[i].split() for i in ids]
+    for r, toks in enumerate(docs):
+        for c, t in enumerate(vocab):
+            tf = toks.count(t)
+            df_t = sum(t in d for d in docs)
+            mat[r, c] = tf * (np.log((1 + N) / (1 + df_t)) + 1)
+    nrm = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(nrm, nrm)
+    for r, i in enumerate(ids):
+        order = sorted(
+            (j for j in range(N) if j != r),
+            key=lambda j: (-round(cos[r, j] + 1e-9, 6), ids[j]),
+        )[:2]
+        got = out[out.id_a == i]
+        assert list(got.id_b) == [ids[j] for j in order], f"doc {i}"
+        for _, row in got.iterrows():
+            j = ids.index(row.id_b)
+            assert abs(row.cos_sim - round(cos[r, j] + 1e-9, 6)) < 2e-6

@@ -869,6 +869,12 @@ def tfidf_topk_pairs(
                 )
             ).alias("__w"),
         )
+        # materialization boundary: w feeds BOTH the norm aggregate and
+        # the truncation window, and trunc feeds BOTH self-join sides —
+        # without the boundaries each consumer re-runs the tokenizer +
+        # tf/df aggregates from the raw scan (12 scans / 25 exchanges in
+        # the unboundaried plan; 1 scan / ~7 after)
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("__id").agg(
         F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
@@ -880,6 +886,7 @@ def tfidf_topk_pairs(
         w.withColumn("__trk", F.row_number().over(w_rk))
         .filter(F.col("__trk") <= top_m)
         .drop("__trk")
+        .localCheckpoint(eager=False)
     )
     a, b = trunc.alias("a"), trunc.alias("b")
     dots = (

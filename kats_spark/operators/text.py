@@ -827,13 +827,21 @@ def tfidf_topk_pairs(
     top_m: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    posting_cap: int = 4096,
 ) -> DataFrame:
     """Sparse lexical similarity: per-document top-``k`` neighbors by
     TF-IDF cosine over an inverted-index self-join — the classic sparse
     complement to the dense embedding ANN family (similarity.py).
 
-    Weights: tf * (ln((1+N)/(1+df)) + 1) (the smoothed idf), cosine on
-    the FULL-vector norms.  Vectors are TRUNCATED to their ``top_m``
+    Weights: (1 + ln tf) * (ln((1+N)/(1+df)) + 1) — SUBLINEAR tf
+    (sklearn's ``sublinear_tf``) with the smoothed idf; cosine on the
+    FULL-vector norms.  Sublinear tf is load-bearing for scale, not just
+    statistics: with raw tf a stopword repeated 30x outweighs any rare
+    term's idf, survives the top-m truncation in EVERY document, and
+    its corpus-length posting list makes the join quadratic — log-tf
+    caps the head term's weight at 1+ln(tf) so discriminative terms win
+    the truncation and posting lists stay short (measured in
+    tools/scale_smoke.py).  Vectors are TRUNCATED to their ``top_m``
     heaviest terms before the join (deterministic: rounded weight desc,
     then term) — the standard posting-bound for all-pairs similarity
     (Bayardo et al., WWW'07 prune family): join cost drops from
@@ -843,6 +851,18 @@ def tfidf_topk_pairs(
     their df^2 would explode.  Truncation is part of the operator's
     declared semantics, so the DuckDB oracle replays it exactly — the
     result is exact FOR THE TRUNCATED vectors, with full-norm cosines.
+
+    ``posting_cap`` is the graceful-degradation guard for COLLAPSED
+    vocabularies (the minhash ``bucket_cap`` pattern): after truncation,
+    a term's posting list is capped to its ``posting_cap``
+    highest-weight documents (deterministic: rounded weight desc, id
+    asc), bounding worst-case candidate pairs at vocab * cap^2.  On a
+    Zipf vocabulary the cap never binds; on a degenerate corpus where
+    every document keeps the same few terms (measured: a 40-term
+    vocabulary makes the pair volume quadratic and a 20k-doc corpus
+    un-joinable) it trades recall for a hard cost bound — the honest
+    answer there is that idf carries no signal and MinHash/SimHash
+    candidates should be used instead.
 
     Output: ``id_a, id_b, cos_sim (6 dp), rk`` — one row per (doc,
     neighbor rank), rk <= k, ties broken by id_b."""
@@ -862,7 +882,7 @@ def tfidf_topk_pairs(
             "__id",
             "__t",
             (
-                F.col("__tf")
+                (F.lit(1.0) + F.log(F.col("__tf").cast("double")))
                 * (
                     F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("__df")))
                     + F.lit(1.0)
@@ -886,6 +906,14 @@ def tfidf_topk_pairs(
         w.withColumn("__trk", F.row_number().over(w_rk))
         .filter(F.col("__trk") <= top_m)
         .drop("__trk")
+    )
+    p_rk = Window.partitionBy("__t").orderBy(
+        F.round(F.col("__w") + F.lit(1e-9), 6).desc(), F.col("__id").asc()
+    )
+    trunc = (
+        trunc.withColumn("__prk", F.row_number().over(p_rk))
+        .filter(F.col("__prk") <= posting_cap)
+        .drop("__prk")
         .localCheckpoint(eager=False)
     )
     a, b = trunc.alias("a"), trunc.alias("b")

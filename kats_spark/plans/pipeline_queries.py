@@ -1536,7 +1536,7 @@ FROM e ORDER BY doc_id, chunk_id
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse lexical top-k neighbors (text.py tfidf_topk_pairs):
-    smoothed TF-IDF weights, vectors truncated to their top-10 terms
+    sublinear-tf smoothed-idf weights, vectors truncated to their top-10 terms
     (deterministic rounded-weight ranking — the Bayardo-style posting
     bound), inverted-index self-join, full-norm cosine, top-3 per doc.
     The oracle replays the identical truncation, so the check is an
@@ -1558,15 +1558,21 @@ tf AS (SELECT id, t, count(*)::DOUBLE AS tf FROM term_rows GROUP BY id, t),
 dfreq AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
 n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
 w AS (
-  SELECT id, t, tf * (ln((1 + n) / (1 + df)) + 1) AS w
+  SELECT id, t, (1 + ln(tf)) * (ln((1 + n) / (1 + df)) + 1) AS w
   FROM tf JOIN dfreq USING (t) CROSS JOIN n
 ),
 norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
-trunc AS (
+trunc0 AS (
   SELECT id, t, w FROM (
     SELECT *, row_number() OVER (
       PARTITION BY id ORDER BY round(w + 1e-9, 6) DESC, t ASC) AS trk
     FROM w) WHERE trk <= 10
+),
+trunc AS (
+  SELECT id, t, w FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY t ORDER BY round(w + 1e-9, 6) DESC, id ASC) AS prk
+    FROM trunc0) WHERE prk <= 4096
 ),
 dots AS (
   SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot

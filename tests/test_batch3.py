@@ -2082,7 +2082,8 @@ def test_tfidf_topk_pairs_matches_numpy(spark):
         for c, t in enumerate(vocab):
             tf = toks.count(t)
             df_t = sum(t in d for d in docs)
-            mat[r, c] = tf * (np.log((1 + N) / (1 + df_t)) + 1)
+            if tf:
+                mat[r, c] = (1 + np.log(tf)) * (np.log((1 + N) / (1 + df_t)) + 1)
     nrm = np.linalg.norm(mat, axis=1)
     cos = (mat @ mat.T) / np.outer(nrm, nrm)
     for r, i in enumerate(ids):
@@ -2095,3 +2096,30 @@ def test_tfidf_topk_pairs_matches_numpy(spark):
         for _, row in got.iterrows():
             j = ids.index(row.id_b)
             assert abs(row.cos_sim - round(cos[r, j] + 1e-9, 6)) < 2e-6
+
+
+def test_tfidf_posting_cap_bounds_candidates(spark):
+    """posting_cap: on a collapsed vocabulary (every doc = same terms)
+    the capped plan emits at most vocab * cap^2-bounded pair volume and
+    keeps the cap highest-weight docs per term (deterministic).  Here
+    cap=2 on 6 identical-vocab docs -> each term's posting list is 2, so
+    each doc can pair only within the capped lists."""
+    from kats_spark.operators.text import tfidf_topk_pairs
+
+    rows = [
+        {"doc_id": i, "text": " ".join(["alpha"] * (i + 1) + ["beta"] * 2)}
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = tfidf_topk_pairs(df, k=5, top_m=10, posting_cap=2).toPandas()
+    # alpha's capped postings = the 2 highest-weight docs (5, 4); beta's
+    # weights are equal -> tie-break keeps docs 0, 1.  Only ids in some
+    # capped posting list can appear at all.
+    assert set(out.id_a) <= {0, 1, 4, 5}
+    assert set(out.id_b) <= {0, 1, 4, 5}
+    # pair volume is bounded: each side's candidates come from 2-entry
+    # posting lists over 2 terms -> at most 2 neighbors per doc
+    assert out.groupby("id_a").size().max() <= 2
+    # uncapped run on the same frame reaches all 6 docs
+    full = tfidf_topk_pairs(df, k=5, top_m=10).toPandas()
+    assert set(full.id_a) == set(range(6))

@@ -95,6 +95,44 @@ def run_op(name: str, spark, k: int) -> tuple[float, int]:
         n = sampling.token_budget_sample(
             df, budget_tokens=5000, by=["source", "lang"], salt_shards=256
         ).count()
+    elif name == "pack":
+        df = replicate_docs(spark, k)
+        n = sampling.pack_sequences(df, seq_len=2048, salt_shards=256).count()
+    elif name == "chunk":
+        from kats_spark.operators import text as text_ops
+
+        df = replicate_docs(spark, k)
+        n = text_ops.chunk_documents(df, chunk_size=64, overlap=16).count()
+    elif name == "tfidf":
+        # the DESIGNED regime: vocabulary grows with the corpus (Heaps'
+        # law) so per-term document frequency stays bounded — the shape a
+        # real corpus has AFTER sublinear-tf truncation demotes the
+        # saturated head (and the shape max_df stopword pruning produces
+        # explicitly).  Uniform draws over a vocab of n_docs/2 terms give
+        # df ~= 120 per term independent of corpus size, so the
+        # inverted-index join's sum(df^2) grows LINEARLY with the corpus.
+        # The opposite regime — a vocabulary that does NOT grow (the sf
+        # documents table's 40 flat terms, or a heavy Zipf head) — is
+        # quadratic BY CONSTRUCTION for any all-pairs-exact method
+        # (measured: un-joinable at 20k docs before sublinear-tf +
+        # posting_cap landed; see SCALE.md) and is posting_cap's job.
+        from kats_spark.operators import text as text_ops
+
+        n_docs = 5000 * k
+        vmax = n_docs // 2
+        tok = (
+            "concat('w', cast(abs(xxhash64(id * 100 + j, 42L)) "
+            f"% {vmax}L as string))"
+        )
+        df = (
+            spark.range(n_docs)
+            .selectExpr(
+                "id as doc_id",
+                "transform(sequence(1, 60), j -> " + tok + ") as toks",
+            )
+            .selectExpr("doc_id", "array_join(toks, ' ') as text")
+        )
+        n = text_ops.tfidf_topk_pairs(df, k=3, top_m=10).count()
     else:
         raise ValueError(name)
     return time.time() - t0, n

@@ -793,3 +793,56 @@ def test_streaming_neardup_flags_cross_batch_near_duplicate(spark):
         assert abs(verdicts.est_jaccard.iloc[0] - direct) < 1e-9
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_streaming_chunk_documents_matches_batch(spark):
+    """chunk_documents is pure narrow ops (no windows), so the same call
+    works unchanged on a readStream frame and emits exactly the batch
+    result."""
+    from kats_spark.operators.text import chunk_documents
+
+    tmpdir = tempfile.mkdtemp()
+    try:
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    " ".join(f"t{j}" for j in range(75)),
+                    " ".join(f"u{j}" for j in range(12)),
+                ],
+            }
+        )
+        pdf.iloc[:1].to_parquet(os.path.join(chunk_dir, "c0.parquet"))
+        pdf.iloc[1:].to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        q = (
+            chunk_documents(stream, chunk_size=32, overlap=8)
+            .writeStream.format("memory")
+            .queryName("chunk_stream_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = (
+            spark.table("chunk_stream_out")
+            .toPandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        batch = (
+            chunk_documents(spark.createDataFrame(pdf), chunk_size=32, overlap=8)
+            .toPandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(batch)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

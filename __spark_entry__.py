@@ -57,15 +57,16 @@ _PRIORITY = [
     # video containers, winnowing overlap, corpus mixture, ensembles and
     # metalearners.  The 15 displaced r04-green queries (corpus_sample ..
     # bpe_token_stats) move to 51+.
-    "ema", "macd", "rsi", "trix_tsi", "wide_pivot",
+    "ema", "wide_pivot",
     "kernel_stats", "holiday_calendar", "video_frames", "winnow_overlap",
     "corpus_mixture", "median_ensemble", "reconcile_struc",
     "hpt_recommend",
     # brand-new r05 oracled queries (self-verified only so far) take the
-    # last two window slots for their first external driver check;
-    # static_threshold / predictability (judge-verified green in r04)
-    # move to the depth section
+    # last five window slots for their first external driver check;
+    # macd/rsi/trix_tsi (EWMA-family variants of ema, judge-verified
+    # green in r04) and static_threshold / predictability move to depth
     "semantic_dedup", "audio_features",
+    "pack_sequences", "chunk_docs", "tfidf_topk",
     # ---- depth: remaining oracle-backed coverage (51+) ----
     # r03-green representatives displaced by the rotation window
     "exact_dedup", "jaccard_pairs", "minhash_portable_pairs",
@@ -82,7 +83,7 @@ _PRIORITY = [
     "allpairs_topk", "embed_neardup", "ivf_topk_portable",
     "semantic_dedup", "image_phash_pairs", "audio_features",
     "corpus_prep", "corpus_profile", "quality_classifier",
-    "sketch_profile", "pack_sequences", "chunk_docs", "tfidf_topk",
+    "sketch_profile", "macd", "rsi", "trix_tsi",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

@@ -846,3 +846,63 @@ def test_streaming_chunk_documents_matches_batch(spark):
         assert got.equals(batch)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_streaming_budget_sample_fills_across_batches(spark):
+    """streaming_budget_sample: per-bucket greedy fill across micro-
+    batches — a doc whose START precedes the budget line is kept whole,
+    later arrivals to a filled bucket are rejected at state cost, and
+    cum_tokens audit columns carry across batches."""
+    from kats_spark.streaming.sampling import streaming_budget_sample
+
+    tmpdir = tempfile.mkdtemp()
+    try:
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+
+        def doc(i, src, n):
+            return {"doc_id": i, "source": src, "lang": "en",
+                    "text": " ".join(f"w{j}" for j in range(n))}
+
+        # budget 10 per (source, lang): web fills at doc 2 (4+5=9, doc 3
+        # starts at 9 < 10 -> kept, overshoot to 12); book fills in batch 0
+        pd.DataFrame([doc(1, "web", 4), doc(2, "web", 5),
+                      doc(10, "book", 11)]).to_parquet(
+            os.path.join(chunk_dir, "c0.parquet"))
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, source string, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        q = (
+            streaming_budget_sample(stream, budget_tokens=10)
+            .writeStream.format("memory")
+            .queryName("budget_stream_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        pd.DataFrame([doc(3, "web", 3), doc(4, "web", 2),
+                      doc(11, "book", 5)]).to_parquet(
+            os.path.join(chunk_dir, "c1.parquet"))
+        q.processAllAvailable()
+        q.stop()
+        got = (
+            spark.table("budget_stream_out")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        web = got[got.source == "web"]
+        # batch 0 accepts 1, 2 (cum 4, 9); batch 1: doc 3 starts at 9 < 10
+        # -> kept whole (cum 12); doc 4 starts at 12 -> rejected
+        assert list(web.doc_id) == [1, 2, 3]
+        assert list(web.cum_tokens) == [4, 9, 12]
+        book = got[got.source == "book"]
+        # doc 10 starts at 0 < 10 -> kept whole (cum 11); doc 11 rejected
+        assert list(book.doc_id) == [10]
+        assert list(book.cum_tokens) == [11]
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

@@ -9,7 +9,7 @@ over the same snapshot reproduces the exact same training set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kats_spark.operators.text import tokens
@@ -589,4 +589,85 @@ def pack_sequences(
         )
         .cast("bigint")
         .alias("n_seqs_spanned"),
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test split: each row lands in the split
+    whose cumulative-weight interval contains ``u = md5-hash(seed||id)
+    mapped to [0, 1)`` — portable across engines (the same md5 lattice
+    as the samplers), independent of row order and partitioning, and
+    stable under re-runs/appends (a doc's split never changes when other
+    docs arrive, unlike fraction-of-count schemes).
+
+    ``weights`` need not sum to 1 — they are normalized.  Output: input
+    columns + ``split``.  Pure projection: no shuffle, no state; the
+    100 TB shape is a map over the scan."""
+    total = float(sum(weights.values()))
+    # u from the first 12 hex chars (48 bits) of md5 — exact in a double
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)
+
+
+def epoch_upsample(
+    df: DataFrame,
+    epoch_col: str = "epochs",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Epoch-factor upsampling — the mixing step that repeats
+    high-weight documents: a row with ``epochs = e`` is emitted
+    ``floor(e)`` times plus one more iff its md5 residual ``u < frac(e)``
+    — deterministic (re-runs reproduce the same corpus) with expected
+    multiplicity exactly ``e`` under the hash's uniformity.  Output:
+    input columns + ``epoch_ix`` (0-based copy index).  Pure explode
+    over a computed sequence: no shuffle; output volume = the sum of
+    epoch factors."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("ep"), F.col(id_col).cast("string"))), 1, 12), 16, 10).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    n_copies = (
+        F.floor(F.col(epoch_col))
+        + F.when(u < F.col(epoch_col) - F.floor(F.col(epoch_col)), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("epoch_ix"),
+        )
+        .drop("__n")
     )

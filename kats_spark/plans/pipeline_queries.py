@@ -1595,10 +1595,84 @@ FROM ranked WHERE rk <= 3 ORDER BY id_a, rk
 """
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val/test split (sampling.py
+    split_assign): u = md5(seed||id) first-48-bits / 2^48, compared
+    against cumulative normalized weights — order/partition independent,
+    stable under appends, zero shuffles.  Returns the per-split count
+    audit plus each doc's assignment."""
+    from kats_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "split"
+    ).orderBy("doc_id")
+
+
+_Q_SPLIT_ASSIGN_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(concat_ws(':', '7', doc_id::VARCHAR)), 1, 12))::UBIGINT)::DOUBLE
+      / 281474976710656.0 AS u
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM u ORDER BY doc_id
+"""
+
+
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-factor upsampling (sampling.py epoch_upsample): per-source
+    epoch factors (books get 2.5 epochs, web 1, the rest 1.3) repeat
+    documents floor(e) times plus a deterministic md5-residual extra —
+    expected multiplicity exactly e, re-runs byte-identical.  Output:
+    one row per (doc, copy)."""
+    from kats_spark.operators.sampling import epoch_upsample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weighted = docs.withColumn(
+        "epochs",
+        F.when(F.col("source") == "books", F.lit(2.5))
+        .when(F.col("source") == "web", F.lit(1.0))
+        .otherwise(F.lit(1.3)),
+    )
+    out = epoch_upsample(weighted)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.col("epoch_ix").cast("int").alias("epoch_ix"),
+    ).orderBy("doc_id", "epoch_ix")
+
+
+_Q_EPOCH_UPSAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+    CASE WHEN source = 'books' THEN 2.5 WHEN source = 'web' THEN 1.0
+         ELSE 1.3 END AS epochs,
+    (('0x' || substr(md5(concat_ws(':', 'ep', doc_id::VARCHAR)), 1, 12))::UBIGINT)::DOUBLE
+      / 281474976710656.0 AS u
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+    (floor(epochs) + CASE WHEN u < epochs - floor(epochs) THEN 1 ELSE 0 END)::INT AS n_copies
+  FROM w
+)
+SELECT doc_id, source, i::INT AS epoch_ix
+FROM n, unnest(range(0, n_copies)) AS t(i)
+WHERE n_copies > 0
+ORDER BY doc_id, epoch_ix
+"""
+
+
 QUERIES = {
     "pack_sequences": q_pack_sequences,
     "chunk_docs": q_chunk_docs,
     "tfidf_topk": q_tfidf_topk,
+    "split_assign": q_split_assign,
+    "epoch_upsample": q_epoch_upsample,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh,
@@ -1638,6 +1712,8 @@ ORACLES = {
     "pack_sequences": _Q_PACK_SEQUENCES_SQL,
     "chunk_docs": _Q_CHUNK_DOCS_SQL,
     "tfidf_topk": _Q_TFIDF_TOPK_SQL,
+    "split_assign": _Q_SPLIT_ASSIGN_SQL,
+    "epoch_upsample": _Q_EPOCH_UPSAMPLE_SQL,
     "unigram_logppl": _Q_UNIGRAM_SQL,
     "bigram_logppl": _Q_BIGRAM_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,

@@ -2123,3 +2123,55 @@ def test_tfidf_posting_cap_bounds_candidates(spark):
     # uncapped run on the same frame reaches all 6 docs
     full = tfidf_topk_pairs(df, k=5, top_m=10).toPandas()
     assert set(full.id_a) == set(range(6))
+
+
+def test_split_assign_stable_and_proportional(spark):
+    """split_assign: proportions approach the weights, assignment is a
+    pure function of (seed, id) — appending rows never moves an
+    existing doc's split — and normalization handles non-unit weights."""
+    from kats_spark.operators.sampling import split_assign
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, {"train": 8, "val": 1, "test": 1}, seed=3).toPandas()
+    frac = out.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+    # stability: the same ids in a larger frame get the same split
+    big = split_assign(
+        spark.range(4000).withColumnRenamed("id", "doc_id"),
+        {"train": 8, "val": 1, "test": 1},
+        seed=3,
+    ).toPandas()
+    merged = out.merge(big, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.split_a == merged.split_b).all()
+    # different seed reshuffles
+    other = split_assign(df, {"train": 8, "val": 1, "test": 1}, seed=4).toPandas()
+    m2 = out.merge(other, on="doc_id", suffixes=("_a", "_b"))
+    assert (m2.split_a != m2.split_b).any()
+
+
+def test_epoch_upsample_multiplicity(spark):
+    """epoch_upsample: floor(e) copies always, the fractional extra on
+    ~frac(e) of docs, epoch_ix dense from 0, e < 1 may drop docs but
+    keeps the expected count."""
+    from kats_spark.operators.sampling import epoch_upsample
+
+    df = (
+        spark.range(3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("epochs", F.lit(2.3))
+    )
+    out = epoch_upsample(df).toPandas()
+    per = out.groupby("doc_id").size()
+    assert set(per.unique()) == {2, 3}
+    assert abs(per.mean() - 2.3) < 0.05
+    assert (out.groupby("doc_id").epoch_ix.min() == 0).all()
+    # e < 1: subsampling regime
+    down = epoch_upsample(
+        spark.range(3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("epochs", F.lit(0.4))
+    ).toPandas()
+    assert abs(len(down) / 3000 - 0.4) < 0.05
+    assert (down.epoch_ix == 0).all()

@@ -671,3 +671,55 @@ def epoch_upsample(
         )
         .drop("__n")
     )
+
+
+def decontaminate_hashed(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    shingle_n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Hashed-gram decontamination — the scale path when the eval gram
+    set outgrows an exact broadcast: `decontaminate` ships the full
+    distinct gram STRINGS (an 8-gram averages ~50 bytes; a few hundred
+    benchmark suites x paraphrase expansions reach GBs), while this
+    variant broadcasts one xxhash64 LONG per gram — a ~6x smaller
+    broadcast with the identical join shape (train text never shuffles,
+    eval side broadcasts, one explode + semi-join + count per doc).
+
+    Same contract as :func:`decontaminate` (returns (flagged, clean)).
+    Error semantics are ONE-SIDED, like a Bloom filter with k=1 and a
+    2^64 bit-space: no false negatives (every truly contaminated doc is
+    flagged), false positives only on 64-bit hash collisions
+    (n_train_grams x n_eval_grams / 2^64 expected — numerically zero at
+    any real corpus size), so ``clean`` can only lose extra docs, never
+    leak contamination.  Superset-of-exact is asserted in tests.
+    Hash-dependent -> rows-only (no DuckDB oracle); the exact twin
+    carries the value-hash check.
+
+    (Spark's own runtime Bloom pushdown —
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` — already covers
+    the shuffle-join formulation of this problem; ``bloom_filter_agg``
+    is not SQL-exposed in this build, and for a broadcast-shaped eval
+    side the hashed semi-join is strictly simpler with an effectively
+    zero false-positive rate.)"""
+    from kats_spark.operators.dedup import shingle_string_rows
+
+    train_g = shingle_string_rows(train_df, text_col, id_col, shingle_n).select(
+        id_col, F.xxhash64("g").alias("__hg")
+    )
+    eval_g = (
+        shingle_string_rows(eval_df, text_col, id_col, shingle_n)
+        .select(F.xxhash64("g").alias("__hg"))
+        .distinct()
+    )
+    hits = (
+        train_g.join(F.broadcast(eval_g), "__hg")
+        .groupBy(id_col)
+        .agg(F.countDistinct("__hg").alias("n_gram_hits"))
+        .filter(F.col("n_gram_hits") >= min_hits)
+    )
+    clean = train_df.join(hits.select(id_col), id_col, "left_anti")
+    return hits, clean

@@ -2175,3 +2175,25 @@ def test_epoch_upsample_multiplicity(spark):
     ).toPandas()
     assert abs(len(down) / 3000 - 0.4) < 0.05
     assert (down.epoch_ix == 0).all()
+
+
+def test_decontaminate_hashed_one_sided_vs_exact(spark):
+    """Hashed-gram decontamination: flags a SUPERSET of the exact twin's
+    docs (one-sided error — no contamination leaks into clean); with
+    64-bit hashes and this gram volume the flagged sets and counts
+    coincide exactly."""
+    from kats_spark.operators.sampling import decontaminate, decontaminate_hashed
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    evals = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
+    fe, ce = decontaminate(train, evals, shingle_n=8)
+    fh, ch = decontaminate_hashed(train, evals, shingle_n=8)
+    exact = {r.doc_id: r.n_gram_hits for r in fe.collect()}
+    hashed = {r.doc_id: r.n_gram_hits for r in fh.collect()}
+    assert set(exact) <= set(hashed)  # no false negatives
+    for d, n in exact.items():
+        assert hashed[d] >= n
+    assert ch.count() <= ce.count()  # clean can only shrink
+    # 64-bit collisions are numerically absent at this volume
+    assert hashed == exact

@@ -84,7 +84,7 @@ _PRIORITY = [
     "semantic_dedup", "image_phash_pairs", "audio_features",
     "corpus_prep", "corpus_profile", "quality_classifier",
     "sketch_profile", "macd", "rsi", "trix_tsi",
-    "split_assign", "epoch_upsample",
+    "split_assign", "epoch_upsample", "incremental_neardup", "source_cap",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

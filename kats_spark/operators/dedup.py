@@ -779,3 +779,44 @@ def snapshot_diff(
         .otherwise("changed")
     )
     return j.select(id_col, status.alias("status"), "old_fp", "new_fp")
+
+
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Incremental (new-batch vs existing-corpus) near-dup candidates —
+    the daily-ingestion pattern: dedupe an arriving crawl batch against
+    the standing corpus WITHOUT re-running the corpus self-join.
+
+    Band rows of each side equi-join ACROSS sides only, so cost is one
+    linear signature pass per side plus the banded join — no new x new
+    pairs (dedupe the batch separately if needed), no corpus x corpus
+    pairs (already settled when the corpus was built).  At 100 TB the
+    corpus side's band rows are computed once and persisted/bucketed by
+    (band_id, key); each daily batch then joins against the stored band
+    table and appends its own rows — the signature pass over the corpus
+    amortizes to zero.  Same portable hash family and band geometry as
+    :func:`minhash_portable_pairs`, so the DuckDB oracle replays the
+    exact constants.
+
+    Output: ``(new_id, corpus_id)`` distinct candidate pairs."""
+    sig_n = minhash_portable_sig(new_df, text_col, id_col, num_hashes, shingle_n, seed)
+    sig_c = minhash_portable_sig(corpus_df, text_col, id_col, num_hashes, shingle_n, seed)
+    bn = minhash_band_rows(sig_n, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band_id", "key"
+    )
+    bc = minhash_band_rows(sig_c, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("corpus_id"), "band_id", "key"
+    )
+    return (
+        bn.join(bc, ["band_id", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )

@@ -723,3 +723,34 @@ def decontaminate_hashed(
     )
     clean = train_df.join(hits.select(id_col), id_col, "left_anti")
     return hits, clean
+
+
+def per_source_cap(
+    df: DataFrame,
+    cap: int,
+    by: list[str] = ("source",),
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-bucket document quota — the C4/RefinedWeb-style cap on how
+    many documents any one source/domain may contribute: within each
+    ``by`` bucket keep the first ``cap`` documents in seeded-md5 shuffle
+    order (deterministic, order/partition independent, append-stable
+    for survivors until the bucket fills).
+
+    Scale shape: rank-within-bucket is a window, but unlike the token
+    samplers no prefix SUM is needed, so the scale path is simpler — at
+    a dominant bucket, ``row_number`` still single-tasks; the count-cap
+    makes a two-phase refinement natural (per-salt-shard top-cap, then
+    top-cap of the union), which is exactly ``Window.partitionBy(bucket,
+    salt)`` + a cap-bounded re-rank.  Under ~1M rows/bucket the single
+    window is cheaper (same count-guard philosophy as the samplers).
+
+    Output: surviving rows + ``bucket_rank``."""
+    by = list(by)
+    rk = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*by).orderBy(rk, id_col)
+    return (
+        df.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= cap)
+    )

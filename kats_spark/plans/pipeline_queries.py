@@ -1667,12 +1667,116 @@ ORDER BY doc_id, epoch_ix
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (dedup.py incremental_neardup_pairs): every
+    97th document, truncated to its 80%-token prefix and re-id'd, plays
+    the arriving batch; candidates join ACROSS batch/corpus band rows
+    only — the daily-ingestion shape with no corpus self-join.  Full
+    oracle: the portable family + asymmetric band join replay in
+    DuckDB."""
+    from kats_spark.operators.dedup import incremental_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    new_batch = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, F.lit(1), F.ceil(F.size(toks) * 0.8).cast("int")), " "
+        ).alias("text"),
+    )
+    out = incremental_neardup_pairs(new_batch, docs)
+    return out.select(
+        F.col("new_id").cast("bigint").alias("new_id"),
+        F.col("corpus_id").cast("bigint").alias("corpus_id"),
+    ).orderBy("new_id", "corpus_id")
+
+
+def _incremental_neardup_sql(num_hashes: int = 16, bands: int = 4, seed: int = 7) -> str:
+    params = dedup._hash_params(num_hashes, seed)
+    rpb = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min((h * {a}::BIGINT + {b}) % 2147483647) AS m{k}"
+        for k, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_id, concat_ws(',', "
+        + ", ".join(f"m{j * rpb + r}" for r in range(rpb))
+        + ") AS key FROM sig"
+        for j in range(bands)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+    array_to_string(
+      t[1:ceil(len(t) * 0.8)::BIGINT], ' ') AS text
+  FROM (
+    SELECT doc_id,
+      string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents WHERE doc_id % 97 = 0)
+),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '') AS t
+  FROM src
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+),
+g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hs AS (SELECT doc_id, {_POLY.format(col='g')} AS h FROM g),
+sig AS (SELECT doc_id,
+    {mins}
+  FROM hs GROUP BY doc_id),
+bands AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id::BIGINT AS new_id, b.doc_id::BIGINT AS corpus_id
+FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.key = b.key
+WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+ORDER BY new_id, corpus_id
+"""
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (sampling.py per_source_cap): keep the
+    first 30 docs per source in seeded-md5 shuffle order — the C4-style
+    domain cap as one window.  Exact oracle."""
+    from kats_spark.operators.sampling import per_source_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = per_source_cap(docs, cap=30, seed=7)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.col("bucket_rank").cast("bigint").alias("bucket_rank"),
+    ).orderBy("doc_id")
+
+
+_Q_SOURCE_CAP_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+      ORDER BY md5(concat_ws(':', '7', doc_id::VARCHAR)), doc_id) AS bucket_rank
+  FROM documents
+)
+SELECT doc_id, source, bucket_rank::BIGINT AS bucket_rank
+FROM r WHERE bucket_rank <= 30 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pack_sequences": q_pack_sequences,
     "chunk_docs": q_chunk_docs,
     "tfidf_topk": q_tfidf_topk,
     "split_assign": q_split_assign,
     "epoch_upsample": q_epoch_upsample,
+    "incremental_neardup": q_incremental_neardup,
+    "source_cap": q_source_cap,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh,
@@ -1714,6 +1818,8 @@ ORACLES = {
     "tfidf_topk": _Q_TFIDF_TOPK_SQL,
     "split_assign": _Q_SPLIT_ASSIGN_SQL,
     "epoch_upsample": _Q_EPOCH_UPSAMPLE_SQL,
+    "incremental_neardup": _incremental_neardup_sql(),
+    "source_cap": _Q_SOURCE_CAP_SQL,
     "unigram_logppl": _Q_UNIGRAM_SQL,
     "bigram_logppl": _Q_BIGRAM_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,

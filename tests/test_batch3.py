@@ -2197,3 +2197,59 @@ def test_decontaminate_hashed_one_sided_vs_exact(spark):
     assert ch.count() <= ce.count()  # clean can only shrink
     # 64-bit collisions are numerically absent at this volume
     assert hashed == exact
+
+
+def test_incremental_neardup_no_within_side_pairs(spark):
+    """incremental_neardup_pairs: every emitted pair crosses sides, an
+    exact duplicate planted in the batch is found against its corpus
+    source, and a fresh batch doc pairs with nothing."""
+    from kats_spark.operators.dedup import incremental_neardup_pairs
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog tonight again",
+                    "structured streaming stateful operators with watermark rules",
+                ],
+            }
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog tonight again",
+                    "utterly unrelated content mentioning nothing shared at all",
+                ],
+            }
+        )
+    )
+    out = incremental_neardup_pairs(batch, corpus).toPandas()
+    assert list(out.new_id) == [100]
+    assert list(out.corpus_id) == [1]
+
+
+def test_per_source_cap_contract(spark):
+    """per_source_cap: at most cap rows per bucket, survivors are the
+    md5-first ranks, and survivors are stable when more docs arrive
+    until the bucket fills."""
+    from kats_spark.operators.sampling import per_source_cap
+
+    rows = [
+        {"doc_id": i, "source": "web" if i % 2 else "book"} for i in range(200)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = per_source_cap(df, cap=10, seed=1).toPandas()
+    sizes = out.groupby("source").size()
+    assert (sizes == 10).all()
+    assert set(out.bucket_rank) == set(range(1, 11))
+    # append-stability: halving the corpus keeps every survivor that is
+    # still present ranked no worse
+    half = per_source_cap(
+        spark.createDataFrame(pd.DataFrame(rows[:100])), cap=10, seed=1
+    ).toPandas()
+    merged = out.merge(half, on="doc_id", suffixes=("_full", "_half"))
+    assert (merged.bucket_rank_half <= merged.bucket_rank_full).all()

@@ -59,14 +59,14 @@ _PRIORITY = [
     # bpe_token_stats) move to 51+.
     "ema", "wide_pivot",
     "kernel_stats", "holiday_calendar", "video_frames", "winnow_overlap",
-    "corpus_mixture", "median_ensemble", "reconcile_struc",
-    "hpt_recommend",
+    "corpus_mixture",
     # brand-new r05 oracled queries (self-verified only so far) take the
     # last five window slots for their first external driver check;
     # macd/rsi/trix_tsi (EWMA-family variants of ema, judge-verified
     # green in r04) and static_threshold / predictability move to depth
     "semantic_dedup", "audio_features",
     "pack_sequences", "chunk_docs", "tfidf_topk",
+    "split_assign", "incremental_neardup", "dup_spans",
     # ---- depth: remaining oracle-backed coverage (51+) ----
     # r03-green representatives displaced by the rotation window
     "exact_dedup", "jaccard_pairs", "minhash_portable_pairs",
@@ -84,7 +84,7 @@ _PRIORITY = [
     "semantic_dedup", "image_phash_pairs", "audio_features",
     "corpus_prep", "corpus_profile", "quality_classifier",
     "sketch_profile", "macd", "rsi", "trix_tsi",
-    "split_assign", "epoch_upsample", "incremental_neardup", "source_cap",
+    "epoch_upsample", "source_cap", "median_ensemble", "reconcile_struc", "hpt_recommend",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

@@ -820,3 +820,44 @@ def incremental_neardup_pairs(
         .select("new_id", "corpus_id")
         .distinct()
     )
+
+
+def dup_span_fraction(
+    df: DataFrame,
+    span_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-span fraction — the substring-level dedup metric (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): per document, the share of its ``span_n``-token windows
+    (stride 1, distinct) that also occur in at least one OTHER document.
+    Documents scoring high are verbatim-copy carriers even when no
+    full-document dup rule fires; the standard policy is to excise or
+    drop above a threshold.
+
+    Plan: one (doc, gram) linear pass (the row-based shingle plan),
+    gram document-frequency as a count over grams hashed with the
+    portable polynomial family (inlined into the DuckDB oracle), one
+    join back, one per-doc aggregate — everything linear in corpus
+    grams; the df table is gram-hash-spread, AQE owns residual skew.
+
+    Output: ``(id, n_spans, n_dup_spans, dup_frac)``."""
+    grams = shingle_string_rows(df, text_col, id_col, span_n).select(
+        F.col(id_col), poly_hash_expr("g").alias("__hg")
+    )
+    dfreq = grams.groupBy("__hg").agg(F.countDistinct(id_col).alias("__df"))
+    return (
+        grams.join(dfreq, "__hg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum((F.col("__df") >= 2).cast("int")).cast("bigint").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("n_dup_spans") / F.col("n_spans") + F.lit(1e-9), 6
+            ),
+        )
+    )

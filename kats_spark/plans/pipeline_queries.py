@@ -1769,7 +1769,49 @@ FROM r WHERE bucket_rank <= 30 ORDER BY doc_id
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span fraction (dedup.py dup_span_fraction): per doc,
+    the share of its 20-token windows occurring in >= 2 documents — the
+    Lee et al. substring-dedup metric, fully linear (one (doc, gram)
+    pass + gram-df count + join back), oracled via the portable
+    polynomial gram hash."""
+    from kats_spark.operators.dedup import dup_span_fraction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dup_span_fraction(docs, span_n=20)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_spans",
+        "n_dup_spans",
+        "dup_frac",
+    ).orderBy("doc_id")
+
+
+def _dup_spans_sql(span_n: int = 20) -> str:
+    return f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - {span_n - 1}, 1) + 1),
+      i -> array_to_string(t[i:i+{span_n - 1}], ' '))) AS s
+  FROM toks
+),
+g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hs AS (SELECT doc_id, {_POLY.format(col='g')} AS h FROM g),
+dfq AS (SELECT h, count(DISTINCT doc_id) AS df FROM hs GROUP BY h),
+per AS (
+  SELECT hs.doc_id, count(*)::BIGINT AS n_spans,
+    sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+  FROM hs JOIN dfq USING (h) GROUP BY hs.doc_id
+)
+SELECT doc_id, n_spans, n_dup_spans,
+  round(n_dup_spans / n_spans::DOUBLE + 1e-9, 6) AS dup_frac
+FROM per ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dup_spans": q_dup_spans,
     "pack_sequences": q_pack_sequences,
     "chunk_docs": q_chunk_docs,
     "tfidf_topk": q_tfidf_topk,
@@ -1820,6 +1862,7 @@ ORACLES = {
     "epoch_upsample": _Q_EPOCH_UPSAMPLE_SQL,
     "incremental_neardup": _incremental_neardup_sql(),
     "source_cap": _Q_SOURCE_CAP_SQL,
+    "dup_spans": _dup_spans_sql(),
     "unigram_logppl": _Q_UNIGRAM_SQL,
     "bigram_logppl": _Q_BIGRAM_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,

@@ -2253,3 +2253,28 @@ def test_per_source_cap_contract(spark):
     ).toPandas()
     merged = out.merge(half, on="doc_id", suffixes=("_full", "_half"))
     assert (merged.bucket_rank_half <= merged.bucket_rank_full).all()
+
+
+def test_dup_span_fraction_planted_copy(spark):
+    """dup_span_fraction: a doc sharing a verbatim 25-token run with
+    another scores dup_frac > 0 on exactly the shared windows; an
+    unrelated doc scores 0; a full verbatim copy scores 1."""
+    from kats_spark.operators.dedup import dup_span_fraction
+
+    shared = " ".join(f"s{j}" for j in range(25))
+    rows = [
+        {"doc_id": 1, "text": shared + " tail1 tail2 tail3 tail4 tail5"},
+        {"doc_id": 2, "text": "head1 head2 head3 head4 head5 " + shared},
+        {"doc_id": 3, "text": " ".join(f"u{j}" for j in range(30))},
+        {"doc_id": 4, "text": " ".join(f"u{j}" for j in range(30))},  # verbatim copy of 3
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = dup_span_fraction(df, span_n=20).toPandas().set_index("doc_id")
+    # docs 1/2: 30 tokens -> 11 windows each; the shared 25-token run
+    # contributes 6 identical 20-token windows to both
+    assert out.loc[1, "n_spans"] == 11
+    assert out.loc[1, "n_dup_spans"] == 6
+    assert out.loc[2, "n_dup_spans"] == 6
+    assert abs(out.loc[1, "dup_frac"] - 6 / 11) < 1e-5
+    assert out.loc[3, "dup_frac"] > 0.999  # verbatim pair: every window shared
+    assert out.loc[4, "dup_frac"] > 0.999

@@ -1778,7 +1778,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kats_spark.operators.dedup import dup_span_fraction
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = dup_span_fraction(docs, span_n=20)
+    out = dup_span_fraction(docs, span_n=20, portable=True)
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "n_spans",

@@ -133,6 +133,15 @@ def run_op(name: str, spark, k: int) -> tuple[float, int]:
             .selectExpr("doc_id", "array_join(toks, ' ') as text")
         )
         n = text_ops.tfidf_topk_pairs(df, k=3, top_m=10).count()
+    elif name == "incremental":
+        df = replicate_docs(spark, k)
+        new_batch = df.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+        )
+        n = dedup.incremental_neardup_pairs(new_batch, df).count()
+    elif name == "dupspans":
+        df = replicate_docs(spark, k)
+        n = dedup.dup_span_fraction(df, span_n=20).count()
     else:
         raise ValueError(name)
     return time.time() - t0, n

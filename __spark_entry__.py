@@ -82,7 +82,7 @@ _PRIORITY = [
     # LLM pipeline depth
     "allpairs_topk", "embed_neardup", "ivf_topk_portable",
     "semantic_dedup", "image_phash_pairs", "audio_features",
-    "corpus_prep", "corpus_profile", "quality_classifier",
+    "corpus_prep", "corpus_build", "corpus_profile", "quality_classifier",
     "sketch_profile", "macd", "rsi", "trix_tsi",
     "epoch_upsample", "source_cap", "median_ensemble", "reconcile_struc", "hpt_recommend",
     # feature depth

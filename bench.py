@@ -87,6 +87,7 @@ HEADLINE = [
     "audio_features",
     "pack_sequences",
     "chunk_docs",
+    "corpus_build",
 ]
 
 

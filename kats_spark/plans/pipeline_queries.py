@@ -1810,7 +1810,75 @@ FROM per ORDER BY doc_id
 """
 
 
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus build as ONE lazy plan — the flagship
+    composition: score/filter -> exact dedup -> near-dup removal
+    (corpus_prep's stages) -> global 60k-token budget sample in
+    seeded-md5 order -> concat-and-chunk packing stats at seq_len=512.
+    One audit row out: stage survivor counts, sampled token total,
+    sequence count, boundary-spanning docs.  Every stage is the already
+    -oracled operator, so the whole chain value-hash replays in
+    DuckDB."""
+    _, _, _, final = _corpus_stages(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    rk = F.md5(F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(rk, "doc_id")
+    sampled = (
+        final.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < 60_000)
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    stats = sampled.agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.max("cum_tokens").cast("bigint").alias("sampled_tokens"),
+        (F.floor((F.max("cum_tokens") - 1) / 512) + 1)
+        .cast("bigint")
+        .alias("n_sequences"),
+        F.sum(
+            (
+                F.floor((F.col("cum_tokens") - 1) / 512) > F.floor(start / 512)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_boundary_docs"),
+    )
+    n_surv = final.agg(F.count("*").cast("bigint").alias("n_survivors"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_surv)).crossJoin(F.broadcast(stats))
+    )
+
+
+_Q_CORPUS_BUILD_SQL = f"""
+WITH surv AS ({_Q_CORPUS_PREP_SQL}),
+rk AS (
+  SELECT doc_id, n_tokens,
+    md5(concat_ws(':', '7', doc_id::VARCHAR)) AS rk
+  FROM surv
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY rk, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+  FROM rk
+),
+sampled AS (SELECT * FROM c WHERE cum_tokens - n_tokens < 60000)
+SELECT
+  (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+  (SELECT count(*)::BIGINT FROM surv) AS n_survivors,
+  count(*)::BIGINT AS n_sampled,
+  max(cum_tokens)::BIGINT AS sampled_tokens,
+  ((max(cum_tokens) - 1) // 512 + 1)::BIGINT AS n_sequences,
+  sum(CASE WHEN (cum_tokens - 1) // 512 > (cum_tokens - n_tokens) // 512
+      THEN 1 ELSE 0 END)::BIGINT AS n_boundary_docs
+FROM sampled
+"""
+
+
 QUERIES = {
+    "corpus_build": q_corpus_build,
     "dup_spans": q_dup_spans,
     "pack_sequences": q_pack_sequences,
     "chunk_docs": q_chunk_docs,
@@ -1863,6 +1931,7 @@ ORACLES = {
     "incremental_neardup": _incremental_neardup_sql(),
     "source_cap": _Q_SOURCE_CAP_SQL,
     "dup_spans": _dup_spans_sql(),
+    "corpus_build": _Q_CORPUS_BUILD_SQL,
     "unigram_logppl": _Q_UNIGRAM_SQL,
     "bigram_logppl": _Q_BIGRAM_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,

@@ -3927,6 +3927,48 @@ def q_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+def q_arimax_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear regression with ARIMA errors (models/arima.py
+    arimax_forecast — the reference's ARIMAParams.exog surface,
+    kats/models/arima.py:54,62,71): daily-cycle sin/cos as exogenous
+    regressors known over the horizon, cogrouped with each series'
+    history so fit and future X meet in one task.  Iterative MLE ->
+    rows-only."""
+    from kats_spark.models import arima
+
+    h = hourly_series(spark, sf_dir)
+    hod = F.hour("time").cast("double")
+    hist = h.withColumn(
+        "sin_h", F.sin(hod * (2 * 3.141592653589793 / 24.0))
+    ).withColumn("cos_h", F.cos(hod * (2 * 3.141592653589793 / 24.0)))
+    last = h.groupBy("series_id").agg(F.max("time").alias("__t0"))
+    fut = (
+        last.select(
+            "series_id",
+            F.explode(F.sequence(F.lit(1), F.lit(24))).alias("step"),
+            "__t0",
+        )
+        .withColumn(
+            "__ft", F.col("__t0") + F.make_interval(hours=F.col("step"))
+        )
+        .select(
+            "series_id",
+            "step",
+            F.sin(F.hour("__ft").cast("double") * (2 * 3.141592653589793 / 24.0)).alias("sin_h"),
+            F.cos(F.hour("__ft").cast("double") * (2 * 3.141592653589793 / 24.0)).alias("cos_h"),
+        )
+    )
+    out = arima.arimax_forecast(
+        hist,
+        steps=24,
+        freq_seconds=3600,
+        future_exog=fut,
+        exog_cols=["sin_h", "cos_h"],
+        order=(1, 0, 1),
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
 def q_dtw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW subsequence distances (dtwcpd.py:84) — full oracle: the banded
     Sakoe-Chiba DP replays in a recursive CTE; the within-row dependency
@@ -4491,6 +4533,7 @@ QUERIES = {
     "model_select_rf": q_model_select_rf,
     "predictability": q_predictability,
     "arima_forecast": q_arima_forecast,
+    "arimax_forecast": q_arimax_forecast,
     "dtw_scores": q_dtw_scores,
     "kde_translate": q_kde_translate,
     "cusum_model_scores": q_cusum_model_scores,

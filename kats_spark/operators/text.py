@@ -86,6 +86,49 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 6)).drop("__qt")
 
 
+_EXPR_MEMO: dict = {}
+
+
+def _gateway_key() -> int:
+    """Identity of the live py4j gateway — Column trees hold JavaObject
+    refs, so a memo must be dropped if the JVM is restarted."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return id(sc._gateway) if sc is not None else 0
+
+
+def _lang_exprs():
+    """Per-language stopword-ratio Column trees over the staged ``__lt``
+    column.  Built through ~150 py4j calls (10 langs x 10 lits + filters
+    + structs) — a measurable driver cost when corpus queries construct
+    them repeatedly (corpus_prep builds the scoring block twice per
+    bench run).  Column expressions are immutable and bind by NAME, so
+    one build per JVM gateway serves every caller."""
+    key = ("lang", _gateway_key())
+    if key in _EXPR_MEMO:
+        return _EXPR_MEMO[key]
+    t = F.col("__lt")
+    n = F.greatest(F.size(t), F.lit(1))
+    ratios = {}
+    for lang, words in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        ratios[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x))) / n
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(r.alias("ratio"), F.lit(lang).alias("lang"))
+                for lang, r in ratios.items()
+            ]
+        )
+    )
+    for k in list(_EXPR_MEMO):  # drop trees from any dead gateway
+        if k[1] != key[1]:
+            del _EXPR_MEMO[k]
+    _EXPR_MEMO[key] = (ratios, best)
+    return ratios, best
+
+
 def lang_id(
     df: DataFrame, text_col: str = "text", threshold: float = 0.05
 ) -> DataFrame:
@@ -107,20 +150,7 @@ def lang_id(
     the corpus oracles: the same fix took the DuckDB replay from 2.7s to
     sub-second at sf0.01)."""
     df = df.withColumn("__lt", F.transform(tokens(F.col(text_col)), F.lower))
-    t = F.col("__lt")
-    n = F.greatest(F.size(t), F.lit(1))
-    ratios = {}
-    for lang, words in _STOPWORDS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        ratios[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x))) / n
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(r.alias("ratio"), F.lit(lang).alias("lang"))
-                for lang, r in ratios.items()
-            ]
-        )
-    )
+    ratios, best = _lang_exprs()
     return (
         df.withColumn("stop_ratio", ratios["en"])
         .withColumn("lang_ratio", best["ratio"])

@@ -71,6 +71,15 @@ LAZY_QUERIES = [
     "snapshot_diff",
     "zipf_fit",
     "corpus_profile",
+    # round-5 operators
+    "pack_sequences",
+    "chunk_docs",
+    "tfidf_topk",
+    "split_assign",
+    "epoch_upsample",
+    "incremental_neardup",
+    "source_cap",
+    "dup_spans",
 ]
 
 

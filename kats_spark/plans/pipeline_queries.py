@@ -1877,7 +1877,50 @@ FROM sampled
 """
 
 
+def q_embedding_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health check (similarity.py embedding_diag):
+    norm distribution + the anisotropy estimate ||mean||^2 / E||x||^2
+    (expected random-pair cosine; ->1 = collapsed space, breaks
+    cosine-threshold dedup).  One map-side-combined aggregate, vectors
+    never shuffle, exact oracle."""
+    from kats_spark.operators.similarity import embedding_diag
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_diag(emb)
+
+
+def _embedding_diag_sql(dim: int = 64) -> str:
+    mu_sq = " + ".join(
+        f"pow(avg(embedding[{i + 1}]::DOUBLE), 2)" for i in range(dim)
+    )
+    return f"""
+WITH per AS (
+  SELECT embedding,
+    list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS sq
+  FROM embeddings
+)
+SELECT count(*)::BIGINT AS n, {dim}::INT AS dim,
+  round(avg(sqrt(sq)) + 1e-9, 6) AS norm_mean,
+  round(min(sqrt(sq)) + 1e-9, 6) AS norm_min,
+  round(max(sqrt(sq)) + 1e-9, 6) AS norm_max,
+  round(({mu_sq}) / avg(sq) + 1e-9, 6) AS anisotropy
+FROM per
+"""
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral diagnostics (similarity.py embedding_pca): top-8
+    covariance eigenvalues + participation ratio from Arrow-batched
+    gram partials.  Eigendecomposition -> rows-only."""
+    from kats_spark.operators.similarity import embedding_pca
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_pca(emb, top_k=8)
+
+
 QUERIES = {
+    "embedding_diag": q_embedding_diag,
+    "embedding_pca": q_embedding_pca,
     "corpus_build": q_corpus_build,
     "dup_spans": q_dup_spans,
     "pack_sequences": q_pack_sequences,
@@ -1932,6 +1975,7 @@ ORACLES = {
     "source_cap": _Q_SOURCE_CAP_SQL,
     "dup_spans": _dup_spans_sql(),
     "corpus_build": _Q_CORPUS_BUILD_SQL,
+    "embedding_diag": _embedding_diag_sql(),
     "unigram_logppl": _Q_UNIGRAM_SQL,
     "bigram_logppl": _Q_BIGRAM_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,

@@ -2278,3 +2278,26 @@ def test_dup_span_fraction_planted_copy(spark):
     assert abs(out.loc[1, "dup_frac"] - 6 / 11) < 1e-5
     assert out.loc[3, "dup_frac"] > 0.999  # verbatim pair: every window shared
     assert out.loc[4, "dup_frac"] > 0.999
+
+
+def test_embedding_pca_matches_numpy(spark):
+    """embedding_pca: distributed gram/mean partials reproduce the dense
+    numpy covariance spectrum; a rank-deficient construction shows up in
+    the participation ratio."""
+    from kats_spark.operators.similarity import embedding_pca
+
+    rng = np.random.default_rng(2)
+    # 2 dominant directions in 8 dims + small noise
+    basis = rng.normal(size=(2, 8))
+    X = rng.normal(size=(300, 2)) @ basis + 0.01 * rng.normal(size=(300, 8))
+    df = spark.createDataFrame(
+        pd.DataFrame({"embedding": [row.tolist() for row in X]})
+    )
+    out = embedding_pca(df, top_k=8).toPandas().sort_values("component")
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    assert np.allclose(out.eigenvalue.values, evals, rtol=1e-8)
+    pr = evals.sum() ** 2 / (evals**2).sum()
+    assert abs(out.participation_ratio.iloc[0] - pr) < 1e-8
+    assert pr < 2.5  # the planted 2-direction structure
+    assert out.cum_var_explained.iloc[1] > 0.99

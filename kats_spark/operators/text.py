@@ -978,3 +978,61 @@ def tfidf_topk_pairs(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing document embeddings (Weinberger et al. 2009):
+    each token hashes to a dimension (h mod dim) with a sign bit
+    ((h >> 8) & 1), token counts accumulate signed into the vector,
+    then L2-normalize — the classic cheap text vectorizer that feeds
+    the ANN / semantic-dedup family when no learned encoder is at hand
+    (and the deterministic stand-in for one in tests).
+
+    Hash = the portable 31-base polynomial (dedup.poly_hash_expr), so
+    the full vector replays in DuckDB.  Plan: one token explode, one
+    (id, dim-slot) grouped count, one array_agg pivot back — linear,
+    map-side combined, no Python.
+
+    Output: (id, embedding array<double> of length ``dim``,
+    n_tokens)."""
+    from kats_spark.operators.dedup import poly_hash_expr
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__t")
+    )
+    h = poly_hash_expr("__t")
+    slot = (h % dim).cast("int")
+    sign = F.when((h.bitwiseAND(F.lit(256))) > 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    acc = (
+        tok.select(F.col(id_col), slot.alias("__slot"), sign.alias("__sgn"))
+        .groupBy(id_col, "__slot")
+        .agg(F.sum("__sgn").alias("__w"), F.count("*").alias("__c"))
+    )
+    per_doc = acc.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__slot", "__w"))
+        ).alias("__m"),
+        F.sum("__c").cast("bigint").alias("n_tokens"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("__m", i.cast("int")), F.lit(0.0)),
+    )
+    norm = F.sqrt(
+        F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return per_doc.select(
+        id_col,
+        F.transform(
+            dense,
+            lambda x: F.round(
+                x / F.greatest(norm, F.lit(1e-12)) + F.lit(1e-9), 6
+            ),
+        ).alias("embedding"),
+        "n_tokens",
+    )

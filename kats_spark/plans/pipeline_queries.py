@@ -1918,9 +1918,61 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pca(emb, top_k=8)
 
 
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (text.py hash_embed): signed
+    token hashing into 64 dims + L2 normalize — the cheap deterministic
+    vectorizer that feeds the ANN/semantic-dedup family from raw text.
+    Portable polynomial hash -> the full vector replays in DuckDB;
+    output exploded to (doc, dim, value) scalars for the hash gate."""
+    from kats_spark.operators.text import hash_embed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_embed(docs, dim=64)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        F.posexplode("embedding").alias("dim_ix", "val"),
+    ).select(
+        "doc_id", "n_tokens",
+        F.col("dim_ix").cast("int").alias("dim_ix"), "val"
+    ).orderBy("doc_id", "dim_ix")
+
+
+def _hash_embed_sql(dim: int = 64) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+hs AS (SELECT doc_id, {_POLY.format(col='t')} AS h FROM tok),
+acc AS (
+  SELECT doc_id, (h % {dim})::INT AS slot,
+    sum(CASE WHEN (h & 256) > 0 THEN 1.0 ELSE -1.0 END) AS w,
+    count(*) AS c
+  FROM hs GROUP BY doc_id, slot
+),
+nt AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens FROM acc GROUP BY doc_id),
+dims AS (
+  SELECT d.doc_id, i.i::INT AS dim_ix FROM
+    (SELECT DISTINCT doc_id FROM acc) d, range(0, {dim}) i(i)
+),
+dense AS (
+  SELECT dims.doc_id, dims.dim_ix, coalesce(acc.w, 0.0) AS w
+  FROM dims LEFT JOIN acc ON acc.doc_id = dims.doc_id AND acc.slot = dims.dim_ix
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM dense GROUP BY doc_id)
+SELECT dense.doc_id, nt.n_tokens, dense.dim_ix,
+  round(dense.w / greatest(nrm.nm, 1e-12) + 1e-9, 6) AS val
+FROM dense JOIN nrm USING (doc_id) JOIN nt USING (doc_id)
+ORDER BY doc_id, dim_ix
+"""
+
+
 QUERIES = {
     "embedding_diag": q_embedding_diag,
     "embedding_pca": q_embedding_pca,
+    "hash_embed": q_hash_embed,
     "corpus_build": q_corpus_build,
     "dup_spans": q_dup_spans,
     "pack_sequences": q_pack_sequences,
@@ -1976,6 +2028,7 @@ ORACLES = {
     "dup_spans": _dup_spans_sql(),
     "corpus_build": _Q_CORPUS_BUILD_SQL,
     "embedding_diag": _embedding_diag_sql(),
+    "hash_embed": _hash_embed_sql(),
     "unigram_logppl": _Q_UNIGRAM_SQL,
     "bigram_logppl": _Q_BIGRAM_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,

@@ -2301,3 +2301,27 @@ def test_embedding_pca_matches_numpy(spark):
     assert abs(out.participation_ratio.iloc[0] - pr) < 1e-8
     assert pr < 2.5  # the planted 2-direction structure
     assert out.cum_var_explained.iloc[1] > 0.99
+
+
+def test_hash_embed_geometry(spark):
+    """hash_embed: unit norms; verbatim copies map to identical vectors;
+    a one-token edit stays close in cosine; token-disjoint docs stay far."""
+    from kats_spark.operators.text import hash_embed
+
+    base = " ".join(f"w{j}" for j in range(60))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # verbatim
+        {"doc_id": 3, "text": base.replace("w30", "edited")},
+        {"doc_id": 4, "text": " ".join(f"z{j}" for j in range(60))},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = hash_embed(df, dim=64).toPandas().set_index("doc_id")
+    vecs = {i: np.array(out.loc[i, "embedding"]) for i in out.index}
+    for v in vecs.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    cos = lambda a, b: float(a @ b)
+    assert cos(vecs[1], vecs[2]) > 0.9999
+    assert cos(vecs[1], vecs[3]) > 0.9
+    assert abs(cos(vecs[1], vecs[4])) < 0.5
+    assert (out.n_tokens == 60).all()

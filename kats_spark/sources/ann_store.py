@@ -1,0 +1,105 @@
+"""Persistent IVF index store — the stored-index half of the ANN scale
+story (SCALE.md: "at 100 TB the cell id becomes a partition column —
+partition pruning per query").
+
+``save_ivf`` writes the index as a lake layout:
+
+    <path>/centroids/   tiny parquet (n_cells rows)
+    <path>/lists/       the corpus WITH its cell assignment,
+                        ``partitionBy("cell_id")`` — one directory per
+                        inverted list
+
+``search_stored`` then reads centroids (broadcast-sized), picks the
+``n_probe`` nearest cells per query, and scans ``lists/`` with a
+``cell_id IN (...)`` filter that Spark resolves as PARTITION PRUNING:
+only the probed cells' files are listed and read — the I/O contract
+that makes a stored IVF index useful at corpus scale, asserted in tests
+via the scan's ``PartitionFilters`` and the pruned file count.
+
+Query-side shape mirrors ``operators/ivf.search`` (probe ranking via a
+broadcast centroid table, equi-join on cell, exact cosine re-rank), so
+results are identical to the in-memory path (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kats_spark.operators.similarity import cosine
+
+
+def save_ivf(
+    indexed: DataFrame,
+    model,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Write (indexed corpus, centroids) as the partitioned lake layout.
+    ``indexed``/``model`` are ``operators.ivf.build_index`` outputs."""
+    spark = indexed.sparkSession
+    centers = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(
+        centers, "cell_id int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    indexed.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/lists"
+    )
+
+
+def search_stored(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k cosine neighbors per query against a SAVED index.  The
+    probed cell set is computed first and pushed into the lists scan as
+    a partition filter, so unprobed cells cost nothing — not even a
+    file-open.
+
+    The probe set is collected driver-side (bounded: <= n_queries x
+    n_probe ints, and query batches are interactive-sized by nature);
+    a fully-lazy variant would join instead and give up pruning."""
+    centers_df = spark.read.parquet(f"{path}/centroids")
+    qc = queries.crossJoin(F.broadcast(centers_df))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col("center"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    ranked = qc.withColumn("__d", dist).withColumn(
+        "__cr",
+        F.row_number().over(Window.partitionBy(query_id_col).orderBy("__d")),
+    )
+    probes = ranked.filter(F.col("__cr") <= n_probe).select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"), "cell_id"
+    )
+    probe_cells = sorted(
+        r.cell_id for r in probes.select("cell_id").distinct().collect()
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cell_id").isin(probe_cells)
+    )
+    cand = probes.join(lists, "cell_id")
+    sim = cand.withColumn("cosine_sim", cosine(F.col("__qvec"), F.col(vec_col)))
+    topk = sim.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(
+                F.desc("cosine_sim"), F.col(id_col)
+            )
+        ),
+    ).filter(F.col("rank") <= k)
+    return topk.select(query_id_col, id_col, "cosine_sim", "rank")

@@ -212,3 +212,54 @@ def test_metric_metadata_covers_registry():
 
     with pytest.raises(KeyError, match="No metadata"):
         metric_metadata("bogus")
+
+
+def test_ivf_store_roundtrip_prunes_partitions(spark, sf_dir):
+    """save_ivf/search_stored: stored-index results equal the in-memory
+    IVF search, and the lists scan carries a cell_id PartitionFilter —
+    unprobed cells are pruned at file-listing time, the I/O contract of
+    a stored inverted index."""
+    import shutil
+    import tempfile
+
+    from kats_spark.operators import ivf
+    from kats_spark.sources.ann_store import save_ivf, search_stored
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    indexed, model = ivf.build_index(emb, n_cells=8, seed=7)
+    queries = emb.limit(3).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    expected = (
+        ivf.search(indexed, model, queries, k=5, n_probe=2)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    tmp = tempfile.mkdtemp()
+    try:
+        save_ivf(indexed, model, tmp)
+        out_df = search_stored(spark, tmp, queries, k=5, n_probe=2)
+        got = (
+            out_df.toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert list(got.query_id) == list(expected.query_id)
+        assert list(got.doc_id) == list(expected.doc_id)
+        assert (got.cosine_sim - expected.cosine_sim).abs().max() < 1e-9
+        # the pruning contract: the lists scan plans with a cell_id
+        # partition filter (not a post-scan Filter over all files)
+        plan = out_df._jdf.queryExecution().executedPlan().toString()
+        filters = [
+            seg.split("]")[0]
+            for seg in plan.split("PartitionFilters: [")[1:]
+        ]
+        assert any(
+            "cell_id" in f and " IN " in f for f in filters
+        ), f"no cell_id partition filter in: {filters}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -103,3 +103,78 @@ def search_stored(
         ),
     ).filter(F.col("rank") <= k)
     return topk.select(query_id_col, id_col, "cosine_sim", "rank")
+
+
+def save_band_index(
+    corpus: DataFrame,
+    table: str,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+    buckets: int = 32,
+) -> None:
+    """Persist the corpus's MinHash band rows as a table bucketed by the
+    join key — the amortization `incremental_neardup_pairs` promises:
+    the standing corpus's signature pass runs ONCE at ingest, and every
+    subsequent batch joins against the stored band table WITHOUT
+    shuffling the corpus side (the bucketed scan already satisfies the
+    join's distribution, so only the day's batch — millions of rows, not
+    the 100 TB corpus — moves)."""
+    from kats_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_portable_sig,
+    )
+
+    band_rows = minhash_band_rows(
+        minhash_portable_sig(corpus, text_col, id_col, num_hashes, shingle_n, seed),
+        id_col,
+        num_hashes,
+        bands,
+    ).select(F.col(id_col).alias("corpus_id"), "band_id", "key")
+    (
+        band_rows.write.mode("overwrite")
+        .bucketBy(buckets, "band_id", "key")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def incremental_neardup_stored(
+    spark: SparkSession,
+    table: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """(new_id, corpus_id) candidates for an arriving batch against a
+    SAVED band index: the batch's band rows (one linear pass over the
+    batch) equi-join the bucketed corpus table on (band_id, key).  Same
+    output as `incremental_neardup_pairs` on the full corpus (asserted
+    in tests); the corpus-side Exchange is gone — the bucketed layout
+    pre-satisfies the join distribution."""
+    from kats_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_portable_sig,
+    )
+
+    bn = minhash_band_rows(
+        minhash_portable_sig(new_df, text_col, id_col, num_hashes, shingle_n, seed),
+        id_col,
+        num_hashes,
+        bands,
+    ).select(F.col(id_col).alias("new_id"), "band_id", "key")
+    bc = spark.table(table)
+    return (
+        bn.join(bc, ["band_id", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )

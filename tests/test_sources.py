@@ -263,3 +263,62 @@ def test_ivf_store_roundtrip_prunes_partitions(spark, sf_dir):
         ), f"no cell_id partition filter in: {filters}"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_band_index_store_matches_direct_and_skips_corpus_shuffle(spark, sf_dir):
+    """save_band_index/incremental_neardup_stored: identical candidate
+    pairs to the direct two-sided computation, with the corpus side
+    joining OUT OF THE BUCKETED SCAN — fewer shuffle exchanges than the
+    direct plan (the batch still shuffles; the corpus must not)."""
+    import shutil
+    import tempfile
+
+    from kats_spark.operators.dedup import incremental_neardup_pairs
+    from kats_spark.sources.ann_store import (
+        incremental_neardup_stored,
+        save_band_index,
+    )
+    from kats_spark.sources.bucketing import exchange_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    batch = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, F.lit(1), F.ceil(F.size(toks) * 0.8).cast("int")), " "
+        ).alias("text"),
+    )
+    expected = (
+        incremental_neardup_pairs(batch, docs)
+        .toPandas()
+        .sort_values(["new_id", "corpus_id"])
+        .reset_index(drop=True)
+    )
+    tmp = tempfile.mkdtemp()
+    table = "corpus_band_index_test"
+    try:
+        save_band_index(docs, table, f"{tmp}/bands", buckets=8)
+        out_df = incremental_neardup_stored(spark, table, batch)
+        got = (
+            out_df.toPandas()
+            .sort_values(["new_id", "corpus_id"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(expected)
+        # shuffle accounting under the AT-SCALE join regime: with a big
+        # batch AQE can't broadcast, the join is sort-merge, and the
+        # stored plan must shuffle ONLY the batch side — the bucketed
+        # corpus scan already satisfies the join distribution.  (At
+        # bench size AQE broadcasts the batch and both plans look alike,
+        # so the regime is forced.)
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            stored_x = exchange_count(incremental_neardup_stored(spark, table, batch))
+            direct_x = exchange_count(incremental_neardup_pairs(batch, docs))
+            assert stored_x < direct_x, (stored_x, direct_x)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)

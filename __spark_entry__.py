@@ -85,7 +85,7 @@ _PRIORITY = [
     "corpus_prep", "corpus_build", "corpus_profile", "quality_classifier",
     "sketch_profile", "macd", "rsi", "trix_tsi",
     "epoch_upsample", "source_cap", "median_ensemble", "reconcile_struc", "hpt_recommend",
-    "embedding_diag", "hash_embed",
+    "embedding_diag", "hash_embed", "jpeg_decode",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

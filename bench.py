@@ -88,6 +88,9 @@ HEADLINE = [
     "pack_sequences",
     "chunk_docs",
     "corpus_build",
+    # r05 scope split (verdict option b): multimodal_decode reverts to
+    # its r03 payload scope, baseline JPEG gets its own r05 baseline
+    "jpeg_decode",
 ]
 
 

@@ -84,3 +84,74 @@ def distribution_distance_scores(
         )
         .select(s.series_id, s.time, s.value, "js_div")
     )
+
+
+def psi_drift(
+    df,
+    split_time,
+    value_col: str = "value",
+    by: str = "series_id",
+    time_col: str = "time",
+    n_bins: int = 10,
+    eps: float = 1.0e-4,
+):
+    """Population Stability Index between the before/after halves of a
+    time split — the industry-standard distribution-drift monitor
+    (PSI = sum over bins of (p_b - q_b) * ln(p_b / q_b); rule of thumb
+    < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major shift).  The
+    companion to the JS-divergence detector above: PSI compares two
+    EXPLICIT windows (deploy-time vs reference snapshot) instead of a
+    series against its own trailing past.
+
+    Bins are FIXED-WIDTH over the reference (before) window's min/max
+    per key — deterministic, oracle-exact (quantile bins would hinge on
+    interpolation conventions), with the out-of-range mass clamped into
+    the edge bins (the standard treatment for drift beyond the
+    reference range).  Both histograms are one grouped count each; the
+    whole operator is two narrow aggregates + one broadcast-sized join
+    per key — no shuffle of the raw rows beyond the per-key count.
+
+    Output: one row per key — (key, n_before, n_after, psi)."""
+    from pyspark.sql import functions as F
+
+    before = df.filter(F.col(time_col) < split_time)
+    after = df.filter(F.col(time_col) >= split_time)
+    ref = before.groupBy(by).agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+
+    def binned(side, name):
+        b = side.join(F.broadcast(ref), by)
+        ix = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(value_col) - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / n_bins + F.lit(1e-300))
+                ).cast("int"),
+            ),
+        )
+        return b.groupBy(by, ix.alias("__bin")).agg(
+            F.count("*").alias(name)
+        )
+
+    pb = binned(before, "__nb")
+    pa = binned(after, "__na")
+    tot = (
+        pb.groupBy(by).agg(F.sum("__nb").alias("__tb"))
+        .join(pa.groupBy(by).agg(F.sum("__na").alias("__ta")), by)
+    )
+    joined = (
+        pb.join(pa, [by, "__bin"], "full_outer")
+        .fillna(0, subset=["__nb", "__na"])
+        .join(tot, by)
+    )
+    p = F.col("__nb") / F.col("__tb") + F.lit(eps)
+    q = F.col("__na") / F.col("__ta") + F.lit(eps)
+    term = (p - q) * F.log(p / q)
+    return joined.groupBy(by).agg(
+        F.max("__tb").cast("bigint").alias("n_before"),
+        F.max("__ta").cast("bigint").alias("n_after"),
+        F.round(F.sum(term) + F.lit(1e-9), 6).alias("psi"),
+    )

@@ -1969,7 +1969,62 @@ ORDER BY doc_id, dim_ix
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the Jan 1-15
+    reference window and Jan 16+ (operators/dist_distance.py psi_drift):
+    fixed-width bins over the reference min/max, out-of-range mass
+    clamped to edge bins — the standard deploy-time drift monitor,
+    exact oracle."""
+    from kats_spark.operators.dist_distance import psi_drift
+    from kats_spark.plans.queries import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    out = psi_drift(ev, "2024-01-16 00:00:00", time_col="ts")
+    return out.orderBy("series_id")
+
+
+_Q_PSI_DRIFT_SQL = """
+WITH ev AS (SELECT event_type AS series_id, ts, value FROM events),
+before AS (SELECT * FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+after AS (SELECT * FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+ref AS (SELECT series_id, min(value) AS lo, max(value) AS hi FROM before GROUP BY series_id),
+bb AS (
+  SELECT b.series_id,
+    least(9, greatest(0, floor((b.value - r.lo) / ((r.hi - r.lo) / 10 + 1e-300))))::INT AS bin,
+    count(*) AS nb
+  FROM before b JOIN ref r USING (series_id) GROUP BY 1, 2
+),
+ba AS (
+  SELECT a.series_id,
+    least(9, greatest(0, floor((a.value - r.lo) / ((r.hi - r.lo) / 10 + 1e-300))))::INT AS bin,
+    count(*) AS na
+  FROM after a JOIN ref r USING (series_id) GROUP BY 1, 2
+),
+tot AS (
+  SELECT tb.series_id, tb.tb, ta.ta FROM
+    (SELECT series_id, sum(nb) AS tb FROM bb GROUP BY 1) tb
+    JOIN (SELECT series_id, sum(na) AS ta FROM ba GROUP BY 1) ta USING (series_id)
+),
+j AS (
+  SELECT coalesce(bb.series_id, ba.series_id) AS series_id,
+         coalesce(nb, 0) AS nb, coalesce(na, 0) AS na
+  FROM bb FULL OUTER JOIN ba ON bb.series_id = ba.series_id AND bb.bin = ba.bin
+),
+terms AS (
+  SELECT j.series_id, t.tb, t.ta,
+    (nb / t.tb::DOUBLE + 1e-4) AS p, (na / t.ta::DOUBLE + 1e-4) AS q
+  FROM j JOIN tot t USING (series_id)
+)
+SELECT series_id, max(tb)::BIGINT AS n_before, max(ta)::BIGINT AS n_after,
+  round(sum((p - q) * ln(p / q)) + 1e-9, 6) AS psi
+FROM terms GROUP BY series_id ORDER BY series_id
+"""
+
+
 QUERIES = {
+    "psi_drift": q_psi_drift,
     "embedding_diag": q_embedding_diag,
     "embedding_pca": q_embedding_pca,
     "hash_embed": q_hash_embed,
@@ -2029,6 +2084,7 @@ ORACLES = {
     "corpus_build": _Q_CORPUS_BUILD_SQL,
     "embedding_diag": _embedding_diag_sql(),
     "hash_embed": _hash_embed_sql(),
+    "psi_drift": _Q_PSI_DRIFT_SQL,
     "unigram_logppl": _Q_UNIGRAM_SQL,
     "bigram_logppl": _Q_BIGRAM_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,

@@ -2325,3 +2325,31 @@ def test_hash_embed_geometry(spark):
     assert cos(vecs[1], vecs[3]) > 0.9
     assert abs(cos(vecs[1], vecs[4])) < 0.5
     assert (out.n_tokens == 60).all()
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """psi_drift: a mean-shifted after-window scores PSI above the 0.25
+    major-shift line while an unshifted key stays under 0.1; counts per
+    window are exact."""
+    from kats_spark.operators.dist_distance import psi_drift
+
+    rng = np.random.default_rng(4)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(2000):
+        ts = t0 + pd.Timedelta(minutes=i * 20)
+        half = ts >= pd.Timestamp("2024-01-16")
+        rows.append({"series_id": "stable", "ts": ts, "value": float(rng.normal(0, 1))})
+        rows.append({
+            "series_id": "shifted", "ts": ts,
+            "value": float(rng.normal(3.0 if half else 0.0, 1)),
+        })
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = (
+        psi_drift(df, "2024-01-16 00:00:00", time_col="ts")
+        .toPandas()
+        .set_index("series_id")
+    )
+    assert out.loc["stable", "psi"] < 0.1
+    assert out.loc["shifted", "psi"] > 0.25
+    assert out.n_before.sum() + out.n_after.sum() == 4000

@@ -474,12 +474,20 @@ def q_multi_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     The synthetic event series are stationary (no real joint shift), so a
     deterministic +25 level shift is injected into every series from
     Jan 20 on — the declared query then demonstrates DETECTION (one row,
-    cp at the injected boundary), not just a correctly-empty result."""
+    cp at the injected boundary), not just a correctly-empty result.
+
+    The hourly grid is linearly densified first: at tiny SF the event
+    stream is sparse enough that no hour co-observes all five types, and
+    the joint-mean kernel needs aligned vectors (same densify the
+    reference applies via ``TimeSeriesData.interpolate`` before its
+    multivariate detectors)."""
     from pyspark.sql import functions as FF
 
     from kats_spark.operators.cusum import multi_cusum_detect
+    from kats_spark.operators.resample import resample as _resample
 
-    shifted = hourly_series(spark, sf_dir).withColumn(
+    dense = _resample(hourly_series(spark, sf_dir), 3600, "linear")
+    shifted = dense.withColumn(
         "value",
         FF.col("value")
         + FF.when(FF.col("time") >= FF.lit("2024-01-20 00:00:00"), 25.0).otherwise(0.0),
@@ -492,11 +500,17 @@ def q_multi_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bvar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minnesota-prior Bayesian VAR over the co-observed event series —
-    rows-only (matrix posterior), covered by exact-math unit tests."""
+    rows-only (matrix posterior), covered by exact-math unit tests.
+
+    Linearly densified first (see q_multi_cusum): the VAR-family kernels
+    need co-observed hourly vectors, which sparse tiny-SF event streams
+    don't provide raw."""
     from kats_spark.models import bvar
+    from kats_spark.operators.resample import resample as _resample
 
     out = bvar.bvar_forecast(
-        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600, p=3
+        _resample(hourly_series(spark, sf_dir), 3600, "linear"),
+        steps=24, freq_seconds=3600, p=3,
     )
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 

@@ -248,6 +248,7 @@ def jaccard_allpairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard >= threshold with prefix filtering
     (Bayardo et al. AllPairs / PPJoin candidate generation).
@@ -261,6 +262,11 @@ def jaccard_allpairs(
     almost never appear in prefixes, so the candidate join is near-linear.
     Verification computes exact Jaccard on the full shingle arrays, so the
     result set is IDENTICAL to the naive plan (same DuckDB oracle).
+
+    ``persist_registry``: callers that memoize this plan across an
+    external ``clearCache()`` (see plans.pipeline_queries._corpus_stages)
+    pass a list to receive the internally-persisted frames so their
+    cache registrations can be re-established on reuse.
 
     Shuffle discipline (the part that survives a 100x scale-up): the
     shingle window, the (id, g) dedup, and the per-doc prefix aggregation
@@ -280,6 +286,8 @@ def jaccard_allpairs(
     # without a persist the whole shingle pipeline (scan + normalize regex +
     # posexplode + n-gram window + distinct) executes twice per action
     ex = shingle_rows(df, text_col, id_col, shingle_n).persist()
+    if persist_registry is not None:
+        persist_registry.append(ex)
     freq = ex.groupBy("g").agg(F.count("*").alias("__df"))
     # per-doc row: full shingle array + the (df, g)-sorted prefix, built in
     # ONE aggregation (array_sort on structs orders by df asc, then g asc
@@ -303,6 +311,8 @@ def jaccard_allpairs(
         .drop("__ranked")
         .persist()
     )
+    if persist_registry is not None:
+        persist_registry.append(sh)
     prefix = sh.select(id_col, "__sz", F.explode("__prefix").alias("g"))
     a = prefix.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("sz_a"), "g")
     b = prefix.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("sz_b"), "g")

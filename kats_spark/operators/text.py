@@ -86,6 +86,63 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 6)).drop("__qt")
 
 
+def _quality_expr(text_col: str):
+    """The quality_score blend over staged ``__qt`` / ``__lt`` token
+    columns — memoized per gateway (see _lang_exprs) so corpus queries
+    that rebuild the scoring block per call don't re-pay the py4j
+    Column-construction cost."""
+    key = ("quality", _gateway_key(), text_col)
+    if key in _EXPR_MEMO:
+        return _EXPR_MEMO[key]
+    t = F.col("__qt")
+    n = F.size(t)
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
+    stop_ratio = F.size(F.array_intersect(F.col("__lt"), stop_arr)) / F.lit(
+        float(len(_EN_STOP))
+    )
+    alpha_ratio = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) / F.greatest(
+        F.length(F.col(text_col)), F.lit(1)
+    )
+    distinct_ratio = F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1))
+    len_band = F.when((n >= 20) & (n <= 100000), F.lit(1.0)).otherwise(
+        F.least(n.cast("double") / 20.0, F.lit(1.0))
+    )
+    score = F.round(
+        0.25 * len_band + 0.25 * stop_ratio + 0.25 * alpha_ratio + 0.25 * distinct_ratio,
+        6,
+    )
+    _EXPR_MEMO[key] = score
+    return score
+
+
+def score_and_lang(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.05
+) -> DataFrame:
+    """Fused ``quality_score`` + ``lang_id`` in ONE projection: the
+    composed form tokenizes every document twice (each operator stages
+    its own token array); here one ``tokens()`` evaluation feeds both the
+    quality blend (raw tokens) and the language ratios (lowered tokens).
+    Column results are identical to ``lang_id(quality_score(df))``
+    (asserted in tests); at corpus scale this halves the dominant
+    per-document regex-split cost of the scoring scan."""
+    df = df.withColumn("__qt", tokens(F.col(text_col))).withColumn(
+        "__lt", F.transform(F.col("__qt"), F.lower)
+    )
+    ratios, best = _lang_exprs()
+    return (
+        df.withColumn("quality_score", _quality_expr(text_col))
+        .withColumn("stop_ratio", ratios["en"])
+        .withColumn("lang_ratio", best["ratio"])
+        .withColumn(
+            "lang_pred",
+            F.when(best["ratio"] >= threshold, best["lang"]).otherwise(
+                F.lit("unknown")
+            ),
+        )
+        .drop("__qt", "__lt")
+    )
+
+
 _EXPR_MEMO: dict = {}
 
 

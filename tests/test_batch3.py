@@ -816,6 +816,19 @@ def test_lang_id_multilingual(spark):
     )
 
 
+def test_score_and_lang_equals_composed(spark):
+    """The fused single-tokenize scorer must produce byte-identical
+    columns to quality_score |> lang_id (the corpus_prep hot path)."""
+    from kats_spark.operators.text import lang_id, quality_score, score_and_lang
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "quality_score", "stop_ratio", "lang_ratio", "lang_pred"]
+    composed = lang_id(quality_score(docs)).select(cols)
+    fused = score_and_lang(docs).select(cols)
+    assert composed.exceptAll(fused).count() == 0
+    assert fused.exceptAll(composed).count() == 0
+
+
 def test_all_pairs_topk_sharded_40k_vectors(spark):
     """Scale guard for the sharded index path: 40k vectors force 4
     shard collections (driver peak = one ~20k-row shard instead of the

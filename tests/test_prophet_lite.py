@@ -161,7 +161,12 @@ def test_prophet_lite_future_cp_rate_is_per_history_fraction():
         daily_seasonality=False,
         seed=1,
     ).fit(times, y)
-    assert float(np.abs(m.delta_).mean()) > 0.05  # real shifts -> lam > 0
+    # real shifts -> nonzero deltas whose TOTAL captures the 0.08/day
+    # slope change (scaled ~0.74); the zero-start CD fit concentrates it
+    # on few knots, so assert the sum, not the mean (the old mean>0.05
+    # bar was calibrated to the pre-fix inflated canceling deltas)
+    assert float(np.abs(m.delta_).sum()) > 0.3
+    assert float(np.abs(m.delta_).max()) > 0.05
     fut = times[-1] + (np.arange(1, 25) * np.timedelta64(1, "D")).astype(
         "timedelta64[ns]"
     )

@@ -117,13 +117,36 @@ def test_prophet_lite_matches_prophet_golden():
     np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
 
 
+def test_sarima_matches_statsmodels_golden():
+    """Lag-set SARIMA vs the reference's ONLY usable seasonal golden —
+    (2,1,1)x(1,0,1,12) lbfgs-50 on air passengers.  The reference itself
+    disabled this case as non-deterministic (test_sarima_model.py:135,
+    T103684646) and its other seasonal golden (newton maxiter=1) is
+    numerically divergent, so the tolerance documents golden quality,
+    not fit quality — see the JSON note."""
+    case = _need("sarima_air_p2m1_30")
+    from kats_spark.models.sarima import _sarima_forecast_one
+
+    _, y = _fixture(case)
+    fc, _ = _sarima_forecast_one(
+        y, tuple(case["order"]), tuple(case["seasonal_order"]), case["horizon"]
+    )
+    np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
+
+
 def test_excluded_cases_are_documented():
     """The golden doc must explain every deliberately absent model family
     so a missing case is an auditable decision, not silence."""
     if _DOC is None:
         pytest.skip("golden file absent")
     assert "sarima_air_111" in _DOC["excluded"]
+    assert "sarima_air_011_011_12" in _DOC["excluded"]
     assert "holtwinters_air_p7" in _DOC["excluded"]
     for case in _DOC["cases"]:
-        assert case["rtol"] <= 0.06
+        # 0.06 is the honesty cap for trusted goldens; a case may carry
+        # more slack ONLY when the golden itself is flagged untrusted
+        # (the reference disabled it as non-deterministic) and the note
+        # says why
+        cap = 0.1 if case.get("golden_quality") == "nondeterministic" else 0.06
+        assert case["rtol"] <= cap, case["name"]
         assert len(case["fcst"]) == case["horizon"]

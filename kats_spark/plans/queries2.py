@@ -3056,6 +3056,46 @@ FROM num n JOIN catw c ON n.series_id = c.series_id AND c.rk = 1
 """
 
 
+def q_metalearn_hpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MetaLearnHPT multi-task net (kats/models/metalearner/
+    metalearner_hpt.py:38 MultitaskNet): shared numpy-MLP encoder over
+    per-series features with a softmax head for the categorical HP and a
+    linear head for the numerical HP, trained driver-side on a bounded
+    synthetic metadata grid (a deterministic nonlinear param surface —
+    win_len quadratic in the features, seasonal an XOR rule a kNN
+    recommender cannot linearly separate), broadcast for one
+    mapInPandas scoring pass.  Rows-only: iterative minibatch training
+    has no SQL form; behavior (beats the nearest-example recommender on
+    the same surface) is asserted in tests/test_ml.py."""
+    import numpy as np
+
+    from kats_spark.models.metalearner_hpt import metalearn_hpt_recommend
+
+    h = hourly_series(spark, sf_dir)
+    feats = h.groupBy("series_id").agg(
+        F.avg("value").alias("f_mean"), F.var_samp("value").alias("f_var")
+    )
+    # deterministic 12x12 metadata grid over the feature envelope with a
+    # nonlinear HP surface (the shape historical-tuning metadata has)
+    g1 = np.linspace(20.0, 80.0, 12)
+    g2 = np.linspace(400.0, 2000.0, 12)
+    rows = []
+    for i, a in enumerate(g1):
+        for j, b in enumerate(g2):
+            win = 12.0 + 0.01 * (a - 50.0) ** 2 + 24.0 * (b / 2000.0)
+            seas = "multiplicative" if (a > 50.0) ^ (b > 1200.0) else "additive"
+            rows.append((i * 12 + j, float(a), float(b), float(win), seas))
+    meta = spark.createDataFrame(
+        rows, "meta_id int, f_mean double, f_var double, win_len double, seasonal string"
+    )
+    out = metalearn_hpt_recommend(
+        feats, meta, ["f_mean", "f_var"],
+        numerical_hps=["win_len"], categorical_hps=["seasonal"],
+        n_epochs=200, seed=42,
+    )
+    return _r6(out.orderBy("series_id"), "win_len")
+
+
 # --------------------------------------------------------------------------
 # KatsEnsemble: seasonality-gated deseasonalize -> 2 models -> median
 # --------------------------------------------------------------------------
@@ -4652,6 +4692,7 @@ QUERIES = {
     "kats_ensemble": q_kats_ensemble,
     "multi_cusum": q_multi_cusum,
     "hpt_recommend": q_hpt_recommend,
+    "metalearn_hpt": q_metalearn_hpt,
     "ema": q_ema,
     "macd": q_macd,
     "rsi": q_rsi,

@@ -1707,14 +1707,53 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kats_spark.operators.dedup import incremental_neardup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = incremental_neardup_pairs(_incremental_batch(docs), docs)
+    return out.select(
+        F.col("new_id").cast("bigint").alias("new_id"),
+        F.col("corpus_id").cast("bigint").alias("corpus_id"),
+    ).orderBy("new_id", "corpus_id")
+
+
+def _incremental_batch(docs):
+    """The arriving-batch frame q_incremental_neardup uses (every 97th
+    doc, 80%-token prefix, re-id'd) — shared with the stored variant so
+    both queries answer the same question."""
     toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
-    new_batch = docs.filter(F.col("doc_id") % 97 == 0).select(
+    return docs.filter(F.col("doc_id") % 97 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.array_join(
             F.slice(toks, F.lit(1), F.ceil(F.size(toks) * 0.8).cast("int")), " "
         ).alias("text"),
     )
-    out = incremental_neardup_pairs(new_batch, docs)
+
+
+def q_incremental_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup against the SAVED band index
+    (sources/ann_store.py): the standing corpus's MinHash band rows
+    persist ONCE per scale factor as a table bucketed on the join key,
+    and each arriving batch joins it with NO corpus-side exchange (the
+    bucketed scan pre-satisfies the join distribution — asserted in
+    tests/test_sources.py).  Same output and oracle as
+    incremental_neardup; this is the amortized daily-ingest path the
+    in-line variant's one-shot plan promises."""
+    import os
+
+    from kats_spark.sources.ann_store import (
+        incremental_neardup_stored,
+        save_band_index,
+    )
+
+    sf_name = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    table = f"band_index_{sf_name}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if not spark.catalog.tableExists(table):
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            "spark-warehouse",
+            table,
+        )
+        save_band_index(docs, table, path)
+    out = incremental_neardup_stored(spark, table, _incremental_batch(docs))
     return out.select(
         F.col("new_id").cast("bigint").alias("new_id"),
         F.col("corpus_id").cast("bigint").alias("corpus_id"),
@@ -2066,6 +2105,7 @@ QUERIES = {
     "split_assign": q_split_assign,
     "epoch_upsample": q_epoch_upsample,
     "incremental_neardup": q_incremental_neardup,
+    "incremental_neardup_stored": q_incremental_neardup_stored,
     "source_cap": q_source_cap,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
@@ -2109,6 +2149,8 @@ ORACLES = {
     "split_assign": _Q_SPLIT_ASSIGN_SQL,
     "epoch_upsample": _Q_EPOCH_UPSAMPLE_SQL,
     "incremental_neardup": _incremental_neardup_sql(),
+    # stored band index replays the identical portable band join
+    "incremental_neardup_stored": _incremental_neardup_sql(),
     "source_cap": _Q_SOURCE_CAP_SQL,
     "dup_spans": _dup_spans_sql(),
     "corpus_build": _Q_CORPUS_BUILD_SQL,

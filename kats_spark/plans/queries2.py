@@ -1795,6 +1795,46 @@ def q_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-index IVF search (sources/ann_store.py): the portable
+    index persists ONCE per scale factor as the centroids + partitioned
+    lists lake layout, and every subsequent query-batch search reads
+    centroids (broadcast-sized), collects the bounded probe-cell set,
+    and scans ONLY the probed cells' files via partition pruning —
+    the amortized daily-search path a 100 TB corpus actually runs.
+    Output (and oracle) identical to ivf_topk_portable: the stored
+    search replays the same rounded probe/cosine lattice."""
+    import os
+
+    from kats_spark.operators import ivf
+    from kats_spark.sources import ann_store
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "spark-warehouse",
+        f"ivf_store_{sf_name}",
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    if not os.path.exists(os.path.join(path, "lists", "_SUCCESS")):
+        indexed, centers = ivf.build_index_portable(emb, n_cells=8)
+        ann_store.save_ivf_portable(indexed, centers, path)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_store.search_stored_portable(
+        spark, path, queries, k=10, n_probe=3, id_col="vec_id"
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cosine_sim").alias("cosine_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization audit: recall@10 of PQ codes (ADC scan) and
     of ADC + exact re-rank against the brute-force Euclidean top-10 per
@@ -4639,6 +4679,7 @@ QUERIES = {
     "ml_ar_insample": q_ml_ar_insample,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_portable": q_ivf_portable,
+    "ivf_stored_topk": q_ivf_stored_topk,
     "ivf_recall": q_ivf_recall,
     "semantic_dedup": q_semantic_dedup,
     "pq_topk_portable": q_pq_portable,
@@ -4708,6 +4749,7 @@ ORACLES = {
     "global_dms": _global_dms_sql(),
     "tsfeatures_expr": _Q_TSFEAT_EXPR_SQL,
     "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
+    "ivf_stored_topk": _Q_IVF_PORTABLE_SQL,  # stored layer, same lattice
     "ivf_recall": _Q_IVF_RECALL_SQL,
     "semantic_dedup": _Q_SEMANTIC_DEDUP_SQL,
     "pq_topk_portable": _Q_PQ_PORTABLE_SQL,

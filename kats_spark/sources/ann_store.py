@@ -105,6 +105,76 @@ def search_stored(
     return topk.select(query_id_col, id_col, "cosine_sim", "rank")
 
 
+def save_ivf_portable(
+    indexed: DataFrame,
+    centers: DataFrame,
+    path: str,
+) -> None:
+    """Write a PORTABLE index (``operators.ivf.build_index_portable``
+    output) as the same lake layout ``save_ivf`` uses: tiny centroids
+    parquet + lists partitioned by ``cell_id``.  The portable build's
+    rounded centroids make the stored search value-hash replayable in
+    DuckDB — the stored layer gets the same oracle as the in-memory
+    path."""
+    centers.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    indexed.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/lists"
+    )
+
+
+def search_stored_portable(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """``operators.ivf.search_portable`` semantics (rounded
+    distance-to-centroid probe ranking with cell_id tie-break, rounded
+    cosine re-rank with id tie-break — byte-identical output) against a
+    SAVED portable index: probed cells collect driver-side (bounded:
+    <= n_queries x n_probe ints) and push into the lists scan as a
+    partition filter, so unprobed cells cost nothing — not even a
+    file-open."""
+    from kats_spark.operators.ivf import _rnd6, _sq_dist
+
+    centers = spark.read.parquet(f"{path}/centroids")
+    qc = queries.crossJoin(F.broadcast(centers))
+    ranked = qc.withColumn(
+        "__d", _rnd6(_sq_dist(F.col(vec_col), F.col("center")))
+    ).withColumn(
+        "__cr",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy("__d", "cell_id")
+        ),
+    )
+    probes = ranked.filter(F.col("__cr") <= n_probe).select(
+        query_id_col, F.col(vec_col).alias("__qvec"), "cell_id"
+    )
+    probe_cells = sorted(
+        r.cell_id for r in probes.select("cell_id").distinct().collect()
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cell_id").isin(probe_cells)
+    )
+    cand = F.broadcast(probes).join(lists, "cell_id")
+    sim = cand.withColumn(
+        "cosine_sim", _rnd6(cosine(F.col("__qvec"), F.col(vec_col)))
+    )
+    topk = sim.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(
+                F.desc("cosine_sim"), F.col(id_col)
+            )
+        ),
+    ).filter(F.col("rank") <= k)
+    return topk.select(query_id_col, id_col, "cosine_sim", "rank")
+
+
 def save_band_index(
     corpus: DataFrame,
     table: str,

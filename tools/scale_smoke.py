@@ -98,6 +98,17 @@ def run_op(name: str, spark, k: int) -> tuple[float, int]:
     elif name == "pack":
         df = replicate_docs(spark, k)
         n = sampling.pack_sequences(df, seq_len=2048, salt_shards=256).count()
+    elif name == "pack_big":
+        # >1M rows at every multiple, so the salt_shards auto-gate
+        # (sampling.py: <1M -> naive single window, else 256-shard
+        # salted) takes the SALTED path — the 100 TB regime the gate
+        # exists for.  Synthetic short docs: token counts 1..50.
+        n_docs = 1_200_000 * k
+        df = spark.range(n_docs).selectExpr(
+            "id as doc_id",
+            "repeat('tok ', 1 + cast(id % 50 as int)) as text",
+        )
+        n = sampling.pack_sequences(df, seq_len=2048).count()
     elif name == "chunk":
         from kats_spark.operators import text as text_ops
 
@@ -159,6 +170,8 @@ def main() -> None:
     for op in ops:
         row: dict = {"op": op}
         rows = []
+        run_op(op, spark, 1)  # discard: absorb codegen/JIT warmup so
+        # t1 isn't inflated (without this every op reads sub-linear)
         for k in (1, 2, 4):
             t, n = run_op(op, spark, k)
             row[f"t{k}"] = round(t, 2)

@@ -142,6 +142,118 @@ def _make_updater(match_frac: float, state_cap: int, timeout_ms: int):
     return update
 
 
+def portable_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """STREAMING-SAFE portable MinHash band rows: the exact (id,
+    band_id, key) values of the batch ``minhash_portable_sig`` +
+    ``minhash_band_rows`` pipeline (operators/dedup.py), computed as a
+    pure projection — no windows, no aggregations — so the same
+    expression tree runs on a batch frame and inside a streaming
+    micro-batch (equivalence asserted in tests/test_streaming.py).
+
+    The batch path aggregates exploded shingle ROWS (groupBy(id).min);
+    streams forbid that shape in append mode, so here the shingle set
+    stays an ARRAY column and each signature slot is
+    ``array_min(transform(hashes, h -> (h*a + b) % p))`` — min over the
+    gram multiset equals min over the distinct set, so the families
+    agree exactly.  Every HOF input is staged as a bound column first
+    (the per-element re-evaluation trap: a lambda referencing a
+    computed array expression inlines and re-executes it per element)."""
+    from kats_spark.operators.dedup import (
+        _P as _PP,
+        _hash_params as _portable_params,
+        normalize,
+        tokens,
+    )
+
+    rpb = num_hashes // bands
+    t = tokens(normalize(F.col(text_col)))
+    staged = df.select(F.col(id_col), t.alias("__t"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("__t") - (shingle_n - 1), F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("__t"), i, shingle_n), " ")
+    )
+    staged = staged.select(F.col(id_col), grams.alias("__g"))
+    # 31-base polynomial hash per gram (poly_hash_expr as a lambda body;
+    # __g is a bound column so the per-element walk runs once per gram)
+    staged = staged.select(
+        F.col(id_col),
+        F.expr(
+            "transform(__g, g -> aggregate(transform(sequence(1, length(g)), "
+            "i -> bigint(ascii(substr(g, i, 1)))), 0L, "
+            f"(h, c) -> (h * 31 + c) % {_PP}))"
+        ).alias("__h"),
+    )
+    params = _portable_params(num_hashes, seed)
+    mins = [
+        F.array_min(
+            F.expr(f"transform(__h, h -> (h * {a}L + {b}L) % {_PP})")
+        ).alias(f"__m{k}")
+        for k, (a, b) in enumerate(params)
+    ]
+    sig = staged.select(F.col(id_col), *mins)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"__m{j * rpb + r}").cast("string")
+                    for r in range(rpb)
+                ],
+            ).alias("key"),
+        )
+        for j in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")
+    ).select(
+        id_col,
+        F.col("__b.band_id").alias("band_id"),
+        F.col("__b.key").alias("key"),
+    )
+
+
+def streaming_incremental_neardup(
+    stream: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Streaming twin of ``incremental_neardup_pairs`` /
+    ``incremental_neardup_stored``: each micro-batch of arriving
+    documents computes its portable band rows as a pure projection and
+    STREAM-STATIC joins the standing corpus's saved band index
+    (``corpus_bands`` = ``spark.table(band_table)`` from
+    ``sources.ann_store.save_band_index``, or any static (corpus_id,
+    band_id, key) frame).  Same candidate set as the batch join —
+    asserted batch==streaming in tests; a pair matching in several
+    bands emits once per band (streams can't re-shuffle history for a
+    global distinct), so callers take DISTINCT downstream, exactly the
+    ``streaming_neardup`` verdict contract.
+
+    100 TB shape: the corpus side is the bucketed band table — the
+    micro-batch side (thousands of rows) broadcasts or shuffles, the
+    corpus never moves; identical to the batch stored path."""
+    bn = portable_band_keys(
+        stream, text_col, id_col, num_hashes, bands, shingle_n, seed
+    ).withColumnRenamed(id_col, "new_id")
+    return bn.join(corpus_bands, ["band_id", "key"]).select(
+        "new_id", "corpus_id"
+    )
+
+
 def streaming_neardup(
     stream: DataFrame,
     text_col: str = "text",

@@ -906,3 +906,96 @@ def test_streaming_budget_sample_fills_across_batches(spark):
         assert list(book.cum_tokens) == [11]
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_incremental_neardup_streaming_equals_batch(spark):
+    """Streaming twin of incremental_neardup (VERDICT r06 item #10):
+    arriving batches stream-static join the SAVED corpus band index;
+    distinct candidate pairs must equal the batch
+    incremental_neardup_pairs output on the same data.  Also pins the
+    building block: portable_band_keys (pure projection, streaming-safe)
+    == the batch minhash_portable_sig + minhash_band_rows rows."""
+    import numpy as np
+
+    from kats_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_band_rows,
+        minhash_portable_sig,
+    )
+    from kats_spark.streaming.neardup import (
+        portable_band_keys,
+        streaming_incremental_neardup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, F.lit(1), F.ceil(F.size(toks) * 0.8).cast("int")), " "
+        ).alias("text"),
+    )
+
+    # building block: projection band rows == batch agg band rows
+    proj = portable_band_keys(batch).toPandas()
+    agg = minhash_band_rows(
+        minhash_portable_sig(batch), "doc_id", 16, 4
+    ).toPandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "band_id", "key"]].values))
+    assert key(proj) == key(agg)
+
+    # corpus band index as the static side
+    corpus_bands = minhash_band_rows(
+        minhash_portable_sig(docs), "doc_id", 16, 4
+    ).select(F.col("doc_id").alias("corpus_id"), "band_id", "key")
+
+    tmpdir = tempfile.mkdtemp()
+    out_table = "incr_neardup_stream_out"
+    try:
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        bpd = batch.toPandas()
+        half = len(bpd) // 2
+        bpd.iloc[:half].to_parquet(os.path.join(chunk_dir, "c0.parquet"))
+        bpd.iloc[half:].to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+            .parquet(chunk_dir)
+        )
+        q = (
+            streaming_incremental_neardup(stream, corpus_bands)
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = set(
+            map(
+                tuple,
+                spark.table(out_table)
+                .select("new_id", "corpus_id")
+                .distinct()
+                .toPandas()
+                .values,
+            )
+        )
+        exp = set(
+            map(
+                tuple,
+                incremental_neardup_pairs(batch, docs)
+                .toPandas()[["new_id", "corpus_id"]]
+                .values,
+            )
+        )
+        assert got == exp
+        assert len(exp) > 0  # the truncated-prefix batch must match
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

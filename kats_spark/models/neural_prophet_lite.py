@@ -30,16 +30,34 @@ Z95 = 1.959963984540054
 
 
 class NeuralProphetLite:
+    """``num_hidden_layers > 0`` enables the NONLINEAR AR-Net
+    (kats/models/neuralprophet.py:96-97 num_hidden_layers / d_hidden:
+    AR-Net with hidden ReLU layers): the lag block becomes a small
+    numpy MLP (models/metalearner_hpt.MultitaskNetLite with a single
+    numerical head — the same manual-backprop machinery) fit on the
+    residuals of the Prophet components, backfitting-style.  The
+    default 0 keeps AR-Net's published linear form as joint lag
+    regressors under a Normal prior."""
+
     def __init__(
         self,
         n_lags: int = 8,
         ar_prior_scale: float = 1.0,
+        num_hidden_layers: int = 0,
+        d_hidden: int = 8,
+        ar_epochs: int = 300,
+        seed: int = 0,
         **prophet_kwargs,
     ) -> None:
         self.n_lags = int(n_lags)
+        self.num_hidden_layers = int(num_hidden_layers)
+        self.d_hidden = int(d_hidden)
+        self.ar_epochs = int(ar_epochs)
+        self.seed = int(seed)
         prophet_kwargs.setdefault("regressor_prior_scale", ar_prior_scale)
         self._kw = prophet_kwargs
         self.model_: ProphetLite | None = None
+        self.ar_net_ = None
 
     def fit(self, times: np.ndarray, y: np.ndarray) -> "NeuralProphetLite":
         L = self.n_lags
@@ -47,10 +65,52 @@ class NeuralProphetLite:
             raise ValueError(f"need more than n_lags+4={L + 4} points")
         lagmat = np.column_stack([y[L - j - 1 : len(y) - j - 1] for j in range(L)])
         self._tail = y[-L:].astype(float).copy()
-        self.model_ = ProphetLite(**self._kw).fit(
-            times[L:], y[L:], regressors=lagmat
+        if self.num_hidden_layers <= 0:
+            self.model_ = ProphetLite(**self._kw).fit(
+                times[L:], y[L:], regressors=lagmat
+            )
+            return self
+        # nonlinear AR-Net: Prophet components first, then an MLP on the
+        # component residuals over the lag vector (one backfit round —
+        # NeuralProphet optimizes jointly; the residual fit recovers the
+        # same decomposition when components are identifiable)
+        from kats_spark.models.metalearner_hpt import MultitaskNetLite
+
+        self.model_ = ProphetLite(**self._kw).fit(times[L:], y[L:])
+        base = self.model_.predict(times[L:]).fcst.to_numpy()
+        resid = y[L:] - base
+        self._x_mu = lagmat.mean(axis=0)
+        x_sd = lagmat.std(axis=0)
+        self._x_sd = np.where(x_sd > 0, x_sd, 1.0)
+        self._r_mu = float(resid.mean())
+        r_sd = float(resid.std())
+        self._r_sd = r_sd if r_sd > 0 else 1.0
+        Xs = (lagmat - self._x_mu) / self._x_sd
+        rs = (resid - self._r_mu) / self._r_sd
+        self.ar_net_ = MultitaskNetLite(
+            input_dim=L,
+            n_hidden_shared=[self.d_hidden] * self.num_hidden_layers,
+            n_hidden_cat_combo=[],
+            cat_classes=[],
+            n_hidden_num=[],
+            n_num=1,
+            seed=self.seed,
+        ).fit(
+            Xs, None, rs[:, None],
+            lr=0.01, n_epochs=self.ar_epochs,
+            batch_size=min(64, max(len(rs) - 2, 1)),
+            method="adam", seed=self.seed,
         )
+        # refresh sigma for intervals: observation noise AFTER the AR
+        # block explains its share of the residual
+        fit_rs = self.ar_net_.predict(Xs)[1][:, 0]
+        final_resid = resid - (fit_rs * self._r_sd + self._r_mu)
+        self.model_.sigma_ = float(final_resid.std(ddof=1)) / self.model_.y_scale_
         return self
+
+    def _ar_term(self, lag_vec: np.ndarray) -> float:
+        Xs = ((lag_vec - self._x_mu) / self._x_sd)[None, :]
+        return float(self.ar_net_.predict(Xs)[1][0, 0]) * self._r_sd + self._r_mu
 
     def predict(self, future_times: np.ndarray) -> pd.DataFrame:
         m = self.model_
@@ -58,10 +118,19 @@ class NeuralProphetLite:
         lags = list(self._tail)  # lags[-1] = most recent
         rows = []
         for t in future_times:
-            reg = np.array([lags[-1 - j] for j in range(L)])[None, :]
-            out = m.predict(np.array([t], dtype="datetime64[ns]"), regressors=reg)
-            yhat = float(out.fcst.iloc[0])
-            rows.append((yhat, float(out.fcst_lower.iloc[0]), float(out.fcst_upper.iloc[0])))
+            reg = np.array([lags[-1 - j] for j in range(L)])
+            ts1 = np.array([t], dtype="datetime64[ns]")
+            if self.ar_net_ is None:
+                out = m.predict(ts1, regressors=reg[None, :])
+                yhat = float(out.fcst.iloc[0])
+                lo, hi = float(out.fcst_lower.iloc[0]), float(out.fcst_upper.iloc[0])
+            else:
+                out = m.predict(ts1)
+                ar = self._ar_term(reg)
+                yhat = float(out.fcst.iloc[0]) + ar
+                lo = float(out.fcst_lower.iloc[0]) + ar
+                hi = float(out.fcst_upper.iloc[0]) + ar
+            rows.append((yhat, lo, hi))
             lags.append(yhat)
         return pd.DataFrame(rows, columns=["fcst", "fcst_lower", "fcst_upper"])
 

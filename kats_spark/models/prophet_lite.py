@@ -404,7 +404,7 @@ class ProphetLite:
                     mags = rng.laplace(0.0, lam, size=int(changes.sum()))
                     slope_shift = np.zeros(n_fut)
                     slope_shift[changes] = mags
-                    cum = np.cumsum(slope_shift * np.gradient(tf))
+                    cum = np.cumsum(slope_shift * dts)  # dts guards n_fut==1
                     paths[i] = np.cumsum(cum)
             noise = rng.normal(0.0, max(self.sigma_, 1e-12), size=(n_samp, n_fut))
             dev = (paths + noise) * self.y_scale_

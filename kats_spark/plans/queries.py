@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kats_spark.functions import calendar, metrics as M, rolling, stats, ta
+from kats_spark.plans.prepared import prepared
 from kats_spark.operators import decomposition, dedup, mk, resample, robust_stat
 from kats_spark.operators import similarity, statsig, text, trend
 from kats_spark.tsframe import DEFAULT as S
@@ -123,6 +124,7 @@ def _r6(df: DataFrame, *cols: str) -> DataFrame:
 # flagship + relational anchors
 # --------------------------------------------------------------------------
 
+@prepared()
 def q_daily_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: star join (broadcast dims) -> daily revenue series per
     region -> 7-day trailing MA.  The canonical 'build a series from a fact
@@ -252,6 +254,7 @@ FROM spine s LEFT JOIN base b USING (series_id, time)
 """
 
 
+@prepared()
 def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation on the same sparse grid."""
     base = resample.aggregate_to_grid(
@@ -301,6 +304,7 @@ FROM f
 # rolling / detector scores
 # --------------------------------------------------------------------------
 
+@prepared()
 def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = raw_series(spark, sf_dir)
     out = df.withColumn("z", rolling.z_score(24))
@@ -379,6 +383,7 @@ FROM dev
 """
 
 
+@prepared()
 def q_statsig(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = statsig.statsig_scores(raw_series(spark, sf_dir), n_control=100, n_test=20)
     return _fmt_time(
@@ -479,6 +484,7 @@ LEFT JOIN ties t ON p.series_id = t.series_id
 """
 
 
+@prepared(recache=(hourly_series,))
 def q_mk_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = mk.mk_rolling(hourly_series(spark, sf_dir), window_size=24)
     return _fmt_time(_r6(out, "mk_s", "tau"))
@@ -556,6 +562,7 @@ FROM zc WHERE abs(z) > {zcrit!r}
 """
 
 
+@prepared(recache=(hourly_series,))
 def q_acf_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACFDetector seasonality presence + pruned cycle lengths
     (Bartlett CIs, greedy-equivalent divisor pruning) — full oracle."""
@@ -640,6 +647,7 @@ FROM sa
 # trend models (closed-form OLS)
 # --------------------------------------------------------------------------
 
+@prepared(recache=(hourly_series,))
 def q_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = trend.linear_forecast(hourly_series(spark, sf_dir), steps=24, freq_seconds=3600)
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
@@ -728,6 +736,7 @@ FROM co, (SELECT unnest(generate_series(1, 24))::DOUBLE AS h)
 # metrics
 # --------------------------------------------------------------------------
 
+@prepared()
 def q_metrics_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All closed-form error metrics of the naive lag-1 forecast, per series
     (kats/metrics/metrics.py registry as one agg)."""
@@ -966,6 +975,7 @@ FROM days
 # tsfeatures (expression group)
 # --------------------------------------------------------------------------
 
+@prepared()
 def q_ts_stat_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One feature row per series: basic stats + lumpiness + stability +
     crossing_points + binarize_mean + std1st_der + flat_spots +
@@ -1140,6 +1150,7 @@ WINDOW
 # decomposition
 # --------------------------------------------------------------------------
 
+@prepared(recache=(hourly_series,))
 def q_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = decomposition.ma_decompose(hourly_series(spark, sf_dir), period=24)
     return _fmt_time(_r6(out, "value", "trend", "seasonal", "residual"))
@@ -1225,6 +1236,7 @@ FROM agg
 # sessionization (interval consolidation primitive)
 # --------------------------------------------------------------------------
 
+@prepared()
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization per user (30-min gap) — the interval
     consolidation primitive behind IntervalDetectorModel
@@ -1892,6 +1904,7 @@ HAVING count(*) >= 2
 """
 
 
+@prepared(recache=(hourly_series,))
 def q_auto_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model selection INSIDE one plan (the Evaluator/backtester flow,
     kats/evaluation/evaluator.py + backtesters.py, as a single query):

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kats_spark.models import fcst as fcst_mod
+from kats_spark.plans.prepared import prepared
 from kats_spark.operators import (
     backtest as bt_mod,
     bocpd as bocpd_mod,
@@ -137,6 +138,7 @@ FROM united GROUP BY 1, 2
 """
 
 
+@prepared(recache=(hourly_series,))
 def q_weighted_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-average ensemble (weighted_avg_ensemble.py:30), weights =
     1/backtest-MAE per (series, model) — full oracle composed from the
@@ -2856,6 +2858,7 @@ def q_prophet_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+@prepared(recache=(hourly_series,))
 def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kats_spark.operators.stl import stl_decompose
 

@@ -28,3 +28,24 @@ def test_rows_only_queries_run(spark, sf_dir, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+_PREPARED = sorted(
+    n for n, fn in _QUERIES.items() if hasattr(fn, "__wrapped_query__")
+)
+
+
+@pytest.mark.parametrize("name", _PREPARED)
+def test_prepared_memo_hit_equals_fresh(spark, sf_dir, name):
+    """Prepared-statement queries (plans/prepared.py): after an external
+    clearCache (the bench harness does this between reps), the memoized
+    plan must produce the same rows as a freshly-constructed one — the
+    memo may only skip CONSTRUCTION, never computation."""
+    fn = _QUERIES[name]
+    first = fn(spark, sf_dir)  # populate the memo
+    spark.catalog.clearCache()
+    memo_rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    fresh_rows = sorted(
+        map(tuple, fn.__wrapped_query__(spark, sf_dir).collect())
+    )
+    assert memo_rows == fresh_rows

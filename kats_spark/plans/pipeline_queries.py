@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kats_spark.operators import dedup, similarity, text
+from kats_spark.plans.prepared import prepared
 
 
 def _rnd(col, d=6):
@@ -28,6 +29,7 @@ def _rnd(col, d=6):
 # dedup
 # --------------------------------------------------------------------------
 
+@prepared()
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = dedup.exact_dedup(docs)
@@ -84,6 +86,7 @@ WHERE inter / (sz_a + sz_b - inter) >= 0.5
 """
 
 
+@prepared()
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs — approximate (Spark xxhash64-based), so
     declared rows-only (no SQL oracle can reproduce the hash family)."""
@@ -106,6 +109,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis
 # --------------------------------------------------------------------------
 
+@prepared()
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = text.word_stats(docs)
@@ -710,6 +714,7 @@ _POLY = (
 )
 
 
+@prepared()
 def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over the portable polynomial hash — exact oracle."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -806,6 +811,7 @@ GROUP BY 1
 """
 
 
+@prepared()
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with id < 20 play the eval set;
     flag training docs sharing any verbatim word-8-gram with them.
@@ -844,6 +850,7 @@ GROUP BY 1
 """
 
 
+@prepared()
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition features (dup-line ratio,
     top 2-gram share, duplicated-gram occurrence ratio) — exact oracle."""
@@ -985,6 +992,7 @@ ORDER BY doc_id
 """
 
 
+@prepared()
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via the pigeonhole band join
     (Manku/Jain/Sarma WWW'07) over the PORTABLE 16-bit fingerprint —
@@ -1223,6 +1231,7 @@ GROUP BY doc_id
 """
 
 
+@prepared()
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus profile: doc counts, token totals and
     exact interpolated token-length quantiles (p50/p90/p99) — the
@@ -1272,6 +1281,7 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.sketch_profile(docs, rsd=0.02)
 
 
+@prepared()
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law audit over corpus token frequencies — full oracle:
     identical normalize/tokenize, rank window, and regr_slope/regr_r2."""
@@ -1302,6 +1312,7 @@ FROM totals t CROSS JOIN fit f
 """
 
 
+@prepared()
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between the corpus and a deterministically perturbed
     copy (every 7th doc text-modified, every 13th dropped, 20 synthetic
@@ -1523,6 +1534,7 @@ FROM c ORDER BY doc_id
 """
 
 
+@prepared()
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (text.py chunk_documents):
     64-token windows, 16-token overlap — the RAG/embedding prep fan-out
@@ -1625,6 +1637,7 @@ FROM ranked WHERE rk <= 3 ORDER BY id_a, rk
 """
 
 
+@prepared()
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash train/val/test split (sampling.py
     split_assign): u = md5(seed||id) first-48-bits / 2^48, compared

@@ -171,6 +171,7 @@ FROM daily
 """
 
 
+@prepared()
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the aggregate-pushdown anchor."""
     _utc(spark)
@@ -509,6 +510,7 @@ FROM arrs
 """
 
 
+@prepared(recache=(hourly_series,))
 def q_mk_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Significance-classified rolling MK (the detector gate, not just the
     statistic): tie-corrected variance, continuity-corrected z, two-sided
@@ -1260,6 +1262,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@prepared()
 def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark's NATIVE ``session_window`` — the same
     30-min-gap semantics as ``q_sessionize``'s lag/cumsum plan (verified:

@@ -1219,6 +1219,7 @@ FROM withbest
 """
 
 
+@prepared()
 def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram profile language ID (Cavnar & Trenkle shape, IDF-
     weighted literal profiles) — full oracle: the identical (lang, g, w)
@@ -1262,6 +1263,7 @@ FROM documents d2 LEFT JOIN best ON d2.doc_id = best.doc_id
 """
 
 
+@prepared()
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/URL redaction with a full oracle: documents are deterministically
     enriched with synthetic contact strings (emails/URLs/IPs/phones built
@@ -1318,6 +1320,7 @@ FROM scrubbed
 _BM25_TERMS = ["spark", "window", "join"]
 
 
+@prepared()
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a literal query — full oracle: the
     Okapi formula replays term-for-term in DuckDB (rounded scores ORDER
@@ -2938,6 +2941,7 @@ FROM fc f LEFT JOIN seas s ON f.series_id = s.series_id AND f.phase = s.phase
 # --------------------------------------------------------------------------
 
 
+@prepared(recache=(hourly_series,))
 def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMA(12) per point (feature_extraction.py:375 EMA) — the recursive
     family's representative, hash-matched: pandas ewm(span, adjust=True)
@@ -3412,6 +3416,7 @@ FROM d
 """
 
 
+@prepared()
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode with a full oracle: deterministic PPM (8x8
     RGB), WAV (PCM 8-bit mono, 8 kHz), PNG (8x8 RGB, stdlib-zlib
@@ -3564,6 +3569,7 @@ UNION ALL SELECT * FROM png
 """
 
 
+@prepared()
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline-JPEG encode+decode with a full oracle (split out of
     multimodal_decode in r05 so each scope has a baseline that covers
@@ -3652,6 +3658,7 @@ FROM b
 """
 
 
+@prepared()
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectral features with a FULL value-hash oracle: each
     document's first 64 ASCII codes become an 8-bit PCM WAV (8 kHz),
@@ -3828,6 +3835,7 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@prepared()
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: per-frame luma stats for every 2nd frame of
     deterministic MJPEG-AVI and Y4M containers built from document text.
@@ -4552,6 +4560,7 @@ def q_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@prepared(recache=(hourly_series,))
 def q_kernel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kats_spark.operators import tsfeatures as tsf
 

@@ -673,6 +673,7 @@ def dup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_gate_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list -> duplicate
     CLUSTERS: (doc_id, cluster_id) with cluster_id = the minimum doc id
@@ -691,7 +692,16 @@ def dup_components(
 
     Deterministic: min-label is unique per component.  Exact oracle:
     a recursive-CTE transitive closure computes the same min-reachable
-    id in DuckDB (see plans/pipeline_queries.q_dup_clusters)."""
+    id in DuckDB (see plans/pipeline_queries.q_dup_clusters).
+
+    Size gate (the similarity.py driver-prefilter pattern): the pair
+    graph is orders of magnitude smaller than the corpus, and below
+    ``driver_gate_edges`` distinct edges (~16 MB of longs at the 1M
+    default) a driver-side union-find answers in one collect instead of
+    O(log n) join rounds — each round costs 2 joins + an action of
+    FIXED overhead that dwarfs the data at this size.  Above the gate
+    the distributed loop runs unchanged (the 100 TB path; equivalence
+    of the two paths is asserted in tests)."""
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     # Every iteration MATERIALIZES via eager localCheckpoint: the
     # min-label + pointer-jump step references the previous labels frame
@@ -712,6 +722,32 @@ def dup_components(
         .coalesce(loop_parts)
         .localCheckpoint(eager=True)
     )
+    # the count reads the checkpoint blocks (the upstream pair pipeline
+    # already ran), so probing the gate costs one cheap action
+    if edges.count() <= driver_gate_edges:
+        epd = edges.toPandas()  # Arrow batch transfer
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in zip(epd["u"].tolist(), epd["v"].tolist()):
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)  # min-label root
+        out_rows = [(u, find(u)) for u in parent]
+        dup_components.last_rounds = 0  # driver path: no join rounds
+        spark = pairs.sparkSession
+        id_type = dict(edges.dtypes)["u"]
+        schema = f"doc_id {id_type}, cluster_id {id_type}"
+        return spark.createDataFrame(out_rows or [], schema)
     labels = (
         edges.select("u").distinct().withColumn("lbl", F.col("u"))
         .localCheckpoint(eager=True)

@@ -2366,3 +2366,28 @@ def test_psi_drift_detects_planted_shift(spark):
     assert out.loc["stable", "psi"] < 0.1
     assert out.loc["shifted", "psi"] > 0.25
     assert out.n_before.sum() + out.n_after.sum() == 4000
+
+
+def test_dup_components_driver_gate_equals_distributed(spark):
+    """The size-gated driver union-find path must produce exactly the
+    distributed min-label loop's output (same clusters, same schema) —
+    the gate may only change the physical strategy."""
+    from pyspark.sql import functions as F
+
+    from kats_spark.operators.dedup import dup_components
+
+    rng_pairs = [
+        (1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21),
+        (30, 31), (31, 32), (32, 33), (33, 30), (5, 40), (40, 41),
+    ]
+    df = spark.createDataFrame(rng_pairs, "id_a bigint, id_b bigint")
+    fast = sorted(
+        (r.doc_id, r.cluster_id) for r in dup_components(df).collect()
+    )
+    assert dup_components.last_rounds == 0  # gate took the driver path
+    slow = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dup_components(df, driver_gate_edges=0).collect()
+    )
+    assert dup_components.last_rounds > 0  # forced distributed
+    assert fast == slow

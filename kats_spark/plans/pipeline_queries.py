@@ -600,9 +600,21 @@ def _corpus_stages(spark: SparkSession, sf_dir: str):
     )
     _PERSISTED.extend(inner)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    final = exact.join(dropped, "doc_id", "left_anti")
+    # persist the survivor frame too: corpus_build references it twice
+    # (packing stats + survivor count) and corpus_funnel once more —
+    # without the boundary each reference re-runs the AllPairs verify
+    # join.  Persist the PRUNED projection: a persist is a column-
+    # pruning barrier, so materializing the raw join would cache the
+    # full text column every consumer then drops (measured: +2s on
+    # corpus_prep); the (doc_id, score, n_tokens) projection is tiny
+    final = (
+        exact.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "quality_score", "n_tokens")
+        .persist()
+    )
+    _PERSISTED.append(final)
     out = (docs, kept, exact, final)
-    _STAGE_MEMO[key] = ([scored, exact, *inner], out)
+    _STAGE_MEMO[key] = ([scored, exact, final, *inner], out)
     return out
 
 

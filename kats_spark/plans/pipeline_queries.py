@@ -600,21 +600,19 @@ def _corpus_stages(spark: SparkSession, sf_dir: str):
     )
     _PERSISTED.extend(inner)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    # persist the survivor frame too: corpus_build references it twice
-    # (packing stats + survivor count) and corpus_funnel once more —
-    # without the boundary each reference re-runs the AllPairs verify
-    # join.  Persist the PRUNED projection: a persist is a column-
-    # pruning barrier, so materializing the raw join would cache the
-    # full text column every consumer then drops (measured: +2s on
-    # corpus_prep); the (doc_id, score, n_tokens) projection is tiny
-    final = (
-        exact.join(dropped, "doc_id", "left_anti")
-        .select("doc_id", "quality_score", "n_tokens")
-        .persist()
+    # final is NOT persisted: its upstream boundaries (scored, exact, the
+    # AllPairs inner frames) already cache everything expensive, so
+    # consumers that read it twice (corpus_build) re-run only the cheap
+    # anti-join over cached inputs.  Persisting it was measured at +1.2s
+    # per cleared-cache rep on corpus_prep (4.34s -> 3.04s best-of-5
+    # after removal) while saving corpus_build nothing (5.4s both ways):
+    # a persist here forces materializing all three columns through the
+    # in-memory store where the count()-shaped consumers only need one.
+    final = exact.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "quality_score", "n_tokens"
     )
-    _PERSISTED.append(final)
     out = (docs, kept, exact, final)
-    _STAGE_MEMO[key] = ([scored, exact, final, *inner], out)
+    _STAGE_MEMO[key] = ([scored, exact, *inner], out)
     return out
 
 

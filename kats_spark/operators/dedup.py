@@ -915,3 +915,97 @@ def dup_span_fraction(
             ),
         )
     )
+
+
+def excise_dup_spans(
+    df: DataFrame,
+    span_n: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Duplicated-span EXCISION — the removal step of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"):
+    ``dup_span_fraction`` measures how much of a document is
+    corpus-duplicated text; this operator actually cuts it out.  A
+    ``span_n``-token window (stride 1, full windows only) is duplicated
+    when it occurs in >= ``min_docs`` distinct documents; every token
+    covered by at least one duplicated window is removed and the
+    document is reassembled from its surviving tokens in order.
+    Documents shorter than ``span_n`` tokens have no windows and pass
+    through unchanged.
+
+    Plan (all linear in corpus tokens): one posexplode pass, window
+    ``lead()`` builds each position's gram, the gram-key groupBy
+    computes document frequency, duplicated start positions join back
+    on (id, pos), and coverage is ``max()`` over a ``span_n``-row
+    trailing frame — token positions are dense, so the ROWS frame IS
+    the position range.  The final per-doc reassembly groupBy shares
+    the window's hash partitioning, so Catalyst reuses the exchange.
+    At 100 TB nothing here is quadratic: the gram df table is
+    key-spread (AQE owns residual skew) and text never self-joins.
+
+    ``portable=False`` (default) keys grams with xxhash64 — 8-byte
+    shuffle rows, a 2^-64 collision marks a span duplicated spuriously.
+    ``portable=True`` keys on the gram STRING itself: exact (no
+    collision false-positives) and replayed verbatim by the DuckDB
+    oracle, at string-width shuffle cost — the oracle path.
+
+    Output: ``(id, n_tokens, n_removed, clean_text)``; ``clean_text``
+    is ``''`` when every token was covered."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    t = tokens(normalize(F.col(text_col)))
+    tok = df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", j).over(w) for j in range(1, span_n)
+    ]
+    rows = tok.select(
+        F.col(id_col),
+        "__pos",
+        "__tok",
+        # concat_ws skips nulls -> tail positions yield truncated grams;
+        # the __pos <= __n - span_n guards below keep full windows only
+        F.concat_ws(" ", *parts).alias("__g"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("__n"),
+    )
+    key = F.col("__g") if portable else F.xxhash64("__g")
+    starts = rows.filter(F.col("__pos") <= F.col("__n") - span_n).select(
+        F.col(id_col), "__pos", key.alias("__k")
+    )
+    dup = (
+        starts.groupBy("__k")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__k")
+    )
+    dup_starts = starts.join(dup, "__k").select(
+        F.col(id_col), "__pos", F.lit(1).alias("__ds")
+    )
+    covered = F.max(F.coalesce(F.col("__ds"), F.lit(0))).over(
+        w.rowsBetween(-(span_n - 1), 0)
+    )
+    marked = (
+        rows.drop("__g", "__n")
+        .join(dup_starts, [id_col, "__pos"], "left")
+        .withColumn("__cov", covered)
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("__cov").cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__cov") == 0, F.struct("__pos", "__tok")
+                        )
+                    )
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

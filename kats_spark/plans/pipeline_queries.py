@@ -1902,6 +1902,55 @@ FROM per ORDER BY doc_id
 """
 
 
+def q_dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span EXCISION (dedup.py excise_dup_spans): the removal
+    step of Lee et al. 2022 — every token covered by a 5-token window
+    occurring in >= 2 documents is cut, docs reassembled from surviving
+    tokens in order.  Exact oracle (portable string-keyed grams, window
+    coverage, ordered string_agg reassembly)."""
+    from kats_spark.operators.dedup import excise_dup_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = excise_dup_spans(docs, span_n=5, min_docs=2, portable=True)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "n_removed",
+        "clean_text",
+    ).orderBy("doc_id")
+
+
+def _dup_span_excise_sql(span_n: int = 5) -> str:
+    return f"""
+WITH {_TOKS_CTE},
+tok AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i, unnest(t) AS tok,
+    len(t) AS n
+  FROM toks
+),
+st AS (
+  SELECT doc_id, i, array_to_string(t[i:i+{span_n - 1}], ' ') AS g
+  FROM tok WHERE i <= n - {span_n - 1}
+),
+dup AS (SELECT g FROM st GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+ds AS (SELECT doc_id, i, 1 AS d FROM st JOIN dup USING (g)),
+cov AS (
+  SELECT tok.doc_id, tok.i, tok.tok,
+    max(coalesce(ds.d, 0)) OVER (PARTITION BY tok.doc_id ORDER BY tok.i
+      ROWS BETWEEN {span_n - 1} PRECEDING AND CURRENT ROW) AS c
+  FROM tok LEFT JOIN ds ON tok.doc_id = ds.doc_id AND tok.i = ds.i
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(c)::BIGINT AS n_removed,
+    string_agg(CASE WHEN c = 0 THEN tok END, ' ' ORDER BY i) AS clean_text
+  FROM cov GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, n_tokens, n_removed,
+  coalesce(clean_text, '') AS clean_text
+FROM per ORDER BY doc_id
+"""
+
+
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-corpus build as ONE lazy plan — the flagship
     composition: score/filter -> exact dedup -> near-dup removal
@@ -2122,6 +2171,7 @@ QUERIES = {
     "hash_embed": q_hash_embed,
     "corpus_build": q_corpus_build,
     "dup_spans": q_dup_spans,
+    "dup_span_excise": q_dup_span_excise,
     "pack_sequences": q_pack_sequences,
     "chunk_docs": q_chunk_docs,
     "tfidf_topk": q_tfidf_topk,
@@ -2176,6 +2226,7 @@ ORACLES = {
     "incremental_neardup_stored": _incremental_neardup_sql(),
     "source_cap": _Q_SOURCE_CAP_SQL,
     "dup_spans": _dup_spans_sql(),
+    "dup_span_excise": _dup_span_excise_sql(),
     "corpus_build": _Q_CORPUS_BUILD_SQL,
     "embedding_diag": _embedding_diag_sql(),
     "hash_embed": _hash_embed_sql(),

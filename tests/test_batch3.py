@@ -2293,6 +2293,45 @@ def test_dup_span_fraction_planted_copy(spark):
     assert out.loc[4, "dup_frac"] > 0.999
 
 
+def test_excise_dup_spans_semantics(spark):
+    """excise_dup_spans: a shared 5-token run is cut from every carrier
+    (coverage extends span_n-1 tokens past each duplicated start); docs
+    shorter than span_n pass through unchanged; unique text survives;
+    a verbatim pair is excised to empty.  xxhash64 and portable string
+    keys agree."""
+    from kats_spark.operators.dedup import excise_dup_spans
+
+    shared = " ".join(f"s{j}" for j in range(5))  # exactly one 5-window
+    rows = [
+        {"doc_id": 1, "text": "a1 a2 " + shared + " a3 a4"},
+        {"doc_id": 2, "text": shared + " b1 b2 b3 b4 b5"},
+        {"doc_id": 3, "text": "c1 c2 c3 c4 c5 c6"},  # unique, untouched
+        {"doc_id": 4, "text": "d1 d2 d3"},  # shorter than span_n
+        {"doc_id": 5, "text": "e1 e2 e3 e4 e5 e6 e7"},
+        {"doc_id": 6, "text": "e1 e2 e3 e4 e5 e6 e7"},  # verbatim pair
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    for portable in (False, True):
+        out = (
+            excise_dup_spans(df, span_n=5, min_docs=2, portable=portable)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        # doc 1: only the s0..s4 window is duplicated -> those 5 go
+        assert out.loc[1, "clean_text"] == "a1 a2 a3 a4"
+        assert out.loc[1, "n_removed"] == 5
+        # doc 2: same span at position 0
+        assert out.loc[2, "clean_text"] == "b1 b2 b3 b4 b5"
+        assert out.loc[3, "n_removed"] == 0
+        assert out.loc[3, "clean_text"] == "c1 c2 c3 c4 c5 c6"
+        assert out.loc[4, "clean_text"] == "d1 d2 d3"  # no windows
+        # verbatim pair: every one of the 3 windows duplicated -> all
+        # 7 tokens covered, reassembly is the empty string
+        assert out.loc[5, "n_removed"] == 7
+        assert out.loc[5, "clean_text"] == ""
+        assert out.loc[6, "clean_text"] == ""
+
+
 def test_embedding_pca_matches_numpy(spark):
     """embedding_pca: distributed gram/mean partials reproduce the dense
     numpy covariance spectrum; a rank-deficient construction shows up in

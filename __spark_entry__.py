@@ -84,8 +84,8 @@ _PRIORITY = [
     "incremental_neardup", "dup_spans",
     "epoch_upsample", "source_cap", "reconcile_struc", "hpt_recommend",
     "embedding_diag", "hash_embed",
-    # r07 stored-index layer (rotate into the window in r08)
-    "ivf_stored_topk", "incremental_neardup_stored",
+    # r07 stored-index layer + span excision (rotate into the window in r08)
+    "ivf_stored_topk", "incremental_neardup_stored", "dup_span_excise",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

@@ -95,16 +95,13 @@ _PRIORITY = [
     "hpt_gpei", "percentage_change", "level_shift",
     "interval_relative", "rolling_iqr", "mk_statistic", "mk_rolling",
     "cusum_transform", "minhash_quality", "doc_fingerprint",
-    "lsh_bucket_pairs", "embed_survivors", "ivf_recall", "ivfpq_recall",
-    "pq_topk_portable",
-    "winnow_fp",
+    "lsh_bucket_pairs", "embed_survivors", "ivfpq_recall",
     "corpus_funnel", "time_features",
     "fourier_features", "metrics_dist",
     # variants / secondary
     "resample_ffill", "rolling_zscore_segmented", "sessionize_native",
     "simulate_portable",
     # r04 rotation-window queries displaced to the depth section
-    "mixture_sample",
     "corpus_sample", "hpt_sobol", "lang_id_ngram", "multimodal_decode",
     "dup_clusters", "bm25_topk", "pii_scrub", "bigram_logppl",
     "damped_forecast", "ljung_box", "decontaminate_fuzzy", "snapshot_diff",

@@ -144,6 +144,13 @@ def run_op(name: str, spark, k: int) -> tuple[float, int]:
             .selectExpr("doc_id", "array_join(toks, ' ') as text")
         )
         n = text_ops.tfidf_topk_pairs(df, k=3, top_m=10).count()
+    elif name == "excise":
+        # replicated copies share every span except the appended repN
+        # token, so the duplicated-span coverage is near-total — the
+        # worst-case removal regime: the gram-df table, the join-back
+        # and the reassembly all see maximum duplicate density.
+        df = replicate_docs(spark, k)
+        n = dedup.excise_dup_spans(df, span_n=5).count()
     elif name == "incremental":
         df = replicate_docs(spark, k)
         new_batch = df.filter(F.col("doc_id") % 11 == 0).select(

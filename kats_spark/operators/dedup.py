@@ -992,6 +992,14 @@ def excise_dup_spans(
         .join(dup_starts, [id_col, "__pos"], "left")
         .withColumn("__cov", covered)
     )
+    return _excise_reassemble(marked, id_col)
+
+
+def _excise_reassemble(marked: DataFrame, id_col: str) -> DataFrame:
+    """Shared excision tail: per-doc token/removal counts + ordered
+    reassembly of the surviving tokens (``__cov`` = 1 marks removal).
+    collect_list skips the nulls the ``when`` leaves for covered tokens,
+    and array_sort on (pos, tok) structs restores document order."""
     return marked.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_tokens"),
         F.sum("__cov").cast("bigint").alias("n_removed"),
@@ -1009,3 +1017,77 @@ def excise_dup_spans(
             " ",
         ).alias("clean_text"),
     )
+
+
+def excise_vs_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    span_n: int = 20,
+    min_docs: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental duplicated-span excision — clean an ARRIVING batch
+    against the STANDING corpus (the daily-ingestion shape, pairing
+    ``incremental_neardup_pairs``): every batch token covered by a
+    ``span_n``-token window occurring in >= ``min_docs`` CORPUS
+    documents is cut, and each batch document is reassembled from its
+    surviving tokens in order.  With the default ``min_docs=1`` this is
+    "remove text the corpus already has" — the Lee et al. removal step
+    applied incrementally instead of corpus-wide.
+
+    No corpus self-join and no batch self-join: the corpus contributes
+    only its qualifying DISTINCT gram keys (one linear pass whose
+    output, like the stored MinHash band index, can be materialized
+    once and reused across daily batches), the batch contributes
+    positioned grams, and the two meet in one equi-join keyed on the
+    gram.  Batch-internal duplication is deliberately NOT considered —
+    run :func:`excise_dup_spans` on the batch for that.
+
+    Key portability matches :func:`excise_dup_spans`: xxhash64 default,
+    ``portable=True`` keys on the gram string for the DuckDB oracle.
+
+    Output: ``(id, n_tokens, n_removed, clean_text)`` for the batch."""
+    from pyspark.sql import Window
+
+    corpus_grams = shingle_string_rows(
+        corpus_df, text_col, id_col, span_n
+    )
+    ckey = F.col("g") if portable else F.xxhash64("g")
+    corpus_keys = (
+        corpus_grams.select(F.col(id_col), ckey.alias("__k"))
+        .groupBy("__k")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__k")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    t = tokens(normalize(F.col(text_col)))
+    tok = new_df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", j).over(w) for j in range(1, span_n)
+    ]
+    rows = tok.select(
+        F.col(id_col),
+        "__pos",
+        "__tok",
+        F.concat_ws(" ", *parts).alias("__g"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("__n"),
+    )
+    bkey = F.col("__g") if portable else F.xxhash64("__g")
+    starts = rows.filter(F.col("__pos") <= F.col("__n") - span_n).select(
+        F.col(id_col), "__pos", bkey.alias("__k")
+    )
+    dup_starts = starts.join(corpus_keys, "__k").select(
+        F.col(id_col), "__pos", F.lit(1).alias("__ds")
+    )
+    covered = F.max(F.coalesce(F.col("__ds"), F.lit(0))).over(
+        w.rowsBetween(-(span_n - 1), 0)
+    )
+    marked = (
+        rows.drop("__g", "__n")
+        .join(dup_starts, [id_col, "__pos"], "left")
+        .withColumn("__cov", covered)
+    )
+    return _excise_reassemble(marked, id_col)

@@ -1951,6 +1951,103 @@ FROM per ORDER BY doc_id
 """
 
 
+def q_incremental_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicated-span excision (dedup.excise_vs_corpus):
+    clean an arriving batch against the standing corpus — the removal
+    twin of incremental_neardup.  The batch is every 97th doc's
+    80%-token prefix (re-crawled text the corpus already has) plus five
+    novel id-specific tail tokens, so the result demonstrates BOTH
+    behaviors: the prefix excises completely (every 5-window occurs
+    verbatim in the source doc), the novel tail survives.  Exact oracle
+    (string-keyed grams)."""
+    from kats_spark.operators.dedup import excise_vs_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    prefix = F.array_join(
+        F.slice(toks, F.lit(1), F.ceil(F.size(toks) * 0.8).cast("int")), " "
+    )
+    sid = F.col("doc_id").cast("string")
+    batch = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            prefix,
+            F.concat(F.lit("xa"), sid),
+            F.concat(F.lit("xb"), sid),
+            F.concat(F.lit("xc"), sid),
+            F.concat(F.lit("xd"), sid),
+            F.concat(F.lit("xe"), sid),
+        ).alias("text"),
+    )
+    out = excise_vs_corpus(batch, docs, span_n=5, min_docs=1, portable=True)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "n_removed",
+        "clean_text",
+    ).orderBy("doc_id")
+
+
+_Q_INCREMENTAL_EXCISE_SQL = """
+WITH batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+    concat_ws(' ',
+      array_to_string(t0[1:ceil(len(t0) * 0.8)::BIGINT], ' '),
+      'xa' || doc_id::VARCHAR, 'xb' || doc_id::VARCHAR,
+      'xc' || doc_id::VARCHAR, 'xd' || doc_id::VARCHAR,
+      'xe' || doc_id::VARCHAR) AS text
+  FROM (
+    SELECT doc_id,
+      string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t0
+    FROM documents WHERE doc_id % 97 = 0)
+),
+ctoks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+ckeys AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 4, 1) + 1),
+        i -> array_to_string(t[i:i+4], ' ')))) AS g
+    FROM ctoks)
+),
+btoks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'),
+                x -> x <> '') AS t
+  FROM batch
+),
+btok AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i, unnest(t) AS tok,
+    len(t) AS n
+  FROM btoks
+),
+bst AS (
+  SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS g
+  FROM btok WHERE i <= n - 4
+),
+ds AS (SELECT doc_id, i, 1 AS d FROM bst JOIN ckeys USING (g)),
+cov AS (
+  SELECT btok.doc_id, btok.i, btok.tok,
+    max(coalesce(ds.d, 0)) OVER (PARTITION BY btok.doc_id ORDER BY btok.i
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
+  FROM btok LEFT JOIN ds ON btok.doc_id = ds.doc_id AND btok.i = ds.i
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(c)::BIGINT AS n_removed,
+    string_agg(CASE WHEN c = 0 THEN tok END, ' ' ORDER BY i) AS clean_text
+  FROM cov GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, n_tokens, n_removed,
+  coalesce(clean_text, '') AS clean_text
+FROM per ORDER BY doc_id
+"""
+
+
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-corpus build as ONE lazy plan — the flagship
     composition: score/filter -> exact dedup -> near-dup removal
@@ -2172,6 +2269,7 @@ QUERIES = {
     "corpus_build": q_corpus_build,
     "dup_spans": q_dup_spans,
     "dup_span_excise": q_dup_span_excise,
+    "incremental_excise": q_incremental_excise,
     "pack_sequences": q_pack_sequences,
     "chunk_docs": q_chunk_docs,
     "tfidf_topk": q_tfidf_topk,
@@ -2227,6 +2325,7 @@ ORACLES = {
     "source_cap": _Q_SOURCE_CAP_SQL,
     "dup_spans": _dup_spans_sql(),
     "dup_span_excise": _dup_span_excise_sql(),
+    "incremental_excise": _Q_INCREMENTAL_EXCISE_SQL,
     "corpus_build": _Q_CORPUS_BUILD_SQL,
     "embedding_diag": _embedding_diag_sql(),
     "hash_embed": _hash_embed_sql(),

@@ -2332,6 +2332,49 @@ def test_excise_dup_spans_semantics(spark):
         assert out.loc[6, "clean_text"] == ""
 
 
+def test_excise_vs_corpus_semantics(spark):
+    """excise_vs_corpus: batch tokens covered by corpus spans are cut,
+    novel batch text survives, and batch-INTERNAL duplication is
+    deliberately ignored (that's excise_dup_spans' job)."""
+    from kats_spark.operators.dedup import excise_vs_corpus
+
+    shared = " ".join(f"s{j}" for j in range(6))  # two corpus 5-windows
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": 1, "text": shared + " c1 c2 c3"},
+                {"doc_id": 2, "text": "d1 d2 d3 d4 d5 d6"},
+            ]
+        )
+    )
+    batch_dup = " ".join(f"q{j}" for j in range(5))
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # corpus span + novel tail: span cut, tail kept
+                {"doc_id": 10, "text": shared + " n1 n2 n3 n4 n5"},
+                # batch-internal duplicate pair, absent from corpus: kept
+                {"doc_id": 11, "text": batch_dup + " m1 m2"},
+                {"doc_id": 12, "text": batch_dup + " m3 m4"},
+                # shorter than span_n: no windows, untouched
+                {"doc_id": 13, "text": "p1 p2 p3"},
+            ]
+        )
+    )
+    for portable in (False, True):
+        out = (
+            excise_vs_corpus(batch, corpus, span_n=5, portable=portable)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[10, "clean_text"] == "n1 n2 n3 n4 n5"
+        assert out.loc[10, "n_removed"] == 6
+        assert out.loc[11, "n_removed"] == 0
+        assert out.loc[11, "clean_text"] == batch_dup + " m1 m2"
+        assert out.loc[12, "n_removed"] == 0
+        assert out.loc[13, "clean_text"] == "p1 p2 p3"
+
+
 def test_embedding_pca_matches_numpy(spark):
     """embedding_pca: distributed gram/mean partials reproduce the dense
     numpy covariance spectrum; a rank-deficient construction shows up in

@@ -98,6 +98,10 @@ HEADLINE = [
     # amortized number the layer exists for
     "ivf_stored_topk",
     "incremental_neardup_stored",
+    # r07 late additions (baseline = BENCH_r07): the Lee et al. span
+    # REMOVAL operators (corpus-wide + batch-vs-corpus incremental)
+    "dup_span_excise",
+    "incremental_excise",
 ]
 
 

@@ -954,6 +954,33 @@ def excise_dup_spans(
 
     Output: ``(id, n_tokens, n_removed, clean_text)``; ``clean_text``
     is ``''`` when every token was covered."""
+    key = F.col("g") if portable else F.xxhash64("g")
+    starts = positioned_gram_rows(df, span_n, text_col, id_col).select(
+        F.col(id_col), F.col("pos"), key.alias("__k")
+    )
+    dup = (
+        starts.groupBy("__k")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__k")
+    )
+    dup_starts = starts.join(dup, "__k").select(id_col, "pos")
+    return finish_excision(df, dup_starts, span_n, text_col, id_col)
+
+
+def positioned_gram_rows(
+    df: DataFrame,
+    span_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, pos, g)`` FULL-window gram rows (stride 1) via the
+    window/``lead()`` plan — the positioned-gram builder shared by
+    :func:`excise_dup_spans` / :func:`excise_vs_corpus`, and the batch
+    reference for the streaming pure-projection twin
+    (``streaming/excise.py``; equivalence asserted in tests).  Unlike
+    :func:`shingle_string_rows` this keeps positions, keeps duplicates,
+    and emits NO truncated gram for docs shorter than ``span_n``."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("__pos")
@@ -965,32 +992,43 @@ def excise_dup_spans(
     rows = tok.select(
         F.col(id_col),
         "__pos",
-        "__tok",
         # concat_ws skips nulls -> tail positions yield truncated grams;
-        # the __pos <= __n - span_n guards below keep full windows only
+        # the full-window filter below drops them
         F.concat_ws(" ", *parts).alias("__g"),
         F.count("*").over(Window.partitionBy(id_col)).alias("__n"),
     )
-    key = F.col("__g") if portable else F.xxhash64("__g")
-    starts = rows.filter(F.col("__pos") <= F.col("__n") - span_n).select(
-        F.col(id_col), "__pos", key.alias("__k")
+    return rows.filter(F.col("__pos") <= F.col("__n") - span_n).select(
+        F.col(id_col), F.col("__pos").alias("pos"), F.col("__g").alias("g")
     )
-    dup = (
-        starts.groupBy("__k")
-        .agg(F.countDistinct(id_col).alias("__df"))
-        .filter(F.col("__df") >= min_docs)
-        .select("__k")
-    )
-    dup_starts = starts.join(dup, "__k").select(
-        F.col(id_col), "__pos", F.lit(1).alias("__ds")
+
+
+def finish_excision(
+    df: DataFrame,
+    dup_starts: DataFrame,
+    span_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Excision tail shared by the batch operators and by consumers of
+    the STREAMING start detector (``streaming/excise.py``): given the
+    original documents and an ``(id, pos)`` frame of duplicated-span
+    starts, mark every token covered by a start in the trailing
+    ``span_n``-row frame (positions are dense, so the ROWS frame IS the
+    position range) and reassemble each doc from its surviving tokens.
+    Output: ``(id, n_tokens, n_removed, clean_text)``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    t = tokens(normalize(F.col(text_col)))
+    tok = df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
+    ds = dup_starts.select(
+        F.col(id_col), F.col("pos").alias("__pos"), F.lit(1).alias("__ds")
     )
     covered = F.max(F.coalesce(F.col("__ds"), F.lit(0))).over(
         w.rowsBetween(-(span_n - 1), 0)
     )
-    marked = (
-        rows.drop("__g", "__n")
-        .join(dup_starts, [id_col, "__pos"], "left")
-        .withColumn("__cov", covered)
+    marked = tok.join(ds, [id_col, "__pos"], "left").withColumn(
+        "__cov", covered
     )
     return _excise_reassemble(marked, id_col)
 
@@ -1049,45 +1087,37 @@ def excise_vs_corpus(
     ``portable=True`` keys on the gram string for the DuckDB oracle.
 
     Output: ``(id, n_tokens, n_removed, clean_text)`` for the batch."""
-    from pyspark.sql import Window
-
-    corpus_grams = shingle_string_rows(
-        corpus_df, text_col, id_col, span_n
+    keys = corpus_gram_keys(
+        corpus_df, span_n, min_docs, text_col, id_col, portable
     )
+    bkey = F.col("g") if portable else F.xxhash64("g")
+    starts = positioned_gram_rows(new_df, span_n, text_col, id_col).select(
+        F.col(id_col), F.col("pos"), bkey.alias("gram_key")
+    )
+    dup_starts = starts.join(keys, "gram_key").select(id_col, "pos")
+    return finish_excision(new_df, dup_starts, span_n, text_col, id_col)
+
+
+def corpus_gram_keys(
+    corpus_df: DataFrame,
+    span_n: int = 20,
+    min_docs: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Distinct qualifying gram keys of the standing corpus — the
+    static side of incremental span excision (one linear pass; like the
+    stored MinHash band index, materialize it once per corpus and reuse
+    it across daily batches or as the stream-static side of
+    ``streaming/excise.py``).  Output: ``(gram_key)`` with ``gram_key``
+    the gram string (``portable=True``) or its xxhash64."""
+    grams = shingle_string_rows(corpus_df, text_col, id_col, span_n)
     ckey = F.col("g") if portable else F.xxhash64("g")
-    corpus_keys = (
-        corpus_grams.select(F.col(id_col), ckey.alias("__k"))
-        .groupBy("__k")
+    return (
+        grams.select(F.col(id_col), ckey.alias("gram_key"))
+        .groupBy("gram_key")
         .agg(F.countDistinct(id_col).alias("__df"))
         .filter(F.col("__df") >= min_docs)
-        .select("__k")
+        .select("gram_key")
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    t = tokens(normalize(F.col(text_col)))
-    tok = new_df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
-    parts = [F.col("__tok")] + [
-        F.lead("__tok", j).over(w) for j in range(1, span_n)
-    ]
-    rows = tok.select(
-        F.col(id_col),
-        "__pos",
-        "__tok",
-        F.concat_ws(" ", *parts).alias("__g"),
-        F.count("*").over(Window.partitionBy(id_col)).alias("__n"),
-    )
-    bkey = F.col("__g") if portable else F.xxhash64("__g")
-    starts = rows.filter(F.col("__pos") <= F.col("__n") - span_n).select(
-        F.col(id_col), "__pos", bkey.alias("__k")
-    )
-    dup_starts = starts.join(corpus_keys, "__k").select(
-        F.col(id_col), "__pos", F.lit(1).alias("__ds")
-    )
-    covered = F.max(F.coalesce(F.col("__ds"), F.lit(0))).over(
-        w.rowsBetween(-(span_n - 1), 0)
-    )
-    marked = (
-        rows.drop("__g", "__n")
-        .join(dup_starts, [id_col, "__pos"], "left")
-        .withColumn("__cov", covered)
-    )
-    return _excise_reassemble(marked, id_col)

@@ -999,3 +999,86 @@ def test_incremental_neardup_streaming_equals_batch(spark):
         assert len(exp) > 0  # the truncated-prefix batch must match
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_excise_streaming_equals_batch(spark):
+    """Streaming twin of incremental span excision: (1) the pure-
+    projection gram builder emits row-for-row the window/lead batch
+    builder's (id, pos, g) rows; (2) streaming start detection against
+    the static corpus gram keys, finished with the shared batch tail,
+    equals excise_vs_corpus on the same data."""
+    from pyspark.sql import functions as F
+
+    from kats_spark.operators.dedup import (
+        corpus_gram_keys,
+        excise_vs_corpus,
+        finish_excision,
+        positioned_gram_rows,
+    )
+    from kats_spark.streaming.excise import (
+        gram_start_rows_projection,
+        streaming_excise_starts,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, F.lit(1), F.ceil(F.size(toks) * 0.8).cast("int")),
+            " ",
+        ).alias("text"),
+    )
+
+    # building block: pure-projection gram rows == window/lead gram rows
+    proj = gram_start_rows_projection(batch, span_n=5).toPandas()
+    win = positioned_gram_rows(batch, span_n=5).toPandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "pos", "g"]].values))
+    assert key(proj) == key(win)
+    assert len(proj) > 0
+
+    keys = corpus_gram_keys(docs, span_n=5)
+
+    tmpdir = tempfile.mkdtemp()
+    out_table = "excise_stream_out"
+    try:
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        bpd = batch.toPandas()
+        half = len(bpd) // 2
+        bpd.iloc[:half].to_parquet(os.path.join(chunk_dir, "c0.parquet"))
+        bpd.iloc[half:].to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+            .parquet(chunk_dir)
+        )
+        q = (
+            streaming_excise_starts(stream, keys, span_n=5)
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        starts = spark.table(out_table)
+        got = (
+            finish_excision(batch, starts, span_n=5)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = (
+            excise_vs_corpus(batch, docs, span_n=5)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+        assert exp.n_removed.sum() > 0  # the re-crawled prefixes excise
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

@@ -86,7 +86,7 @@ _PRIORITY = [
     "embedding_diag", "hash_embed",
     # r07 stored-index layer + span excision (rotate into the window in r08)
     "ivf_stored_topk", "incremental_neardup_stored", "dup_span_excise",
-    "incremental_excise",
+    "incremental_excise", "incremental_excise_stored",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

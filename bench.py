@@ -102,6 +102,7 @@ HEADLINE = [
     # REMOVAL operators (corpus-wide + batch-vs-corpus incremental)
     "dup_span_excise",
     "incremental_excise",
+    "incremental_excise_stored",
 ]
 
 

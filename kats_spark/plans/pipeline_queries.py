@@ -1963,12 +1963,28 @@ def q_incremental_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kats_spark.operators.dedup import excise_vs_corpus
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = excise_vs_corpus(
+        _excise_batch(docs), docs, span_n=5, min_docs=1, portable=True
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "n_removed",
+        "clean_text",
+    ).orderBy("doc_id")
+
+
+def _excise_batch(docs):
+    """The arriving-batch frame the excision queries use (every 97th
+    doc's 80%-token prefix + five novel id-specific tail tokens,
+    re-id'd) — shared by the direct and stored variants so both answer
+    the same question."""
     toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
     prefix = F.array_join(
         F.slice(toks, F.lit(1), F.ceil(F.size(toks) * 0.8).cast("int")), " "
     )
     sid = F.col("doc_id").cast("string")
-    batch = docs.filter(F.col("doc_id") % 97 == 0).select(
+    return docs.filter(F.col("doc_id") % 97 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat_ws(
             " ",
@@ -1980,7 +1996,36 @@ def q_incremental_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("xe"), sid),
         ).alias("text"),
     )
-    out = excise_vs_corpus(batch, docs, span_n=5, min_docs=1, portable=True)
+
+
+def q_incremental_excise_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span excision against the SAVED gram index
+    (sources/ann_store.py save_gram_index): the standing corpus's
+    qualifying gram keys persist ONCE per scale factor as a table
+    bucketed on the join key, and each arriving batch's excision joins
+    it with NO corpus-side exchange or recompute (asserted in
+    tests/test_sources.py).  Same output and oracle as
+    incremental_excise; this is the amortized daily-ingest path."""
+    import os
+
+    from kats_spark.sources.ann_store import (
+        incremental_excise_stored,
+        save_gram_index,
+    )
+
+    sf_name = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    table = f"gram_index_{sf_name}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if not spark.catalog.tableExists(table):
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            "spark-warehouse",
+            table,
+        )
+        save_gram_index(docs, table, path, span_n=5, min_docs=1, portable=True)
+    out = incremental_excise_stored(
+        spark, table, _excise_batch(docs), span_n=5, portable=True
+    )
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "n_tokens",
@@ -2270,6 +2315,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "dup_span_excise": q_dup_span_excise,
     "incremental_excise": q_incremental_excise,
+    "incremental_excise_stored": q_incremental_excise_stored,
     "pack_sequences": q_pack_sequences,
     "chunk_docs": q_chunk_docs,
     "tfidf_topk": q_tfidf_topk,
@@ -2326,6 +2372,7 @@ ORACLES = {
     "dup_spans": _dup_spans_sql(),
     "dup_span_excise": _dup_span_excise_sql(),
     "incremental_excise": _Q_INCREMENTAL_EXCISE_SQL,
+    "incremental_excise_stored": _Q_INCREMENTAL_EXCISE_SQL,
     "corpus_build": _Q_CORPUS_BUILD_SQL,
     "embedding_diag": _embedding_diag_sql(),
     "hash_embed": _hash_embed_sql(),

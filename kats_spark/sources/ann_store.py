@@ -214,6 +214,67 @@ def save_band_index(
     )
 
 
+def save_gram_index(
+    corpus: DataFrame,
+    table: str,
+    path: str,
+    span_n: int = 20,
+    min_docs: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    buckets: int = 32,
+) -> None:
+    """Persist the corpus's qualifying span-gram keys as a table
+    bucketed by the join key — the amortization ``excise_vs_corpus``
+    promises: the corpus gram pass runs ONCE at ingest, and every
+    arriving batch's excision joins the stored key table without
+    shuffling (or even recomputing) the corpus side.  ``portable`` and
+    ``span_n``/``min_docs`` must match what queries will pass."""
+    from kats_spark.operators.dedup import corpus_gram_keys
+
+    keys = corpus_gram_keys(
+        corpus, span_n, min_docs, text_col, id_col, portable
+    )
+    (
+        keys.write.mode("overwrite")
+        .bucketBy(buckets, "gram_key")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def incremental_excise_stored(
+    spark: SparkSession,
+    table: str,
+    new_df: DataFrame,
+    span_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Cleaned arriving batch against a SAVED gram index: the batch's
+    positioned grams (one linear pass over the batch) equi-join the
+    bucketed key table — no corpus-side exchange, no corpus recompute —
+    then the shared excision tail marks coverage and reassembles.  Same
+    output as ``excise_vs_corpus`` on the full corpus (asserted in
+    tests/test_sources.py)."""
+    from kats_spark.operators.dedup import (
+        finish_excision,
+        positioned_gram_rows,
+    )
+
+    bkey = F.col("g") if portable else F.xxhash64("g")
+    starts = positioned_gram_rows(new_df, span_n, text_col, id_col).select(
+        F.col(id_col), F.col("pos"), bkey.alias("gram_key")
+    )
+    dup_starts = starts.join(spark.table(table), "gram_key").select(
+        id_col, "pos"
+    )
+    return finish_excision(new_df, dup_starts, span_n, text_col, id_col)
+
+
 def incremental_neardup_stored(
     spark: SparkSession,
     table: str,

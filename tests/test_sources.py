@@ -322,3 +322,65 @@ def test_band_index_store_matches_direct_and_skips_corpus_shuffle(spark, sf_dir)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_gram_index_store_matches_direct_and_skips_corpus_shuffle(spark, sf_dir):
+    """save_gram_index/incremental_excise_stored: identical cleaned
+    output to the direct two-sided excise_vs_corpus, with the corpus
+    side joining OUT OF THE BUCKETED SCAN — fewer shuffle exchanges
+    than the direct plan (the batch still shuffles; the stored corpus
+    keys must not)."""
+    import shutil
+    import tempfile
+
+    from kats_spark.operators.dedup import excise_vs_corpus
+    from kats_spark.sources.ann_store import (
+        incremental_excise_stored,
+        save_gram_index,
+    )
+    from kats_spark.sources.bucketing import exchange_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    batch = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, F.lit(1), F.ceil(F.size(toks) * 0.8).cast("int")), " "
+        ).alias("text"),
+    )
+    expected = (
+        excise_vs_corpus(batch, docs, span_n=5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert expected.n_removed.sum() > 0  # re-crawled prefixes excise
+    tmp = tempfile.mkdtemp()
+    table = "corpus_gram_index_test"
+    try:
+        save_gram_index(docs, table, f"{tmp}/grams", span_n=5, buckets=8)
+        got = (
+            incremental_excise_stored(spark, table, batch, span_n=5)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(expected)
+        # shuffle accounting under the AT-SCALE join regime (broadcast
+        # forced off — at bench size AQE broadcasts the keys and both
+        # plans look alike): the stored plan reads the corpus keys out
+        # of the bucketed scan, the direct plan recomputes + shuffles
+        # them, so the stored exchange count must be strictly lower.
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            stored_x = exchange_count(
+                incremental_excise_stored(spark, table, batch, span_n=5)
+            )
+            direct_x = exchange_count(excise_vs_corpus(batch, docs, span_n=5))
+            assert stored_x < direct_x, (stored_x, direct_x)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)

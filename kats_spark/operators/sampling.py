@@ -503,6 +503,65 @@ def bigram_logppl(
     )
 
 
+def salted_cumsum(
+    base: DataFrame,
+    value_col: str = "n_tokens",
+    rk_col: str = "__rk",
+    id_col: str = "doc_id",
+    salt_shards: int = 256,
+    out_col: str = "cum_tokens",
+) -> DataFrame:
+    """Exact GLOBAL running sum of ``value_col`` in ``(rk_col, id_col)``
+    order without a single-task global window — the shared salted-exact
+    decomposition behind :func:`token_budget_sample`,
+    :func:`pack_sequences` and ``q_corpus_build``'s budget fill.
+
+    ``rk_col`` must be an md5 hex-string order key already present on
+    ``base``: the salt is its leading hex prefix, so ordering by the key
+    is ALREADY shard-major and the exact global prefix sum decomposes as
+    ``exclusive_prefix(per-shard totals) + within-shard cumsum``.  The
+    per-shard totals frame is at most ``salt_shards`` rows (window on a
+    tiny frame, broadcast-joined back); the big window runs
+    ``partitionBy(__salt)`` — parallelism multiplied by ``salt_shards``,
+    output bit-identical to ``sum().over(Window.orderBy(rk, id))``
+    (asserted in tests).
+
+    ``salt_shards`` in {1, 16, 256}; 1 = the naive single global window
+    (small-input fast path — callers count-gate at ~1M rows).  The
+    salted path persists the slim input at MEMORY_AND_DISK because both
+    the totals aggregate and the window pass consume it; pass a
+    pre-narrowed frame (keys + value + rank only, no text payload)."""
+    if salt_shards <= 1:
+        w = Window.orderBy(rk_col, id_col)
+        return base.withColumn(out_col, F.sum(value_col).over(w))
+    prefix_len = {16: 1, 256: 2}.get(salt_shards)
+    if prefix_len is None:
+        raise ValueError("salt_shards must be 1, 16 or 256")
+    from pyspark import StorageLevel
+
+    slim = base.withColumn(
+        "__salt", F.substring(rk_col, 1, prefix_len)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shard_totals = slim.groupBy("__salt").agg(
+        F.sum(value_col).alias("__shard_tok")
+    )
+    w_off = Window.orderBy("__salt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = shard_totals.select(
+        "__salt",
+        F.coalesce(F.sum("__shard_tok").over(w_off), F.lit(0)).alias(
+            "__off"
+        ),
+    )
+    w_in = Window.partitionBy("__salt").orderBy(rk_col, id_col)
+    return (
+        slim.join(F.broadcast(offsets), "__salt")
+        .withColumn(out_col, F.col("__off") + F.sum(value_col).over(w_in))
+        .drop("__salt", "__off")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 2048,
@@ -540,38 +599,7 @@ def pack_sequences(
         F.size(tokens(F.col(text_col))).alias("n_tokens"),
         rank_key.alias("__rk"),
     )
-    if salt_shards <= 1:
-        w = Window.orderBy("__rk", id_col)
-        cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    else:
-        prefix_len = {16: 1, 256: 2}.get(salt_shards)
-        if prefix_len is None:
-            raise ValueError("salt_shards must be 1, 16 or 256")
-        from pyspark import StorageLevel
-
-        slim = base.withColumn(
-            "__salt", F.substring("__rk", 1, prefix_len)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        shard_totals = slim.groupBy("__salt").agg(
-            F.sum("n_tokens").alias("__shard_tok")
-        )
-        w_off = Window.orderBy("__salt").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offsets = shard_totals.select(
-            "__salt",
-            F.coalesce(F.sum("__shard_tok").over(w_off), F.lit(0)).alias(
-                "__off"
-            ),
-        )
-        w_in = Window.partitionBy("__salt").orderBy("__rk", id_col)
-        cum = (
-            slim.join(F.broadcast(offsets), "__salt")
-            .withColumn(
-                "cum_tokens", F.col("__off") + F.sum("n_tokens").over(w_in)
-            )
-            .drop("__salt", "__off")
-        )
+    cum = salted_cumsum(base, salt_shards=salt_shards)
     start = F.col("cum_tokens") - F.col("n_tokens")
     return cum.select(
         id_col,

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kats_spark.operators import dedup, similarity, text
+from kats_spark.operators.sampling import salted_cumsum
 from kats_spark.plans.prepared import prepared
 
 
@@ -2107,9 +2108,28 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs")
     )
     rk = F.md5(F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(rk, "doc_id")
+    # Exact budget fill WITHOUT a single-task global window (VERDICT r07
+    # item #2): the shared salted-exact decomposition of
+    # sampling.salted_cumsum — exclusive_prefix(per-shard totals) +
+    # within-shard cumsum keyed on the md5 rank's own hex prefix —
+    # replaces Window.orderBy(rk), which funneled every post-dedup
+    # survivor through ONE reducer.  Count-gated like the sampler:
+    # corpora under 1M raw docs (an upper bound on survivors, and a
+    # metadata-only parquet count) take the naive single window — at
+    # bench scale the extra aggregate + reattach join cost more than
+    # the parallelism buys — and larger ones the 256-shard plan.  Both
+    # produce bit-identical output (asserted in tests), so the oracle
+    # is unchanged.
+    shards = (
+        1
+        if spark.read.parquet(f"{sf_dir}/documents.parquet").count() < 1_000_000
+        else 256
+    )
     sampled = (
-        final.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        salted_cumsum(
+            final.select("doc_id", "n_tokens").withColumn("__rk", rk),
+            salt_shards=shards,
+        )
         .filter(F.col("cum_tokens") - F.col("n_tokens") < 60_000)
         .select("doc_id", "n_tokens", "cum_tokens")
     )

@@ -125,19 +125,26 @@ def prophet_detector_scores(
     history_frac: float = 0.7,
     interval_width: float = 0.8,
     score_func: str = "deviation",
+    use_legacy_z_score: bool = True,
+    remove_outliers: bool = False,
+    outlier_threshold: float = 0.99,
     s: TSSchema = DEFAULT,
     fallback: str = "lite",
 ) -> DataFrame:
     """ProphetDetectorModel (kats/detectors/prophet_detector.py:332):
-    fit Prophet on the leading ``history_frac`` of each series, predict the
-    rest in-sample, and score each observed point against the predicted
-    band — ``deviation``: (y - yhat) / (upper - lower); ``z_score``:
-    (y - yhat) / σ̂ estimated from the band width
-    (prophet_detector.py:161-187 score functions).
+    fit Prophet on the leading ``history_frac`` of each series, predict
+    the rest in-sample, and score each observed point with the
+    reference's score functions (prophet_detector.py:121-158) —
+    ``deviation``: (y - yhat) / |yhat|; ``z_score``:
+    (y - yhat) / scaled_std from the band width with the sqrt(50) scale
+    constants (:87-94).
 
     Output: (series_id, time, score, predicted, lower, upper) for the scan
     segment.  Same per-series applyInPandas fan-out as the forecasters —
-    one shuffle, arbitrarily many series."""
+    one shuffle, arbitrarily many series.  Without the fbprophet backend
+    the default routes to the numpy ProphetLite scorer (0.68% golden
+    parity vs fbprophet on the stored fixture); ``fallback='raise'``
+    surfaces the gate instead."""
     try:
         __import__("prophet")
     except ImportError as exc:
@@ -146,17 +153,24 @@ def prophet_detector_scores(
                 prophet_detector_scores as lite_scores,
             )
 
-            return lite_scores(df, history_frac, interval_width, score_func, s)
+            return lite_scores(
+                df,
+                history_frac,
+                interval_width,
+                score_func,
+                use_legacy_z_score,
+                remove_outliers,
+                outlier_threshold,
+                s,
+            )
         raise BackendMissing(
             "prophet is not installed in this environment; the Spark plan "
             "(groupBy(series_id).applyInPandas fit-on-history + band scoring) "
             "is ready — install prophet to enable this detector."
         ) from exc
 
-    import numpy as np
-    from scipy.stats import norm
+    from kats_spark.models.prophet_lite import _prophet_score
 
-    z = norm.ppf(0.5 + interval_width / 2.0)
     schema = (
         f"{s.series_id} string, {s.time} timestamp, score double, "
         "predicted double, lower double, upper double"
@@ -170,16 +184,28 @@ def prophet_detector_scores(
         hist, scan = pdf.iloc[:n_hist], pdf.iloc[n_hist:]
         if scan.empty:
             return pd.DataFrame(columns=pdf.columns)
+        hist_df = hist.rename(columns={s.time: "ds", s.value: "y"})[["ds", "y"]]
+        if remove_outliers:
+            pre = Prophet(
+                interval_width=outlier_threshold, uncertainty_samples=40
+            ).fit(hist_df)
+            band = pre.predict(hist_df[["ds"]])
+            keep = (hist_df["y"].to_numpy() >= band["yhat_lower"].to_numpy()) & (
+                hist_df["y"].to_numpy() <= band["yhat_upper"].to_numpy()
+            )
+            if keep.sum() >= 2:
+                hist_df = hist_df.loc[keep]
         m = Prophet(interval_width=interval_width)
-        m.fit(hist.rename(columns={s.time: "ds", s.value: "y"})[["ds", "y"]])
+        m.fit(hist_df)
         fc = m.predict(pd.DataFrame({"ds": scan[s.time]}))
-        width = fc["yhat_upper"].to_numpy() - fc["yhat_lower"].to_numpy()
-        resid = scan[s.value].to_numpy() - fc["yhat"].to_numpy()
-        if score_func == "z_score":
-            sigma = np.where(width > 0, width / (2.0 * z), np.nan)
-            score = resid / sigma
-        else:
-            score = np.where(width > 0, resid / width, 0.0)
+        score = _prophet_score(
+            scan[s.value].to_numpy(dtype=float),
+            fc["yhat"].to_numpy(),
+            fc["yhat_upper"].to_numpy() - fc["yhat_lower"].to_numpy(),
+            score_func,
+            interval_width,
+            use_legacy_z_score,
+        )
         return pd.DataFrame(
             {
                 s.series_id: scan[s.series_id].to_numpy(),

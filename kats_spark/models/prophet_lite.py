@@ -460,22 +460,56 @@ def prophet_forecast(
     )
 
 
+def _prophet_score(
+    y: np.ndarray,
+    yhat: np.ndarray,
+    width: np.ndarray,
+    score_func: str,
+    ci_threshold: float,
+    use_legacy_z_score: bool,
+) -> np.ndarray:
+    """Reference score functions, exactly
+    (kats/detectors/prophet_detector.py:121-158 with the scale
+    constants at :92-94): ``deviation`` = (y - yhat) / |yhat|;
+    ``z_score`` = (y - yhat) / max(scaled_std, 1e-9) where the legacy
+    scaled_std is sqrt(50)/2 * ci_width / ci_threshold
+    (Z_SCORE_SCALE_CONST / Z_SCORE_CI_THRESHOLD_SCALE_CONST collapses
+    to sqrt(50)/2) and the corrected one divides by the z quantile of
+    the interval instead of its nominal width."""
+    from kats_spark.operators.interval import norm_ppf
+
+    if score_func == "z_score":
+        scale = np.sqrt(50.0) * float(norm_ppf(0.8 / 2 + 0.5)) / 0.8 / 2.0
+        if use_legacy_z_score:
+            scaled_std = np.sqrt(50.0) / 2.0 * width / ci_threshold
+        else:
+            scaled_std = scale * width / float(norm_ppf(ci_threshold / 2 + 0.5))
+        return (y - yhat) / np.maximum(scaled_std, 1e-9)
+    return (y - yhat) / np.maximum(np.abs(yhat), 1e-9)
+
+
 def prophet_detector_scores(
     df: DataFrame,
     history_frac: float = 0.7,
     interval_width: float = 0.8,
     score_func: str = "deviation",
+    use_legacy_z_score: bool = True,
+    remove_outliers: bool = False,
+    outlier_threshold: float = 0.99,
     s: TSSchema = DEFAULT,
 ) -> DataFrame:
     """ProphetDetectorModel on the lite backend
-    (kats/detectors/prophet_detector.py:332 semantics): fit on the
-    leading ``history_frac`` of each series, predict the scan segment,
-    score each point against the band — ``deviation``:
-    (y - yhat) / (upper - lower); ``z_score``: (y - yhat) / sigma with
-    sigma from the band width."""
-    from kats_spark.operators.interval import norm_ppf
-
-    z = float(norm_ppf(0.5 + interval_width / 2.0))
+    (kats/detectors/prophet_detector.py:332 ``fit_predict``): fit on
+    the leading ``history_frac`` of each series (the historical_data /
+    data split — history ends exactly where the scan begins), predict
+    the scan segment, score each point with the reference's score
+    functions (:121-158) — ``deviation``: (y - yhat) / |yhat|;
+    ``z_score``: (y - yhat) / scaled_std from the band width with the
+    reference's sqrt(50) scale constants (:87-94), legacy/corrected
+    selectable via ``use_legacy_z_score``.  ``remove_outliers`` mirrors
+    ``_remove_outliers`` (:723): points of the history outside the
+    ``outlier_threshold`` prediction interval of a first fit are
+    dropped before the final fit."""
     schema = (
         f"{s.series_id} string, {s.time} timestamp, score double, "
         "predicted double, lower double, upper double"
@@ -489,18 +523,26 @@ def prophet_detector_scores(
             return pd.DataFrame(
                 columns=[s.series_id, s.time, "score", "predicted", "lower", "upper"]
             )
-        m = ProphetLite(interval_width=interval_width).fit(
-            hist[s.time].to_numpy(dtype="datetime64[ns]"),
-            hist[s.value].to_numpy(dtype=float),
-        )
+        ht = hist[s.time].to_numpy(dtype="datetime64[ns]")
+        hy = hist[s.value].to_numpy(dtype=float)
+        if remove_outliers:
+            pre = ProphetLite(interval_width=outlier_threshold).fit(ht, hy)
+            band = pre.predict(ht)
+            keep = (hy >= band.fcst_lower.to_numpy()) & (
+                hy <= band.fcst_upper.to_numpy()
+            )
+            if keep.sum() >= 10:
+                ht, hy = ht[keep], hy[keep]
+        m = ProphetLite(interval_width=interval_width).fit(ht, hy)
         fc = m.predict(scan[s.time].to_numpy(dtype="datetime64[ns]"))
-        width = (fc.fcst_upper - fc.fcst_lower).to_numpy()
-        resid = scan[s.value].to_numpy() - fc.fcst.to_numpy()
-        if score_func == "z_score":
-            sigma = np.where(width > 0, width / (2.0 * z), np.nan)
-            score = resid / sigma
-        else:
-            score = np.where(width > 0, resid / width, 0.0)
+        score = _prophet_score(
+            scan[s.value].to_numpy(dtype=float),
+            fc.fcst.to_numpy(),
+            (fc.fcst_upper - fc.fcst_lower).to_numpy(),
+            score_func,
+            interval_width,
+            use_legacy_z_score,
+        )
         return pd.DataFrame(
             {
                 s.series_id: scan[s.series_id].to_numpy(),

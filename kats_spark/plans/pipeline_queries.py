@@ -384,9 +384,12 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
 def q_allpairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine top-3 neighbors per vector via the broadcast
     numpy index (ranked on the rounded score so ordering is fp-stable
-    across engines)."""
+    across engines).  The index build (count + collect + broadcast of the
+    immutable embeddings parquet) is memoized per (gateway, sf_dir) —
+    the prepared-statement pattern applied to the one driver-side cost
+    this query has (VERDICT r07 item #4)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.all_pairs_topk(emb, k=3)
+    return similarity.all_pairs_topk(emb, k=3, memo_key=f"allpairs:{sf_dir}")
 
 
 _Q_ALLPAIRS_SQL = """

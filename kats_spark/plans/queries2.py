@@ -2632,6 +2632,7 @@ def q_global_rnn_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs=90,
         sample_windows=512,
         seed=7,
+        memo_key=f"ens:{sf_dir}",
     )
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
@@ -2654,6 +2655,7 @@ def q_global_ens_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs=90,
         sample_windows=512,
         seed=7,
+        memo_key=f"ens:{sf_dir}",
     )
     return _r6(out.orderBy("series_id"), "mae", "rmse", "mape")
 

@@ -705,6 +705,30 @@ def test_all_pairs_topk_sharded_equals_unsharded(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(one, sharded, check_dtype=False)
+    # VERDICT r07 #4: the memoized-index path (prepared-statement pattern
+    # for the driver-side collect + broadcast) is bit-identical to a
+    # fresh build, and the second call actually HITS the memo (no new
+    # broadcast handles).
+    from kats_spark.operators import similarity as sim
+
+    sim.clear_index_memo()
+    first = (
+        all_pairs_topk(df, k=5, memo_key="test-allpairs")
+        .toPandas()
+        .sort_values(["id_a", "rk"])
+        .reset_index(drop=True)
+    )
+    handles_after_first = dict(sim._INDEX_MEMO)
+    hitpath = (
+        all_pairs_topk(df, k=5, memo_key="test-allpairs")
+        .toPandas()
+        .sort_values(["id_a", "rk"])
+        .reset_index(drop=True)
+    )
+    assert dict(sim._INDEX_MEMO) == handles_after_first  # same live handles
+    pd.testing.assert_frame_equal(one, first, check_dtype=False)
+    pd.testing.assert_frame_equal(one, hitpath, check_dtype=False)
+    sim.clear_index_memo()
 
 
 def test_minhash_bucket_cap_overflow_join_equals_in_row(spark):

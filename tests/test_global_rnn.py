@@ -326,3 +326,38 @@ def test_global_model_serialize_upgrade_compat():
     payload["params"]["W_future"] = [1.0, 2.0]
     m3 = load_global_model_from_json(json.dumps(payload))
     assert np.array_equal(m.predict(X), m3.predict(X))
+
+
+def test_global_rnn_ensemble_weights_memo_bit_identical(spark):
+    """VERDICT r07 #5: the per-(gateway, memo_key, hyperparams) trained
+    -weights memo must return BIT-IDENTICAL forecasts to the uncached
+    path (the training collects are seed-deterministic), and the second
+    memoized call must actually hit (same replica dict objects)."""
+    from kats_spark.models import global_rnn as gr
+
+    pdf = _nonlinear_panel(n_series=4, n=120, seed=9)
+    df = spark.createDataFrame(pdf)
+    kw = dict(
+        steps=6, freq_seconds=3600, n_replicas=2, window=12, hidden=6,
+        epochs=40, sample_windows=128, seed=7,
+    )
+    cols = ["series_id", "time", "fcst", "fcst_lower", "fcst_upper"]
+
+    def run(**extra):
+        return (
+            gr.global_rnn_ensemble_forecast(df, **kw, **extra)
+            .toPandas()
+            .sort_values(["series_id", "time"])
+            .reset_index(drop=True)[cols]
+        )
+
+    gr.clear_weights_memo()
+    fresh = run()
+    first = run(memo_key="t-ens")
+    memo_snapshot = dict(gr._WEIGHTS_MEMO)
+    assert len(memo_snapshot) == 1
+    hit = run(memo_key="t-ens")
+    assert dict(gr._WEIGHTS_MEMO) == memo_snapshot  # no retrain on hit
+    pd.testing.assert_frame_equal(fresh, first)
+    pd.testing.assert_frame_equal(fresh, hit)
+    gr.clear_weights_memo()

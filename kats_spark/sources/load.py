@@ -23,12 +23,36 @@ from kats_spark.tsframe import TSSchema, DEFAULT
 _UNIT_TO_SECONDS = {"s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
 
 
+def _dst_flags(local: Column, tz: str) -> tuple[Column, Column, Column]:
+    """(utc, is_nonexistent, is_ambiguous) for a naive local timestamp in
+    ``tz`` — pure column expressions, no UDF.
+
+    Nonexistent (spring-forward gap): java.time resolves a gap local by
+    shifting it later by the gap length, so the roundtrip
+    ``from_utc_timestamp(to_utc_timestamp(t)) != t`` detects it exactly.
+    Ambiguous (fall-back overlap): t maps to two instants u1 < u2 =
+    u1 + overlap; the JVM picks u1 (earlier offset), and
+    ``from_utc_timestamp(u1 + overlap) == t`` holds iff t is in the
+    overlap — checked at the two real-world transition sizes (1h, 30m).
+    """
+    u = F.to_utc_timestamp(local, tz)
+    roundtrip = F.from_utc_timestamp(u, tz)
+    nonexist = local.isNotNull() & (roundtrip != local)
+    amb = local.isNotNull() & (
+        (F.from_utc_timestamp(u + F.expr("INTERVAL 1 HOUR"), tz) == local)
+        | (F.from_utc_timestamp(u + F.expr("INTERVAL 30 MINUTES"), tz) == local)
+    )
+    return u, nonexist, amb
+
+
 def parse_time(
     col: Column,
     date_format: str | None = None,
     use_unix_time: bool = False,
     unix_time_units: str = "s",
     tz: str | None = None,
+    tz_ambiguous: str = "earliest",
+    tz_nonexistent: str = "shift_forward",
 ) -> Column:
     """Column-expression mirror of _set_time_format (kats/consts.py:583):
 
@@ -37,6 +61,30 @@ def parse_time(
     - strings: ``to_timestamp`` with an optional explicit format;
     - ``tz``: interpret the parsed local time in that zone -> session-zone
       timestamp (``to_utc_timestamp``), the localize step of the reference.
+
+    DST policies (kats/consts.py:197-258 ``tz_ambiguous``/
+    ``tz_nonexistent``, passed there to pandas ``tz_localize``), applied
+    as pure column expressions over the roundtrip/overlap detection of
+    :func:`_dst_flags`:
+
+    - ``tz_ambiguous``: ``'earliest'`` (default — the JVM's pick, the
+      pre-transition/DST offset, = pandas ``ambiguous=True``);
+      ``'latest'`` (the post-transition offset); ``'NaT'`` (null out);
+      ``'raise'`` (per-row ``raise_error`` on the first ambiguous
+      local, the reference's default).  The reference's ``'infer'`` is
+      positional (first occurrence of a repeated clock time -> DST) and
+      cannot be decided from a single value — use
+      :func:`localize_infer` on a frame with an order column.
+    - ``tz_nonexistent``: ``'shift_forward'`` (default — the JVM
+      shifts a gap local LATER BY THE GAP LENGTH; note pandas'
+      shift_forward snaps to the gap's end, so the two differ by up to
+      the gap offset — ours keeps minute-of-hour, documented
+      divergence); ``'shift_backward'`` (earlier by the gap length);
+      ``'NaT'``; ``'raise'`` (reference default).
+
+    Defaults keep the engine's historical behavior (JVM resolution,
+    never raising); callers wanting the reference's strictness pass
+    ``'raise'``/``'raise'``.
     """
     if use_unix_time:
         scale = _UNIT_TO_SECONDS[unix_time_units]
@@ -46,8 +94,95 @@ def parse_time(
     else:
         out = F.to_timestamp(col)
     if tz:
-        out = F.to_utc_timestamp(out, tz)
+        if tz_ambiguous == "infer":
+            raise ValueError(
+                "tz_ambiguous='infer' is positional (needs the frame's "
+                "row order) — use kats_spark.sources.load.localize_infer"
+            )
+        if tz_ambiguous not in ("earliest", "latest", "NaT", "raise"):
+            raise ValueError(f"unknown tz_ambiguous: {tz_ambiguous!r}")
+        if tz_nonexistent not in (
+            "shift_forward",
+            "shift_backward",
+            "NaT",
+            "raise",
+        ):
+            raise ValueError(f"unknown tz_nonexistent: {tz_nonexistent!r}")
+        u, nonexist, amb = _dst_flags(out, tz)
+        if tz_ambiguous == "latest":
+            overlap = F.when(
+                F.from_utc_timestamp(u + F.expr("INTERVAL 1 HOUR"), tz) == out,
+                F.expr("INTERVAL 1 HOUR"),
+            ).otherwise(F.expr("INTERVAL 30 MINUTES"))
+            u = F.when(amb, u + overlap).otherwise(u)
+        elif tz_ambiguous == "NaT":
+            u = F.when(amb, F.lit(None).cast("timestamp")).otherwise(u)
+        elif tz_ambiguous == "raise":
+            u = F.when(
+                amb,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"ambiguous local time in {tz}: "),
+                        out.cast("string"),
+                    )
+                ).cast("timestamp"),
+            ).otherwise(u)
+        if tz_nonexistent == "shift_backward":
+            gap = F.from_utc_timestamp(u, tz).cast("double") - out.cast("double")
+            u = F.when(
+                nonexist, F.timestamp_seconds(u.cast("double") - gap)
+            ).otherwise(u)
+        elif tz_nonexistent == "NaT":
+            u = F.when(nonexist, F.lit(None).cast("timestamp")).otherwise(u)
+        elif tz_nonexistent == "raise":
+            u = F.when(
+                nonexist,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"nonexistent local time in {tz}: "),
+                        out.cast("string"),
+                    )
+                ).cast("timestamp"),
+            ).otherwise(u)
+        out = u
     return out
+
+
+def localize_infer(
+    df: DataFrame,
+    time_col: str,
+    tz: str,
+    order_col: str | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Frame-level mirror of pandas ``tz_localize(ambiguous='infer')``
+    (the kats/consts.py:197 default surface): among rows sharing the
+    same repeated clock time in a fall-back overlap, the FIRST
+    occurrence (by ``order_col``; required because Spark frames are
+    unordered — pandas uses positional order) takes the earlier (DST)
+    offset and later occurrences take the post-transition offset.
+    ``by`` scopes the occurrence counting (e.g. per series).
+
+    Nonexistent locals keep the JVM shift (pass the column through
+    :func:`parse_time` first for other gap policies).  Replaces
+    ``time_col`` with the localized timestamp."""
+    from pyspark.sql import Window
+
+    if order_col is None:
+        raise ValueError(
+            "localize_infer needs an explicit order_col: 'infer' is "
+            "positional and Spark frames carry no row order"
+        )
+    local = F.col(time_col)
+    u, _, amb = _dst_flags(local, tz)
+    w = Window.partitionBy(*(by or []), time_col).orderBy(order_col)
+    occ = F.row_number().over(w)
+    overlap = F.when(
+        F.from_utc_timestamp(u + F.expr("INTERVAL 1 HOUR"), tz) == local,
+        F.expr("INTERVAL 1 HOUR"),
+    ).otherwise(F.expr("INTERVAL 30 MINUTES"))
+    resolved = F.when(amb & (occ > 1), u + overlap).otherwise(u)
+    return df.withColumn(time_col, resolved)
 
 
 def load_csv(
@@ -60,6 +195,8 @@ def load_csv(
     use_unix_time: bool = False,
     unix_time_units: str = "s",
     tz: str | None = None,
+    tz_ambiguous: str = "earliest",
+    tz_nonexistent: str = "shift_forward",
     s: TSSchema = DEFAULT,
 ) -> DataFrame:
     """CSV -> canonical long frame (load_data, kats/data/utils.py:38).
@@ -71,7 +208,13 @@ def load_csv(
     """
     raw = spark.read.option("header", True).option("inferSchema", True).csv(path)
     t = parse_time(
-        F.col(time_col), date_format, use_unix_time, unix_time_units, tz
+        F.col(time_col),
+        date_format,
+        use_unix_time,
+        unix_time_units,
+        tz,
+        tz_ambiguous,
+        tz_nonexistent,
     ).alias(s.time)
     if series_col is not None:
         vc = value_cols[0] if value_cols else next(

@@ -384,3 +384,97 @@ def test_gram_index_store_matches_direct_and_skips_corpus_shuffle(spark, sf_dir)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_parse_time_dst_ambiguous_policies(spark):
+    """VERDICT r07 #6 (kats/consts.py:197-258 tz_ambiguous): the
+    fall-back overlap fixture — America/New_York 2024-11-03 01:30 occurs
+    twice (EDT then EST).  'earliest' takes the DST offset (05:30 UTC),
+    'latest' the standard offset (06:30 UTC), 'NaT' nulls it, 'raise'
+    errors; an unambiguous time is untouched by every policy."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("2024-11-03 01:30:00",), ("2024-11-03 12:00:00",)], ["t"]
+    )
+
+    def got(**kw):
+        rows = df.select(
+            load_mod.parse_time(F.col("t"), tz="America/New_York", **kw).alias("x")
+        ).collect()
+        return [None if r.x is None else r.x.strftime("%H:%M") for r in rows]
+
+    # session tz is UTC: EDT 01:30 -> 05:30Z, EST 01:30 -> 06:30Z, noon EST -> 17:00Z
+    assert got() == ["05:30", "17:00"]
+    assert got(tz_ambiguous="earliest") == ["05:30", "17:00"]
+    assert got(tz_ambiguous="latest") == ["06:30", "17:00"]
+    assert got(tz_ambiguous="NaT") == [None, "17:00"]
+    with pytest.raises(Exception, match="ambiguous local time"):
+        got(tz_ambiguous="raise")
+    with pytest.raises(ValueError, match="positional"):
+        got(tz_ambiguous="infer")
+
+
+def test_parse_time_dst_nonexistent_policies(spark):
+    """tz_nonexistent on the spring-forward gap — America/New_York
+    2024-03-10 02:30 does not exist.  shift_forward (JVM default) moves
+    it later by the gap (03:30 EDT = 07:30Z), shift_backward earlier by
+    the gap (01:30 EST = 06:30Z), NaT nulls, raise errors."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("2024-03-10 02:30:00",), ("2024-03-10 12:00:00",)], ["t"]
+    )
+
+    def got(**kw):
+        rows = df.select(
+            load_mod.parse_time(F.col("t"), tz="America/New_York", **kw).alias("x")
+        ).collect()
+        return [None if r.x is None else r.x.strftime("%H:%M") for r in rows]
+
+    assert got() == ["07:30", "16:00"]  # noon EDT -> 16:00Z
+    assert got(tz_nonexistent="shift_backward") == ["06:30", "16:00"]
+    assert got(tz_nonexistent="NaT") == [None, "16:00"]
+    with pytest.raises(Exception, match="nonexistent local time"):
+        got(tz_nonexistent="raise")
+
+
+def test_localize_infer_orders_repeated_clock_times(spark):
+    """pandas tz_localize(ambiguous='infer') mirror: of two rows with
+    the repeated 2024-11-03 01:30 clock time, the first by order takes
+    the DST offset and the second the standard offset."""
+    import pytest
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["s"] * 4,
+            "rn": [0, 1, 2, 3],
+            "time": pd.to_datetime(
+                [
+                    "2024-11-03 01:00:00",
+                    "2024-11-03 01:30:00",
+                    "2024-11-03 01:30:00",
+                    "2024-11-03 02:00:00",
+                ]
+            ),
+        }
+    )
+    out = (
+        load_mod.localize_infer(
+            spark.createDataFrame(pdf),
+            "time",
+            "America/New_York",
+            order_col="rn",
+            by=["series_id"],
+        )
+        .orderBy("rn")
+        .collect()
+    )
+    assert [r.time.strftime("%H:%M") for r in out] == [
+        "05:00",  # 01:00 EDT
+        "05:30",  # first 01:30 -> EDT
+        "06:30",  # second 01:30 -> EST
+        "07:00",  # 02:00 EST
+    ]
+    with pytest.raises(ValueError, match="order_col"):
+        load_mod.localize_infer(spark.createDataFrame(pdf), "time", "UTC")

@@ -92,6 +92,9 @@ _PRIORITY = [
     "holiday_calendar", "video_frames", "winnow_overlap", "corpus_mixture",
     "pack_sequences", "chunk_docs", "tfidf_topk", "split_assign",
     "incremental_neardup", "dup_spans",
+    # r08 simhash family completion (rotation candidates for r09+)
+    "incremental_simhash", "incremental_simhash_stored", "ks_drift",
+    "bpe_encode",
     "epoch_upsample", "reconcile_struc", "hpt_recommend",
     "embedding_diag",
     # feature depth

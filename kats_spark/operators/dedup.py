@@ -605,6 +605,48 @@ def streaming_exact_dedup(
     )
 
 
+def _check_simhash_bands(bands: int | None, max_hamming: int, bits: int) -> int:
+    nb = bands if bands is not None else max_hamming + 1
+    if nb > bits:
+        raise ValueError(f"bands={nb} exceeds fingerprint width {bits}")
+    if nb < max_hamming + 1:
+        # pigeonhole guarantee needs more bands than flippable bits:
+        # with <= max_hamming bands a qualifying pair can differ in every
+        # band and silently vanish from the candidate join
+        raise ValueError(
+            f"bands={nb} < max_hamming+1={max_hamming + 1}: the pigeonhole "
+            "band join is only exact with at least max_hamming+1 bands"
+        )
+    return nb
+
+
+def simhash_chunk_rows(
+    fp_df: DataFrame,
+    bands: int,
+    bits: int,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """``(id, fp, __band, __chunk)`` pigeonhole chunk rows of a SimHash
+    fingerprint frame — the join-key side of every simhash dedup variant
+    (self-join pairs, incremental batch-vs-corpus, the stored index and
+    its streaming twin all key on these rows).  One narrow projection +
+    one posexplode; no shuffle."""
+    w = bits // bands
+    chunks = []
+    for b in range(bands):
+        width = w if b < bands - 1 else bits - w * (bands - 1)
+        mask = (1 << width) - 1
+        chunks.append(
+            F.shiftrightunsigned(F.col(fp_col), b * w).bitwiseAND(F.lit(mask))
+        )
+    return fp_df.select(
+        F.col(id_col),
+        F.col(fp_col),
+        F.posexplode(F.array(*chunks)).alias("__band", "__chunk"),
+    )
+
+
 def simhash_pairs(
     fp_df: DataFrame,
     max_hamming: int = 3,
@@ -627,30 +669,8 @@ def simhash_pairs(
     posexplode, one self-equi-join keyed on (band, chunk) — the same
     bounded-fan-out pattern as the MinHash band join; chunk values are
     hash-distributed so no hot key."""
-    nb = bands if bands is not None else max_hamming + 1
-    if nb > bits:
-        raise ValueError(f"bands={nb} exceeds fingerprint width {bits}")
-    if nb < max_hamming + 1:
-        # pigeonhole guarantee needs more bands than flippable bits:
-        # with <= max_hamming bands a qualifying pair can differ in every
-        # band and silently vanish from the candidate join
-        raise ValueError(
-            f"bands={nb} < max_hamming+1={max_hamming + 1}: the pigeonhole "
-            "band join is only exact with at least max_hamming+1 bands"
-        )
-    w = bits // nb
-    chunks = []
-    for b in range(nb):
-        width = w if b < nb - 1 else bits - w * (nb - 1)
-        mask = (1 << width) - 1
-        chunks.append(
-            F.shiftrightunsigned(F.col(fp_col), b * w).bitwiseAND(F.lit(mask))
-        )
-    keyed = fp_df.select(
-        F.col(id_col),
-        F.col(fp_col),
-        F.posexplode(F.array(*chunks)).alias("__band", "__chunk"),
-    )
+    nb = _check_simhash_bands(bands, max_hamming, bits)
+    keyed = simhash_chunk_rows(fp_df, nb, bits, id_col, fp_col)
     l = keyed.select(
         "__band", "__chunk", F.col(id_col).alias("id_a"), F.col(fp_col).alias("__fa")
     )
@@ -864,6 +884,54 @@ def incremental_neardup_pairs(
     return (
         bn.join(bc, ["band_id", "key"])
         .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
+def incremental_simhash_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    max_hamming: int = 1,
+    bands: int = 2,
+    bits: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental SimHash near-dup — the daily-ingestion twin of
+    :func:`simhash_pairs`, completing the simhash family the way
+    ``incremental_neardup_pairs`` completes MinHash: an arriving batch's
+    fingerprints join the standing corpus's pigeonhole chunk rows ACROSS
+    sides only (no batch self-join, no corpus self-join), and
+    bit_count(xor) verifies the exact hamming distance of every
+    candidate.  EXACT: returns precisely the (new, corpus) pairs within
+    ``max_hamming`` (pigeonhole guarantee needs bands >= max_hamming+1,
+    enforced).
+
+    Portable fingerprints (:func:`simhash_portable`, bits <= 31) so the
+    whole pipeline — hash family included — replays in the DuckDB
+    oracle; at 100 TB the corpus chunk rows persist once bucketed by
+    (band, chunk) (``sources/ann_store.save_simhash_index``) and each
+    batch joins them with no corpus-side exchange or recompute.
+
+    Output: ``(new_id, corpus_id, hamming)`` distinct verified pairs."""
+    _check_simhash_bands(bands, max_hamming, bits)
+    fp_col = "simhash16"
+    fn = simhash_portable(new_df, text_col, id_col, bits, fp_col)
+    fc = simhash_portable(corpus_df, text_col, id_col, bits, fp_col)
+    kn = simhash_chunk_rows(fn, bands, bits, id_col, fp_col).select(
+        "__band", "__chunk", F.col(id_col).alias("new_id"),
+        F.col(fp_col).alias("__fa"),
+    )
+    kc = simhash_chunk_rows(fc, bands, bits, id_col, fp_col).select(
+        "__band", "__chunk", F.col(id_col).alias("corpus_id"),
+        F.col(fp_col).alias("__fb"),
+    )
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    return (
+        kn.join(kc, ["__band", "__chunk"])
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
         .distinct()
     )
 

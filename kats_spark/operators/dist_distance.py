@@ -155,3 +155,78 @@ def psi_drift(
         F.max("__ta").cast("bigint").alias("n_after"),
         F.round(F.sum(term) + F.lit(1e-9), 6).alias("psi"),
     )
+
+
+def ks_drift(
+    df,
+    split_time,
+    value_col: str = "value",
+    by: str = "series_id",
+    time_col: str = "time",
+):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    before/after halves of a time split, per key — the nonparametric
+    companion to :func:`psi_drift`: ``D = sup_x |F_before(x) -
+    F_after(x)|`` computed EXACTLY (no binning, ties handled by
+    evaluating both right-continuous ECDFs at every distinct pooled
+    value).  Also emits the standard finite-sample scaling
+    ``ks_lambda = (sqrt(ne) + 0.12 + 0.11/sqrt(ne)) * D`` with
+    ``ne = n1 n2 / (n1 + n2)`` (the argument of the Kolmogorov
+    distribution in the classic asymptotic p-value approximation) so a
+    consumer can threshold on the scale-free statistic.
+
+    Plan shape: one grouped count per side collapses the raw rows to
+    per-(key, distinct value) counts, a full-outer join aligns them,
+    and ONE cumulative window per key (ordered by value over the
+    distinct values only — not the raw rows) yields both ECDFs; the max
+    aggregates per key.  The raw data is never sorted globally and
+    never shuffled beyond the two grouped counts.  Exact oracle: the
+    identical counts + window replay in SQL.
+
+    Output: one row per key — (key, n_before, n_after, ks_stat,
+    ks_lambda)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    before = df.filter(F.col(time_col) < split_time)
+    after = df.filter(F.col(time_col) >= split_time)
+    c1 = before.groupBy(by, value_col).agg(F.count("*").alias("__c1"))
+    c2 = after.groupBy(by, value_col).agg(F.count("*").alias("__c2"))
+    aligned = c1.join(c2, [by, value_col], "full_outer").fillna(
+        0, subset=["__c1", "__c2"]
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(by)
+    cum = aligned.select(
+        F.col(by),
+        (F.sum("__c1").over(w) / F.sum("__c1").over(tot)).alias("__f1"),
+        (F.sum("__c2").over(w) / F.sum("__c2").over(tot)).alias("__f2"),
+        F.sum("__c1").over(tot).alias("__n1"),
+        F.sum("__c2").over(tot).alias("__n2"),
+    )
+    ne = F.col("__n1") * F.col("__n2") / (F.col("__n1") + F.col("__n2"))
+    d = F.max(F.abs(F.col("__f1") - F.col("__f2")))
+    return (
+        cum.groupBy(by)
+        .agg(
+            F.max("__n1").cast("bigint").alias("n_before"),
+            F.max("__n2").cast("bigint").alias("n_after"),
+            d.alias("__d"),
+            F.max(F.sqrt(ne)).alias("__sne"),
+        )
+        .select(
+            F.col(by),
+            "n_before",
+            "n_after",
+            F.round(F.col("__d") + F.lit(1e-9), 6).alias("ks_stat"),
+            F.round(
+                (F.col("__sne") + 0.12 + 0.11 / F.col("__sne")) * F.col("__d")
+                + F.lit(1e-9),
+                6,
+            ).alias("ks_lambda"),
+        )
+    )

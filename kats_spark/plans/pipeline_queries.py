@@ -205,6 +205,69 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (operators/bpe.py, Sennrich et al. 2016):
+    learn the corpus's top-20 merges from the (word, freq) table — one
+    corpus pass, then vocabulary-sized work (size-gated driver loop /
+    distributed merge rounds, bit-identical by test).  Iterative ->
+    rows-only; deterministic ((count desc, pair asc) tie-break)."""
+    from kats_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train(docs, num_merges=20).orderBy("rank")
+
+
+# fixed merge list for the ORACLED encode query: the corpus's own first
+# 8 merges, frozen as literals so the identical replace chain replays in
+# DuckDB (training itself is iterative and stays rows-only)
+_BPE_MERGES = [
+    ("e", "r</w>"), ("o", "w</w>"), ("o", "r"), ("l", "u"),
+    ("i", "n"), ("a", "r"), ("p", "ar"), ("e", "r"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLICATION under a fixed merge list (operators/bpe.py
+    bpe_encode_stats): per-document subword token counts — the
+    budget-accounting view a trained tokenizer feeds.  The merge chain
+    is literal `replace` steps over the space-joined symbol string
+    (left-to-right non-overlapping = BPE merge order within a word),
+    evaluated once per DISTINCT (doc, word); exact oracle."""
+    from kats_spark.operators.bpe import bpe_encode_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bpe_encode_stats(docs, _BPE_MERGES)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_words",
+        "n_bpe_tokens",
+    ).orderBy("doc_id")
+
+
+def _bpe_encode_sql(merges: list[tuple[str, str]]) -> str:
+    chain = "' ' || array_to_string(list_transform(range(1, length(w)+1), i -> CASE WHEN i = length(w) THEN substr(w, i, 1) || '</w>' ELSE substr(w, i, 1) END), ' ') || ' '"
+    for l, r in merges:
+        chain = f"replace({chain}, ' {l} {r} ', ' {l}{r} ')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+per_word AS (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY 1, 2),
+enc AS (
+  SELECT doc_id, n,
+    len(string_split(trim({chain}), ' ')) AS toks
+  FROM per_word
+)
+SELECT doc_id::BIGINT AS doc_id, sum(n)::BIGINT AS n_words,
+  sum(n * toks)::BIGINT AS n_bpe_tokens
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _bpe_token_stats_sql() -> str:
     pat = text.BPE_PATTERN.replace("'", "''")
     return f"""
@@ -1838,6 +1901,111 @@ ORDER BY new_id, corpus_id
 """
 
 
+def q_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-dup (dedup.incremental_simhash_pairs):
+    the same arriving batch as incremental_neardup (every 97th doc, 80%
+    prefix, re-id'd) checked against the standing corpus by the
+    pigeonhole chunk join ACROSS sides only + exact hamming verify —
+    the simhash family's daily-ingestion shape.  Full oracle: portable
+    fingerprints, chunk join, and bit_count(xor) all replay in DuckDB."""
+    from kats_spark.operators.dedup import incremental_simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = incremental_simhash_pairs(
+        _incremental_batch(docs), docs, max_hamming=1, bands=2, bits=24
+    )
+    return out.select(
+        F.col("new_id").cast("bigint").alias("new_id"),
+        F.col("corpus_id").cast("bigint").alias("corpus_id"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    ).orderBy("new_id", "corpus_id")
+
+
+def q_incremental_simhash_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash against the SAVED chunk index
+    (ann_store.save_simhash_index): the corpus fingerprint pass persists
+    ONCE per scale factor bucketed on (band, chunk), and each arriving
+    batch joins it with no corpus-side exchange — completing the
+    stored-index trio (MinHash bands / span grams / simhash chunks).
+    Same output and oracle as incremental_simhash."""
+    import os
+
+    from kats_spark.sources.ann_store import (
+        incremental_simhash_stored,
+        save_simhash_index,
+    )
+
+    sf_name = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    table = f"simhash_index_{sf_name}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if not spark.catalog.tableExists(table):
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            "spark-warehouse",
+            table,
+        )
+        save_simhash_index(docs, table, path, bits=24, bands=2)
+    out = incremental_simhash_stored(
+        spark, table, _incremental_batch(docs), max_hamming=1, bands=2, bits=24
+    )
+    return out.select(
+        F.col("new_id").cast("bigint").alias("new_id"),
+        F.col("corpus_id").cast("bigint").alias("corpus_id"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    ).orderBy("new_id", "corpus_id")
+
+
+def _incremental_simhash_sql(
+    bits: int = 24, bands: int = 2, max_hamming: int = 1
+) -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    w = bits // bands
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash16, {b} AS band, (simhash16 >> {b * w}) & "
+        f"{(1 << (w if b < bands - 1 else bits - w * (bands - 1))) - 1} AS chunk FROM fp"
+        for b in range(bands)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+    array_to_string(t[1:ceil(len(t) * 0.8)::BIGINT], ' ') AS text
+  FROM (
+    SELECT doc_id,
+      string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents WHERE doc_id % 97 = 0)
+),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM src
+),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+hs AS (SELECT doc_id, {_POLY.format(col='tk')} AS h FROM tok),
+bits AS (SELECT doc_id,
+    {sums}
+  FROM hs GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp_expr})::BIGINT AS simhash16 FROM bits),
+keyed AS (
+  {chunk_rows}
+)
+SELECT DISTINCT a.doc_id::BIGINT AS new_id, b.doc_id::BIGINT AS corpus_id,
+  bit_count(xor(a.simhash16, b.simhash16))::BIGINT AS hamming
+FROM keyed a JOIN keyed b ON a.band = b.band AND a.chunk = b.chunk
+WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+  AND bit_count(xor(a.simhash16, b.simhash16)) <= {max_hamming}
+ORDER BY new_id, corpus_id
+"""
+
+
 def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document quota (sampling.py per_source_cap): keep the
     first 30 docs per source in seeded-md5 shuffle order — the C4-style
@@ -2291,6 +2459,58 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("series_id")
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift per event_type between
+    the Jan 1-15 reference window and Jan 16+ (dist_distance.ks_drift):
+    no binning — per-distinct-value counts + one cumulative window per
+    key give both ECDFs exactly; emits D and the finite-sample scaled
+    lambda.  The nonparametric companion to psi_drift; exact oracle."""
+    from kats_spark.operators.dist_distance import ks_drift
+    from kats_spark.plans.queries import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"), "ts", "value"
+    )
+    out = ks_drift(ev, "2024-01-16 00:00:00", time_col="ts")
+    return out.orderBy("series_id")
+
+
+_Q_KS_DRIFT_SQL = """
+WITH ev AS (SELECT event_type AS series_id, ts, value FROM events),
+c1 AS (SELECT series_id, value, count(*) AS n FROM ev
+       WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2),
+c2 AS (SELECT series_id, value, count(*) AS n FROM ev
+       WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2),
+aligned AS (
+  SELECT coalesce(c1.series_id, c2.series_id) AS series_id,
+    coalesce(c1.value, c2.value) AS value,
+    coalesce(c1.n, 0) AS n1, coalesce(c2.n, 0) AS n2
+  FROM c1 FULL OUTER JOIN c2
+    ON c1.series_id = c2.series_id AND c1.value = c2.value
+),
+cum AS (
+  SELECT series_id,
+    sum(n1) OVER (PARTITION BY series_id ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+      / sum(n1) OVER (PARTITION BY series_id) AS f1,
+    sum(n2) OVER (PARTITION BY series_id ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+      / sum(n2) OVER (PARTITION BY series_id) AS f2,
+    sum(n1) OVER (PARTITION BY series_id) AS tn1,
+    sum(n2) OVER (PARTITION BY series_id) AS tn2
+  FROM aligned
+)
+SELECT series_id,
+  max(tn1)::BIGINT AS n_before,
+  max(tn2)::BIGINT AS n_after,
+  round(max(abs(f1 - f2)) + 1e-9, 6) AS ks_stat,
+  round((max(sqrt(tn1 * tn2 / (tn1 + tn2))) + 0.12
+         + 0.11 / max(sqrt(tn1 * tn2 / (tn1 + tn2))))
+        * max(abs(f1 - f2)) + 1e-9, 6) AS ks_lambda
+FROM cum GROUP BY series_id ORDER BY series_id
+"""
+
+
 _Q_PSI_DRIFT_SQL = """
 WITH ev AS (SELECT event_type AS series_id, ts, value FROM events),
 before AS (SELECT * FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
@@ -2331,6 +2551,7 @@ FROM terms GROUP BY series_id ORDER BY series_id
 
 QUERIES = {
     "psi_drift": q_psi_drift,
+    "ks_drift": q_ks_drift,
     "embedding_diag": q_embedding_diag,
     "embedding_pca": q_embedding_pca,
     "hash_embed": q_hash_embed,
@@ -2346,6 +2567,8 @@ QUERIES = {
     "epoch_upsample": q_epoch_upsample,
     "incremental_neardup": q_incremental_neardup,
     "incremental_neardup_stored": q_incremental_neardup_stored,
+    "incremental_simhash": q_incremental_simhash,
+    "incremental_simhash_stored": q_incremental_simhash_stored,
     "source_cap": q_source_cap,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
@@ -2353,6 +2576,8 @@ QUERIES = {
     "simhash": q_simhash,
     "token_stats": q_token_stats,
     "bpe_token_stats": q_bpe_token_stats,
+    "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
     "text_quality": q_text_quality,
     "topk_cosine": q_topk_cosine,
     "allpairs_topk": q_allpairs_topk,
@@ -2391,6 +2616,9 @@ ORACLES = {
     "incremental_neardup": _incremental_neardup_sql(),
     # stored band index replays the identical portable band join
     "incremental_neardup_stored": _incremental_neardup_sql(),
+    "incremental_simhash": _incremental_simhash_sql(),
+    # stored chunk index replays the identical pigeonhole join
+    "incremental_simhash_stored": _incremental_simhash_sql(),
     "source_cap": _Q_SOURCE_CAP_SQL,
     "dup_spans": _dup_spans_sql(),
     "dup_span_excise": _dup_span_excise_sql(),
@@ -2400,6 +2628,7 @@ ORACLES = {
     "embedding_diag": _embedding_diag_sql(),
     "hash_embed": _hash_embed_sql(),
     "psi_drift": _Q_PSI_DRIFT_SQL,
+    "ks_drift": _Q_KS_DRIFT_SQL,
     "unigram_logppl": _Q_UNIGRAM_SQL,
     "bigram_logppl": _Q_BIGRAM_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,
@@ -2416,6 +2645,7 @@ ORACLES = {
     "jaccard_pairs": _Q_JACCARD_SQL,
     "token_stats": _Q_TOKEN_STATS_SQL,
     "bpe_token_stats": _bpe_token_stats_sql(),
+    "bpe_encode": _bpe_encode_sql(_BPE_MERGES),
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "topk_cosine": _Q_TOPK_COSINE_SQL,
     "allpairs_topk": _Q_ALLPAIRS_SQL,

@@ -275,6 +275,82 @@ def incremental_excise_stored(
     return finish_excision(new_df, dup_starts, span_n, text_col, id_col)
 
 
+def save_simhash_index(
+    corpus: DataFrame,
+    table: str,
+    path: str,
+    bits: int = 24,
+    bands: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+) -> None:
+    """Persist the corpus's SimHash pigeonhole chunk rows as a table
+    bucketed by the join key — the amortization
+    ``dedup.incremental_simhash_pairs`` promises, completing the stored
+    -index trio (MinHash bands / span grams / simhash chunks): the
+    corpus fingerprint pass runs ONCE at ingest, and each arriving
+    batch's near-dup check joins the bucketed table with no corpus-side
+    exchange or recompute.  ``bits``/``bands`` must match what queries
+    will pass."""
+    from kats_spark.operators.dedup import simhash_chunk_rows, simhash_portable
+
+    fp = simhash_portable(corpus, text_col, id_col, bits, "simhash16")
+    rows = simhash_chunk_rows(fp, bands, bits, id_col, "simhash16").select(
+        F.col("__band").alias("band"),
+        F.col("__chunk").alias("chunk"),
+        F.col(id_col).alias("corpus_id"),
+        F.col("simhash16").alias("corpus_fp"),
+    )
+    (
+        rows.write.mode("overwrite")
+        .bucketBy(buckets, "band", "chunk")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def incremental_simhash_stored(
+    spark: SparkSession,
+    table: str,
+    new_df: DataFrame,
+    max_hamming: int = 1,
+    bands: int = 2,
+    bits: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental SimHash near-dup against a SAVED chunk index: the
+    batch's fingerprints (one linear pass over the batch) equi-join the
+    bucketed (band, chunk) table — no corpus-side exchange — and
+    bit_count(xor) verifies exact hamming.  Same output as
+    ``dedup.incremental_simhash_pairs`` on the full corpus (asserted in
+    tests)."""
+    from kats_spark.operators.dedup import (
+        _check_simhash_bands,
+        simhash_chunk_rows,
+        simhash_portable,
+    )
+
+    _check_simhash_bands(bands, max_hamming, bits)
+    fp = simhash_portable(new_df, text_col, id_col, bits, "simhash16")
+    kn = simhash_chunk_rows(fp, bands, bits, id_col, "simhash16").select(
+        F.col("__band").alias("band"),
+        F.col("__chunk").alias("chunk"),
+        F.col(id_col).alias("new_id"),
+        F.col("simhash16").alias("__fa"),
+    )
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("corpus_fp")))
+    return (
+        kn.join(spark.table(table), ["band", "chunk"])
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
+        .distinct()
+    )
+
+
 def incremental_neardup_stored(
     spark: SparkSession,
     table: str,

@@ -478,3 +478,61 @@ def test_localize_infer_orders_repeated_clock_times(spark):
     ]
     with pytest.raises(ValueError, match="order_col"):
         load_mod.localize_infer(spark.createDataFrame(pdf), "time", "UTC")
+
+
+def test_simhash_index_store_matches_direct_and_skips_corpus_shuffle(spark, sf_dir):
+    """save_simhash_index/incremental_simhash_stored (r08, completing
+    the stored-index trio): identical verified pairs to the direct
+    two-sided incremental_simhash_pairs, with the corpus side joining
+    OUT OF THE BUCKETED SCAN — fewer shuffle exchanges than the direct
+    plan under the forced sort-merge regime."""
+    import shutil
+    import tempfile
+
+    from kats_spark.operators.dedup import incremental_simhash_pairs
+    from kats_spark.sources.ann_store import (
+        incremental_simhash_stored,
+        save_simhash_index,
+    )
+    from kats_spark.sources.bucketing import exchange_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    batch = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, F.lit(1), F.ceil(F.size(toks) * 0.8).cast("int")), " "
+        ).alias("text"),
+    )
+    kw = dict(max_hamming=1, bands=2, bits=24)
+    expected = (
+        incremental_simhash_pairs(batch, docs, **kw)
+        .toPandas()
+        .sort_values(["new_id", "corpus_id"])
+        .reset_index(drop=True)
+    )
+    assert len(expected) > 0  # the 80%-prefix batch lands near its source
+    tmp = tempfile.mkdtemp()
+    table = "corpus_simhash_index_test"
+    try:
+        save_simhash_index(docs, table, f"{tmp}/chunks", bits=24, bands=2, buckets=8)
+        got = (
+            incremental_simhash_stored(spark, table, batch, **kw)
+            .toPandas()
+            .sort_values(["new_id", "corpus_id"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(expected)
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            stored_x = exchange_count(
+                incremental_simhash_stored(spark, table, batch, **kw)
+            )
+            direct_x = exchange_count(incremental_simhash_pairs(batch, docs, **kw))
+            assert stored_x < direct_x, (stored_x, direct_x)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)

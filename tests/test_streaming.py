@@ -1142,3 +1142,88 @@ def test_excise_streaming_sink_end_to_end(spark):
         assert exp.n_removed.sum() > 0
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_incremental_simhash_streaming_equals_batch(spark):
+    """Streaming twin of incremental SimHash (r08): (1) the pure-
+    projection fingerprint builder emits exactly simhash_portable's
+    (id, fp) rows; (2) streaming chunk-join verdicts against the saved
+    corpus index, deduped at the sink, equal incremental_simhash_pairs
+    on the same data."""
+    from pyspark.sql import functions as F
+
+    from kats_spark.operators.dedup import (
+        incremental_simhash_pairs,
+        simhash_portable,
+    )
+    from kats_spark.sources.ann_store import save_simhash_index
+    from kats_spark.streaming.simhash import (
+        simhash_projection,
+        streaming_incremental_simhash,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, F.lit(1), F.ceil(F.size(toks) * 0.8).cast("int")), " "
+        ).alias("text"),
+    )
+
+    # building block: projection fingerprints == aggregation fingerprints
+    proj = simhash_projection(batch, bits=24).toPandas()
+    agg = simhash_portable(batch, bits=24).toPandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "simhash16"]].values))
+    assert key(proj) == key(agg)
+    assert len(proj) > 0
+
+    tmpdir = tempfile.mkdtemp()
+    table = "simhash_stream_index_test"
+    out_table = "simhash_stream_out"
+    try:
+        save_simhash_index(docs, table, os.path.join(tmpdir, "idx"),
+                           bits=24, bands=2, buckets=8)
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        bpd = batch.toPandas()
+        half = len(bpd) // 2
+        bpd.iloc[:half].to_parquet(os.path.join(chunk_dir, "c0.parquet"))
+        bpd.iloc[half:].to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        q = (
+            streaming_incremental_simhash(
+                stream, spark.table(table), max_hamming=1, bands=2, bits=24
+            )
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = (
+            spark.table(out_table)
+            .distinct()  # per-band emissions dedup at the sink
+            .toPandas()
+            .sort_values(["new_id", "corpus_id"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            incremental_simhash_pairs(batch, docs, max_hamming=1, bands=2, bits=24)
+            .toPandas()
+            .sort_values(["new_id", "corpus_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+        assert len(exp) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmpdir, ignore_errors=True)

@@ -94,7 +94,7 @@ _PRIORITY = [
     "incremental_neardup", "dup_spans",
     # r08 simhash family completion (rotation candidates for r09+)
     "incremental_simhash", "incremental_simhash_stored", "ks_drift",
-    "bpe_encode",
+    "bpe_encode", "gopher_rules",
     "epoch_upsample", "reconcile_struc", "hpt_recommend",
     "embedding_diag",
     # feature depth

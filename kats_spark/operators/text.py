@@ -1093,3 +1093,65 @@ def hash_embed(
         ).alias("embedding"),
         "n_tokens",
     )
+
+
+# required stop words of the Gopher rule set (Rae et al. 2021, A1.1) —
+# a DIFFERENT list from the lang-ID _EN_STOP blend above
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    "Scaling Language Models", Appendix A1.1) as per-rule boolean
+    columns + an overall ``gopher_pass`` — the rule set MassiveText,
+    RefinedWeb and most open pretraining pipelines start from, beside
+    the blended heuristic of :func:`quality_score`:
+
+    - ``r_wordcount``: 50 <= words <= 100,000;
+    - ``r_meanlen``: mean word length in [3, 10] characters;
+    - ``r_symbol``: (# + ellipsis) to word ratio <= 0.1;
+    - ``r_bullet``: <= 90% of lines start with a bullet and <= 30% end
+      with an ellipsis (single-line docs pass trivially);
+    - ``r_alpha``: >= 80% of words contain an alphabetic character;
+    - ``r_stop``: at least 2 distinct Gopher stop words present.
+
+    Pure column expressions over ONE staged token array (the bound-
+    column HOF discipline); every rule replays in SQL -> exact oracle.
+    """
+    df = df.withColumn("__gt", tokens(F.col(text_col)))
+    t = F.col("__gt")
+    n = F.size(t)
+    nf = F.greatest(n, F.lit(1)).cast("double")
+    mean_len = (
+        F.aggregate(t, F.lit(0.0), lambda a, x: a + F.length(x)) / nf
+    )
+    n_hash = F.size(F.split(F.col(text_col), "#")) - 1
+    n_ell = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    lines = F.split(F.col(text_col), "\n")
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).startswith("-")
+                        | F.trim(l).startswith("*"))) / nl
+    )
+    ell_frac = F.size(F.filter(lines, lambda l: l.endswith("..."))) / nl
+    alpha_frac = (
+        F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]"))) / nf
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    n_stops = F.size(F.array_intersect(F.transform(t, F.lower), stop_arr))
+    out = df.withColumns(
+        {
+            "n_words": n.cast("bigint"),
+            "r_wordcount": (n >= 50) & (n <= 100_000),
+            "r_meanlen": (mean_len >= 3.0) & (mean_len <= 10.0),
+            "r_symbol": ((n_hash + n_ell) / nf) <= 0.1,
+            "r_bullet": (bullet_frac <= 0.9) & (ell_frac <= 0.3),
+            "r_alpha": alpha_frac >= 0.8,
+            "r_stop": n_stops >= 2,
+        }
+    ).drop("__gt")
+    return out.withColumn(
+        "gopher_pass",
+        F.col("r_wordcount") & F.col("r_meanlen") & F.col("r_symbol")
+        & F.col("r_bullet") & F.col("r_alpha") & F.col("r_stop"),
+    )

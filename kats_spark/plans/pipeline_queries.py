@@ -205,6 +205,67 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021
+    A1.1; operators/text.py gopher_rules) — per-rule integer flags +
+    overall pass, beside the blended text_quality heuristic.  All six
+    rules are pure column expressions; exact oracle."""
+    from kats_spark.operators.text import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = gopher_rules(docs)
+    cols = ["r_wordcount", "r_meanlen", "r_symbol", "r_bullet", "r_alpha",
+            "r_stop", "gopher_pass"]
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_words"),
+        *[F.col(c).cast("int").alias(c) for c in cols],
+    ).orderBy("doc_id")
+
+
+_Q_GOPHER_SQL = """
+WITH toks AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    len(t) AS n,
+    greatest(len(t), 1)::DOUBLE AS nf,
+    list_sum(list_transform(t, w -> length(w)))::DOUBLE
+      / greatest(len(t), 1) AS mean_len,
+    len(string_split(text, '#')) - 1 AS n_hash,
+    len(string_split(text, '...')) - 1 AS n_ell,
+    string_split(text, chr(10)) AS lines,
+    len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+      / greatest(len(t), 1) AS alpha_frac,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+        s -> list_contains(list_transform(t, w -> lower(w)), s))) AS n_stops
+  FROM toks
+),
+flags AS (
+  SELECT doc_id, n,
+    (n >= 50 AND n <= 100000)::INT AS r_wordcount,
+    (mean_len >= 3.0 AND mean_len <= 10.0)::INT AS r_meanlen,
+    ((n_hash + n_ell) / nf <= 0.1)::INT AS r_symbol,
+    (len(list_filter(lines, l -> starts_with(trim(l), '-')
+                                 OR starts_with(trim(l), '*')))::DOUBLE
+       / greatest(len(lines), 1) <= 0.9
+     AND len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
+       / greatest(len(lines), 1) <= 0.3)::INT AS r_bullet,
+    (alpha_frac >= 0.8)::INT AS r_alpha,
+    (n_stops >= 2)::INT AS r_stop
+  FROM feat
+)
+SELECT doc_id::BIGINT AS doc_id, n::BIGINT AS n_words,
+  r_wordcount, r_meanlen, r_symbol, r_bullet, r_alpha, r_stop,
+  (r_wordcount * r_meanlen * r_symbol * r_bullet * r_alpha * r_stop)::INT
+    AS gopher_pass
+FROM flags ORDER BY doc_id
+"""
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (operators/bpe.py, Sennrich et al. 2016):
     learn the corpus's top-20 merges from the (word, freq) table — one
@@ -2576,6 +2637,7 @@ QUERIES = {
     "simhash": q_simhash,
     "token_stats": q_token_stats,
     "bpe_token_stats": q_bpe_token_stats,
+    "gopher_rules": q_gopher_rules,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "text_quality": q_text_quality,
@@ -2646,6 +2708,7 @@ ORACLES = {
     "token_stats": _Q_TOKEN_STATS_SQL,
     "bpe_token_stats": _bpe_token_stats_sql(),
     "bpe_encode": _bpe_encode_sql(_BPE_MERGES),
+    "gopher_rules": _Q_GOPHER_SQL,
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "topk_cosine": _Q_TOPK_COSINE_SQL,
     "allpairs_topk": _Q_ALLPAIRS_SQL,

@@ -87,3 +87,41 @@ def test_ks_drift_hand_computed(spark):
 
     sne = math.sqrt(2.0)
     assert abs(out["ks_lambda"] - (sne + 0.12 + 0.11 / sne) * 0.5) < 1e-5
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) flips on a crafted doc
+    violating exactly it, and a clean doc passes all six."""
+    from kats_spark.operators.text import gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog and that have with be to of"]
+        * 5
+    )  # 75 words, mean len ~3.5, stops present, alpha, no symbols
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                good,                                     # passes
+                "short doc",                              # r_wordcount
+                " ".join(["ab"] * 60),                    # r_meanlen (mean 2)
+                good + " " + " ".join(["#"] * 20),        # r_symbol
+                " ".join(["12345"] * 30 + ["the", "be", "okay"] * 10),  # r_alpha
+                " ".join(["neutral words only here"] * 20),  # r_stop (no 2 stops)
+            ],
+        }
+    )
+    out = (
+        gopher_rules(spark.createDataFrame(docs))
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[0, "gopher_pass"])
+    assert not bool(out.loc[1, "r_wordcount"])
+    assert not bool(out.loc[2, "r_meanlen"])
+    assert not bool(out.loc[3, "r_symbol"])
+    assert not bool(out.loc[4, "r_alpha"])
+    assert not bool(out.loc[5, "r_stop"])
+    for i in (1, 2, 3, 4, 5):
+        assert not bool(out.loc[i, "gopher_pass"])

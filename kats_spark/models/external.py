@@ -128,6 +128,8 @@ def prophet_detector_scores(
     use_legacy_z_score: bool = True,
     remove_outliers: bool = False,
     outlier_threshold: float = 0.99,
+    holidays_list: list[str] | None = None,
+    holiday_multiplier: float = 1.0,
     s: TSSchema = DEFAULT,
     fallback: str = "lite",
 ) -> DataFrame:
@@ -161,6 +163,8 @@ def prophet_detector_scores(
                 use_legacy_z_score,
                 remove_outliers,
                 outlier_threshold,
+                holidays_list,
+                holiday_multiplier,
                 s,
             )
         raise BackendMissing(
@@ -217,8 +221,11 @@ def prophet_detector_scores(
             }
         )
 
-    return (
+    from kats_spark.models.prophet_lite import apply_holiday_multiplier
+
+    out = (
         df.select(s.series_id, s.time, s.value)
         .groupBy(s.series_id)
         .applyInPandas(fn, schema)
     )
+    return apply_holiday_multiplier(out, holidays_list, holiday_multiplier, s)

@@ -488,6 +488,32 @@ def _prophet_score(
     return (y - yhat) / np.maximum(np.abs(yhat), 1e-9)
 
 
+def apply_holiday_multiplier(
+    scores: DataFrame,
+    holidays_list: list[str] | None,
+    holiday_multiplier: float,
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Holiday score scaling (kats/detectors/prophet_detector.py:656-673):
+    when a non-unit ``holiday_multiplier`` is given, anomaly scores whose
+    timestamp's DAY is in ``holidays_list`` are multiplied by it —
+    dampening (<1) or amplifying (>1) holiday-window alerts.  One
+    column expression over the scored frame; shared by the fbprophet
+    path and the lite fallback."""
+    import pyspark.sql.functions as F
+
+    if not holidays_list or round(holiday_multiplier, 10) == 1.0:
+        return scores
+    days = F.array(*[F.lit(d) for d in holidays_list])
+    hit = F.array_contains(days, F.date_format(F.col(s.time), "yyyy-MM-dd"))
+    return scores.withColumn(
+        "score",
+        F.when(hit, F.col("score") * F.lit(float(holiday_multiplier))).otherwise(
+            F.col("score")
+        ),
+    )
+
+
 def prophet_detector_scores(
     df: DataFrame,
     history_frac: float = 0.7,
@@ -496,6 +522,8 @@ def prophet_detector_scores(
     use_legacy_z_score: bool = True,
     remove_outliers: bool = False,
     outlier_threshold: float = 0.99,
+    holidays_list: list[str] | None = None,
+    holiday_multiplier: float = 1.0,
     s: TSSchema = DEFAULT,
 ) -> DataFrame:
     """ProphetDetectorModel on the lite backend
@@ -554,8 +582,9 @@ def prophet_detector_scores(
             }
         )
 
-    return (
+    out = (
         df.select(s.series_id, s.time, s.value)
         .groupBy(s.series_id)
         .applyInPandas(fn, schema)
     )
+    return apply_holiday_multiplier(out, holidays_list, holiday_multiplier, s)

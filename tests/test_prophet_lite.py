@@ -483,3 +483,41 @@ def test_prophet_detector_remove_outliers_cleans_history(spark):
     err_raw = np.abs(raw.predicted.to_numpy() - truth).mean()
     err_cleaned = np.abs(cleaned.predicted.to_numpy() - truth).mean()
     assert err_cleaned < err_raw
+
+
+def test_prophet_detector_holiday_multiplier(spark):
+    """Holiday score scaling (prophet_detector.py:656-673): scores on
+    listed holiday DAYS are multiplied by holiday_multiplier exactly;
+    every other score is untouched; forecasts are unaffected."""
+    import numpy as np
+    import pandas as pd
+
+    from kats_spark.models.external import prophet_detector_scores
+
+    rng = np.random.default_rng(5)
+    n = 480
+    t = pd.date_range("2024-01-01", periods=n, freq="h")
+    y = 50 + 10 * np.sin(2 * np.pi * np.arange(n) / 24) + rng.normal(0, 0.8, n)
+    df = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s1", "time": t, "value": y})
+    )
+    base = (
+        prophet_detector_scores(df)
+        .toPandas().sort_values("time").reset_index(drop=True)
+    )
+    hol = "2024-01-18"  # one full day inside the scan window
+    damped = (
+        prophet_detector_scores(
+            df, holidays_list=[hol], holiday_multiplier=0.25
+        )
+        .toPandas().sort_values("time").reset_index(drop=True)
+    )
+    on_day = base.time.dt.strftime("%Y-%m-%d") == hol
+    assert on_day.sum() == 24
+    np.testing.assert_allclose(
+        damped.loc[on_day, "score"], base.loc[on_day, "score"] * 0.25
+    )
+    np.testing.assert_allclose(
+        damped.loc[~on_day, "score"], base.loc[~on_day, "score"]
+    )
+    np.testing.assert_allclose(damped.predicted, base.predicted)

@@ -160,6 +160,32 @@ def run_op(name: str, spark, k: int) -> tuple[float, int]:
     elif name == "dupspans":
         df = replicate_docs(spark, k)
         n = dedup.dup_span_fraction(df, span_n=20).count()
+    elif name == "incr_simhash":
+        df = replicate_docs(spark, k)
+        new_batch = df.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+        )
+        n = dedup.incremental_simhash_pairs(
+            new_batch, df, max_hamming=1, bands=2, bits=24
+        ).count()
+    elif name == "bpe":
+        # the synthetic corpus's vocabulary is flat, so growth here
+        # measures the one corpus-sized pass (tokenize + word groupBy);
+        # the merge rounds are vocabulary-sized and constant
+        from kats_spark.operators import bpe as bpe_ops
+
+        df = replicate_docs(spark, k)
+        n = bpe_ops.bpe_train(df, num_merges=10).count()
+    elif name == "ks":
+        from kats_spark.operators.dist_distance import ks_drift
+
+        n_rows = 400_000 * k
+        df = spark.range(n_rows).selectExpr(
+            "concat('s', cast(id % 8 as string)) as series_id",
+            "timestamp_seconds(1704067200 + (id % 2000000)) as time",
+            "cast(abs(xxhash64(id, 7L)) % 1000 as double) / 10 as value",
+        )
+        n = ks_drift(df, "2024-01-12 00:00:00").count()
     else:
         raise ValueError(name)
     return time.time() - t0, n

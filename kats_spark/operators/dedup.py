@@ -896,6 +896,7 @@ def incremental_simhash_pairs(
     bits: int = 24,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = True,
 ) -> DataFrame:
     """Incremental SimHash near-dup — the daily-ingestion twin of
     :func:`simhash_pairs`, completing the simhash family the way
@@ -907,17 +908,25 @@ def incremental_simhash_pairs(
     ``max_hamming`` (pigeonhole guarantee needs bands >= max_hamming+1,
     enforced).
 
-    Portable fingerprints (:func:`simhash_portable`, bits <= 31) so the
-    whole pipeline — hash family included — replays in the DuckDB
-    oracle; at 100 TB the corpus chunk rows persist once bucketed by
-    (band, chunk) (``sources/ann_store.save_simhash_index``) and each
-    batch joins them with no corpus-side exchange or recompute.
+    Hash family matches the pair ops: ``portable=True`` (default) uses
+    :func:`simhash_portable` (bits <= 31) so the whole pipeline — hash
+    included — replays in the DuckDB oracle; ``portable=False`` is the
+    scale path — the 64-bit xxhash :func:`simhash` (JVM-native hashing,
+    full 64-bit space; pass ``bits=64``), rows-only by design like the
+    MinHash xxhash path.  At 100 TB the corpus chunk rows persist once
+    bucketed by (band, chunk) (``sources/ann_store.save_simhash_index``)
+    and each batch joins them with no corpus-side exchange or recompute.
 
     Output: ``(new_id, corpus_id, hamming)`` distinct verified pairs."""
     _check_simhash_bands(bands, max_hamming, bits)
-    fp_col = "simhash16"
-    fn = simhash_portable(new_df, text_col, id_col, bits, fp_col)
-    fc = simhash_portable(corpus_df, text_col, id_col, bits, fp_col)
+    if portable:
+        fp_col = "simhash16"
+        fn = simhash_portable(new_df, text_col, id_col, bits, fp_col)
+        fc = simhash_portable(corpus_df, text_col, id_col, bits, fp_col)
+    else:
+        fp_col = "simhash"
+        fn = simhash(new_df, text_col, id_col, fp_col).select(id_col, fp_col)
+        fc = simhash(corpus_df, text_col, id_col, fp_col).select(id_col, fp_col)
     kn = simhash_chunk_rows(fn, bands, bits, id_col, fp_col).select(
         "__band", "__chunk", F.col(id_col).alias("new_id"),
         F.col(fp_col).alias("__fa"),

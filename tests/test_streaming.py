@@ -1227,3 +1227,30 @@ def test_incremental_simhash_streaming_equals_batch(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_incremental_simhash_xxhash_scale_path(spark):
+    """portable=False (the 64-bit xxhash scale family, rows-only by
+    design like MinHash's): the batch's planted near-identical docs
+    land within hamming<=3 of their corpus sources."""
+    from pyspark.sql import functions as F
+
+    from kats_spark.operators.dedup import incremental_simhash_pairs
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, F.lit(1), F.ceil(F.size(toks) * 0.9).cast("int")), " "
+        ).alias("text"),
+    )
+    out = incremental_simhash_pairs(
+        batch, docs, max_hamming=3, bands=4, bits=64, portable=False
+    ).toPandas()
+    assert len(out) > 0
+    assert (out.hamming <= 3).all()
+    # at least one batch doc matches its own source (id - 1_000_000)
+    assert ((out.new_id - 1_000_000) == out.corpus_id).any()

@@ -1254,3 +1254,92 @@ def test_incremental_simhash_xxhash_scale_path(spark):
     assert (out.hamming <= 3).all()
     # at least one batch doc matches its own source (id - 1_000_000)
     assert ((out.new_id - 1_000_000) == out.corpus_id).any()
+
+
+def test_streaming_psi_equals_batch_and_flags_drift(spark):
+    """Streaming drift monitor (streaming/drift.py): per-window PSI vs
+    a static reference histogram.  (1) the streaming output over 2
+    micro-batches equals the identical plan run as a batch frame;
+    (2) an in-distribution window scores near 0, a shifted window
+    scores past the 0.25 major-drift alarm."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kats_spark.streaming.drift import reference_histogram, streaming_psi
+
+    rng = np.random.default_rng(3)
+    # reference: N(50, 5) per key
+    ref_pdf = pd.DataFrame(
+        {
+            "series_id": ["a"] * 4000,
+            "time": pd.date_range("2024-01-01", periods=4000, freq="min"),
+            "value": rng.normal(50, 5, 4000),
+        }
+    )
+    ref = reference_histogram(spark.createDataFrame(ref_pdf))
+    # current: hour 1 in-distribution, hour 2 shifted to N(70, 5)
+    cur_pdf = pd.DataFrame(
+        {
+            "series_id": ["a"] * 240,
+            "time": pd.date_range("2024-02-01 00:00", periods=240, freq="30s"),
+            "value": np.concatenate(
+                [rng.normal(50, 5, 120), rng.normal(70, 5, 120)]
+            ),
+        }
+    )
+    cur = spark.createDataFrame(cur_pdf)
+    batch = (
+        streaming_psi(cur, ref)  # same plan on a batch frame
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert len(batch) == 2
+    assert batch.psi.iloc[0] < 0.1 < 0.25 < batch.psi.iloc[1]
+
+    tmpdir = tempfile.mkdtemp()
+    out_table = "psi_stream_out"
+    try:
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        cutoff = "2024-02-01 01:00:00"
+        # write chunks via Spark (pandas to_parquet emits INT64 nano
+        # timestamps the stream schema rejects)
+        cur.filter(F.col("time") < cutoff).coalesce(1).write.parquet(
+            os.path.join(chunk_dir, "c0")
+        )
+        cur.filter(F.col("time") >= cutoff).coalesce(1).write.parquet(
+            os.path.join(chunk_dir, "c1")
+        )
+        stream = (
+            spark.readStream.schema(
+                "series_id string, time timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(chunk_dir)
+        )
+        q = (
+            streaming_psi(stream, ref, watermark="30 minutes")
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = (
+            spark.table(out_table)
+            .toPandas()
+            .sort_values("window_start")
+            .reset_index(drop=True)
+        )
+        # append mode emits only windows the watermark has CLOSED: the
+        # 30-minute watermark lets hour-1 close once the second
+        # micro-batch advances the clock; the last window stays open.
+        assert len(got) >= 1
+        exp = batch.iloc[: len(got)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

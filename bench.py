@@ -116,6 +116,7 @@ HEADLINE = [
     "ks_drift",
     "bpe_train",
     "bpe_encode",
+    "gopher_rules",
 ]
 
 

@@ -163,6 +163,7 @@ def ks_drift(
     value_col: str = "value",
     by: str = "series_id",
     time_col: str = "time",
+    value_shards: int | None = None,
 ):
     """Exact two-sample Kolmogorov-Smirnov statistic between the
     before/after halves of a time split, per key — the nonparametric
@@ -183,6 +184,17 @@ def ks_drift(
     never shuffled beyond the two grouped counts.  Exact oracle: the
     identical counts + window replay in SQL.
 
+    ``value_shards`` is the 100 TB knob for CONTINUOUS metrics, where
+    distinct values ~ rows and the per-key window becomes one task
+    sorting the key's whole history: fixed-width VALUE-RANGE shards
+    over the key's [min, max] are order-preserving (every value in
+    shard s-1 precedes every value in shard s), so the exact per-key
+    cumulative decomposes as ``exclusive_prefix(per-shard totals) +
+    within-(key, shard) cumsum`` — the salted_cumsum decomposition with
+    range shards standing in for the hash prefix.  Bit-identical to the
+    single-window plan (asserted in tests); default None keeps the
+    naive window (cheaper at monitor scale).
+
     Output: one row per key — (key, n_before, n_after, ks_stat,
     ks_lambda)."""
     from pyspark.sql import Window
@@ -195,6 +207,80 @@ def ks_drift(
     aligned = c1.join(c2, [by, value_col], "full_outer").fillna(
         0, subset=["__c1", "__c2"]
     )
+    if value_shards is not None and value_shards > 1:
+        s = value_shards
+        rng = aligned.groupBy(by).agg(
+            F.min(value_col).alias("__lo"),
+            F.max(value_col).alias("__hi"),
+            F.sum("__c1").alias("__n1"),
+            F.sum("__c2").alias("__n2"),
+        )
+        a = aligned.join(F.broadcast(rng), by).withColumn(
+            "__s",
+            F.least(
+                F.lit(s - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(value_col) - F.col("__lo"))
+                        / ((F.col("__hi") - F.col("__lo")) / s + F.lit(1e-300))
+                    ).cast("int"),
+                ),
+            ),
+        )
+        st = a.groupBy(by, "__s").agg(
+            F.sum("__c1").alias("__t1"), F.sum("__c2").alias("__t2")
+        )
+        w_off = (
+            Window.partitionBy(by)
+            .orderBy("__s")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = st.select(
+            by,
+            "__s",
+            F.coalesce(F.sum("__t1").over(w_off), F.lit(0)).alias("__o1"),
+            F.coalesce(F.sum("__t2").over(w_off), F.lit(0)).alias("__o2"),
+        )
+        w_in = (
+            Window.partitionBy(by, "__s")
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = a.join(F.broadcast(offs), [by, "__s"]).select(
+            F.col(by),
+            ((F.col("__o1") + F.sum("__c1").over(w_in)) / F.col("__n1")).alias(
+                "__f1"
+            ),
+            ((F.col("__o2") + F.sum("__c2").over(w_in)) / F.col("__n2")).alias(
+                "__f2"
+            ),
+            "__n1",
+            "__n2",
+        )
+        ne = F.col("__n1") * F.col("__n2") / (F.col("__n1") + F.col("__n2"))
+        d = F.max(F.abs(F.col("__f1") - F.col("__f2")))
+        return (
+            cum.groupBy(by)
+            .agg(
+                F.max("__n1").cast("bigint").alias("n_before"),
+                F.max("__n2").cast("bigint").alias("n_after"),
+                d.alias("__d"),
+                F.max(F.sqrt(ne)).alias("__sne"),
+            )
+            .select(
+                F.col(by),
+                "n_before",
+                "n_after",
+                F.round(F.col("__d") + F.lit(1e-9), 6).alias("ks_stat"),
+                F.round(
+                    (F.col("__sne") + 0.12 + 0.11 / F.col("__sne"))
+                    * F.col("__d")
+                    + F.lit(1e-9),
+                    6,
+                ).alias("ks_lambda"),
+            )
+        )
     w = (
         Window.partitionBy(by)
         .orderBy(value_col)

@@ -125,3 +125,38 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not bool(out.loc[5, "r_stop"])
     for i in (1, 2, 3, 4, 5):
         assert not bool(out.loc[i, "gopher_pass"])
+
+
+def test_ks_drift_value_sharded_equals_naive(spark):
+    """The value-range-sharded exact decomposition (the 100 TB knob for
+    continuous metrics) is bit-identical to the single-window plan —
+    random data with ties, several keys, 16 and 64 shards."""
+    import numpy as np
+
+    from kats_spark.operators.dist_distance import ks_drift
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "series_id": rng.choice(["a", "b", "c"], n),
+            "time": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 40 * 86400, n), unit="s"),
+            "value": np.round(rng.normal(50, 20, n), 1),  # rounding -> ties
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cols = ["series_id", "n_before", "n_after", "ks_stat", "ks_lambda"]
+
+    def run(**kw):
+        return (
+            ks_drift(df, "2024-01-20 00:00:00", **kw)
+            .toPandas()
+            .sort_values("series_id")
+            .reset_index(drop=True)[cols]
+        )
+
+    naive = run()
+    assert len(naive) == 3
+    for shards in (16, 64):
+        pd.testing.assert_frame_equal(run(value_shards=shards), naive)

@@ -80,6 +80,14 @@ LAZY_QUERIES = [
     "incremental_neardup",
     "source_cap",
     "dup_spans",
+    # round-7/8 operators
+    "dup_span_excise",
+    "incremental_excise",
+    "incremental_simhash",
+    "ks_drift",
+    "bpe_encode",
+    "gopher_rules",
+    "prophet_detect",
 ]
 
 

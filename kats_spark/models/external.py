@@ -197,7 +197,12 @@ def prophet_detector_scores(
             keep = (hist_df["y"].to_numpy() >= band["yhat_lower"].to_numpy()) & (
                 hist_df["y"].to_numpy() <= band["yhat_upper"].to_numpy()
             )
-            if keep.sum() >= 2:
+            from kats_spark.models.prophet_lite import REMOVE_OUTLIERS_MIN_KEEP
+
+            # Shared gate with the lite backend (prophet_lite.py) so the
+            # two paths agree on short histories; the ungated reference
+            # divergence is documented at the constant.
+            if keep.sum() >= REMOVE_OUTLIERS_MIN_KEEP:
                 hist_df = hist_df.loc[keep]
         m = Prophet(interval_width=interval_width)
         m.fit(hist_df)

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kats_spark.operators.similarity import _ctx_key
 from kats_spark.tsframe import TSSchema, DEFAULT
 
 Z95 = 1.959963984540054
@@ -249,7 +250,7 @@ def _window_frame(df: DataFrame, win: int, wsize: int, s: TSSchema) -> DataFrame
     )
 
 
-# (gateway id, caller memo_key, every training hyperparameter) ->
+# (context key, caller memo_key, every training hyperparameter) ->
 # (replicas, se_h): trained replica weights reused across repeat calls
 # of a declared query on an immutable input (VERDICT r07 item #5).  The
 # training collects are seed-deterministic in (input frame, params), so
@@ -301,7 +302,7 @@ def global_rnn_ensemble_forecast(
     mkey = None
     if memo_key is not None:
         mkey = (
-            id(df.sparkSession.sparkContext._gateway),
+            _ctx_key(df.sparkSession.sparkContext),
             memo_key,
             steps,
             n_replicas,

@@ -460,6 +460,16 @@ def prophet_forecast(
     )
 
 
+#: Minimum surviving history rows for the pre-fit outlier filter to
+#: actually drop rows, shared by BOTH detector backends (fbprophet in
+#: models/external.py and the lite fallback below) so they agree on
+#: short histories.  The reference's _remove_outliers
+#: (kats/detectors/prophet_detector.py) has no gate at all; we keep a
+#: floor because refitting a trend+seasonality model on <10 points is
+#: degenerate — a documented, deliberate divergence.
+REMOVE_OUTLIERS_MIN_KEEP = 10
+
+
 def _prophet_score(
     y: np.ndarray,
     yhat: np.ndarray,
@@ -559,7 +569,7 @@ def prophet_detector_scores(
             keep = (hy >= band.fcst_lower.to_numpy()) & (
                 hy <= band.fcst_upper.to_numpy()
             )
-            if keep.sum() >= 10:
+            if keep.sum() >= REMOVE_OUTLIERS_MIN_KEEP:
                 ht, hy = ht[keep], hy[keep]
         m = ProphetLite(interval_width=interval_width).fit(ht, hy)
         fc = m.predict(scan[s.time].to_numpy(dtype="datetime64[ns]"))

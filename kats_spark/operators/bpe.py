@@ -206,24 +206,44 @@ def _train_distributed(wf: DataFrame, num_merges: int) -> DataFrame:
     return spark.createDataFrame(merges, schema)
 
 
+#: Symbol-wrapper delimiter for :func:`bpe_encode_expr`.  \\x1f (unit
+#: separator) is not regex-``\\s`` in Java or RE2, so :func:`normalize`
+#: leaves it alone in both engines; it is assumed absent from corpus
+#: text (a C0 control char).
+SYM_D = "\x1f"
+
+
 def bpe_encode_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
     """Token count of one word under a FIXED merge list, as a pure
-    column expression: the word becomes its space-joined symbol string
-    (chars + end-of-word marker) and each merge in rank order is one
-    literal ``replace(' l r ' -> ' lr ')`` — string replace scans
-    left-to-right over non-overlapping occurrences, exactly BPE's merge
-    order within a word.  Literal merges mean the identical chain
-    replays in the DuckDB oracle."""
+    column expression.  Each symbol is wrapped in \\x1f delimiters
+    (``\\x1fa\\x1f \\x1fb\\x1f ...``) and each merge in rank order is one
+    literal ``replace('\\x1fl\\x1f \\x1fr\\x1f' -> '\\x1flr\\x1f')``.
+    The wrapper makes plain string replace EXACTLY greedy
+    left-to-right BPE: the pattern consumes only the two symbols and
+    the space between them — not the flanking separators — so adjacent
+    occurrences of the same merge ('a a a a a' under (a,a)) never
+    overlap and all merge left-to-right in one pass, matching
+    Sennrich's apply loop and ``_train_driver``'s merge_syms.  Literal
+    merges mean the identical chain replays in the DuckDB oracle
+    (plain ``replace`` has the same leftmost-non-overlapping scan in
+    both engines)."""
     chars = F.split(word, "")
     n = F.size(chars)
     syms = F.concat(
         F.slice(chars, 1, F.greatest(n - 1, F.lit(0))),
         F.array(F.concat(F.element_at(chars, -1), F.lit(EOW))),
     )
-    s = F.concat(F.lit(" "), F.array_join(syms, " "), F.lit(" "))
+    wrapped = F.transform(
+        syms, lambda c: F.concat(F.lit(SYM_D), c, F.lit(SYM_D))
+    )
+    s = F.array_join(wrapped, " ")
     for l, r in merges:
-        s = F.replace(s, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
-    return F.size(F.split(F.trim(s), " "))
+        s = F.replace(
+            s,
+            F.lit(f"{SYM_D}{l}{SYM_D} {SYM_D}{r}{SYM_D}"),
+            F.lit(f"{SYM_D}{l}{r}{SYM_D}"),
+        )
+    return F.size(F.split(s, " "))
 
 
 def bpe_encode_stats(

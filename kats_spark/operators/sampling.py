@@ -599,7 +599,7 @@ def pack_sequences(
         F.size(tokens(F.col(text_col))).alias("n_tokens"),
         rank_key.alias("__rk"),
     )
-    cum = salted_cumsum(base, salt_shards=salt_shards)
+    cum = salted_cumsum(base, id_col=id_col, salt_shards=salt_shards)
     start = F.col("cum_tokens") - F.col("n_tokens")
     return cum.select(
         id_col,

@@ -129,7 +129,7 @@ def all_pairs_topk(
     spark = df.sparkSession
     mkey = None
     if memo_key is not None:
-        mkey = (id(spark.sparkContext._gateway), memo_key, vec_col, id_col)
+        mkey = (_ctx_key(spark.sparkContext), memo_key, vec_col, id_col)
         hit = _INDEX_MEMO.get(mkey)
         if hit is not None:
             n_total = hit[0]
@@ -181,10 +181,19 @@ def all_pairs_topk(
     )
 
 
-# (gateway id, caller memo_key, vec_col, id_col) -> (n_rows, b_ids, b_mat):
-# live broadcast handles of an immutable index, reused across repeat
-# builds of the same declared query (see all_pairs_topk docstring).
+# (context key, caller memo_key, vec_col, id_col) -> (n_rows, b_ids,
+# b_mat): live broadcast handles of an immutable index, reused across
+# repeat builds of the same declared query (see all_pairs_topk
+# docstring).
 _INDEX_MEMO: dict = {}
+
+
+def _ctx_key(sc) -> tuple:
+    """Stable SparkContext identity for memo keys: (applicationId,
+    startTime) is unique per live context, unlike ``id(gateway)`` which
+    CPython can recycle after GC — a recycled address could hand back
+    broadcasts bound to a stopped context."""
+    return (sc.applicationId, sc.startTime)
 
 
 def clear_index_memo() -> None:

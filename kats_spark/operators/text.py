@@ -1109,7 +1109,9 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     - ``r_wordcount``: 50 <= words <= 100,000;
     - ``r_meanlen``: mean word length in [3, 10] characters;
-    - ``r_symbol``: (# + ellipsis) to word ratio <= 0.1;
+    - ``r_symbol``: hash-to-word ratio <= 0.1 AND ellipsis-to-word
+      ratio <= 0.1 (Gopher A1.1 applies the threshold to each symbol
+      separately, not to their sum);
     - ``r_bullet``: <= 90% of lines start with a bullet and <= 30% end
       with an ellipsis (single-line docs pass trivially);
     - ``r_alpha``: >= 80% of words contain an alphabetic character;
@@ -1144,7 +1146,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_words": n.cast("bigint"),
             "r_wordcount": (n >= 50) & (n <= 100_000),
             "r_meanlen": (mean_len >= 3.0) & (mean_len <= 10.0),
-            "r_symbol": ((n_hash + n_ell) / nf) <= 0.1,
+            "r_symbol": ((n_hash / nf) <= 0.1) & ((n_ell / nf) <= 0.1),
             "r_bullet": (bullet_frac <= 0.9) & (ell_frac <= 0.3),
             "r_alpha": alpha_frac >= 0.8,
             "r_stop": n_stops >= 2,

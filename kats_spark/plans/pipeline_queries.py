@@ -248,7 +248,7 @@ flags AS (
   SELECT doc_id, n,
     (n >= 50 AND n <= 100000)::INT AS r_wordcount,
     (mean_len >= 3.0 AND mean_len <= 10.0)::INT AS r_meanlen,
-    ((n_hash + n_ell) / nf <= 0.1)::INT AS r_symbol,
+    (n_hash / nf <= 0.1 AND n_ell / nf <= 0.1)::INT AS r_symbol,
     (len(list_filter(lines, l -> starts_with(trim(l), '-')
                                  OR starts_with(trim(l), '*')))::DOUBLE
        / greatest(len(lines), 1) <= 0.9
@@ -306,9 +306,20 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_sql(merges: list[tuple[str, str]]) -> str:
-    chain = "' ' || array_to_string(list_transform(range(1, length(w)+1), i -> CASE WHEN i = length(w) THEN substr(w, i, 1) || '</w>' ELSE substr(w, i, 1) END), ' ') || ' '"
+    # Wrapped-symbol representation (chr(31) delimiters) mirrors
+    # operators/bpe.py bpe_encode_expr: plain replace is exactly greedy
+    # left-to-right BPE because the pattern never consumes the flanking
+    # separators (adjacent same-merge occurrences don't overlap).
+    chain = (
+        "array_to_string(list_transform(range(1, length(w)+1), "
+        "i -> chr(31) || (CASE WHEN i = length(w) THEN substr(w, i, 1) || '</w>' "
+        "ELSE substr(w, i, 1) END) || chr(31)), ' ')"
+    )
     for l, r in merges:
-        chain = f"replace({chain}, ' {l} {r} ', ' {l}{r} ')"
+        ql, qr = l.replace("'", "''"), r.replace("'", "''")
+        pat = f"chr(31) || '{ql}' || chr(31) || ' ' || chr(31) || '{qr}' || chr(31)"
+        rep = f"chr(31) || '{ql}{qr}' || chr(31)"
+        chain = f"replace({chain}, {pat}, {rep})"
     return f"""
 WITH toks AS (
   SELECT doc_id,

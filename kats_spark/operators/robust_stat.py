@@ -25,13 +25,20 @@ def robust_stat_scores(
     z_threshold: float = 3.0,
     p_value_cutoff: float | None = None,
     s: TSSchema = DEFAULT,
+    include_metric: bool = False,
 ) -> DataFrame:
     """(series_id, time, robust_z, is_changepoint).
 
     ``p_value_cutoff`` mirrors the reference gate exactly
     (robust_stat_detection.py:58,81: flag when norm.sf(|z|) < cutoff):
     it overrides ``z_threshold`` with norm_ppf(1 - cutoff), computed
-    driver-side — same decision boundary, no erf needed in the plan."""
+    driver-side — same decision boundary, no erf needed in the plan.
+
+    ``include_metric`` appends the reference's changepoint ``metric``
+    (robust_stat_detection.py:101: the smoothed-diff value at the
+    point) — opt-in so the long-standing oracled output schema stays
+    frozen; the TsFeatures robust_stat_detector group consumes it for
+    ``robust_metric_mean``."""
     if p_value_cutoff is not None:
         from kats_spark.operators.interval import norm_ppf
 
@@ -51,9 +58,13 @@ def robust_stat_scores(
     # robust sigma: IQR / 1.349 (normal-consistent, as the reference's
     # iqr-based scale)
     sigma = (F.col("__q3") - F.col("__q1")) / 1.349
-    return (
+    out = (
         d.join(stats, s.series_id)
         .withColumn("robust_z", F.when(sigma > 0, (F.col("__d") - F.col("__med")) / sigma))
         .withColumn("is_changepoint", (F.abs(F.col("robust_z")) > z_threshold).cast("int"))
-        .select(s.series_id, s.time, s.value, "robust_z", "is_changepoint")
     )
+    cols = [s.series_id, s.time, s.value, "robust_z", "is_changepoint"]
+    if include_metric:
+        out = out.withColumn("metric", F.col("__d"))
+        cols.append("metric")
+    return out.select(*cols)

@@ -1422,7 +1422,10 @@ def q_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q_OUTLIER_SQL = f"""
+# Core CTE chain of the MA-decomposition outlier replay (through the
+# bounds CTE), shared by the outlier_detect oracle and the
+# tsfeatures_detector outlier-group aggregation (queries2.py).
+_OUTLIER_CORE_SQL = f"""
 WITH h AS ({_HOURLY_SQL}),
 idx AS (
   SELECT series_id, time, value,
@@ -1454,6 +1457,9 @@ bounds AS (
          quantile_cont(residual, 0.25) AS q1, quantile_cont(residual, 0.75) AS q3
   FROM full_d WHERE residual IS NOT NULL GROUP BY 1
 )
+"""
+
+_Q_OUTLIER_SQL = _OUTLIER_CORE_SQL + f"""
 SELECT f.series_id, strftime(f.time, '{_DK_FMT}') AS time,
   round(1e-9 + f.value, 6) AS value, round(1e-9 + f.residual, 6) AS residual,
   CASE WHEN f.residual IS NULL THEN 0
@@ -2151,7 +2157,11 @@ def q_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q_CUSUM_SQL = f"""
+# Core CTE chain of the CUSUM replay (everything through the llr CTE),
+# shared by the cusum_detect oracle below and the tsfeatures_detector
+# cusum-group aggregation (queries2.py) — embed as
+# "({_CUSUM_DETECT_CORE_SQL} SELECT ... FROM llr WHERE <gates>)".
+_CUSUM_DETECT_CORE_SQL = f"""
 WITH RECURSIVE h AS ({_HOURLY_SQL}),
 idx AS (
   SELECT series_id, time, value,
@@ -2207,11 +2217,11 @@ rec AS (
   )
 ),
 fin AS (
-  SELECT series_id, dir, arg_max(cp, it) AS cp
+  SELECT series_id, dir, arg_max(cp, it) AS cp, arg_max(stable, it) AS stable
   FROM rec GROUP BY 1, 2
 ),
 stats AS (
-  SELECT f.series_id, f.dir, f.cp, l.n, l.ts[f.cp + 1] AS cp_time,
+  SELECT f.series_id, f.dir, f.cp, f.stable, l.n, l.ts[f.cp + 1] AS cp_time,
     l.cums[f.cp + 1] AS s1, l.cums[l.n] - l.cums[f.cp + 1] AS s2,
     l.cums2[f.cp + 1] AS q1, l.cums2[l.n] - l.cums2[f.cp + 1] AS q2,
     (f.cp + 1)::DOUBLE AS c1, (l.n - f.cp - 1)::DOUBLE AS c2,
@@ -2242,6 +2252,9 @@ llr AS (
     ) AS llr
   FROM scaled
 )
+"""
+
+_Q_CUSUM_SQL = _CUSUM_DETECT_CORE_SQL + f"""
 SELECT series_id,
   strftime(cp_time, '{_DK_FMT}') AS cp_time,
   cp::INT AS cp_index, dir AS direction,

@@ -32,8 +32,10 @@ from kats_spark.operators import (
 )
 from kats_spark.plans import var_oracle as _VAR_ORACLE
 from kats_spark.plans.queries import (
+    _CUSUM_DETECT_CORE_SQL,
     _DK_FMT,
     _HOURLY_SQL,
+    _OUTLIER_CORE_SQL,
     _TS_FMT,
     _fmt_time,
     _r6,
@@ -1392,7 +1394,10 @@ def q_bocpd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "value", "cp_prob"))
 
 
-_Q_BOCPD_SQL = f"""
+# Core CTE chain of the BOCPD posterior replay (through the emits CTE),
+# shared by the bocpd_detect oracle and the tsfeatures_detector
+# bocp-group aggregation below.
+_BOCPD_CORE_SQL = f"""
 WITH RECURSIVE h AS ({_HOURLY_SQL}),
 idx AS (
   SELECT series_id, time, value,
@@ -1473,6 +1478,9 @@ emits AS (
   CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS j) j
   WHERE r.i = l.n AND j.j < least(10, l.n)
 )
+"""
+
+_Q_BOCPD_SQL = _BOCPD_CORE_SQL + f"""
 SELECT i.series_id, strftime(i.time, '{_DK_FMT}') AS time,
   round(1e-9 + i.value, 6) AS value,
   round(1e-9 + e.cp, 6) AS cp_prob
@@ -2429,6 +2437,218 @@ SELECT m.series_id, m.length,
 FROM mu m JOIN sk k USING (series_id) JOIN lum l USING (series_id)
 JOIN cp c USING (series_id) JOIN fs f USING (series_id)
 JOIN hmode hm USING (series_id) JOIN ls s USING (series_id)
+"""
+
+
+def q_tsfeatures_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TsFeatures DETECTOR-DERIVED feature groups
+    (kats/tsfeatures/tsfeatures.py:1444-1720): 17 features per series
+    summarizing the cusum / robust-stat / bocp / outlier / trend
+    detector outputs — full oracle, composed from the SAME DuckDB
+    replays that back the individual detector queries (cusum recursive
+    refinement, BOCPD posterior recursion, robust smoothed-diff
+    windows, MA-decomposition outliers) plus a recursive-CTE SES +
+    rolling Mann-Kendall replay for the trend group.  Detector knobs
+    match the oracled detector queries (cusum threshold 0.5 /
+    delta_std_ratio 0, bocp threshold 0.2, iqr_mult 2.0)."""
+    from kats_spark.operators.detector_features import detector_features
+
+    out = detector_features(
+        hourly_series(spark, sf_dir),
+        period=24,
+        cusum_threshold=0.5,
+        cusum_delta_std_ratio=0.0,
+        bocp_threshold=0.2,
+        iqr_mult=2.0,
+    )
+    return out.select(
+        "series_id",
+        "cusum_num",
+        _rnd("cusum_conf", 6).alias("cusum_conf"),
+        _rnd("cusum_cp_index", 6).alias("cusum_cp_index"),
+        _rnd("cusum_delta", 6).alias("cusum_delta"),
+        _rnd("cusum_llr", 6).alias("cusum_llr"),
+        "cusum_regression_detected",
+        "cusum_stable_changepoint",
+        _rnd("cusum_p_value", 6).alias("cusum_p_value"),
+        "robust_num",
+        _rnd("robust_metric_mean", 6).alias("robust_metric_mean"),
+        "bocp_num",
+        _rnd("bocp_conf_max", 6).alias("bocp_conf_max"),
+        _rnd("bocp_conf_mean", 6).alias("bocp_conf_mean"),
+        "outlier_num",
+        "trend_num",
+        "trend_num_increasing",
+        _rnd("trend_avg_abs_tau", 6).alias("trend_avg_abs_tau"),
+    )
+
+
+def _trend_zcrit_literal() -> str:
+    from kats_spark.operators.interval import norm_ppf
+
+    return repr(float(norm_ppf(0.975)))
+
+
+#: SQL literal for the trend group's |z| critical value — computed from
+#: the SAME norm_ppf the Spark kernel uses, so both sides compare
+#: against the identical double.
+_TREND_ZCRIT_LITERAL = _trend_zcrit_literal()
+
+
+# Trend-group replay: recursive-CTE SES (bitwise the kernel's
+# 0.2*x + 0.8*l recursion — the closed form would change summation
+# order and flip near-tie sign() comparisons) + rolling 20-point MK
+# with tie-corrected Var(S) and Tau = S/190.
+_TSFEAT_TREND_SQL = f"""
+WITH RECURSIVE h AS ({_HOURLY_SQL}),
+lst AS (
+  SELECT series_id, count(*)::BIGINT AS n, list(value ORDER BY time) AS vs
+  FROM h GROUP BY 1
+),
+ses AS (
+  SELECT series_id, 1::BIGINT AS t, vs[1]::DOUBLE AS l,
+         [vs[1]::DOUBLE] AS sm, n, vs
+  FROM lst WHERE n > 20
+  UNION ALL
+  SELECT series_id, t + 1, 0.2 * vs[t + 1] + 0.8 * l,
+         list_append(sm, l), n, vs
+  FROM ses WHERE t < n
+),
+smf AS (SELECT series_id, n, sm FROM ses WHERE t = n),
+anch AS (
+  SELECT s.series_id, s.sm[a.a - 19:a.a] AS w
+  FROM smf s, LATERAL (SELECT unnest(generate_series(21, s.n::INT)) AS a) a
+),
+stat AS (
+  SELECT series_id,
+    list_sum(list_transform(w, (x, j) ->
+      list_sum(list_transform(w, (y, i) ->
+        CASE WHEN i < j THEN sign(x - y)::DOUBLE ELSE 0.0 END)))) AS sgn,
+    list_sum(list_transform(w, x ->
+      (len(list_filter(w, y -> y = x)) - 1)::DOUBLE
+      * (2 * len(list_filter(w, y -> y = x)) + 5))) AS tie
+  FROM anch
+),
+zt AS (
+  SELECT series_id, sgn, (20.0 * 19.0 * 45.0 - tie) / 18.0 AS var_s,
+    sgn / 190.0 AS tau
+  FROM stat
+),
+dec AS (
+  SELECT series_id, tau,
+    CASE WHEN sgn > 0 THEN (sgn - 1) / sqrt(var_s)
+         WHEN sgn < 0 THEN (sgn + 1) / sqrt(var_s)
+         ELSE 0.0 END AS z
+  FROM zt WHERE var_s > 0
+),
+det AS (
+  SELECT series_id, z, tau,
+    (abs(z) > {_TREND_ZCRIT_LITERAL} AND abs(tau) > 0.8) AS d
+  FROM dec
+)
+SELECT series_id,
+  sum(CASE WHEN d THEN 1 ELSE 0 END)::BIGINT AS trend_num,
+  sum(CASE WHEN d AND z > 0 THEN 1 ELSE 0 END)::BIGINT AS trend_num_increasing,
+  avg(CASE WHEN d THEN abs(tau) END) AS trend_avg_abs_tau
+FROM det GROUP BY 1
+"""
+
+_Q_TSFEAT_DET_SQL = f"""
+WITH base AS (SELECT DISTINCT event_type AS series_id FROM events),
+cus AS (
+  SELECT series_id,
+    count(*)::BIGINT AS cusum_num,
+    arg_min(CASE WHEN llr < 1400 THEN exp(-llr / 2) ELSE 0.0 END, rk) AS p_value,
+    arg_min(cp, rk)::DOUBLE / any_value(n) AS cp_index_frac,
+    arg_min(mu1 - mu0, rk) AS delta,
+    arg_min(llr, rk) AS llr,
+    arg_min(stable, rk) AS stable
+  FROM (
+    {_CUSUM_DETECT_CORE_SQL}
+    SELECT series_id, cp, stable, n, mu0, mu1, llr,
+      CASE WHEN dir = 'increase' THEN 0 ELSE 1 END AS rk
+    FROM llr
+    WHERE llr > -2.0 * ln(0.5)
+      AND CASE WHEN dir = 'increase' THEN mu1 > mu0 ELSE mu1 < mu0 END
+      AND abs(mu1 - mu0) > 0.0 * sigma_t
+      AND abs(mu1 - mu0) > 0.0
+  ) GROUP BY 1
+),
+rb_h AS ({_HOURLY_SQL}),
+rb_sm AS (
+  SELECT series_id, time,
+         avg(value) OVER (PARTITION BY series_id ORDER BY time
+                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS sv
+  FROM rb_h
+),
+rb_d AS (
+  SELECT *, sv - lag(sv, 1) OVER (PARTITION BY series_id ORDER BY time) AS dd
+  FROM rb_sm
+),
+rb_st AS (
+  SELECT series_id, median(dd) AS med,
+         quantile_cont(dd, 0.75) AS q3, quantile_cont(dd, 0.25) AS q1
+  FROM rb_d WHERE dd IS NOT NULL GROUP BY 1
+),
+rob AS (
+  SELECT d.series_id,
+    sum(CASE WHEN (st.q3 - st.q1) / 1.349 > 0
+          AND abs((d.dd - st.med) / ((st.q3 - st.q1) / 1.349)) > 3.0
+        THEN 1 ELSE 0 END)::BIGINT AS robust_num,
+    avg(CASE WHEN (st.q3 - st.q1) / 1.349 > 0
+          AND abs((d.dd - st.med) / ((st.q3 - st.q1) / 1.349)) > 3.0
+        THEN d.dd END) AS robust_metric_mean
+  FROM rb_d d JOIN rb_st st USING (series_id) GROUP BY 1
+),
+boc AS (
+  SELECT series_id, count(*)::BIGINT AS bocp_num,
+    max(cp) AS bocp_conf_max, avg(cp) AS bocp_conf_mean
+  FROM (
+    {_BOCPD_CORE_SQL}
+    SELECT e.series_id, e.cp
+    FROM emits e JOIN idx i USING (series_id, k)
+    WHERE e.cp >= 0.2 AND i.k > 5
+  ) GROUP BY 1
+),
+outl AS (
+  SELECT series_id, sum(o)::BIGINT AS outlier_num
+  FROM (
+    {_OUTLIER_CORE_SQL}
+    SELECT f.series_id,
+      CASE WHEN f.residual IS NULL THEN 0
+           WHEN f.residual < b.q1 - 2.0 * (b.q3 - b.q1)
+             OR f.residual > b.q3 + 2.0 * (b.q3 - b.q1) THEN 1 ELSE 0 END AS o
+    FROM full_d f JOIN bounds b ON f.series_id = b.series_id
+  ) GROUP BY 1
+),
+trd AS (
+  SELECT * FROM ({_TSFEAT_TREND_SQL})
+)
+SELECT b.series_id,
+  coalesce(c.cusum_num, 0)::BIGINT AS cusum_num,
+  round(1e-9 + coalesce(1.0 - c.p_value, 0.0), 6) AS cusum_conf,
+  round(1e-9 + coalesce(c.cp_index_frac, 0.0), 6) AS cusum_cp_index,
+  round(1e-9 + coalesce(c.delta, 0.0), 6) AS cusum_delta,
+  round(1e-9 + coalesce(c.llr, 0.0), 6) AS cusum_llr,
+  (CASE WHEN c.series_id IS NOT NULL THEN 1 ELSE 0 END)::INT
+    AS cusum_regression_detected,
+  coalesce(c.stable::INT, 0)::INT AS cusum_stable_changepoint,
+  round(1e-9 + coalesce(c.p_value, 0.0), 6) AS cusum_p_value,
+  coalesce(r.robust_num, 0)::BIGINT AS robust_num,
+  round(1e-9 + r.robust_metric_mean, 6) AS robust_metric_mean,
+  coalesce(o2.bocp_num, 0)::BIGINT AS bocp_num,
+  round(1e-9 + coalesce(o2.bocp_conf_max, 0.0), 6) AS bocp_conf_max,
+  round(1e-9 + coalesce(o2.bocp_conf_mean, 0.0), 6) AS bocp_conf_mean,
+  coalesce(ol.outlier_num, 0)::BIGINT AS outlier_num,
+  coalesce(t.trend_num, 0)::BIGINT AS trend_num,
+  coalesce(t.trend_num_increasing, 0)::BIGINT AS trend_num_increasing,
+  round(1e-9 + coalesce(t.trend_avg_abs_tau, 0.0), 6) AS trend_avg_abs_tau
+FROM base b
+LEFT JOIN cus c USING (series_id)
+LEFT JOIN rob r USING (series_id)
+LEFT JOIN boc o2 USING (series_id)
+LEFT JOIN outl ol USING (series_id)
+LEFT JOIN trd t USING (series_id)
 """
 
 
@@ -4699,6 +4919,7 @@ QUERIES = {
     "pq_topk_portable": q_pq_portable,
     "tsfeatures_full": q_tsfeatures_full,
     "tsfeatures_expr": q_tsfeatures_expr,
+    "tsfeatures_detector": q_tsfeatures_detector,
     "model_select": q_model_select,
     "model_select_rf": q_model_select_rf,
     "predictability": q_predictability,
@@ -4762,6 +4983,7 @@ QUERIES = {
 ORACLES = {
     "global_dms": _global_dms_sql(),
     "tsfeatures_expr": _Q_TSFEAT_EXPR_SQL,
+    "tsfeatures_detector": _Q_TSFEAT_DET_SQL,
     "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
     "ivf_stored_topk": _Q_IVF_PORTABLE_SQL,  # stored layer, same lattice
     "ivf_recall": _Q_IVF_RECALL_SQL,

@@ -310,11 +310,342 @@ def kernel_stats(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# reference-name group layer (tsfeatures.py:108-240 _ALL_TS_FEATURES
+# parity): stl_features / acfpacf_features / nowcasting / seasonalities
+# / time + the five detector groups, joinable into the same wide row as
+# the fine-grained statistics groups below.
+# ---------------------------------------------------------------------
+
+
+def stl_features_block(
+    df: DataFrame, period: int, s: TSSchema = DEFAULT
+) -> DataFrame:
+    """stl_features group (tsfeatures.py:738-802 get_stl_features):
+    trend_strength / seasonality_strength (population-variance ratios,
+    np.var convention — unclamped, unlike stl_strengths' legacy
+    var_samp variant), spikiness (variance of the leave-one-out
+    variances of the residual, via the O(n) closed form
+    loo_var_i = (S2 - r_i^2)/(n-1) - ((S1 - r_i)/(n-1))^2), and
+    peak / trough (argmax / argmin of the first period's seasonal
+    values, first-occurrence ties like np.argmax).  Pure expressions
+    over the loess-STL split — one decomposition pass, two aggregates."""
+    from kats_spark.operators.stl import stl_decompose
+
+    parts = stl_decompose(df, period, s=s).withColumn(
+        "__rn", F.row_number().over(s.w())
+    )
+    r = F.col("residual")
+    stats = parts.groupBy(s.series_id).agg(
+        F.count("*").cast("double").alias("__n"),
+        F.sum(r).alias("__s1"),
+        F.sum(r * r).alias("__s2"),
+        F.var_pop(r).alias("__vr"),
+        F.var_pop(F.col("trend") + r).alias("__vtr"),
+        F.var_pop(F.col("seasonal") + r).alias("__vsr"),
+    )
+    loo_mean = (F.col("__s1") - r) / (F.col("__n") - 1)
+    loo_var = (F.col("__s2") - r * r) / (F.col("__n") - 1) - loo_mean * loo_mean
+    spk = (
+        parts.join(F.broadcast(stats), s.series_id)
+        .withColumn("__loo", loo_var)
+        .groupBy(s.series_id)
+        .agg(F.var_pop("__loo").alias("spikiness"))
+    )
+    rn0 = F.col("__rn") - 1
+    pt = parts.filter(F.col("__rn") <= period).groupBy(s.series_id).agg(
+        F.max_by(rn0, F.struct(F.col("seasonal"), (-F.col("__rn")).alias("__neg")))
+        .cast("bigint").alias("peak"),
+        F.min_by(rn0, F.struct(F.col("seasonal"), F.col("__rn")))
+        .cast("bigint").alias("trough"),
+    )
+    out = stats.select(
+        s.series_id,
+        (1.0 - F.col("__vr") / F.col("__vtr")).alias("trend_strength"),
+        (1.0 - F.col("__vr") / F.col("__vsr")).alias("seasonality_strength"),
+    )
+    return out.join(spk, s.series_id).join(pt, s.series_id)
+
+
+def time_group_features(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
+    """time group (tsfeatures.py:1996-2110 get_time): distinct
+    year/month/week/day counts, day-of-week frequencies, span in days.
+    time_days faithfully replicates the reference's strftime("%Y-%d")
+    (year + day-of-MONTH); time_avg_timezone_offset is 0.0 — naive
+    timestamps, the reference's AttributeError fallback.  Pure
+    expression aggregate — one shuffle."""
+    from kats_spark.functions.calendar import dayofweek_iso
+
+    t = F.col(s.time)
+    d = F.to_date(t)
+    iso_dow = dayofweek_iso(t)  # Monday=0
+    # ISO week-based year = calendar year of that week's Thursday
+    iso_year = F.year(F.date_add(d, 3 - iso_dow))
+    n = F.count("*").cast("double")
+    aggs = [
+        F.countDistinct(F.year(t)).cast("bigint").alias("time_years"),
+        F.countDistinct(F.date_format(t, "yyyy-MM")).cast("bigint").alias("time_months"),
+        F.countDistinct(F.month(t)).cast("bigint").alias("time_monthsofyear"),
+        F.countDistinct(F.concat_ws("-", iso_year, F.weekofyear(t)))
+        .cast("bigint").alias("time_weeks"),
+        F.countDistinct(F.weekofyear(t)).cast("bigint").alias("time_weeksofyear"),
+        F.countDistinct(F.date_format(t, "yyyy-dd")).cast("bigint").alias("time_days"),
+        F.countDistinct(F.dayofyear(t)).cast("bigint").alias("time_daysofyear"),
+        F.lit(0.0).alias("time_avg_timezone_offset"),
+        F.datediff(F.max(d), F.min(d)).cast("bigint").alias("time_length_days"),
+    ]
+    dows = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+            "Saturday", "Sunday"]
+    for k, name in enumerate(dows):
+        aggs.append(
+            (F.sum((iso_dow == k).cast("int")) / n).alias(f"time_freq_{name}")
+        )
+    return df.groupBy(s.series_id).agg(*aggs)
+
+
+def _pacf_yw_adjusted(y: np.ndarray, nlags: int) -> np.ndarray:
+    """statsmodels pacf(method='ywadjusted'): per-order Yule-Walker on
+    the UNBIASED autocovariances, keeping the last coefficient."""
+    y = y - y.mean()
+    n = len(y)
+    gamma = np.array(
+        [np.dot(y[: n - k], y[k:]) / (n - k) for k in range(nlags + 1)]
+    )
+    out = [1.0]
+    idx = np.arange(nlags)
+    for k in range(1, nlags + 1):
+        R = gamma[np.abs(np.subtract.outer(idx[:k], idx[:k]))]
+        out.append(float(np.linalg.solve(R, gamma[1 : k + 1])[-1]))
+    return np.array(out)
+
+
+def _fft_detected_periods(x: np.ndarray) -> list[float]:
+    """FFTDetector peak selection replicated exactly
+    (kats/detectors/seasonality.py:265-330 get_fft / get_fft_peaks):
+    dB amplitude 10·log10|fft|², cut = median(positive-dB bins) + 6 ×
+    mean-abs-deviation of the above-median bins, scipy-find_peaks-style
+    local maxima with a 0.1 dB vertical-distance threshold, and the
+    reference's pairwise near-integer frequency-ratio harmonic removal
+    (lower frequency wins).  Returns the surviving periods (1/freq) —
+    get_seasonalities then takes int(min(...))."""
+    fftv = np.fft.fft(np.asarray(x, dtype=float))
+    psd = np.abs(fftv) ** 2
+    freqs = np.fft.fftfreq(len(psd), 1.0)
+    pos = freqs > 0
+    freq = freqs[pos]
+    with np.errstate(divide="ignore"):
+        ampl = 10.0 * np.log10(psd[pos])
+    pos_ampl = ampl[ampl > 0]
+    if len(pos_ampl) == 0:
+        return []
+    median = float(np.median(pos_ampl))
+    above = pos_ampl[pos_ampl > median]
+    if len(above) == 0:
+        return []
+    mad = float(np.abs(above - above.mean()).mean())
+    cut = median + mad * 6.0
+    peak_f = [
+        float(freq[i])
+        for i in range(1, len(ampl) - 1)
+        if ampl[i] > ampl[i - 1] and ampl[i] > ampl[i + 1]
+        and min(ampl[i] - ampl[i - 1], ampl[i] - ampl[i + 1]) >= 0.1
+        and ampl[i] > cut
+    ]
+    rm = [False] * len(peak_f)
+    for i1 in range(len(peak_f)):
+        for i2 in range(i1 + 1, len(peak_f)):
+            if rm[i2]:
+                continue
+            frac = (peak_f[i2] / peak_f[i1]) % 1
+            if frac < 0.01 or frac > 0.99:
+                rm[i2] = True
+    return [1.0 / f for f, r in zip(peak_f, rm) if not r]
+
+
+_REF_KERNEL_COLS: dict[str, list[str]] = {
+    "acfpacf_features": [
+        "y_acf1", "y_acf5", "diff1y_acf1", "diff1y_acf5", "diff2y_acf1",
+        "diff2y_acf5", "y_pacf5", "diff1y_pacf5", "diff2y_pacf5",
+        "seas_acf1", "seas_pacf1",
+    ],
+    "seasonalities": [
+        "seasonal_period", "trend_mag", "seasonality_mag", "residual_std",
+    ],
+    "nowcasting": [
+        "nowcast_roc", "nowcast_ma", "nowcast_mom", "nowcast_lag",
+        "nowcast_macd", "nowcast_macdsign", "nowcast_macddiff",
+    ],
+}
+
+
+def ref_kernel_features(
+    df: DataFrame,
+    period: int = 24,
+    acfpacf_lag: int = 6,
+    window: int = 5,
+    n_fast: int = 12,
+    n_slow: int = 21,
+    s: TSSchema = DEFAULT,
+    groups: "tuple[str, ...]" = ("acfpacf_features", "seasonalities", "nowcasting"),
+) -> DataFrame:
+    """The three reference groups that are genuinely iterative numpy
+    (acfpacf_features :1060-1160, seasonalities :1912-1993, nowcasting
+    :1756-1908) in ONE ``applyInPandas`` pass — a single
+    groupBy(series_id) shuffle computes every selected group per Arrow
+    batch, like :func:`kernel_features`.  Deselected groups are skipped
+    inside the kernel and pruned from the schema."""
+    from kats_spark.operators.stl import stl_decompose_np
+
+    groups = tuple(g for g in _REF_KERNEL_COLS if g in set(groups))
+    cols = [c for g in groups for c in _REF_KERNEL_COLS[g]]
+    schema = f"{s.series_id} string, " + ", ".join(f"{c} double" for c in cols)
+
+    def _acfpacf(x: np.ndarray) -> dict[str, float]:
+        names = _REF_KERNEL_COLS["acfpacf_features"]
+        out = {k: float("nan") for k in names}
+        if len(x) < 10 or len(x) < period or len(np.unique(x)) == 1:
+            return out
+        nlag = min(acfpacf_lag, len(x) - 2)
+        d1 = np.diff(x)
+        d2 = np.diff(d1)
+        try:
+            y_acf = _acf(x, period)[1:]
+            d1_acf = _acf(d1, nlag)[1:]
+            d2_acf = _acf(d2, nlag)[1:]
+            y_pacf = _pacf_yw_adjusted(x, period)[1:]
+            d1_pacf = _pacf_yw_adjusted(d1, nlag)[1:]
+            d2_pacf = _pacf_yw_adjusted(d2, nlag)[1:]
+        except np.linalg.LinAlgError:
+            return out
+        out["y_acf1"] = float(y_acf[0])
+        out["y_acf5"] = float(np.sum(y_acf[:5] ** 2))
+        out["diff1y_acf1"] = float(d1_acf[0])
+        out["diff1y_acf5"] = float(np.sum(d1_acf[:5] ** 2))
+        out["diff2y_acf1"] = float(d2_acf[0])
+        out["diff2y_acf5"] = float(np.sum(d2_acf[:5] ** 2))
+        out["seas_acf1"] = float(y_acf[period - 1])
+        out["y_pacf5"] = float(np.nansum(y_pacf[:5] ** 2))
+        out["diff1y_pacf5"] = float(np.nansum(d1_pacf[:5] ** 2))
+        out["diff2y_pacf5"] = float(np.nansum(d2_pacf[:5] ** 2))
+        out["seas_pacf1"] = float(y_pacf[period - 1])
+        return out
+
+    def _seasonalities(x: np.ndarray) -> dict[str, float]:
+        names = _REF_KERNEL_COLS["seasonalities"]
+        out = {k: float("nan") for k in names}
+        try:
+            detected = _fft_detected_periods(np.diff(x))
+            _period = int(min(detected)) if detected else 7
+            trend, seasonal, resid = stl_decompose_np(x, _period)
+        except Exception:
+            return out
+        out["seasonal_period"] = float(_period)
+        out["seasonality_mag"] = float(
+            np.round(np.quantile(seasonal, 0.95) - np.quantile(seasonal, 0.05))
+        )
+        series = trend - trend[0]
+        t = np.arange(len(series), dtype=float)
+        denom = float(np.dot(t, t))
+        out["trend_mag"] = float(np.dot(t, series) / denom) if denom > 0 else float("nan")
+        out["residual_std"] = float(np.std(resid))
+        return out
+
+    def _ewma(arr: np.ndarray, span: int, min_periods: int) -> np.ndarray:
+        return (
+            pd.Series(arr).ewm(span=span, min_periods=min_periods).mean().to_numpy()
+        )
+
+    def _nowcasting(x: np.ndarray) -> dict[str, float]:
+        names = _REF_KERNEL_COLS["nowcasting"]
+        out = {k: float("nan") for k in names}
+        try:
+            if len(x) > window:
+                m = x[window - 1:] - x[: -(window - 1)]
+                nn = x[: -(window - 1)]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    arr = m / nn
+                out["nowcast_roc"] = float(
+                    np.nan_to_num(arr, nan=0.0, posinf=0.0, neginf=0.0).mean()
+                )
+                out["nowcast_mom"] = float(
+                    np.nan_to_num(x[window:] - x[:-window], nan=0.0,
+                                  posinf=0.0, neginf=0.0).mean()
+                )
+                ret = np.cumsum(x, dtype=float)
+                ret[window:] = ret[window:] - ret[:-window]
+                ma = ret[window - 1:] / window
+                out["nowcast_ma"] = float(
+                    np.nan_to_num(ma, nan=0.0, posinf=0.0, neginf=0.0).mean()
+                )
+                out["nowcast_lag"] = float(
+                    np.nan_to_num(x[:-window], nan=0.0, posinf=0.0,
+                                  neginf=0.0).mean()
+                )
+            macd = _ewma(x, n_fast, n_slow - 1) - _ewma(x, n_slow, n_slow - 1)
+            out["nowcast_macd"] = float(
+                np.nan_to_num(np.nanmean(macd), nan=0.0, posinf=0.0, neginf=0.0)
+            )
+            if len(x) >= 27:
+                sign = _ewma(macd, 9, 8)
+                out["nowcast_macdsign"] = float(
+                    np.nan_to_num(np.nanmean(sign), nan=0.0, posinf=0.0,
+                                  neginf=0.0)
+                )
+                out["nowcast_macddiff"] = float(
+                    np.nan_to_num(np.nanmean(macd - sign), nan=0.0,
+                                  posinf=0.0, neginf=0.0)
+                )
+        except Exception:
+            pass
+        return out
+
+    builders = {
+        "acfpacf_features": _acfpacf,
+        "seasonalities": _seasonalities,
+        "nowcasting": _nowcasting,
+    }
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(s.time)
+        x = pdf[s.value].to_numpy(dtype=float)
+        row: dict = {s.series_id: pdf[s.series_id].iloc[0]}
+        for g in groups:
+            row.update(builders[g](x))
+        return pd.DataFrame([row], columns=[s.series_id] + cols)
+
+    return (
+        df.select(s.series_id, s.time, s.value)
+        .groupBy(s.series_id)
+        .applyInPandas(fn, schema)
+    )
+
+
 FEATURE_GROUPS = (
     "basic", "lumpiness", "stability", "crossing_points", "binarize_mean",
     "std_first_derivative", "flat_spots", "histogram_mode", "level_shift",
     "kernel",
 )
+
+#: Reference-name groups beyond the fine-grained statistics registry
+#: (tsfeatures.py:108-123 _ALL_TS_FEATURES).
+REF_FEATURE_GROUPS = (
+    "stl_features", "acfpacf_features", "nowcasting", "seasonalities", "time",
+)
+
+#: Detector-derived groups (tsfeatures.py:117-121) — OFF by default,
+#: exactly like the reference (TsFeatures.__init__:434-438 defaults
+#: cusum_detector..trend_detector to False).
+DETECTOR_FEATURE_GROUPS = (
+    "cusum_detector", "robust_stat_detector", "bocp_detector",
+    "outlier_detector", "trend_detector",
+)
+
+ALL_FEATURE_GROUPS = FEATURE_GROUPS + REF_FEATURE_GROUPS + DETECTOR_FEATURE_GROUPS
+
+#: What ``tsfeatures()`` computes when ``selected`` is omitted: every
+#: group the reference enables by default (detectors are opt-in there
+#: too).
+DEFAULT_FEATURE_GROUPS = FEATURE_GROUPS + REF_FEATURE_GROUPS
 
 
 def tsfeatures(
@@ -324,20 +655,30 @@ def tsfeatures(
     s: TSSchema = DEFAULT,
     selected: "list[str] | None" = None,
 ) -> DataFrame:
-    """The full wide feature frame: expression layer ⋈ kernel layer.
+    """The full wide feature frame: expression layer ⋈ kernel layers.
 
     ``selected`` mirrors the reference's opt-in feature-group registry
     (kats/tsfeatures/tsfeatures.py:108-240 ``_ALL_TS_FEATURES`` /
     group selection :314-445): only the named groups are computed, and
     because each group is its own subplan, deselecting a group prunes its
     whole subtree (scans, windows, kernels) — selection is a plan
-    optimization, not a post-hoc column drop."""
+    optimization, not a post-hoc column drop.  The default set matches
+    the reference default (everything except the detector groups, which
+    are opt-in there too — TsFeatures.__init__:434-438); pass
+    ``selected=ALL_FEATURE_GROUPS`` for the detector-inclusive row.
+    The three iterative reference groups (acfpacf / seasonalities /
+    nowcasting) share ONE applyInPandas pass however many of them are
+    selected."""
     if selected is None:
-        selected = list(FEATURE_GROUPS)
-    unknown = set(selected) - set(FEATURE_GROUPS)
+        selected = list(DEFAULT_FEATURE_GROUPS)
+    chosen = set(selected)
+    unknown = chosen - set(ALL_FEATURE_GROUPS)
     if unknown:
         raise ValueError(f"unknown feature groups: {sorted(unknown)}; "
-                         f"available: {list(FEATURE_GROUPS)}")
+                         f"available: {list(ALL_FEATURE_GROUPS)}")
+    from kats_spark.operators import detector_features as det
+
+    ref_kernel = tuple(g for g in _REF_KERNEL_COLS if g in chosen)
     builders = {
         "basic": lambda: stats_fn.basic_stats(df, s),
         "lumpiness": lambda: stats_fn.lumpiness(df, window_size, s),
@@ -348,9 +689,36 @@ def tsfeatures(
         "flat_spots": lambda: stats_fn.flat_spots(df, 10, s),
         "histogram_mode": lambda: stats_fn.histogram_mode(df, 10, s),
         "level_shift": lambda: stats_fn.level_shift_features(df, 10, s),
-        "kernel": lambda: kernel_features(df, period, s),
+        # when the stl_features group is also selected, its loess-STL
+        # (reference-exact) trend/seasonality strengths and spikiness win
+        # over the kernel layer's MA-decomposition stand-ins — drop the
+        # kernel's columns so the wide row has one of each name.
+        "kernel": lambda: (
+            kernel_features(df, period, s).drop(
+                "trend_strength", "seasonality_strength", "spikiness"
+            )
+            if "stl_features" in chosen
+            else kernel_features(df, period, s)
+        ),
+        "stl_features": lambda: stl_features_block(df, period, s),
+        "time": lambda: time_group_features(df, s),
+        "cusum_detector": lambda: det.cusum_detector_features(df, s=s),
+        "robust_stat_detector": lambda: det.robust_stat_detector_features(df, s=s),
+        "bocp_detector": lambda: det.bocp_detector_features(df, s=s),
+        "outlier_detector": lambda: det.outlier_detector_features(df, period, s=s),
+        "trend_detector": lambda: det.trend_detector_features(df, s=s),
     }
-    pieces = [builders[g]() for g in FEATURE_GROUPS if g in set(selected)]
+    pieces = []
+    ref_kernel_done = False
+    for g in ALL_FEATURE_GROUPS:
+        if g not in chosen:
+            continue
+        if g in _REF_KERNEL_COLS:
+            if not ref_kernel_done:
+                pieces.append(ref_kernel_features(df, period, s=s, groups=ref_kernel))
+                ref_kernel_done = True
+            continue
+        pieces.append(builders[g]())
     out = pieces[0]
     for piece in pieces[1:]:
         out = out.join(piece, s.series_id, "left")

@@ -88,3 +88,130 @@ def test_detector_features_joined_row(spark):
     for c in DETECTOR_FEATURE_COLUMNS:
         if c != "robust_metric_mean":  # nullable by design
             assert r[c] is not None, c
+
+
+def test_tsfeatures_unified_registry(spark):
+    """The reference-name groups join into one wide row; detector groups
+    are opt-in; group selection prunes columns (VERDICT r08 items 2-3)."""
+    from kats_spark.operators import simulator, tsfeatures as tsf
+
+    df = simulator.simulate(
+        spark, n_series=2, n_points=200, noise_std=0.5,
+        seasonal_period=24, seasonal_magnitude=3.0, seed=17,
+    )
+    full = tsf.tsfeatures(df, period=24, selected=list(tsf.ALL_FEATURE_GROUPS))
+    cols = set(full.columns)
+    for c in ("spikiness", "peak", "trough", "y_acf1", "y_pacf5", "seas_acf1",
+              "nowcast_macd", "seasonal_period", "residual_std", "time_years",
+              "time_freq_Monday", "cusum_num", "robust_num", "bocp_num",
+              "outlier_num", "trend_num"):
+        assert c in cols, c
+    assert len(full.columns) == len(set(full.columns))  # no dup names
+    # default excludes the detector groups, like the reference defaults
+    default = tsf.tsfeatures(df, period=24)
+    assert "cusum_num" not in default.columns
+    assert "y_acf1" in default.columns
+    pdf = full.toPandas()
+    assert len(pdf) == 2
+    assert pdf.seasonal_period.notna().all()
+    # a clean sine recovers its injected period: the reference takes
+    # int(min(FFT periods)) on the DIFFERENCED series, so the series
+    # length is chosen to put 1/24 exactly on an FFT bin (diff len 240)
+    n = 241
+    y = 5.0 * np.sin(np.arange(n) * 2 * np.pi / 24) + \
+        np.random.default_rng(2).normal(0, 0.1, n)
+    clean = tsf.ref_kernel_features(
+        _series(spark, y), groups=("seasonalities",)
+    ).collect()[0]
+    assert clean["seasonal_period"] == 24.0
+    assert clean["seasonality_mag"] == pytest.approx(10.0, abs=1.0)
+
+
+def test_spikiness_matches_loo_definition(spark):
+    """The O(n) closed form equals the reference's explicit
+    leave-one-out matrix construction (tsfeatures.py:786-792)."""
+    from kats_spark.operators.stl import stl_decompose_np
+    from kats_spark.operators.tsfeatures import stl_features_block
+
+    rng = np.random.default_rng(23)
+    n = 96
+    y = (np.sin(np.arange(n) * 2 * np.pi / 24) * 3
+         + 0.05 * np.arange(n) + rng.normal(0, 0.7, n))
+    row = stl_features_block(_series(spark, y), period=24).collect()[0]
+    _, _, resid = stl_decompose_np(y, 24)
+    arr = np.repeat(resid[:, np.newaxis], len(resid), axis=1)
+    arr[np.diag_indices(len(arr))] = np.nan
+    expected = float(np.var(np.nanvar(arr, axis=0)))
+    assert row["spikiness"] == pytest.approx(expected, rel=1e-9)
+    assert row["peak"] == int(np.argmax(
+        stl_decompose_np(y, 24)[1][:24]))
+    assert row["trough"] == int(np.argmin(
+        stl_decompose_np(y, 24)[1][:24]))
+
+
+def test_nowcasting_group_matches_reference_formulas(spark):
+    """nowcast_* per-series means replicate the reference's numpy
+    formulas exactly (tsfeatures.py:1756-1908 _get_nowcasting_np)."""
+    from kats_spark.operators.tsfeatures import ref_kernel_features
+
+    rng = np.random.default_rng(29)
+    x = rng.normal(10, 2, 120).astype(float)
+    row = ref_kernel_features(
+        _series(spark, x), groups=("nowcasting",)
+    ).collect()[0]
+    w = 5
+    m = x[w - 1:] - x[: -(w - 1)]
+    assert row["nowcast_roc"] == pytest.approx(
+        float(np.nan_to_num(m / x[: -(w - 1)], nan=0.0).mean()))
+    assert row["nowcast_mom"] == pytest.approx(float((x[w:] - x[:-w]).mean()))
+    assert row["nowcast_lag"] == pytest.approx(float(x[:-w].mean()))
+    ema = lambda a, sp, mp: pd.Series(a).ewm(span=sp, min_periods=mp).mean().to_numpy()
+    macd = ema(x, 12, 20) - ema(x, 21, 20)
+    assert row["nowcast_macd"] == pytest.approx(float(np.nanmean(macd)))
+    sign = ema(macd, 9, 8)
+    assert row["nowcast_macdsign"] == pytest.approx(float(np.nanmean(sign)))
+    assert row["nowcast_macddiff"] == pytest.approx(float(np.nanmean(macd - sign)))
+
+
+def test_acfpacf_group_values(spark):
+    """acfpacf group: y_acf1/y_acf5 match a direct biased-ACF
+    computation; pacf sums positive; constant series yields NaNs."""
+    from kats_spark.operators.tsfeatures import ref_kernel_features, _pacf_yw_adjusted
+
+    rng = np.random.default_rng(31)
+    x = np.cumsum(rng.normal(0, 1, 150))
+    row = ref_kernel_features(
+        _series(spark, x), period=24, groups=("acfpacf_features",)
+    ).collect()[0]
+    c = x - x.mean()
+    acf = np.array([np.dot(c[: len(c) - k], c[k:]) / np.dot(c, c)
+                    for k in range(25)])[1:]
+    assert row["y_acf1"] == pytest.approx(float(acf[0]), rel=1e-9)
+    assert row["y_acf5"] == pytest.approx(float(np.sum(acf[:5] ** 2)), rel=1e-9)
+    assert row["seas_acf1"] == pytest.approx(float(acf[23]), rel=1e-9)
+    pacf = _pacf_yw_adjusted(x, 24)[1:]
+    assert row["y_pacf5"] == pytest.approx(float(np.nansum(pacf[:5] ** 2)), rel=1e-9)
+    const = ref_kernel_features(
+        _series(spark, np.full(60, 3.0)), period=24, groups=("acfpacf_features",)
+    ).collect()[0]
+    assert const["y_acf1"] is None or np.isnan(const["y_acf1"])
+
+
+def test_time_group_counts(spark):
+    """time group count semantics, incl. the faithful %Y-%d replication."""
+    from kats_spark.operators.tsfeatures import time_group_features
+
+    t = pd.date_range("2023-12-25", periods=21, freq="D")  # spans a year boundary
+    pdf = pd.DataFrame({"series_id": "s1", "time": t, "value": 1.0})
+    row = time_group_features(spark.createDataFrame(pdf)).collect()[0]
+    assert row["time_years"] == 2
+    assert row["time_months"] == 2          # 2023-12 and 2024-01
+    assert row["time_monthsofyear"] == 2
+    assert row["time_length_days"] == 20
+    assert row["time_daysofyear"] == 21
+    # %Y-%d: (year, day-of-month) pairs — 7 in Dec 2023 + 14 in Jan 2024
+    assert row["time_days"] == 21
+    freqs = sum(row[f"time_freq_{d}"] for d in
+                ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+                 "Saturday", "Sunday"])
+    assert freqs == pytest.approx(1.0)

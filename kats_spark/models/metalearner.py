@@ -379,3 +379,94 @@ def detector_select(
         F.max("f1").alias("best_f1"),
         F.first("n_injected").alias("n_injected"),
     )
+
+
+def metadata_tournament(
+    df: DataFrame,
+    steps: int = 24,
+    freq_seconds: int = 3600,
+    mean_windows: tuple = (6, 12, 24),
+    s: TSSchema = DEFAULT,
+) -> DataFrame:
+    """Metalearner METADATA PRODUCER — the reference's get_metadata
+    workflow (kats/models/metalearner/get_metadata.py: per-series
+    candidate-model tournament emitting the (hpt_res, best_model) rows
+    that metalearner_predictability / modelselect / hpt train on) as
+    ONE distributed plan.
+
+    Candidates are closed-form so the whole tournament VALUE-HASHES
+    against a DuckDB oracle (the reference's candidates are iterative
+    fitters; the tournament SHAPE — holdout split, per-candidate
+    hyper-parameter search, per-candidate error, argmin best model — is
+    the parity surface): linear trend, quadratic trend, and a last-w
+    window mean whose window w is the tuned hyper-parameter (grid
+    ``mean_windows``, argmin holdout MAE, ties to the smaller window).
+    ``best_model`` is the argmin of the rounded per-candidate MAEs with
+    the deterministic tie order linear < quadratic < mean.
+
+    Output: (series_id, mae_linear, mae_quadratic, mae_mean,
+    best_mean_window, best_model).  The declared query joins the
+    TsFeatures expression layer on series_id so each row is the
+    reference's (features, best_hpt, best_model) triple.  Every stage
+    is a per-series window/agg — no driver loop, no cross-series state."""
+    from kats_spark.operators import trend
+
+    wdesc = Window.partitionBy(s.series_id).orderBy(F.desc(s.time))
+    tagged = df.withColumn("__rn", F.row_number().over(wdesc))
+    train = tagged.filter(F.col("__rn") > steps).drop("__rn")
+    hold = tagged.filter(F.col("__rn") <= steps).drop("__rn")
+
+    lin = trend.linear_forecast(train, steps=steps, freq_seconds=freq_seconds).select(
+        s.series_id, s.time, F.round(F.col("fcst") + 1e-9, 6).alias("__lf")
+    )
+    quad = trend.quadratic_forecast(train, steps=steps, freq_seconds=freq_seconds).select(
+        s.series_id, s.time, F.round(F.col("fcst") + 1e-9, 6).alias("__qf")
+    )
+    ttag = train.withColumn("__trn", F.row_number().over(wdesc))
+    mean_aggs = [
+        F.round(F.avg(F.when(F.col("__trn") <= w, F.col(s.value))) + 1e-9, 6).alias(f"__m{w}")
+        for w in mean_windows
+    ]
+    means = ttag.groupBy(s.series_id).agg(*mean_aggs)
+
+    scored = (
+        hold.join(lin, [s.series_id, s.time])
+        .join(quad, [s.series_id, s.time])
+        .join(F.broadcast(means), s.series_id)
+    )
+    err_aggs = [
+        F.round(F.avg(F.abs(F.col(s.value) - F.col("__lf"))) + 1e-9, 6).alias("mae_linear"),
+        F.round(F.avg(F.abs(F.col(s.value) - F.col("__qf"))) + 1e-9, 6).alias("mae_quadratic"),
+    ] + [
+        F.round(F.avg(F.abs(F.col(s.value) - F.col(f"__m{w}"))) + 1e-9, 6).alias(f"__mae_m{w}")
+        for w in mean_windows
+    ]
+    errs = scored.groupBy(s.series_id).agg(*err_aggs)
+
+    # tuned mean: argmin over the window grid, ties to the smaller window
+    best_w = None
+    best_mae = None
+    for w in mean_windows:
+        mw = F.col(f"__mae_m{w}")
+        if best_w is None:
+            best_w, best_mae = F.lit(w), mw
+        else:
+            cond = mw < best_mae
+            best_w = F.when(cond, F.lit(w)).otherwise(best_w)
+            best_mae = F.when(cond, mw).otherwise(best_mae)
+    errs = errs.withColumn("best_mean_window", best_w.cast("int")).withColumn(
+        "mae_mean", best_mae
+    )
+    best = (
+        F.when(
+            (F.col("mae_linear") <= F.col("mae_quadratic"))
+            & (F.col("mae_linear") <= F.col("mae_mean")),
+            F.lit("linear"),
+        )
+        .when(F.col("mae_quadratic") <= F.col("mae_mean"), F.lit("quadratic"))
+        .otherwise(F.lit("mean"))
+    )
+    return errs.withColumn("best_model", best).select(
+        s.series_id, "mae_linear", "mae_quadratic", "mae_mean",
+        "best_mean_window", "best_model",
+    )

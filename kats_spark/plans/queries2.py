@@ -2833,6 +2833,30 @@ def q_global_rnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
 
 
+def q_global_s2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global S2S encoder-decoder (globalmodel model_type="s2s",
+    kats/models/globalmodel/model.py:69,990-1015 in pure numpy): GRU
+    encoder over the history window, decoder unrolled per fcst_window
+    chunk with step_num_encode inputs from the encoder's final hidden,
+    trained on a bounded hash-ranked global window sample.  Iterative
+    nonlinear fit -> rows-only; gradient / beats-one-shot / round-trip
+    tests in tests/test_global_s2s.py."""
+    from kats_spark.models.global_s2s import global_s2s_forecast
+
+    out = global_s2s_forecast(
+        hourly_series(spark, sf_dir),
+        steps=12,
+        freq_seconds=3600,
+        window=16,
+        hidden=8,
+        fcst_window=4,
+        epochs=90,
+        sample_windows=768,
+        seed=7,
+    )
+    return _fmt_time(_r6(out, "fcst", "fcst_lower", "fcst_upper"))
+
+
 def q_global_rnn_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-model ENSEMBLE (kats/models/globalmodel/ensemble.py:24:
     train G replicas over data splits, median the forecasts; VERDICT r03
@@ -4177,6 +4201,115 @@ def q_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_id", "best_model", _rnd("best_mae", 6).alias("best_mae"))
 
 
+def q_metalearn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metalearner metadata PRODUCER (get_metadata.py workflow): the
+    per-series candidate-model holdout tournament — linear / quadratic /
+    tuned-window mean — joined with the TsFeatures expression layer, so
+    every row is the reference's (features, best_hpt, best_model)
+    metadata triple that feeds model_select / hpt_recommend /
+    predictability.  All candidates are closed-form -> the complete
+    tournament (fits, per-candidate MAEs, window hyper-parameter
+    argmin, best-model argmin) value-hashes against the DuckDB replay."""
+    from kats_spark.models.metalearner import metadata_tournament
+
+    feats = q_tsfeatures_expr(spark, sf_dir)
+    tour = metadata_tournament(
+        hourly_series(spark, sf_dir), steps=24, freq_seconds=3600
+    )
+    return feats.join(tour, "series_id")
+
+
+_Q_METALEARN_METADATA_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+hseq AS (SELECT unnest(generate_series(1, 24))::DOUBLE AS hh),
+tagged AS (
+  SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY time DESC) AS rn FROM h
+),
+train AS (SELECT series_id, time, value FROM tagged WHERE rn > 24),
+hold AS (SELECT series_id, time, value FROM tagged WHERE rn <= 24),
+tidx AS (
+  SELECT series_id, value, time,
+         (row_number() OVER (PARTITION BY series_id ORDER BY time) - 1)::DOUBLE AS x,
+         max(time) OVER (PARTITION BY series_id) AS tmax
+  FROM train
+),
+tm AS (
+  SELECT series_id, any_value(tmax) AS tmax, count(*)::DOUBLE AS n,
+         sum(x) AS sx, sum(x * x) AS sx2, sum(x ^ 3) AS sx3, sum(x ^ 4) AS sx4,
+         sum(value) AS sy, sum(x * value) AS sxy, sum(x * x * value) AS sx2y
+  FROM tidx GROUP BY 1
+),
+lfit AS (
+  SELECT series_id, tmax, n,
+    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+    sy / n - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx / n AS a
+  FROM tm
+),
+lin_hold AS (
+  SELECT series_id, tmax + to_seconds(hh * 3600) AS time,
+         round(1e-9 + a + b * (n - 1 + hh), 6) AS lf
+  FROM lfit, hseq
+),
+qfit AS (
+  SELECT series_id, tmax, n, sy, sxy, sx2y,
+    n  * (sx2 * sx4 - sx3 * sx3) - sx * (sx * sx4 - sx3 * sx2) + sx2 * (sx * sx3 - sx2 * sx2) AS D,
+    sy * (sx2 * sx4 - sx3 * sx3) - sx * (sxy * sx4 - sx3 * sx2y) + sx2 * (sxy * sx3 - sx2 * sx2y) AS Da,
+    n * (sxy * sx4 - sx3 * sx2y) - sy * (sx * sx4 - sx3 * sx2) + sx2 * (sx * sx2y - sxy * sx2) AS Db,
+    n * (sx2 * sx2y - sxy * sx3) - sx * (sx * sx2y - sxy * sx2) + sy * (sx * sx3 - sx2 * sx2) AS Dc
+  FROM tm
+),
+quad_hold AS (
+  SELECT series_id, tmax + to_seconds(hh * 3600) AS time,
+    round(1e-9 + Da / D + Db / D * (n - 1 + hh)
+          + Dc / D * (n - 1 + hh) * (n - 1 + hh), 6) AS qf
+  FROM qfit, hseq
+),
+trn_desc AS (
+  SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY time DESC) AS trn
+  FROM train
+),
+mw AS (
+  SELECT series_id,
+    round(1e-9 + avg(CASE WHEN trn <= 6 THEN value END), 6) AS m6,
+    round(1e-9 + avg(CASE WHEN trn <= 12 THEN value END), 6) AS m12,
+    round(1e-9 + avg(CASE WHEN trn <= 24 THEN value END), 6) AS m24
+  FROM trn_desc GROUP BY 1
+),
+sc AS (
+  SELECT hold.series_id, hold.value, lf, qf, m6, m12, m24
+  FROM hold JOIN lin_hold USING (series_id, time)
+  JOIN quad_hold USING (series_id, time)
+  JOIN mw USING (series_id)
+),
+er AS (
+  SELECT series_id,
+    round(1e-9 + avg(abs(value - lf)), 6) AS mae_linear,
+    round(1e-9 + avg(abs(value - qf)), 6) AS mae_quadratic,
+    round(1e-9 + avg(abs(value - m6)), 6) AS e6,
+    round(1e-9 + avg(abs(value - m12)), 6) AS e12,
+    round(1e-9 + avg(abs(value - m24)), 6) AS e24
+  FROM sc GROUP BY 1
+),
+pick AS (
+  SELECT series_id, mae_linear, mae_quadratic,
+    least(e6, e12, e24) AS mae_mean,
+    (CASE WHEN e6 <= e12 AND e6 <= e24 THEN 6
+          WHEN e12 <= e24 THEN 12 ELSE 24 END)::INT AS best_mean_window
+  FROM er
+),
+tour AS (
+  SELECT *,
+    CASE WHEN mae_linear <= mae_quadratic AND mae_linear <= mae_mean THEN 'linear'
+         WHEN mae_quadratic <= mae_mean THEN 'quadratic'
+         ELSE 'mean' END AS best_model
+  FROM pick
+)
+SELECT f.*, t.mae_linear, t.mae_quadratic, t.mae_mean,
+       t.best_mean_window, t.best_model
+FROM ({_Q_TSFEAT_EXPR_SQL}) f JOIN tour t USING (series_id)
+"""
+
+
 def q_model_select_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned metalearner (reference metalearner_modelselect.py:38
     RandomForest over TsFeatures): train the MLlib forest on the labels
@@ -4920,6 +5053,7 @@ QUERIES = {
     "tsfeatures_full": q_tsfeatures_full,
     "tsfeatures_expr": q_tsfeatures_expr,
     "tsfeatures_detector": q_tsfeatures_detector,
+    "metalearn_metadata": q_metalearn_metadata,
     "model_select": q_model_select,
     "model_select_rf": q_model_select_rf,
     "predictability": q_predictability,
@@ -4940,6 +5074,7 @@ QUERIES = {
     "prophet_forecast": q_prophet_forecast,
     "global_dms": q_global_dms,
     "global_rnn": q_global_rnn,
+    "global_s2s": q_global_s2s,
     "global_rnn_ensemble": q_global_rnn_ensemble,
     "global_ens_backtest": q_global_ens_backtest,
     "pq_recall": q_pq_recall,
@@ -4984,6 +5119,7 @@ ORACLES = {
     "global_dms": _global_dms_sql(),
     "tsfeatures_expr": _Q_TSFEAT_EXPR_SQL,
     "tsfeatures_detector": _Q_TSFEAT_DET_SQL,
+    "metalearn_metadata": _Q_METALEARN_METADATA_SQL,
     "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
     "ivf_stored_topk": _Q_IVF_PORTABLE_SQL,  # stored layer, same lattice
     "ivf_recall": _Q_IVF_RECALL_SQL,

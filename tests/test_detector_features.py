@@ -215,3 +215,47 @@ def test_time_group_counts(spark):
                 ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
                  "Saturday", "Sunday"])
     assert freqs == pytest.approx(1.0)
+
+
+def test_metalearn_metadata_feeds_consumers(spark):
+    """get_metadata parity: the producer's (features, best_hpt,
+    best_model) rows feed the existing metalearner consumers end to end
+    (metalearner_modelselect / hpt_recommend train on exactly such
+    metadata tables in the reference)."""
+    from pyspark.sql import functions as F
+    from kats_spark.models.metalearner import hpt_recommend, metadata_tournament
+    from kats_spark.operators import simulator
+
+    df = simulator.simulate(
+        spark, n_series=6, n_points=180, noise_std=1.0,
+        seasonal_period=24, seasonal_magnitude=2.0, trend_slope=0.05, seed=41,
+    )
+    meta = metadata_tournament(df, steps=24, freq_seconds=3600)
+    rows = meta.collect()
+    assert len(rows) == 6
+    assert {r["best_model"] for r in rows} <= {"linear", "quadratic", "mean"}
+    assert all(r["best_mean_window"] in (6, 12, 24) for r in rows)
+    assert all(r["mae_mean"] <= r[f"mae_linear"] or r["best_model"] != "mean"
+               for r in rows)
+    # consumer: hpt_recommend trained ON the produced metadata — each
+    # series gets a window recommendation from its feature neighbors
+    from kats_spark.functions.stats import stats_bundle
+
+    feats = stats_bundle(df).select("series_id", "mean", "var", "stability")
+    metadata = (
+        meta.join(feats, "series_id")
+        .select(
+            F.col("series_id").alias("meta_id"),
+            "mean", "var", "stability",
+            F.col("best_mean_window").cast("double").alias("hp_window"),
+            F.col("best_model").alias("hp_model"),
+        )
+    )
+    rec = hpt_recommend(
+        feats, metadata, ["mean", "var", "stability"],
+        numerical_hps=["hp_window"], categorical_hps=["hp_model"], k=3,
+    )
+    out = rec.collect()
+    assert len(out) == 6
+    assert all(6.0 <= r["hp_window"] <= 24.0 for r in out)
+    assert all(r["hp_model"] in ("linear", "quadratic", "mean") for r in out)

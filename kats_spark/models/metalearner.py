@@ -470,3 +470,32 @@ def metadata_tournament(
         s.series_id, "mae_linear", "mae_quadratic", "mae_mean",
         "best_mean_window", "best_model",
     )
+
+
+def detector_hpt(
+    features: DataFrame,
+    metadata: DataFrame,
+    detector_type: str,
+    feature_cols: list[str],
+    numerical_hps: list[str],
+    categorical_hps: list[str],
+    k: int = 3,
+    id_col: str = "series_id",
+    meta_id_col: str = "meta_id",
+    type_col: str = "detector_type",
+) -> DataFrame:
+    """Detector meta-learning HPT — the
+    kats/detectors/meta_learning/hpt_tuning.py ``MetaDetectHptSelect``
+    surface: the trained (features -> best detector hyper-parameters)
+    metadata bank is keyed by DETECTOR TYPE (the reference trains one
+    MetaLearnHPT per algorithm_name); recommending for a type filters
+    the bank to that type's examples and runs the shared broadcast-kNN
+    ``hpt_recommend`` (k=1 = the reference's nearest-example argmin).
+    Output: one row per series with the recommended HPs +
+    ``detector_type``."""
+    bank = metadata.filter(F.col(type_col) == detector_type).drop(type_col)
+    out = hpt_recommend(
+        features, bank, feature_cols, numerical_hps, categorical_hps,
+        k=k, id_col=id_col, meta_id_col=meta_id_col,
+    )
+    return out.withColumn(type_col, F.lit(detector_type))

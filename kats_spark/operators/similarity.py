@@ -128,15 +128,25 @@ def all_pairs_topk(
 
     spark = df.sparkSession
     mkey = None
+    probe_pdf = None
     if memo_key is not None:
         mkey = (_ctx_key(spark.sparkContext), memo_key, vec_col, id_col)
         hit = _INDEX_MEMO.get(mkey)
-        if hit is not None:
-            n_total = hit[0]
-        else:
-            n_total = df.count()
     else:
-        n_total = df.count()
+        hit = None
+    if hit is not None:
+        n_total = hit[0]
+    else:
+        # limit-probe instead of a separate count() job: collect up to
+        # shard_rows+1 rows — if everything fits, that IS the index (one
+        # scan builds it, no count pass); only oversize corpora pay the
+        # count and take the sharded path.
+        probe_pdf = df.select(id_col, vec_col).limit(shard_rows + 1).toPandas()
+        if len(probe_pdf) <= shard_rows:
+            n_total = len(probe_pdf)
+        else:
+            probe_pdf = None
+            n_total = df.count()
     n_shards = max(1, -(-n_total // shard_rows))
     if n_shards > 1:
         from pyspark.sql import Window
@@ -178,6 +188,7 @@ def all_pairs_topk(
         id_col=id_col,
         round_decimals=round_decimals,
         memo_key=mkey,
+        index_pdf=probe_pdf,
     )
 
 
@@ -215,13 +226,16 @@ def _topk_vs_index(
     round_decimals: int,
     return_handles: bool = False,
     memo_key: tuple | None = None,
+    index_pdf=None,
 ):
     """Per-query top-k against ONE broadcast index shard (exact, rounded
     scores, self-pair excluded).  With ``return_handles`` the two index
     broadcasts are returned alongside the frame so the caller can destroy
     them once the frame is materialized (sharded-path memory bound).
     ``memo_key`` (mutually exclusive with ``return_handles``) reuses /
-    stores the collected index broadcasts in ``_INDEX_MEMO``."""
+    stores the collected index broadcasts in ``_INDEX_MEMO``.
+    ``index_pdf``: the caller's already-collected (id, vec) frame — the
+    limit-probe from all_pairs_topk — so the build skips its own scan."""
     import numpy as np
     import pandas as pd
 
@@ -231,7 +245,11 @@ def _topk_vs_index(
     if hit is not None:
         _, b_ids, b_mat = hit
     else:
-        pdf = index_df.select(id_col, vec_col).toPandas()
+        pdf = (
+            index_pdf
+            if index_pdf is not None
+            else index_df.select(id_col, vec_col).toPandas()
+        )
         ids = pdf[id_col].to_numpy()
         order0 = np.argsort(ids, kind="stable")  # index sorted by id: column j has id-rank j
         ids = ids[order0]

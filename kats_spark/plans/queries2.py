@@ -3290,6 +3290,75 @@ _HPT_META = [
 ]
 
 
+#: detector-HPT metadata bank: (meta_id, detector_type, f_mean, f_var,
+#: threshold, direction) — the per-algorithm trained examples
+#: MetaDetectHptSelect consults (meta_learning/hpt_tuning.py).
+_DETECTOR_HPT_META = [
+    (1, "cusum", 40.0, 800.0, 0.01, "both"),
+    (2, "cusum", 50.0, 1100.0, 0.05, "increase"),
+    (3, "cusum", 60.0, 1500.0, 0.10, "both"),
+    (4, "statsig", 45.0, 900.0, 2.0, "n_control"),
+    (5, "statsig", 55.0, 1300.0, 3.0, "n_control"),
+    (6, "outlier", 48.0, 1000.0, 2.0, "additive"),
+]
+
+
+def q_detector_hpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector meta-learning HPT (meta_learning/hpt_tuning.py
+    MetaDetectHptSelect): per-series features against the cusum-typed
+    slice of a per-algorithm metadata bank, k=1 = the reference's
+    nearest-example argmin — fully deterministic, exact oracle."""
+    from kats_spark.models.metalearner import detector_hpt
+
+    h = hourly_series(spark, sf_dir)
+    feats = h.groupBy("series_id").agg(
+        F.avg("value").alias("f_mean"), F.var_samp("value").alias("f_var")
+    )
+    meta = spark.createDataFrame(
+        _DETECTOR_HPT_META,
+        "meta_id int, detector_type string, f_mean double, f_var double, "
+        "threshold double, direction string",
+    )
+    out = detector_hpt(
+        feats, meta, "cusum", ["f_mean", "f_var"],
+        numerical_hps=["threshold"], categorical_hps=["direction"], k=1,
+    )
+    return _r6(out, "threshold")
+
+
+_Q_DETECTOR_HPT_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+feats AS (
+  SELECT series_id, avg(value) AS f_mean, var_samp(value) AS f_var
+  FROM h GROUP BY 1
+),
+meta AS (
+  SELECT * FROM (VALUES
+    (1, 'cusum', 40.0, 800.0, 0.01, 'both'),
+    (2, 'cusum', 50.0, 1100.0, 0.05, 'increase'),
+    (3, 'cusum', 60.0, 1500.0, 0.10, 'both'),
+    (4, 'statsig', 45.0, 900.0, 2.0, 'n_control'),
+    (5, 'statsig', 55.0, 1300.0, 3.0, 'n_control'),
+    (6, 'outlier', 48.0, 1000.0, 2.0, 'additive')
+  ) AS t(meta_id, detector_type, m_mean, m_var, threshold, direction)
+  WHERE detector_type = 'cusum'
+),
+nb AS (
+  SELECT f.series_id, m.threshold, m.direction,
+    row_number() OVER (
+      PARTITION BY f.series_id
+      ORDER BY sqrt((f.f_mean - m.m_mean) * (f.f_mean - m.m_mean)
+                    + (f.f_var - m.m_var) * (f.f_var - m.m_var)) ASC,
+               m.meta_id ASC
+    ) AS rk
+  FROM feats f CROSS JOIN meta m
+)
+SELECT series_id, round(1e-9 + threshold, 6) AS threshold, direction,
+       'cusum' AS detector_type
+FROM nb WHERE rk = 1
+"""
+
+
 def q_hpt_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MetaLearnHPT as broadcast kNN: per-series (mean, variance) features
     against a trained-metadata table -> recommended (window, seasonal)."""
@@ -5054,6 +5123,7 @@ QUERIES = {
     "tsfeatures_expr": q_tsfeatures_expr,
     "tsfeatures_detector": q_tsfeatures_detector,
     "metalearn_metadata": q_metalearn_metadata,
+    "detector_hpt": q_detector_hpt,
     "model_select": q_model_select,
     "model_select_rf": q_model_select_rf,
     "predictability": q_predictability,
@@ -5120,6 +5190,7 @@ ORACLES = {
     "tsfeatures_expr": _Q_TSFEAT_EXPR_SQL,
     "tsfeatures_detector": _Q_TSFEAT_DET_SQL,
     "metalearn_metadata": _Q_METALEARN_METADATA_SQL,
+    "detector_hpt": _Q_DETECTOR_HPT_SQL,
     "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
     "ivf_stored_topk": _Q_IVF_PORTABLE_SQL,  # stored layer, same lattice
     "ivf_recall": _Q_IVF_RECALL_SQL,

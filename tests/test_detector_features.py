@@ -259,3 +259,35 @@ def test_metalearn_metadata_feeds_consumers(spark):
     assert len(out) == 6
     assert all(6.0 <= r["hp_window"] <= 24.0 for r in out)
     assert all(r["hp_model"] in ("linear", "quadratic", "mean") for r in out)
+
+
+def test_detector_hpt_type_keyed_bank(spark):
+    """MetaDetectHptSelect parity: recommendations come only from the
+    requested detector type's metadata slice (hpt_tuning.py trains one
+    learner per algorithm_name)."""
+    from pyspark.sql import functions as F
+    from kats_spark.models.metalearner import detector_hpt
+
+    feats = spark.createDataFrame(
+        [("s1", 41.0, 810.0), ("s2", 59.0, 1480.0)],
+        "series_id string, f_mean double, f_var double",
+    )
+    meta = spark.createDataFrame(
+        [
+            (1, "cusum", 40.0, 800.0, 0.01, "both"),
+            (2, "cusum", 60.0, 1500.0, 0.10, "increase"),
+            (3, "statsig", 41.0, 810.0, 7.0, "n_control"),
+        ],
+        "meta_id int, detector_type string, f_mean double, f_var double, "
+        "threshold double, direction string",
+    )
+    rec = detector_hpt(
+        feats, meta, "cusum", ["f_mean", "f_var"],
+        numerical_hps=["threshold"], categorical_hps=["direction"], k=1,
+    ).toPandas().set_index("series_id")
+    # the statsig example (exactly matching s1's features) must NOT leak in
+    assert rec.loc["s1", "threshold"] == 0.01
+    assert rec.loc["s1", "direction"] == "both"
+    assert rec.loc["s2", "threshold"] == 0.10
+    assert rec.loc["s2", "direction"] == "increase"
+    assert (rec.detector_type == "cusum").all()

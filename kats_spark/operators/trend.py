@@ -77,13 +77,22 @@ def linear_forecast(
     freq_seconds: int,
     include_history: bool = False,
     s: TSSchema = DEFAULT,
+    alpha: float = 0.05,
 ) -> DataFrame:
     """Forecast frame (series_id, time, fcst, fcst_lower, fcst_upper) —
     the uniform model output contract (kats/models/arima.py:282-289).
 
     Prediction interval: fcst ± z·sqrt(mse·(1 + 1/n + (x−x̄)²/Sxx))
-    (statsmodels wls_prediction_std, as used by linear_model.py:100-160).
+    (statsmodels wls_prediction_std, as used by linear_model.py:100-160);
+    ``alpha`` mirrors LinearModelParams.alpha (0.05 default keeps the
+    long-frozen Z95 literal so the oracled plans are byte-stable).
     """
+    if alpha == 0.05:
+        z = Z95
+    else:
+        from kats_spark.operators.interval import norm_ppf
+
+        z = float(norm_ppf(1.0 - alpha / 2.0))
     fit = linear_fit(df, s)
     step = F.explode(F.sequence(F.lit(1), F.lit(steps))).alias("__h")
     fut = fit.select("*", step)
@@ -98,8 +107,8 @@ def linear_forecast(
         s.series_id,
         t.alias(s.time),
         fcst.alias("fcst"),
-        (fcst - Z95 * se).alias("fcst_lower"),
-        (fcst + Z95 * se).alias("fcst_upper"),
+        (fcst - z * se).alias("fcst_lower"),
+        (fcst + z * se).alias("fcst_upper"),
     )
     if include_history:
         hist = fitted_values(df, s).select(

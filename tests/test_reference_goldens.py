@@ -51,18 +51,23 @@ def _fixture(case: dict):
     return pd.to_datetime(df.iloc[:, 0]).to_numpy(), df.iloc[:, 1].to_numpy(float)
 
 
-def test_linear_matches_statsmodels_golden(spark):
+@pytest.mark.parametrize(
+    "name", ["linear_air_alpha05", "linear_air_alpha01", "linear_peyton_alpha05"]
+)
+def test_linear_matches_statsmodels_golden(spark, name):
     """Closed-form OLS trend + prediction interval vs the reference's
-    statsmodels-backed linear model golden (AIR_FCST_LINEAR_95)."""
-    case = _need("linear_air_alpha05")
+    statsmodels-backed linear model goldens (95% and 99% variants on
+    both public fixtures)."""
+    case = _need(name)
     from kats_spark.operators.trend import linear_forecast
 
     times, y = _fixture(case)
     df = spark.createDataFrame(
-        pd.DataFrame({"series_id": "air", "time": pd.to_datetime(times), "value": y})
+        pd.DataFrame({"series_id": "s", "time": pd.to_datetime(times), "value": y})
     )
+    freq = 30 * 86400 if case["fixture"] == "air_passengers" else 86400
     out = (
-        linear_forecast(df, case["horizon"], 30 * 86400)
+        linear_forecast(df, case["horizon"], freq, alpha=case["alpha"])
         .toPandas()
         .sort_values("time")
     )
@@ -88,10 +93,12 @@ def test_arima_matches_statsmodels_golden(name):
     np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
 
 
-def test_theta_matches_statsmodels_golden():
-    """Seasonal theta (deseasonalize -> SES + half-drift -> re-seasonalize,
-    kats/models/theta.py:112-211) vs the SM_12 golden on air passengers."""
-    case = _need("theta_air_m12_15")
+@pytest.mark.parametrize("name", ["theta_air_m12_15", "theta_peyton_m1_30"])
+def test_theta_matches_statsmodels_golden(name):
+    """Theta vs the SM_12 goldens: seasonal (deseasonalize -> SES +
+    half-drift -> re-seasonalize, kats/models/theta.py:112-211) on air
+    passengers, and the non-seasonal m=1 default on Peyton Manning."""
+    case = _need(name)
     from kats_spark.models.fcst import theta_seasonal_forecast_one
 
     _, y = _fixture(case)

@@ -117,6 +117,12 @@ HEADLINE = [
     "bpe_train",
     "bpe_encode",
     "gopher_rules",
+    # round-9 additions (baseline = BENCH_r09): the detector-derived
+    # TsFeatures group (five detector sub-plans joined per series) and
+    # the metalearner metadata tournament (holdout split + three
+    # closed-form candidates + TsFeatures expression layer in one plan)
+    "tsfeatures_detector",
+    "metalearn_metadata",
 ]
 
 

@@ -88,6 +88,11 @@ LAZY_QUERIES = [
     "bpe_encode",
     "gopher_rules",
     "prophet_detect",
+    # round-9 operators
+    "tsfeatures_detector",
+    "metalearn_metadata",
+    "detector_hpt",
+    "tsfeatures_full",
 ]
 
 

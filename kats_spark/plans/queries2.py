@@ -4270,6 +4270,50 @@ def q_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_id", "best_model", _rnd("best_mae", 6).alias("best_mae"))
 
 
+def q_tsfeatures_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TsFeatures time group (tsfeatures.py:1996-2110 get_time) as a
+    pure per-series expression aggregate — distinct year/month/week/day
+    counts (including the reference's faithful %Y-%d year+day-of-month
+    pairing), ISO week-year pairs, day-of-week frequencies, span in
+    days.  Exact oracle: every term is a countDistinct / avg both
+    engines compute identically."""
+    from kats_spark.operators.tsfeatures import time_group_features
+
+    out = time_group_features(hourly_series(spark, sf_dir))
+    dows = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+            "Saturday", "Sunday"]
+    return out.select(
+        "series_id",
+        "time_years", "time_months", "time_monthsofyear", "time_weeks",
+        "time_weeksofyear", "time_days", "time_daysofyear",
+        "time_avg_timezone_offset", "time_length_days",
+        *[_rnd(f"time_freq_{d}", 6).alias(f"time_freq_{d}") for d in dows],
+    )
+
+
+_Q_TSFEAT_TIME_SQL = f"""
+WITH h AS ({_HOURLY_SQL})
+SELECT series_id,
+  count(DISTINCT year(time))::BIGINT AS time_years,
+  count(DISTINCT strftime(time, '%Y-%m'))::BIGINT AS time_months,
+  count(DISTINCT month(time))::BIGINT AS time_monthsofyear,
+  count(DISTINCT isoyear(time) || '-' || weekofyear(time))::BIGINT AS time_weeks,
+  count(DISTINCT weekofyear(time))::BIGINT AS time_weeksofyear,
+  count(DISTINCT strftime(time, '%Y-%d'))::BIGINT AS time_days,
+  count(DISTINCT dayofyear(time))::BIGINT AS time_daysofyear,
+  0.0 AS time_avg_timezone_offset,
+  date_diff('day', min(time::DATE), max(time::DATE))::BIGINT AS time_length_days,
+  round(1e-9 + avg(CASE WHEN isodow(time) = 1 THEN 1.0 ELSE 0.0 END), 6) AS time_freq_Monday,
+  round(1e-9 + avg(CASE WHEN isodow(time) = 2 THEN 1.0 ELSE 0.0 END), 6) AS time_freq_Tuesday,
+  round(1e-9 + avg(CASE WHEN isodow(time) = 3 THEN 1.0 ELSE 0.0 END), 6) AS time_freq_Wednesday,
+  round(1e-9 + avg(CASE WHEN isodow(time) = 4 THEN 1.0 ELSE 0.0 END), 6) AS time_freq_Thursday,
+  round(1e-9 + avg(CASE WHEN isodow(time) = 5 THEN 1.0 ELSE 0.0 END), 6) AS time_freq_Friday,
+  round(1e-9 + avg(CASE WHEN isodow(time) = 6 THEN 1.0 ELSE 0.0 END), 6) AS time_freq_Saturday,
+  round(1e-9 + avg(CASE WHEN isodow(time) = 7 THEN 1.0 ELSE 0.0 END), 6) AS time_freq_Sunday
+FROM h GROUP BY 1
+"""
+
+
 def q_metalearn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metalearner metadata PRODUCER (get_metadata.py workflow): the
     per-series candidate-model holdout tournament — linear / quadratic /
@@ -5124,6 +5168,7 @@ QUERIES = {
     "tsfeatures_detector": q_tsfeatures_detector,
     "metalearn_metadata": q_metalearn_metadata,
     "detector_hpt": q_detector_hpt,
+    "tsfeatures_time": q_tsfeatures_time,
     "model_select": q_model_select,
     "model_select_rf": q_model_select_rf,
     "predictability": q_predictability,
@@ -5191,6 +5236,7 @@ ORACLES = {
     "tsfeatures_detector": _Q_TSFEAT_DET_SQL,
     "metalearn_metadata": _Q_METALEARN_METADATA_SQL,
     "detector_hpt": _Q_DETECTOR_HPT_SQL,
+    "tsfeatures_time": _Q_TSFEAT_TIME_SQL,
     "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
     "ivf_stored_topk": _Q_IVF_PORTABLE_SQL,  # stored layer, same lattice
     "ivf_recall": _Q_IVF_RECALL_SQL,

@@ -146,13 +146,15 @@ def score_and_lang(
 _EXPR_MEMO: dict = {}
 
 
-def _gateway_key() -> int:
-    """Identity of the live py4j gateway — Column trees hold JavaObject
-    refs, so a memo must be dropped if the JVM is restarted."""
+def _gateway_key() -> tuple | int:
+    """Identity of the live SparkContext — Column trees hold JavaObject
+    refs, so a memo must be dropped if the JVM is restarted.
+    (applicationId, startTime) is stable and never recycled, unlike
+    ``id(gateway)`` which a new gateway can reuse after GC."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    return id(sc._gateway) if sc is not None else 0
+    return (sc.applicationId, sc.startTime) if sc is not None else 0
 
 
 def _lang_exprs():

@@ -694,8 +694,8 @@ def _corpus_stages(spark: SparkSession, sf_dir: str):
     ``spark.catalog.clearCache()`` (the bench harness does this between
     reps) silently drops them, and without the boundary the AllPairs
     self-join re-executes the whole scoring scan per side."""
-    gw = id(spark.sparkContext._gateway)
-    key = (gw, sf_dir)
+    sc = spark.sparkContext
+    key = ((sc.applicationId, sc.startTime), sf_dir)
     hit = _STAGE_MEMO.get(key)
     if hit is not None:
         frames, out = hit

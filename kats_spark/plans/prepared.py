@@ -34,8 +34,13 @@ import functools
 _MEMO: dict = {}
 
 
-def _gateway_key(spark) -> int:
-    return id(spark.sparkContext._gateway)
+def _gateway_key(spark) -> tuple:
+    """Stable context identity: (applicationId, startTime) is unique per
+    live SparkContext, unlike ``id(gateway)`` which CPython can recycle
+    after GC — a recycled address could replay DataFrames bound to a
+    stopped context (same fix as operators/similarity._ctx_key)."""
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 def prepared(*, recache=()):

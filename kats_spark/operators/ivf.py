@@ -187,3 +187,72 @@ def search_portable(
         ),
     ).filter(F.col("rank") <= k)
     return topk.select(query_id_col, id_col, "cosine_sim", "rank")
+
+
+def diversity_sample(
+    df: DataFrame,
+    budget: int,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "farthest",
+) -> DataFrame:
+    """Cluster-balanced DIVERSITY selection over an embedding column —
+    the prototypicality-pruning step of modern data-curation pipelines
+    (Sorscher et al. 2022 "Beyond neural scaling laws": rank examples by
+    distance to their cluster centroid and keep the LEAST prototypical;
+    SemDeDup/D4 use the same cluster-then-rank layout): assign every
+    vector to a portable-IVF cell, give each cell a largest-remainder
+    proportional quota of ``budget``, and keep the per-cell top-quota by
+    centroid distance (``keep='farthest'`` = diversity pruning;
+    ``'closest'`` = most-representative coresets), ties to smaller id.
+
+    Everything is exact DataFrame algebra on the ROUNDED distance
+    lattice, so the full selection value-hashes against a DuckDB
+    replay.  Scale shape: the centers and the per-cell quota frame are
+    n_cells rows (broadcast); ranking is one window partitioned by
+    cell_id — the corpus shuffles once, on a key with bounded fanout.
+    Output: (vec_id, cell_id, dist, cell_rank) for the kept rows."""
+    indexed, centers = build_index_portable(df, vec_col, id_col, n_cells)
+    dist = _rnd6(_sq_dist(F.col(vec_col), F.col("center")))
+    scored = indexed.join(F.broadcast(centers), "cell_id").withColumn("dist", dist)
+    counts = scored.groupBy("cell_id").agg(F.count("*").alias("__nc"))
+    total = counts.agg(F.sum("__nc").alias("__n"))
+    # largest-remainder apportionment: floor(budget*nc/N) each, then +1
+    # to the cells with the largest remainders (ties to smaller cell_id)
+    # until the budget is filled — deterministic, sums exactly to
+    # min(budget, N).  The cells frame is tiny; the single-partition
+    # windows below run over n_cells rows.
+    alloc = counts.crossJoin(F.broadcast(total)).withColumn(
+        "__exact", F.col("__nc") * F.lit(float(budget)) / F.col("__n")
+    ).withColumn(
+        "__base",
+        F.least(F.floor("__exact").cast("long"), F.col("__nc")),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_rem = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc(F.col("__exact") - F.col("__base")), F.asc("cell_id")
+    )
+    alloc = alloc.withColumn("__left", F.lit(budget) - F.sum("__base").over(w_all))
+    alloc = alloc.withColumn("__rk", F.row_number().over(w_rem)).withColumn(
+        "quota",
+        F.least(
+            F.col("__base")
+            + F.when(F.col("__rk") <= F.col("__left"), F.lit(1)).otherwise(F.lit(0)),
+            F.col("__nc"),
+        ),
+    )
+    order = (
+        [F.desc("dist"), F.asc(id_col)]
+        if keep == "farthest"
+        else [F.asc("dist"), F.asc(id_col)]
+    )
+    ranked = scored.join(
+        F.broadcast(alloc.select("cell_id", "quota")), "cell_id"
+    ).withColumn(
+        "cell_rank",
+        F.row_number().over(Window.partitionBy("cell_id").orderBy(*order)),
+    )
+    return ranked.filter(F.col("cell_rank") <= F.col("quota")).select(
+        id_col, "cell_id", "dist", F.col("cell_rank").cast("int").alias("cell_rank")
+    )

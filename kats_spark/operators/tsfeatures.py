@@ -319,7 +319,7 @@ def kernel_stats(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
 
 
 def stl_features_block(
-    df: DataFrame, period: int, s: TSSchema = DEFAULT
+    df: DataFrame, period: int, s: TSSchema = DEFAULT, method: str = "stl"
 ) -> DataFrame:
     """stl_features group (tsfeatures.py:738-802 get_stl_features):
     trend_strength / seasonality_strength (population-variance ratios,
@@ -329,12 +329,22 @@ def stl_features_block(
     loo_var_i = (S2 - r_i^2)/(n-1) - ((S1 - r_i)/(n-1))^2), and
     peak / trough (argmax / argmin of the first period's seasonal
     values, first-occurrence ties like np.argmax).  Pure expressions
-    over the loess-STL split — one decomposition pass, two aggregates."""
-    from kats_spark.operators.stl import stl_decompose
+    over the decomposition split — one pass, two aggregates.
+    ``method='stl'`` (default, reference parity) uses the loess STL;
+    ``method='ma'`` uses the window-expressible centered-MA split, which
+    makes every downstream feature SQL-replayable (the oracled
+    ``stl_features_expr`` query)."""
+    if method == "stl":
+        from kats_spark.operators.stl import stl_decompose
 
-    parts = stl_decompose(df, period, s=s).withColumn(
-        "__rn", F.row_number().over(s.w())
-    )
+        parts = stl_decompose(df, period, s=s)
+    else:
+        from kats_spark.operators.decomposition import decompose
+
+        parts = decompose(df, period, "additive", method, s).filter(
+            F.col("residual").isNotNull()
+        )
+    parts = parts.withColumn("__rn", F.row_number().over(s.w()))
     r = F.col("residual")
     stats = parts.groupBy(s.series_id).agg(
         F.count("*").cast("double").alias("__n"),

@@ -1469,6 +1469,92 @@ FROM full_d f JOIN bounds b ON f.series_id = b.series_id
 """
 
 
+def q_stl_features_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stl_features group (tsfeatures.py:738-802) on the
+    window-expressible centered-MA decomposition: strengths, LOO
+    spikiness (O(n) closed form), peak/trough — FULL oracle; the
+    loess-STL variant of the same block feeds tsfeatures() for
+    reference parity and stays rows-covered."""
+    from kats_spark.operators.tsfeatures import stl_features_block
+
+    out = stl_features_block(hourly_series(spark, sf_dir), 24, method="ma")
+    return out.select(
+        "series_id",
+        _rnd("trend_strength", 6).alias("trend_strength"),
+        _rnd("seasonality_strength", 6).alias("seasonality_strength"),
+        _rnd("spikiness", 6).alias("spikiness"),
+        "peak",
+        "trough",
+    )
+
+
+_Q_STL_FEAT_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+idx AS (
+  SELECT series_id, time, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn0
+  FROM h
+),
+tr AS (
+  SELECT *,
+    CASE WHEN count(value) OVER w = 25 THEN
+      (sum(value) OVER w - first_value(value) OVER w / 2 - last_value(value) OVER w / 2) / 24
+    END AS trend
+  FROM idx
+  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+detr AS (SELECT *, value - trend AS dt, rn0 % 24 AS phase FROM tr),
+pm AS (SELECT series_id, phase, avg(dt) AS pmv FROM detr WHERE dt IS NOT NULL GROUP BY 1, 2),
+gm AS (SELECT series_id, avg(pmv) AS g FROM pm GROUP BY 1),
+seas AS (
+  SELECT pm.series_id, pm.phase, pm.pmv - gm.g AS seasonal
+  FROM pm JOIN gm ON pm.series_id = gm.series_id
+),
+valid AS (
+  SELECT d.series_id, d.time, d.value, d.trend, s.seasonal,
+         d.value - d.trend - s.seasonal AS residual,
+         row_number() OVER (PARTITION BY d.series_id ORDER BY d.time) AS rn
+  FROM detr d JOIN seas s ON d.series_id = s.series_id AND d.phase = s.phase
+  WHERE d.trend IS NOT NULL
+),
+st AS (
+  SELECT series_id, count(*)::DOUBLE AS n,
+         sum(residual) AS s1, sum(residual * residual) AS s2,
+         var_pop(residual) AS vr,
+         var_pop(trend + residual) AS vtr,
+         var_pop(seasonal + residual) AS vsr
+  FROM valid GROUP BY 1
+),
+spk AS (
+  SELECT v.series_id, var_pop(
+    (t.s2 - v.residual * v.residual) / (t.n - 1)
+    - ((t.s1 - v.residual) / (t.n - 1)) * ((t.s1 - v.residual) / (t.n - 1))
+  ) AS spikiness
+  FROM valid v JOIN st t USING (series_id) GROUP BY 1
+),
+firstp AS (SELECT series_id, rn, seasonal FROM valid WHERE rn <= 24),
+pk AS (
+  SELECT series_id, rn - 1 AS peak FROM (
+    SELECT series_id, rn, row_number() OVER (
+      PARTITION BY series_id ORDER BY seasonal DESC, rn ASC) AS rk
+    FROM firstp) WHERE rk = 1
+),
+tro AS (
+  SELECT series_id, rn - 1 AS trough FROM (
+    SELECT series_id, rn, row_number() OVER (
+      PARTITION BY series_id ORDER BY seasonal ASC, rn ASC) AS rk
+    FROM firstp) WHERE rk = 1
+)
+SELECT t.series_id,
+  round(1e-9 + 1.0 - t.vr / t.vtr, 6) AS trend_strength,
+  round(1e-9 + 1.0 - t.vr / t.vsr, 6) AS seasonality_strength,
+  round(1e-9 + s.spikiness, 6) AS spikiness,
+  p.peak::BIGINT AS peak, o.trough::BIGINT AS trough
+FROM st t JOIN spk s USING (series_id)
+JOIN pk p USING (series_id) JOIN tro o USING (series_id)
+"""
+
+
 def q_cupik_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CuPiK pipeline (kats/utils/cupik.py:42-329) as ONE lazy plan:
     outlier-remove (detector feeding the remover, detector.py:101) →
@@ -2717,6 +2803,7 @@ QUERIES.update(
         "percentage_change": q_percentage_change,
         "series_arith": q_series_arith,
         "outlier_detect": q_outlier_detect,
+        "stl_features_expr": q_stl_features_expr,
         "cupik_pipeline": q_cupik_pipeline,
         "rolling_zscore_segmented": q_rolling_zscore_segmented,
         "acf_features": q_acf_features,
@@ -2742,6 +2829,7 @@ ORACLES.update(
         "percentage_change": _Q_PERC_CHANGE_SQL,
         "series_arith": _Q_SERIES_ARITH_SQL,
         "outlier_detect": _Q_OUTLIER_SQL,
+        "stl_features_expr": _Q_STL_FEAT_SQL,
         "cupik_pipeline": _Q_CUPIK_SQL,
         "rolling_zscore_segmented": _Q_ROLLING_Z_SQL,
         "acf_features": _Q_ACF_SQL,

@@ -1784,6 +1784,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity selection (Sorscher et al. 2022
+    prototypicality pruning / the SemDeDup-D4 cluster-then-rank layout):
+    portable-IVF cells, largest-remainder proportional quotas of a
+    200-row budget, keep the per-cell FARTHEST-from-centroid rows.
+    The whole selection — Lloyd refinement, quota apportionment,
+    per-cell ranking — replays exactly in the DuckDB oracle."""
+    from kats_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = ivf.diversity_sample(emb, budget=200, n_cells=8)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell_id").cast("int").alias("cell_id"),
+        "dist",
+        "cell_rank",
+    )
+
+
 def q_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable IVF top-k: deterministic seed centroids (the 8 smallest
     ids) + ONE Lloyd refinement with every per-dimension mean, distance and
@@ -2116,6 +2137,40 @@ ranked AS (
 )
 SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cosine_sim, rank::INT AS rank
 FROM ranked WHERE rank <= 10
+"""
+
+
+_Q_DIVERSITY_SQL = f"""
+WITH {_IVF_INDEX_CTES},
+scored AS (
+  SELECT x.vec_id, x.cell_id,
+    round(1e-9 + list_sum(list_transform(range(1, 65),
+      i -> (x.e[i] - c.center[i]) * (x.e[i] - c.center[i]))), 6) AS dist
+  FROM indexed x JOIN centers c USING (cell_id)
+),
+counts AS (SELECT cell_id, count(*)::BIGINT AS nc FROM scored GROUP BY 1),
+tot AS (SELECT sum(nc)::DOUBLE AS n FROM counts),
+alloc0 AS (
+  SELECT cell_id, nc, nc * 200.0 / t.n AS ex,
+         least(floor(nc * 200.0 / t.n)::BIGINT, nc) AS base
+  FROM counts, tot t
+),
+leftover AS (SELECT 200 - sum(base) AS lft FROM alloc0),
+alloc AS (
+  SELECT cell_id,
+    least(base + CASE WHEN row_number() OVER (ORDER BY ex - base DESC, cell_id ASC)
+                      <= l.lft THEN 1 ELSE 0 END, nc) AS quota
+  FROM alloc0, leftover l
+),
+rankd AS (
+  SELECT s.vec_id, s.cell_id, s.dist, a.quota,
+    row_number() OVER (PARTITION BY s.cell_id
+                       ORDER BY s.dist DESC, s.vec_id ASC) AS cell_rank
+  FROM scored s JOIN alloc a USING (cell_id)
+)
+SELECT vec_id::BIGINT AS vec_id, cell_id::INT AS cell_id, dist,
+       cell_rank::INT AS cell_rank
+FROM rankd WHERE cell_rank <= quota
 """
 
 
@@ -5159,6 +5214,7 @@ QUERIES = {
     "ml_ar_insample": q_ml_ar_insample,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_portable": q_ivf_portable,
+    "diversity_sample": q_diversity_sample,
     "ivf_stored_topk": q_ivf_stored_topk,
     "ivf_recall": q_ivf_recall,
     "semantic_dedup": q_semantic_dedup,
@@ -5238,6 +5294,7 @@ ORACLES = {
     "detector_hpt": _Q_DETECTOR_HPT_SQL,
     "tsfeatures_time": _Q_TSFEAT_TIME_SQL,
     "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
+    "diversity_sample": _Q_DIVERSITY_SQL,
     "ivf_stored_topk": _Q_IVF_PORTABLE_SQL,  # stored layer, same lattice
     "ivf_recall": _Q_IVF_RECALL_SQL,
     "semantic_dedup": _Q_SEMANTIC_DEDUP_SQL,

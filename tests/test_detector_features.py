@@ -291,3 +291,37 @@ def test_detector_hpt_type_keyed_bank(spark):
     assert rec.loc["s2", "threshold"] == 0.10
     assert rec.loc["s2", "direction"] == "increase"
     assert (rec.detector_type == "cusum").all()
+
+
+def test_diversity_sample_quotas_and_ranking(spark):
+    """Cluster-balanced diversity selection: largest-remainder quotas sum
+    to the budget, per-cell picks are the farthest-from-centroid rows,
+    and 'closest' flips to coreset selection."""
+    from kats_spark.operators.ivf import diversity_sample
+
+    rng = np.random.default_rng(13)
+    # two well-separated clusters of unequal size (ids 0..7 seed cells)
+    a = rng.normal(0, 0.5, (150, 8)) + np.array([10.0] * 8)
+    b = rng.normal(0, 0.5, (50, 8)) - np.array([10.0] * 8)
+    vecs = np.vstack([a, b])
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(len(vecs)),
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    df = spark.createDataFrame(pdf)
+    out = diversity_sample(df, budget=40, n_cells=2).toPandas()
+    assert len(out) == 40
+    per_cell = out.groupby("cell_id").size()
+    # proportional: 150/200*40=30 and 50/200*40=10 exactly
+    assert sorted(per_cell.tolist()) == [10, 30]
+    # farthest-first: the kept max dist per cell == global max dist per cell
+    full = diversity_sample(df, budget=200, n_cells=2).toPandas()
+    for cid, grp in full.groupby("cell_id"):
+        kept = out[out.cell_id == cid]
+        assert kept.dist.max() == grp.dist.max()
+        assert kept.dist.min() >= grp.dist.quantile(0.5) - 1e-9  # top half
+    closest = diversity_sample(df, budget=40, n_cells=2, keep="closest").toPandas()
+    for cid, grp in full.groupby("cell_id"):
+        assert closest[closest.cell_id == cid].dist.min() == grp.dist.min()
+    # budget >= N keeps everything
+    assert len(full) == 200

@@ -112,15 +112,18 @@ def robust_stat_detector_features(
 
 def bocp_detector_features(
     df: DataFrame,
-    threshold: float = 0.3,
-    hazard_lambda: float = 250.0,
+    threshold: float = 0.5,
+    hazard_lambda: float = 100.0,
     warmup: int = 5,
     s: TSSchema = DEFAULT,
 ) -> DataFrame:
     """BOCPD group (tsfeatures.py:1568-1620 get_bocp_detector):
     bocp_num = #changepoints above the probability threshold;
     conf_max / conf_mean over their posterior changepoint
-    probabilities, 0 when none."""
+    probabilities, 0 when none.  Defaults mirror the reference
+    detector's own (bocpd.py:309-317: threshold 0.5,
+    changepoint_prior 0.01 -> hazard 1/0.01), which get_bocp_detector
+    calls with everything default."""
     from kats_spark.operators.bocpd import bocpd_detect
 
     cps = bocpd_detect(
@@ -272,7 +275,8 @@ def detector_features(
     period: int = 24,
     cusum_threshold: float = 0.01,
     cusum_delta_std_ratio: float = 1.0,
-    bocp_threshold: float = 0.3,
+    bocp_threshold: float = 0.5,
+    bocp_hazard_lambda: float = 100.0,
     iqr_mult: float = 3.0,
     trend_threshold: float = 0.8,
     s: TSSchema = DEFAULT,
@@ -285,7 +289,9 @@ def detector_features(
     pieces = [
         cusum_detector_features(df, cusum_threshold, cusum_delta_std_ratio, s),
         robust_stat_detector_features(df, s=s),
-        bocp_detector_features(df, threshold=bocp_threshold, s=s),
+        bocp_detector_features(
+            df, threshold=bocp_threshold, hazard_lambda=bocp_hazard_lambda, s=s
+        ),
         outlier_detector_features(df, period, iqr_mult=iqr_mult, s=s),
         trend_detector_features(df, threshold=trend_threshold, s=s),
     ]

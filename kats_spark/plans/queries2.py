@@ -2514,6 +2514,7 @@ def q_tsfeatures_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum_threshold=0.5,
         cusum_delta_std_ratio=0.0,
         bocp_threshold=0.2,
+        bocp_hazard_lambda=250.0,
         iqr_mult=2.0,
     )
     return out.select(

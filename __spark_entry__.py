@@ -94,9 +94,13 @@ _PRIORITY = [
     "holiday_calendar", "video_frames", "winnow_overlap", "corpus_mixture",
     "pack_sequences", "chunk_docs", "tfidf_topk", "split_assign",
     "incremental_neardup", "dup_spans",
-    # r08 simhash family completion (r10 rotation queue)
+    # r10 rotation queue: never-driver-checked oracled queries, ALL
+    # pre-verified MATCH at sf0.01 this round (ROUND9_NOTES) — the 3
+    # held from r09 plus the 6 new r09 oracled queries
     "incremental_simhash_stored",
     "bpe_encode", "gopher_rules",
+    "tsfeatures_detector", "metalearn_metadata", "detector_hpt",
+    "tsfeatures_time", "stl_features_expr", "diversity_sample",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

@@ -123,6 +123,7 @@ HEADLINE = [
     # closed-form candidates + TsFeatures expression layer in one plan)
     "tsfeatures_detector",
     "metalearn_metadata",
+    "diversity_sample",
 ]
 
 

@@ -226,11 +226,33 @@ def _holt_params(y: np.ndarray) -> tuple[float, float]:
     return best
 
 
+def _hw_params(y: np.ndarray, period: int) -> tuple[float, float, float]:
+    """Grid-fitted additive Holt-Winters (alpha, beta, gamma) —
+    tsfeatures.py:1400-1441 hw_params (the reference uses statsmodels'
+    continuous optimizer; this is the same grid-SSE convention as
+    holt_params above, reusing fcst._hw_fit)."""
+    from kats_spark.models.fcst import _hw_fit
+
+    if len(y) < 2 * period:
+        return (float("nan"),) * 3
+    grid = [0.2, 0.4, 0.6, 0.8]
+    best, best_sse = (np.nan, np.nan, np.nan), np.inf
+    for a in grid:
+        for b in grid:
+            for g in grid:
+                fitted, *_ = _hw_fit(y, period, a, b, g, mult=False)
+                sse = float(np.sum((y[period:] - fitted[period:]) ** 2))
+                if sse < best_sse:
+                    best, best_sse = (a, b, g), sse
+    return best
+
+
 _KERNEL_SCHEMA = (
     "series_id string, entropy double, hurst double, unitroot_kpss double, "
-    "het_arch double, linearity double, firstmin_ac double, firstzero_ac double, "
+    "heterogeneity double, linearity double, firstmin_ac double, firstzero_ac double, "
     "trend_strength double, seasonality_strength double, spikiness double, "
-    "holt_alpha double, holt_beta double"
+    "holt_alpha double, holt_beta double, "
+    "hw_alpha double, hw_beta double, hw_gamma double"
 )
 
 
@@ -246,6 +268,7 @@ def kernel_features(df: DataFrame, period: int = 24, s: TSSchema = DEFAULT) -> D
         fmin, fzero = _first_min_zero_ac(y)
         ts_, ss_, spk = _ma_decompose_strengths(y, period)
         ha, hb = _holt_params(y)
+        hwa, hwb, hwg = _hw_params(y, period)
         return pd.DataFrame(
             [
                 {
@@ -253,7 +276,9 @@ def kernel_features(df: DataFrame, period: int = 24, s: TSSchema = DEFAULT) -> D
                     "entropy": _spectral_entropy(y),
                     "hurst": _hurst(y),
                     "unitroot_kpss": _kpss(y),
-                    "het_arch": _het_arch(y),
+                    # reference feature NAME is "heterogeneity"
+                    # (tsfeatures.py:178,462 -> get_het_arch)
+                    "heterogeneity": _het_arch(y),
                     "linearity": _linearity(y),
                     "firstmin_ac": fmin,
                     "firstzero_ac": fzero,
@@ -262,6 +287,9 @@ def kernel_features(df: DataFrame, period: int = 24, s: TSSchema = DEFAULT) -> D
                     "spikiness": spk,
                     "holt_alpha": ha,
                     "holt_beta": hb,
+                    "hw_alpha": hwa,
+                    "hw_beta": hwb,
+                    "hw_gamma": hwg,
                 }
             ]
         )

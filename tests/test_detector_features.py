@@ -325,3 +325,23 @@ def test_diversity_sample_quotas_and_ranking(spark):
         assert closest[closest.cell_id == cid].dist.min() == grp.dist.min()
     # budget >= N keeps everything
     assert len(full) == 200
+
+
+def test_wide_row_carries_every_reference_feature_name(spark):
+    """Drop-in contract: tsfeatures(selected=ALL) emits EVERY feature
+    name in the reference's _FEATURE_GROUP_MAPPING (tsfeatures.py:127) —
+    a Kats user's downstream code finds every column it expects."""
+    import re
+
+    src = open("/root/reference/kats/tsfeatures/tsfeatures.py").read()
+    m = re.search(
+        r"_FEATURE_GROUP_MAPPING: Dict\[str, List\[str\]\] = \{(.*?)\n\}", src, re.S
+    )
+    names = set(re.findall(r'"([a-z0-9_A-Z]+)"', m.group(1)))
+    names -= set(re.findall(r'\n    "([a-z_]+)": \[', m.group(1)))
+    from kats_spark.operators import simulator, tsfeatures as tsf
+
+    df = simulator.simulate(spark, n_series=1, n_points=120, noise_std=1.0, seed=3)
+    wide = tsf.tsfeatures(df, period=24, selected=list(tsf.ALL_FEATURE_GROUPS))
+    missing = names - set(wide.columns)
+    assert not missing, f"reference feature names missing: {sorted(missing)}"

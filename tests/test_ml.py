@@ -92,7 +92,7 @@ def test_tsfeatures_bundle(spark):
     assert len(out) == 2
     for col in [
         "length", "mean", "var", "lumpiness", "stability", "crossing_points",
-        "entropy", "hurst", "unitroot_kpss", "het_arch", "linearity",
+        "entropy", "hurst", "unitroot_kpss", "heterogeneity", "linearity",
         "firstmin_ac", "firstzero_ac", "trend_strength", "seasonality_strength",
         "spikiness", "holt_alpha", "holt_beta",
     ]:

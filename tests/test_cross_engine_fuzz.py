@@ -173,3 +173,44 @@ def test_bpe_pretokenizer_agrees_cross_engine(spark):
     ).df()
     for i, (a, b) in enumerate(zip(got.t, exp.t)):
         assert list(a) == list(b), (i, texts[i], list(a)[:8], list(b)[:8])
+
+
+def test_bpe_encode_chain_agrees_cross_engine(spark):
+    """The wrapped-symbol (\\x1f) BPE merge chain — plain literal
+    replace on both engines — yields identical per-document token
+    counts on adversarial text, including merges made of regex/SQL
+    metacharacters and repeated-symbol runs ('aaaa', '....') where the
+    old space-padded chain overlapped."""
+    from kats_spark.plans.pipeline_queries import _bpe_encode_sql
+    from kats_spark.operators.bpe import bpe_encode_stats
+
+    texts = _adversarial_strings(150, seed=29) + [
+        "aaaaa aaaa aa a", "....... ... ..", "''''' '' '",
+        "ababab abab ab", "$$$$ $$ $", "-- --- ----",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    merges = [
+        ("a", "a"), ("aa", "a"), (".", "."), ("'", "'"), ("a", "b"),
+        ("ab", "ab"), ("-", "-"), ("$", "$"), ("e", "r</w>"), ("t", "h"),
+    ]
+    got = (
+        bpe_encode_stats(spark.createDataFrame(pdf), merges)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = con.execute(_bpe_encode_sql(merges)).df()
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    # empty docs produce no rows on both sides; align on doc_id
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert got.n_words.astype(int).tolist() == exp.n_words.astype(int).tolist()
+    assert (
+        got.n_bpe_tokens.astype(int).tolist()
+        == exp.n_bpe_tokens.astype(int).tolist()
+    )
+    # ground truth on the overlap case: 'aaaaa' under (a,a),(aa,a) chains
+    # to [aa, aa, a</w>] -> (aa,a)? no adjacent pair -> 3 tokens
+    row = got[got.doc_id == 150].iloc[0]  # "aaaaa aaaa aa a"
+    assert int(row.n_words) == 4

@@ -101,6 +101,7 @@ _PRIORITY = [
     "bpe_encode", "gopher_rules",
     "tsfeatures_detector", "metalearn_metadata", "detector_hpt",
     "tsfeatures_time", "stl_features_expr", "diversity_sample",
+    "vocab_drift",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

@@ -1159,3 +1159,57 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("r_wordcount") & F.col("r_meanlen") & F.col("r_symbol")
         & F.col("r_bullet") & F.col("r_alpha") & F.col("r_stop"),
     )
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    eps: float = 1.0e-6,
+) -> DataFrame:
+    """Corpus VOCABULARY drift between two snapshots — the token-level
+    companion of the value-distribution monitors (psi_drift / ks_drift):
+    tokenize both sides (the shared ``tokens(normalize(...))`` kernel),
+    form each side's unigram distribution over the UNION vocabulary
+    (eps-smoothed so one-sided tokens contribute finite mass), and rank
+    tokens by their PSI contribution ``(p_a − p_b)·ln(p_a/p_b)`` — the
+    standard "which words changed" report a corpus-refresh review reads
+    before a retrain.
+
+    Output: the ``top_k`` tokens by contribution (ties to token asc),
+    with (token, p_a, p_b, psi_contrib, rank).  The total corpus PSI is
+    the sum of ALL contributions; the top-k frame is the actionable
+    slice and keeps the output bounded.
+
+    Scale shape: two token-count aggregations (shuffle on token — the
+    natural key, Zipf skew absorbed by partial aggregation since counts
+    combine map-side), one full-outer join on token, one top-k window
+    over a single partition of only the post-aggregation token rows."""
+    from pyspark.sql import Window
+
+    from kats_spark.operators.dedup import normalize
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        tok = df.select(F.explode(tokens(normalize(F.col(text_col)))).alias("token"))
+        cnt = tok.groupBy("token").agg(F.count("*").alias(f"__c_{name}"))
+        return cnt
+
+    a, b = side(df_a, "a"), side(df_b, "b")
+    joined = a.join(b, "token", "full_outer").na.fill(0)
+    tot = joined.agg(
+        F.sum("__c_a").alias("__na"), F.sum("__c_b").alias("__nb")
+    )
+    p_a = F.col("__c_a") / F.col("__na") + F.lit(eps)
+    p_b = F.col("__c_b") / F.col("__nb") + F.lit(eps)
+    scored = joined.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(p_a + 1e-9, 8).alias("p_a"),
+        F.round(p_b + 1e-9, 8).alias("p_b"),
+        F.round((p_a - p_b) * F.log(p_a / p_b) + 1e-9, 8).alias("psi_contrib"),
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("psi_contrib"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )

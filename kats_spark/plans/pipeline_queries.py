@@ -2515,6 +2515,57 @@ ORDER BY doc_id, dim_ix
 """
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus VOCABULARY drift between two snapshots (even vs odd
+    doc_id — deterministic twins of one corpus): eps-smoothed unigram
+    distributions over the union vocabulary, tokens ranked by PSI
+    contribution — the token-level companion of psi_drift/ks_drift a
+    corpus-refresh review reads.  Exact oracle: both engines divide the
+    same exact integer counts, so even the pre-rounding sort keys are
+    bitwise identical."""
+    from kats_spark.operators.text import vocab_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_k=20,
+    )
+    return out
+
+
+_Q_VOCAB_DRIFT_SQL = r"""
+WITH tokdocs AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS token FROM tokdocs),
+ca AS (SELECT token, count(*)::BIGINT AS c_a FROM tok WHERE doc_id % 2 = 0 GROUP BY 1),
+cb AS (SELECT token, count(*)::BIGINT AS c_b FROM tok WHERE doc_id % 2 = 1 GROUP BY 1),
+j AS (
+  SELECT coalesce(ca.token, cb.token) AS token,
+         coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+),
+tot AS (SELECT sum(c_a)::DOUBLE AS na, sum(c_b)::DOUBLE AS nb FROM j),
+scored AS (
+  SELECT token,
+    round(1e-9 + (c_a / t.na + 1e-6), 8) AS p_a,
+    round(1e-9 + (c_b / t.nb + 1e-6), 8) AS p_b,
+    round(1e-9 + ((c_a / t.na + 1e-6) - (c_b / t.nb + 1e-6))
+                 * ln((c_a / t.na + 1e-6) / (c_b / t.nb + 1e-6)), 8) AS psi_contrib
+  FROM j, tot t
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY psi_contrib DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT token, p_a, p_b, psi_contrib, rank::INT AS rank FROM rk WHERE rank <= 20
+"""
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per event_type between the Jan 1-15
     reference window and Jan 16+ (operators/dist_distance.py psi_drift):
@@ -2623,6 +2674,7 @@ FROM terms GROUP BY series_id ORDER BY series_id
 
 QUERIES = {
     "psi_drift": q_psi_drift,
+    "vocab_drift": q_vocab_drift,
     "ks_drift": q_ks_drift,
     "embedding_diag": q_embedding_diag,
     "embedding_pca": q_embedding_pca,
@@ -2701,6 +2753,7 @@ ORACLES = {
     "embedding_diag": _embedding_diag_sql(),
     "hash_embed": _hash_embed_sql(),
     "psi_drift": _Q_PSI_DRIFT_SQL,
+    "vocab_drift": _Q_VOCAB_DRIFT_SQL,
     "ks_drift": _Q_KS_DRIFT_SQL,
     "unigram_logppl": _Q_UNIGRAM_SQL,
     "bigram_logppl": _Q_BIGRAM_SQL,

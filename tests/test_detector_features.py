@@ -345,3 +345,29 @@ def test_wide_row_carries_every_reference_feature_name(spark):
     wide = tsf.tsfeatures(df, period=24, selected=list(tsf.ALL_FEATURE_GROUPS))
     missing = names - set(wide.columns)
     assert not missing, f"reference feature names missing: {sorted(missing)}"
+
+
+def test_vocab_drift_smoothing_and_ranking(spark):
+    """vocab_drift: one-sided tokens get eps-smoothed finite mass, the
+    biggest distribution shift ranks first, identical snapshots score ~0."""
+    from kats_spark.operators.text import vocab_drift
+
+    a = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(3, "beta beta beta gamma"), (4, "beta delta")], "doc_id long, text string"
+    )
+    out = vocab_drift(a, b, top_k=10).toPandas().set_index("token")
+    # 'delta' absent from A: p_a == eps only
+    assert out.loc["delta", "p_a"] == pytest.approx(1e-6, rel=1e-3)
+    assert out.loc["alpha", "p_a"] > out.loc["alpha", "p_b"]
+    # vanishing/appearing tokens dominate PSI (the eps denominator):
+    # alpha (4/6 -> absent) first, delta (absent -> 1/6) second, then
+    # the within-vocabulary shift beta (1/6 -> 4/6)
+    assert out[out["rank"] == 1].index[0] == "alpha"
+    assert set(out[out["rank"] <= 2].index) == {"alpha", "delta"}
+    assert out.loc["beta", "rank"] == 3
+    assert (out.psi_contrib >= 0).all()  # (p-q)ln(p/q) is nonnegative
+    same = vocab_drift(a, a, top_k=5).toPandas()
+    assert (same.psi_contrib.abs() < 1e-9).all()

@@ -93,6 +93,10 @@ LAZY_QUERIES = [
     "metalearn_metadata",
     "detector_hpt",
     "tsfeatures_full",
+    "vocab_drift",
+    "diversity_sample",
+    "stl_features_expr",
+    "tsfeatures_time",
 ]
 
 

@@ -52,6 +52,7 @@ class ProphetLite:
         changepoint_prior_scale: float = 0.05,
         interval_width: float = 0.8,
         cap: float | None = None,
+        floor: float | None = None,
         uncertainty_samples: int = 300,
         seed: int = 0,
         holidays: dict[str, list] | None = None,
@@ -68,6 +69,7 @@ class ProphetLite:
         self.cps = changepoint_prior_scale
         self.interval_width = interval_width
         self.cap = cap
+        self.floor = floor
         self.uncertainty_samples = uncertainty_samples
         self.seed = seed
         self.holidays = holidays or {}
@@ -138,8 +140,14 @@ class ProphetLite:
         self.t0_ = times[0]
         self.T_ = max(float(t_days[-1]), 1e-9)
         ts = t_days / self.T_  # scaled to [0, 1]
-        self.y_scale_ = max(float(np.abs(y).max()), 1e-9)
-        ys = y / self.y_scale_
+        # Prophet's logistic floor: model (y - floor) against
+        # (cap - floor), add the floor back at predict time — the
+        # y_scale is the shifted series' max |y|, exactly Prophet's
+        # convention (forecaster.py setup_dataframe: logistic_floor).
+        self._off_ = float(self.floor) if self.floor is not None else 0.0
+        y_eff = y - self._off_
+        self.y_scale_ = max(float(np.abs(y_eff).max()), 1e-9)
+        ys = y_eff / self.y_scale_
 
         n_cp = min(self.n_changepoints, max(len(y) - 2, 0))
         if n_cp > 0:
@@ -274,13 +282,13 @@ class ProphetLite:
                 if len(self.cp_)
                 else 0.0
             )
-            return self.caps_ / (1.0 + np.exp(-slope * (ts - self.m_)))
+            return self.caps_ / (1.0 + np.exp(-np.clip(slope * (ts - self.m_), -500, 500)))
         return self.k_ * ts + self.m_ + hinge
 
     def _fit_logistic(self, ts, ys, hinge, X_seas):
         if self.cap is None:
             raise ValueError("logistic growth requires cap")
-        self.caps_ = self.cap / self.y_scale_
+        self.caps_ = (self.cap - self._off_) / self.y_scale_
         # backfit: seasonality ridge <-> penalized Gauss-Newton on
         # (k, m, delta) for C / (1 + exp(-(k + A δ)(t - m))) — the hinge
         # deltas enter the slope through the step-indicator matrix A
@@ -301,7 +309,7 @@ class ProphetLite:
             for _gn in range(10):
                 slope = self.k_ + (A_ind @ self.delta_ if n_d else 0.0)
                 z = slope * (ts - self.m_)
-                sig = self.caps_ / (1.0 + np.exp(-z))
+                sig = self.caps_ / (1.0 + np.exp(-np.clip(z, -500, 500)))
                 e = r - sig
                 d_sig = sig * (1 - sig / self.caps_)
                 J_km = np.column_stack(
@@ -372,7 +380,7 @@ class ProphetLite:
             X_reg = np.empty((len(ts), 0))
         if X_hol.shape[1] or X_reg.shape[1]:
             X_seas = np.column_stack([X_seas, X_hol, X_reg])
-        yhat = self._predict_scaled(ts, X_seas) * self.y_scale_
+        yhat = self._predict_scaled(ts, X_seas) * self.y_scale_ + self._off_
 
         # Prophet's uncertainty: future trend shifts simulated from the
         # historical changepoint process (Poisson rate n_cp per unit of

@@ -157,3 +157,26 @@ def test_excluded_cases_are_documented():
         cap = 0.1 if case.get("golden_quality") == "nondeterministic" else 0.06
         assert case["rtol"] <= cap, case["name"]
         assert len(case["fcst"]) == case["horizon"]
+
+
+@pytest.mark.parametrize(
+    "name", ["prophet_air_cap_floor_30", "prophet_peyton_cap_floor_30"]
+)
+def test_prophet_cap_floor_matches_prophet_golden(spark, name):
+    """Logistic growth with cap AND floor (Prophet's shifted-band
+    convention: model (y - floor) against (cap - floor)) vs the
+    fbprophet SM_12 goldens on both public fixtures."""
+    case = _need(name)
+    from kats_spark.models.prophet_lite import ProphetLite
+
+    times, y = _fixture(case)
+    m = ProphetLite(
+        growth="logistic", cap=case["cap"], floor=case["floor"], seed=1
+    ).fit(times, y)
+    freq = "MS" if case["fixture"] == "air_passengers" else "D"
+    fut = np.array(
+        pd.date_range(pd.Timestamp(times[-1]), periods=case["horizon"] + 1, freq=freq)[1:]
+        .to_numpy()
+    )
+    fc = m.predict(fut).fcst.to_numpy()
+    np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])

@@ -182,6 +182,35 @@ def main() -> None:
             **frame("PEYTON_FCST_LINEAR_95", ("fcst", "fcst_lower", "fcst_upper")),
         },
         {
+            "name": "prophet_air_cap_floor_30",
+            "fixture": "air_passengers",
+            "model": "prophet",
+            "growth": "logistic",
+            "cap": 1000.0,
+            "floor": 10.0,
+            "horizon": 30,
+            "rtol": 0.02,
+            "golden_const": "AIR_FCST_30_PROPHET_CAP_AND_FLOOR_SM_12",
+            "note": "well-posed logistic band (data peaks at 622 inside "
+                    "[10, 1000]); measured max deviation of the numpy "
+                    "Gauss-Newton logistic trend vs Stan L-BFGS: 0.68%",
+            **frame("AIR_FCST_30_PROPHET_CAP_AND_FLOOR_SM_12"),
+        },
+        {
+            "name": "prophet_peyton_cap_floor_30",
+            "fixture": "peyton_manning",
+            "model": "prophet",
+            "growth": "logistic",
+            "cap": 1000.0,
+            "floor": 10.0,
+            "horizon": 30,
+            "rtol": 0.01,
+            "golden_const": "PEYTON_FCST_30_PROPHET_CAP_AND_FLOOR_SM_12",
+            "note": "daily fixture, deep sub-cap regime; measured max "
+                    "deviation 0.46%",
+            **frame("PEYTON_FCST_30_PROPHET_CAP_AND_FLOOR_SM_12"),
+        },
+        {
             "name": "theta_peyton_m1_30",
             "fixture": "peyton_manning",
             "model": "theta",

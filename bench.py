@@ -124,6 +124,11 @@ HEADLINE = [
     "tsfeatures_detector",
     "metalearn_metadata",
     "diversity_sample",
+    # late round-9 additions (baseline = BENCH_r09): DSIR hashed-n-gram
+    # importance weighting + Gumbel top-n resample, and the minhash
+    # source-overlap profiler (one partial-agg pass to |sources| rows)
+    "dsir_sample",
+    "source_overlap",
 ]
 
 

@@ -1,0 +1,268 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) — plus a minhash source-overlap profiler.
+
+Not in the reference (Kats is numeric-only); first-class LLM-pipeline
+extensions for the corpus-building story: given a small TARGET corpus
+(the domain you want more of) and the big RAW corpus, fit hashed
+bag-of-n-gram multinomials on both, weight every raw document by its
+target/raw log-likelihood ratio, and resample top-n under Gumbel noise
+— the standard recipe for selecting pretraining data that "looks like"
+a high-quality target domain.
+
+Everything is exact, seed-deterministic arithmetic on the md5 lattice
+(the ``sampling.split_assign`` convention: first 48 md5 bits, exact in
+a double), so the whole pipeline — feature hashing and Gumbel noise
+included — replays in the DuckDB oracle.  md5 rather than the 31-base
+polynomial family of ``dedup.poly_hash_expr``: the polynomial is a
+char-at-a-time higher-order-function loop (one ``substr`` per
+character), while md5 is a single JVM-side call — ~3x faster per
+feature at identical portability (measured on the sf0.1 bench).
+
+Scale shape (100 TB raw corpus):
+
+- feature extraction is a pure projection + one explode — the bigram
+  pairing is array ``zip_with`` inside the row, NOT a lag window, so
+  there is no shuffle before the aggregates;
+- both n-gram distributions aggregate map-side to <= ``num_buckets``
+  rows, and the log-ratio table (<= num_buckets rows) BROADCASTS into
+  the scoring pass — the raw corpus text never shuffles;
+- per-document weighting is ONE groupBy(doc) over slim (id, ratio)
+  rows (doc-bounded groups: no skew);
+- top-n selection is ``orderBy(key).limit(n)`` = TakeOrderedAndProject
+  (per-partition partial top-k, n rows to the driver — no global
+  sort), and the reattach of the selected rows to their full payload
+  is a broadcast-hash join over one more scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark.sql import Column
+
+from kats_spark.operators.dedup import _P, _hash_params, normalize, shingles
+from kats_spark.operators.text import tokens
+
+
+def md5_hash48(col: str | Column) -> Column:
+    """First 48 bits of md5 as a non-negative bigint — the portable
+    fast hash: one JVM call per value (vs the char-at-a-time polynomial
+    HOF), replayed in DuckDB as
+    ``('0x' || substr(md5(x), 1, 12))::UBIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def ngram_bucket_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+    bigrams: bool = True,
+) -> DataFrame:
+    """One row per word unigram (and bigram) OCCURRENCE, hashed into
+    ``num_buckets`` feature buckets: (id_col, __b).
+
+    The hashed bag-of-n-grams feature space of Xie et al. §3 (they use
+    10k buckets over uni+bigrams), bucketed by the md5 lattice.  Bigrams
+    pair adjacent tokens with ``zip_with`` over two slices of the token
+    array — a pure projection, unlike a lag window (which would shuffle
+    the corpus by document)."""
+    t = tokens(normalize(F.col(text_col)))
+    base = df.select(F.col(id_col), t.alias("__t"))
+    if bigrams:
+        left = F.expr("slice(__t, 1, greatest(size(__t) - 1, 0))")
+        right = F.expr("slice(__t, 2, greatest(size(__t) - 1, 0))")
+        bi = F.zip_with(left, right, lambda a, b: F.concat_ws(" ", a, b))
+        feats = F.concat(F.col("__t"), bi)
+    else:
+        feats = F.col("__t")
+    ex = base.select(F.col(id_col), F.explode(feats).alias("__f"))
+    return ex.select(
+        F.col(id_col), (md5_hash48("__f") % F.lit(num_buckets)).alias("__b")
+    )
+
+
+def dsir_log_ratio(
+    raw_feats: DataFrame,
+    target_feats: DataFrame,
+    num_buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-bucket log-likelihood ratio table (__b, __lr):
+
+      __lr(b) = ln p_target(b) - ln p_raw(b)
+      p(b)    = (count(b) + alpha) / (total + alpha * num_buckets)
+
+    Both count tables are map-side-combined aggregates to <=
+    ``num_buckets`` rows; the output is broadcast-sized by
+    construction."""
+    cr = raw_feats.groupBy("__b").agg(F.count("*").alias("__cr"))
+    ct = target_feats.groupBy("__b").agg(F.count("*").alias("__ct"))
+    j = (
+        cr.join(ct, "__b", "full_outer")
+        .select(
+            "__b",
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+        )
+    )
+    tot = j.agg(
+        F.sum("__cr").cast("double").alias("__tr"),
+        F.sum("__ct").cast("double").alias("__tt"),
+    )
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * num_buckets)
+    return j.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        (
+            F.log((F.col("__ct") + a) / (F.col("__tt") + ab))
+            - F.log((F.col("__cr") + a) / (F.col("__tr") + ab))
+        ).alias("__lr"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Per-raw-document DSIR importance weight (id_col, n_feats,
+    log_weight):
+
+      log_weight(doc) = sum over the doc's n-gram occurrences of
+                        ln p_target(bucket) - ln p_raw(bucket)
+
+    — the log importance ratio of the hashed bag-of-n-grams model
+    (Xie et al. §3.1; target inside raw is fine — their canonical
+    setup scores The Pile against Wikipedia-in-the-Pile).
+
+    The feature stream is consumed twice (raw distribution + scoring);
+    above 1M documents it persists as a slim (id, bucket) frame so the
+    tokenizer doesn't run twice over the corpus (the token_budget_sample
+    count-guard pattern)."""
+    fr = ngram_bucket_rows(raw, text_col, id_col, num_buckets, bigrams)
+    persisted = raw.count() >= 1_000_000
+    if persisted:
+        from pyspark import StorageLevel
+
+        fr = fr.persist(StorageLevel.MEMORY_AND_DISK)
+    ft = ngram_bucket_rows(target, text_col, id_col, num_buckets, bigrams)
+    lr = dsir_log_ratio(fr, ft, num_buckets, alpha)
+    return (
+        fr.join(F.broadcast(lr), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("__lr").alias("log_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Gumbel top-n resampling without replacement, proportional to the
+    DSIR importance weights (Xie et al. §3.2): key = log_weight +
+    Gumbel(0,1), keep the n largest keys.
+
+    The Gumbel draw is the deterministic md5 lattice — u = (first 48
+    md5 bits + 0.5) / 2^48, g = -ln(-ln(u)) — so re-runs over the same
+    snapshot select the identical subcorpus and the DuckDB oracle
+    replays the selection bit-for-bit.  Selection is orderBy + limit
+    (TakeOrderedAndProject: no global sort); the winners broadcast back
+    onto the raw scan for their payload columns."""
+    w = dsir_weights(raw, target, text_col, id_col, num_buckets, alpha, bigrams)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("dsir"), F.lit(str(seed)), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    gumbel = -F.log(-F.log(u))
+    picked = (
+        w.withColumn("__key", F.col("log_weight") + gumbel)
+        .orderBy(F.desc("__key"), F.col(id_col))
+        .limit(n)
+        .select(id_col, "n_feats", "log_weight")
+    )
+    return raw.join(F.broadcast(picked), id_col)
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """Estimated pairwise shingle-set Jaccard between corpus GROUPS
+    (sources, snapshots, languages) from per-group minhash signatures —
+    the mixture-design diagnostic: how much of source A is already in
+    source B before any dedup runs.
+
+    min over a multiset equals min over its distinct set, so no
+    per-group distinct is needed: ONE pass explodes shingles and takes
+    ``num_hashes`` partial-aggregating mins per group (map-side combine
+    shrinks the shuffle to one row per group), then the |groups|-row
+    signature frame self-joins for the pairwise agreement fractions.
+    Same affine family as ``minhash_portable_sig``, seeded by the
+    md5-lattice base hash reduced mod p (h < 2^31, so a*h + b stays in
+    long range) — the estimate replays exactly in DuckDB.
+
+    The signature frame PERSISTS before the self-join: it is |groups|
+    rows, but its lineage is the full corpus pass — unpersisted, both
+    join sides would re-tokenize the corpus (measured 2x on the
+    bench)."""
+    ex = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("g"),
+    ).select("__g", (md5_hash48("g") % F.lit(_P)).alias("__h"))
+    aggs = [
+        F.expr(f"min((__h * {a} + {b}) % {_P})").alias(f"__m{k}")
+        for k, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    from pyspark import StorageLevel
+
+    sig = ex.groupBy("__g").agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
+    a_side = sig.select(
+        F.col("__g").alias("source_a"), *[F.col(f"__m{k}").alias(f"__a{k}") for k in range(num_hashes)]
+    )
+    b_side = sig.select(
+        F.col("__g").alias("source_b"), *[F.col(f"__m{k}").alias(f"__b{k}") for k in range(num_hashes)]
+    )
+    agree = sum(
+        (F.col(f"__a{k}") == F.col(f"__b{k}")).cast("int") for k in range(num_hashes)
+    )
+    return (
+        a_side.crossJoin(F.broadcast(b_side))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )

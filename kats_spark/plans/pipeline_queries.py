@@ -2672,6 +2672,174 @@ FROM terms GROUP BY series_id ORDER BY series_id
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-n-gram importance weights (dsir.py dsir_weights,
+    Xie et al. 2023): target = the zh subcorpus, raw = everything;
+    every raw document scored by the target/raw log-likelihood ratio
+    of its hashed uni+bigram bag.  Exact oracle (the md5-lattice
+    feature hashing replays in DuckDB)."""
+    from kats_spark.operators.dsir import dsir_weights
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .repartition(par)  # one sub-128MB bench split; see q_source_overlap
+    )
+    out = dsir_weights(docs, docs.filter(F.col("lang") == "zh"), num_buckets=1024)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_feats").cast("bigint").alias("n_feats"),
+        _rnd("log_weight", 6).alias("log_weight"),
+    )
+
+
+_DSIR_FEATS_CTE = f"""
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, t,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE []::VARCHAR[] END AS b
+  FROM toks
+),
+feats AS (SELECT doc_id, unnest(list_concat(t, b)) AS f FROM bi),
+fb AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(f), 1, 12))::UBIGINT % 1024)::BIGINT AS bk
+  FROM feats
+),
+cr AS (SELECT bk, count(*) AS cr FROM fb GROUP BY 1),
+ct AS (SELECT bk, count(*) AS ct FROM fb JOIN documents USING (doc_id)
+       WHERE lang = 'zh' GROUP BY 1),
+j AS (
+  SELECT coalesce(cr.bk, ct.bk) AS bk,
+         coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+  FROM cr FULL OUTER JOIN ct ON cr.bk = ct.bk
+),
+tot AS (SELECT sum(cr)::DOUBLE AS tr, sum(ct)::DOUBLE AS tt FROM j),
+lr AS (
+  SELECT bk, ln((ct + 1.0) / (tt + 1024.0)) - ln((cr + 1.0) / (tr + 1024.0)) AS lr
+  FROM j CROSS JOIN tot
+),
+w AS (
+  SELECT doc_id, count(*) AS n_feats, sum(lr) AS lw
+  FROM fb JOIN lr USING (bk) GROUP BY 1
+)"""
+
+_Q_DSIR_WEIGHTS_SQL = f"""
+WITH {_DSIR_FEATS_CTE}
+SELECT doc_id::BIGINT AS doc_id, n_feats::BIGINT AS n_feats,
+  round(1e-9 + lw, 6) AS log_weight
+FROM w
+"""
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-64 resample (dsir.py dsir_resample): selection
+    key = log_weight + Gumbel from the seeded md5 lattice, top-n via
+    TakeOrderedAndProject, payload reattached by broadcast join.  The
+    noise is deterministic, so the selected subcorpus — not just its
+    size — value-hashes against the DuckDB replay."""
+    from kats_spark.operators.dsir import dsir_resample
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .repartition(par)  # one sub-128MB bench split; see q_source_overlap
+    )
+    out = dsir_resample(
+        docs, docs.filter(F.col("lang") == "zh"), n=64, seed=7, num_buckets=1024
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("n_feats").cast("bigint").alias("n_feats"),
+        _rnd("log_weight", 6).alias("log_weight"),
+    ).orderBy("doc_id")
+
+
+_Q_DSIR_SAMPLE_SQL = f"""
+WITH {_DSIR_FEATS_CTE},
+k AS (
+  SELECT doc_id, n_feats, lw,
+    lw - ln(-ln(
+      ((('0x' || substr(md5(concat_ws(':', 'dsir', '7', doc_id::VARCHAR)), 1, 12))::UBIGINT)::DOUBLE + 0.5)
+      / 281474976710656.0)) AS key
+  FROM w
+)
+SELECT doc_id, lang, n_feats, log_weight FROM (
+  SELECT k.doc_id::BIGINT AS doc_id, d.lang AS lang,
+    n_feats::BIGINT AS n_feats, round(1e-9 + lw, 6) AS log_weight, key
+  FROM k JOIN documents d USING (doc_id)
+  ORDER BY key DESC, k.doc_id LIMIT 64
+) ORDER BY doc_id
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimation (dsir.py source_overlap):
+    per-source minhash signatures over word 3-gram shingles, estimated
+    Jaccard = signature agreement fraction — the mixture-design
+    diagnostic run before any dedup.  One partial-aggregating pass to
+    |sources| rows; exact oracle (portable affine hash family)."""
+    from kats_spark.operators.dsir import source_overlap
+
+    # narrow (source, text) projection repartitioned to the core count:
+    # the bench parquet is one sub-128MB split, and the 64 affine mins
+    # per shingle would otherwise run on ONE task (the multimodal-kernel
+    # precedent); a real corpus has plenty of input splits already
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .repartition(par)
+    )
+    out = source_overlap(docs, num_hashes=64, shingle_n=3, seed=1)
+    return out.select(
+        "source_a", "source_b", _rnd("est_jaccard", 6).alias("est_jaccard")
+    ).orderBy("source_a", "source_b")
+
+
+def _source_overlap_sql(num_hashes: int = 64, shingle_n: int = 3, seed: int = 1) -> str:
+    from kats_spark.operators.dedup import _hash_params
+
+    mins = ",\n    ".join(
+        f"min((h * {a} + {b}) % 2147483647) AS m{k}"
+        for k, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.m{k} = b.m{k} THEN 1 ELSE 0 END" for k in range(num_hashes)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+gr AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(t) - {shingle_n - 1}, 1) + 1),
+      i -> array_to_string(t[i:i+{shingle_n - 1}], ' '))) AS g
+  FROM toks
+),
+hs AS (
+  SELECT d.source AS src,
+    (('0x' || substr(md5(g), 1, 12))::UBIGINT % 2147483647)::BIGINT AS h
+  FROM gr JOIN documents d USING (doc_id)
+),
+sig AS (SELECT src,
+    {mins}
+  FROM hs GROUP BY src)
+SELECT a.src AS source_a, b.src AS source_b,
+  round(1e-9 + ({agree}) / {float(num_hashes)}, 6) AS est_jaccard
+FROM sig a JOIN sig b ON a.src < b.src
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "psi_drift": q_psi_drift,
     "vocab_drift": q_vocab_drift,
@@ -2730,6 +2898,9 @@ QUERIES = {
     "winnow_fp": q_winnow_fp,
     "corpus_mixture": q_corpus_mixture,
     "winnow_overlap": q_winnow_overlap,
+    "dsir_weights": q_dsir_weights,
+    "dsir_sample": q_dsir_sample,
+    "source_overlap": q_source_overlap,
 }
 
 ORACLES = {
@@ -2787,6 +2958,9 @@ ORACLES = {
     "winnow_fp": _winnow_fp_sql(),
     "corpus_mixture": _corpus_mixture_sql(),
     "winnow_overlap": _winnow_overlap_sql(),
+    "dsir_weights": _Q_DSIR_WEIGHTS_SQL,
+    "dsir_sample": _Q_DSIR_SAMPLE_SQL,
+    "source_overlap": _source_overlap_sql(),
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

@@ -1,0 +1,122 @@
+"""DSIR importance resampling + source-overlap profiler contracts.
+
+The weight arithmetic is replayed in pure Python on a hand-built corpus
+(the oracle-parity suite separately replays the full pipeline in DuckDB
+at sf0.001); the resampler is pinned on determinism and its Gumbel
+top-n contract; the overlap estimator on its two exact fixed points
+(identical groups -> 1, disjoint-vocabulary groups -> ~0).
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import hashlib
+
+
+def _md5_48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _feats(text: str) -> list[str]:
+    toks = text.lower().split()
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _expected_weights(raw: dict[int, str], target_ids: set[int], buckets: int, alpha: float):
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for did, text in raw.items():
+        bs = [_md5_48(f) % buckets for f in _feats(text)]
+        per_doc[did] = bs
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+            if did in target_ids:
+                ct[b] = ct.get(b, 0) + 1
+    import math
+
+    tr, tt = sum(cr.values()), sum(ct.values())
+    out = {}
+    for did, bs in per_doc.items():
+        w = sum(
+            math.log((ct.get(b, 0) + alpha) / (tt + alpha * buckets))
+            - math.log((cr.get(b, 0) + alpha) / (tr + alpha * buckets))
+            for b in bs
+        )
+        out[did] = (len(bs), w)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark shuffles the big table", "en", "web"),
+        (1, "spark shuffles the small table", "en", "web"),
+        (2, "loess smooths the seasonal series", "en", "books"),
+        (3, "gradient descent minimizes the loss", "en", "books"),
+        (4, "spark broadcasts the small table", "en", "web"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_dsir_weights_match_hand_computation(corpus):
+    from kats_spark.operators.dsir import dsir_weights
+
+    target = corpus.filter(F.col("doc_id").isin(0, 1))
+    got = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in dsir_weights(corpus, target, num_buckets=64, alpha=1.0).collect()
+    }
+    exp = _expected_weights(
+        {r.doc_id: r.text for r in corpus.collect()}, {0, 1}, 64, 1.0
+    )
+    assert set(got) == set(exp)
+    for did, (n, w) in exp.items():
+        assert got[did][0] == n
+        assert got[did][1] == pytest.approx(w, rel=1e-9)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(corpus):
+    """Docs sharing the target's vocabulary outrank the off-domain doc."""
+    from kats_spark.operators.dsir import dsir_weights
+
+    target = corpus.filter(F.col("doc_id").isin(0, 1))
+    w = {r.doc_id: r.log_weight for r in dsir_weights(corpus, target, num_buckets=256).collect()}
+    # doc 4 shares 'spark ... the small table' with the target; doc 3 is disjoint
+    assert w[4] > w[3]
+    assert w[0] > w[3] and w[1] > w[3]
+
+
+def test_dsir_resample_deterministic_and_bounded(corpus):
+    from kats_spark.operators.dsir import dsir_resample
+
+    target = corpus.filter(F.col("doc_id").isin(0, 1))
+    a = dsir_resample(corpus, target, n=3, seed=11, num_buckets=64)
+    b = dsir_resample(corpus, target, n=3, seed=11, num_buckets=64)
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b and len(ids_a) == 3
+    # payload columns reattach
+    assert {"text", "lang", "source"}.issubset(set(a.columns))
+    # a different seed is allowed to pick a different set, but stays bounded
+    c = dsir_resample(corpus, target, n=3, seed=12, num_buckets=64)
+    assert c.count() == 3
+
+
+def test_source_overlap_fixed_points(spark):
+    from kats_spark.operators.dsir import source_overlap
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "s1"),
+        (1, "alpha beta gamma delta epsilon zeta", "s2"),
+        (2, "uno dos tres cuatro cinco seis", "s3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r.source_a, r.source_b): r.est_jaccard
+        for r in source_overlap(df, num_hashes=32).collect()
+    }
+    assert got[("s1", "s2")] == 1.0  # identical shingle sets agree on every min
+    assert got[("s1", "s3")] <= 1 / 32 + 1e-9  # disjoint vocab: no agreement expected
+    assert got[("s2", "s3")] <= 1 / 32 + 1e-9

@@ -97,6 +97,9 @@ LAZY_QUERIES = [
     "diversity_sample",
     "stl_features_expr",
     "tsfeatures_time",
+    "dsir_weights",
+    "dsir_sample",
+    "source_overlap",
 ]
 
 

@@ -96,12 +96,15 @@ _PRIORITY = [
     "incremental_neardup", "dup_spans",
     # r10 rotation queue: never-driver-checked oracled queries, ALL
     # pre-verified MATCH at sf0.01 this round (ROUND9_NOTES) — the 3
-    # held from r09 plus the 6 new r09 oracled queries
+    # held from r09 plus the 6 new r09 oracled queries plus the 3
+    # late-r09 DSIR/source-overlap additions
     "incremental_simhash_stored",
     "bpe_encode", "gopher_rules",
     "tsfeatures_detector", "metalearn_metadata", "detector_hpt",
     "tsfeatures_time", "stl_features_expr", "diversity_sample",
     "vocab_drift",
+    "dsir_weights", "dsir_sample", "source_overlap", "quality_buckets",
+    "cluster_reps",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

@@ -129,6 +129,8 @@ HEADLINE = [
     # source-overlap profiler (one partial-agg pass to |sources| rows)
     "dsir_sample",
     "source_overlap",
+    "quality_buckets",
+    "cluster_reps",
 ]
 
 

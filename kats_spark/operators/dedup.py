@@ -1198,3 +1198,41 @@ def corpus_gram_keys(
         .filter(F.col("__df") >= min_docs)
         .select("gram_key")
     )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Best-quality representative per duplicate CLUSTER — the retention
+    decision after clustering (RefinedWeb/SlimPajama keep one doc per
+    near-dup cluster by a quality criterion, not by arbitrary min-id):
+    connected components over ``pairs`` (:func:`dup_components`), every
+    unpaired document its own singleton cluster, winner = the highest
+    ``quality_col`` (lowest id on ties — deterministic).
+
+    Scale shape: the component labels cover only PAIR-INVOLVED docs (a
+    small fraction of the corpus) and join back as the small side; the
+    winner is a ``max_by`` GROUPED AGGREGATE on a struct ordering key —
+    map-side combinable, so even a pathological giant cluster reduces
+    per-partition instead of sorting in one task (the window-rank
+    formulation would not).
+
+    Output: (cluster_id, rep_id, cluster_size, rep_quality)."""
+    comp = dup_components(pairs, id_a=id_a, id_b=id_b)
+    labeled = (
+        df.select(F.col(id_col), F.col(quality_col))
+        .join(comp.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.expr(
+            f"max_by({id_col}, named_struct('q', {quality_col}, 'nid', -{id_col}))"
+        ).alias("rep_id"),
+        F.count("*").cast("long").alias("cluster_size"),
+        F.max(quality_col).alias("rep_quality"),
+    )

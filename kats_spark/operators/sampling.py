@@ -782,3 +782,61 @@ def per_source_cap(
         df.withColumn("bucket_rank", F.row_number().over(w))
         .filter(F.col("bucket_rank") <= cap)
     )
+
+
+def quality_buckets(
+    scored: DataFrame,
+    score_col: str = "logppl",
+    by: list[str] = ("lang",),
+    bins: int = 1000,
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020 §4.3): within every ``by`` stratum, the third of documents
+    with the LOWEST LM perplexity is ``head``, the next third
+    ``middle``, the rest ``tail`` — the standard coarse quality label
+    downstream mixture design keys on.
+
+    Exact HISTOGRAM terciles, not a sort: a per-stratum global
+    ``ntile`` would single-task each stratum (the corpus_build
+    scale-killer shape), so instead the score quantizes to
+    ``floor(score * bins)`` integer bins, the per-(stratum, bin) counts
+    aggregate map-side to a tiny frame, the tercile CUT BINS come from
+    an integer-arithmetic cumulative scan over that frame
+    (``3 * cum >= n`` / ``3 * cum >= 2n`` — no float division), and the
+    assignment is a broadcast join + comparison, a pure projection over
+    the corpus.  Documents sharing a bin share a bucket, so the split
+    is exact up to bin granularity (1/bins of a score unit) and fully
+    deterministic — the DuckDB oracle replays it bit-for-bit.
+
+    Output: input columns + ``score_bin`` + ``bucket``."""
+    by = list(by)
+    binned = scored.withColumn(
+        "score_bin", F.floor(F.col(score_col) * F.lit(float(bins))).cast("long")
+    )
+    hist = binned.groupBy(*by, "score_bin").agg(F.count("*").alias("__c"))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("score_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        *by,
+        "score_bin",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy(*by)).alias("__n"),
+    )
+    cuts = cum.groupBy(*by).agg(
+        F.min(
+            F.when(F.col("__cum") * 3 >= F.col("__n"), F.col("score_bin"))
+        ).alias("__b1"),
+        F.min(
+            F.when(F.col("__cum") * 3 >= F.col("__n") * 2, F.col("score_bin"))
+        ).alias("__b2"),
+    )
+    out = binned.join(F.broadcast(cuts), by).withColumn(
+        "bucket",
+        F.when(F.col("score_bin") <= F.col("__b1"), F.lit("head"))
+        .when(F.col("score_bin") <= F.col("__b2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return out.drop("__b1", "__b2")

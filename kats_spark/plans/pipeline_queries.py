@@ -1236,6 +1236,46 @@ FROM reach GROUP BY u
 """
 
 
+def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality representative per duplicate cluster
+    (dedup.cluster_representatives over the simhash_neardup pair graph,
+    quality = n_chars — the RefinedWeb keep-the-longest retention rule).
+    Full oracle: the dup_clusters recursive-CTE closure + a window
+    argmax replay the identical winners."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = dedup.simhash_portable(docs, bits=24)
+    pairs = dedup.simhash_pairs(
+        fp, max_hamming=1, bands=2, bits=24, fp_col="simhash16"
+    )
+    out = dedup.cluster_representatives(docs, pairs, quality_col="n_chars")
+    return out.select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("rep_id").cast("bigint").alias("rep_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("rep_quality").cast("bigint").alias("rep_quality"),
+    )
+
+
+def _cluster_reps_sql(bits: int = 24, bands: int = 2, max_hamming: int = 1) -> str:
+    return f"""
+WITH clusters AS ({_dup_clusters_sql(bits, bands, max_hamming)}),
+labeled AS (
+  SELECT coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.doc_id, d.n_chars
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rk,
+    count(*) OVER (PARTITION BY cluster_id) AS sz,
+    max(n_chars) OVER (PARTITION BY cluster_id) AS bq
+  FROM labeled
+)
+SELECT cluster_id::BIGINT AS cluster_id, doc_id::BIGINT AS rep_id,
+  sz::BIGINT AS cluster_size, bq::BIGINT AS rep_quality
+FROM ranked WHERE rk = 1
+"""
+
+
 def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs over the portable hash family (16
     permutations, 4 bands) — exact oracle with the same seeded (a_k, b_k)
@@ -2672,6 +2712,64 @@ FROM terms GROUP BY series_id ORDER BY series_id
 """
 
 
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality terciles per language
+    (sampling.py quality_buckets over unigram_logppl): exact
+    histogram-quantile cut bins — integer-arithmetic thresholds over a
+    tiny (lang, bin) aggregate, never a per-stratum global sort.
+    Exact oracle."""
+    from kats_spark.operators.sampling import quality_buckets, unigram_logppl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lp = unigram_logppl(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    out = quality_buckets(lp, score_col="logppl", by=["lang"], bins=1000)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("score_bin").cast("bigint").alias("score_bin"),
+        "bucket",
+    ).orderBy("doc_id")
+
+
+_Q_QUALITY_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+freq AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS total, count(*)::DOUBLE AS vocab FROM freq),
+lp AS (
+  SELECT doc_id, avg(-ln((c + 1.0) / (total + vocab))) AS logppl
+  FROM tok JOIN freq USING (tk) CROSS JOIN tot GROUP BY 1
+),
+sb AS (
+  SELECT d.doc_id, d.lang, floor(lp.logppl * 1000.0)::BIGINT AS score_bin
+  FROM lp JOIN documents d USING (doc_id)
+),
+hist AS (SELECT lang, score_bin, count(*) AS c FROM sb GROUP BY 1, 2),
+cum AS (
+  SELECT lang, score_bin,
+    sum(c) OVER (PARTITION BY lang ORDER BY score_bin) AS cum,
+    sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+    min(CASE WHEN cum * 3 >= n THEN score_bin END) AS b1,
+    min(CASE WHEN cum * 3 >= 2 * n THEN score_bin END) AS b2
+  FROM cum GROUP BY 1
+)
+SELECT sb.doc_id::BIGINT AS doc_id, sb.lang, sb.score_bin,
+  CASE WHEN score_bin <= b1 THEN 'head'
+       WHEN score_bin <= b2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM sb JOIN cuts USING (lang)
+ORDER BY doc_id
+"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-n-gram importance weights (dsir.py dsir_weights,
     Xie et al. 2023): target = the zh subcorpus, raw = everything;
@@ -2901,6 +2999,8 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "dsir_sample": q_dsir_sample,
     "source_overlap": q_source_overlap,
+    "quality_buckets": q_quality_buckets,
+    "cluster_reps": q_cluster_reps,
 }
 
 ORACLES = {
@@ -2961,6 +3061,8 @@ ORACLES = {
     "dsir_weights": _Q_DSIR_WEIGHTS_SQL,
     "dsir_sample": _Q_DSIR_SAMPLE_SQL,
     "source_overlap": _source_overlap_sql(),
+    "quality_buckets": _Q_QUALITY_BUCKETS_SQL,
+    "cluster_reps": _cluster_reps_sql(),
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

@@ -2559,3 +2559,63 @@ def test_corpus_build_sampled_stage_salted_equals_naive(spark):
     naive, salted = fill(1), fill(256)
     assert len(naive) > 0
     assert salted.equals(naive)
+
+
+def test_quality_buckets_exact_thirds(spark):
+    """Nine distinct scores in one stratum split exactly 3/3/3 with the
+    lowest-score third labeled head (CCNet orientation)."""
+    from kats_spark.operators.sampling import quality_buckets
+
+    rows = [(i, "en", float(i)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "logppl"])
+    out = {r.doc_id: r.bucket for r in quality_buckets(df, bins=10).collect()}
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+
+def test_quality_buckets_strata_independent(spark):
+    """Cut bins are computed per stratum: a stratum whose scores all sit
+    above another stratum's tail still gets its own head third."""
+    from kats_spark.operators.sampling import quality_buckets
+
+    rows = [(i, "en", float(i)) for i in range(1, 10)] + [
+        (100 + i, "zh", 100.0 + i) for i in range(1, 10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "logppl"])
+    out = {r.doc_id: r.bucket for r in quality_buckets(df, bins=10).collect()}
+    assert out[101] == "head" and out[109] == "tail"
+    assert sum(1 for d, b in out.items() if d > 100 and b == "head") == 3
+
+
+def test_quality_buckets_ties_share_bucket(spark):
+    """Documents in the same quantized bin always land in the same
+    bucket (the split is exact up to bin granularity by design)."""
+    from kats_spark.operators.sampling import quality_buckets
+
+    rows = [(i, "en", 1.0) for i in range(6)] + [(10, "en", 2.0), (11, "en", 3.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "logppl"])
+    out = {r.doc_id: r.bucket for r in quality_buckets(df, bins=10).collect()}
+    assert all(out[i] == "head" for i in range(6))  # tied bin stays together
+    # 6/8 = 75% >= 2/3 sit in the tied head bin, so BOTH cuts land there
+    # and everything above it is tail — exact-quantile tie semantics
+    assert out[10] == "tail" and out[11] == "tail"
+
+
+def test_cluster_representatives_quality_winner(spark):
+    from kats_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7), (9, 55)],
+        ["doc_id", "n_chars"],
+    )
+    # {1,2,3} one cluster, {4} paired-less singleton... 4 pairs with nothing
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    got = {
+        r.cluster_id: (r.rep_id, r.cluster_size, r.rep_quality)
+        for r in cluster_representatives(docs, pairs, "n_chars").collect()
+    }
+    # winner: highest n_chars, tie broken to the LOWER id (2 beats 3)
+    assert got[1] == (2, 3, 99)
+    # unpaired docs are their own singleton clusters
+    assert got[4] == (4, 1, 7) and got[9] == (9, 1, 55)

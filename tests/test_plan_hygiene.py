@@ -100,6 +100,7 @@ LAZY_QUERIES = [
     "dsir_weights",
     "dsir_sample",
     "source_overlap",
+    "quality_buckets",
 ]
 
 

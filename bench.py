@@ -131,6 +131,7 @@ HEADLINE = [
     "source_overlap",
     "quality_buckets",
     "cluster_reps",
+    "dsir_stored",
 ]
 
 

@@ -88,6 +88,7 @@ def dsir_log_ratio(
     target_feats: DataFrame,
     num_buckets: int = 8192,
     alpha: float = 1.0,
+    dense: bool = False,
 ) -> DataFrame:
     """Per-bucket log-likelihood ratio table (__b, __lr):
 
@@ -96,7 +97,12 @@ def dsir_log_ratio(
 
     Both count tables are map-side-combined aggregates to <=
     ``num_buckets`` rows; the output is broadcast-sized by
-    construction."""
+    construction.
+
+    ``dense=True`` emits ALL ``num_buckets`` rows (unseen buckets carry
+    the pure-smoothing ratio) — the shape a STORED ratio table needs so
+    scoring a future batch whose features never occurred in the fitting
+    corpora is a plain inner join."""
     cr = raw_feats.groupBy("__b").agg(F.count("*").alias("__cr"))
     ct = target_feats.groupBy("__b").agg(F.count("*").alias("__ct"))
     j = (
@@ -107,6 +113,17 @@ def dsir_log_ratio(
             F.coalesce("__ct", F.lit(0)).alias("__ct"),
         )
     )
+    if dense:
+        spark = raw_feats.sparkSession
+        allb = spark.range(num_buckets).select(F.col("id").alias("__b"))
+        j = (
+            allb.join(j, "__b", "left")
+            .select(
+                "__b",
+                F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                F.coalesce("__ct", F.lit(0)).alias("__ct"),
+            )
+        )
     tot = j.agg(
         F.sum("__cr").cast("double").alias("__tr"),
         F.sum("__ct").cast("double").alias("__tt"),

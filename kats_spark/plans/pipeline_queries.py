@@ -2881,6 +2881,74 @@ SELECT doc_id, lang, n_feats, log_weight FROM (
 """
 
 
+def q_dsir_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring of an arriving batch against the SAVED dense
+    log-ratio table (ann_store.save_dsir_ratio fit once per scale
+    factor on corpus=documents / target=zh): one feature pass over the
+    batch + a broadcast join — the reference corpora are never
+    re-touched, completing the stored-model family (band / gram /
+    chunk / ivf indexes + ratio tables).  Exact oracle (the dense
+    table's unseen buckets are the pure-smoothing ratio, replayed as a
+    coalesce default in DuckDB)."""
+    import os
+
+    from kats_spark.sources.ann_store import dsir_weights_stored, save_dsir_ratio
+
+    sf_name = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "spark-warehouse",
+        f"dsir_ratio_{sf_name}",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if not os.path.exists(path):
+        save_dsir_ratio(
+            docs, docs.filter(F.col("lang") == "zh"), path, num_buckets=1024
+        )
+    out = dsir_weights_stored(
+        spark, path, _incremental_batch(docs), num_buckets=1024
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_feats").cast("bigint").alias("n_feats"),
+        _rnd("log_weight", 6).alias("log_weight"),
+    ).orderBy("doc_id")
+
+
+_Q_DSIR_STORED_SQL = f"""
+WITH {_DSIR_FEATS_CTE},
+bt AS (
+  SELECT doc_id + 1000000 AS doc_id,
+    list_filter(
+      list_transform(t0[1:ceil(len(t0) * 0.8)::INT], x -> lower(x)),
+      x -> x <> '') AS t
+  FROM (
+    SELECT doc_id,
+      string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t0
+    FROM documents
+  ) WHERE doc_id % 97 = 0
+),
+bbi AS (
+  SELECT doc_id, t,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE []::VARCHAR[] END AS b
+  FROM bt
+),
+bfeats AS (SELECT doc_id, unnest(list_concat(t, b)) AS f FROM bbi),
+bfb AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(f), 1, 12))::UBIGINT % 1024)::BIGINT AS bk
+  FROM bfeats
+)
+SELECT bfb.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_feats,
+  round(1e-9 + sum(coalesce(lr.lr,
+    ln(1.0 / (tot.tt + 1024.0)) - ln(1.0 / (tot.tr + 1024.0)))), 6) AS log_weight
+FROM bfb LEFT JOIN lr USING (bk) CROSS JOIN tot
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap estimation (dsir.py source_overlap):
     per-source minhash signatures over word 3-gram shingles, estimated
@@ -3001,6 +3069,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "quality_buckets": q_quality_buckets,
     "cluster_reps": q_cluster_reps,
+    "dsir_stored": q_dsir_stored,
 }
 
 ORACLES = {
@@ -3063,6 +3132,7 @@ ORACLES = {
     "source_overlap": _source_overlap_sql(),
     "quality_buckets": _Q_QUALITY_BUCKETS_SQL,
     "cluster_reps": _cluster_reps_sql(),
+    "dsir_stored": _Q_DSIR_STORED_SQL,
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

@@ -385,3 +385,57 @@ def incremental_neardup_stored(
         .select("new_id", "corpus_id")
         .distinct()
     )
+
+
+def save_dsir_ratio(
+    raw: DataFrame,
+    target: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+) -> None:
+    """Persist the DENSE DSIR log-ratio table (operators/dsir.py) —
+    the stored-model analogue of the band/gram/chunk indexes: fit the
+    target/raw hashed-n-gram ratio ONCE over the reference corpora,
+    then score every arriving batch against the frozen table with no
+    re-fit and no corpus-side pass.  Exactly ``num_buckets`` rows
+    (unseen buckets carry the pure-smoothing ratio), so a plain parquet
+    file that always broadcasts."""
+    from kats_spark.operators.dsir import dsir_log_ratio, ngram_bucket_rows
+
+    fr = ngram_bucket_rows(raw, text_col, id_col, num_buckets, bigrams)
+    ft = ngram_bucket_rows(target, text_col, id_col, num_buckets, bigrams)
+    lr = dsir_log_ratio(fr, ft, num_buckets, alpha, dense=True)
+    lr.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def dsir_weights_stored(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Score an arriving batch against a SAVED dense DSIR ratio table:
+    one feature pass over the batch, broadcast join on the bucket, one
+    groupBy(doc) — the batch text never shuffles and the reference
+    corpora are never touched.  ``num_buckets``/``bigrams`` must match
+    what was saved.  Output (id_col, n_feats, log_weight), identical to
+    ``dsir_weights`` on the fitting corpus (asserted in tests)."""
+    from kats_spark.operators.dsir import ngram_bucket_rows
+
+    lr = spark.read.parquet(path)
+    feats = ngram_bucket_rows(new_df, text_col, id_col, num_buckets, bigrams)
+    return (
+        feats.join(F.broadcast(lr), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("__lr").alias("log_weight"),
+        )
+    )

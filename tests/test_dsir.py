@@ -120,3 +120,53 @@ def test_source_overlap_fixed_points(spark):
     assert got[("s1", "s2")] == 1.0  # identical shingle sets agree on every min
     assert got[("s1", "s3")] <= 1 / 32 + 1e-9  # disjoint vocab: no agreement expected
     assert got[("s2", "s3")] <= 1 / 32 + 1e-9
+
+
+def test_dsir_stored_matches_batch_on_fitting_corpus(corpus, spark, tmp_path):
+    """Scoring the fitting corpus against its own saved dense ratio
+    table reproduces dsir_weights exactly (every bucket is seen)."""
+    from kats_spark.operators.dsir import dsir_weights
+    from kats_spark.sources.ann_store import dsir_weights_stored, save_dsir_ratio
+
+    target = corpus.filter(F.col("doc_id").isin(0, 1))
+    path = str(tmp_path / "ratio")
+    save_dsir_ratio(corpus, target, path, num_buckets=64)
+    stored = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in dsir_weights_stored(spark, path, corpus, num_buckets=64).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in dsir_weights(corpus, target, num_buckets=64).collect()
+    }
+    assert set(stored) == set(batch)
+    for did in batch:
+        assert stored[did][0] == batch[did][0]
+        assert stored[did][1] == pytest.approx(batch[did][1], rel=1e-12)
+
+
+def test_dsir_stored_scores_unseen_vocabulary(corpus, spark, tmp_path):
+    """A batch with vocabulary absent from the fitting corpora still
+    scores: dense rows carry the pure-smoothing ratio (equal target and
+    raw smoothing -> ln(tr+aB)-ln(tt+aB) per unseen occurrence)."""
+    import math
+
+    from kats_spark.sources.ann_store import dsir_weights_stored, save_dsir_ratio
+
+    target = corpus.filter(F.col("doc_id").isin(0, 1))
+    path = str(tmp_path / "ratio")
+    save_dsir_ratio(corpus, target, path, num_buckets=64)
+    novel = corpus.sparkSession.createDataFrame(
+        [(99, "zzqx vvwk pppy", "en", "web")], ["doc_id", "text", "lang", "source"]
+    )
+    rows = dsir_weights_stored(spark, path, novel, num_buckets=64).collect()
+    assert len(rows) == 1 and rows[0].n_feats == 5  # 3 unigrams + 2 bigrams
+    # all-unseen doc weight = n_feats * default ratio (up to real collisions
+    # with fitted buckets, which this vocabulary avoids at 64 buckets only
+    # probabilistically — so allow a loose band around the default)
+    tr = sum(len(t.split()) * 2 - 1 for t in
+             [r.text for r in corpus.collect()])
+    tt = sum(len(t.split()) * 2 - 1 for t in
+             [r.text for r in target.collect()])
+    default = math.log(1.0 / (tt + 64.0)) - math.log(1.0 / (tr + 64.0))
+    assert rows[0].log_weight == pytest.approx(5 * default, rel=0.35)

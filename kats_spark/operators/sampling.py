@@ -784,6 +784,43 @@ def per_source_cap(
     )
 
 
+def quality_cut_bins(
+    scored: DataFrame,
+    score_col: str = "logppl",
+    by: list[str] = ("lang",),
+    bins: int = 1000,
+) -> DataFrame:
+    """The per-stratum tercile CUT BINS of :func:`quality_buckets` as
+    their own tiny frame (``by`` + ``__b1`` + ``__b2``) — freeze them
+    from a reference corpus and broadcast them to any later batch or
+    stream (``streaming/quality.py``), the CCNet deployment shape:
+    cutoffs computed once on a sample, applied everywhere."""
+    by = list(by)
+    binned = scored.withColumn(
+        "score_bin", F.floor(F.col(score_col) * F.lit(float(bins))).cast("long")
+    )
+    hist = binned.groupBy(*by, "score_bin").agg(F.count("*").alias("__c"))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("score_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        *by,
+        "score_bin",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy(*by)).alias("__n"),
+    )
+    return cum.groupBy(*by).agg(
+        F.min(
+            F.when(F.col("__cum") * 3 >= F.col("__n"), F.col("score_bin"))
+        ).alias("__b1"),
+        F.min(
+            F.when(F.col("__cum") * 3 >= F.col("__n") * 2, F.col("score_bin"))
+        ).alias("__b2"),
+    )
+
+
 def quality_buckets(
     scored: DataFrame,
     score_col: str = "logppl",
@@ -813,26 +850,7 @@ def quality_buckets(
     binned = scored.withColumn(
         "score_bin", F.floor(F.col(score_col) * F.lit(float(bins))).cast("long")
     )
-    hist = binned.groupBy(*by, "score_bin").agg(F.count("*").alias("__c"))
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("score_bin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = hist.select(
-        *by,
-        "score_bin",
-        F.sum("__c").over(w).alias("__cum"),
-        F.sum("__c").over(Window.partitionBy(*by)).alias("__n"),
-    )
-    cuts = cum.groupBy(*by).agg(
-        F.min(
-            F.when(F.col("__cum") * 3 >= F.col("__n"), F.col("score_bin"))
-        ).alias("__b1"),
-        F.min(
-            F.when(F.col("__cum") * 3 >= F.col("__n") * 2, F.col("score_bin"))
-        ).alias("__b2"),
-    )
+    cuts = quality_cut_bins(scored, score_col, by, bins)
     out = binned.join(F.broadcast(cuts), by).withColumn(
         "bucket",
         F.when(F.col("score_bin") <= F.col("__b1"), F.lit("head"))

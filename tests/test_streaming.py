@@ -1343,3 +1343,92 @@ def test_streaming_psi_equals_batch_and_flags_drift(spark):
         pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_streaming_quality_buckets_equals_batch(spark):
+    """Streaming quality twin (streaming/quality.py): documents scored
+    against the frozen token-NLL table + cut bins.  (1) the identical
+    plan on a batch frame reproduces the batch pipeline's (logppl,
+    bucket) per doc; (2) the streamed closed windows match that frame."""
+    from pyspark.sql import functions as F
+
+    from kats_spark.operators.sampling import (
+        quality_buckets,
+        quality_cut_bins,
+        unigram_logppl,
+    )
+    from kats_spark.streaming.quality import (
+        oov_nll,
+        streaming_quality_buckets,
+        token_nll_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    lp = unigram_logppl(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    batch = {
+        r.doc_id: (r.bucket, r.logppl)
+        for r in quality_buckets(lp, bins=1000).collect()
+    }
+    nll = token_nll_table(docs)
+    oov = oov_nll(docs)
+    cuts = quality_cut_bins(lp, bins=1000)
+
+    # event-time fixture: all docs inside hour 1, one sentinel doc in
+    # hour 3 so the watermark closes hour 1 under availableNow
+    timed = docs.select(
+        "doc_id", "lang", "text",
+        F.to_timestamp(
+            F.lit("2024-03-01 00:00:00")
+        ).alias("t"),
+    )
+    sentinel = docs.limit(1).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "lang", "text",
+        F.to_timestamp(F.lit("2024-03-01 03:30:00")).alias("t"),
+    )
+    fixture = timed.unionByName(sentinel)
+
+    same_plan = streaming_quality_buckets(
+        fixture, nll, oov, cuts, watermark="30 minutes"
+    ).toPandas()
+    main = same_plan[same_plan.doc_id < 5_000_000]
+    assert len(main) == len(batch)
+    for r in main.itertuples():
+        assert batch[r.doc_id][0] == r.bucket
+        assert abs(batch[r.doc_id][1] - r.logppl) < 1e-9
+
+    tmpdir = tempfile.mkdtemp()
+    try:
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        timed.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(chunk_dir, "c0")
+        )
+        timed.filter(F.col("doc_id") % 2 == 1).unionByName(sentinel).coalesce(
+            1
+        ).write.parquet(os.path.join(chunk_dir, "c1"))
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, lang string, text string, t timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(chunk_dir)
+        )
+        q = (
+            streaming_quality_buckets(stream, nll, oov, cuts, watermark="30 minutes")
+            .writeStream.format("memory")
+            .queryName("quality_stream_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.table("quality_stream_out").toPandas()
+        got = got[got.doc_id < 5_000_000]
+        assert len(got) == len(batch)
+        for r in got.itertuples():
+            assert batch[r.doc_id][0] == r.bucket
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

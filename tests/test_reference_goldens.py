@@ -52,7 +52,13 @@ def _fixture(case: dict):
 
 
 @pytest.mark.parametrize(
-    "name", ["linear_air_alpha05", "linear_air_alpha01", "linear_peyton_alpha05"]
+    "name",
+    [
+        "linear_air_alpha05",
+        "linear_air_alpha01",
+        "linear_peyton_alpha05",
+        "linear_peyton_alpha01",
+    ],
 )
 def test_linear_matches_statsmodels_golden(spark, name):
     """Closed-form OLS trend + prediction interval vs the reference's
@@ -80,7 +86,15 @@ def test_linear_matches_statsmodels_golden(spark, name):
     )
 
 
-@pytest.mark.parametrize("name", ["arima_peyton_111_15", "arima_peyton_111_30"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "arima_peyton_111_15",
+        "arima_peyton_111_30",
+        "arima_peyton_113_15",
+        "arima_peyton_113_30",
+    ],
+)
 def test_arima_matches_statsmodels_golden(name):
     """Exact-MLE numpy ARIMA vs statsmodels ARIMA(1,1,1) on Peyton
     Manning — at the reference's own RTOL=0.005
@@ -180,3 +194,34 @@ def test_prophet_cap_floor_matches_prophet_golden(spark, name):
     )
     fc = m.predict(fut).fcst.to_numpy()
     np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
+
+
+def test_prophet_custom_seasonality_matches_prophet_golden(spark):
+    """add_seasonality (ProphetParams custom_seasonalities) vs the
+    fbprophet SM_12 golden — the well-posed Peyton semi-annual Fourier-5
+    block (the air monthly-period case is aliased on monthly sampling
+    and is a documented exclusion)."""
+    case = _need("prophet_peyton_custom_seas_30")
+    from kats_spark.models.prophet_lite import ProphetLite
+
+    times, y = _fixture(case)
+    cs = case["custom_seasonality"]
+    m = (
+        ProphetLite(seed=1)
+        .add_seasonality(cs["name"], cs["period"], cs["fourier_order"])
+        .fit(times, y)
+    )
+    fut = np.array(
+        pd.date_range(pd.Timestamp(times[-1]), periods=case["horizon"] + 1, freq="D")[1:]
+        .to_numpy()
+    )
+    fc = m.predict(fut).fcst.to_numpy()
+    np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
+
+
+def test_golden_doc_records_late_r09_exclusions():
+    """Aliased air custom seasonality + the daily-cap fit gap are
+    documented decisions, not silence (the 6% honesty cap keeps slack
+    from papering over weak parity)."""
+    assert "prophet_air_custom_seas_30" in _DOC["excluded"]
+    assert "prophet_peyton_daily_cap_30" in _DOC["excluded"]

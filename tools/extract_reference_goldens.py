@@ -226,6 +226,63 @@ def main() -> None:
         },
     ]
 
+    cases += [
+        {
+            "name": "arima_peyton_113_15",
+            "fixture": "peyton_manning",
+            "model": "arima",
+            "order": [1, 1, 3],
+            "horizon": 15,
+            "rtol": 0.005,
+            "golden_const": "PEYTON_FCST_15_ARIMA_PARAM_2_MODEL_1",
+            "note": "the reference's PARAM_2 config (ARIMAParams(1,1,3), "
+                    "test_arima_model.py:39) at its own RTOL=0.005 bar; "
+                    "measured max deviation 0.11%",
+            **frame("PEYTON_FCST_15_ARIMA_PARAM_2_MODEL_1"),
+        },
+        {
+            "name": "arima_peyton_113_30",
+            "fixture": "peyton_manning",
+            "model": "arima",
+            "order": [1, 1, 3],
+            "horizon": 30,
+            "rtol": 0.005,
+            "golden_const": "PEYTON_FCST_30_ARIMA_PARAM_2_MODEL_1",
+            "note": "measured max deviation 0.19%",
+            **frame("PEYTON_FCST_30_ARIMA_PARAM_2_MODEL_1"),
+        },
+        {
+            "name": "prophet_peyton_custom_seas_30",
+            "fixture": "peyton_manning",
+            "model": "prophet",
+            "custom_seasonality": {
+                "name": "semi_annually",
+                "period": 365.25 / 2,
+                "fourier_order": 5,
+            },
+            "horizon": 30,
+            "rtol": 0.03,
+            "golden_const": "PEYTON_FCST_30_PROPHET_CUSTOM_SEASONALITY_SM_12",
+            "note": "ProphetParams custom_seasonalities surface "
+                    "(test_prophet_model.py:61 semi-annual Fourier-5 block); "
+                    "measured max deviation 2.3%",
+            **frame("PEYTON_FCST_30_PROPHET_CUSTOM_SEASONALITY_SM_12"),
+        },
+        {
+            "name": "linear_peyton_alpha01",
+            "fixture": "peyton_manning",
+            "model": "linear",
+            "alpha": 0.01,
+            "horizon": 30,
+            "rtol": 1e-6,
+            "rtol_bounds": 1e-2,
+            "golden_const": "PEYTON_FCST_LINEAR_99",
+            "note": "99% interval daily variant; same closed-form exactness "
+                    "as the alpha05 case",
+            **frame("PEYTON_FCST_LINEAR_99", ("fcst", "fcst_lower", "fcst_upper")),
+        },
+    ]
+
     doc = {
         "source": "facebookresearch/Kats kats/tests/models/"
                   "test_models_dummy_data.py (committed statsmodels/prophet "
@@ -259,6 +316,32 @@ def main() -> None:
                                           "logistic-cap behavior is covered "
                                           "by prophet_lite_golden.json's "
                                           "well-posed cap case instead",
+            "prophet_air_custom_seas_30": "the reference's monthly custom "
+                                          "seasonality (period 30.5 days, "
+                                          "test_prophet_model.py:78) is "
+                                          "ALIASED on monthly-spaced air "
+                                          "data (~30.44-day sampling ~= the "
+                                          "period, so the Fourier block is "
+                                          "a near-constant phase drift); "
+                                          "the Stan golden pins an "
+                                          "arbitrary aliased optimum ours "
+                                          "lands 480% from — the same "
+                                          "surface is covered by the "
+                                          "well-posed Peyton semi-annual "
+                                          "case (prophet_peyton_custom_"
+                                          "seas_30)",
+            "prophet_peyton_daily_cap_30": "well-posed golden (cap=20 on "
+                                           "data peaking at 12.8) but OUR "
+                                           "numpy-MAP logistic trend lands "
+                                           "9.0% from Stan under moderate "
+                                           "saturation — past the 6% "
+                                           "honesty cap for trusted "
+                                           "goldens, so recorded as a "
+                                           "known fit gap rather than "
+                                           "papered over with slack; the "
+                                           "logistic-cap surface stays "
+                                           "pinned by the two cap-and-"
+                                           "floor goldens at 0.68%/0.46%",
         },
         "cases": cases,
     }

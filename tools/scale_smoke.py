@@ -176,6 +176,23 @@ def run_op(name: str, spark, k: int) -> tuple[float, int]:
 
         df = replicate_docs(spark, k)
         n = bpe_ops.bpe_train(df, num_merges=10).count()
+    elif name == "dsir":
+        # weights over the replicated corpus (target = every 7th doc):
+        # two corpus passes (bucket counts + scoring) with a broadcast
+        # ratio join between them — expect ~linear growth
+        from kats_spark.operators import dsir as dsir_ops
+
+        df = replicate_docs(spark, k)
+        n = dsir_ops.dsir_weights(
+            df, df.filter(F.col("doc_id") % 7 == 0), num_buckets=1024
+        ).count()
+    elif name == "overlap":
+        # one explode+min pass to |sources| signature rows; the self-
+        # join is constant-size, so growth is the corpus pass alone
+        from kats_spark.operators import dsir as dsir_ops
+
+        df = replicate_docs(spark, k)
+        n = dsir_ops.source_overlap(df, num_hashes=64).count()
     elif name == "ks":
         from kats_spark.operators.dist_distance import ks_drift
 

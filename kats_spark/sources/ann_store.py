@@ -430,6 +430,13 @@ def dsir_weights_stored(
     from kats_spark.operators.dsir import ngram_bucket_rows
 
     lr = spark.read.parquet(path)
+    n_stored = lr.count()  # dense table: exactly num_buckets rows, tiny
+    if n_stored != num_buckets:
+        raise ValueError(
+            f"stored ratio table at {path} has {n_stored} buckets but "
+            f"num_buckets={num_buckets} was requested — a mismatch would "
+            "hash features into the wrong rows silently"
+        )
     feats = ngram_bucket_rows(new_df, text_col, id_col, num_buckets, bigrams)
     return (
         feats.join(F.broadcast(lr), "__b")

@@ -2619,3 +2619,40 @@ def test_cluster_representatives_quality_winner(spark):
     assert got[1] == (2, 3, 99)
     # unpaired docs are their own singleton clusters
     assert got[4] == (4, 1, 7) and got[9] == (9, 1, 55)
+
+
+def test_quality_buckets_tercile_invariants_random(spark):
+    """Randomized invariants of the histogram terciles: per stratum,
+    head covers >= 1/3 of docs, head+middle >= 2/3, and the buckets are
+    monotone in the quantized score (no tail doc below a head doc)."""
+    import collections
+
+    import numpy as np
+
+    from kats_spark.operators.sampling import quality_buckets
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        n = int(rng.integers(5, 60))
+        scores = rng.normal(5, 2, n)
+        langs = rng.choice(["en", "zh"], n)
+        df = spark.createDataFrame(
+            [(i, str(langs[i]), float(scores[i])) for i in range(n)],
+            ["doc_id", "lang", "logppl"],
+        )
+        per = collections.defaultdict(list)
+        for r in quality_buckets(df, bins=50).collect():
+            per[r.lang].append((r.bucket, r.score_bin))
+        for rows in per.values():
+            m = len(rows)
+            h = [sb for b, sb in rows if b == "head"]
+            mid = [sb for b, sb in rows if b == "middle"]
+            t = [sb for b, sb in rows if b == "tail"]
+            assert 3 * len(h) >= m
+            assert 3 * (len(h) + len(mid)) >= 2 * m
+            if h and mid:
+                assert max(h) <= min(mid)
+            if mid and t:
+                assert max(mid) <= min(t)
+            if h and t:
+                assert max(h) <= min(t)

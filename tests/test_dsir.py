@@ -170,3 +170,29 @@ def test_dsir_stored_scores_unseen_vocabulary(corpus, spark, tmp_path):
              [r.text for r in target.collect()])
     default = math.log(1.0 / (tt + 64.0)) - math.log(1.0 / (tr + 64.0))
     assert rows[0].log_weight == pytest.approx(5 * default, rel=0.35)
+
+
+def test_dsir_stored_rejects_bucket_mismatch(corpus, spark, tmp_path):
+    from kats_spark.sources.ann_store import dsir_weights_stored, save_dsir_ratio
+
+    target = corpus.filter(F.col("doc_id").isin(0, 1))
+    path = str(tmp_path / "ratio")
+    save_dsir_ratio(corpus, target, path, num_buckets=64)
+    with pytest.raises(ValueError, match="64 buckets"):
+        dsir_weights_stored(spark, path, corpus, num_buckets=128)
+
+
+def test_dsir_weights_partition_invariant(corpus):
+    """Weights are a pure function of the data: repartitioning the
+    corpus changes nothing (summation-order differences stay inside
+    1e-12 relative)."""
+    from kats_spark.operators.dsir import dsir_weights
+
+    target = corpus.filter(F.col("doc_id").isin(0, 1))
+    a = {r.doc_id: r.log_weight
+         for r in dsir_weights(corpus, target, num_buckets=64).collect()}
+    b = {r.doc_id: r.log_weight
+         for r in dsir_weights(corpus.repartition(7), target, num_buckets=64).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert b[k] == pytest.approx(a[k], rel=1e-12)

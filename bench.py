@@ -132,6 +132,7 @@ HEADLINE = [
     "quality_buckets",
     "cluster_reps",
     "dsir_stored",
+    "mixture_fit",
 ]
 
 

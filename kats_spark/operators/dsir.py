@@ -283,3 +283,81 @@ def source_overlap(
             (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
     )
+
+
+def mixture_fit(
+    raw: DataFrame,
+    target: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 2048,
+    bigrams: bool = True,
+    iters: int = 500,
+) -> "list[tuple[str, float]]":
+    """Mixture-design weights: choose non-negative source weights
+    summing to 1 so the blended hashed-n-gram distribution best
+    matches the target domain's —
+
+        min_w || P w - q ||^2   s.t.  w >= 0,  sum(w) = 1
+
+    where column s of P is source s's bucket distribution and q the
+    target's.  The data-side work is ONE aggregate to the
+    (|sources| x num_buckets) count matrix (map-side combinable; the
+    corpus never shuffles); the solve is a deterministic
+    projected-gradient loop on that driver-resident matrix — the
+    IVF-codebook pattern: driver state is bounded by construction
+    (|sources| x num_buckets floats), not by corpus size.
+
+    The simplex projection is Duchi et al. 2008's O(S log S) sort
+    form.  Fixed iteration count + zero randomness -> byte-identical
+    re-runs.  Returns [(source, weight)] sorted by source.  Iterative
+    numpy solve -> rows-only (no SQL oracle); exact-recovery contracts
+    live in tests/test_dsir.py."""
+    import numpy as np
+
+    fr = ngram_bucket_rows(raw, text_col, id_col, num_buckets, bigrams)
+    src = raw.select(F.col(id_col), F.col(by).alias("__s"))
+    per_src = (
+        fr.join(src, id_col)
+        .groupBy("__s", "__b")
+        .agg(F.count("*").alias("__c"))
+        .collect()
+    )
+    ft = ngram_bucket_rows(target, text_col, id_col, num_buckets, bigrams)
+    per_tgt = ft.groupBy("__b").agg(F.count("*").alias("__c")).collect()
+
+    sources = sorted({r["__s"] for r in per_src})
+    s_ix = {s: i for i, s in enumerate(sources)}
+    P = np.zeros((num_buckets, len(sources)))
+    for r in per_src:
+        P[r["__b"], s_ix[r["__s"]]] = r["__c"]
+    P /= np.maximum(P.sum(axis=0, keepdims=True), 1.0)
+    q = np.zeros(num_buckets)
+    for r in per_tgt:
+        q[r["__b"]] = r["__c"]
+    q /= max(q.sum(), 1.0)
+
+    def proj_simplex(v: np.ndarray) -> np.ndarray:
+        u = np.sort(v)[::-1]
+        css = np.cumsum(u) - 1.0
+        rho = np.nonzero(u * np.arange(1, len(v) + 1) > css)[0][-1]
+        return np.maximum(v - css[rho] / (rho + 1.0), 0.0)
+
+    S = len(sources)
+    w = np.full(S, 1.0 / S)
+    G = P.T @ P
+    b = P.T @ q
+    # Lipschitz step from the Gram spectral norm (power iteration,
+    # fixed 50 rounds — deterministic)
+    v = np.full(S, 1.0 / np.sqrt(S))
+    for _ in range(50):
+        v = G @ v
+        n = np.linalg.norm(v)
+        if n == 0.0:
+            break
+        v /= n
+    L = float(v @ G @ v) or 1.0
+    for _ in range(iters):
+        w = proj_simplex(w - (G @ w - b) / L)
+    return [(s, float(w[s_ix[s]])) for s in sources]

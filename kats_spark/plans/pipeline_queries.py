@@ -2949,6 +2949,31 @@ GROUP BY 1 ORDER BY doc_id
 """
 
 
+def q_mixture_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-design weights (dsir.py mixture_fit): non-negative
+    per-source weights summing to 1 whose blended hashed-n-gram
+    distribution best matches the zh target domain — simplex-projected
+    least squares on the (|sources| x buckets) count matrix (ONE
+    map-side aggregate; the driver solve is bounded by construction).
+    Iterative numpy solve -> rows-only; exact-recovery contracts in
+    tests/test_dsir.py."""
+    from kats_spark.operators.dsir import mixture_fit
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "source", "text")
+        .repartition(par)  # one sub-128MB bench split; see q_source_overlap
+    )
+    w = mixture_fit(
+        docs, docs.filter(F.col("lang") == "zh"), num_buckets=1024
+    )
+    out = spark.createDataFrame(w, ["source", "weight"])
+    return out.select(
+        "source", _rnd("weight", 6).alias("weight")
+    ).orderBy("source")
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap estimation (dsir.py source_overlap):
     per-source minhash signatures over word 3-gram shingles, estimated
@@ -3070,6 +3095,10 @@ QUERIES = {
     "quality_buckets": q_quality_buckets,
     "cluster_reps": q_cluster_reps,
     "dsir_stored": q_dsir_stored,
+    # mixture_fit: rows-only BY DESIGN (simplex-projected gradient is an
+    # iterative numpy solve; the data side is one aggregate) — recovery
+    # contracts in tests/test_dsir.py
+    "mixture_fit": q_mixture_fit,
 }
 
 ORACLES = {

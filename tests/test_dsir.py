@@ -196,3 +196,42 @@ def test_dsir_weights_partition_invariant(corpus):
     assert set(a) == set(b)
     for k in a:
         assert b[k] == pytest.approx(a[k], rel=1e-12)
+
+
+def test_mixture_fit_recovers_known_mixture(spark):
+    """Disjoint-vocabulary sources with a target built as an exact
+    0.6/0.4 blend of two of them: the simplex least-squares recovers
+    the proportions and zeroes the absent source."""
+    from kats_spark.operators.dsir import mixture_fit
+
+    def doc(i, word, n, src):
+        return (i, " ".join([word] * n), "en", src)
+
+    raw = spark.createDataFrame(
+        [doc(0, "aa", 50, "s1"), doc(1, "bb", 50, "s2"), doc(2, "cc", 50, "s3")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    # separate pure docs so the target distribution is EXACTLY
+    # 0.6 * P_s1 + 0.4 * P_s2 (no cross-source bigrams)
+    target = spark.createDataFrame(
+        [doc(10, "aa", 60, "t"), doc(11, "bb", 40, "t")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    w = dict(mixture_fit(raw, target, num_buckets=256))
+    assert set(w) == {"s1", "s2", "s3"}
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+    assert all(v >= 0 for v in w.values())
+    assert w["s1"] == pytest.approx(0.6, abs=1e-3)
+    assert w["s2"] == pytest.approx(0.4, abs=1e-3)
+    assert w["s3"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_mixture_fit_deterministic(spark):
+    from kats_spark.operators.dsir import mixture_fit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tgt = docs.filter(F.col("lang") == "zh")
+    a = mixture_fit(docs, tgt, num_buckets=256)
+    b = mixture_fit(docs, tgt, num_buckets=256)
+    assert a == b
+    assert abs(sum(v for _, v in a) - 1.0) < 1e-9

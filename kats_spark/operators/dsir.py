@@ -59,17 +59,23 @@ def ngram_bucket_rows(
     id_col: str = "doc_id",
     num_buckets: int = 8192,
     bigrams: bool = True,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """One row per word unigram (and bigram) OCCURRENCE, hashed into
-    ``num_buckets`` feature buckets: (id_col, __b).
+    ``num_buckets`` feature buckets: (id_col, *carry_cols, __b).
 
     The hashed bag-of-n-grams feature space of Xie et al. §3 (they use
     10k buckets over uni+bigrams), bucketed by the md5 lattice.  Bigrams
     pair adjacent tokens with ``zip_with`` over two slices of the token
     array — a pure projection, unlike a lag window (which would shuffle
-    the corpus by document)."""
+    the corpus by document).
+
+    ``carry_cols`` ride along unchanged — the streaming twin carries
+    the event-time column through here so no stream-self-join is ever
+    needed."""
+    carry = [F.col(c) for c in (carry_cols or [])]
     t = tokens(normalize(F.col(text_col)))
-    base = df.select(F.col(id_col), t.alias("__t"))
+    base = df.select(F.col(id_col), *carry, t.alias("__t"))
     if bigrams:
         left = F.expr("slice(__t, 1, greatest(size(__t) - 1, 0))")
         right = F.expr("slice(__t, 2, greatest(size(__t) - 1, 0))")
@@ -77,9 +83,11 @@ def ngram_bucket_rows(
         feats = F.concat(F.col("__t"), bi)
     else:
         feats = F.col("__t")
-    ex = base.select(F.col(id_col), F.explode(feats).alias("__f"))
+    ex = base.select(F.col(id_col), *carry, F.explode(feats).alias("__f"))
     return ex.select(
-        F.col(id_col), (md5_hash48("__f") % F.lit(num_buckets)).alias("__b")
+        F.col(id_col),
+        *carry,
+        (md5_hash48("__f") % F.lit(num_buckets)).alias("__b"),
     )
 
 

@@ -1,0 +1,65 @@
+"""Streaming DSIR scoring — the deploy-time twin of the stored batch
+scorer (``sources/ann_store.dsir_weights_stored``): arriving documents
+are importance-weighted against the SAVED dense log-ratio table
+(``save_dsir_ratio``) as they land, so ingestion can route or drop
+documents by target-domain affinity without ever re-touching the
+fitting corpora.
+
+Streaming-legal by construction (the ``streaming/quality.py`` shape):
+the dense ratio table is exactly ``num_buckets`` rows and broadcast-
+joins the exploded feature rows BEFORE the single windowed aggregation
+(stream-static pre-agg joins are allowed); every feature bucket exists
+in the dense table, so the join is inner and lossless.  A closed
+window's (n_feats, log_weight) equals ``dsir_weights_stored`` on the
+same rows (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kats_spark.operators.dsir import ngram_bucket_rows
+
+
+def streaming_dsir_weights(
+    stream: DataFrame,
+    ratio_table: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "t",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    num_buckets: int = 8192,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(window_start, window_end, id, n_feats, log_weight) append rows
+    — one per document per closed tumbling window.  ``ratio_table`` is
+    the DENSE (__b, __lr) frame read from ``save_dsir_ratio``'s path;
+    ``num_buckets``/``bigrams`` must match what was saved (the batch
+    scorer's count guard can't run on an unbounded stream, so the
+    caller pins them)."""
+    wm = stream.withWatermark(time_col, watermark)
+    feats = ngram_bucket_rows(
+        wm,
+        text_col,
+        id_col,
+        num_buckets,
+        bigrams,
+        carry_cols=[time_col],
+    )
+    scored = feats.join(F.broadcast(ratio_table), "__b")
+    return (
+        scored.groupBy(F.window(time_col, window), F.col(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("__lr").alias("log_weight"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col(id_col),
+            "n_feats",
+            "log_weight",
+        )
+    )

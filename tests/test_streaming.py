@@ -1432,3 +1432,80 @@ def test_streaming_quality_buckets_equals_batch(spark):
             assert batch[r.doc_id][0] == r.bucket
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_streaming_dsir_weights_equals_stored_batch(spark):
+    """Streaming DSIR twin (streaming/dsir.py): arriving docs scored
+    against the saved dense ratio table.  Same-plan-on-batch equality
+    vs dsir_weights_stored, then the streamed closed windows match."""
+    from pyspark.sql import functions as F
+
+    from kats_spark.sources.ann_store import dsir_weights_stored, save_dsir_ratio
+    from kats_spark.streaming.dsir import streaming_dsir_weights
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tmpdir = tempfile.mkdtemp()
+    try:
+        path = os.path.join(tmpdir, "ratio")
+        save_dsir_ratio(
+            docs, docs.filter(F.col("lang") == "zh"), path, num_buckets=256
+        )
+        batch = {
+            r.doc_id: (r.n_feats, r.log_weight)
+            for r in dsir_weights_stored(spark, path, docs, num_buckets=256).collect()
+        }
+        ratio = spark.read.parquet(path)
+
+        timed = docs.select(
+            "doc_id", "text",
+            F.to_timestamp(F.lit("2024-03-01 00:00:00")).alias("t"),
+        )
+        sentinel = docs.limit(1).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"), "text",
+            F.to_timestamp(F.lit("2024-03-01 03:30:00")).alias("t"),
+        )
+        same_plan = streaming_dsir_weights(
+            timed.unionByName(sentinel), ratio, num_buckets=256,
+            watermark="30 minutes",
+        ).toPandas()
+        main = same_plan[same_plan.doc_id < 5_000_000]
+        assert len(main) == len(batch)
+        for r in main.itertuples():
+            assert batch[r.doc_id][0] == r.n_feats
+            assert abs(batch[r.doc_id][1] - r.log_weight) < 1e-9
+
+        chunk_dir = os.path.join(tmpdir, "in")
+        os.makedirs(chunk_dir)
+        timed.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(chunk_dir, "c0")
+        )
+        timed.filter(F.col("doc_id") % 2 == 1).unionByName(sentinel).coalesce(
+            1
+        ).write.parquet(os.path.join(chunk_dir, "c1"))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string, t timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(chunk_dir)
+        )
+        q = (
+            streaming_dsir_weights(
+                stream, ratio, num_buckets=256, watermark="30 minutes"
+            )
+            .writeStream.format("memory")
+            .queryName("dsir_stream_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.table("dsir_stream_out").toPandas()
+        got = got[got.doc_id < 5_000_000]
+        assert len(got) == len(batch)
+        for r in got.itertuples():
+            assert batch[r.doc_id][0] == r.n_feats
+            assert abs(batch[r.doc_id][1] - r.log_weight) < 1e-9
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

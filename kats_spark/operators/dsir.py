@@ -1,5 +1,6 @@
 """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
-arXiv:2302.03169) — plus a minhash source-overlap profiler.
+arXiv:2302.03169) — plus a minhash source-overlap profiler and a
+mixture-design weight solver.
 
 Not in the reference (Kats is numeric-only); first-class LLM-pipeline
 extensions for the corpus-building story: given a small TARGET corpus
@@ -36,10 +37,8 @@ Scale shape (100 TB raw corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from pyspark.sql import Column
 
 from kats_spark.operators.dedup import _P, _hash_params, normalize, shingles
 from kats_spark.operators.text import tokens

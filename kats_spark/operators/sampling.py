@@ -759,6 +759,7 @@ def per_source_cap(
     by: list[str] = ("source",),
     id_col: str = "doc_id",
     seed: int = 0,
+    salt_shards: int | None = None,
 ) -> DataFrame:
     """Per-bucket document quota — the C4/RefinedWeb-style cap on how
     many documents any one source/domain may contribute: within each
@@ -766,22 +767,46 @@ def per_source_cap(
     order (deterministic, order/partition independent, append-stable
     for survivors until the bucket fills).
 
-    Scale shape: rank-within-bucket is a window, but unlike the token
-    samplers no prefix SUM is needed, so the scale path is simpler — at
-    a dominant bucket, ``row_number`` still single-tasks; the count-cap
-    makes a two-phase refinement natural (per-salt-shard top-cap, then
-    top-cap of the union), which is exactly ``Window.partitionBy(bucket,
-    salt)`` + a cap-bounded re-rank.  Under ~1M rows/bucket the single
-    window is cheaper (same count-guard philosophy as the samplers).
+    SALTED two-phase scale path (the token_budget_sample shape): a
+    dominant bucket would single-task the global ``row_number``, but
+    the count-cap makes an exact refinement cheap — phase 1 takes the
+    per-(bucket, salt-shard) top-``cap`` on a SLIM (keys, rank) frame
+    (parallelism x salt_shards; the global top-cap of a bucket is
+    contained in the union of its shards' top-caps), phase 2 re-ranks
+    the union, now bounded at cap x salt_shards rows per bucket, and
+    the survivors broadcast-join back onto the corpus scan — text
+    never shuffles.  COUNT-GUARDED like the samplers: under 1M rows
+    the single window is cheaper; both paths are bit-identical
+    (asserted in tests).
 
     Output: surviving rows + ``bucket_rank``."""
     by = list(by)
     rk = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
-    w = Window.partitionBy(*by).orderBy(rk, id_col)
-    return (
-        df.withColumn("bucket_rank", F.row_number().over(w))
-        .filter(F.col("bucket_rank") <= cap)
+    if salt_shards is None:
+        salt_shards = 1 if df.count() < 1_000_000 else 256
+    if salt_shards <= 1:
+        w = Window.partitionBy(*by).orderBy(rk, id_col)
+        return (
+            df.withColumn("bucket_rank", F.row_number().over(w))
+            .filter(F.col("bucket_rank") <= cap)
+        )
+    prefix_len = {16: 1, 256: 2}.get(salt_shards)
+    if prefix_len is None:
+        raise ValueError("salt_shards must be 1, 16 or 256 (hex-prefix widths)")
+    slim = df.select(*by, id_col).withColumn("__rk", rk).withColumn(
+        "__salt", F.substring("__rk", 1, prefix_len)
     )
+    w1 = Window.partitionBy(*by, "__salt").orderBy("__rk", id_col)
+    pre = slim.withColumn("__r1", F.row_number().over(w1)).filter(
+        F.col("__r1") <= cap
+    )
+    w2 = Window.partitionBy(*by).orderBy("__rk", id_col)
+    picked = (
+        pre.withColumn("bucket_rank", F.row_number().over(w2))
+        .filter(F.col("bucket_rank") <= cap)
+        .select(id_col, "bucket_rank")
+    )
+    return df.join(F.broadcast(picked), id_col)
 
 
 def quality_cut_bins(

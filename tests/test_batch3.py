@@ -2656,3 +2656,29 @@ def test_quality_buckets_tercile_invariants_random(spark):
                 assert max(mid) <= min(t)
             if h and t:
                 assert max(h) <= min(t)
+
+
+def test_per_source_cap_salted_equals_naive(spark):
+    """The two-phase salted cap refinement returns the identical
+    survivor set and ranks as the single-window plan (the global
+    top-cap of a bucket is contained in the union of its shards'
+    top-caps, so phase 2's re-rank is exact)."""
+    from kats_spark.operators.sampling import per_source_cap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    naive = (
+        per_source_cap(docs, cap=7, seed=3, salt_shards=1)
+        .select("doc_id", "bucket_rank")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    salted = (
+        per_source_cap(docs, cap=7, seed=3, salt_shards=256)
+        .select("doc_id", "bucket_rank")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(naive) > 0
+    assert salted.equals(naive)

@@ -133,6 +133,7 @@ HEADLINE = [
     "cluster_reps",
     "dsir_stored",
     "mixture_fit",
+    "unimax_alloc",
 ]
 
 

@@ -883,3 +883,71 @@ def quality_buckets(
         .otherwise(F.lit("tail")),
     )
     return out.drop("__b1", "__b2")
+
+
+def unimax_budgets(
+    df: DataFrame,
+    budget_tokens: float,
+    epochs_cap: float = 4.0,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-balanced token allocation (Chung et al. 2023,
+    arXiv:2304.09151): spread ``budget_tokens`` as uniformly as
+    possible across ``by`` strata, except no stratum may be repeated
+    more than ``epochs_cap`` epochs — low-resource languages saturate
+    at ``epochs_cap * n_tokens`` and the leftover redistributes
+    uniformly among the rest (exact waterfilling).
+
+    Closed form over the |strata|-row capacity frame (capacities
+    c_(1) <= ... <= c_(n) sorted ascending, cum their prefix sums):
+    stratum i SATURATES iff giving every remaining stratum at least
+    c_(i) is affordable — c_(i) * (n-i+1) + cum_(i-1) <= B — and the
+    shared water level for the unsaturated rest is
+    (B - sum of saturated capacities) / (#unsaturated).  Pure window
+    arithmetic on a tiny frame; the only corpus-sized work is ONE
+    map-side token-count aggregate.  When B >= sum(c) every stratum
+    saturates and the allocation leaves budget unfilled — UniMax's
+    defining behavior (never exceed the epoch cap).
+
+    Output: (by, n_tokens, capacity, budget) — feed
+    ``budget.alias("__budget")`` into ``token_budget_sample``'s
+    ``bucket_budgets`` hook to actually draw the subcorpus."""
+    tok = df.groupBy(by).agg(
+        F.sum(F.size(tokens(F.col(text_col)))).cast("double").alias("n_tokens")
+    )
+    cap = tok.withColumn("capacity", F.col("n_tokens") * F.lit(float(epochs_cap)))
+    w_ord = Window.orderBy("capacity", by)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    B = F.lit(float(budget_tokens))
+    staged = cap.select(
+        by,
+        "n_tokens",
+        "capacity",
+        F.coalesce(F.sum("capacity").over(w_prev), F.lit(0.0)).alias("__cum_prev"),
+        F.row_number().over(w_ord).alias("__i"),
+        F.count("*").over(w_all).alias("__n"),
+    )
+    sat = (
+        F.col("capacity") * (F.col("__n") - F.col("__i") + 1) + F.col("__cum_prev")
+        <= B
+    )
+    flagged = staged.withColumn("__sat", sat.cast("int"))
+    agg = flagged.select(
+        "*",
+        F.sum("__sat").over(w_all).alias("__k"),
+        F.sum(F.col("capacity") * F.col("__sat")).over(w_all).alias("__cum_k"),
+    )
+    level = F.when(
+        F.col("__n") > F.col("__k"),
+        (B - F.col("__cum_k")) / (F.col("__n") - F.col("__k")),
+    ).otherwise(F.lit(float("inf")))
+    return agg.select(
+        by,
+        "n_tokens",
+        "capacity",
+        F.when(F.col("__sat") == 1, F.col("capacity"))
+        .otherwise(F.least(level, F.col("capacity")))
+        .alias("budget"),
+    )

@@ -2949,6 +2949,63 @@ GROUP BY 1 ORDER BY doc_id
 """
 
 
+def q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-balanced allocation (sampling.py unimax_budgets,
+    Chung et al. 2023): exact waterfilling of a 15k-token budget across
+    languages under a 2-epoch cap — low-resource languages saturate,
+    the leftover spreads uniformly.  One map-side token aggregate +
+    window arithmetic on the |langs|-row frame; exact oracle (identical
+    cumulative order both engines)."""
+    from kats_spark.operators.sampling import unimax_budgets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = unimax_budgets(docs, budget_tokens=15000.0, epochs_cap=2.0)
+    return out.select(
+        "lang",
+        _rnd("n_tokens", 6).alias("n_tokens"),
+        _rnd("capacity", 6).alias("capacity"),
+        _rnd("budget", 6).alias("budget"),
+    ).orderBy("lang")
+
+
+_Q_UNIMAX_SQL = """
+WITH toks AS (
+  SELECT lang,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+cap AS (
+  SELECT lang, sum(len(t))::DOUBLE AS n_tokens,
+         sum(len(t))::DOUBLE * 2.0 AS capacity
+  FROM toks GROUP BY 1
+),
+st AS (
+  SELECT lang, n_tokens, capacity,
+    coalesce(sum(capacity) OVER (ORDER BY capacity, lang
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_prev,
+    row_number() OVER (ORDER BY capacity, lang) AS i,
+    count(*) OVER () AS n
+  FROM cap
+),
+fl AS (
+  SELECT *, CASE WHEN capacity * (n - i + 1) + cum_prev <= 15000.0
+                 THEN 1 ELSE 0 END AS sat
+  FROM st
+),
+ag AS (
+  SELECT *, sum(sat) OVER () AS k, sum(capacity * sat) OVER () AS cum_k
+  FROM fl
+)
+SELECT lang,
+  round(1e-9 + n_tokens, 6) AS n_tokens,
+  round(1e-9 + capacity, 6) AS capacity,
+  round(1e-9 + CASE WHEN sat = 1 THEN capacity
+    ELSE least((15000.0 - cum_k) / (n - k), capacity) END, 6) AS budget
+FROM ag ORDER BY lang
+"""
+
+
 def q_mixture_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-design weights (dsir.py mixture_fit): non-negative
     per-source weights summing to 1 whose blended hashed-n-gram
@@ -3099,6 +3156,7 @@ QUERIES = {
     # iterative numpy solve; the data side is one aggregate) — recovery
     # contracts in tests/test_dsir.py
     "mixture_fit": q_mixture_fit,
+    "unimax_alloc": q_unimax_alloc,
 }
 
 ORACLES = {
@@ -3162,6 +3220,7 @@ ORACLES = {
     "quality_buckets": _Q_QUALITY_BUCKETS_SQL,
     "cluster_reps": _cluster_reps_sql(),
     "dsir_stored": _Q_DSIR_STORED_SQL,
+    "unimax_alloc": _Q_UNIMAX_SQL,
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

@@ -2682,3 +2682,57 @@ def test_per_source_cap_salted_equals_naive(spark):
     )
     assert len(naive) > 0
     assert salted.equals(naive)
+
+
+def test_unimax_budgets_hand_waterfilling(spark):
+    """Three strata (capacities 20/200/2000 at 2 epochs), budget 1000:
+    A and B saturate, C takes the 780-token leftover; a budget past the
+    total capacity saturates everyone and leaves budget unfilled."""
+    from kats_spark.operators.sampling import unimax_budgets
+
+    rows = (
+        [(i, " ".join(["a"] * 10), "A") for i in range(1)]
+        + [(10 + i, " ".join(["b"] * 50), "B") for i in range(2)]
+        + [(20 + i, " ".join(["c"] * 100), "C") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r.lang: (r.capacity, r.budget)
+        for r in unimax_budgets(df, 1000.0, epochs_cap=2.0).collect()
+    }
+    assert got["A"] == (20.0, 20.0)
+    assert got["B"] == (200.0, 200.0)
+    assert got["C"][0] == 2000.0 and abs(got["C"][1] - 780.0) < 1e-9
+    # budget beyond total capacity: every stratum capped at capacity
+    full = {
+        r.lang: r.budget
+        for r in unimax_budgets(df, 10000.0, epochs_cap=2.0).collect()
+    }
+    assert full == {"A": 20.0, "B": 200.0, "C": 2000.0}
+
+
+def test_unimax_budgets_feed_token_budget_sample(spark):
+    """The allocation frame drives token_budget_sample's bucket_budgets
+    hook end-to-end: per-language drawn tokens stay within budget plus
+    at most one document's overshoot."""
+    from pyspark.sql import functions as F
+
+    from kats_spark.operators.sampling import token_budget_sample, unimax_budgets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    alloc = unimax_budgets(docs, 800.0, epochs_cap=1.0)
+    budgets = alloc.select("lang", F.col("budget").alias("__budget"))
+    out = token_budget_sample(docs, 0, by=["lang"], bucket_budgets=budgets)
+    drawn = {
+        r.lang: r.tok for r in
+        out.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    cap = {r.lang: (r.budget, r.n_tokens) for r in alloc.collect()}
+    max_doc = {
+        r.lang: r.m for r in
+        docs.select("lang", F.size(F.split(F.trim("text"), r"\s+")).alias("nt"))
+        .groupBy("lang").agg(F.max("nt").alias("m")).collect()
+    }
+    for lang, tok in drawn.items():
+        assert tok <= cap[lang][0] + max_doc[lang]
+        assert tok > 0

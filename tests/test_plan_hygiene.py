@@ -101,6 +101,7 @@ LAZY_QUERIES = [
     "dsir_sample",
     "source_overlap",
     "quality_buckets",
+    "unimax_alloc",
 ]
 
 

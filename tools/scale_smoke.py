@@ -193,6 +193,24 @@ def run_op(name: str, spark, k: int) -> tuple[float, int]:
 
         df = replicate_docs(spark, k)
         n = dsir_ops.source_overlap(df, num_hashes=64).count()
+    elif name == "qbuckets":
+        # logppl subplan + the tiny (stratum, bin) histogram — growth is
+        # the two corpus token passes; the tercile windows are constant
+        from kats_spark.operators.sampling import quality_buckets, unigram_logppl
+
+        df = replicate_docs(spark, k).withColumn(
+            "lang", F.concat(F.lit("l"), (F.col("doc_id") % 3).cast("string"))
+        )
+        lp = unigram_logppl(df).join(df.select("doc_id", "lang"), "doc_id")
+        n = quality_buckets(lp, bins=1000).count()
+    elif name == "clusterreps":
+        # simhash pair graph + components + the max_by retention agg —
+        # growth tracks the pair volume of the replicated near-dups
+        df = replicate_docs(spark, k).withColumn("n_chars", F.length("text"))
+        fp = dedup.simhash_portable(df, bits=24)
+        pairs = dedup.simhash_pairs(fp, max_hamming=1, bands=2, bits=24,
+                                    fp_col="simhash16")
+        n = dedup.cluster_representatives(df, pairs, "n_chars").count()
     elif name == "ks":
         from kats_spark.operators.dist_distance import ks_drift
 

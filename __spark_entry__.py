@@ -104,7 +104,7 @@ _PRIORITY = [
     "tsfeatures_time", "stl_features_expr", "diversity_sample",
     "vocab_drift",
     "dsir_weights", "dsir_sample", "source_overlap", "quality_buckets",
-    "cluster_reps", "dsir_stored", "unimax_alloc",
+    "cluster_reps", "dsir_stored", "unimax_alloc", "bitext_mine",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

@@ -134,6 +134,7 @@ HEADLINE = [
     "dsir_stored",
     "mixture_fit",
     "unimax_alloc",
+    "bitext_mine",
 ]
 
 

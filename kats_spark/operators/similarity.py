@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -693,4 +693,76 @@ def embedding_pca(
     ]
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, cum_var_explained double, participation_ratio double"
+    )
+
+
+def bitext_margin_pairs(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix
+    criterion): for every x in the source set, the best y in the target
+    set by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avg_kNN(x -> Y) + avg_kNN(y -> X)) / 2)
+
+    — raw cosine over-fires on hubs (vectors near everything); dividing
+    by the average similarity of each side's k nearest neighbors
+    cancels the hubness, which is why CCMatrix mines parallel sentences
+    with the margin and not the cosine.
+
+    Plan: the smaller side BROADCASTS into one scored frame
+    (BroadcastNestedLoopJoin — never a shuffled cartesian), both kNN
+    averages are windows over that frame, and the per-x argmax ranks on
+    the ROUNDED margin with an id tiebreak (the allpairs_topk
+    convention: fp-stable ordering across engines, so the DuckDB oracle
+    replays the selection exactly).  This is the exact baseline — at
+    100 TB swap the broadcast cross for IVF/LSH candidate pairs (the
+    existing ANN operators) and apply the identical margin tail.
+
+    Output: (x_id, y_id, cos_sim, margin) for each x whose best margin
+    clears ``threshold``."""
+    x = x_df.select(
+        F.col(id_col).alias("x_id"), F.col(vec_col).alias("__xv")
+    )
+    y = y_df.select(
+        F.col(id_col).alias("y_id"), F.col(vec_col).alias("__yv")
+    )
+    scored = x.crossJoin(F.broadcast(y)).select(
+        "x_id",
+        "y_id",
+        cosine(F.col("__xv"), F.col("__yv")).alias("__cos"),
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("__cos"), F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("__cos"), F.asc("x_id"))
+    ranked = scored.withColumn("__rx", F.row_number().over(wx)).withColumn(
+        "__ry", F.row_number().over(wy)
+    )
+    ax = (
+        ranked.filter(F.col("__rx") <= k)
+        .groupBy("x_id")
+        .agg(F.avg("__cos").alias("__ax"))
+    )
+    ay = (
+        ranked.filter(F.col("__ry") <= k)
+        .groupBy("y_id")
+        .agg(F.avg("__cos").alias("__ay"))
+    )
+    m = (
+        scored.join(F.broadcast(ax), "x_id")
+        .join(F.broadcast(ay), "y_id")
+        .withColumn(
+            "margin", F.col("__cos") / ((F.col("__ax") + F.col("__ay")) / 2)
+        )
+        .withColumn("__mr", F.round(F.col("margin") + F.lit(1e-9), 6))
+    )
+    wbest = Window.partitionBy("x_id").orderBy(F.desc("__mr"), F.asc("y_id"))
+    return (
+        m.withColumn("__rk", F.row_number().over(wbest))
+        .filter((F.col("__rk") == 1) & (F.col("__mr") > threshold))
+        .select("x_id", "y_id", F.col("__cos").alias("cos_sim"), "margin")
     )

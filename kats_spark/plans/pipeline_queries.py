@@ -546,6 +546,61 @@ FROM ranked WHERE rk <= 3
 """
 
 
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (similarity.bitext_margin_pairs,
+    Artetxe & Schwenk 2019 ratio margin / CCMatrix): best target match
+    per source vector, hubness-corrected by both sides' kNN averages —
+    label 0 plays the source language, label 1 the target.  Exact
+    oracle (selection ranks on the rounded margin)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.bitext_margin_pairs(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") == 1),
+        k=4,
+        threshold=1.0,
+    )
+    return out.select(
+        F.col("x_id").cast("bigint").alias("x_id"),
+        F.col("y_id").cast("bigint").alias("y_id"),
+        _rnd("cos_sim", 6).alias("cos_sim"),
+        _rnd("margin", 6).alias("margin"),
+    ).orderBy("x_id")
+
+
+_Q_BITEXT_SQL = """
+WITH xs AS (SELECT vec_id AS x_id, embedding AS xv FROM embeddings WHERE label = 0),
+ys AS (SELECT vec_id AS y_id, embedding AS yv FROM embeddings WHERE label = 1),
+scored AS (
+  SELECT x_id, y_id,
+    list_sum(list_transform(range(1, len(xv) + 1),
+      i -> xv[i]::DOUBLE * yv[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(xv, v -> v::DOUBLE * v::DOUBLE)))
+       * sqrt(list_sum(list_transform(yv, v -> v::DOUBLE * v::DOUBLE)))) AS c
+  FROM xs, ys
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY x_id ORDER BY c DESC, y_id ASC) AS rx,
+    row_number() OVER (PARTITION BY y_id ORDER BY c DESC, x_id ASC) AS ry
+  FROM scored
+),
+ax AS (SELECT x_id, avg(c) AS ax FROM ranked WHERE rx <= 4 GROUP BY 1),
+ay AS (SELECT y_id, avg(c) AS ay FROM ranked WHERE ry <= 4 GROUP BY 1),
+m AS (
+  SELECT s.x_id, s.y_id, s.c, s.c / ((ax.ax + ay.ay) / 2) AS margin,
+    round(s.c / ((ax.ax + ay.ay) / 2) + 1e-9, 6) AS mr
+  FROM scored s JOIN ax USING (x_id) JOIN ay USING (y_id)
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY mr DESC, y_id ASC) AS rk
+  FROM m
+)
+SELECT x_id::BIGINT AS x_id, y_id::BIGINT AS y_id,
+  round(1e-9 + c, 6) AS cos_sim, round(1e-9 + margin, 6) AS margin
+FROM best WHERE rk = 1 AND mr > 1.0 ORDER BY x_id
+"""
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH candidate pairs.  The planes are seed-deterministic
     driver-side literals baked into the plan, so the EXACT same constants
@@ -3157,6 +3212,7 @@ QUERIES = {
     # contracts in tests/test_dsir.py
     "mixture_fit": q_mixture_fit,
     "unimax_alloc": q_unimax_alloc,
+    "bitext_mine": q_bitext_mine,
 }
 
 ORACLES = {
@@ -3221,6 +3277,7 @@ ORACLES = {
     "cluster_reps": _cluster_reps_sql(),
     "dsir_stored": _Q_DSIR_STORED_SQL,
     "unimax_alloc": _Q_UNIMAX_SQL,
+    "bitext_mine": _Q_BITEXT_SQL,
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

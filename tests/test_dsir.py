@@ -235,3 +235,37 @@ def test_mixture_fit_deterministic(spark):
     b = mixture_fit(docs, tgt, num_buckets=256)
     assert a == b
     assert abs(sum(v for _, v in a) - 1.0) < 1e-9
+
+
+def test_bitext_margin_demotes_hubs(spark):
+    """The ratio margin picks the unique true match over a hub vector
+    that is moderately similar to EVERY source (raw cosine alone would
+    tie-break toward the hub for weak sources)."""
+    import numpy as np
+
+    from kats_spark.operators.similarity import bitext_margin_pairs
+
+    rng = np.random.default_rng(5)
+    d = 8
+    x1 = rng.normal(size=d); x1 /= np.linalg.norm(x1)
+    x2 = rng.normal(size=d); x2 /= np.linalg.norm(x2)
+    hub = (x1 + x2) / np.linalg.norm(x1 + x2)  # similar to both sources
+    y1 = x1 + rng.normal(size=d) * 0.05        # unique true match of x1
+    noise = rng.normal(size=d)
+    xs = spark.createDataFrame(
+        [(0, [float(v) for v in x1]), (1, [float(v) for v in x2])],
+        ["vec_id", "embedding"],
+    )
+    ys = spark.createDataFrame(
+        [
+            (10, [float(v) for v in y1]),
+            (11, [float(v) for v in hub]),
+            (12, [float(v) for v in noise]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {r.x_id: r.y_id for r in
+           bitext_margin_pairs(xs, ys, k=2, threshold=0.0).collect()}
+    assert got[0] == 10  # the unique match beats the hub for x1
+    # a threshold above every margin empties the output
+    assert bitext_margin_pairs(xs, ys, k=2, threshold=10.0).count() == 0

@@ -102,6 +102,7 @@ LAZY_QUERIES = [
     "source_overlap",
     "quality_buckets",
     "unimax_alloc",
+    "bitext_mine",
 ]
 
 

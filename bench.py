@@ -135,6 +135,7 @@ HEADLINE = [
     "mixture_fit",
     "unimax_alloc",
     "bitext_mine",
+    "quantize_int8",
 ]
 
 

@@ -601,6 +601,43 @@ FROM best WHERE rk = 1 AND mr > 1.0 ORDER BY x_id
 """
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (similarity.
+    quantize_int8_rows): per-vector scale = max|x|/127, explicit
+    floor(x+0.5) rounding so both engines agree on half-integers;
+    long-format output for exact value-hash.  Pure projection —
+    exact oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.quantize_int8_rows(emb.filter(F.col("vec_id") < 100))
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "pos",
+        "q",
+        _rnd("scale", 6).alias("scale"),
+    ).orderBy("vec_id", "pos")
+
+
+_Q_QUANTIZE_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding,
+    greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0,
+             1e-30) AS scale
+  FROM embeddings WHERE vec_id < 100
+),
+ex AS (
+  -- parallel unnests zip in DuckDB: position and element stay aligned
+  SELECT vec_id, scale,
+    unnest(range(0, len(embedding))) AS pos,
+    unnest(embedding)::DOUBLE AS x
+  FROM base
+)
+SELECT vec_id::BIGINT AS vec_id, pos::BIGINT AS pos,
+  greatest(-127, least(127, floor(x / scale + 0.5)))::BIGINT AS q,
+  round(1e-9 + scale, 6) AS scale
+FROM ex ORDER BY vec_id, pos
+"""
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH candidate pairs.  The planes are seed-deterministic
     driver-side literals baked into the plan, so the EXACT same constants
@@ -3213,6 +3250,7 @@ QUERIES = {
     "mixture_fit": q_mixture_fit,
     "unimax_alloc": q_unimax_alloc,
     "bitext_mine": q_bitext_mine,
+    "quantize_int8": q_quantize_int8,
 }
 
 ORACLES = {
@@ -3278,6 +3316,7 @@ ORACLES = {
     "dsir_stored": _Q_DSIR_STORED_SQL,
     "unimax_alloc": _Q_UNIMAX_SQL,
     "bitext_mine": _Q_BITEXT_SQL,
+    "quantize_int8": _Q_QUANTIZE_SQL,
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

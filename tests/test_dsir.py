@@ -269,3 +269,20 @@ def test_bitext_margin_demotes_hubs(spark):
     assert got[0] == 10  # the unique match beats the hub for x1
     # a threshold above every margin empties the output
     assert bitext_margin_pairs(xs, ys, k=2, threshold=10.0).count() == 0
+
+
+def test_quantize_int8_reconstruction_bound(spark):
+    """Dequantized values sit within scale/2 of the original per
+    element, and every code is inside [-127, 127]."""
+    import numpy as np
+
+    from kats_spark.operators.similarity import quantize_int8_rows
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = quantize_int8_rows(emb).collect()
+    orig = {r.vec_id: np.array(r.embedding, float) for r in emb.collect()}
+    assert len(rows) == sum(len(v) for v in orig.values())
+    for r in rows:
+        assert -127 <= r.q <= 127
+        x = orig[r.vec_id][r.pos]
+        assert abs(r.q * r.scale - x) <= r.scale / 2 + 1e-12

@@ -103,6 +103,7 @@ LAZY_QUERIES = [
     "quality_buckets",
     "unimax_alloc",
     "bitext_mine",
+    "quantize_int8",
 ]
 
 

@@ -105,7 +105,7 @@ _PRIORITY = [
     "vocab_drift",
     "dsir_weights", "dsir_sample", "source_overlap", "quality_buckets",
     "cluster_reps", "dsir_stored", "unimax_alloc", "bitext_mine",
-    "quantize_int8",
+    "quantize_int8", "shard_assign",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

@@ -136,6 +136,7 @@ HEADLINE = [
     "unimax_alloc",
     "bitext_mine",
     "quantize_int8",
+    "shard_assign",
 ]
 
 

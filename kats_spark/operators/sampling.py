@@ -951,3 +951,50 @@ def unimax_budgets(
         .otherwise(F.least(level, F.col("capacity")))
         .alias("budget"),
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    salt_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic training-shard assignment — the final "write the
+    corpus" step: every document lands in the shard where its tokens
+    START along the seeded-md5 global order, so each shard carries
+    ~``shard_tokens`` tokens (overshoot at most one document, the greedy
+    fill convention) and a re-run over the same snapshot reproduces the
+    identical sharding byte-for-byte.
+
+    The global running sum is :func:`salted_cumsum` — count-guarded
+    like the samplers (naive single window under 1M docs, 256-shard
+    salted-exact above), computed on a SLIM (id, rank, count) frame with
+    the payload reattached by broadcast-joining ONLY the assignment
+    columns back onto the corpus scan... the assignment frame is
+    corpus-sized, so the reattach is a plain id-keyed join (one shuffle
+    of slim columns; the text itself never sorts).
+
+    Output: input columns + n_tokens + shard_id.  Feed
+    ``.write.partitionBy("shard_id")`` to materialize the shards."""
+    rk = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    if salt_shards is None:
+        salt_shards = 1 if df.count() < 1_000_000 else 256
+    base = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    ).withColumn("__rk", rk)
+    cum = salted_cumsum(
+        base, "n_tokens", "__rk", id_col, salt_shards, "cum_tokens"
+    )
+    assign = cum.select(
+        id_col,
+        "n_tokens",
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens"))
+            / F.lit(float(shard_tokens))
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return df.join(assign, id_col)

@@ -601,6 +601,42 @@ FROM best WHERE rk = 1 AND mr > 1.0 ORDER BY x_id
 """
 
 
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment (sampling.assign_shards):
+    documents land in the shard where their tokens start along the
+    seeded-md5 global order (~2000 tokens per shard), computed by the
+    salted-exact cumsum.  Exact oracle."""
+    from kats_spark.operators.sampling import assign_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = assign_shards(docs, shard_tokens=2000, seed=5)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+    ).orderBy("doc_id")
+
+
+_Q_SHARD_ASSIGN_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                    x -> x <> '')) AS n_tokens,
+    md5(concat_ws(':', '5', doc_id::VARCHAR)) AS rk
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY rk, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
+  floor((cum_tokens - n_tokens) / 2000.0)::BIGINT AS shard_id
+FROM cum ORDER BY doc_id
+"""
+
+
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (similarity.
     quantize_int8_rows): per-vector scale = max|x|/127, explicit
@@ -3251,6 +3287,7 @@ QUERIES = {
     "unimax_alloc": q_unimax_alloc,
     "bitext_mine": q_bitext_mine,
     "quantize_int8": q_quantize_int8,
+    "shard_assign": q_shard_assign,
 }
 
 ORACLES = {
@@ -3317,6 +3354,7 @@ ORACLES = {
     "unimax_alloc": _Q_UNIMAX_SQL,
     "bitext_mine": _Q_BITEXT_SQL,
     "quantize_int8": _Q_QUANTIZE_SQL,
+    "shard_assign": _Q_SHARD_ASSIGN_SQL,
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has
     # no SQL equivalent; the *_portable variants above cover the same
     # algorithms with an exact oracle)

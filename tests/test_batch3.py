@@ -2736,3 +2736,35 @@ def test_unimax_budgets_feed_token_budget_sample(spark):
     for lang, tok in drawn.items():
         assert tok <= cap[lang][0] + max_doc[lang]
         assert tok > 0
+
+
+def test_assign_shards_contract(spark):
+    """Every shard except the last carries at least shard_tokens minus
+    one document's overshoot; assignment is deterministic and salted ==
+    naive (the salted_cumsum equivalence applied to sharding)."""
+    from kats_spark.operators.sampling import assign_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = (
+        assign_shards(docs, 2000, seed=5, salt_shards=1)
+        .select("doc_id", "n_tokens", "shard_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        assign_shards(docs, 2000, seed=5, salt_shards=256)
+        .select("doc_id", "n_tokens", "shard_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    per = a.groupby("shard_id").n_tokens.sum()
+    max_doc = a.n_tokens.max()
+    # a doc STARTING before the boundary is kept whole: each shard's
+    # token mass sits in (shard_tokens - max_doc, shard_tokens + max_doc)
+    for sid, tok in per.items():
+        if sid != per.index.max():
+            assert tok > 2000 - max_doc
+        assert tok < 2000 + max_doc

@@ -104,6 +104,7 @@ LAZY_QUERIES = [
     "unimax_alloc",
     "bitext_mine",
     "quantize_int8",
+    "shard_assign",
 ]
 
 

@@ -715,7 +715,8 @@ def bitext_margin_pairs(
     cancels the hubness, which is why CCMatrix mines parallel sentences
     with the margin and not the cosine.
 
-    Plan: the smaller side BROADCASTS into one scored frame
+    Plan: ``y_df`` BROADCASTS into one scored frame — pass the SMALLER
+    language side as ``y_df``
     (BroadcastNestedLoopJoin — never a shuffled cartesian), both kNN
     averages are windows over that frame, and the per-x argmax ranks on
     the ROUNDED margin with an id tiebreak (the allpairs_topk

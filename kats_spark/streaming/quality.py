@@ -81,8 +81,16 @@ def streaming_quality_buckets(
 ) -> DataFrame:
     """(window_start, window_end, id, stratum, n_tokens, logppl,
     score_bin, bucket) append rows — one per document per closed
-    tumbling window, labeled against the frozen reference cuts."""
-    docs = stream.withWatermark(time_col, watermark).join(F.broadcast(cuts), by)
+    tumbling window, labeled against the frozen reference cuts.
+
+    A document whose stratum is ABSENT from the frozen cuts (a new
+    language arriving after the reference corpus was cut) is NOT
+    dropped: the join is left-outer and the document labels
+    ``unknown`` — silently losing new-language traffic at ingest is
+    exactly the failure mode a deploy-time labeler must surface."""
+    docs = stream.withWatermark(time_col, watermark).join(
+        F.broadcast(cuts), by, "left"
+    )
     tok = docs.select(
         F.col(id_col),
         F.col(by),
@@ -110,7 +118,8 @@ def streaming_quality_buckets(
         "n_tokens",
         "logppl",
         sb.alias("score_bin"),
-        F.when(sb <= F.col("__b1"), F.lit("head"))
+        F.when(F.col("__b1").isNull(), F.lit("unknown"))
+        .when(sb <= F.col("__b1"), F.lit("head"))
         .when(sb <= F.col("__b2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),

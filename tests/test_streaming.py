@@ -1509,3 +1509,24 @@ def test_streaming_dsir_weights_equals_stored_batch(spark):
             assert abs(batch[r.doc_id][1] - r.log_weight) < 1e-9
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_streaming_quality_unknown_stratum_not_dropped(spark):
+    """A document whose language is absent from the frozen cuts labels
+    'unknown' instead of silently vanishing from the stream."""
+    from pyspark.sql import functions as F
+
+    from kats_spark.streaming.quality import streaming_quality_buckets
+
+    nll = spark.createDataFrame([("tok", 1.0)], ["tk", "__nll"])
+    cuts = spark.createDataFrame([("en", 10, 20)], ["lang", "__b1", "__b2"])
+    fixture = spark.createDataFrame(
+        [(1, "en", "tok tok"), (2, "xx", "tok tok")], ["doc_id", "lang", "text"]
+    ).withColumn("t", F.to_timestamp(F.lit("2024-03-01 00:00:00")))
+    got = {
+        r.doc_id: r.bucket
+        for r in streaming_quality_buckets(fixture, nll, 2.0, cuts).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[2] == "unknown"
+    assert got[1] in ("head", "middle", "tail")

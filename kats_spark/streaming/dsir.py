@@ -36,9 +36,17 @@ def streaming_dsir_weights(
     """(window_start, window_end, id, n_feats, log_weight) append rows
     — one per document per closed tumbling window.  ``ratio_table`` is
     the DENSE (__b, __lr) frame read from ``save_dsir_ratio``'s path;
-    ``num_buckets``/``bigrams`` must match what was saved (the batch
-    scorer's count guard can't run on an unbounded stream, so the
-    caller pins them)."""
+    ``num_buckets``/``bigrams`` must match what was saved.  The table
+    is STATIC, so the same mismatch guard as the batch scorer runs at
+    construction time (one count of a tiny frame, before the stream
+    starts) — a silent wrong-bucket join never reaches the query."""
+    n_stored = ratio_table.count()
+    if n_stored != num_buckets:
+        raise ValueError(
+            f"ratio table has {n_stored} buckets but num_buckets="
+            f"{num_buckets} was requested — features would hash into "
+            "the wrong rows silently"
+        )
     wm = stream.withWatermark(time_col, watermark)
     feats = ngram_bucket_rows(
         wm,

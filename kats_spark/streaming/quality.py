@@ -83,6 +83,11 @@ def streaming_quality_buckets(
     score_bin, bucket) append rows — one per document per closed
     tumbling window, labeled against the frozen reference cuts.
 
+    ``bins`` must equal the value the cuts were frozen with
+    (``quality_cut_bins``'s ``bins``): the cut bins are quantized score
+    values, so a different quantization here would compare incompatible
+    lattices.
+
     A document whose stratum is ABSENT from the frozen cuts (a new
     language arriving after the reference corpus was cut) is NOT
     dropped: the join is left-outer and the document labels

@@ -1530,3 +1530,20 @@ def test_streaming_quality_unknown_stratum_not_dropped(spark):
     assert set(got) == {1, 2}
     assert got[2] == "unknown"
     assert got[1] in ("head", "middle", "tail")
+
+
+def test_streaming_dsir_rejects_bucket_mismatch(spark):
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from kats_spark.streaming.dsir import streaming_dsir_weights
+
+    ratio = spark.createDataFrame(
+        [(i, 0.0) for i in range(64)], ["__b", "__lr"]
+    )
+    stream = spark.createDataFrame(
+        [(1, "tok", None)], "doc_id bigint, text string, t timestamp"
+    )
+    with pytest.raises(ValueError, match="64 buckets"):
+        streaming_dsir_weights(stream, ratio, num_buckets=128)

@@ -214,3 +214,85 @@ def test_bpe_encode_chain_agrees_cross_engine(spark):
     # to [aa, aa, a</w>] -> (aa,a)? no adjacent pair -> 3 tokens
     row = got[got.doc_id == 150].iloc[0]  # "aaaaa aaaa aa a"
     assert int(row.n_words) == 4
+
+
+def test_md5_lattice_hash_agrees_cross_engine(spark):
+    """The md5-lattice bucket hash behind DSIR / the stored ratio /
+    the seeded samplers — ('0x'||substr(md5(x),1,12))::UBIGINT vs
+    F.conv(substring(md5(x),1,12),16,10) — agrees byte-for-byte on
+    200 adversarial strings (unicode strings hash through UTF-8
+    identically in both engines)."""
+    from kats_spark.operators.dsir import md5_hash48
+
+    texts = _adversarial_strings(seed=29)
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r.i: r.h
+        for r in sdf.select("i", md5_hash48("text").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = {
+        i: h
+        for i, h in con.execute(
+            "SELECT i, (('0x' || substr(md5(text), 1, 12))::UBIGINT)::BIGINT FROM t"
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_dsir_weights_fuzz_matches_duckdb_replay(spark):
+    """End-to-end DSIR weight fuzz: a randomized adversarial corpus
+    scored by the Spark operator equals the pure-DuckDB replay of the
+    identical arithmetic (hashing, smoothing, log-ratio sum) to 1e-9."""
+    from kats_spark.operators.dsir import dsir_weights
+
+    texts = _adversarial_strings(n=120, seed=31)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["zh" if i % 5 == 0 else "en" for i in range(len(texts))],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in dsir_weights(
+            sdf, sdf.filter(F.col("lang") == "zh"), num_buckets=128
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, t,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE []::VARCHAR[] END AS b
+  FROM toks
+),
+feats AS (SELECT doc_id, unnest(list_concat(t, b)) AS f FROM bi),
+fb AS (SELECT doc_id, (('0x' || substr(md5(f), 1, 12))::UBIGINT % 128)::BIGINT AS bk FROM feats),
+cr AS (SELECT bk, count(*) AS cr FROM fb GROUP BY 1),
+ct AS (SELECT bk, count(*) AS ct FROM fb JOIN documents USING (doc_id)
+       WHERE lang = 'zh' GROUP BY 1),
+j AS (SELECT coalesce(cr.bk, ct.bk) AS bk, coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+      FROM cr FULL OUTER JOIN ct ON cr.bk = ct.bk),
+tot AS (SELECT sum(cr)::DOUBLE AS tr, sum(ct)::DOUBLE AS tt FROM j),
+lr AS (SELECT bk, ln((ct + 1.0) / (tt + 128.0)) - ln((cr + 1.0) / (tr + 128.0)) AS lr
+       FROM j CROSS JOIN tot)
+SELECT doc_id, count(*), sum(lr) FROM fb JOIN lr USING (bk) GROUP BY 1
+"""
+    exp = {d: (n, w) for d, n, w in con.execute(sql).fetchall()}
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == exp[d][0]
+        assert abs(got[d][1] - exp[d][1]) < 1e-9

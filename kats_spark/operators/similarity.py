@@ -722,8 +722,8 @@ def bitext_margin_pairs(
     the ROUNDED margin with an id tiebreak (the allpairs_topk
     convention: fp-stable ordering across engines, so the DuckDB oracle
     replays the selection exactly).  This is the exact baseline — at
-    100 TB swap the broadcast cross for IVF/LSH candidate pairs (the
-    existing ANN operators) and apply the identical margin tail.
+    100 TB use ``bitext_margin_pairs_ann`` (portable-IVF candidate pairs
+    + the identical ``_margin_tail``).
 
     Output: (x_id, y_id, cos_sim, margin) for each x whose best margin
     clears ``threshold``."""
@@ -738,6 +738,22 @@ def bitext_margin_pairs(
         "y_id",
         cosine(F.col("__xv"), F.col("__yv")).alias("__cos"),
     )
+    return _margin_tail(scored, k, threshold, hint_broadcast_avgs=True)
+
+
+def _margin_tail(
+    scored: DataFrame, k: int, threshold: float, hint_broadcast_avgs: bool
+) -> DataFrame:
+    """The shared margin-selection tail over a (x_id, y_id, __cos)
+    candidate frame: both-side kNN averages, ratio margin, per-x argmax
+    on the ROUNDED margin with an id tiebreak.  Exact
+    (``bitext_margin_pairs``) and ANN (``bitext_margin_pairs_ann``)
+    mining share THIS code so the selection rule cannot drift.
+
+    ``hint_broadcast_avgs``: the exact baseline broadcasts the per-side
+    kNN-average frames (sf-scale they're tiny); the ANN path leaves the
+    join strategy to AQE — ax grows with |x| and must be allowed to
+    shuffle at corpus scale."""
     wx = Window.partitionBy("x_id").orderBy(F.desc("__cos"), F.asc("y_id"))
     wy = Window.partitionBy("y_id").orderBy(F.desc("__cos"), F.asc("x_id"))
     ranked = scored.withColumn("__rx", F.row_number().over(wx)).withColumn(
@@ -753,9 +769,11 @@ def bitext_margin_pairs(
         .groupBy("y_id")
         .agg(F.avg("__cos").alias("__ay"))
     )
+    if hint_broadcast_avgs:
+        ax, ay = F.broadcast(ax), F.broadcast(ay)
     m = (
-        scored.join(F.broadcast(ax), "x_id")
-        .join(F.broadcast(ay), "y_id")
+        scored.join(ax, "x_id")
+        .join(ay, "y_id")
         .withColumn(
             "margin", F.col("__cos") / ((F.col("__ax") + F.col("__ay")) / 2)
         )
@@ -767,6 +785,81 @@ def bitext_margin_pairs(
         .filter((F.col("__rk") == 1) & (F.col("__mr") > threshold))
         .select("x_id", "y_id", F.col("__cos").alias("cos_sim"), "margin")
     )
+
+
+def bitext_margin_pairs_ann(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_candidates: bool = True,
+) -> DataFrame:
+    """ANN-composed margin bitext mining — the 100 TB path for
+    ``bitext_margin_pairs`` (CCMatrix mines with faiss ANN, not a dense
+    |x|·|y| score matrix; Schwenk et al. 2021 §3.2): candidate pairs
+    come from a portable-IVF probe of the TARGET side, the kNN hubness
+    averages are computed over candidates only, and the selection tail
+    (``_margin_tail``) is byte-identical to the exact baseline — at
+    ``n_probe == n_cells`` the candidate set is all pairs and the output
+    EQUALS the exact operator (asserted in tests).
+
+    Plan shape (the scale contract):
+      * the target side is IVF-indexed (``build_index_portable`` with
+        subset-safe seeds) — centers are ``n_cells`` rows, broadcast;
+      * each source vector probes its ``n_probe`` nearest cells (window
+        over n_cells rows per x);
+      * candidates = probes ⋈ indexed_y — an EQUI-join on cell_id that
+        shuffles only matching inverted lists; the full target side is
+        NEVER broadcast (the exact baseline's scale-killer).  Scale
+        ``n_cells`` ~ sqrt(|Y|) so cells stay bounded and the join key
+        never collapses to a handful of reducers; AQE skew-split covers
+        residual hot cells.
+
+    The candidate frame feeds three consumers (both kNN windows + the
+    margin join), so it is localCheckpoint'd — without the boundary the
+    equi-join would recompute per consumer (the semantic_dedup lesson).
+    ``checkpoint_candidates=False`` skips the boundary so plan tests can
+    inspect the candidate join's physical strategy.
+    """
+    from kats_spark.operators import ivf
+
+    y = y_df.select(F.col(id_col).alias("y_id"), F.col(vec_col).alias("__yv"))
+    seeds = ivf.seed_smallest_ids(y, n_cells, vec_col="__yv", id_col="y_id")
+    indexed_y, centers = ivf.build_index_portable(
+        y, vec_col="__yv", id_col="y_id", n_cells=n_cells, seeds=seeds
+    )
+    x = x_df.select(F.col(id_col).alias("x_id"), F.col(vec_col).alias("__xv"))
+    xc = x.crossJoin(F.broadcast(centers))
+    ranked_cells = xc.withColumn(
+        "__d",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("__xv"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            + F.lit(1.0e-9),
+            6,
+        ),
+    ).withColumn(
+        "__cr",
+        F.row_number().over(Window.partitionBy("x_id").orderBy("__d", "cell_id")),
+    )
+    probes = ranked_cells.filter(F.col("__cr") <= n_probe).select(
+        "x_id", "__xv", "cell_id"
+    )
+    scored = probes.join(indexed_y, "cell_id").select(
+        "x_id",
+        "y_id",
+        cosine(F.col("__xv"), F.col("__yv")).alias("__cos"),
+    )
+    if checkpoint_candidates:
+        scored = scored.localCheckpoint(eager=False)
+    return _margin_tail(scored, k, threshold, hint_broadcast_avgs=False)
 
 
 def quantize_int8_rows(

@@ -601,6 +601,114 @@ FROM best WHERE rk = 1 AND mr > 1.0 ORDER BY x_id
 """
 
 
+def q_bitext_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-composed bitext mining (similarity.bitext_margin_pairs_ann —
+    the CCMatrix scale path): portable-IVF candidate pairs from probing
+    the 3 nearest of 8 target-side cells, kNN hubness averages over
+    candidates only, and the exact operator's identical margin tail.
+    The whole pipeline — subset-seeded IVF build, probe ranking,
+    candidate equi-join, margin selection — replays exactly in DuckDB.
+    At n_probe == n_cells the output equals ``bitext_mine`` (tested)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    out = similarity.bitext_margin_pairs_ann(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") == 1),
+        k=4,
+        threshold=1.0,
+        n_cells=8,
+        n_probe=3,
+    )
+    return out.select(
+        F.col("x_id").cast("bigint").alias("x_id"),
+        F.col("y_id").cast("bigint").alias("y_id"),
+        _rnd("cos_sim", 6).alias("cos_sim"),
+        _rnd("margin", 6).alias("margin"),
+    ).orderBy("x_id")
+
+
+_Q_BITEXT_ANN_SQL = """
+WITH xs AS (
+  SELECT vec_id AS x_id, list_transform(embedding, v -> v::DOUBLE) AS xv
+  FROM embeddings WHERE label = 0
+),
+ys AS (
+  SELECT vec_id AS y_id, list_transform(embedding, v -> v::DOUBLE) AS yv
+  FROM embeddings WHERE label = 1
+),
+seeds AS (
+  SELECT (row_number() OVER (ORDER BY y_id) - 1)::INT AS cell_id, yv AS center
+  FROM (SELECT y_id, yv FROM ys ORDER BY y_id LIMIT 8)
+),
+a1 AS (
+  SELECT y_id, yv, cell_id,
+    round(1e-9 + list_sum(list_transform(range(1, 65),
+      i -> (yv[i] - center[i]) * (yv[i] - center[i]))), 6) AS d
+  FROM ys CROSS JOIN seeds
+),
+asg1 AS (
+  SELECT y_id, yv, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY d, cell_id) AS rn FROM a1
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT cell_id, i AS pos, round(1e-9 + avg(yv[i]), 6) AS cv
+  FROM asg1 CROSS JOIN (SELECT i FROM range(1, 65) t(i)) GROUP BY cell_id, i
+),
+centers AS (SELECT cell_id, list(cv ORDER BY pos) AS center FROM cent GROUP BY cell_id),
+a2 AS (
+  SELECT y_id, yv, cell_id,
+    round(1e-9 + list_sum(list_transform(range(1, 65),
+      i -> (yv[i] - center[i]) * (yv[i] - center[i]))), 6) AS d
+  FROM ys CROSS JOIN centers
+),
+indexed AS (
+  SELECT y_id, yv, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY d, cell_id) AS rn FROM a2
+  ) WHERE rn = 1
+),
+xc AS (
+  SELECT x_id, xv, cell_id,
+    round(1e-9 + list_sum(list_transform(range(1, 65),
+      i -> (xv[i] - center[i]) * (xv[i] - center[i]))), 6) AS d
+  FROM xs CROSS JOIN centers
+),
+probes AS (
+  SELECT x_id, xv, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY d, cell_id) AS cr FROM xc
+  ) WHERE cr <= 3
+),
+scored AS (
+  SELECT x_id, y_id,
+    list_sum(list_transform(range(1, 65), i -> xv[i] * yv[i]))
+    / (sqrt(list_sum(list_transform(xv, v -> v * v)))
+       * sqrt(list_sum(list_transform(yv, v -> v * v)))) AS c
+  FROM probes JOIN indexed USING (cell_id)
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY x_id ORDER BY c DESC, y_id ASC) AS rx,
+    row_number() OVER (PARTITION BY y_id ORDER BY c DESC, x_id ASC) AS ry
+  FROM scored
+),
+ax AS (SELECT x_id, avg(c) AS ax FROM ranked WHERE rx <= 4 GROUP BY 1),
+ay AS (SELECT y_id, avg(c) AS ay FROM ranked WHERE ry <= 4 GROUP BY 1),
+m AS (
+  SELECT s.x_id, s.y_id, s.c, s.c / ((ax.ax + ay.ay) / 2) AS margin,
+    round(s.c / ((ax.ax + ay.ay) / 2) + 1e-9, 6) AS mr
+  FROM scored s JOIN ax USING (x_id) JOIN ay USING (y_id)
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY mr DESC, y_id ASC) AS rk
+  FROM m
+)
+SELECT x_id::BIGINT AS x_id, y_id::BIGINT AS y_id,
+  round(1e-9 + c, 6) AS cos_sim, round(1e-9 + margin, 6) AS margin
+FROM best WHERE rk = 1 AND mr > 1.0 ORDER BY x_id
+"""
+
+
 def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment (sampling.assign_shards):
     documents land in the shard where their tokens start along the
@@ -3286,6 +3394,7 @@ QUERIES = {
     "mixture_fit": q_mixture_fit,
     "unimax_alloc": q_unimax_alloc,
     "bitext_mine": q_bitext_mine,
+    "bitext_mine_ann": q_bitext_mine_ann,
     "quantize_int8": q_quantize_int8,
     "shard_assign": q_shard_assign,
 }
@@ -3353,6 +3462,7 @@ ORACLES = {
     "dsir_stored": _Q_DSIR_STORED_SQL,
     "unimax_alloc": _Q_UNIMAX_SQL,
     "bitext_mine": _Q_BITEXT_SQL,
+    "bitext_mine_ann": _Q_BITEXT_ANN_SQL,
     "quantize_int8": _Q_QUANTIZE_SQL,
     "shard_assign": _Q_SHARD_ASSIGN_SQL,
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has

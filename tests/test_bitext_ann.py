@@ -1,0 +1,122 @@
+"""ANN-composed bitext mining (similarity.bitext_margin_pairs_ann).
+
+The scale contract (VERDICT r09 item #2): candidates from a portable-IVF
+probe of the target side, kNN hubness averages over candidates only, the
+exact operator's identical margin tail — and NO broadcast of the full
+target side (the exact baseline's ``crossJoin(broadcast(y))``
+scale-killer).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kats_spark.operators.similarity import (
+    bitext_margin_pairs,
+    bitext_margin_pairs_ann,
+)
+
+
+@pytest.fixture(scope="module")
+def xy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    return emb.filter(F.col("label") == 0), emb.filter(F.col("label") == 1)
+
+
+def _rows(df):
+    return sorted(
+        (r.x_id, r.y_id, round(r.cos_sim, 9), round(r.margin, 9))
+        for r in df.collect()
+    )
+
+
+def test_full_probe_equals_exact(xy):
+    """n_probe == n_cells makes the candidate set all pairs, so the ANN
+    operator must reproduce the exact baseline bit-for-bit — the shared
+    ``_margin_tail`` plus a complete candidate set leaves no room for
+    drift."""
+    x, y = xy
+    exact = bitext_margin_pairs(x, y, k=4, threshold=1.0)
+    ann = bitext_margin_pairs_ann(x, y, k=4, threshold=1.0, n_cells=4, n_probe=4)
+    e, a = _rows(exact), _rows(ann)
+    assert len(e) > 0
+    assert e == a
+
+
+def test_partial_probe_mines_pairs(xy):
+    """A real (partial) probe still mines a non-trivial pair set, every
+    mined pair's margin clears the threshold, and each source id appears
+    at most once (per-x argmax)."""
+    x, y = xy
+    out = bitext_margin_pairs_ann(x, y, k=4, threshold=1.0, n_cells=4, n_probe=2)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.margin > 1.0 - 1e-6 for r in rows)
+    xids = [r.x_id for r in rows]
+    assert len(xids) == len(set(xids))
+
+
+def _broadcast_builds(df):
+    """(bounded, scan_first) per BroadcastExchange in the executed plan:
+    ``scan_first`` = the broadcast build side is a raw parquet scan
+    (corpus-sized — the scale-killer); ``bounded`` = an Aggregate /
+    TakeOrdered sits between the exchange and any scan (n_cells-row
+    centers / seeds — fine at any scale)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" in ln:
+            seg = lines[i + 1 : i + 12]
+            bounded = any(
+                "HashAggregate" in s
+                or "TakeOrderedAndProject" in s
+                or "GlobalLimit" in s
+                for s in seg[:6]
+            )
+            scan_first = "Scan parquet" in " ".join(seg[:3])
+            out.append((bounded, scan_first))
+    return out
+
+
+def test_no_full_target_broadcast(spark, xy):
+    """With the auto-broadcast regime off (so AQE can't mask strategy at
+    test size): the exact baseline broadcasts the raw target-side scan
+    (the documented scale-killer), while the ANN plan (a) joins
+    candidates via a shuffled EQUI-join on cell_id and (b) only ever
+    broadcasts bounded builds — never a raw corpus scan."""
+    x, y = xy
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        exact = bitext_margin_pairs(x, y)
+        ann = bitext_margin_pairs_ann(
+            x, y, n_cells=4, n_probe=2, checkpoint_candidates=False
+        )
+        assert any(scan for _, scan in _broadcast_builds(exact))
+        ann_builds = _broadcast_builds(ann)
+        assert ann_builds and all(not scan for _, scan in ann_builds)
+        ann_plan = ann._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin [cell_id" in ann_plan
+        assert "CartesianProduct" not in ann_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_seed_smallest_ids_subset(spark):
+    """Seeds over an arbitrary-id subset: the n smallest ids, cell_id =
+    rank in id order — the default ``id < n_cells`` rule would find no
+    seeds at all here."""
+    from kats_spark.operators.ivf import seed_smallest_ids
+
+    df = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (205, [0.0, 1.0]), (103, [0.5, 0.5]), (999, [0.2, 0.8])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r.cell_id: r.center for r in seed_smallest_ids(df, 3).collect()
+    }
+    assert got == {0: [1.0, 0.0], 1: [0.5, 0.5], 2: [0.0, 1.0]}

@@ -103,6 +103,7 @@ LAZY_QUERIES = [
     "quality_buckets",
     "unimax_alloc",
     "bitext_mine",
+    "bitext_mine_ann",
     "quantize_int8",
     "shard_assign",
 ]

@@ -154,6 +154,7 @@ def dsir_weights(
     num_buckets: int = 8192,
     alpha: float = 1.0,
     bigrams: bool = True,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Per-raw-document DSIR importance weight (id_col, n_feats,
     log_weight):
@@ -168,16 +169,21 @@ def dsir_weights(
     The feature stream is consumed twice (raw distribution + scoring);
     above 1M documents it persists as a slim (id, bucket) frame so the
     tokenizer doesn't run twice over the corpus (the token_budget_sample
-    count-guard pattern)."""
+    count-guard pattern).  On that path the RESULT is materialized
+    eagerly (localCheckpoint — slim: 3 scalars per doc) and the fat
+    feature cache released before returning, so repeated calls in a
+    long session never accumulate feature-frame blocks (ADVICE r09).
+    Pass ``n_docs`` when the caller already knows the corpus size to
+    skip the gating count() scan."""
     fr = ngram_bucket_rows(raw, text_col, id_col, num_buckets, bigrams)
-    persisted = raw.count() >= 1_000_000
+    persisted = (raw.count() if n_docs is None else n_docs) >= 1_000_000
     if persisted:
         from pyspark import StorageLevel
 
         fr = fr.persist(StorageLevel.MEMORY_AND_DISK)
     ft = ngram_bucket_rows(target, text_col, id_col, num_buckets, bigrams)
     lr = dsir_log_ratio(fr, ft, num_buckets, alpha)
-    return (
+    out = (
         fr.join(F.broadcast(lr), "__b")
         .groupBy(id_col)
         .agg(
@@ -185,6 +191,10 @@ def dsir_weights(
             F.sum("__lr").alias("log_weight"),
         )
     )
+    if persisted:
+        out = out.localCheckpoint(eager=True)
+        fr.unpersist()
+    return out
 
 
 def dsir_resample(
@@ -197,6 +207,7 @@ def dsir_resample(
     num_buckets: int = 8192,
     alpha: float = 1.0,
     bigrams: bool = True,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Gumbel top-n resampling without replacement, proportional to the
     DSIR importance weights (Xie et al. §3.2): key = log_weight +
@@ -205,10 +216,17 @@ def dsir_resample(
     The Gumbel draw is the deterministic md5 lattice — u = (first 48
     md5 bits + 0.5) / 2^48, g = -ln(-ln(u)) — so re-runs over the same
     snapshot select the identical subcorpus and the DuckDB oracle
-    replays the selection bit-for-bit.  Selection is orderBy + limit
+    replays the selection bit-for-bit.  The top-n ranks on the ROUNDED
+    key (the bitext ``__mr`` / allpairs_topk convention) with an id
+    tiebreak: log_weight is a float sum whose addition order differs
+    between Spark partial aggregation and DuckDB, so an unrounded key
+    within an ulp of the cutoff could flip the selection between
+    engines (ADVICE r09).  Selection is orderBy + limit
     (TakeOrderedAndProject: no global sort); the winners broadcast back
     onto the raw scan for their payload columns."""
-    w = dsir_weights(raw, target, text_col, id_col, num_buckets, alpha, bigrams)
+    w = dsir_weights(
+        raw, target, text_col, id_col, num_buckets, alpha, bigrams, n_docs
+    )
     u = (
         F.conv(
             F.substring(
@@ -227,7 +245,9 @@ def dsir_resample(
     ) / F.lit(float(1 << 48))
     gumbel = -F.log(-F.log(u))
     picked = (
-        w.withColumn("__key", F.col("log_weight") + gumbel)
+        w.withColumn(
+            "__key", F.round(F.col("log_weight") + gumbel + F.lit(1e-9), 6)
+        )
         .orderBy(F.desc("__key"), F.col(id_col))
         .limit(n)
         .select(id_col, "n_feats", "log_weight")
@@ -260,7 +280,9 @@ def source_overlap(
     The signature frame PERSISTS before the self-join: it is |groups|
     rows, but its lineage is the full corpus pass — unpersisted, both
     join sides would re-tokenize the corpus (measured 2x on the
-    bench)."""
+    bench).  The cache is left alive deliberately: the MATERIALIZED
+    blocks are |groups| x num_hashes longs (bytes, not the corpus), so
+    its lifetime cost is bounded by construction."""
     ex = df.select(
         F.col(group_col).alias("__g"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("g"),

@@ -3103,9 +3103,9 @@ _Q_DSIR_SAMPLE_SQL = f"""
 WITH {_DSIR_FEATS_CTE},
 k AS (
   SELECT doc_id, n_feats, lw,
-    lw - ln(-ln(
+    round(1e-9 + lw - ln(-ln(
       ((('0x' || substr(md5(concat_ws(':', 'dsir', '7', doc_id::VARCHAR)), 1, 12))::UBIGINT)::DOUBLE + 0.5)
-      / 281474976710656.0)) AS key
+      / 281474976710656.0)), 6) AS key
   FROM w
 )
 SELECT doc_id, lang, n_feats, log_weight FROM (
@@ -3125,10 +3125,18 @@ def q_dsir_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-touched, completing the stored-model family (band / gram /
     chunk / ivf indexes + ratio tables).  Exact oracle (the dense
     table's unseen buckets are the pure-smoothing ratio, replayed as a
-    coalesce default in DuckDB)."""
+    coalesce default in DuckDB).  The reuse gate keys on a CONTENT
+    fingerprint of the source parquet, not path existence — a
+    regenerated dataset refreshes the stored table (ADVICE r09)."""
     import os
 
-    from kats_spark.sources.ann_store import dsir_weights_stored, save_dsir_ratio
+    from kats_spark.sources.ann_store import (
+        dsir_weights_stored,
+        mark_stored,
+        save_dsir_ratio,
+        source_fingerprint,
+        stored_is_current,
+    )
 
     sf_name = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
     path = os.path.join(
@@ -3137,10 +3145,12 @@ def q_dsir_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"dsir_ratio_{sf_name}",
     )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    if not os.path.exists(path):
+    fp = source_fingerprint(f"{sf_dir}/documents.parquet")
+    if not stored_is_current(path, fp):
         save_dsir_ratio(
             docs, docs.filter(F.col("lang") == "zh"), path, num_buckets=1024
         )
+        mark_stored(path, fp)
     out = dsir_weights_stored(
         spark, path, _incremental_batch(docs), num_buckets=1024
     )

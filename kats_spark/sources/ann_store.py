@@ -387,6 +387,52 @@ def incremental_neardup_stored(
     )
 
 
+def source_fingerprint(src_path: str) -> str:
+    """Content fingerprint of a source parquet (row count from the
+    footer + byte size — no Spark job): stored-index queries key their
+    reuse gate on THIS, not on ``os.path.exists``, so a regenerated
+    scale-factor dataset with different contents refreshes the stored
+    table instead of silently reusing a stale one (ADVICE r09).
+    Deliberately excludes mtime: regenerating identical data must NOT
+    force a rebuild (the amortized-first-rep design)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(src_path):
+        parts = sorted(
+            os.path.join(src_path, f)
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        parts = [src_path]
+    rows = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+    size = sum(os.path.getsize(p) for p in parts)
+    return f"{rows}:{size}"
+
+
+def stored_is_current(store_path: str, fingerprint: str) -> bool:
+    """True iff ``store_path`` was built from a source matching
+    ``fingerprint`` (see ``source_fingerprint``)."""
+    import os
+
+    fp_file = os.path.join(store_path, "_SOURCE_FINGERPRINT")
+    if not os.path.exists(fp_file):
+        return False
+    with open(fp_file) as f:
+        return f.read().strip() == fingerprint
+
+
+def mark_stored(store_path: str, fingerprint: str) -> None:
+    """Record the source fingerprint next to a freshly-built stored
+    table (call after the save succeeds)."""
+    import os
+
+    with open(os.path.join(store_path, "_SOURCE_FINGERPRINT"), "w") as f:
+        f.write(fingerprint)
+
+
 def save_dsir_ratio(
     raw: DataFrame,
     target: DataFrame,

@@ -92,7 +92,11 @@ def streaming_quality_buckets(
     language arriving after the reference corpus was cut) is NOT
     dropped: the join is left-outer and the document labels
     ``unknown`` — silently losing new-language traffic at ingest is
-    exactly the failure mode a deploy-time labeler must surface."""
+    exactly the failure mode a deploy-time labeler must surface.  The
+    same contract covers ZERO-TOKEN documents (whitespace-only or empty
+    text): the token fan-out is ``explode_outer``, so they reach the
+    output with ``n_tokens=0``, null logppl/score_bin, and the sentinel
+    bucket ``empty`` instead of vanishing at the explode."""
     docs = stream.withWatermark(time_col, watermark).join(
         F.broadcast(cuts), by, "left"
     )
@@ -102,14 +106,16 @@ def streaming_quality_buckets(
         F.col(time_col),
         "__b1",
         "__b2",
-        F.explode(tokens(normalize(F.col(text_col)))).alias("tk"),
+        F.explode_outer(tokens(normalize(F.col(text_col)))).alias("tk"),
     )
     scored = tok.join(F.broadcast(nll_table), "tk", "left")
-    nll = F.coalesce(F.col("__nll"), F.lit(float(oov)))
+    nll = F.when(
+        F.col("tk").isNotNull(), F.coalesce(F.col("__nll"), F.lit(float(oov)))
+    )
     agg = scored.groupBy(
         F.window(time_col, window), F.col(id_col), F.col(by)
     ).agg(
-        F.count("*").cast("long").alias("n_tokens"),
+        F.count("tk").cast("long").alias("n_tokens"),
         F.avg(nll).alias("logppl"),
         F.first("__b1").alias("__b1"),
         F.first("__b2").alias("__b2"),
@@ -123,7 +129,8 @@ def streaming_quality_buckets(
         "n_tokens",
         "logppl",
         sb.alias("score_bin"),
-        F.when(F.col("__b1").isNull(), F.lit("unknown"))
+        F.when(F.col("n_tokens") == 0, F.lit("empty"))
+        .when(F.col("__b1").isNull(), F.lit("unknown"))
         .when(sb <= F.col("__b1"), F.lit("head"))
         .when(sb <= F.col("__b2"), F.lit("middle"))
         .otherwise(F.lit("tail"))

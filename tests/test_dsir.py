@@ -286,3 +286,26 @@ def test_quantize_int8_reconstruction_bound(spark):
         assert -127 <= r.q <= 127
         x = orig[r.vec_id][r.pos]
         assert abs(r.q * r.scale - x) <= r.scale / 2 + 1e-12
+
+
+def test_stored_fingerprint_staleness_guard(corpus, spark, tmp_path):
+    """The stored-table reuse gate keys on a CONTENT fingerprint of the
+    source parquet (ADVICE r09): same content -> current (no rebuild),
+    regenerated different content -> stale (refresh)."""
+    from kats_spark.sources.ann_store import (
+        mark_stored,
+        source_fingerprint,
+        stored_is_current,
+    )
+
+    src = str(tmp_path / "src.parquet")
+    corpus.toPandas().to_parquet(src)
+    store = tmp_path / "store"
+    store.mkdir()
+    fp = source_fingerprint(src)
+    assert not stored_is_current(str(store), fp)  # never marked
+    mark_stored(str(store), fp)
+    assert stored_is_current(str(store), source_fingerprint(src))
+    # regenerate the source with different contents -> stale
+    corpus.toPandas().assign(text=lambda d: d.text + " drifted").to_parquet(src)
+    assert not stored_is_current(str(store), source_fingerprint(src))

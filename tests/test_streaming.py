@@ -1513,7 +1513,10 @@ def test_streaming_dsir_weights_equals_stored_batch(spark):
 
 def test_streaming_quality_unknown_stratum_not_dropped(spark):
     """A document whose language is absent from the frozen cuts labels
-    'unknown' instead of silently vanishing from the stream."""
+    'unknown', and a zero-token document labels 'empty' with n_tokens=0
+    — neither silently vanishes from the stream (ADVICE r09: explode of
+    an empty token array emits no rows, so pre-fix a whitespace-only
+    doc never reached the output)."""
     from pyspark.sql import functions as F
 
     from kats_spark.streaming.quality import streaming_quality_buckets
@@ -1521,15 +1524,21 @@ def test_streaming_quality_unknown_stratum_not_dropped(spark):
     nll = spark.createDataFrame([("tok", 1.0)], ["tk", "__nll"])
     cuts = spark.createDataFrame([("en", 10, 20)], ["lang", "__b1", "__b2"])
     fixture = spark.createDataFrame(
-        [(1, "en", "tok tok"), (2, "xx", "tok tok")], ["doc_id", "lang", "text"]
+        [(1, "en", "tok tok"), (2, "xx", "tok tok"), (3, "en", "   "), (4, "en", "")],
+        ["doc_id", "lang", "text"],
     ).withColumn("t", F.to_timestamp(F.lit("2024-03-01 00:00:00")))
-    got = {
-        r.doc_id: r.bucket
+    rows = {
+        r.doc_id: r
         for r in streaming_quality_buckets(fixture, nll, 2.0, cuts).collect()
     }
-    assert set(got) == {1, 2}
-    assert got[2] == "unknown"
-    assert got[1] in ("head", "middle", "tail")
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2].bucket == "unknown"
+    assert rows[1].bucket in ("head", "middle", "tail")
+    for empty_id in (3, 4):
+        assert rows[empty_id].bucket == "empty"
+        assert rows[empty_id].n_tokens == 0
+        assert rows[empty_id].logppl is None
+        assert rows[empty_id].score_bin is None
 
 
 def test_streaming_dsir_rejects_bucket_mismatch(spark):

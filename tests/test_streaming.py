@@ -1556,3 +1556,79 @@ def test_streaming_dsir_rejects_bucket_mismatch(spark):
     )
     with pytest.raises(ValueError, match="64 buckets"):
         streaming_dsir_weights(stream, ratio, num_buckets=128)
+
+
+def test_dsir_streaming_sink_end_to_end(spark):
+    """VERDICT r09 #5: the deployable DSIR consumer — documents stream
+    in over 2 micro-batches, each is scored against the saved dense
+    ratio table inside foreachBatch (running dsir_weights_stored
+    UNCHANGED), and the scored docs LAND in a parquet sink whose union
+    equals dsir_weights_stored on the whole batch.  The thresholded
+    variant keeps exactly the batch scorer's over-threshold set."""
+    from pyspark.sql import functions as F
+
+    from kats_spark.sources.ann_store import dsir_weights_stored, save_dsir_ratio
+    from kats_spark.streaming.dsir import streaming_dsir_to_sink
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "text")
+    tmpdir = tempfile.mkdtemp()
+    try:
+        ratio = os.path.join(tmpdir, "ratio")
+        save_dsir_ratio(
+            docs, docs.filter(F.col("lang") == "zh"), ratio, num_buckets=256
+        )
+        batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+        exp = (
+            batch.join(
+                dsir_weights_stored(spark, ratio, batch, num_buckets=256), "doc_id"
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        chunk_dir = os.path.join(tmpdir, "in")
+        out_dir = os.path.join(tmpdir, "scored")
+        os.makedirs(chunk_dir)
+        bpd = batch.toPandas()
+        half = len(bpd) // 2
+        bpd.iloc[:half].to_parquet(os.path.join(chunk_dir, "c0.parquet"))
+        bpd.iloc[half:].to_parquet(os.path.join(chunk_dir, "c1.parquet"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+            .parquet(chunk_dir)
+        )
+        q = streaming_dsir_to_sink(
+            stream, ratio, out_dir, os.path.join(tmpdir, "ckpt"), num_buckets=256
+        )
+        q.awaitTermination(180)
+        got = (
+            spark.read.parquet(out_dir)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) > 0
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+        # thresholded routing: sink keeps exactly the batch over-threshold set
+        thr = float(exp.log_weight.median())
+        out2 = os.path.join(tmpdir, "routed")
+        stream2 = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        q2 = streaming_dsir_to_sink(
+            stream2, ratio, out2, os.path.join(tmpdir, "ckpt2"),
+            num_buckets=256, min_log_weight=thr,
+        )
+        q2.awaitTermination(180)
+        kept = set(spark.read.parquet(out2).toPandas().doc_id)
+        assert kept == set(exp[exp.log_weight >= thr].doc_id)
+        assert 0 < len(kept) < len(exp)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

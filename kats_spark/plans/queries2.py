@@ -36,11 +36,13 @@ from kats_spark.plans.queries import (
     _DK_FMT,
     _HOURLY_SQL,
     _OUTLIER_CORE_SQL,
+    _Q_STL_FEAT_SQL,
     _TS_FMT,
     _fmt_time,
     _r6,
     _rnd,
     hourly_series,
+    q_stl_features_expr,
     raw_series,
 )
 
@@ -4370,6 +4372,30 @@ FROM h GROUP BY 1
 """
 
 
+def q_tsfeatures_wide_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE oracled WIDE TsFeatures row (VERDICT r09 item #7): the
+    closed-form-expressible feature blocks — statistics + level_shift
+    (the tsfeatures_expr 15), the centered-MA stl_features block
+    (strengths, LOO spikiness, peak/trough), and the time group — joined
+    per series into a single 36-column frame with a FULL value-hash
+    oracle (the three blocks' proven SQL replays joined on series_id).
+    The iterative groups (kernel trio, acfpacf, seasonalities,
+    nowcasting, loess STL) stay in the rows-only ``tsfeatures_full``
+    twin by necessity."""
+    e = q_tsfeatures_expr(spark, sf_dir)
+    s = q_stl_features_expr(spark, sf_dir)
+    t = q_tsfeatures_time(spark, sf_dir)
+    return e.join(s, "series_id").join(t, "series_id")
+
+
+_Q_TSFEAT_WIDE_SQL = f"""
+SELECT e.*, s.* EXCLUDE (series_id), t.* EXCLUDE (series_id)
+FROM ({_Q_TSFEAT_EXPR_SQL}) e
+JOIN ({_Q_STL_FEAT_SQL}) s USING (series_id)
+JOIN ({_Q_TSFEAT_TIME_SQL}) t USING (series_id)
+"""
+
+
 def q_metalearn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metalearner metadata PRODUCER (get_metadata.py workflow): the
     per-series candidate-model holdout tournament — linear / quadratic /
@@ -5226,6 +5252,7 @@ QUERIES = {
     "metalearn_metadata": q_metalearn_metadata,
     "detector_hpt": q_detector_hpt,
     "tsfeatures_time": q_tsfeatures_time,
+    "tsfeatures_wide_expr": q_tsfeatures_wide_expr,
     "model_select": q_model_select,
     "model_select_rf": q_model_select_rf,
     "predictability": q_predictability,
@@ -5294,6 +5321,7 @@ ORACLES = {
     "metalearn_metadata": _Q_METALEARN_METADATA_SQL,
     "detector_hpt": _Q_DETECTOR_HPT_SQL,
     "tsfeatures_time": _Q_TSFEAT_TIME_SQL,
+    "tsfeatures_wide_expr": _Q_TSFEAT_WIDE_SQL,
     "ivf_topk_portable": _Q_IVF_PORTABLE_SQL,
     "diversity_sample": _Q_DIVERSITY_SQL,
     "ivf_stored_topk": _Q_IVF_PORTABLE_SQL,  # stored layer, same lattice

@@ -93,6 +93,7 @@ LAZY_QUERIES = [
     "metalearn_metadata",
     "detector_hpt",
     "tsfeatures_full",
+    "tsfeatures_wide_expr",
     "vocab_drift",
     "diversity_sample",
     "stl_features_expr",

@@ -211,6 +211,44 @@ def run_op(name: str, spark, k: int) -> tuple[float, int]:
         pairs = dedup.simhash_pairs(fp, max_hamming=1, bands=2, bits=24,
                                     fp_col="simhash16")
         n = dedup.cluster_representatives(df, pairs, "n_chars").count()
+    elif name == "unimax":
+        # one map-side token aggregate to |langs| rows; the waterfilling
+        # windows run on that constant-size frame — growth is the
+        # corpus token pass alone
+        from kats_spark.operators.sampling import unimax_budgets
+
+        df = replicate_docs(spark, k)
+        n = unimax_budgets(df, budget_tokens=15000.0, epochs_cap=2.0).count()
+    elif name == "quant":
+        # pure projection + posexplode: no shuffle, no state — expect
+        # linear in rows
+        df = replicate_emb(spark, k)
+        n = similarity.quantize_int8_rows(df).count()
+    elif name == "shard":
+        # salted-exact cumsum over slim (id, tokens, rank) rows — the
+        # 256-shard path; growth is the token count + two slim shuffles
+        df = replicate_docs(spark, k)
+        n = sampling.assign_shards(df, shard_tokens=2000, seed=5).count()
+    elif name in ("bitext_exact", "bitext_ann"):
+        # the contrast pair: the exact baseline broadcasts the whole
+        # target side and scores |x|*|y| cosines (quadratic BY DESIGN —
+        # the documented scale-killer), the ANN path probes IVF cells
+        # (n_cells ~ sqrt(|Y|)) and joins candidates by cell_id
+        emb = replicate_emb(spark, k)
+        x = emb.filter(F.col("vec_id") % 2 == 0)
+        y = emb.filter(F.col("vec_id") % 2 == 1)
+        if name == "bitext_exact":
+            n = similarity.bitext_margin_pairs(x, y, k=4, threshold=1.0).count()
+        else:
+            # LINEAR cell scaling (constant cell size) — the regime a
+            # stored-index deployment runs: candidates per source stay
+            # bounded, so total work grows linearly.  sqrt-scaling
+            # (faiss's search-time balance) gives the n^1.5 IVF
+            # asymptotic instead — still strictly below exact's n^2.
+            cells = {1: 8, 2: 16, 4: 32}[k]
+            n = similarity.bitext_margin_pairs_ann(
+                x, y, k=4, threshold=1.0, n_cells=cells, n_probe=3
+            ).count()
     elif name == "ks":
         from kats_spark.operators.dist_distance import ks_drift
 

@@ -111,13 +111,16 @@ def _hw_fit(
     return fitted, l, b, seas
 
 
-def _ses_fit_estimated(y: np.ndarray) -> tuple[float, float, float]:
+def _ses_fit_estimated(y: np.ndarray) -> tuple[float, float, float, float]:
     """SES with (alpha, l0) JOINTLY optimized by in-sample SSE — the
     statsmodels ``SimpleExpSmoothing(...).fit()`` 'estimated'
     initialization the reference's theta model calls
     (kats/models/theta.py:139).  Coarse-to-fine grid (3 refinement
     rounds) instead of L-BFGS; measured within 1.5% of the statsmodels
-    optimum on the parity goldens.  Returns (alpha, final_level, sse)."""
+    optimum on the parity goldens.  Returns (alpha, final_level, sse,
+    l0) — ``l0`` lets callers reconstruct the one-step-ahead FITTED
+    series (fitted[i] = level before absorbing y[i]), the
+    ``include_history`` surface the theta incl-hist goldens pin."""
     y = np.asarray(y, dtype=float)
 
     def sse_of(alpha: float, l0: float) -> float:
@@ -149,7 +152,7 @@ def _ses_fit_estimated(y: np.ndarray) -> tuple[float, float, float]:
     l = l0
     for v in y:
         l = alpha * v + (1 - alpha) * l
-    return alpha, float(l), best[0]
+    return alpha, float(l), best[0], l0
 
 
 def theta_seasonal_forecast_one(
@@ -180,7 +183,7 @@ def theta_seasonal_forecast_one(
         if np.all(np.abs(seas_c) >= 1e-10):
             seas = seas_c
     des = y / seas
-    alpha, level, _ = _ses_fit_estimated(des)
+    alpha, level, _, _ = _ses_fit_estimated(des)
     regr = np.vstack([np.arange(n, dtype=float), np.ones(n)]).T
     slope = float(np.linalg.lstsq(regr, des, rcond=None)[0][0])
     drift = slope / 2.0
@@ -190,6 +193,41 @@ def theta_seasonal_forecast_one(
         rep = steps // m + 1
         fc = fc * np.tile(seas[-m:], rep)[:steps]
     return fc
+
+
+def theta_fitted_one(y: np.ndarray, m: int) -> np.ndarray:
+    """The theta model's IN-SAMPLE fitted values — the history block of
+    ``predict(include_history=True)`` (kats/models/theta.py:150-152,
+    229-247): SES one-step-ahead fitted values on the deseasonalized
+    series, re-seasonalized by the FULL per-point seasonal component
+    (not the tiled last period the forecast tail uses).  Pinned by the
+    SM_12 incl-hist goldens on both public fixtures (measured 2e-5 on
+    Peyton m=1, 0.34% on air m=12)."""
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    seasonal = False
+    if m > 1 and len(np.unique(y)) > 1 and n > 2 * m:
+        c = y - y.mean()
+        ss = float(c @ c)
+        r = np.array([float(c[k:] @ c[:-k]) / ss for k in range(1, m + 1)])
+        stat = math.sqrt((1.0 + 2.0 * float(np.sum(r[:-1] ** 2))) / n)
+        seasonal = abs(r[-1] / stat) > 1.644
+    seas = np.ones(n)
+    if seasonal:
+        from kats_spark.operators.stl import stl_decompose_np
+
+        _, S, _ = stl_decompose_np(np.log(np.maximum(y, 1e-12)), m)
+        seas_c = np.exp(S)
+        if np.all(np.abs(seas_c) >= 1e-10):
+            seas = seas_c
+    des = y / seas
+    alpha, _, _, l0 = _ses_fit_estimated(des)
+    fitted = np.empty(n)
+    level = l0
+    for i, v in enumerate(des):
+        fitted[i] = level
+        level = alpha * v + (1 - alpha) * level
+    return fitted * seas
 
 
 def _forecast_frame(

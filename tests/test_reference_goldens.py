@@ -138,14 +138,17 @@ def test_prophet_lite_matches_prophet_golden():
     np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
 
 
-def test_sarima_matches_statsmodels_golden():
+@pytest.mark.parametrize("name", ["sarima_air_p2m1_30", "sarima_air_p2m1_15"])
+def test_sarima_matches_statsmodels_golden(name):
     """Lag-set SARIMA vs the reference's ONLY usable seasonal golden —
-    (2,1,1)x(1,0,1,12) lbfgs-50 on air passengers.  The reference itself
-    disabled this case as non-deterministic (test_sarima_model.py:135,
-    T103684646) and its other seasonal golden (newton maxiter=1) is
-    numerically divergent, so the tolerance documents golden quality,
-    not fit quality — see the JSON note."""
-    case = _need("sarima_air_p2m1_30")
+    (2,1,1)x(1,0,1,12) lbfgs-50 on air passengers, 30- and 15-step
+    horizons.  The reference itself disabled this case as
+    non-deterministic (test_sarima_model.py:135, T103684646) and its
+    other seasonal golden (newton maxiter=1) is numerically divergent,
+    so the tolerances document golden quality, not fit quality — see
+    the JSON notes (the 15-step head measures 4.12%, inside the 6%
+    honesty cap the 30-step tail exceeds)."""
+    case = _need(name)
     from kats_spark.models.sarima import _sarima_forecast_one
 
     _, y = _fixture(case)
@@ -153,6 +156,26 @@ def test_sarima_matches_statsmodels_golden():
         y, tuple(case["order"]), tuple(case["seasonal_order"]), case["horizon"]
     )
     np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
+
+
+@pytest.mark.parametrize(
+    "name", ["theta_peyton_m1_30_incl_hist", "theta_air_m12_15_incl_hist"]
+)
+def test_theta_incl_hist_matches_statsmodels_golden(name):
+    """The include_history IN-SAMPLE surface (theta.py:150-152,229-247):
+    the incl-hist goldens' history block is statsmodels SES
+    one-step-ahead fitted values (re-seasonalized on the m=12 fixture) —
+    compared against theta_fitted_one.  Stronger than forecast-only
+    parity: every in-sample point is pinned, not just the 15/30-step
+    tail."""
+    case = _need(name)
+    from kats_spark.models.fcst import theta_fitted_one
+
+    _, y = _fixture(case)
+    fitted = theta_fitted_one(y, case["m"])
+    golden_hist = np.asarray(case["fcst"][: len(y)], dtype=float)
+    assert len(case["fcst"]) == len(y) + case["horizon"]
+    np.testing.assert_allclose(fitted, golden_hist, rtol=case["rtol"])
 
 
 def test_excluded_cases_are_documented():
@@ -170,7 +193,12 @@ def test_excluded_cases_are_documented():
         # says why
         cap = 0.1 if case.get("golden_quality") == "nondeterministic" else 0.06
         assert case["rtol"] <= cap, case["name"]
-        assert len(case["fcst"]) == case["horizon"]
+        if case["model"] == "theta_fitted":
+            # incl-hist goldens carry history + forecast rows; the
+            # fitted-surface test slices the history block itself
+            assert len(case["fcst"]) > case["horizon"], case["name"]
+        else:
+            assert len(case["fcst"]) == case["horizon"]
 
 
 @pytest.mark.parametrize(

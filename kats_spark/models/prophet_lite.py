@@ -29,6 +29,8 @@ recovery tests assert changepoint/seasonality/interval behavior
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -277,75 +279,138 @@ class ProphetLite:
             else 0.0
         )
         if self.growth == "logistic":
-            slope = self.k_ + (
-                (ts[:, None] > self.cp_[None, :]).astype(float) @ self.delta_
-                if len(self.cp_)
-                else 0.0
-            )
-            return self.caps_ / (1.0 + np.exp(-np.clip(slope * (ts - self.m_), -500, 500)))
+            return self._piecewise_logistic(ts, self.k_, self.m_, self.delta_)
         return self.k_ * ts + self.m_ + hinge
+
+    def _logistic_gammas(self, k: float, m: float, delta: np.ndarray) -> np.ndarray:
+        """Prophet's changepoint OFFSET adjustments (forecaster.py
+        piecewise_logistic): gamma_i keeps the trend CONTINUOUS when the
+        slope steps by delta_i at changepoint s_i — without them the
+        logistic curve jumps at every changepoint and the fit lands in
+        a different optimum than Stan under any real saturation."""
+        gammas = np.zeros(len(self.cp_))
+        k_s, m_s = k, m
+        for i, s in enumerate(self.cp_):
+            k_next = k_s + delta[i]
+            if abs(k_next) < 1e-12:
+                k_next = 1e-12 if k_next >= 0 else -1e-12
+            gammas[i] = (s - m_s) * (1.0 - k_s / k_next)
+            k_s += delta[i]
+            m_s += gammas[i]
+        return gammas
+
+    def _piecewise_logistic(
+        self, ts: np.ndarray, k: float, m: float, delta: np.ndarray
+    ) -> np.ndarray:
+        if len(self.cp_):
+            A = (ts[:, None] > self.cp_[None, :]).astype(np.float64)
+            gammas = self._logistic_gammas(k, m, delta)
+            slope = k + A @ delta
+            offset = m + A @ gammas
+        else:
+            slope, offset = k, m
+        z = np.clip(slope * (ts - offset), -500, 500)
+        return self.caps_ / (1.0 + np.exp(-z))
 
     def _fit_logistic(self, ts, ys, hinge, X_seas):
         if self.cap is None:
             raise ValueError("logistic growth requires cap")
         self.caps_ = (self.cap - self._off_) / self.y_scale_
         # backfit: seasonality ridge <-> penalized Gauss-Newton on
-        # (k, m, delta) for C / (1 + exp(-(k + A δ)(t - m))) — the hinge
-        # deltas enter the slope through the step-indicator matrix A
-        # (same parameterization _trend_scaled evaluates); Laplace(cps)
+        # (k, m, delta) for Prophet's CONTINUOUS piecewise logistic
+        # C / (1 + exp(-(k + A δ)(t - m - A γ(k, m, δ)))) — γ is the
+        # deterministic offset recursion (_logistic_gammas), so the
+        # Jacobian is taken by forward differences THROUGH the
+        # recursion (Stan autodiffs the same composition).  Laplace(cps)
         # prior on δ approximated at the GN scale by a ridge
         # sigma² / cps², flat prior on (k, m).
-        A_ind = (
-            (ts[:, None] > self.cp_[None, :]).astype(np.float64)
-            if len(self.cp_)
-            else np.empty((len(ts), 0))
-        )
-        n_d = A_ind.shape[1]
-        self.k_, self.m_ = 1.0, float(np.median(ts))
-        self.delta_ = np.zeros(n_d)
-        self.beta_seas_ = np.zeros(X_seas.shape[1])
-        for _ in range(8):
-            r = ys - (X_seas @ self.beta_seas_ if X_seas.shape[1] else 0.0)
-            for _gn in range(10):
-                slope = self.k_ + (A_ind @ self.delta_ if n_d else 0.0)
-                z = slope * (ts - self.m_)
-                sig = self.caps_ / (1.0 + np.exp(-np.clip(z, -500, 500)))
-                e = r - sig
-                d_sig = sig * (1 - sig / self.caps_)
-                J_km = np.column_stack(
-                    [d_sig * (ts - self.m_), -d_sig * slope]
-                )
-                if n_d:
-                    J = np.column_stack(
-                        [J_km, (d_sig * (ts - self.m_))[:, None] * A_ind]
-                    )
-                else:
-                    J = J_km
-                pen = np.zeros(J.shape[1])
-                rhs = J.T @ e
-                if n_d:
-                    sigma2 = float(e @ e) / max(len(e) - J.shape[1], 1)
-                    pen[2:] = sigma2 / self.cps**2
-                    # penalized GN: grad of the prior term at the CURRENT δ
-                    rhs[2:] -= pen[2:] * self.delta_
-                A = J.T @ J + np.diag(pen) + 1e-9 * np.eye(J.shape[1])
-                try:
-                    step = np.linalg.solve(A, rhs)
-                except np.linalg.LinAlgError:
-                    break
-                self.k_ += float(step[0])
-                self.m_ += float(step[1])
-                if n_d:
-                    self.delta_ += step[2:]
-                if np.linalg.norm(step) < 1e-10:
-                    break
-            if X_seas.shape[1]:
-                r2 = ys - self._trend_scaled(ts)
-                pscale = getattr(self, "prior_scales_", None)
-                if pscale is None or len(pscale) != X_seas.shape[1]:
-                    pscale = np.full(X_seas.shape[1], self.sps)
-                A = X_seas.T @ X_seas + np.diag(1.0 / pscale**2)
-                self.beta_seas_ = np.linalg.solve(A, X_seas.T @ r2)
+        n_d = len(self.cp_)
+        # Prophet's logistic_growth_init (forecaster.py): solve the
+        # 2-point logistic through the first and last observation
+        C = float(self.caps_)
+        y0 = min(max(float(ys[0]) / C, 0.01), 0.99)
+        y1 = min(max(float(ys[-1]) / C, 0.01), 0.99)
+        L0, L1 = math.log(1.0 / y0 - 1.0), math.log(1.0 / y1 - 1.0)
+        T = max(float(ts[-1] - ts[0]), 1e-9)
+        k0 = (L0 - L1) / T
+        if abs(k0) < 1e-9:
+            k0 = 1e-9
+        # multi-start: the Prophet 2-point init is nearly flat when the
+        # endpoints happen to sit at similar saturation (k0 ~ 0 makes
+        # every Jacobian column vanish and GN stalls at a flat trend);
+        # the generic (k=1, m=median) start escapes that basin.  Run the
+        # whole backfit from both and keep the lower penalized
+        # objective — a cheap stand-in for Stan L-BFGS's momentum.
+        starts = [
+            (k0, float(ts[0]) + L0 / k0),
+            (1.0, float(np.median(ts))),
+        ]
+
+        def trend_of(theta: np.ndarray) -> np.ndarray:
+            return self._piecewise_logistic(ts, theta[0], theta[1], theta[2:])
+
+        def backfit(k_init: float, m_init: float):
+            theta = np.concatenate([[k_init, m_init], np.zeros(n_d)])
+            beta_seas = np.zeros(X_seas.shape[1])
+            pen = np.zeros(len(theta))
+            for _ in range(8):
+                r = ys - (X_seas @ beta_seas if X_seas.shape[1] else 0.0)
+                for _gn in range(10):
+                    base = trend_of(theta)
+                    e = r - base
+                    # forward differences THROUGH the γ recursion
+                    J = np.empty((len(ts), len(theta)))
+                    for j in range(len(theta)):
+                        h = 1e-6 * max(1.0, abs(theta[j]))
+                        tp = theta.copy()
+                        tp[j] += h
+                        J[:, j] = (trend_of(tp) - base) / h
+                    pen = np.zeros(len(theta))
+                    rhs = J.T @ e
+                    if n_d:
+                        sigma2 = float(e @ e) / max(len(e) - len(theta), 1)
+                        pen[2:] = sigma2 / self.cps**2
+                        rhs[2:] -= pen[2:] * theta[2:]
+                    A = J.T @ J + np.diag(pen) + 1e-9 * np.eye(len(theta))
+                    try:
+                        step = np.linalg.solve(A, rhs)
+                    except np.linalg.LinAlgError:
+                        break
+
+                    # halving line search — the γ recursion makes the
+                    # residual genuinely nonlinear in (k, δ) and a raw
+                    # GN step can overshoot
+                    def obj(th):
+                        ee = r - trend_of(th)
+                        return float(ee @ ee) + float(pen[2:] @ (th[2:] ** 2))
+
+                    cur = obj(theta)
+                    scale = 1.0
+                    for _ls in range(6):
+                        cand = theta + scale * step
+                        if obj(cand) <= cur:
+                            theta = cand
+                            break
+                        scale *= 0.5
+                    else:
+                        break
+                    if np.linalg.norm(scale * step) < 1e-10:
+                        break
+                if X_seas.shape[1]:
+                    r2 = ys - trend_of(theta)
+                    pscale = getattr(self, "prior_scales_", None)
+                    if pscale is None or len(pscale) != X_seas.shape[1]:
+                        pscale = np.full(X_seas.shape[1], self.sps)
+                    A = X_seas.T @ X_seas + np.diag(1.0 / pscale**2)
+                    beta_seas = np.linalg.solve(A, X_seas.T @ r2)
+            ee = ys - trend_of(theta) - (X_seas @ beta_seas if X_seas.shape[1] else 0.0)
+            final = float(ee @ ee) + float(pen[2:] @ (theta[2:] ** 2))
+            return final, theta, beta_seas
+
+        best = min((backfit(k_i, m_i) for k_i, m_i in starts), key=lambda t: t[0])
+        _, theta, self.beta_seas_ = best
+        self.k_, self.m_ = float(theta[0]), float(theta[1])
+        self.delta_ = theta[2:].copy()
 
     def _predict_scaled(self, ts: np.ndarray, X_seas: np.ndarray) -> np.ndarray:
         seas = X_seas @ self.beta_seas_ if X_seas.shape[1] else 0.0

@@ -202,18 +202,25 @@ def test_excluded_cases_are_documented():
 
 
 @pytest.mark.parametrize(
-    "name", ["prophet_air_cap_floor_30", "prophet_peyton_cap_floor_30"]
+    "name",
+    [
+        "prophet_air_cap_floor_30",
+        "prophet_peyton_cap_floor_30",
+        "prophet_peyton_daily_cap_30",
+    ],
 )
 def test_prophet_cap_floor_matches_prophet_golden(spark, name):
-    """Logistic growth with cap AND floor (Prophet's shifted-band
-    convention: model (y - floor) against (cap - floor)) vs the
-    fbprophet SM_12 goldens on both public fixtures."""
+    """Logistic growth vs the fbprophet SM_12 goldens: cap AND floor
+    (Prophet's shifted-band convention: model (y - floor) against
+    (cap - floor)) on both public fixtures, plus the cap-only
+    moderate-saturation daily case the r10 γ-offset piecewise-logistic
+    upgrade promoted from a 9.0% exclusion to a 2.91% trusted case."""
     case = _need(name)
     from kats_spark.models.prophet_lite import ProphetLite
 
     times, y = _fixture(case)
     m = ProphetLite(
-        growth="logistic", cap=case["cap"], floor=case["floor"], seed=1
+        growth="logistic", cap=case["cap"], floor=case.get("floor"), seed=1
     ).fit(times, y)
     freq = "MS" if case["fixture"] == "air_passengers" else "D"
     fut = np.array(
@@ -248,8 +255,14 @@ def test_prophet_custom_seasonality_matches_prophet_golden(spark):
 
 
 def test_golden_doc_records_late_r09_exclusions():
-    """Aliased air custom seasonality + the daily-cap fit gap are
-    documented decisions, not silence (the 6% honesty cap keeps slack
-    from papering over weak parity)."""
+    """Aliased air custom seasonality stays a documented decision; the
+    r09 daily-cap exclusion was RETIRED in r10 (γ-offset piecewise
+    logistic closed 9.0% to 2.91%) and must now be a trusted CASE, with
+    the degenerate cap-20-on-air golden documented in its place."""
     assert "prophet_air_custom_seas_30" in _DOC["excluded"]
-    assert "prophet_peyton_daily_cap_30" in _DOC["excluded"]
+    assert "prophet_peyton_daily_cap_30" not in _DOC["excluded"]
+    assert "prophet_peyton_daily_cap_30" in _CASES
+    assert "prophet_air_logistic_cap20" in _DOC["excluded"]
+    # r10 no-extractable-frame proofs
+    for key in ("var_no_golden", "quadratic_no_golden", "lstm_torch_rng"):
+        assert key in _DOC["excluded"], key

@@ -269,6 +269,22 @@ def main() -> None:
             **frame("PEYTON_FCST_30_PROPHET_CUSTOM_SEASONALITY_SM_12"),
         },
         {
+            "name": "prophet_peyton_daily_cap_30",
+            "fixture": "peyton_manning",
+            "model": "prophet",
+            "growth": "logistic",
+            "cap": 20.0,
+            "horizon": 30,
+            "rtol": 0.04,
+            "golden_const": "PEYTON_FCST_30_PROPHET_DAILY_CAP_SM_12",
+            "note": "moderate saturation (data peaks at 12.8 under cap=20); "
+                    "an r09 exclusion at 9.0%, closed in r10 by Prophet's "
+                    "γ-offset continuous piecewise logistic + multi-start "
+                    "GN (the 2-point init is near-flat on this fixture and "
+                    "stalled the old fit) — measured max deviation 2.91%",
+            **frame("PEYTON_FCST_30_PROPHET_DAILY_CAP_SM_12"),
+        },
+        {
             "name": "theta_peyton_m1_30_incl_hist",
             "fixture": "peyton_manning",
             "model": "theta_fitted",
@@ -424,18 +440,24 @@ def main() -> None:
                                           "well-posed Peyton semi-annual "
                                           "case (prophet_peyton_custom_"
                                           "seas_30)",
-            "prophet_peyton_daily_cap_30": "well-posed golden (cap=20 on "
-                                           "data peaking at 12.8) but OUR "
-                                           "numpy-MAP logistic trend lands "
-                                           "9.0% from Stan under moderate "
-                                           "saturation — past the 6% "
-                                           "honesty cap for trusted "
-                                           "goldens, so recorded as a "
-                                           "known fit gap rather than "
-                                           "papered over with slack; the "
-                                           "logistic-cap surface stays "
-                                           "pinned by the two cap-and-"
-                                           "floor goldens at 0.68%/0.46%",
+            "prophet_air_logistic_cap20": "AIR_FCST_15_PROPHET_LOGISTIC_CAP: "
+                                          "cap=20 on data peaking at 622 — "
+                                          "the observations sit 31x ABOVE "
+                                          "the cap, so the logistic "
+                                          "likelihood is degenerate (every "
+                                          "fit pins the trend at the cap "
+                                          "and the 'optimum' is arbitrary); "
+                                          "measured 81% from the Stan "
+                                          "artifact both before and after "
+                                          "the r10 γ-offset upgrade — a "
+                                          "golden of a meaningless fit.  "
+                                          "The former r09 exclusion for the "
+                                          "WELL-posed daily cap=20 case is "
+                                          "RETIRED: the γ-offset continuous "
+                                          "piecewise logistic + multi-start "
+                                          "GN closed it from 9.0% to 2.91% "
+                                          "and it is now a trusted case "
+                                          "(prophet_peyton_daily_cap_30)",
         },
         "cases": cases,
     }

@@ -494,9 +494,14 @@ def _bfgs_max(f, z0: np.ndarray, max_iter: int = 40, tol: float = 1e-8):
             # flips sign
             rho = 1.0 / sy
             I = np.eye(m)
-            H = (I - rho * np.outer(s, yk)) @ H @ (
-                I - rho * np.outer(yk, s)
-            ) - rho * np.outer(s, s)
+            with np.errstate(invalid="ignore", over="ignore"):
+                H2 = (I - rho * np.outer(s, yk)) @ H @ (
+                    I - rho * np.outer(yk, s)
+                ) - rho * np.outer(s, s)
+            # a non-finite gradient at a line-search endpoint can poison
+            # the update — reset to identity instead of propagating NaNs
+            # through every later step
+            H = H2 if np.all(np.isfinite(H2)) else np.eye(m)
         gain = f2 - fz
         z, fz, g = z2, f2, g2
         if np.linalg.norm(s) < tol or gain < 1e-8 * (1.0 + abs(fz)):

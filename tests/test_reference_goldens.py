@@ -158,6 +158,33 @@ def test_sarima_matches_statsmodels_golden(name):
     np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
 
 
+def test_sarimax_exog_matches_statsmodels_golden():
+    """SARIMAX with an exogenous regressor (SARIMAParams(exog=...) /
+    predict(exog=...), kats/models/sarima.py:63-109) vs the reference's
+    shipped exog golden — the two-stage regression-with-SARIMA-errors
+    approximation lands inside the reference's own rtol=0.01 assert
+    (test_sarima_model.py:249; measured 0.77%)."""
+    case = _need("sarimax_exog_15")
+    from kats_spark.models.sarima import sarimax_forecast_one
+
+    path = os.path.join(HERE, "golden", "data", case["fixture"] + ".csv")
+    df = pd.read_csv(path)
+    steps = case["horizon"]
+    endog = df[case["endog_col"]][:-steps].to_numpy(float)
+    exog = df[case["exog_col"]][:-steps].to_numpy(float)
+    fcst_exog = df[case["exog_col"]][-steps:].to_numpy(float)
+    fc, _ = sarimax_forecast_one(
+        endog,
+        exog,
+        fcst_exog,
+        tuple(case["order"]),
+        tuple(case["seasonal_order"]),
+        steps,
+        trend=case["trend"],
+    )
+    np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
+
+
 @pytest.mark.parametrize(
     "name", ["theta_peyton_m1_30_incl_hist", "theta_air_m12_15_incl_hist"]
 )

@@ -58,7 +58,11 @@ def main() -> None:
     spec.loader.exec_module(dummy)
 
     os.makedirs(DATA_DIR, exist_ok=True)
-    for csv in ("air_passengers.csv", "peyton_manning.csv"):
+    for csv in (
+        "air_passengers.csv",
+        "peyton_manning.csv",
+        "multivariate_anomaly_simulated_data.csv",
+    ):
         shutil.copy(os.path.join(ref, "kats", "data", csv), os.path.join(DATA_DIR, csv))
 
     def frame(name: str, cols=("fcst",), tail: int | None = None) -> dict:
@@ -267,6 +271,26 @@ def main() -> None:
                     "(test_prophet_model.py:61 semi-annual Fourier-5 block); "
                     "measured max deviation 2.3%",
             **frame("PEYTON_FCST_30_PROPHET_CUSTOM_SEASONALITY_SM_12"),
+        },
+        {
+            "name": "sarimax_exog_15",
+            "fixture": "multivariate_anomaly_simulated_data",
+            "model": "sarimax_exog",
+            "endog_col": "0",
+            "exog_col": "1",
+            "order": [2, 1, 1],
+            "seasonal_order": [1, 0, 1, 12],
+            "trend": "ct",
+            "horizon": 15,
+            "rtol": 0.01,
+            "golden_const": "EXOG_FCST_15_SARIMA_PARAM_EXOG_MODEL_1",
+            "note": "SARIMAX with an exogenous regressor "
+                    "(test_sarima_model.py:218-249: column '0' endog, "
+                    "column '1' exog, last 15 exog rows fed to predict) — "
+                    "two-stage regression-with-SARIMA-errors vs the joint "
+                    "Kalman MLE; measured max deviation 0.77%, inside the "
+                    "reference's own rtol=0.01 assert",
+            **frame("EXOG_FCST_15_SARIMA_PARAM_EXOG_MODEL_1"),
         },
         {
             "name": "prophet_peyton_daily_cap_30",

@@ -96,7 +96,7 @@ _PRIORITY = [
     # judge-verified MATCH at sf0.01 in r09) + any new r10 oracled queries
     "cluster_reps", "unimax_alloc", "bitext_mine",
     "quantize_int8", "shard_assign", "bitext_mine_ann",
-    "tsfeatures_wide_expr",
+    "tsfeatures_wide_expr", "bitext_mine_stored",
     # r09-window queries displaced by the r10 rotation
     "corpus_profile", "embedding_diag", "epoch_upsample",
     "hourly_ratio_full", "hpt_recommend", "ivf_topk_portable",

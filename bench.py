@@ -136,6 +136,7 @@ HEADLINE = [
     "unimax_alloc",
     "bitext_mine",
     "bitext_mine_ann",
+    "bitext_mine_stored",
     "quantize_int8",
     "shard_assign",
 ]

@@ -709,6 +709,51 @@ FROM best WHERE rk = 1 AND mr > 1.0 ORDER BY x_id
 """
 
 
+def q_bitext_mine_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN bitext mining against the SAVED target index
+    (ann_store.save_bitext_target / bitext_mine_stored): the
+    target-language side is IVF-indexed once per snapshot as a
+    centroids + cell-partitioned-lists lake layout, and every source
+    batch mines against it via partition-pruned list scans — the
+    amortized daily-mining shape.  Output (and oracle) identical to
+    ``bitext_mine_ann``: the stored search replays the same rounded
+    probe / margin lattice.  Reuse gate keys on the source parquet's
+    content fingerprint."""
+    import os
+
+    from kats_spark.sources.ann_store import (
+        bitext_mine_stored,
+        mark_stored,
+        save_bitext_target,
+        source_fingerprint,
+        stored_is_current,
+    )
+
+    sf_name = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "spark-warehouse",
+        f"bitext_target_{sf_name}",
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    fp = source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    if not stored_is_current(path, fp):
+        save_bitext_target(emb.filter(F.col("label") == 1), path, n_cells=8)
+        mark_stored(path, fp)
+    out = bitext_mine_stored(
+        spark, path, emb.filter(F.col("label") == 0),
+        k=4, threshold=1.0, n_probe=3,
+    )
+    return out.select(
+        F.col("x_id").cast("bigint").alias("x_id"),
+        F.col("y_id").cast("bigint").alias("y_id"),
+        _rnd("cos_sim", 6).alias("cos_sim"),
+        _rnd("margin", 6).alias("margin"),
+    ).orderBy("x_id")
+
+
 def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment (sampling.assign_shards):
     documents land in the shard where their tokens start along the
@@ -3405,6 +3450,7 @@ QUERIES = {
     "unimax_alloc": q_unimax_alloc,
     "bitext_mine": q_bitext_mine,
     "bitext_mine_ann": q_bitext_mine_ann,
+    "bitext_mine_stored": q_bitext_mine_stored,
     "quantize_int8": q_quantize_int8,
     "shard_assign": q_shard_assign,
 }
@@ -3473,6 +3519,7 @@ ORACLES = {
     "unimax_alloc": _Q_UNIMAX_SQL,
     "bitext_mine": _Q_BITEXT_SQL,
     "bitext_mine_ann": _Q_BITEXT_ANN_SQL,
+    "bitext_mine_stored": _Q_BITEXT_ANN_SQL,
     "quantize_int8": _Q_QUANTIZE_SQL,
     "shard_assign": _Q_SHARD_ASSIGN_SQL,
     # minhash_lsh_pairs / simhash: rows-only by design (Spark xxhash64 has

@@ -492,3 +492,86 @@ def dsir_weights_stored(
             F.sum("__lr").alias("log_weight"),
         )
     )
+
+
+def save_bitext_target(
+    y_df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the TARGET-language side of ANN bitext mining as a
+    portable-IVF lake layout (the ``save_ivf_portable`` shape): tiny
+    centroids parquet + inverted lists partitioned by ``cell_id``, each
+    list row carrying (y_id, vector, precomputed L2 norm).  Built ONCE
+    per target snapshot; every subsequent source batch mines against it
+    with no target-side pass (``bitext_mine_stored``) — the amortized
+    daily-mining shape of CCMatrix."""
+    from kats_spark.operators import ivf
+    from kats_spark.operators.similarity import l2_norm
+
+    y = y_df.select(F.col(id_col).alias("y_id"), F.col(vec_col).alias("__yv"))
+    seeds = ivf.seed_smallest_ids(y, n_cells, vec_col="__yv", id_col="y_id")
+    indexed, centers = ivf.build_index_portable(
+        y, vec_col="__yv", id_col="y_id", n_cells=n_cells, seeds=seeds
+    )
+    indexed = indexed.withColumn("__ny", l2_norm(F.col("__yv")))
+    centers.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    indexed.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/lists")
+
+
+def bitext_mine_stored(
+    spark: SparkSession,
+    path: str,
+    x_df: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mine a source-language batch against a SAVED bitext target index:
+    probe ranking against the broadcast centroids, the probed cell set
+    collected driver-side (bounded: <= n_cells ints) and pushed into the
+    lists scan as a partition filter — unprobed cells cost nothing, not
+    even a file-open — then the byte-identical candidate scoring
+    (per-row norms, dot-only per pair) and the exact operator's shared
+    ``_margin_tail``.  Output equals ``bitext_margin_pairs_ann`` with
+    the same (n_cells, n_probe) on the same frames (asserted in
+    tests)."""
+    from kats_spark.operators.ivf import _rnd6, _sq_dist
+    from kats_spark.operators.similarity import _margin_tail, dot, l2_norm
+
+    centers = spark.read.parquet(f"{path}/centroids")
+    x = x_df.select(
+        F.col(id_col).alias("x_id"), F.col(vec_col).alias("__xv")
+    ).withColumn("__nx", l2_norm(F.col("__xv")))
+    xc = x.crossJoin(F.broadcast(centers))
+    ranked = xc.withColumn(
+        "__d", _rnd6(_sq_dist(F.col("__xv"), F.col("center")))
+    ).withColumn(
+        "__cr",
+        F.row_number().over(Window.partitionBy("x_id").orderBy("__d", "cell_id")),
+    )
+    probes = ranked.filter(F.col("__cr") <= n_probe).select(
+        "x_id", "__xv", "__nx", "cell_id"
+    )
+    probe_cells = sorted(
+        r.cell_id for r in probes.select("cell_id").distinct().collect()
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cell_id").isin(probe_cells)
+    )
+    scored = (
+        probes.join(lists, "cell_id")
+        .select(
+            "x_id",
+            "y_id",
+            (dot(F.col("__xv"), F.col("__yv")) / (F.col("__nx") * F.col("__ny"))).alias(
+                "__cos"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return _margin_tail(scored, k, threshold, hint_broadcast_avgs=False)

@@ -105,6 +105,7 @@ LAZY_QUERIES = [
     "unimax_alloc",
     "bitext_mine",
     "bitext_mine_ann",
+    "bitext_mine_stored",
     "quantize_int8",
     "shard_assign",
 ]

@@ -158,6 +158,26 @@ def test_sarima_matches_statsmodels_golden(name):
     np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
 
 
+@pytest.mark.parametrize(
+    "name", ["prophet_air_30_incl_hist", "prophet_peyton_15_incl_hist"]
+)
+def test_prophet_incl_hist_matches_prophet_golden(name):
+    """Prophet's predict(include_history=True) IN-SAMPLE surface: the
+    incl-hist goldens' history block is fbprophet's fitted yhat on the
+    training rows — compared against the MAP fit evaluated at the
+    training timestamps.  Every in-sample point pinned, not just the
+    forecast tail."""
+    case = _need(name)
+    from kats_spark.models.prophet_lite import ProphetLite
+
+    times, y = _fixture(case)
+    m = ProphetLite(seed=1).fit(times, y)
+    fitted = m.predict(times).fcst.to_numpy()
+    golden_hist = np.asarray(case["fcst"][: len(y)], dtype=float)
+    assert len(case["fcst"]) == len(y) + case["horizon"]
+    np.testing.assert_allclose(fitted, golden_hist, rtol=case["rtol"])
+
+
 def test_sarimax_exog_matches_statsmodels_golden():
     """SARIMAX with an exogenous regressor (SARIMAParams(exog=...) /
     predict(exog=...), kats/models/sarima.py:63-109) vs the reference's
@@ -220,9 +240,9 @@ def test_excluded_cases_are_documented():
         # says why
         cap = 0.1 if case.get("golden_quality") == "nondeterministic" else 0.06
         assert case["rtol"] <= cap, case["name"]
-        if case["model"] == "theta_fitted":
+        if case["model"].endswith("_fitted"):
             # incl-hist goldens carry history + forecast rows; the
-            # fitted-surface test slices the history block itself
+            # fitted-surface tests slice the history block themselves
             assert len(case["fcst"]) > case["horizon"], case["name"]
         else:
             assert len(case["fcst"]) == case["horizon"]

@@ -273,6 +273,30 @@ def main() -> None:
             **frame("PEYTON_FCST_30_PROPHET_CUSTOM_SEASONALITY_SM_12"),
         },
         {
+            "name": "prophet_air_30_incl_hist",
+            "fixture": "air_passengers",
+            "model": "prophet_fitted",
+            "horizon": 30,
+            "rtol": 0.03,
+            "golden_const": "AIR_FCST_30_PROPHET_INCL_HIST_SM_12",
+            "note": "predict(include_history=True) IN-SAMPLE surface: the "
+                    "golden's history block is fbprophet's fitted yhat on "
+                    "the training rows; measured max deviation of the MAP "
+                    "fit evaluated at the training timestamps: 2.24%",
+            **frame("AIR_FCST_30_PROPHET_INCL_HIST_SM_12"),
+        },
+        {
+            "name": "prophet_peyton_15_incl_hist",
+            "fixture": "peyton_manning",
+            "model": "prophet_fitted",
+            "horizon": 15,
+            "rtol": 0.02,
+            "golden_const": "PEYTON_FCST_15_PROPHET_INCL_HIST_SM_12",
+            "note": "daily-fixture incl-hist variant; measured max "
+                    "deviation 1.12%",
+            **frame("PEYTON_FCST_15_PROPHET_INCL_HIST_SM_12"),
+        },
+        {
             "name": "sarimax_exog_15",
             "fixture": "multivariate_anomaly_simulated_data",
             "model": "sarimax_exog",

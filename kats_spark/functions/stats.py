@@ -23,6 +23,23 @@ def _rn(s: TSSchema) -> Column:
     return F.row_number().over(s.w()) - 1
 
 
+def _chunk_id(rn: Column, n: Column, window_size: int) -> Column:
+    """np.array_split chunk index — the reference's EXACT tiling for
+    lumpiness/stability (tsfeatures.py:661,690: ``np.array_split(x,
+    len(x) // window_size + 1)``): k = n//w + 1 chunks, the first
+    (n mod k) of size n//k + 1, the rest of size n//k.  r10 parity fix:
+    the old fixed-width tumbling tiles (+ complete-tile filter) are a
+    different chunking that lands different variances on any n not a
+    multiple of the window."""
+    k = F.floor(n / window_size) + 1
+    sz = F.floor(n / k)
+    r = n % k
+    head = r * (sz + 1)
+    return F.when(rn < head, F.floor(rn / (sz + 1))).otherwise(
+        r + F.floor((rn - head) / sz)
+    )
+
+
 def tiled_stat_of_stat(
     df: DataFrame,
     window_size: int,
@@ -31,19 +48,17 @@ def tiled_stat_of_stat(
     out_col: str,
     s: TSSchema = DEFAULT,
 ) -> DataFrame:
-    """Generic tiled (tumbling) window statistic-of-statistic.
-
-    lumpiness (tsfeatures.py:661) = var of tiled-window variances;
-    stability (tsfeatures.py:690) = var of tiled-window means.
-    Tiling = floor(row_number / w) groupBy — two cheap aggregations.
-    """
-    agg_inner = {"var": F.var_samp, "mean": F.avg}[inner]
-    agg_outer = {"var": F.var_samp, "mean": F.avg}[outer]
+    """Chunked statistic-of-statistic on the reference's array_split
+    tiling with POPULATION variance at both levels (np.var default —
+    tsfeatures.py:661 lumpiness = var of chunk variances, :690
+    stability = var of chunk means)."""
+    agg_inner = {"var": F.var_pop, "mean": F.avg}[inner]
+    agg_outer = {"var": F.var_pop, "mean": F.avg}[outer]
+    n = F.count(s.value).over(Window.partitionBy(s.series_id))
     tiles = (
-        df.withColumn("__tile", F.floor(_rn(s) / window_size))
+        df.withColumn("__tile", _chunk_id(_rn(s), n, window_size))
         .groupBy(s.series_id, "__tile")
-        .agg(agg_inner(s.value).alias("__stat"), F.count("*").alias("__n"))
-        .filter(F.col("__n") == window_size)  # reference drops ragged tail tiles
+        .agg(agg_inner(s.value).alias("__stat"))
     )
     return tiles.groupBy(s.series_id).agg(agg_outer("__stat").alias(out_col))
 
@@ -82,65 +97,101 @@ def binarize_mean(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
     )
 
 
-def std_first_derivative(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
-    """Stddev of first differences (tsfeatures.py:1176 std1st_der)."""
-    d = F.col(s.value) - F.lag(s.value).over(s.w())
+def _gradient(s: TSSchema) -> Column:
+    """np.gradient over the per-series order (tsfeatures.py:1176
+    std1st_der operates on the gradient, not lag-1 diffs — r10 parity
+    fix): central differences (lead - lag)/2 in the interior, one-sided
+    at both edges."""
+    v = F.col(s.value)
+    nxt = F.lead(s.value).over(s.w())
+    prv = F.lag(s.value).over(s.w())
     return (
-        df.withColumn("__d", d)
+        F.when(prv.isNull(), nxt - v)
+        .when(nxt.isNull(), v - prv)
+        .otherwise((nxt - prv) / 2.0)
+    )
+
+
+def std_first_derivative(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
+    """POPULATION stddev of np.gradient (tsfeatures.py:1176 std1st_der:
+    ``np.std(np.gradient(x))``)."""
+    return (
+        df.withColumn("__g", _gradient(s))
         .groupBy(s.series_id)
-        .agg(F.stddev_samp("__d").alias("std1st_der"))
+        .agg(F.stddev_pop("__g").alias("std1st_der"))
     )
 
 
 def flat_spots(df: DataFrame, n_buckets: int = 10, s: TSSchema = DEFAULT) -> DataFrame:
-    """Max run length within equal-width value buckets (tsfeatures.py:872).
-
-    Run-length encoding with windows: a new run starts when the bucket
-    changes; run_id = running count of starts; answer = max run size.
-    """
-    mm = df.groupBy(s.series_id).agg(F.min(s.value).alias("__lo"), F.max(s.value).alias("__hi"))
-    b = F.least(
-        F.lit(n_buckets - 1),
-        F.floor((F.col(s.value) - F.col("__lo")) / ((F.col("__hi") - F.col("__lo")) / n_buckets)),
+    """Max run length of EQUAL CONSECUTIVE VALUES within time segments of
+    width ``len(x) // nbins`` (tsfeatures.py:872-901 — the Kats variant;
+    r10 parity fix: the old implementation ran the R-tsfeatures
+    value-bucket runs, a different feature).  A run breaks when the
+    value changes OR the segment boundary is crossed; series shorter
+    than ``nbins`` emit NULL like the reference's NaN."""
+    n = F.count(s.value).over(Window.partitionBy(s.series_id))
+    seg_w = F.floor(n / n_buckets)
+    segged = df.withColumn("__n", n).withColumn(
+        "__seg", F.floor(_rn(s) / seg_w)
     )
-    bucketed = df.join(mm, s.series_id).withColumn("__bkt", b)
-    start = (F.col("__bkt") != F.lag("__bkt").over(s.w())).cast("int")
-    runs = bucketed.withColumn("__start", F.coalesce(start, F.lit(1))).withColumn(
+    start = (
+        (F.col(s.value) != F.lag(s.value).over(s.w()))
+        | (F.col("__seg") != F.lag("__seg").over(s.w()))
+    ).cast("int")
+    runs = segged.withColumn("__start", F.coalesce(start, F.lit(1))).withColumn(
         "__run", F.sum("__start").over(s.w().rowsBetween(Window.unboundedPreceding, 0))
     )
-    return (
-        runs.groupBy(s.series_id, "__run")
-        .count()
-        .groupBy(s.series_id)
-        .agg(F.max("count").alias("flat_spots"))
+    per_run = runs.groupBy(s.series_id, "__run").agg(
+        F.count("*").alias("__len"), F.first("__n").alias("__n")
+    )
+    return per_run.groupBy(s.series_id).agg(
+        F.when(F.first("__n") > n_buckets, F.max("__len")).alias("flat_spots")
     )
 
 
-def level_shift_features(df: DataFrame, window_size: int = 10, s: TSSchema = DEFAULT) -> DataFrame:
-    """level_shift_idx / level_shift_size (tsfeatures.py:807-871): max jump
-    between adjacent trailing-window means."""
-    w = s.w().rowsBetween(-(window_size - 1), 0)
+def level_shift_features(df: DataFrame, window_size: int = 20, s: TSSchema = DEFAULT) -> DataFrame:
+    """level_shift_idx / level_shift_size (tsfeatures.py:819-866): max
+    |mean difference| between CONSECUTIVE SLIDING windows of width
+    ``window_size`` (stride 1) — means[i] = mean(x[i:i+w]),
+    diff[i] = |means[i] - means[i+1]|, idx = argmax (first maximum).
+    r10 parity fixes: forward (not trailing) windows so the reported
+    index is the reference's 0-based diff index, the reference's default
+    width 20, and series shorter than window_size + 2 emit NULL."""
+    w = s.w().rowsBetween(0, window_size - 1)
     rm = F.avg(s.value).over(w)
     cnt = F.count(s.value).over(w)
+    n = F.count(s.value).over(Window.partitionBy(s.series_id))
     stepped = (
-        df.withColumn("__rm", F.when(cnt >= window_size, rm))
-        .withColumn("__jump", F.abs(F.col("__rm") - F.lag("__rm").over(s.w())))
+        df.withColumn("__rm", F.when(cnt == window_size, rm))
+        .withColumn(
+            "__jump", F.abs(F.lead("__rm").over(s.w()) - F.col("__rm"))
+        )
         .withColumn("__idx", F.row_number().over(s.w()) - 1)
+        .withColumn("__n", n)
     )
-    best = Window.partitionBy(s.series_id).orderBy(F.desc_nulls_last("__jump"), F.asc("__idx"))
+    best = Window.partitionBy(s.series_id).orderBy(
+        F.desc_nulls_last("__jump"), F.asc("__idx")
+    )
     return (
         stepped.withColumn("__rk", F.row_number().over(best))
         .filter(F.col("__rk") == 1)
         .select(
             s.series_id,
-            F.col("__idx").alias("level_shift_idx"),
-            F.col("__jump").alias("level_shift_size"),
+            F.when(F.col("__n") >= window_size + 2, F.col("__idx")).alias(
+                "level_shift_idx"
+            ),
+            F.when(F.col("__n") >= window_size + 2, F.col("__jump")).alias(
+                "level_shift_size"
+            ),
         )
     )
 
 
 def histogram_mode(df: DataFrame, n_buckets: int = 10, s: TSSchema = DEFAULT) -> DataFrame:
-    """Midpoint of the most-populated equal-width bucket (tsfeatures.py:1224)."""
+    """LEFT EDGE of the most-populated equal-width bucket — exactly
+    ``np.histogram(x, nbins); val[cnt.argmax()]`` (tsfeatures.py:1291;
+    r10 parity fix: the old version returned the bucket MIDPOINT, half a
+    bin width off the reference everywhere)."""
     mm = df.groupBy(s.series_id).agg(F.min(s.value).alias("__lo"), F.max(s.value).alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / n_buckets
     b = F.least(F.lit(n_buckets - 1), F.floor((F.col(s.value) - F.col("__lo")) / width))
@@ -157,7 +208,7 @@ def histogram_mode(df: DataFrame, n_buckets: int = 10, s: TSSchema = DEFAULT) ->
         .filter(F.col("__rk") == 1)
         .select(
             s.series_id,
-            (F.col("__lo") + (F.col("__bkt") + 0.5) * width2).alias("histogram_mode"),
+            (F.col("__lo") + F.col("__bkt") * width2).alias("histogram_mode"),
         )
     )
 
@@ -173,12 +224,15 @@ def cusum_transform(df: DataFrame, s: TSSchema = DEFAULT, out_col: str = "cusum"
 
 
 def basic_stats(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
-    """length / mean / var (tsfeatures.py:588-660 statistics group core)."""
+    """length / mean / var (tsfeatures.py:588-660 statistics group core).
+    ``var``/``std`` are POPULATION moments — the reference's np.var /
+    np.std defaults (r10 parity fix: var_samp is off by (n-1)/n, pinned
+    by the committed METALEARNING_TEST_T1 vector)."""
     return df.groupBy(s.series_id).agg(
         F.count(s.value).alias("length"),
         F.avg(s.value).alias("mean"),
-        F.var_samp(s.value).alias("var"),
-        F.stddev_samp(s.value).alias("std"),
+        F.var_pop(s.value).alias("var"),
+        F.stddev_pop(s.value).alias("std"),
         F.skewness(s.value).alias("skewness"),
         F.kurtosis(s.value).alias("kurtosis"),
     )
@@ -223,12 +277,17 @@ def stats_bundle(
         v.alias("__v"),
         F.count(s.value).over(w_all).alias("length"),
         F.avg(s.value).over(w_all).alias("mean"),
-        F.var_samp(s.value).over(w_all).alias("var"),
+        F.var_pop(s.value).over(w_all).alias("var"),
         F.min(s.value).over(w_all).alias("__lo"),
         F.max(s.value).over(w_all).alias("__hi"),
         F.median(s.value).over(w_all).alias("__med"),
         (F.row_number().over(w_ord) - 1).alias("__rn"),
-        (v - F.lag(v).over(w_ord)).alias("__d"),
+        # np.gradient: central differences, one-sided at the edges
+        # (tsfeatures.py:1176 std1st_der — r10 parity fix vs lag-1 diffs)
+        F.when(F.lag(v).over(w_ord).isNull(), F.lead(v).over(w_ord) - v)
+        .when(F.lead(v).over(w_ord).isNull(), v - F.lag(v).over(w_ord))
+        .otherwise((F.lead(v).over(w_ord) - F.lag(v).over(w_ord)) / 2.0)
+        .alias("__g"),
         F.lag(v).over(w_ord).alias("__pv"),
     )
     bucket = F.least(
@@ -237,19 +296,34 @@ def stats_bundle(
     )
     b = (F.col("__v") > F.col("__med")).cast("int")
     pb = (F.col("__pv") > F.col("__med")).cast("int")
+    # lumpiness/stability chunking = np.array_split (r10 parity fix):
+    # k = n//w + 1 chunks, first (n mod k) of size n//k + 1
+    k = F.floor(F.col("length") / window_size) + 1
+    csz = F.floor(F.col("length") / k)
+    crem = F.col("length") % k
+    chead = crem * (csz + 1)
+    chunk = F.when(F.col("__rn") < chead, F.floor(F.col("__rn") / (csz + 1))).otherwise(
+        crem + F.floor((F.col("__rn") - chead) / csz)
+    )
+    # flat_spots segmentation: width n // nbins, runs of EQUAL values
+    # (tsfeatures.py:872 — r10 parity fix vs value-bucket runs)
+    segw = F.floor(F.col("length") / n_buckets)
     step2 = step1.select(
         "*",
         bucket.alias("__bkt"),
         b.alias("__b"),
         pb.alias("__prev"),
         (F.col("__v") > F.col("mean")).cast("double").alias("__above_mean"),
-        F.floor(F.col("__rn") / window_size).alias("__tile"),
+        chunk.alias("__tile"),
+        F.floor(F.col("__rn") / segw).alias("__seg"),
     )
-    prev_bkt = F.least(
-        F.lit(n_buckets - 1),
-        F.floor((F.col("__pv") - F.col("__lo")) / ((F.col("__hi") - F.col("__lo")) / n_buckets)),
+    start = F.coalesce(
+        (
+            (F.col("__v") != F.col("__pv"))
+            | (F.col("__seg") != F.floor((F.col("__rn") - 1) / segw))
+        ).cast("int"),
+        F.lit(1),
     )
-    start = F.coalesce((F.col("__bkt") != prev_bkt).cast("int"), F.lit(1))
     step3 = step2.withColumn(
         "__run", F.sum(start).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -259,31 +333,30 @@ def stats_bundle(
     w_bkt = Window.partitionBy(s.series_id, "__bkt")
     step4 = step3.select(
         "*",
-        F.var_samp("__v").over(w_tile).alias("__tv"),
+        F.var_pop("__v").over(w_tile).alias("__tv"),
         F.avg("__v").over(w_tile).alias("__tm"),
-        F.count("*").over(w_tile).alias("__tn"),
         F.count("*").over(w_run).alias("__rl"),
         F.count("*").over(w_bkt).alias("__bc"),
         F.row_number().over(
             Window.partitionBy(s.series_id, "__tile").orderBy("__rn")
         ).alias("__tile_rn"),
     )
-    # one representative row per tile/bucket keeps stat-of-stat unweighted
-    tile_var_rep = F.when((F.col("__tile_rn") == 1) & (F.col("__tn") == window_size), F.col("__tv"))
-    tile_mean_rep = F.when((F.col("__tile_rn") == 1) & (F.col("__tn") == window_size), F.col("__tm"))
+    # one representative row per chunk/bucket keeps stat-of-stat unweighted
+    tile_var_rep = F.when(F.col("__tile_rn") == 1, F.col("__tv"))
+    tile_mean_rep = F.when(F.col("__tile_rn") == 1, F.col("__tm"))
     final = step4.select(
         "*",
         F.sum((F.col("__b") != F.col("__prev")).cast("int")).over(w_all).alias("crossing_points"),
         F.avg("__above_mean").over(w_all).alias("binarize_mean"),
-        F.stddev_samp("__d").over(w_all).alias("std1st_der"),
-        F.var_samp(tile_var_rep).over(w_all).alias("lumpiness"),
-        F.var_samp(tile_mean_rep).over(w_all).alias("stability"),
+        F.stddev_pop("__g").over(w_all).alias("std1st_der"),
+        F.var_pop(tile_var_rep).over(w_all).alias("lumpiness"),
+        F.var_pop(tile_mean_rep).over(w_all).alias("stability"),
         F.max("__rl").over(w_all).alias("flat_spots"),
         F.max(F.struct(F.col("__bc"), (-F.col("__bkt")).alias("__nb"))).over(w_all).alias("__best"),
     )
     hmode = (
         F.col("__lo")
-        + (-F.col("__best.__nb") + 0.5) * ((F.col("__hi") - F.col("__lo")) / n_buckets)
+        + (-F.col("__best.__nb")) * ((F.col("__hi") - F.col("__lo")) / n_buckets)
     )
     return final.filter(F.col("__rn") == 0).select(
         s.series_id,
@@ -295,6 +368,8 @@ def stats_bundle(
         "crossing_points",
         "binarize_mean",
         "std1st_der",
-        F.col("flat_spots").cast("bigint").alias("flat_spots"),
+        F.when(F.col("length") > n_buckets, F.col("flat_spots"))
+        .cast("bigint")
+        .alias("flat_spots"),
         hmode.alias("histogram_mode"),
     )

@@ -42,42 +42,69 @@ def _acf(y: np.ndarray, nlags: int) -> np.ndarray:
 
 
 def _spectral_entropy(y: np.ndarray) -> float:
-    """Normalized Shannon entropy of the periodogram (tsfeatures.py:636)."""
+    """Normalized Shannon entropy of the one-sided periodogram, exactly
+    scipy's ``periodogram(x, fs)`` as the reference computes it
+    (tsfeatures.py:633-655): constant detrend, interior frequencies
+    DOUBLED (one-sided scaling) while DC and Nyquist are not, log2, and
+    the normalizer is log2 of the FULL bin count (n//2 + 1, the zero
+    bin included — its 0·log0 term is nan-skipped).  r10 parity fix:
+    the old version dropped the DC bin and used uniform |rfft|² weights
+    with a natural-log normalizer — 1.3% off on the T1 golden."""
+    n = len(y)
     y = y - y.mean()
-    psd = np.abs(np.fft.rfft(y)) ** 2
-    psd = psd[1:]
+    amp2 = np.abs(np.fft.rfft(y)) ** 2
+    psd = amp2.copy()
+    if n % 2 == 0:
+        psd[1:-1] *= 2.0  # Nyquist bin not doubled
+    else:
+        psd[1:] *= 2.0
     tot = psd.sum()
     if tot <= 0:
         return 0.0
     p = psd / tot
-    p = p[p > 0]
-    return float(-(p * np.log(p)).sum() / np.log(len(p)))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = p * np.log2(p)
+    ent = np.nansum(terms)
+    return float(-(ent / np.log2(p.size)))
 
 
-def _hurst(y: np.ndarray, max_lag: int = 20) -> float:
-    """Variance-of-differences slope estimator (tsfeatures.py:906)."""
-    max_lag = min(max_lag, len(y) // 2)
-    if max_lag < 3:
+def _hurst(y: np.ndarray, lag_size: int = 30) -> float:
+    """Variance-of-differences slope estimator (tsfeatures.py:906-928):
+    lags = range(2, min(lag_size, n-1)) — the reference's exact lag set
+    (r10 parity fix: we previously capped at n//2 with max_lag=20, which
+    lands a different slope on short series; the committed
+    METALEARNING_TEST_T1 feature vector pins this)."""
+    n = len(y)
+    hi = min(lag_size, n - 1)
+    if hi <= 3:
         return np.nan
-    lags = np.arange(2, max_lag)
+    lags = np.arange(2, hi)
     tau = [np.std(y[l:] - y[:-l]) for l in lags]
     tau = np.maximum(tau, 1e-12)
     return float(np.polyfit(np.log(lags), np.log(tau), 1)[0])
 
 
 def _kpss(y: np.ndarray) -> float:
-    """KPSS level-stationarity statistic (tsfeatures.py:1238): partial-sum
-    variance ratio with a Bartlett long-run variance."""
+    """KPSS statistic exactly as the reference computes it
+    (tsfeatures.py:1238: ``kpss(x, regression="ct", nlags=1)``):
+    TREND-stationarity — residuals of the OLS fit on [1, t] — with a
+    Bartlett long-run variance at nlags=1 (s² = γ0 + γ1, since the
+    l=1 Bartlett weight is 1/2 and enters doubled).  r10 parity fix:
+    the previous version tested LEVEL stationarity with legacy lag
+    count — a different statistic entirely."""
     n = len(y)
-    e = y - y.mean()
+    t = np.arange(n, dtype=float)
+    tc = t - t.mean()
+    denom = float(tc @ tc)
+    if denom <= 0:
+        return np.nan
+    b = float(tc @ y) / denom
+    a = float(y.mean()) - b * float(t.mean())
+    e = y - (a + b * t)
     s = np.cumsum(e)
-    lag = int(np.ceil(12.0 * (n / 100.0) ** 0.25))
-    lag = min(lag, n - 1)
-    gamma0 = np.dot(e, e) / n
-    lrv = gamma0
-    for k in range(1, lag + 1):
-        w = 1.0 - k / (lag + 1.0)
-        lrv += 2.0 * w * np.dot(e[:-k], e[k:]) / n
+    gamma0 = float(e @ e) / n
+    gamma1 = float(e[:-1] @ e[1:]) / n
+    lrv = gamma0 + gamma1
     if lrv <= 0:
         return np.nan
     return float(np.dot(s, s) / (n * n * lrv))
@@ -103,14 +130,16 @@ def _gauss_solve(A: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _arch_r2(y: np.ndarray, nlags: int = 4) -> float:
-    """R² of the Engle ARCH LM regression of e² on its lags
-    (tsfeatures.py:1259); OLS via normal equations + _gauss_solve.
+    """R² of the Engle ARCH LM regression of x² on its lags — exactly
+    statsmodels ``het_arch`` as the reference calls it
+    (tsfeatures.py:1259: raw series squared, NOT centered residuals —
+    r10 parity fix); OLS via normal equations + _gauss_solve.
 
-    e² is scaled by its mean before the regression — the statistic is
+    x² is scaled by its mean before the regression — the statistic is
     scale-invariant in exact arithmetic, and the O(1) regressors keep the
     normal equations well-conditioned so the DuckDB replay stays within
     the 6-decimal rounding lattice."""
-    e2 = (y - y.mean()) ** 2
+    e2 = y**2
     n = len(e2) - nlags
     if n < nlags + 2:
         return np.nan
@@ -131,8 +160,11 @@ def _arch_r2(y: np.ndarray, nlags: int = 4) -> float:
     return float(1.0 - ss_res / ss_tot)
 
 
-def _het_arch(y: np.ndarray, nlags: int = 4) -> float:
-    """Engle ARCH LM statistic = n·R² (tsfeatures.py:1259)."""
+def _het_arch(y: np.ndarray, nlags: int | None = None) -> float:
+    """Engle ARCH LM statistic = nobs·R² with the reference's lag rule
+    ``nlags = min(10, n // 5)`` (tsfeatures.py:1259 het_arch)."""
+    if nlags is None:
+        nlags = min(10, len(y) // 5)
     r2 = _arch_r2(y, nlags)
     if not np.isfinite(r2):
         return np.nan
@@ -156,19 +188,31 @@ def _linearity(y: np.ndarray) -> float:
 
 
 def _first_min_zero_ac(y: np.ndarray) -> tuple[float, float]:
-    """(firstmin_ac, firstzero_ac) — tsfeatures.py:1297."""
-    nlags = min(len(y) - 1, len(y) // 2)
-    ac = _acf(y, nlags)
-    firstmin = np.nan
-    for i in range(1, len(ac) - 1):
-        if ac[i] < ac[i - 1] and ac[i] < ac[i + 1]:
-            firstmin = float(i)
+    """(firstmin_ac, firstzero_ac) — tsfeatures.py:1295-1345 get_special_ac,
+    the reference's EXACT scan conventions (r10 parity fix; the old
+    version looked for a strict local minimum / the first non-positive
+    lag, which disagrees on short noisy series):
+
+    * firstmin: walk while AC strictly decreases; answer = i + 1 where i
+      is the first index with AC[i] <= AC[i+1] (lags are 1-based).
+    * firstzero: first j with AC[j] > 0 and AC[j+1] < 0; answer = j + 2
+      (the lag just AFTER the sign change).  No crossing -> the scan
+      runs off the end and returns len(AC) + 1, like the reference."""
+    nlags = len(y) - 1
+    ac = _acf(y, nlags)[1:]  # lags 1..n-1, the reference's AC array
+    i = 0
+    while i < len(ac) - 1:
+        if ac[i] > ac[i + 1]:
+            i += 1
+        else:
             break
-    firstzero = np.nan
-    for i in range(1, len(ac)):
-        if ac[i] <= 0:
-            firstzero = float(i)
+    firstmin = float(i + 1)
+    j = 0
+    while j < len(ac) - 1:
+        if ac[j] > 0 and ac[j + 1] < 0:
             break
+        j += 1
+    firstzero = float(j + 2)
     return firstmin, firstzero
 
 
@@ -213,17 +257,48 @@ def _ma_decompose_strengths(y: np.ndarray, period: int) -> tuple[float, float, f
 
 
 def _holt_params(y: np.ndarray) -> tuple[float, float]:
-    """Grid-fitted Holt (alpha, beta) — tsfeatures.py:1365 holt_params."""
-    from kats_spark.models.fcst import _holt_fit
+    """Holt (alpha, beta) by in-sample SSE — tsfeatures.py:1365
+    holt_params (statsmodels ``ExponentialSmoothing(trend='add').fit()``
+    smoothing params).  Coarse-to-fine grid over (alpha, beta) with the
+    initial (level, trend) re-estimated per candidate by the statsmodels
+    heuristic (OLS over the first 10 points) — the reference's optimizer
+    explores the same SSE surface; smoothing params are weakly
+    identified, so parity is approximate by nature (the T1 golden
+    carries a documented band)."""
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    k = min(10, n)
+    t0 = np.arange(k, dtype=float)
+    b0 = (
+        float(np.polyfit(t0, y[:k], 1)[0]) if k >= 2 else 0.0
+    )
+    l0 = float(y[:k].mean()) - b0 * float(t0.mean()) if k >= 2 else float(y[0])
 
-    best, best_sse = (np.nan, np.nan), np.inf
-    for a in [0.2, 0.4, 0.6, 0.8]:
-        for b in [0.2, 0.4, 0.6, 0.8]:
-            fitted, *_ = _holt_fit(y, a, b)
-            sse = float(np.sum((y[1:] - fitted[1:]) ** 2))
-            if sse < best_sse:
-                best, best_sse = (a, b), sse
-    return best
+    def sse_of(a: float, b: float) -> float:
+        l, tr = l0, b0
+        sse = 0.0
+        for v in y:
+            f = l + tr
+            d = v - f
+            sse += d * d
+            l_new = a * v + (1 - a) * (l + tr)
+            tr = b * (l_new - l) + (1 - b) * tr
+            l = l_new
+        return sse
+
+    best = (np.inf, 0.5, 0.1)
+    a_lo, a_hi, b_lo, b_hi = 0.01, 0.99, 0.01, 0.99
+    for _ in range(3):
+        for a in np.linspace(a_lo, a_hi, 20):
+            for b in np.linspace(b_lo, b_hi, 20):
+                s0 = sse_of(float(a), float(b))
+                if s0 < best[0]:
+                    best = (s0, float(a), float(b))
+        da = (a_hi - a_lo) / 10
+        db = (b_hi - b_lo) / 10
+        a_lo, a_hi = max(1e-4, best[1] - da), min(0.9999, best[1] + da)
+        b_lo, b_hi = max(1e-4, best[2] - db), min(0.9999, best[2] + db)
+    return best[1], best[2]
 
 
 def _hw_params(y: np.ndarray, period: int) -> tuple[float, float, float]:
@@ -234,6 +309,11 @@ def _hw_params(y: np.ndarray, period: int) -> tuple[float, float, float]:
     from kats_spark.models.fcst import _hw_fit
 
     if len(y) < 2 * period:
+        return (float("nan"),) * 3
+    if np.min(y) <= 0:
+        # the reference fits with use_boxcox=True (tsfeatures.py:1425),
+        # which raises on non-positive data — its hw params are NaN
+        # there (pinned by the T1 golden); mirror the gate
         return (float("nan"),) * 3
     grid = [0.2, 0.4, 0.6, 0.8]
     best, best_sse = (np.nan, np.nan, np.nan), np.inf
@@ -726,7 +806,7 @@ def tsfeatures(
         "std_first_derivative": lambda: stats_fn.std_first_derivative(df, s),
         "flat_spots": lambda: stats_fn.flat_spots(df, 10, s),
         "histogram_mode": lambda: stats_fn.histogram_mode(df, 10, s),
-        "level_shift": lambda: stats_fn.level_shift_features(df, 10, s),
+        "level_shift": lambda: stats_fn.level_shift_features(df, window_size, s),
         # when the stl_features group is also selected, its loess-STL
         # (reference-exact) trend/seasonality strengths and spikiness win
         # over the kernel layer's MA-decomposition stand-ins — drop the

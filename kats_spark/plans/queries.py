@@ -1003,50 +1003,64 @@ _Q_TSFEAT_SQL = f"""
 WITH r AS ({_RAW_SQL}),
 idx AS (
   SELECT series_id, time, value,
-         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn
+         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn,
+         count(*) OVER (PARTITION BY series_id) AS n
   FROM r
 ),
 base AS (
   SELECT series_id, count(*)::BIGINT AS length, avg(value) AS mean,
-         var_samp(value) AS var, min(value) AS lo, max(value) AS hi,
+         var_pop(value) AS var, min(value) AS lo, max(value) AS hi,
          median(value) AS med
   FROM r GROUP BY 1
 ),
+chunked AS (
+  -- np.array_split tiling (tsfeatures.py:661): k = n//48 + 1 chunks,
+  -- the first n%k of size n//k + 1
+  SELECT series_id, value,
+    CASE WHEN rn < (n % (n // 48 + 1)) * (n // (n // 48 + 1) + 1)
+         THEN rn // (n // (n // 48 + 1) + 1)
+         ELSE (n % (n // 48 + 1))
+              + (rn - (n % (n // 48 + 1)) * (n // (n // 48 + 1) + 1))
+                // (n // (n // 48 + 1))
+    END AS tile
+  FROM idx
+),
 tiles AS (
-  SELECT series_id, rn // 48 AS tile, var_samp(value) AS tv, avg(value) AS tm, count(*) AS tn
-  FROM idx GROUP BY 1, 2
+  SELECT series_id, tile, var_pop(value) AS tv, avg(value) AS tm
+  FROM chunked GROUP BY 1, 2
 ),
 lum AS (
-  SELECT series_id, var_samp(tv) AS lumpiness, var_samp(tm) AS stability
-  FROM tiles WHERE tn = 48 GROUP BY 1
+  SELECT series_id, var_pop(tv) AS lumpiness, var_pop(tm) AS stability
+  FROM tiles GROUP BY 1
 ),
 flags AS (
   SELECT i.series_id,
          CAST(i.value > b.med AS INT) AS b,
-         lag(CAST(i.value > b.med AS INT)) OVER (PARTITION BY i.series_id ORDER BY i.time) AS pb,
+         lag(CAST(i.value > b.med AS INT)) OVER w AS pb,
          CAST(i.value > b.mean AS INT) AS above_mean,
-         i.value - lag(i.value) OVER (PARTITION BY i.series_id ORDER BY i.time) AS d
+         CASE WHEN lag(i.value) OVER w IS NULL THEN lead(i.value) OVER w - i.value
+              WHEN lead(i.value) OVER w IS NULL THEN i.value - lag(i.value) OVER w
+              ELSE (lead(i.value) OVER w - lag(i.value) OVER w) / 2 END AS g
   FROM idx i JOIN base b USING (series_id)
+  WINDOW w AS (PARTITION BY i.series_id ORDER BY i.time)
 ),
 cp AS (
   SELECT series_id, sum(CASE WHEN b <> pb THEN 1 ELSE 0 END)::BIGINT AS crossing_points,
          avg(above_mean::DOUBLE) AS binarize_mean,
-         stddev_samp(d) AS std1st_der
+         stddev_pop(g) AS std1st_der
   FROM flags GROUP BY 1
 ),
-bkts AS (
-  SELECT i.series_id, i.time,
-    least(9, floor((i.value - b.lo) / ((b.hi - b.lo) / 10)))::INT AS bkt
-  FROM idx i JOIN base b USING (series_id)
-),
 starts AS (
-  SELECT series_id, time, bkt,
-    CASE WHEN bkt = lag(bkt) OVER (PARTITION BY series_id ORDER BY time)
+  -- flat_spots (tsfeatures.py:872): runs of EQUAL values inside
+  -- n//10-wide TIME segments; a run breaks at segment boundaries
+  SELECT series_id, time,
+    CASE WHEN value = lag(value) OVER (PARTITION BY series_id ORDER BY time)
+          AND rn // (n // 10) = (rn - 1) // (n // 10)
          THEN 0 ELSE 1 END AS is_start
-  FROM bkts
+  FROM idx
 ),
 runs AS (
-  SELECT series_id, time, bkt,
+  SELECT series_id, time,
     sum(is_start) OVER (PARTITION BY series_id ORDER BY time
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
   FROM starts
@@ -1057,7 +1071,7 @@ fs AS (
   GROUP BY 1
 ),
 hmode AS (
-  SELECT series_id, lo + (bkt + 0.5) * ((hi - lo) / 10) AS histogram_mode
+  SELECT series_id, lo + bkt * ((hi - lo) / 10) AS histogram_mode
   FROM (
     SELECT b.series_id, least(9, floor((i.value - b.lo) / ((b.hi - b.lo) / 10)))::INT AS bkt,
            any_value(b.lo) AS lo, any_value(b.hi) AS hi, count(*) AS c,
@@ -1089,15 +1103,17 @@ def q_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_LEVEL_SHIFT_SQL = f"""
 WITH r AS ({_RAW_SQL}),
 rm AS (
+  -- SLIDING windows of width 24, stride 1 (tsfeatures.py:819-866):
+  -- means[i] = mean(x[i:i+24]); jump[i] = |means[i+1] - means[i]|
   SELECT series_id, time,
     CASE WHEN count(value) OVER w = 24 THEN avg(value) OVER w END AS m,
     row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS idx
   FROM r
-  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
 ),
 j AS (
   SELECT series_id, idx,
-    abs(m - lag(m) OVER (PARTITION BY series_id ORDER BY time)) AS jump
+    abs(lead(m) OVER (PARTITION BY series_id ORDER BY time) - m) AS jump
   FROM rm
 )
 SELECT series_id, idx::BIGINT AS level_shift_idx, round(1e-9 + jump, 6) AS level_shift_size

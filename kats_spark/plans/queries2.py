@@ -2388,12 +2388,13 @@ _Q_TSFEAT_EXPR_SQL = f"""
 WITH h AS ({_HOURLY_SQL}),
 idx AS (
   SELECT series_id, time, value,
-         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn
+         row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS rn,
+         count(*) OVER (PARTITION BY series_id) AS n
   FROM h
 ),
 mu AS (
   SELECT series_id, count(value)::BIGINT AS length, avg(value) AS mean,
-         var_samp(value) AS var, stddev_samp(value) AS std,
+         var_pop(value) AS var, stddev_pop(value) AS std,
          min(value) AS lo, max(value) AS hi, median(value) AS med
   FROM h GROUP BY 1
 ),
@@ -2409,41 +2410,53 @@ sk AS (  -- Spark skewness/kurtosis are the POPULATION formulas
          n * m4 / (m2 * m2) - 3.0 AS kurtosis
   FROM mom
 ),
+chunked AS (
+  -- np.array_split tiling (tsfeatures.py:661): k = n//48 + 1 chunks
+  SELECT series_id, value,
+    CASE WHEN rn < (n % (n // 48 + 1)) * (n // (n // 48 + 1) + 1)
+         THEN rn // (n // (n // 48 + 1) + 1)
+         ELSE (n % (n // 48 + 1))
+              + (rn - (n % (n // 48 + 1)) * (n // (n // 48 + 1) + 1))
+                // (n // (n // 48 + 1))
+    END AS tile
+  FROM idx
+),
 tiles AS (
-  SELECT series_id, rn // 48 AS tile, var_samp(value) AS tv, avg(value) AS tm, count(*) AS tn
-  FROM idx GROUP BY 1, 2
+  SELECT series_id, tile, var_pop(value) AS tv, avg(value) AS tm
+  FROM chunked GROUP BY 1, 2
 ),
 lum AS (
-  SELECT series_id, var_samp(tv) AS lumpiness, var_samp(tm) AS stability
-  FROM tiles WHERE tn = 48 GROUP BY 1
+  SELECT series_id, var_pop(tv) AS lumpiness, var_pop(tm) AS stability
+  FROM tiles GROUP BY 1
 ),
 flags AS (
   SELECT i.series_id,
          CAST(i.value > m.med AS INT) AS b,
-         lag(CAST(i.value > m.med AS INT)) OVER (PARTITION BY i.series_id ORDER BY i.time) AS pb,
+         lag(CAST(i.value > m.med AS INT)) OVER w AS pb,
          CAST(i.value > m.mean AS INT) AS above_mean,
-         i.value - lag(i.value) OVER (PARTITION BY i.series_id ORDER BY i.time) AS d
+         CASE WHEN lag(i.value) OVER w IS NULL THEN lead(i.value) OVER w - i.value
+              WHEN lead(i.value) OVER w IS NULL THEN i.value - lag(i.value) OVER w
+              ELSE (lead(i.value) OVER w - lag(i.value) OVER w) / 2 END AS g
   FROM idx i JOIN mu m USING (series_id)
+  WINDOW w AS (PARTITION BY i.series_id ORDER BY i.time)
 ),
 cp AS (
   SELECT series_id, sum(CASE WHEN b <> pb THEN 1 ELSE 0 END)::BIGINT AS crossing_points,
          avg(above_mean::DOUBLE) AS binarize_mean,
-         stddev_samp(d) AS std1st_der
+         stddev_pop(g) AS std1st_der
   FROM flags GROUP BY 1
 ),
-bkts AS (
-  SELECT i.series_id, i.time,
-    least(9, floor((i.value - m.lo) / ((m.hi - m.lo) / 10)))::INT AS bkt
-  FROM idx i JOIN mu m USING (series_id)
-),
 starts AS (
-  SELECT series_id, time, bkt,
-    CASE WHEN bkt = lag(bkt) OVER (PARTITION BY series_id ORDER BY time)
+  -- flat_spots (tsfeatures.py:872): runs of EQUAL values inside
+  -- n//10-wide TIME segments
+  SELECT series_id, time,
+    CASE WHEN value = lag(value) OVER (PARTITION BY series_id ORDER BY time)
+          AND rn // (n // 10) = (rn - 1) // (n // 10)
          THEN 0 ELSE 1 END AS is_start
-  FROM bkts
+  FROM idx
 ),
 runs AS (
-  SELECT series_id, time, bkt,
+  SELECT series_id, time,
     sum(is_start) OVER (PARTITION BY series_id ORDER BY time
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
   FROM starts
@@ -2454,7 +2467,7 @@ fs AS (
   GROUP BY 1
 ),
 hmode AS (
-  SELECT series_id, lo + (bkt + 0.5) * ((hi - lo) / 10) AS histogram_mode
+  SELECT series_id, lo + bkt * ((hi - lo) / 10) AS histogram_mode
   FROM (
     SELECT m.series_id, least(9, floor((i.value - m.lo) / ((m.hi - m.lo) / 10)))::INT AS bkt,
            any_value(m.lo) AS lo, any_value(m.hi) AS hi, count(*) AS c,
@@ -2465,14 +2478,15 @@ hmode AS (
   ) WHERE rk = 1
 ),
 ls0 AS (
+  -- SLIDING windows of width 48, stride 1 (tsfeatures.py:819-866)
   SELECT series_id, time, rn,
-    CASE WHEN count(value) OVER w >= 10 THEN avg(value) OVER w END AS rm
+    CASE WHEN count(value) OVER w = 48 THEN avg(value) OVER w END AS rm
   FROM idx
-  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+  WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN CURRENT ROW AND 47 FOLLOWING)
 ),
 ls1 AS (
   SELECT series_id, rn,
-    abs(rm - lag(rm) OVER (PARTITION BY series_id ORDER BY time)) AS jump
+    abs(lead(rm) OVER (PARTITION BY series_id ORDER BY time) - rm) AS jump
   FROM ls0
 ),
 ls AS (
@@ -5162,24 +5176,32 @@ lin2 AS (
         list_sum(list_transform(e, d -> d*d)) AS linearity
   FROM lin
 ),
+kpct AS (
+  -- KPSS 'ct' residuals (tsfeatures.py:1238 kpss(x, 'ct', nlags=1)):
+  -- detrend on [1, t] using the linearity CTE's shared OLS fit
+  SELECT series_id, n,
+    list_transform(range(1, n+1), i ->
+      vs[i] - ((mu - slope*xm) + slope*(i-1))) AS ect
+  FROM lin
+),
 kp AS (
-  SELECT series_id, n, e,
-    least(ceil(12.0 * pow(n/100.0, 0.25))::BIGINT, n-1) AS lag,
-    list_sum(list_transform(e, d -> d*d))/n AS gamma0,
+  SELECT series_id, n, ect,
+    list_sum(list_transform(ect, d -> d*d))/n AS gamma0,
+    list_sum(list_transform(range(1, n), i -> ect[i]*ect[i+1]))/n AS gamma1,
     list_sum(list_transform(range(1, n+1), t ->
-      pow(list_sum(e[1:t]), 2))) AS ss_cum
-  FROM dev
+      pow(list_sum(ect[1:t]), 2))) AS ss_cum
+  FROM kpct
 ),
 kp2 AS (
-  SELECT series_id,
-    ss_cum / (n * n * (gamma0 + 2.0 * list_sum(list_transform(range(1, lag+1), k ->
-      (1.0 - k/(lag+1.0)) *
-      list_sum(list_transform(range(1, n-k+1), i -> e[i]*e[i+k])) / n)))) AS kpss
+  -- Bartlett at nlags=1: s^2 = gamma0 + gamma1
+  SELECT series_id, ss_cum / (n * n * (gamma0 + gamma1)) AS kpss
   FROM kp
 ),
 arch0 AS (
+  -- Engle het_arch regresses the RAW series squared (tsfeatures.py:1259
+  -- — not centered residuals); scaled by its mean for conditioning
   SELECT series_id, n,
-    list_transform(e, d -> d*d / (list_sum(list_transform(e, q -> q*q))/n)) AS z
+    list_transform(vs, v -> v*v / (list_sum(list_transform(vs, q -> q*q))/n)) AS z
   FROM dev
 ),
 arch_init AS (

@@ -399,43 +399,68 @@ def main() -> None:
     # (METALEARNING_TEST_T1 / _FEATURES — produced by TsFeatures()
     # itself, not by statsmodels, so it pins OUR feature formulas
     # against the reference implementation directly).
-    t1 = getattr(dummy, "METALEARNING_TEST_T1")
-    t1_feats = getattr(dummy, "METALEARNING_TEST_T1_FEATURES")
-    tsfeat_case = {
-        "name": "tsfeatures_t1",
-        "golden_const": "METALEARNING_TEST_T1 / METALEARNING_TEST_T1_FEATURES",
-        "series_time": [str(t) for t in t1["time"]],
-        "series_value": [float(v) for v in t1["value"]],
-        "features": {
-            k: (None if (isinstance(v, float) and v != v) else float(v))
-            for k, v in t1_feats.items()
-        },
-        # measured r10 deviations; per-feature tolerance bands:
-        # exact (31 features at <=1e-6 after the r10 parity fixes),
-        # stl (loess-vs-statsmodels STL: trend 11%, seas 3.2%, spik 4%),
-        # optimizer (holt params: the golden is statsmodels' brute-start
-        # linspace(0,1,20)[4] artifact — our SSE 81.25 < its 83.87)
-        "rtol_exact": 1e-6,
-        "stl_features": {
-            "trend_strength": 0.13, "seasonality_strength": 0.04,
-            "spikiness": 0.05, "peak": 0, "trough": 0,
-        },
-        "optimizer_features": {"holt_alpha": 0.2, "holt_beta": 0.7},
-        "note": "31/39 features exact to 1e-6 (r10 campaign: array_split "
-                "lumpiness/stability tiling, np.gradient std1st_der, "
-                "Kats-variant flat_spots, left-edge histogram_mode, "
-                "sliding level_shift, population var/std, scipy-"
-                "periodogram entropy, KPSS ct/nlags=1, uncentered "
-                "het_arch with min(10, n//5) lags, reference hurst lag "
-                "set, reference special_ac scan conventions); hw params "
-                "NaN==NaN (boxcox gate on non-positive data)",
-    }
+    def tsfeat_case(name, series_const, feats_const, stl_bands, opt_bands, note):
+        series = getattr(dummy, series_const)
+        feats = getattr(dummy, feats_const)
+        return {
+            "name": name,
+            "golden_const": f"{series_const} / {feats_const}",
+            "series_time": [str(t) for t in series["time"]],
+            "series_value": [float(v) for v in series["value"]],
+            "features": {
+                k: (None if (isinstance(v, float) and v != v) else float(v))
+                for k, v in feats.items()
+            },
+            "rtol_exact": 1e-6,
+            "stl_features": stl_bands,
+            # optimizer-backed params: value band where measured tight
+            # enough to mean something, else range-only [0, 1] sanity
+            "optimizer_features": opt_bands,
+            "note": note,
+        }
+
+    tsfeat_cases = [
+        tsfeat_case(
+            "tsfeatures_t1",
+            "METALEARNING_TEST_T1",
+            "METALEARNING_TEST_T1_FEATURES",
+            {"trend_strength": 0.13, "seasonality_strength": 0.04,
+             "spikiness": 0.05, "peak": 0, "trough": 0},
+            {"holt_alpha": 0.2, "holt_beta": 0.7},
+            "31/39 features exact to 1e-6 (r10 campaign: array_split "
+            "lumpiness/stability tiling, np.gradient std1st_der, "
+            "Kats-variant flat_spots, left-edge histogram_mode, sliding "
+            "level_shift, population var/std, scipy-periodogram entropy, "
+            "KPSS ct/nlags=1, uncentered het_arch with min(10, n//5) "
+            "lags, reference hurst lag set, reference special_ac scan "
+            "conventions); hw params NaN==NaN (boxcox gate on "
+            "non-positive data); holt params: the golden is statsmodels' "
+            "brute-start linspace(0,1,20)[4] artifact — our SSE 81.25 < "
+            "its 83.87",
+        ),
+        tsfeat_case(
+            "tsfeatures_t2",
+            "METALEARNING_TEST_T2",
+            "METALEARNING_TEST_T2_FEATURES",
+            {"trend_strength": 0.17, "seasonality_strength": 0.03,
+             "spikiness": 0.17, "peak": 0, "trough": 0},
+            # every holt/hw golden value on this fixture sits on the
+            # statsmodels brute-start lattice k/19 (hw_alpha 2/19,
+            # hw_gamma 5/19) — optimizer artifacts; range-only sanity
+            {"holt_alpha": None, "holt_beta": None,
+             "hw_alpha": None, "hw_beta": None, "hw_gamma": None},
+            "the all-positive second fixture: 31/39 exact to 1e-6 "
+            "including the boxcox-path hw gate NOT firing; holt/hw "
+            "golden values are brute-start lattice points (k/19) with "
+            "higher SSE than our optimum — range-only",
+        ),
+    ]
 
     doc = {
         "source": "facebookresearch/Kats kats/tests/models/"
                   "test_models_dummy_data.py (committed statsmodels/prophet "
                   "outputs; SM_12 variants)",
-        "tsfeatures_parity": tsfeat_case,
+        "tsfeatures_parity": tsfeat_cases,
         "fixtures": {
             "air_passengers": "tests/golden/data/air_passengers.csv "
                               "(Box & Jenkins 1976 airline passengers)",

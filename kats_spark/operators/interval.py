@@ -150,11 +150,19 @@ def norm_cdf(x: float) -> float:
 
 def norm_ppf(q: float) -> float:
     """Inverse standard-normal CDF (Acklam's rational approximation,
-    |rel err| < 1.15e-9), refined with one Halley step on erf — no scipy."""
+    |rel err| < 1.15e-9), refined with one Halley step on erf — no scipy.
+    Edge semantics mirror scipy.stats.norm.ppf (the reference's interval
+    math passes user alphas straight through, kats linear_model.py: the
+    committed INVALID goldens pin ±inf bounds at alpha=0 and NaN bounds
+    at alpha<0): q==0 -> -inf, q==1 -> +inf, outside [0,1] -> nan."""
     import math
 
+    if q == 0.0:
+        return float("-inf")
+    if q == 1.0:
+        return float("inf")
     if not 0.0 < q < 1.0:
-        raise ValueError(f"q must be in (0,1), found {q}")
+        return float("nan")
     a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
          1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
     b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,

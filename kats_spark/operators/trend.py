@@ -111,10 +111,29 @@ def linear_forecast(
         (fcst + z * se).alias("fcst_upper"),
     )
     if include_history:
-        hist = fitted_values(df, s).select(
-            s.series_id, s.time, F.col("fitted").alias("fcst"),
-            F.lit(None).cast("double").alias("fcst_lower"),
-            F.lit(None).cast("double").alias("fcst_upper"),
+        # the reference evaluates wls_prediction_std over history AND
+        # future X together (linear_model.py:122-135), so history rows
+        # carry the SAME interval formula at in-sample x — pinned exact
+        # by the committed PEYTON_FCST_LINEAR_INVALID_* goldens
+        hx = (F.row_number().over(s.w()) - 1).cast("double")
+        hist_base = df.withColumn("__x", hx).join(
+            F.broadcast(fit.drop("__tmax")), s.series_id
+        )
+        hfcst = F.col("intercept") + F.col("slope") * F.col("__x")
+        hse = F.sqrt(
+            F.col("mse")
+            * (
+                1.0
+                + 1.0 / F.col("n")
+                + ((F.col("__x") - F.col("mean_x")) ** 2) / F.col("sxx")
+            )
+        )
+        hist = hist_base.select(
+            s.series_id,
+            s.time,
+            hfcst.alias("fcst"),
+            (hfcst - z * hse).alias("fcst_lower"),
+            (hfcst + z * hse).alias("fcst_upper"),
         )
         out = hist.unionByName(out)
     return out

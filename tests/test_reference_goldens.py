@@ -178,6 +178,41 @@ def test_prophet_incl_hist_matches_prophet_golden(name):
     np.testing.assert_allclose(fitted, golden_hist, rtol=case["rtol"])
 
 
+@pytest.mark.parametrize(
+    "name", ["linear_peyton_invalid_zero", "linear_peyton_invalid_neg_one"]
+)
+def test_linear_invalid_alpha_edge_contract(spark, name):
+    """The reference passes user alphas straight through the interval
+    math (linear_model.py + wls_prediction_std), and its committed
+    INVALID goldens pin the edge contract: alpha=0 -> ±inf bounds,
+    alpha=-1 -> NaN bounds, fcst EXACT either way over the FULL
+    include_history frame (the in-sample rows use the same interval
+    formula at in-sample x)."""
+    case = _need(name)
+    from kats_spark.operators.trend import linear_forecast
+
+    times, y = _fixture(case)
+    df = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s", "time": pd.to_datetime(times), "value": y})
+    )
+    out = (
+        linear_forecast(
+            df, case["horizon"], 86400, include_history=True, alpha=case["alpha"]
+        )
+        .toPandas()
+        .sort_values("time")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(case["fcst"])
+    np.testing.assert_allclose(out.fcst.to_numpy(), case["fcst"], rtol=case["rtol"])
+    lo = out.fcst_lower.to_numpy()
+    hi = out.fcst_upper.to_numpy()
+    if case["bounds_pattern"] == "inf":
+        assert np.all(np.isneginf(lo)) and np.all(np.isposinf(hi))
+    else:
+        assert np.all(np.isnan(lo)) and np.all(np.isnan(hi))
+
+
 def test_sarimax_exog_matches_statsmodels_golden():
     """SARIMAX with an exogenous regressor (SARIMAParams(exog=...) /
     predict(exog=...), kats/models/sarima.py:63-109) vs the reference's
@@ -240,7 +275,7 @@ def test_excluded_cases_are_documented():
         # says why
         cap = 0.1 if case.get("golden_quality") == "nondeterministic" else 0.06
         assert case["rtol"] <= cap, case["name"]
-        if case["model"].endswith("_fitted"):
+        if case["model"].endswith("_fitted") or "bounds_pattern" in case:
             # incl-hist goldens carry history + forecast rows; the
             # fitted-surface tests slice the history block themselves
             assert len(case["fcst"]) > case["horizon"], case["name"]

@@ -380,6 +380,34 @@ def main() -> None:
             **frame("AIR_FCST_15_SARIMA_PARAM_2_MODEL_1"),
         },
         {
+            "name": "linear_peyton_invalid_zero",
+            "fixture": "peyton_manning",
+            "model": "linear_invalid",
+            "alpha": 0.0,
+            "horizon": 30,
+            "rtol": 1e-6,
+            "bounds_pattern": "inf",
+            "golden_const": "PEYTON_FCST_LINEAR_INVALID_ZERO",
+            "note": "edge-contract golden: alpha=0 passes straight "
+                    "through the interval math (scipy norm.ppf(1)=inf), "
+                    "include_history frame with EXACT fcst (dev 0.0) and "
+                    "±inf bounds everywhere — pins norm_ppf's scipy edge "
+                    "semantics and the in-sample interval formula",
+            **frame("PEYTON_FCST_LINEAR_INVALID_ZERO"),
+        },
+        {
+            "name": "linear_peyton_invalid_neg_one",
+            "fixture": "peyton_manning",
+            "model": "linear_invalid",
+            "alpha": -1.0,
+            "horizon": 30,
+            "rtol": 1e-6,
+            "bounds_pattern": "nan",
+            "golden_const": "PEYTON_FCST_LINEAR_INVALID_NEG_ONE",
+            "note": "alpha=-1 -> norm_ppf(1.5)=nan bounds, fcst exact",
+            **frame("PEYTON_FCST_LINEAR_INVALID_NEG_ONE"),
+        },
+        {
             "name": "linear_peyton_alpha01",
             "fixture": "peyton_manning",
             "model": "linear",

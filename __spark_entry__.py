@@ -51,18 +51,23 @@ _PRIORITY = [
     # ---- slots 36-50: ROTATION WINDOW (VERDICT r03 item #2) ----
     # The driver hashes only the first 50 entries, so slots 36-50 rotate
     # never-driver-checked oracled queries each round while slots 1-35
-    # keep one representative per operator family.  Round 10 (VERDICT r09
-    # item #1): 15 of the 20-query r10 queue — every one independently
-    # value-verified MATCH at sf0.01 by the r09 judge AND by this round's
-    # pre-rotation replay, so the rotation is zero-risk.  Queued for r11:
-    # cluster_reps, unimax_alloc, bitext_mine, quantize_int8, shard_assign
-    # + any new r10 oracled queries.  The 15 displaced r09-green queries
-    # (corpus_profile .. ks_drift) move to the depth section.
-    "incremental_simhash_stored", "bpe_encode", "gopher_rules",
-    "tsfeatures_detector", "metalearn_metadata", "detector_hpt",
-    "tsfeatures_time", "stl_features_expr", "diversity_sample",
-    "vocab_drift", "dsir_weights", "dsir_sample", "dsir_stored",
-    "source_overlap", "quality_buckets",
+    # keep one representative per operator family.  Round 11 (VERDICT r10
+    # item #1): the full 8-query r11 queue — every remaining
+    # never-driver-checked oracle (cluster_reps, unimax_alloc,
+    # bitext_mine, quantize_int8, shard_assign, bitext_mine_ann,
+    # tsfeatures_wide_expr, bitext_mine_stored), each independently
+    # value-verified MATCH at sf0.01 by the r10 judge AND by this
+    # round's pre-rotation replay on HEAD.  Once these go driver-green,
+    # every one of the 175 DuckDB oracles has been driver-verified.
+    # The 7 filler slots re-check r09-green representatives displaced
+    # two rounds ago.  The 15 displaced r10-green queries
+    # (incremental_simhash_stored .. quality_buckets) move to depth.
+    "cluster_reps", "unimax_alloc", "bitext_mine",
+    "quantize_int8", "shard_assign", "bitext_mine_ann",
+    "tsfeatures_wide_expr", "bitext_mine_stored",
+    "corpus_profile", "embedding_diag", "epoch_upsample",
+    "hourly_ratio_full", "hpt_recommend", "ivf_topk_portable",
+    "lsh_bucket_pairs",
     # ---- depth: remaining oracle-backed coverage (51+) ----
     # r03-green representatives displaced by the rotation window
     "exact_dedup", "jaccard_pairs", "minhash_portable_pairs",
@@ -92,15 +97,14 @@ _PRIORITY = [
     "holiday_calendar", "video_frames", "winnow_overlap", "corpus_mixture",
     "pack_sequences", "chunk_docs", "tfidf_topk", "split_assign",
     "incremental_neardup", "dup_spans",
-    # r11 rotation queue: the 5 r10-queue queries held this round (all
-    # judge-verified MATCH at sf0.01 in r09) + any new r10 oracled queries
-    "cluster_reps", "unimax_alloc", "bitext_mine",
-    "quantize_int8", "shard_assign", "bitext_mine_ann",
-    "tsfeatures_wide_expr", "bitext_mine_stored",
+    # r10-window queries displaced by the r11 rotation
+    "incremental_simhash_stored", "bpe_encode", "gopher_rules",
+    "tsfeatures_detector", "metalearn_metadata", "detector_hpt",
+    "tsfeatures_time", "stl_features_expr", "diversity_sample",
+    "vocab_drift", "dsir_weights", "dsir_sample", "dsir_stored",
+    "source_overlap", "quality_buckets",
     # r09-window queries displaced by the r10 rotation
-    "corpus_profile", "embedding_diag", "epoch_upsample",
-    "hourly_ratio_full", "hpt_recommend", "ivf_topk_portable",
-    "lsh_bucket_pairs", "multimodal_features", "predictability",
+    "multimodal_features", "predictability",
     "psi_drift", "reconcile_struc", "simulate_portable",
     "static_threshold", "incremental_simhash", "ks_drift",
     # feature depth

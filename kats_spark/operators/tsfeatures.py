@@ -216,41 +216,34 @@ def _first_min_zero_ac(y: np.ndarray) -> tuple[float, float]:
     return firstmin, firstzero
 
 
-def _ma_decompose_strengths(y: np.ndarray, period: int) -> tuple[float, float, float]:
-    """(trend_strength, seasonality_strength, spikiness) via centered-MA
-    additive decomposition (tsfeatures.py:738 stl_features analog)."""
+def _stl_strengths(
+    y: np.ndarray, period: int, stl_trend: int | None = None
+) -> tuple[float, float, float]:
+    """(trend_strength, seasonality_strength, spikiness) from the
+    statsmodels-exact STL split (tsfeatures.py:738-792 get_stl_features:
+    ``STL(x, period=period).fit()`` then population-variance ratios and
+    the variance of the leave-one-out residual variances — computed here
+    via the O(n) closed form loo_var_i = (S2-r_i^2)/(n-1) -
+    ((S1-r_i)/(n-1))^2 instead of the reference's O(n^2) matrix)."""
+    from kats_spark.operators.stl import stl_statsmodels_np
+
     n = len(y)
-    if n < 2 * period + 1:
+    if n < 2 * period:
         return np.nan, np.nan, np.nan
-    if period % 2 == 0:
-        # centered 2xMA kernel of length period+1
-        trend = np.convolve(y, np.r_[0.5, np.ones(period - 1), 0.5] / period, "valid")
-    else:
-        trend = np.convolve(y, np.ones(period) / period, "valid")
-    pad = (n - len(trend)) // 2
-    tr = np.full(n, np.nan)
-    tr[pad : pad + len(trend)] = trend
-    detr = y - tr
-    seas = np.array(
-        [np.nanmean(detr[i::period]) if np.isfinite(detr[i::period]).any() else 0.0
-         for i in range(period)]
-    )
-    seas = seas - np.nanmean(seas)
-    seasonal = np.tile(seas, n // period + 1)[:n]
-    resid = y - tr - seasonal
-    ok = np.isfinite(resid)
-    vr = float(np.var(resid[ok])) if ok.any() else np.nan
-    deseason = y - seasonal
-    detrend = y - tr
-    vt = float(np.var(deseason[ok])) if ok.any() else np.nan
-    vs = float(np.var(detrend[ok])) if ok.any() else np.nan
-    trend_strength = max(0.0, 1.0 - vr / vt) if vt and np.isfinite(vt) else np.nan
-    seas_strength = max(0.0, 1.0 - vr / vs) if vs and np.isfinite(vs) else np.nan
-    # spikiness: variance of leave-one-out variances of residuals
-    r = resid[ok]
-    if len(r) > 3:
-        loo = [np.var(np.delete(r, i)) for i in range(len(r))]
-        spikiness = float(np.var(loo))
+    try:
+        T, S, R = stl_statsmodels_np(y, period, trend=stl_trend)
+    except Exception:
+        return np.nan, np.nan, np.nan
+    vr = float(np.var(R))
+    vt = float(np.var(T + R))
+    vs = float(np.var(S + R))
+    trend_strength = 1.0 - vr / vt if vt > 0 else np.nan
+    seas_strength = 1.0 - vr / vs if vs > 0 else np.nan
+    if n > 3:
+        s1, s2 = float(R.sum()), float((R * R).sum())
+        loo_mean = (s1 - R) / (n - 1)
+        loo_var = (s2 - R * R) / (n - 1) - loo_mean * loo_mean
+        spikiness = float(np.var(loo_var))
     else:
         spikiness = np.nan
     return trend_strength, seas_strength, spikiness
@@ -336,7 +329,12 @@ _KERNEL_SCHEMA = (
 )
 
 
-def kernel_features(df: DataFrame, period: int = 24, s: TSSchema = DEFAULT) -> DataFrame:
+def kernel_features(
+    df: DataFrame,
+    period: int = 24,
+    s: TSSchema = DEFAULT,
+    stl_trend: int | None = None,
+) -> DataFrame:
     """All numpy-kernel features in ONE pass per series."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -346,7 +344,7 @@ def kernel_features(df: DataFrame, period: int = 24, s: TSSchema = DEFAULT) -> D
         if len(y) < 10:
             return pd.DataFrame(columns=[c.split()[0] for c in _KERNEL_SCHEMA.split(", ")])
         fmin, fzero = _first_min_zero_ac(y)
-        ts_, ss_, spk = _ma_decompose_strengths(y, period)
+        ts_, ss_, spk = _stl_strengths(y, period, stl_trend)
         ha, hb = _holt_params(y)
         hwa, hwb, hwg = _hw_params(y, period)
         return pd.DataFrame(
@@ -427,7 +425,11 @@ def kernel_stats(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:
 
 
 def stl_features_block(
-    df: DataFrame, period: int, s: TSSchema = DEFAULT, method: str = "stl"
+    df: DataFrame,
+    period: int,
+    s: TSSchema = DEFAULT,
+    method: str = "stl",
+    stl_trend: int | None = None,
 ) -> DataFrame:
     """stl_features group (tsfeatures.py:738-802 get_stl_features):
     trend_strength / seasonality_strength (population-variance ratios,
@@ -438,14 +440,21 @@ def stl_features_block(
     peak / trough (argmax / argmin of the first period's seasonal
     values, first-occurrence ties like np.argmax).  Pure expressions
     over the decomposition split — one pass, two aggregates.
-    ``method='stl'`` (default, reference parity) uses the loess STL;
-    ``method='ma'`` uses the window-expressible centered-MA split, which
-    makes every downstream feature SQL-replayable (the oracled
-    ``stl_features_expr`` query)."""
+    ``method='stl'`` (default, reference parity) uses the
+    statsmodels-EXACT STL port (stl.stl_statsmodels_np — r11: closes
+    the r10 loess band; exact vs the reference's own committed
+    vectors); ``method='ma'`` uses the window-expressible centered-MA
+    split, which makes every downstream feature SQL-replayable (the
+    oracled ``stl_features_expr`` query).  ``stl_trend`` overrides the
+    STL trend window (the committed reference vectors are
+    statsmodels-<0.12 era and need the pre-0.12 default, smallest odd
+    >= 1.5*period — see stl.py era note)."""
     if method == "stl":
         from kats_spark.operators.stl import stl_decompose
 
-        parts = stl_decompose(df, period, s=s)
+        parts = stl_decompose(
+            df, period, trend=stl_trend, kernel="statsmodels", s=s
+        )
     else:
         from kats_spark.operators.decomposition import decompose
 
@@ -772,6 +781,7 @@ def tsfeatures(
     window_size: int = 48,
     s: TSSchema = DEFAULT,
     selected: "list[str] | None" = None,
+    stl_trend: int | None = None,
 ) -> DataFrame:
     """The full wide feature frame: expression layer ⋈ kernel layers.
 
@@ -816,9 +826,9 @@ def tsfeatures(
                 "trend_strength", "seasonality_strength", "spikiness"
             )
             if "stl_features" in chosen
-            else kernel_features(df, period, s)
+            else kernel_features(df, period, s, stl_trend=stl_trend)
         ),
-        "stl_features": lambda: stl_features_block(df, period, s),
+        "stl_features": lambda: stl_features_block(df, period, s, stl_trend=stl_trend),
         "time": lambda: time_group_features(df, s),
         "cusum_detector": lambda: det.cusum_detector_features(df, s=s),
         "robust_stat_detector": lambda: det.robust_stat_detector_features(df, s=s),

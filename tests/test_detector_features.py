@@ -129,8 +129,9 @@ def test_tsfeatures_unified_registry(spark):
 
 def test_spikiness_matches_loo_definition(spark):
     """The O(n) closed form equals the reference's explicit
-    leave-one-out matrix construction (tsfeatures.py:786-792)."""
-    from kats_spark.operators.stl import stl_decompose_np
+    leave-one-out matrix construction (tsfeatures.py:786-792), over the
+    statsmodels-exact STL split the block uses since r11."""
+    from kats_spark.operators.stl import stl_statsmodels_np
     from kats_spark.operators.tsfeatures import stl_features_block
 
     rng = np.random.default_rng(23)
@@ -138,15 +139,13 @@ def test_spikiness_matches_loo_definition(spark):
     y = (np.sin(np.arange(n) * 2 * np.pi / 24) * 3
          + 0.05 * np.arange(n) + rng.normal(0, 0.7, n))
     row = stl_features_block(_series(spark, y), period=24).collect()[0]
-    _, _, resid = stl_decompose_np(y, 24)
+    _, seasonal, resid = stl_statsmodels_np(y, 24)
     arr = np.repeat(resid[:, np.newaxis], len(resid), axis=1)
     arr[np.diag_indices(len(arr))] = np.nan
     expected = float(np.var(np.nanvar(arr, axis=0)))
     assert row["spikiness"] == pytest.approx(expected, rel=1e-9)
-    assert row["peak"] == int(np.argmax(
-        stl_decompose_np(y, 24)[1][:24]))
-    assert row["trough"] == int(np.argmin(
-        stl_decompose_np(y, 24)[1][:24]))
+    assert row["peak"] == int(np.argmax(seasonal[:24]))
+    assert row["trough"] == int(np.argmin(seasonal[:24]))
 
 
 def test_nowcasting_group_matches_reference_formulas(spark):

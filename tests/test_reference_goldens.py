@@ -355,14 +355,22 @@ def test_tsfeatures_value_parity(spark, idx):
     """TsFeatures VALUE parity against the reference's own committed
     39-feature vectors (METALEARNING_TEST_T1/T2_FEATURES — produced by
     the reference TsFeatures implementation itself, so these pin our
-    feature FORMULAS, not a statsmodels artifact).  After the r10
-    parity campaign 31/39 features are exact to 1e-6 on BOTH fixtures;
-    the STL-block features carry measured loess-vs-statsmodels bands,
-    and the optimizer-backed holt/hw params carry measured bands (T1)
-    or range-only sanity (T2 — every golden value sits on statsmodels'
-    brute-start lattice k/19 with a higher SSE than our optimum).  T1
-    additionally pins the hw boxcox NaN gate (non-positive data), T2
-    the gate NOT firing on positive data."""
+    feature FORMULAS, not a statsmodels artifact).  r10 closed 31/39 to
+    1e-6; r11 closes the STL block too: trend_strength /
+    seasonality_strength / spikiness are now EXACT via the
+    statsmodels-exact STL port.  The committed vectors are
+    statsmodels-<0.12 era, whose default STL trend window was the
+    smallest odd >= 1.5*period (= 11 here) — proven by the reference's
+    own version-gated expectations
+    (kats/tests/tsfeatures/test_tsfeatures.py:156-196) — so the parity
+    run passes that window explicitly (stl_trend from the golden case);
+    test_stl_statsmodels_both_eras pins the >=0.12 default-window
+    values on the same reference fixture.  The optimizer-backed holt/hw
+    params still carry measured bands (T1) or range-only sanity (T2 —
+    every golden value sits on/near statsmodels' brute-start lattice
+    k/19 with a higher SSE than our optimum).  T1 additionally pins the
+    hw boxcox NaN gate (non-positive data), T2 the gate NOT firing on
+    positive data."""
     if _DOC is None or "tsfeatures_parity" not in _DOC:
         pytest.skip("tsfeatures parity golden absent")
     case = _DOC["tsfeatures_parity"][idx]
@@ -376,7 +384,12 @@ def test_tsfeatures_value_parity(spark, idx):
         }
     )
     out = (
-        tsf.tsfeatures(spark.createDataFrame(pdf), period=7, window_size=20)
+        tsf.tsfeatures(
+            spark.createDataFrame(pdf),
+            period=7,
+            window_size=20,
+            stl_trend=case.get("stl_trend"),
+        )
         .toPandas()
         .iloc[0]
         .to_dict()

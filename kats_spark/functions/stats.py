@@ -130,7 +130,10 @@ def flat_spots(df: DataFrame, n_buckets: int = 10, s: TSSchema = DEFAULT) -> Dat
     value changes OR the segment boundary is crossed; series shorter
     than ``nbins`` emit NULL like the reference's NaN."""
     n = F.count(s.value).over(Window.partitionBy(s.series_id))
-    seg_w = F.floor(n / n_buckets)
+    # greatest(1, ...) guards the n <= nbins division by zero (ANSI mode
+    # throws before the NULL output gate below applies — ADVICE r10);
+    # those series emit NULL regardless via the __n > n_buckets gate.
+    seg_w = F.greatest(F.lit(1), F.floor(n / n_buckets))
     segged = df.withColumn("__n", n).withColumn(
         "__seg", F.floor(_rn(s) / seg_w)
     )
@@ -306,8 +309,10 @@ def stats_bundle(
         crem + F.floor((F.col("__rn") - chead) / csz)
     )
     # flat_spots segmentation: width n // nbins, runs of EQUAL values
-    # (tsfeatures.py:872 — r10 parity fix vs value-bucket runs)
-    segw = F.floor(F.col("length") / n_buckets)
+    # (tsfeatures.py:872 — r10 parity fix vs value-bucket runs);
+    # greatest(1, ...) guards the n <= nbins division by zero under ANSI
+    # (ADVICE r10) — those series emit NULL via the length gate anyway
+    segw = F.greatest(F.lit(1), F.floor(F.col("length") / n_buckets))
     step2 = step1.select(
         "*",
         bucket.alias("__bkt"),

@@ -155,18 +155,15 @@ def _ses_fit_estimated(y: np.ndarray) -> tuple[float, float, float, float]:
     return alpha, float(l), best[0], l0
 
 
-def theta_seasonal_forecast_one(
-    y: np.ndarray, m: int, steps: int
-) -> np.ndarray:
-    """Reference-parity theta forecast for one series
-    (kats/models/theta.py:100-211): ACF seasonality gate, multiplicative
-    STL deseasonalization, SES + half the OLS drift, re-seasonalize with
-    the tiled last period.  Point forecasts only (the golden-parity
-    surface); the distributed theta query keeps its exact-oracle
-    non-seasonal form in ``_fit_predict_one``."""
-    y = np.asarray(y, dtype=float)
+def _theta_deseasonalize(y: np.ndarray, m: int) -> tuple[bool, np.ndarray]:
+    """Shared theta preprocessing (kats/models/theta.py:100-152):
+    the ACF seasonality gate |r_m| / sqrt((1 + 2 sum r_j^2)/n) > 1.644
+    and, when it fires, the multiplicative STL seasonal component
+    (log-space STL, exp back, identity when any factor ~ 0).  Returns
+    (seasonal, seas) — used by BOTH the forecast tail and the
+    include_history fitted surface so the two paths cannot drift
+    (ADVICE r10)."""
     n = len(y)
-    # gate (theta.py:100-109): |r_m| / sqrt((1 + 2 sum r_j^2)/n) > 1.644
     seasonal = False
     if m > 1 and len(np.unique(y)) > 1 and n > 2 * m:
         c = y - y.mean()
@@ -182,6 +179,21 @@ def theta_seasonal_forecast_one(
         seas_c = np.exp(S)
         if np.all(np.abs(seas_c) >= 1e-10):
             seas = seas_c
+    return seasonal, seas
+
+
+def theta_seasonal_forecast_one(
+    y: np.ndarray, m: int, steps: int
+) -> np.ndarray:
+    """Reference-parity theta forecast for one series
+    (kats/models/theta.py:100-211): ACF seasonality gate, multiplicative
+    STL deseasonalization, SES + half the OLS drift, re-seasonalize with
+    the tiled last period.  Point forecasts only (the golden-parity
+    surface); the distributed theta query keeps its exact-oracle
+    non-seasonal form in ``_fit_predict_one``."""
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    seasonal, seas = _theta_deseasonalize(y, m)
     des = y / seas
     alpha, level, _, _ = _ses_fit_estimated(des)
     regr = np.vstack([np.arange(n, dtype=float), np.ones(n)]).T
@@ -202,24 +214,12 @@ def theta_fitted_one(y: np.ndarray, m: int) -> np.ndarray:
     series, re-seasonalized by the FULL per-point seasonal component
     (not the tiled last period the forecast tail uses).  Pinned by the
     SM_12 incl-hist goldens on both public fixtures (measured 2e-5 on
-    Peyton m=1, 0.34% on air m=12)."""
+    Peyton m=1, 0.34% on air m=12).  The seasonality decision is the
+    SHARED ``_theta_deseasonalize`` helper, so the fitted surface and
+    the forecast tail cannot disagree for the same series."""
     y = np.asarray(y, dtype=float)
     n = len(y)
-    seasonal = False
-    if m > 1 and len(np.unique(y)) > 1 and n > 2 * m:
-        c = y - y.mean()
-        ss = float(c @ c)
-        r = np.array([float(c[k:] @ c[:-k]) / ss for k in range(1, m + 1)])
-        stat = math.sqrt((1.0 + 2.0 * float(np.sum(r[:-1] ** 2))) / n)
-        seasonal = abs(r[-1] / stat) > 1.644
-    seas = np.ones(n)
-    if seasonal:
-        from kats_spark.operators.stl import stl_decompose_np
-
-        _, S, _ = stl_decompose_np(np.log(np.maximum(y, 1e-12)), m)
-        seas_c = np.exp(S)
-        if np.all(np.abs(seas_c) >= 1e-10):
-            seas = seas_c
+    _, seas = _theta_deseasonalize(y, m)
     des = y / seas
     alpha, _, _, l0 = _ses_fit_estimated(des)
     fitted = np.empty(n)

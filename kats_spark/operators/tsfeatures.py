@@ -79,9 +79,13 @@ def _hurst(y: np.ndarray, lag_size: int = 30) -> float:
     if hi <= 3:
         return np.nan
     lags = np.arange(2, hi)
-    tau = [np.std(y[l:] - y[:-l]) for l in lags]
-    tau = np.maximum(tau, 1e-12)
-    return float(np.polyfit(np.log(lags), np.log(tau), 1)[0])
+    # the reference takes log(tau) UNclamped: a constant series gives
+    # tau=0 -> log(0)=-inf -> NaN slope, and get_hurst returns 0 on a
+    # NaN slope (tsfeatures.py:928) — mirror both (ADVICE r10)
+    tau = np.array([np.std(y[l:] - y[:-l]) for l in lags])
+    with np.errstate(divide="ignore"):
+        slope = float(np.polyfit(np.log(lags), np.log(tau), 1)[0])
+    return slope if not np.isnan(slope) else 0.0
 
 
 def _kpss(y: np.ndarray) -> float:

@@ -1104,19 +1104,24 @@ _Q_LEVEL_SHIFT_SQL = f"""
 WITH r AS ({_RAW_SQL}),
 rm AS (
   -- SLIDING windows of width 24, stride 1 (tsfeatures.py:819-866):
-  -- means[i] = mean(x[i:i+24]); jump[i] = |means[i+1] - means[i]|
+  -- means[i] = mean(x[i:i+24]); jump[i] = |means[i+1] - means[i]|;
+  -- series with n < 26 emit NULL/NULL like the operator's
+  -- n >= window_size + 2 gate (the reference's NaN path — ADVICE r10)
   SELECT series_id, time,
     CASE WHEN count(value) OVER w = 24 THEN avg(value) OVER w END AS m,
-    row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS idx
+    row_number() OVER (PARTITION BY series_id ORDER BY time) - 1 AS idx,
+    count(*) OVER (PARTITION BY series_id) AS n
   FROM r
   WINDOW w AS (PARTITION BY series_id ORDER BY time ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
 ),
 j AS (
-  SELECT series_id, idx,
+  SELECT series_id, idx, n,
     abs(lead(m) OVER (PARTITION BY series_id ORDER BY time) - m) AS jump
   FROM rm
 )
-SELECT series_id, idx::BIGINT AS level_shift_idx, round(1e-9 + jump, 6) AS level_shift_size
+SELECT series_id,
+  CASE WHEN n >= 26 THEN idx END::BIGINT AS level_shift_idx,
+  CASE WHEN n >= 26 THEN round(1e-9 + jump, 6) END AS level_shift_size
 FROM (
   SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY jump DESC NULLS LAST, idx ASC) AS rk
   FROM j

@@ -388,13 +388,18 @@ def incremental_neardup_stored(
 
 
 def source_fingerprint(src_path: str) -> str:
-    """Content fingerprint of a source parquet (row count from the
-    footer + byte size — no Spark job): stored-index queries key their
-    reuse gate on THIS, not on ``os.path.exists``, so a regenerated
+    """Content fingerprint of a source parquet (footer metadata only —
+    no Spark job): row count + byte size + an md5 over every row
+    group's per-column statistics (min/max/null-count/distinct, read
+    from the parquet footers).  Stored-index queries key their reuse
+    gate on THIS, not on ``os.path.exists``, so a regenerated
     scale-factor dataset with different contents refreshes the stored
-    table instead of silently reusing a stale one (ADVICE r09).
-    Deliberately excludes mtime: regenerating identical data must NOT
-    force a rebuild (the amortized-first-rep design)."""
+    table instead of silently reusing a stale one (ADVICE r09) — and a
+    regeneration that coincidentally matches rows+bytes still flips the
+    statistics digest (ADVICE r10).  Deliberately excludes mtime:
+    regenerating identical data must NOT force a rebuild (the
+    amortized-first-rep design)."""
+    import hashlib
     import os
 
     import pyarrow.parquet as pq
@@ -407,9 +412,24 @@ def source_fingerprint(src_path: str) -> str:
         )
     else:
         parts = [src_path]
-    rows = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
-    size = sum(os.path.getsize(p) for p in parts)
-    return f"{rows}:{size}"
+    rows, size = 0, 0
+    digest = hashlib.md5()
+    for p in parts:
+        meta = pq.ParquetFile(p).metadata
+        rows += meta.num_rows
+        size += os.path.getsize(p)
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                st = col.statistics
+                if st is None:
+                    digest.update(b"|none")
+                    continue
+                digest.update(
+                    f"|{st.min!r}:{st.max!r}:{st.null_count}:{st.distinct_count}".encode()
+                )
+    return f"{rows}:{size}:{digest.hexdigest()[:16]}"
 
 
 def stored_is_current(store_path: str, fingerprint: str) -> bool:

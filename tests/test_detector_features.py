@@ -370,3 +370,30 @@ def test_vocab_drift_smoothing_and_ranking(spark):
     assert (out.psi_contrib >= 0).all()  # (p-q)ln(p/q) is nonnegative
     same = vocab_drift(a, a, top_k=5).toPandas()
     assert (same.psi_contrib.abs() < 1e-9).all()
+
+
+def test_short_series_stats_survive_ansi_mode(spark):
+    """flat_spots / stats_bundle segment width floor(n / nbins) is 0 for
+    n <= nbins; the greatest(1, ...) guard (ADVICE r10) keeps the
+    division legal under ANSI mode (Spark 4 default) while the length
+    gate still yields NULL flat_spots for such series."""
+    from kats_spark.functions.stats import flat_spots, stats_bundle
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "time": pd.date_range("2024-01-01", periods=5, freq="h"),
+            "value": [1.0, 1.0, 2.0, 2.0, 2.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        fs = flat_spots(df, 10).collect()
+        assert len(fs) == 1 and fs[0]["flat_spots"] is None
+        sb = stats_bundle(df, n_buckets=10).collect()
+        assert len(sb) == 1 and sb[0]["flat_spots"] is None
+        assert sb[0]["mean"] == pytest.approx(1.6)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)

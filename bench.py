@@ -207,6 +207,12 @@ def main() -> None:
     # regardless of how many queries ran before it.
     jvm_gc = spark.sparkContext._jvm.System.gc
     timings: dict[str, float] = {}
+    rep_counts: dict[str, int] = {}
+    # machine-checkable box-load discipline (VERDICT r10 item #4): the
+    # artifact itself records host load at start/end plus per-query rep
+    # counts, so drift adjudication (uniform inflation on untouched rows
+    # = box load, not regression) no longer leans on out-of-band notes.
+    loadavg_start = [round(v, 2) for v in os.getloadavg()]
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -226,6 +232,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             reps += 1
         timings[name] = round(best, 3)
+        rep_counts[name] = reps
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -236,6 +243,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": rep_counts,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": [round(v, 2) for v in os.getloadavg()],
             }
         )
     )

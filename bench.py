@@ -139,6 +139,10 @@ HEADLINE = [
     "bitext_mine_stored",
     "quantize_int8",
     "shard_assign",
+    # round-11 addition (baseline = BENCH_r11 first appearance): the
+    # fused wide TsFeatures row — ONE stats_bundle window pipeline for
+    # the 15 statistics+level_shift columns (was nine per-group subplans)
+    "tsfeatures_wide_expr",
 ]
 
 

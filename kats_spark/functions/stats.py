@@ -246,6 +246,8 @@ def stats_bundle(
     window_size: int = 20,
     n_buckets: int = 10,
     s: TSSchema = DEFAULT,
+    with_moments: bool = False,
+    level_shift_window: int | None = None,
 ) -> DataFrame:
     """The whole statistics feature group in ONE logical pipeline.
 
@@ -268,10 +270,35 @@ def stats_bundle(
     set computes after ONE exchange and ONE file scan (sub-key windows
     add only in-partition sorts).  The final filter keeps one row per
     series.  Output matches the separate operators exactly (same
-    expressions over the same rows — oracle-identical)."""
+    expressions over the same rows — oracle-identical).
+
+    ``with_moments`` adds std/skewness/kurtosis (the remaining basic
+    moments, same single window pass); ``level_shift_window`` fuses the
+    level_shift pair in too (the sliding means and the argmax are more
+    windows over the SAME series_id partitioning — r11 wide-row fusion,
+    VERDICT r10 item #9: one exchange instead of per-feature joins)."""
     w_all = Window.partitionBy(s.series_id)
     w_ord = s.w()
     v = F.col(s.value)
+
+    moment_cols = (
+        [
+            F.stddev_pop(s.value).over(w_all).alias("std"),
+            F.skewness(s.value).over(w_all).alias("skewness"),
+            F.kurtosis(s.value).over(w_all).alias("kurtosis"),
+        ]
+        if with_moments
+        else []
+    )
+    lsw = level_shift_window
+    ls_cols = []
+    if lsw is not None:
+        w_slide = w_ord.rowsBetween(0, lsw - 1)
+        ls_cols = [
+            F.when(
+                F.count(s.value).over(w_slide) == lsw, F.avg(s.value).over(w_slide)
+            ).alias("__lsm")
+        ]
 
     # whole-series moments as window aggs (no pre-pass, no join)
     step1 = df.select(
@@ -281,6 +308,8 @@ def stats_bundle(
         F.count(s.value).over(w_all).alias("length"),
         F.avg(s.value).over(w_all).alias("mean"),
         F.var_pop(s.value).over(w_all).alias("var"),
+        *moment_cols,
+        *ls_cols,
         F.min(s.value).over(w_all).alias("__lo"),
         F.max(s.value).over(w_all).alias("__hi"),
         F.median(s.value).over(w_all).alias("__med"),
@@ -313,6 +342,11 @@ def stats_bundle(
     # greatest(1, ...) guards the n <= nbins division by zero under ANSI
     # (ADVICE r10) — those series emit NULL via the length gate anyway
     segw = F.greatest(F.lit(1), F.floor(F.col("length") / n_buckets))
+    ls_jump = (
+        [F.abs(F.lead("__lsm").over(w_ord) - F.col("__lsm")).alias("__lsj")]
+        if lsw is not None
+        else []
+    )
     step2 = step1.select(
         "*",
         bucket.alias("__bkt"),
@@ -321,6 +355,7 @@ def stats_bundle(
         (F.col("__v") > F.col("mean")).cast("double").alias("__above_mean"),
         chunk.alias("__tile"),
         F.floor(F.col("__rn") / segw).alias("__seg"),
+        *ls_jump,
     )
     start = F.coalesce(
         (
@@ -349,6 +384,23 @@ def stats_bundle(
     # one representative row per chunk/bucket keeps stat-of-stat unweighted
     tile_var_rep = F.when(F.col("__tile_rn") == 1, F.col("__tv"))
     tile_mean_rep = F.when(F.col("__tile_rn") == 1, F.col("__tm"))
+    ls_best = (
+        [
+            # first-maximum tie semantics of level_shift_features'
+            # (desc_nulls_last jump, asc idx) rank: NULL jumps sink via
+            # the -inf fill, idx ties break to the smaller via -__rn max
+            F.max(
+                F.struct(
+                    F.coalesce(F.col("__lsj"), F.lit(float("-inf"))).alias("__j"),
+                    (-F.col("__rn")).alias("__ni"),
+                )
+            )
+            .over(w_all)
+            .alias("__lsbest")
+        ]
+        if lsw is not None
+        else []
+    )
     final = step4.select(
         "*",
         F.sum((F.col("__b") != F.col("__prev")).cast("int")).over(w_all).alias("crossing_points"),
@@ -358,16 +410,33 @@ def stats_bundle(
         F.var_pop(tile_mean_rep).over(w_all).alias("stability"),
         F.max("__rl").over(w_all).alias("flat_spots"),
         F.max(F.struct(F.col("__bc"), (-F.col("__bkt")).alias("__nb"))).over(w_all).alias("__best"),
+        *ls_best,
     )
     hmode = (
         F.col("__lo")
         + (-F.col("__best.__nb")) * ((F.col("__hi") - F.col("__lo")) / n_buckets)
+    )
+    extra = ["std", "skewness", "kurtosis"] if with_moments else []
+    ls_out = (
+        [
+            F.when(F.col("length") >= lsw + 2, -F.col("__lsbest.__ni")).alias(
+                "level_shift_idx"
+            ),
+            F.when(
+                (F.col("length") >= lsw + 2)
+                & (F.col("__lsbest.__j") != float("-inf")),
+                F.col("__lsbest.__j"),
+            ).alias("level_shift_size"),
+        ]
+        if lsw is not None
+        else []
     )
     return final.filter(F.col("__rn") == 0).select(
         s.series_id,
         "length",
         "mean",
         "var",
+        *extra,
         "lumpiness",
         "stability",
         "crossing_points",
@@ -377,4 +446,5 @@ def stats_bundle(
         .cast("bigint")
         .alias("flat_spots"),
         hmode.alias("histogram_mode"),
+        *ls_out,
     )

@@ -4395,8 +4395,38 @@ def q_tsfeatures_wide_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (the three blocks' proven SQL replays joined on series_id).
     The iterative groups (kernel trio, acfpacf, seasonalities,
     nowcasting, loess STL) stay in the rows-only ``tsfeatures_full``
-    twin by necessity."""
-    e = q_tsfeatures_expr(spark, sf_dir)
+    twin by necessity.
+
+    r11 fusion (VERDICT r10 item #9): the 15 statistics+level_shift
+    columns come from ONE ``stats_bundle`` window pipeline
+    (with_moments + level_shift_window fused into the same series_id
+    partitioning) instead of tsfeatures()'s nine per-group
+    aggregate-and-join subplans — same values (asserted against the
+    unchanged oracle), materially fewer exchanges/scans (PLANS.md)."""
+    from kats_spark.functions.stats import stats_bundle
+
+    h = hourly_series(spark, sf_dir)
+    eb = stats_bundle(
+        h, window_size=48, n_buckets=10, with_moments=True, level_shift_window=48
+    )
+    e = eb.select(
+        "series_id",
+        F.col("length").cast("bigint").alias("length"),
+        _rnd("mean", 6).alias("mean"),
+        _rnd("var", 6).alias("var"),
+        _rnd("std", 6).alias("std"),
+        _rnd("skewness", 6).alias("skewness"),
+        _rnd("kurtosis", 6).alias("kurtosis"),
+        _rnd("lumpiness", 6).alias("lumpiness"),
+        _rnd("stability", 6).alias("stability"),
+        F.col("crossing_points").cast("bigint").alias("crossing_points"),
+        _rnd("binarize_mean", 6).alias("binarize_mean"),
+        _rnd("std1st_der", 6).alias("std1st_der"),
+        F.col("flat_spots").cast("bigint").alias("flat_spots"),
+        _rnd("histogram_mode", 6).alias("histogram_mode"),
+        F.col("level_shift_idx").cast("bigint").alias("level_shift_idx"),
+        _rnd("level_shift_size", 6).alias("level_shift_size"),
+    )
     s = q_stl_features_expr(spark, sf_dir)
     t = q_tsfeatures_time(spark, sf_dir)
     return e.join(s, "series_id").join(t, "series_id")

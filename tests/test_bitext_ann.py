@@ -147,3 +147,101 @@ def test_stored_bitext_equals_direct_and_prunes(spark, xy, tmp_path):
     filters = [seg.split("]")[0] for seg in lplan.split("PartitionFilters: [")[1:]]
     assert any("cell_id" in f for f in filters), f"no partition filter: {filters}"
     assert out2.count() >= 0
+
+
+def test_streaming_bitext_sink_end_to_end(spark, xy, tmp_path):
+    """VERDICT r10 item #7: the deployable bitext consumer — source
+    vectors stream in over 2 micro-batches, each is mined against the
+    SAVED target index inside foreachBatch (bitext_mine_stored runs
+    UNCHANGED), pairs land in a parquet sink.  The contract (see the
+    module docstring): per-batch output is bit-identical to the batch
+    operator on that batch's rows — so the sink union equals the union
+    of per-batch batch runs; whole-batch equality additionally holds
+    exactly when every target's top-k candidate set is confined to one
+    batch, asserted here via the single-batch drain.  min_margin routes
+    only the highest-confidence pairs onward."""
+    import os
+    import pandas as pd
+
+    from kats_spark.sources.ann_store import bitext_mine_stored, save_bitext_target
+    from kats_spark.streaming.bitext import streaming_bitext_to_sink
+
+    x, y = xy
+    path = str(tmp_path / "target_idx")
+    save_bitext_target(y, path, n_cells=4)
+
+    xp = x.toPandas()
+    half = len(xp) // 2
+    chunks = [xp.iloc[:half], xp.iloc[half:]]
+    chunk_dir = tmp_path / "in"
+    chunk_dir.mkdir()
+    for i, c in enumerate(chunks):
+        # ONE file per chunk so maxFilesPerTrigger=1 gives exactly 2 batches
+        spark.createDataFrame(c).coalesce(1).write.parquet(
+            str(chunk_dir / f"c{i}.parquet")
+        )
+
+    def mine_rows(frame, threshold=1.0):
+        return _rows(
+            bitext_mine_stored(spark, path, frame, k=4, threshold=threshold, n_probe=2)
+        )
+
+    # expected = union of per-batch batch runs (the stated semantics)
+    exp = sorted(
+        r
+        for c in chunks
+        for r in mine_rows(spark.createDataFrame(c.drop(columns=["label"])))
+    )
+    out_dir = str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(chunk_dir))
+        .drop("label")
+    )
+    q = streaming_bitext_to_sink(
+        stream, path, out_dir, str(tmp_path / "ckpt"), k=4, threshold=1.0, n_probe=2
+    )
+    q.awaitTermination(180)
+    sunk = spark.read.parquet(out_dir)
+    assert sunk.select("batch_id").distinct().count() == 2
+    got = _rows(sunk.drop("batch_id"))
+    assert len(got) == len(exp) > 0
+    assert got == exp
+
+    # single-batch drain == whole-batch operator bit-for-bit (the
+    # candidate-confinement condition holds trivially with one batch)
+    whole = mine_rows(x)
+    out2 = str(tmp_path / "pairs_whole")
+    stream2 = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>, label int")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(chunk_dir))
+        .drop("label")
+    )
+    q2 = streaming_bitext_to_sink(
+        stream2, path, out2, str(tmp_path / "ckpt2"), k=4, threshold=1.0, n_probe=2
+    )
+    q2.awaitTermination(180)
+    assert _rows(spark.read.parquet(out2).drop("batch_id")) == whole
+
+    # min_margin routing keeps exactly the over-threshold subset
+    margins = sorted(r[3] for r in exp)
+    thr = margins[len(margins) // 2]
+    out3 = str(tmp_path / "pairs_routed")
+    stream3 = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(chunk_dir))
+        .drop("label")
+    )
+    q3 = streaming_bitext_to_sink(
+        stream3, path, out3, str(tmp_path / "ckpt3"),
+        k=4, threshold=1.0, n_probe=2, min_margin=thr,
+    )
+    q3.awaitTermination(180)
+    kept = _rows(spark.read.parquet(out3).drop("batch_id"))
+    assert kept == [r for r in exp if r[3] >= thr - 1e-12]
+    assert 0 < len(kept) < len(exp)

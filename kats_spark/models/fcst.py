@@ -88,6 +88,253 @@ def _holt_damped_fit(
     return fitted, l, b
 
 
+# ---------------------------------------------------------------------
+# Pre-0.12 statsmodels HW golden-parity surface (r11).  The reference's
+# HoltWintersModel.fit (kats/models/holtwinters.py:127-141) calls
+# ExponentialSmoothing(value, trend, damped=, seasonal,
+# seasonal_periods).fit() — the `damped=` keyword pins the goldens to
+# the pre-0.13 signature, and reverse-engineering AIR_FCST_HW_1's
+# in-sample block shows the fit JOINTLY estimated the initial states
+# and converged to the DEGENERATE corner (alpha=1, beta=0, gamma=0) of
+# the misspecified sp=7 monthly fixture.  The classical HW recursion is
+# AFFINE in the initial states for fixed smoothing params, so
+# 'estimated' initialization is emulated exactly by PROFILING the
+# states per lattice candidate — exact linear least squares for the
+# additive form, Gauss-Newton for the multiplicative — then taking the
+# brute argmin over the k/19 smoothing lattice (the same scipy.brute
+# lattice the optimizer starts from; see operators/tsfeatures.py's
+# _brute_* block comment).  Measured vs the shipped goldens:
+# add/add 2.11% max (forecast tail), mul/mul 4.96% max — both inside
+# the 6% trusted-golden cap (the reference's own test asserts rtol=1).
+# ---------------------------------------------------------------------
+
+
+def _hw_classic_run(
+    y: np.ndarray,
+    m: int,
+    a: float,
+    b_: float,
+    g: float,
+    l0: float,
+    b0: float,
+    s0: np.ndarray,
+    mult: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Classical HW recursion with EXPLICIT initial states (the pre-0.12
+    statsmodels convention: state i incorporates y[i-1]; fitted[i] =
+    combine(l[i], b[i], s[i])).  Returns (fitted, l, b, s) with arrays
+    sized n+1 / n+m so the FORECAST can read the states that consumed
+    all n observations (l[n], b[n], s[n:n+m])."""
+    n = len(y)
+    l = np.empty(n + 1)
+    b = np.empty(n + 1)
+    s = np.empty(n + m)
+    l[0], b[0] = l0, b0
+    s[:m] = s0
+    ac, bc, gc = 1.0 - a, 1.0 - b_, 1.0 - g
+    if mult:
+        for i in range(1, n + 1):
+            prev = l[i - 1] * b[i - 1]
+            l[i] = a * (y[i - 1] / s[i - 1]) + ac * prev
+            b[i] = b_ * (l[i] / l[i - 1]) + bc * b[i - 1]
+            s[i + m - 1] = g * (y[i - 1] / prev) + gc * s[i - 1]
+        fitted = l[:n] * b[:n] * s[:n]
+    else:
+        for i in range(1, n + 1):
+            prev = l[i - 1] + b[i - 1]
+            l[i] = a * (y[i - 1] - s[i - 1]) + ac * prev
+            b[i] = b_ * (l[i] - l[i - 1]) + bc * b[i - 1]
+            s[i + m - 1] = g * (y[i - 1] - prev) + gc * s[i - 1]
+        fitted = l[:n] + b[:n] + s[:n]
+    return fitted, l, b, s
+
+
+def _hw_vec_run(
+    y: np.ndarray,
+    m: int,
+    A: np.ndarray,
+    B: np.ndarray,
+    G: np.ndarray,
+    l0v: np.ndarray,
+    b0v: np.ndarray,
+    s0v: np.ndarray,
+    mult: bool,
+) -> np.ndarray:
+    """Classical recursion VECTORIZED across candidates: A/B/G/l0v/b0v
+    are (nc,), s0v is (m, nc).  Returns fitted (n, nc)."""
+    n = len(y)
+    nc = len(A)
+    l = np.empty((n + 1, nc))
+    b = np.empty((n + 1, nc))
+    s = np.empty((n + m, nc))
+    l[0], b[0] = l0v, b0v
+    s[:m] = s0v
+    with np.errstate(all="ignore"):
+        if mult:
+            for i in range(1, n + 1):
+                prev = l[i - 1] * b[i - 1]
+                l[i] = A * (y[i - 1] / s[i - 1]) + (1.0 - A) * prev
+                b[i] = B * (l[i] / l[i - 1]) + (1.0 - B) * b[i - 1]
+                s[i + m - 1] = G * (y[i - 1] / prev) + (1.0 - G) * s[i - 1]
+            return l[:n] * b[:n] * s[:n]
+        for i in range(1, n + 1):
+            prev = l[i - 1] + b[i - 1]
+            l[i] = A * (y[i - 1] - s[i - 1]) + (1.0 - A) * prev
+            b[i] = B * (l[i] - l[i - 1]) + (1.0 - B) * b[i - 1]
+            s[i + m - 1] = G * (y[i - 1] - prev) + (1.0 - G) * s[i - 1]
+        return l[:n] + b[:n] + s[:n]
+
+
+def _hw_legacy_states(y: np.ndarray, m: int, mult: bool) -> np.ndarray:
+    """Pre-0.12 legacy initial states [l0, b0, s0(m)] (the optimizer's
+    start): first-cycle mean level, one-cycle-apart slope (log-ratio for
+    the multiplicative trend), first-cycle deviations/ratios."""
+    l0 = float(np.mean(y[:m]))
+    if mult:
+        b0 = float(
+            np.exp((np.log(np.mean(y[m : 2 * m])) - np.log(np.mean(y[:m]))) / m)
+        )
+        s0 = y[:m] / l0
+    else:
+        b0 = float(np.mean((y[m : 2 * m] - y[:m]) / m))
+        s0 = y[:m] - l0
+    return np.concatenate([[l0, b0], s0.astype(float)])
+
+
+def _hw_profiled_brute(
+    y: np.ndarray, m: int, mult: bool
+) -> tuple[tuple[float, float, float], np.ndarray]:
+    """Brute argmin over the k/19 smoothing lattice with the initial
+    states PROFILED per candidate (emulating 'estimated'
+    initialization): exact LLS for the affine additive recursion;
+    for the multiplicative form a vectorized legacy-init SSE pass
+    pre-screens the lattice and only the ~40 most promising candidates
+    pay the Gauss-Newton profile."""
+    n = len(y)
+    k = 2 + m
+    grid = np.linspace(0.0, 1.0, 20)
+    A, B, G = (v.ravel() for v in np.meshgrid(grid, grid, grid, indexing="ij"))
+    feas = (A > 0.0) & (B <= A) & (G <= 1.0 - A)
+    A, B, G = A[feas], B[feas], G[feas]
+    nc = len(A)
+    x_leg = _hw_legacy_states(y, m, mult)
+
+    if not mult:
+        # fitted = F @ x0 + c (affine in the initial states): build F by
+        # basis propagation, one vectorized pass per basis vector, then
+        # solve the per-candidate least squares exactly.
+        zeros = np.zeros(n)
+        F = np.empty((k, n, nc))
+        for j in range(k):
+            e = np.zeros(k)
+            e[j] = 1.0
+            F[j] = _hw_vec_run(
+                zeros, m,
+                A, B, G,
+                np.full(nc, e[0]), np.full(nc, e[1]),
+                np.repeat(e[2:][:, None], nc, axis=1),
+                mult=False,
+            )
+        c = _hw_vec_run(
+            y, m, A, B, G,
+            np.zeros(nc), np.zeros(nc), np.zeros((m, nc)), mult=False,
+        )
+        best, bv, bx = None, np.inf, None
+        for i in range(nc):
+            Fi = F[:, :, i].T  # (n, k)
+            xi, *_ = np.linalg.lstsq(Fi, y - c[:, i], rcond=None)
+            r = Fi @ xi + c[:, i] - y
+            sse = float(r @ r)
+            if sse < bv:
+                best, bv, bx = (float(A[i]), float(B[i]), float(G[i])), sse, xi
+        return best, bx
+
+    # multiplicative: vectorized legacy-init screen, then GN on the top-K
+    fitted = _hw_vec_run(
+        y, m, A, B, G,
+        np.full(nc, x_leg[0]), np.full(nc, x_leg[1]),
+        np.repeat(x_leg[2:][:, None], nc, axis=1),
+        mult=True,
+    )
+    with np.errstate(all="ignore"):
+        sse0 = np.nansum((fitted - y[:, None]) ** 2, axis=0)
+    sse0[~np.isfinite(fitted).all(axis=0)] = np.inf
+    # gate to candidates whose UNprofiled legacy-init SSE is within 3x
+    # of the minimum (profiling lowers SSE by at most the observed
+    # ~2-3x), then run the BATCH Gauss-Newton profile over all of them
+    # at once — the recursion, the FD Jacobian and the line search are
+    # vectorized across candidates, so full 15-iteration depth costs a
+    # few seconds instead of minutes
+    gate = np.isfinite(sse0) & (sse0 <= 3.0 * np.nanmin(sse0[np.isfinite(sse0)]))
+    Ag, Bg, Gg = A[gate], B[gate], G[gate]
+    ng = len(Ag)
+    X = np.repeat(x_leg[:, None], ng, axis=1)  # (k, ng)
+
+    def vec_resid(Xc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        f = _hw_vec_run(y, m, Ag, Bg, Gg, Xc[0], Xc[1], Xc[2:], mult=True)
+        r = f - y[:, None]
+        with np.errstate(all="ignore"):
+            sse = np.where(
+                np.isfinite(f).all(axis=0), np.nansum(r * r, axis=0), np.inf
+            )
+        return r, sse
+
+    r, sse = vec_resid(X)
+    with np.errstate(all="ignore"):
+        for _ in range(15):
+            J = np.empty((n, k, ng))
+            for j in range(k):
+                dx = np.maximum(1e-5, 1e-6 * np.abs(X[j]))
+                Xp = X.copy()
+                Xp[j] = Xp[j] + dx
+                rp, _ = vec_resid(Xp)
+                J[:, j, :] = (rp - r) / dx
+            step = np.zeros_like(X)
+            for i in range(ng):
+                if not np.isfinite(sse[i]):
+                    continue
+                try:
+                    step[:, i] = np.linalg.lstsq(J[:, :, i], -r[:, i], rcond=None)[0]
+                except np.linalg.LinAlgError:
+                    pass
+            improved = np.zeros(ng, dtype=bool)
+            lam = 1.0
+            for _ls in range(12):
+                Xn = X + lam * step * (~improved)
+                rn, ssen = vec_resid(Xn)
+                take = (~improved) & (ssen < sse)
+                if take.any():
+                    X[:, take] = Xn[:, take]
+                    r[:, take] = rn[:, take]
+                    sse[take] = ssen[take]
+                    improved |= take
+                if improved.all():
+                    break
+                lam *= 0.5
+            if not improved.any():
+                break
+    i = int(np.argmin(sse))
+    return (float(Ag[i]), float(Bg[i]), float(Gg[i])), X[:, i].copy()
+
+
+def hw_estimated_forecast_one(
+    y: np.ndarray, m: int, steps: int, mult: bool
+) -> np.ndarray:
+    """The pre-0.12 statsmodels ExponentialSmoothing golden surface
+    (see the block comment above): profiled-state brute fit, then the
+    classical forecast from the states that consumed all n observations
+    — fc[h] = l_n (+|*) h·b_n (+|*) s[n + (h-1) mod m]."""
+    y = np.asarray(y, dtype=float)
+    (a, b_, g), x = _hw_profiled_brute(y, m, mult)
+    n = len(y)
+    _, l, b, s = _hw_classic_run(y, m, a, b_, g, x[0], x[1], x[2:], mult)
+    h = np.arange(1, steps + 1)
+    seas = np.array([s[n + (hh - 1) % m] for hh in h])
+    if mult:
+        return l[n] * b[n] ** h * seas
+    return l[n] + h * b[n] + seas
+
+
 def _hw_fit(
     y: np.ndarray, m: int, alpha: float, beta: float, gamma: float, mult: bool
 ) -> tuple[np.ndarray, float, float, np.ndarray]:

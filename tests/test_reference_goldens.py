@@ -267,7 +267,12 @@ def test_excluded_cases_are_documented():
         pytest.skip("golden file absent")
     assert "sarima_air_111" in _DOC["excluded"]
     assert "sarima_air_011_011_12" in _DOC["excluded"]
-    assert "holtwinters_air_p7" in _DOC["excluded"]
+    # r11: the HW exclusion is RETIRED — both goldens are trusted cases
+    # now (profiled-states 'estimated' emulation); the retirement itself
+    # stays documented
+    assert "holtwinters_air_p7" not in _DOC["excluded"]
+    assert "holtwinters_air_p7_RETIRED_r11" in _DOC["excluded"]
+    assert "hw_air_add_30" in _CASES and "hw_air_mul_30" in _CASES
     for case in _DOC["cases"]:
         # 0.06 is the honesty cap for trusted goldens; a case may carry
         # more slack ONLY when the golden itself is flagged untrusted
@@ -547,3 +552,46 @@ def test_sarimax_exog_second_config_bounds():
             tuple(case["seasonal_order"]), h, trend=case["trend"],
         )
         np.testing.assert_allclose(f2 - f1, 0.5 * xg_f, rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["hw_air_add_30", "hw_air_mul_30"])
+def test_hw_matches_statsmodels_golden(name):
+    """r11 CLOSES the holtwinters_air_p7 exclusion (was 15-16%): the
+    shipped HW goldens are pre-0.12 statsmodels fits with JOINTLY
+    estimated initial states that converged to the degenerate corner of
+    the misspecified sp=7 monthly fixture (add/add recovered EXACTLY
+    from the golden's own in-sample block: alpha=1, beta=0, gamma=0).
+    hw_estimated_forecast_one emulates 'estimated' initialization by
+    profiling the initial states per k/19 lattice candidate — exact LLS
+    for the affine additive recursion, batch Gauss-Newton for the
+    multiplicative — and lands 2.11% / 4.96% max on the 30-step tails
+    (the reference's own assert is rtol=1)."""
+    case = _need(name)
+    from kats_spark.models.fcst import hw_estimated_forecast_one
+
+    _, y = _fixture(case)
+    fc = hw_estimated_forecast_one(
+        y, case["m"], case["horizon"], mult=case["mode"] == "mul"
+    )
+    np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
+
+
+def test_hw_estimated_corner_recovery():
+    """The add/add profile at the degenerate corner reproduces the
+    structural facts reverse-engineered from AIR_FCST_HW_1: the brute
+    argmin IS (1, 0, 0), and the profiled states beat the golden's own
+    stall point on the corner's SSE (the golden's l0 is a non-converged
+    leftover affecting only fitted[0])."""
+    case = _need("hw_air_add_30")
+    from kats_spark.models.fcst import _hw_classic_run, _hw_profiled_brute
+
+    _, y = _fixture(case)
+    (a, b_, g), x = _hw_profiled_brute(y, 7, mult=False)
+    assert (a, b_, g) == (1.0, 0.0, 0.0)
+    fitted = _hw_classic_run(y, 7, a, b_, g, x[0], x[1], x[2:], False)[0]
+    sse = float(((fitted - y) ** 2).sum())
+    # the golden's stall point measured 159717; the profile optimum 159356
+    assert sse < 159400
+    # alpha=1 corner: fitted[0] is the ONLY point l0 touches; the profile
+    # drives it onto the data exactly
+    np.testing.assert_allclose(fitted[0], y[0], rtol=1e-8)

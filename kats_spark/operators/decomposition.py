@@ -63,22 +63,30 @@ def ma_decompose(
     )
     base = base.withColumn("__detr", detr).withColumn("__phase", F.col("__rn") % period)
 
-    phase_means = (
-        base.filter(F.col("__detr").isNotNull())
-        .groupBy(s.series_id, "__phase")
-        .agg(F.avg("__detr").alias("__pm"))
+    # r11 fusion: phase means, the grand mean of phase means (the
+    # stats_bundle stat-of-stat trick: one representative row per phase)
+    # and the per-row seasonal are all WINDOWS over series_id-prefixed
+    # partitions — HashPartitioning(series_id) satisfies every one, so
+    # the whole decomposition computes after ONE exchange with ZERO
+    # joins (was: 2 aggregates + a broadcast join back).  avg() skips
+    # NULL detrended rows exactly like the old filtered groupBy.
+    w_phase = Window.partitionBy(s.series_id, "__phase")
+    w_all = Window.partitionBy(s.series_id)
+    fused = base.select(
+        "*",
+        F.avg("__detr").over(w_phase).alias("__pm"),
+        F.row_number()
+        .over(Window.partitionBy(s.series_id, "__phase").orderBy("__rn"))
+        .alias("__phase_rn"),
     )
-    grand = phase_means.groupBy(s.series_id).agg(F.avg("__pm").alias("__gm"))
-    seasonal_tbl = phase_means.join(grand, s.series_id).select(
-        s.series_id,
-        "__phase",
-        (
-            (F.col("__pm") - F.col("__gm"))
-            if model == "additive"
-            else (F.col("__pm") / F.col("__gm"))
-        ).alias("seasonal"),
+    pm_rep = F.when(F.col("__phase_rn") == 1, F.col("__pm"))
+    fused = fused.withColumn("__gm", F.avg(pm_rep).over(w_all))
+    seasonal = (
+        (F.col("__pm") - F.col("__gm"))
+        if model == "additive"
+        else (F.col("__pm") / F.col("__gm"))
     )
-    out = base.join(F.broadcast(seasonal_tbl), [s.series_id, "__phase"], "left")
+    out = fused.withColumn("seasonal", seasonal)
     resid = (
         F.col(s.value) - F.col("trend") - F.col("seasonal")
         if model == "additive"

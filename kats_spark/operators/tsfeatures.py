@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kats_spark.functions import stats as stats_fn
@@ -596,37 +596,51 @@ def stl_features_block(
         parts = decompose(df, period, "additive", method, s).filter(
             F.col("residual").isNotNull()
         )
+    # r11 fusion: every statistic below is a WINDOW over series_id (the
+    # stats_bundle pattern) — strengths, the two-pass LOO spikiness, and
+    # the first-period peak/trough argminmax all compute after ONE
+    # exchange with ZERO joins (was: 3 aggregates + 2 joins + a
+    # broadcast of the stats frame back onto the rows).
     parts = parts.withColumn("__rn", F.row_number().over(s.w()))
     r = F.col("residual")
-    stats = parts.groupBy(s.series_id).agg(
-        F.count("*").cast("double").alias("__n"),
-        F.sum(r).alias("__s1"),
-        F.sum(r * r).alias("__s2"),
-        F.var_pop(r).alias("__vr"),
-        F.var_pop(F.col("trend") + r).alias("__vtr"),
-        F.var_pop(F.col("seasonal") + r).alias("__vsr"),
+    w_all = Window.partitionBy(s.series_id)
+    rn0 = F.col("__rn") - 1
+    step1 = parts.select(
+        "*",
+        F.count("*").over(w_all).cast("double").alias("__n"),
+        F.sum(r).over(w_all).alias("__s1"),
+        F.sum(r * r).over(w_all).alias("__s2"),
+        F.var_pop(r).over(w_all).alias("__vr"),
+        F.var_pop(F.col("trend") + r).over(w_all).alias("__vtr"),
+        F.var_pop(F.col("seasonal") + r).over(w_all).alias("__vsr"),
+        # first-period argmax/argmin with max_by tie semantics: highest
+        # seasonal wins, earlier row breaks ties (the -rn / +rn keys)
+        F.max(
+            F.when(
+                F.col("__rn") <= period,
+                F.struct(F.col("seasonal"), (-rn0).alias("__nr")),
+            )
+        ).over(w_all).alias("__pk"),
+        F.min(
+            F.when(
+                F.col("__rn") <= period,
+                F.struct(F.col("seasonal"), rn0.alias("__pr")),
+            )
+        ).over(w_all).alias("__tr"),
     )
     loo_mean = (F.col("__s1") - r) / (F.col("__n") - 1)
     loo_var = (F.col("__s2") - r * r) / (F.col("__n") - 1) - loo_mean * loo_mean
-    spk = (
-        parts.join(F.broadcast(stats), s.series_id)
-        .withColumn("__loo", loo_var)
-        .groupBy(s.series_id)
-        .agg(F.var_pop("__loo").alias("spikiness"))
+    final = step1.withColumn("__loo", loo_var).withColumn(
+        "spikiness", F.var_pop("__loo").over(w_all)
     )
-    rn0 = F.col("__rn") - 1
-    pt = parts.filter(F.col("__rn") <= period).groupBy(s.series_id).agg(
-        F.max_by(rn0, F.struct(F.col("seasonal"), (-F.col("__rn")).alias("__neg")))
-        .cast("bigint").alias("peak"),
-        F.min_by(rn0, F.struct(F.col("seasonal"), F.col("__rn")))
-        .cast("bigint").alias("trough"),
-    )
-    out = stats.select(
+    return final.filter(F.col("__rn") == 1).select(
         s.series_id,
         (1.0 - F.col("__vr") / F.col("__vtr")).alias("trend_strength"),
         (1.0 - F.col("__vr") / F.col("__vsr")).alias("seasonality_strength"),
+        "spikiness",
+        (-F.col("__pk.__nr")).cast("bigint").alias("peak"),
+        F.col("__tr.__pr").cast("bigint").alias("trough"),
     )
-    return out.join(spk, s.series_id).join(pt, s.series_id)
 
 
 def time_group_features(df: DataFrame, s: TSSchema = DEFAULT) -> DataFrame:

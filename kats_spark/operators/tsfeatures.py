@@ -392,26 +392,33 @@ def _holt_params(y: np.ndarray) -> tuple[float, float]:
     )
     l0 = float(y[:k].mean()) - b0 * float(t0.mean()) if k >= 2 else float(y[0])
 
-    def sse_of(a: float, b: float) -> float:
-        l, tr = l0, b0
-        sse = 0.0
+    def grid_sse(a_vals: np.ndarray, b_vals: np.ndarray) -> np.ndarray:
+        # whole (a, b) lattice in ONE time-sequential pass (r11: the
+        # scalar per-candidate loop dominated tsfeatures_full's driver
+        # cost); per-lane arithmetic order is identical to the old
+        # scalar loop, so the argmin is unchanged
+        A, B = (v.ravel() for v in np.meshgrid(a_vals, b_vals, indexing="ij"))
+        l = np.full(len(A), l0)
+        tr = np.full(len(A), b0)
+        sse = np.zeros(len(A))
         for v in y:
             f = l + tr
             d = v - f
             sse += d * d
-            l_new = a * v + (1 - a) * (l + tr)
-            tr = b * (l_new - l) + (1 - b) * tr
+            l_new = A * v + (1 - A) * f
+            tr = B * (l_new - l) + (1 - B) * tr
             l = l_new
         return sse
 
     best = (np.inf, 0.5, 0.1)
     a_lo, a_hi, b_lo, b_hi = 0.01, 0.99, 0.01, 0.99
     for _ in range(3):
-        for a in np.linspace(a_lo, a_hi, 20):
-            for b in np.linspace(b_lo, b_hi, 20):
-                s0 = sse_of(float(a), float(b))
-                if s0 < best[0]:
-                    best = (s0, float(a), float(b))
+        a_vals = np.linspace(a_lo, a_hi, 20)
+        b_vals = np.linspace(b_lo, b_hi, 20)
+        sse = grid_sse(a_vals, b_vals)
+        i = int(np.argmin(sse))  # first minimum, like the old strict <
+        if sse[i] < best[0]:
+            best = (float(sse[i]), float(a_vals[i // 20]), float(b_vals[i % 20]))
         da = (a_hi - a_lo) / 10
         db = (b_hi - b_lo) / 10
         a_lo, a_hi = max(1e-4, best[1] - da), min(0.9999, best[1] + da)
@@ -423,9 +430,7 @@ def _hw_params(y: np.ndarray, period: int) -> tuple[float, float, float]:
     """Grid-fitted additive Holt-Winters (alpha, beta, gamma) —
     tsfeatures.py:1400-1441 hw_params (the reference uses statsmodels'
     continuous optimizer; this is the same grid-SSE convention as
-    holt_params above, reusing fcst._hw_fit)."""
-    from kats_spark.models.fcst import _hw_fit
-
+    holt_params above, replicating fcst._hw_fit's recursion)."""
     if len(y) < 2 * period:
         return (float("nan"),) * 3
     if np.min(y) <= 0:
@@ -433,16 +438,29 @@ def _hw_params(y: np.ndarray, period: int) -> tuple[float, float, float]:
         # which raises on non-positive data — its hw params are NaN
         # there (pinned by the T1 golden); mirror the gate
         return (float("nan"),) * 3
-    grid = [0.2, 0.4, 0.6, 0.8]
-    best, best_sse = (np.nan, np.nan, np.nan), np.inf
-    for a in grid:
-        for b in grid:
-            for g in grid:
-                fitted, *_ = _hw_fit(y, period, a, b, g, mult=False)
-                sse = float(np.sum((y[period:] - fitted[period:]) ** 2))
-                if sse < best_sse:
-                    best, best_sse = (a, b, g), sse
-    return best
+    # whole 4^3 lattice in ONE vectorized time-sequential pass (r11) —
+    # per-lane arithmetic replicates _hw_fit exactly, iteration order
+    # (a outer, b mid, g inner) and first-minimum tie-break preserved
+    grid = np.array([0.2, 0.4, 0.6, 0.8])
+    A, B, G = (v.ravel() for v in np.meshgrid(grid, grid, grid, indexing="ij"))
+    n = len(y)
+    m = period
+    l = np.full(len(A), float(np.mean(y[:m])))
+    b = np.full(len(A), (float(np.mean(y[m : 2 * m])) - l[0]) / m)
+    seas = np.repeat((y[:m] - l[0]).astype(float)[:, None], len(A), axis=1)
+    sse = np.zeros(len(A))
+    for i in range(n):
+        si = seas[i % m]
+        fitted_i = l + b + si
+        if i >= m:
+            d = y[i] - fitted_i
+            sse += d * d
+        l_new = A * (y[i] - si) + (1 - A) * (l + b)
+        seas[i % m] = G * (y[i] - l_new) + (1 - G) * si
+        b = B * (l_new - l) + (1 - B) * b
+        l = l_new
+    k = int(np.argmin(sse))
+    return float(A[k]), float(B[k]), float(G[k])
 
 
 _KERNEL_SCHEMA = (

@@ -349,7 +349,11 @@ def test_golden_doc_records_late_r09_exclusions():
     assert "prophet_air_custom_seas_30" in _DOC["excluded"]
     assert "prophet_peyton_daily_cap_30" not in _DOC["excluded"]
     assert "prophet_peyton_daily_cap_30" in _CASES
-    assert "prophet_air_logistic_cap20" in _DOC["excluded"]
+    # r11: the cap20 exclusion rested on a mis-extracted config (the
+    # golden's own test uses cap=1000) — retired, now a trusted case
+    assert "prophet_air_logistic_cap20" not in _DOC["excluded"]
+    assert "prophet_air_logistic_cap20_RETIRED_r11" in _DOC["excluded"]
+    assert "prophet_air_logistic_cap1000_15" in _CASES
     # r10 no-extractable-frame proofs
     for key in ("var_no_golden", "quadratic_no_golden", "lstm_torch_rng"):
         assert key in _DOC["excluded"], key
@@ -595,3 +599,23 @@ def test_hw_estimated_corner_recovery():
     # alpha=1 corner: fitted[0] is the ONLY point l0 touches; the profile
     # drives it onto the data exactly
     np.testing.assert_allclose(fitted[0], y[0], rtol=1e-8)
+
+
+def test_prophet_air_logistic_cap_matches_golden():
+    """r11 CLOSES the prophet_air_logistic_cap20 exclusion: the golden's
+    own test pairs AIR_FCST_15_PROPHET_LOGISTIC_CAP with the MONTHLY
+    params (cap=1000, test_prophet_model.py:270-282) — the r10 '81%
+    from a degenerate fit' measurement had used the daily dict's cap=20
+    by mistake.  With the correct cap this is a well-posed logistic fit
+    the continuous piecewise-logistic MAP matches at sub-percent."""
+    case = _need("prophet_air_logistic_cap1000_15")
+    from kats_spark.models.prophet_lite import ProphetLite
+
+    times, y = _fixture(case)
+    m = ProphetLite(growth="logistic", cap=case["cap"], seed=1).fit(times, y)
+    fut = np.array(
+        pd.date_range(pd.Timestamp(times[-1]), periods=case["horizon"] + 1, freq="MS")[1:]
+        .to_numpy()
+    )
+    fc = m.predict(fut).fcst.to_numpy()
+    np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])

@@ -239,20 +239,73 @@ def main() -> None:
         rep_counts[name] = reps
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "reps": rep_counts,
-                "loadavg_start": loadavg_start,
-                "loadavg_end": [round(v, 2) for v in os.getloadavg()],
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    loadavg_end = [round(v, 2) for v in os.getloadavg()]
+
+    # Full-precision record (3dp timings, per-query rep counts, start/end
+    # load triplets): written to a side file AND printed on an EARLY stdout
+    # line.  The external driver keeps only the last ~2000 stdout chars, so
+    # anything on this line is sacrificial — the authoritative copy is the
+    # side file next to bench.py.
+    full = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
+        "reps": rep_counts,
+        "queries": timings,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+            "w",
+        ) as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    print("BENCH_FULL " + json.dumps(full, separators=(",", ":")))
+
+    # FINAL stdout line — the one the driver's bounded tail capture must
+    # retain whole (BENCH_r11 was adjudication-blind: reps/loadavg after
+    # the queries dict pushed the JSON head out of the 2000-char window and
+    # the artifact failed to parse).  Contract (also in BASELINE.md):
+    #   * compact separators, metadata keys BEFORE the queries dict;
+    #   * loadavg_start collapsed to the 1-min scalar + a box_loaded flag
+    #     (>= 1.0) the driver can key on; full triplets live in BENCH_FULL;
+    #   * per-query values start at 3dp and degrade (2dp -> 3 sig figs ->
+    #     2 sig figs) until the whole line fits TAIL_BUDGET.  2 sig figs is
+    #     still ample for the 2x drift gate.
+    TAIL_BUDGET = 1950
+
+    def _line(qvals: dict[str, float]) -> str:
+        head = {
+            "metric": "headline_queries_total_wall_clock",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "sf": sf_val,
+            "loadavg_start": loadavg_start[0],
+        }
+        if loadavg_start[0] >= 1.0:
+            head["box_loaded"] = True
+        head["queries"] = qvals
+        return json.dumps(head, separators=(",", ":"))
+
+    ladders = [
+        {k: round(v, 3) for k, v in timings.items()},
+        {k: round(v, 2) for k, v in timings.items()},
+        {k: float(f"{v:.3g}") for k, v in timings.items()},
+        {k: float(f"{v:.2g}") for k, v in timings.items()},
+    ]
+    out = _line(ladders[-1])
+    for qvals in ladders:
+        cand = _line(qvals)
+        if len(cand) <= TAIL_BUDGET:
+            out = cand
+            break
+    print(out)
 
 
 if __name__ == "__main__":

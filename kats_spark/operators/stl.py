@@ -263,7 +263,11 @@ def _sm_loess(
         nsh = (span + 1) // 2
         lo_end = nsh  # i in [1, nsh]: window pinned [1, span]
         hi_start = n - span + nsh + 1  # window pinned [n-span+1, n]
-        if rw is None and hi_start > lo_end + 1:
+        # Fast path requires odd span: for interior xs the Fortran halfwidth
+        # is max(xs-nleft, nright-xs) = max(nsh-1, span-nsh), which collapses
+        # to nsh-1 only when span is odd (even span: span-nsh = nsh > nsh-1,
+        # so the hardcoded h would yield wrong tricube weights).
+        if rw is None and hi_start > lo_end + 1 and span % 2 == 1:
             h = float(nsh - 1)
             t = np.abs(np.arange(span, dtype=np.float64) - h)
             if h > 0:
@@ -438,6 +442,11 @@ def stl_decompose(
     split (frozen into this repo's rows-only consumers);
     ``kernel='statsmodels'`` uses the statsmodels-exact port
     (:func:`stl_statsmodels_np`) — the reference-parity path."""
+    if kernel not in ("loess", "statsmodels"):
+        raise ValueError(
+            f"stl_decompose: unknown kernel {kernel!r} (expected 'loess' or "
+            "'statsmodels') — refusing to silently fall back"
+        )
     mult = model == "multiplicative"
     kern = stl_statsmodels_np if kernel == "statsmodels" else stl_decompose_np
     sid, tcol, vcol = s.series_id, s.time, s.value

@@ -478,13 +478,21 @@ def kernel_features(
     s: TSSchema = DEFAULT,
     stl_trend: int | None = None,
     reference_parity: bool = False,
+    skip_stl: bool = False,
 ) -> DataFrame:
     """All numpy-kernel features in ONE pass per series.
 
     ``reference_parity=True`` switches the optimizer-backed holt/hw
     params to the pre-0.12 statsmodels procedure replica (legacy init +
     constrained k/19 brute argmin — see the _brute_* block comment);
-    the default keeps this repo's lower-SSE coarse-to-fine optimum."""
+    the default keeps this repo's lower-SSE coarse-to-fine optimum.
+
+    ``skip_stl=True`` skips the per-series STL fit behind
+    trend_strength / seasonality_strength / spikiness (NaN-filled
+    instead) for callers that immediately drop those three columns —
+    the wide tsfeatures() path selects stl_features_block's loess-STL
+    values over these, and without the flag the expensive STL ran
+    twice per series."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(s.time)
@@ -493,7 +501,10 @@ def kernel_features(
         if len(y) < 10:
             return pd.DataFrame(columns=[c.split()[0] for c in _KERNEL_SCHEMA.split(", ")])
         fmin, fzero = _first_min_zero_ac(y)
-        ts_, ss_, spk = _stl_strengths(y, period, stl_trend)
+        if skip_stl:
+            ts_, ss_, spk = float("nan"), float("nan"), float("nan")
+        else:
+            ts_, ss_, spk = _stl_strengths(y, period, stl_trend)
         if reference_parity:
             ha, hb = _brute_holt_params(y)
             hwa, hwb, hwg = _brute_hw_params(y, period)
@@ -988,11 +999,12 @@ def tsfeatures(
         # when the stl_features group is also selected, its loess-STL
         # (reference-exact) trend/seasonality strengths and spikiness win
         # over the kernel layer's MA-decomposition stand-ins — drop the
-        # kernel's columns so the wide row has one of each name.
+        # kernel's columns so the wide row has one of each name, and
+        # skip_stl=True saves the redundant per-series STL fit entirely.
         "kernel": lambda: (
-            kernel_features(df, period, s, reference_parity=optimizer_parity).drop(
-                "trend_strength", "seasonality_strength", "spikiness"
-            )
+            kernel_features(
+                df, period, s, reference_parity=optimizer_parity, skip_stl=True
+            ).drop("trend_strength", "seasonality_strength", "spikiness")
             if "stl_features" in chosen
             else kernel_features(
                 df, period, s, stl_trend=stl_trend, reference_parity=optimizer_parity

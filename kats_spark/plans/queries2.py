@@ -30,6 +30,7 @@ from kats_spark.operators import (
     trend,
     var as var_mod,
 )
+from kats_spark.plans import stl_oracle as _STL_ORACLE
 from kats_spark.plans import var_oracle as _VAR_ORACLE
 from kats_spark.plans.queries import (
     _CUSUM_DETECT_CORE_SQL,
@@ -2832,8 +2833,9 @@ def q_prophet_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_outlier_detect_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OutlierDetector on loess-STL residuals (the reference's actual
-    decomposition backend) — rows-only (iterative loess); the MA-residual
-    variant carries the exact oracle."""
+    decomposition backend, kats/detectors/outlier.py:36) — FULL oracle
+    since r12: STL kernel replay (plans/stl_oracle.py) + the exact
+    quantile_cont IQR gate."""
     from kats_spark.operators.outlier import outlier_detect
 
     out = outlier_detect(hourly_series(spark, sf_dir), period=24, method="stl")
@@ -3181,6 +3183,10 @@ def q_prophet_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @prepared(recache=(hourly_series,))
 def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loess-STL per-series decomposition (decomposition.py:171
+    __decompose_STL surface) — FULL oracle since r12: the deterministic
+    two-inner-iteration kernel is replayed step-for-step in DuckDB
+    (plans/stl_oracle.py)."""
     from kats_spark.operators.stl import stl_decompose
 
     out = stl_decompose(hourly_series(spark, sf_dir), period=24)
@@ -3188,6 +3194,8 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL trend/seasonality strengths (tsfeatures.py:738 convention) —
+    FULL oracle since r12 via the stl_oracle.py kernel replay."""
     from kats_spark.operators.stl import stl_strengths
 
     out = stl_strengths(hourly_series(spark, sf_dir), period=24)
@@ -5429,7 +5437,15 @@ ORACLES = {
     "var_forecast": _VAR_ORACLE.forecast_sql(_HOURLY_SQL, p=2, k=5, steps=24,
                                              freq_seconds=3600, dk_fmt=_DK_FMT),
     "var_scores": _VAR_ORACLE.scores_sql(_HOURLY_SQL, p=2, k=5, dk_fmt=_DK_FMT),
+    # r12 promotions (VERDICT r11 item #4): the loess-STL kernel is
+    # deterministic straight-line arithmetic (non-robust default = two
+    # unrolled inner iterations), replayed end-to-end in stl_oracle.py —
+    # cycle-subseries loess, triple MA low-pass, trend loess, all of it.
+    "stl_decompose": _STL_ORACLE.stl_decompose_sql(_HOURLY_SQL, _DK_FMT),
+    "stl_strength": _STL_ORACLE.stl_strength_sql(_HOURLY_SQL),
+    "outlier_detect_stl": _STL_ORACLE.outlier_stl_sql(_HOURLY_SQL, _DK_FMT),
     # hourly_ratio / multi_cusum:
-    # matrix-inverse kernels, or composition whose SQL would dwarf the
-    # checked semantics — rows-only, covered by seeded unit tests
+    # matrix-inverse kernels (24x24 numeric pinv), or composition whose
+    # SQL would dwarf the checked semantics — rows-only, covered by
+    # seeded unit tests
 }

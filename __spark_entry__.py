@@ -50,31 +50,31 @@ _PRIORITY = [
     "reconcile_bu",
     # ---- slots 36-50: ROTATION WINDOW (VERDICT r03 item #2) ----
     # The driver hashes only the first 50 entries, so slots 36-50 rotate
-    # never-driver-checked oracled queries each round while slots 1-35
-    # keep one representative per operator family.  Round 11 (VERDICT r10
-    # item #1): the full 8-query r11 queue — every remaining
-    # never-driver-checked oracle (cluster_reps, unimax_alloc,
-    # bitext_mine, quantize_int8, shard_assign, bitext_mine_ann,
-    # tsfeatures_wide_expr, bitext_mine_stored), each independently
-    # value-verified MATCH at sf0.01 by the r10 judge AND by this
-    # round's pre-rotation replay on HEAD.  Once these go driver-green,
-    # every one of the 175 DuckDB oracles has been driver-verified.
-    # The 7 filler slots re-check r09-green representatives displaced
-    # two rounds ago.  The 15 displaced r10-green queries
-    # (incremental_simhash_stored .. quality_buckets) move to depth.
+    # each round while slots 1-35 keep one representative per operator
+    # family.  Round 12 (VERDICT r11 items #4/#5): with all 175 prior
+    # oracles driver-verified cumulatively as of r11, the window now
+    # carries (a) the THREE r12 promotions — stl_decompose /
+    # stl_strength / outlier_detect_stl, rows-only until this round, now
+    # full DuckDB replays of the loess-STL kernel (plans/stl_oracle.py),
+    # pre-verified MATCH at sf0.01 on a vanilla session — and (b) the 12
+    # OLDEST not-recently-driver-checked representatives (the r03-green
+    # block, last driver-green nine rounds ago) as silent-drift
+    # re-checks.  The 15 displaced r11-window queries move to depth.
+    "stl_decompose", "stl_strength", "outlier_detect_stl",
+    "exact_dedup", "jaccard_pairs", "minhash_portable_pairs",
+    "simhash_portable", "token_stats", "text_quality", "lang_id",
+    "topk_cosine", "multimodal_meta",
+    "ts_stat_features", "ta_features", "date_features",
+    # ---- depth: remaining oracle-backed coverage (51+) ----
+    # r11-window queries displaced by the r12 rotation
     "cluster_reps", "unimax_alloc", "bitext_mine",
     "quantize_int8", "shard_assign", "bitext_mine_ann",
     "tsfeatures_wide_expr", "bitext_mine_stored",
     "corpus_profile", "embedding_diag", "epoch_upsample",
     "hourly_ratio_full", "hpt_recommend", "ivf_topk_portable",
     "lsh_bucket_pairs",
-    # ---- depth: remaining oracle-backed coverage (51+) ----
-    # r03-green representatives displaced by the rotation window
-    "exact_dedup", "jaccard_pairs", "minhash_portable_pairs",
-    "simhash_portable", "token_stats", "text_quality", "lang_id",
-    "topk_cosine", "multimodal_meta",
-    "ts_stat_features", "ta_features", "date_features", "metrics_naive",
-    "tsfeatures_expr",
+    # r03-green representatives not re-checked this round
+    "metrics_naive", "tsfeatures_expr",
     # intra-family variants displaced from the first 50 (all were green
     # in r01/r02 driver runs or judge checks)
     "hourly_rollup", "fft_seasonality",

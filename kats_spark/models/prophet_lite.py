@@ -235,7 +235,18 @@ class ProphetLite:
         )
         colsq = np.einsum("ij,ij->j", X, X)
         resid = ys - X @ beta
-        sigma2 = float(resid @ resid) / max(n - p, 1)
+        # Noise-variance estimator feeding the prior strengths: RSS/(n-p)
+        # when the fit has residual dof, RSS/n when overparameterized
+        # (p >= n).  The former max(n-p, 1) floor made sigma2 the FULL
+        # RSS on short fixtures (e.g. the reference's 25-point
+        # nonseasonal series, p=45), inflating the ridge ~n-fold and
+        # parking the fit far from the Stan MAP it models — the r12
+        # plateau forensic showed the exact-ridge solution at the proper
+        # scale sits within 0.5% mean of the reference golden.  Stan's
+        # joint sigma_obs MAP behaves like RSS/n; n-p keeps the
+        # established unbiased estimator on all long-fixture fits
+        # (n > p), leaving the 27 trusted goldens' paths untouched.
+        sigma2 = float(resid @ resid) / (n - p if n > p else n)
         # per-column Normal prior scales for the post-hinge block
         pscale = getattr(self, "prior_scales_", None)
         if pscale is None or len(pscale) != p - 2 - n_hinge:
@@ -261,7 +272,7 @@ class ProphetLite:
                         max_move = max(max_move, abs(move))
                 if max_move < 1e-8:
                     break
-            sigma2 = float(resid @ resid) / max(n - p, 1)
+            sigma2 = float(resid @ resid) / (n - p if n > p else n)
         return beta
 
     def _fit_linear(self, ts, ys, hinge, X_seas):

@@ -274,12 +274,21 @@ def test_excluded_cases_are_documented():
     assert "holtwinters_air_p7_RETIRED_r11" in _DOC["excluded"]
     assert "hw_air_add_30" in _CASES and "hw_air_mul_30" in _CASES
     for case in _DOC["cases"]:
+        if case.get("forensic_only"):
+            # NOT a parity case: golden vector retained solely for a
+            # reconstruction-proof test; it must say so and must still
+            # name a standing exclusion covering the parity gap
+            assert "NOT a parity case" in case["note"], case["name"]
+            continue
         # 0.06 is the honesty cap for trusted goldens; a case may carry
         # more slack ONLY when the golden itself is flagged untrusted
         # (the reference disabled it as non-deterministic) and the note
-        # says why
+        # says why.  An explicit atol may supplement rtol ONLY for
+        # series through zero, bounded by the honesty note.
         cap = 0.1 if case.get("golden_quality") == "nondeterministic" else 0.06
         assert case["rtol"] <= cap, case["name"]
+        if "atol" in case:
+            assert case["atol"] <= 0.05 and "atol" in case["note"], case["name"]
         if case["model"].endswith("_fitted") or "bounds_pattern" in case:
             # incl-hist goldens carry history + forecast rows; the
             # fitted-surface tests slice the history block themselves
@@ -341,12 +350,109 @@ def test_prophet_custom_seasonality_matches_prophet_golden(spark):
     np.testing.assert_allclose(fc, case["fcst"], rtol=case["rtol"])
 
 
+def test_prophet_nonseasonal_arg_future_matches_golden():
+    """r12 CLOSES the prophet_nonseasonal_arg_future exclusion: the
+    divergence was OUR sigma2 = RSS/max(n-p, 1) degenerating to the full
+    RSS on this p(45) >= n(25) fixture — a ~25x-inflated ridge parking
+    the MAP far from Stan's (the r12 plateau forensic put the
+    exact-ridge solution at the proper noise scale 0.5% mean from the
+    golden BEFORE any code change).  With the RSS/n branch the actual
+    fit measures abs max 0.033 / mean rel 1.1% against a golden swinging
+    +-3.3; atol covers the zero crossings where rtol is meaningless."""
+    case = _need("prophet_nonseasonal_arg_future_15")
+    from kats_spark.models.prophet_lite import ProphetLite
+
+    times = pd.to_datetime(case["input_times"]).to_numpy()
+    y = np.asarray(case["input_y"], dtype=float)
+    fut = pd.to_datetime(case["future_times"]).to_numpy()
+    fc = ProphetLite(seed=1).fit(times, y).predict(fut).fcst.to_numpy()
+    np.testing.assert_allclose(
+        fc, case["fcst"], rtol=case["rtol"], atol=case["atol"]
+    )
+
+
+def test_prophet_air_custom_seas_plateau():
+    """Reconstruction proof for the STANDING prophet_air_custom_seas_30
+    exclusion (the r11 HW-forensic technique, VERDICT r11 item #3): the
+    golden is an optimizer-trajectory artifact of the aliased monthly
+    block, not a formula gap.  Two facts, both asserted here:
+
+    1. The golden-vs-ours forecast divergence projects onto the 10-dim
+       period-30.5 Fourier basis at the future timestamps with
+       R^2 > 0.9999 — the divergence IS the aliased block, nothing else.
+    2. A constrained exact-ridge refit in OUR model family (our MAP's
+       hinge deltas held fixed; pull strength mu=0.1 toward the golden)
+       reproduces the golden to <1% max rel while moving in-sample RMSE
+       by <1% — the golden sits on the same near-optimal plateau of the
+       training objective as our fit, so the 4.8x headline divergence is
+       Stan-internal (same class as the retired HW alpha=1 corner)."""
+    case = _need("prophet_air_custom_seas_30_forensic")
+    from kats_spark.models.prophet_lite import ProphetLite
+
+    times, y = _fixture(case)
+    fut = pd.to_datetime(case["future_times"]).to_numpy()
+    golden = np.asarray(case["fcst"], dtype=float)
+    cs = case["custom_seasonality"]
+    m = (
+        ProphetLite(seed=1)
+        .add_seasonality(cs["name"], cs["period"], cs["fourier_order"])
+        .fit(times, y)
+    )
+    ours = m.predict(fut).fcst.to_numpy()
+
+    # fact 1: divergence = aliased monthly block
+    t_fu = ((fut - m.t0_) / np.timedelta64(1, "s") / 86400.0).astype(float)
+    B = m._fourier(t_fu, cs["period"], cs["fourier_order"])
+    r = golden - ours
+    res = r - B @ np.linalg.lstsq(B, r, rcond=None)[0]
+    r2 = 1.0 - float(res @ res) / float((r - r.mean()) @ (r - r.mean()))
+    assert r2 > 0.9999, r2
+
+    # fact 2: plateau — constrained refit (deltas fixed) hits the golden
+    # at essentially unchanged training loss
+    t_tr = ((times - m.t0_) / np.timedelta64(1, "s") / 86400.0).astype(float)
+    ts_tr, ts_fu = t_tr / m.T_, t_fu / m.T_
+    Xs_tr = np.column_stack([m._fourier(t_tr, p, o) for _, p, o in m.blocks_])
+    Xs_fu = np.column_stack([m._fourier(t_fu, p, o) for _, p, o in m.blocks_])
+    h_tr = np.maximum(ts_tr[:, None] - m.cp_[None, :], 0.0) @ m.delta_
+    h_fu = np.maximum(ts_fu[:, None] - m.cp_[None, :], 0.0) @ m.delta_
+    ys = (y - m._off_) / m.y_scale_
+    gs = (golden - m._off_) / m.y_scale_
+    A_tr = np.column_stack([ts_tr, np.ones(len(ts_tr)), Xs_tr])
+    A_fu = np.column_stack([ts_fu, np.ones(len(ts_fu)), Xs_fu])
+    b_tr, b_fu = ys - h_tr, gs - h_fu
+    P = np.diag([0.0, 0.0] + [m.sigma_**2 / 10.0**2] * Xs_tr.shape[1])
+    theta0 = np.concatenate([[m.k_, m.m_], m.beta_seas_])
+    rmse0 = float(np.sqrt(np.mean((b_tr - A_tr @ theta0) ** 2)))
+    mu = 0.1
+    th = np.linalg.solve(
+        A_tr.T @ A_tr + P + mu * (A_fu.T @ A_fu),
+        A_tr.T @ b_tr + mu * (A_fu.T @ b_fu),
+    )
+    rmse = float(np.sqrt(np.mean((b_tr - A_tr @ th) ** 2)))
+    fc = (A_fu @ th + h_fu) * m.y_scale_ + m._off_
+    rel = np.abs(fc - golden) / np.abs(golden)
+    assert rmse / rmse0 < 1.01, rmse / rmse0
+    assert rel.max() < 0.01, rel.max()
+
+
 def test_golden_doc_records_late_r09_exclusions():
     """Aliased air custom seasonality stays a documented decision; the
     r09 daily-cap exclusion was RETIRED in r10 (γ-offset piecewise
     logistic closed 9.0% to 2.91%) and must now be a trusted CASE, with
     the degenerate cap-20-on-air golden documented in its place."""
     assert "prophet_air_custom_seas_30" in _DOC["excluded"]
+    # r12: the standing air-custom exclusion now carries the plateau
+    # reconstruction proof and its golden vector lives on as a
+    # forensic-only (non-parity) case
+    assert "r12 reconstruction proof" in _DOC["excluded"]["prophet_air_custom_seas_30"]
+    assert "prophet_air_custom_seas_30_forensic" in _CASES
+    assert _CASES["prophet_air_custom_seas_30_forensic"].get("forensic_only")
+    # r12: the nonseasonal exclusion is RETIRED (the degenerate
+    # sigma2=RSS ridge on p>=n fixtures was ours) — now a trusted case
+    assert "prophet_nonseasonal_arg_future" not in _DOC["excluded"]
+    assert "prophet_nonseasonal_arg_future_RETIRED_r12" in _DOC["excluded"]
+    assert "prophet_nonseasonal_arg_future_15" in _CASES
     assert "prophet_peyton_daily_cap_30" not in _DOC["excluded"]
     assert "prophet_peyton_daily_cap_30" in _CASES
     # r11: the cap20 exclusion rested on a mis-extracted config (the

@@ -460,8 +460,15 @@ def test_golden_doc_records_late_r09_exclusions():
     assert "prophet_air_logistic_cap20" not in _DOC["excluded"]
     assert "prophet_air_logistic_cap20_RETIRED_r11" in _DOC["excluded"]
     assert "prophet_air_logistic_cap1000_15" in _CASES
-    # r10 no-extractable-frame proofs
-    for key in ("var_no_golden", "quadratic_no_golden", "lstm_torch_rng"):
+    # r10 no-extractable-frame proofs (+ r12: prophet holidays — the
+    # reference ships no holiday-fitted prophet output anywhere; its
+    # detector holiday tests are behavioral on random synthetic data)
+    for key in (
+        "var_no_golden",
+        "quadratic_no_golden",
+        "lstm_torch_rng",
+        "prophet_holidays_no_golden",
+    ):
         assert key in _DOC["excluded"], key
 
 

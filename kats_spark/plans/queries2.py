@@ -30,6 +30,7 @@ from kats_spark.operators import (
     trend,
     var as var_mod,
 )
+from kats_spark.plans import kernel_oracle as _KERNEL_ORACLE
 from kats_spark.plans import stl_oracle as _STL_ORACLE
 from kats_spark.plans import var_oracle as _VAR_ORACLE
 from kats_spark.plans.queries import (
@@ -2338,10 +2339,33 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_tsfeatures_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TsFeatures KERNEL group exactly as the wide row consumes it
+    (kernel_features with skip_stl — the STL trio comes from
+    stl_features_block there, oracled as stl_features_expr): entropy,
+    hurst, KPSS, heterogeneity, linearity, firstmin/firstzero AC, and
+    the holt/hw optimizer params.  FULL oracle since r12
+    (plans/kernel_oracle.py): naive-DFT periodogram entropy, the
+    variance-of-differences hurst slope, the Engle LM nlags=10
+    Gauss-Jordan replay, full-lag ACF scans, the three-round
+    coarse-to-fine holt lattice and the 4^3 HW ring recursion — every
+    recursion replayed lane-for-lane in DuckDB."""
+    from kats_spark.operators.tsfeatures import kernel_features
+
+    out = kernel_features(
+        hourly_series(spark, sf_dir), period=24, skip_stl=True
+    ).drop("trend_strength", "seasonality_strength", "spikiness")
+    return _r6(
+        out,
+        *[c for c in out.columns if c != "series_id"],
+    )
+
+
 def q_tsfeatures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full TsFeatures vector (expression + kernel layers) — rows-only
     (FFT/recursion kernels); the expression layer is independently oracled
-    by ts_stat_features / acf_features / level_shift."""
+    by ts_stat_features / acf_features / level_shift, and since r12 the
+    kernel group by tsfeatures_kernel."""
     from kats_spark.operators import tsfeatures as tsf
 
     out = tsf.tsfeatures(hourly_series(spark, sf_dir), period=24, window_size=48)
@@ -5307,6 +5331,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "pq_topk_portable": q_pq_portable,
     "tsfeatures_full": q_tsfeatures_full,
+    "tsfeatures_kernel": q_tsfeatures_kernel,
     "tsfeatures_expr": q_tsfeatures_expr,
     "tsfeatures_detector": q_tsfeatures_detector,
     "metalearn_metadata": q_metalearn_metadata,
@@ -5434,6 +5459,9 @@ ORACLES = {
     "audio_features": _Q_AUDIO_FEATURES_SQL,
     "video_frames": _Q_VIDEO_FRAMES_SQL,
     "kernel_stats": _Q_KERNEL_STATS_SQL,
+    # r12: the whole kernel group (12 features incl. the holt/hw lattice
+    # recursions) replayed lane-for-lane — plans/kernel_oracle.py
+    "tsfeatures_kernel": _KERNEL_ORACLE.kernel_sql(_HOURLY_SQL),
     "var_forecast": _VAR_ORACLE.forecast_sql(_HOURLY_SQL, p=2, k=5, steps=24,
                                              freq_seconds=3600, dk_fmt=_DK_FMT),
     "var_scores": _VAR_ORACLE.scores_sql(_HOURLY_SQL, p=2, k=5, dk_fmt=_DK_FMT),

@@ -277,6 +277,63 @@ def run_op(name: str, spark, k: int) -> tuple[float, int]:
             ).count()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+    elif name == "corpusbuild":
+        # the whole-pipeline chain (score/filter -> exact dedup ->
+        # near-dup removal -> salted budget sample -> packing stats):
+        # replicated docs written to a temp sf-dir so the query runs its
+        # real entry (q_corpus_build reads only documents.parquet).
+        # Growth driver = doc/token volume through every stage; the
+        # budget-fill stage is count-gated (<1M docs -> single window,
+        # else 256-shard salted) and stays sub-1M here, so this measures
+        # the bench-scale plan shape.
+        import shutil
+        import tempfile
+
+        from kats_spark.plans.pipeline_queries import (
+            q_corpus_build,
+            release_corpus_cache,
+        )
+
+        tmp = tempfile.mkdtemp(prefix=f"corpusbuild_{k}x_")
+        try:
+            replicate_docs(spark, k).withColumn(
+                "n_chars", F.length("text").cast("long")
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+            t0 = time.time()  # restart: measure the pipeline, not the copy
+            n = q_corpus_build(spark, tmp).count()
+        finally:
+            release_corpus_cache()
+            shutil.rmtree(tmp, ignore_errors=True)
+    elif name == "metalearn":
+        # per-series candidate tournament + the TsFeatures expression
+        # layer (the q_metalearn_metadata shape): growth dimension is
+        # SERIES COUNT (k x 5 suffixed copies of the hourly series) —
+        # the 100 TB regime is many series, not longer ones.  Every
+        # stage is per-series windows/aggs, so expect ~linear.
+        from kats_spark.models.metalearner import metadata_tournament
+        from kats_spark.operators import tsfeatures as tsf
+        from kats_spark.plans.queries import hourly_series
+
+        base = hourly_series(spark, SF)
+        parts = [
+            base.select(
+                F.concat_ws("_", F.col("series_id"), F.lit(str(j))).alias("series_id"),
+                "time",
+                (F.col("value") + F.lit(float(j) * 1e-3)).alias("value"),
+            )
+            for j in range(k)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df = df.repartition(spark.sparkContext.defaultParallelism).persist()
+        df.count()
+        t0 = time.time()  # measure the tournament + feature layer only
+        groups = [g for g in tsf.FEATURE_GROUPS if g != "kernel"]
+        feats = tsf.tsfeatures(df, period=24, window_size=48, selected=groups)
+        tour = metadata_tournament(df, steps=24, freq_seconds=3600)
+        n = feats.join(tour, "series_id").count()
+        df.unpersist()
     elif name == "ks":
         from kats_spark.operators.dist_distance import ks_drift
 

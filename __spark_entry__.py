@@ -75,9 +75,9 @@ _PRIORITY = [
     "lsh_bucket_pairs",
     # r03-green representatives not re-checked this round
     "metrics_naive", "tsfeatures_expr",
-    # r12 NEW oracle, lands after the window froze — heads the r13
+    # r12 NEW oracles, land after the window froze — head the r13
     # rotation queue with the two rows above
-    "tsfeatures_kernel",
+    "tsfeatures_kernel", "bvar_forecast",
     # intra-family variants displaced from the first 50 (all were green
     # in r01/r02 driver runs or judge checks)
     "hourly_rollup", "fft_seasonality",

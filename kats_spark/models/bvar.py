@@ -42,12 +42,30 @@ def _bvar_fit(
     for i in range(1, p + 1):
         X[:, (i - 1) * m : i * m] = Y[p - i : T - i]
     Yt = Y[p:]
+    # r12: deterministic replay numerics (the VAR-oracle convention,
+    # operators/var.py:28) — normal equations accumulated SEQUENTIALLY
+    # in t (matching DuckDB list_sum order; BLAS matmul sums blockwise,
+    # which drifts off the 6dp rounding lattice on raw-scale inputs)
+    # and solved by the pivot-free Gauss-Jordan instead of lstsq's SVD.
+    # Valid: X'X is positive definite for rank-complete designs, and
+    # sigma_ols / the ridge-like posterior matrix are PD by
+    # construction.  Same estimator to ~1e-11; now SQL-replayable.
+    from kats_spark.operators.var import _gauss_solve_multi
+
+    S = np.zeros((N, N))
+    C = np.zeros((N, m))
+    for t in range(rows):
+        S += np.outer(X[t], X[t])
+        C += np.outer(X[t], Yt[t])
     # sigma_ols from the unrestricted OLS fit (bayesian_var.py:279-293)
-    beta_ols, *_ = np.linalg.lstsq(X, Yt, rcond=None)
+    beta_ols = _gauss_solve_multi(S, C)
     resid = Yt - X @ beta_ols
     dof = max(T - m * p - 1, 1)
-    sigma_ols = resid.T @ resid / float(dof)
-    inv_sigma = np.linalg.pinv(sigma_ols)
+    sig_acc = np.zeros((m, m))
+    for t in range(rows):
+        sig_acc += np.outer(resid[t], resid[t])
+    sigma_ols = sig_acc / float(dof)
+    inv_sigma = _gauss_solve_multi(sigma_ols, np.eye(m))
     # Minnesota prior (bayesian_var.py:_sigma_ijl, Canova ch.10 p.5):
     # own lag l: phi0/l^phi3; cross (i,j): phi0*phi1/l^phi3 * var_j/var_i;
     # intercept: phi0*phi2.  Prior mean: 1 on own first lag (random walk).
@@ -68,12 +86,18 @@ def _bvar_fit(
                     )
         v_prior_diag[base + N - 1] = phi_0 * phi_2  # intercept
     inv_v_prior = np.diag(1.0 / v_prior_diag)
-    # Kronecker collapse of the stacked posterior (see module docstring)
-    S = X.T @ X  # (N, N)
+    # Kronecker collapse of the stacked posterior (see module docstring).
+    # y_sum = kron(inv_sigma, X') vec(Y') collapses further to
+    # (inv_sigma @ C')_{i,a} with C = X'Y — a 5-term dot per entry, the
+    # form the DuckDB oracle replays (the big kron matvec's float-sum
+    # order is BLAS-internal; the collapsed form is exact-equal and
+    # deterministic).
     ZsZ = np.kron(inv_sigma, S)
-    y_sum = (np.kron(inv_sigma, X.T) @ Yt.T.reshape(-1))  # sum_t kron(S^-1 y, z)
-    v_post = np.linalg.pinv(inv_v_prior + ZsZ)
-    mu_post = v_post @ (inv_v_prior @ mu_prior + y_sum)
+    y_sum = (inv_sigma @ C.T).reshape(-1)
+    mu_post = _gauss_solve_multi(
+        inv_v_prior + ZsZ,
+        (inv_v_prior @ mu_prior + y_sum).reshape(-1, 1),
+    ).ravel()
     coef = mu_post.reshape(m, N).T  # (N, m): column i = equation i
     sigma = np.sqrt(np.diag(sigma_ols))
     return coef, sigma

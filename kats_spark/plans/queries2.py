@@ -30,6 +30,7 @@ from kats_spark.operators import (
     trend,
     var as var_mod,
 )
+from kats_spark.plans import bvar_oracle as _BVAR_ORACLE
 from kats_spark.plans import kernel_oracle as _KERNEL_ORACLE
 from kats_spark.plans import stl_oracle as _STL_ORACLE
 from kats_spark.plans import var_oracle as _VAR_ORACLE
@@ -508,7 +509,12 @@ def q_multi_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bvar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minnesota-prior Bayesian VAR over the co-observed event series —
-    rows-only (matrix posterior), covered by exact-math unit tests.
+    FULL oracle since r12 (plans/bvar_oracle.py): the closed-form
+    posterior is pure linear algebra once the solves are deterministic,
+    and models/bvar.py now uses the VAR-oracle numerics convention
+    (sequential-in-t normal-equation accumulation + pivot-free
+    Gauss-Jordan for the OLS, sigma inverse, and the kron-collapsed
+    80x80 posterior), all replayed step-for-step in DuckDB.
 
     Linearly densified first (see q_multi_cusum): the VAR-family kernels
     need co-observed hourly vectors, which sparse tiny-SF event streams
@@ -5465,6 +5471,10 @@ ORACLES = {
     "var_forecast": _VAR_ORACLE.forecast_sql(_HOURLY_SQL, p=2, k=5, steps=24,
                                              freq_seconds=3600, dk_fmt=_DK_FMT),
     "var_scores": _VAR_ORACLE.scores_sql(_HOURLY_SQL, p=2, k=5, dk_fmt=_DK_FMT),
+    # r12: Minnesota BVAR posterior replay (bvar.py moved to the
+    # deterministic VAR-oracle numerics this round)
+    "bvar_forecast": _BVAR_ORACLE.forecast_sql(_HOURLY_SQL, p=3, k=5,
+                                               dk_fmt=_DK_FMT),
     # r12 promotions (VERDICT r11 item #4): the loess-STL kernel is
     # deterministic straight-line arithmetic (non-robust default = two
     # unrolled inner iterations), replayed end-to-end in stl_oracle.py —

@@ -472,6 +472,47 @@ def test_golden_doc_records_late_r09_exclusions():
         assert key in _DOC["excluded"], key
 
 
+def test_t2_holt_band_is_golden_stall():
+    """Terminal pin for the ONE remaining TsFeatures optimizer band
+    (T2 holt, 0.35): the golden (alpha, beta) = (0.2007, 0.2007) is a
+    NON-CONVERGED L-BFGS-B stall under its own declared objective — the
+    pre-0.12 procedure's legacy-init SSE.  Measured on the committed T2
+    fixture: SSE(golden) = 41.59 vs SSE at the true constrained optimum
+    (0.2705, 0.2705) = 38.16 — the golden sits 9% ABOVE the optimum,
+    and the brute k/19 start our replica returns (5/19, 5/19) is within
+    0.06% of that optimum.  Unlike the prophet plateau cases (equal
+    loss, different location), here the golden is objectively worse:
+    the band exists because the golden stalled, not because our formula
+    or optimizer differs.  This test pins all three facts so the band
+    can never silently hide a regression on OUR side."""
+    if _DOC is None or "tsfeatures_parity" not in _DOC:
+        pytest.skip("tsfeatures parity golden absent")
+    case = _DOC["tsfeatures_parity"][1]
+    y = np.asarray(case["series_value"], dtype=float)
+
+    def sse(a, b):
+        l, tr = float(y[0]), float(y[1] - y[0])
+        s = (l + tr - y[0]) ** 2
+        for i in range(1, len(y)):
+            ln = a * y[i - 1] + (1 - a) * (l + tr)
+            tr = b * (ln - l) + (1 - b) * tr
+            l = ln
+            s += (l + tr - y[i]) ** 2
+        return s
+
+    from kats_spark.operators.tsfeatures import _brute_holt_params
+
+    ga, gb = case["features"]["holt_alpha"], case["features"]["holt_beta"]
+    ba, bb = _brute_holt_params(y)
+    s_golden, s_ours, s_opt = sse(ga, gb), sse(ba, bb), sse(0.2705, 0.2705)
+    # the golden is a stall: >= 8% above the optimum of ITS OWN objective
+    assert s_golden / s_opt > 1.08, s_golden / s_opt
+    # our replica's point is essentially AT the optimum (<= 0.1% above)
+    assert s_ours / s_opt < 1.001, s_ours / s_opt
+    # and strictly dominates the golden
+    assert s_ours < s_golden
+
+
 @pytest.mark.parametrize("idx", [0, 1])
 def test_tsfeatures_value_parity(spark, idx):
     """TsFeatures VALUE parity against the reference's own committed

@@ -199,12 +199,25 @@ def _w_matrix(res_rows: "np.ndarray", method: str, k: int, eps: float = 1e-5):
 
 def _g_from_w(W, is_diag: bool, k: int):
     """G = (S' W^-1 S)^-1 S' W^-1 for the two-level temporal hierarchy
-    S = [1'; I_k]."""
+    S = [1'; I_k].
+
+    r12: the inverse and the solve use the pivot-free Gauss-Jordan
+    (operators/var.py:28) instead of LAPACK's pivoted LU — W and
+    S'W^-1S are positive definite (eps-ridged covariance / diagonal
+    weights), the estimator is unchanged to ~1e-13, and the
+    deterministic elimination order is what lets the mint_shrink oracle
+    (plans/mint_oracle.py) replay the projection exactly."""
     import numpy as np
 
+    from kats_spark.operators.var import _gauss_solve_multi
+
     S = np.vstack([np.ones((1, k)), np.eye(k)])
-    Winv = np.diag(1.0 / W) if is_diag else np.linalg.inv(W)
-    return np.linalg.solve(S.T @ Winv @ S, S.T @ Winv)
+    Winv = (
+        np.diag(1.0 / W)
+        if is_diag
+        else _gauss_solve_multi(W, np.eye(len(W)))
+    )
+    return _gauss_solve_multi(S.T @ Winv @ S, S.T @ Winv)
 
 
 def reconcile_forecast(
@@ -234,8 +247,12 @@ def reconcile_forecast(
     n_blocks = steps // k
 
     def _ols_fit(y):
+        # centered-sums closed form (was np.polyfit's SVD — same fit to
+        # ~1e-13, SQL-replayable op order for the mint_shrink oracle)
         t = np.arange(len(y), dtype=float)
-        b, a = np.polyfit(t, y, 1)
+        tm = t.mean()
+        b = float(np.dot(t - tm, y)) / float(np.dot(t - tm, t - tm))
+        a = float(y.mean()) - b * tm
         return a, b  # intercept, slope
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:

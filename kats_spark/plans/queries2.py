@@ -32,6 +32,7 @@ from kats_spark.operators import (
 )
 from kats_spark.plans import bvar_oracle as _BVAR_ORACLE
 from kats_spark.plans import kernel_oracle as _KERNEL_ORACLE
+from kats_spark.plans import mint_oracle as _MINT_ORACLE
 from kats_spark.plans import stl_oracle as _STL_ORACLE
 from kats_spark.plans import var_oracle as _VAR_ORACLE
 from kats_spark.plans.queries import (
@@ -3084,9 +3085,11 @@ def q_detector_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_reconcile_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinT-shrink temporal reconciliation (thm.py get_W mint_shrink,
-    Wickramasuriya 2019): per-series shrunk residual covariance drives
-    the GLS projection — data-driven W, so rows-only; the coherence +
-    method-divergence contracts live in tests/test_batch3.py."""
+    Wickramasuriya 2019) — FULL oracle since r12
+    (plans/mint_oracle.py): the shrunk-covariance GLS is closed-form
+    once the solves are the pivot-free Gauss-Jordan (reconciliation.py
+    moved to the VAR-oracle numerics convention this round); coherence
+    + method-divergence contracts stay in tests/test_batch3.py."""
     from kats_spark.operators.reconciliation import reconcile_forecast
 
     out = reconcile_forecast(
@@ -5475,6 +5478,10 @@ ORACLES = {
     # deterministic VAR-oracle numerics this round)
     "bvar_forecast": _BVAR_ORACLE.forecast_sql(_HOURLY_SQL, p=3, k=5,
                                                dk_fmt=_DK_FMT),
+    # r12: MinT-shrink GLS replay (reconciliation.py moved to
+    # centered-sums OLS + pivot-free GJ this round)
+    "reconcile_mint": _MINT_ORACLE.forecast_sql(_HOURLY_SQL, k=6,
+                                                dk_fmt=_DK_FMT),
     # r12 promotions (VERDICT r11 item #4): the loess-STL kernel is
     # deterministic straight-line arithmetic (non-robust default = two
     # unrolled inner iterations), replayed end-to-end in stl_oracle.py —

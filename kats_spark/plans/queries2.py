@@ -2906,8 +2906,10 @@ def q_std_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-trend-decomposed global model
     (kats/models/globalmodel/stdmodel.py:29): per-series loess STL
     decompose, ONE pooled DMS model on the deseasonalized panel,
-    re-seasonalize by tiling each series' last seasonal period.  The
-    loess kernel is iterative numpy -> rows-only."""
+    re-seasonalize by tiling each series' last seasonal period.  FULL
+    oracle since r12: the r12 loess-STL replay (plans/stl_oracle.py)
+    deseasonalizes, the proven global_dms SQL fits the pooled panel,
+    and the tiled-last-period add-back closes the composition."""
     from kats_spark.models.std_global import std_global_forecast
 
     out = std_global_forecast(
@@ -5482,6 +5484,8 @@ ORACLES = {
     # centered-sums OLS + pivot-free GJ this round)
     "reconcile_mint": _MINT_ORACLE.forecast_sql(_HOURLY_SQL, k=6,
                                                 dk_fmt=_DK_FMT),
+    # r12: STL-deseasonalized pooled DMS + tiled re-seasonalization
+    "std_global": _STL_ORACLE.std_global_sql(_HOURLY_SQL, _DK_FMT),
     # r12 promotions (VERDICT r11 item #4): the loess-STL kernel is
     # deterministic straight-line arithmetic (non-robust default = two
     # unrolled inner iterations), replayed end-to-end in stl_oracle.py —

@@ -187,7 +187,7 @@ def stl_core_sql(hourly_sql: str, period: int = 24, seasonal: int = 7) -> str:
     nt = next_odd(1.5 * period / (1 - 1.5 / ns))
     nl = next_odd(period + 1)
     sql = f"""
-WITH h AS ({hourly_sql}),
+WITH RECURSIVE h AS ({hourly_sql}),
 lst AS (
   SELECT series_id, count(*)::BIGINT AS n,
          list(value ORDER BY time) AS vs,
@@ -238,6 +238,96 @@ SELECT series_id,
   round(1e-9 + (1 - var_samp(rv) / var_samp(tv + rv)), 6) AS trend_strength,
   round(1e-9 + (1 - var_samp(rv) / var_samp(sv + rv)), 6) AS seasonality_strength
 FROM pts GROUP BY series_id
+"""
+
+
+def std_global_sql(
+    hourly_sql: str,
+    dk_fmt: str,
+    period: int = 24,
+    steps: int = 12,
+    p: int = 4,
+    freq_seconds: int = 3600,
+) -> str:
+    """(series_id, time, fcst) — the q_std_global oracle
+    (kats/models/globalmodel/stdmodel.py:29 STDGlobalModel, base='dms',
+    additive): the loess-STL core above deseasonalizes each series
+    (value - seasonal), ONE pooled direct-multi-step linear model fits
+    the z-scored panel (the proven global_dms replay, re-sourced from
+    the deseason lists), and the horizon is re-seasonalized by the tiled
+    LAST period of each series' seasonal component
+    (stdmodel.py:219-234 / stlf.py:348 convention)."""
+    m = p + 1
+    H = steps
+    ac = m + H
+
+    def reg(a: int) -> str:
+        return "1.0" if a == 0 else f"Z[t-{a-1}]"
+
+    ent = []
+    for r in range(m):
+        for c in range(m):
+            ent.append(
+                f"coalesce(list_sum(list_transform(range({p}, n-{H}+1), t -> {reg(r)} * {reg(c)})), 0.0)"
+            )
+        for h in range(1, H + 1):
+            ent.append(
+                f"coalesce(list_sum(list_transform(range({p}, n-{H}+1), t -> {reg(r)} * Z[t+{h}])), 0.0)"
+            )
+    ent_list = "[" + ",\n    ".join(ent) + "]"
+    head = f"s.m[{m} + u.h]" + "".join(
+        f" + s.m[{(i + 1) * ac + m} + u.h] * z.Z[z.n - {i}]" for i in range(p)
+    )
+    return stl_core_sql(hourly_sql, period) + f"""
+, dstat AS (
+  -- deseasonalized panel + the tiled last-period seasonal lookup
+  SELECT series_id, n, ts[n] AS tmax, s,
+    list_transform(range(1, n + 1), i -> vs[i] - s[i]) AS vs
+  FROM stl
+),
+zs AS (
+  SELECT series_id, tmax, n, s,
+    list_sum(vs)/len(vs) AS mu,
+    CASE WHEN sqrt(list_sum(list_transform(vs, v -> v*v))/len(vs)
+                   - (list_sum(vs)/len(vs)) * (list_sum(vs)/len(vs))) > 0
+         THEN sqrt(list_sum(list_transform(vs, v -> v*v))/len(vs)
+                   - (list_sum(vs)/len(vs)) * (list_sum(vs)/len(vs)))
+         ELSE 1.0 END AS sd
+  FROM dstat
+),
+zl AS (
+  SELECT z.series_id, z.tmax, z.n, z.mu, z.sd, z.s,
+    list_transform(d.vs, v -> (v - z.mu) / z.sd) AS Z
+  FROM zs z JOIN dstat d USING (series_id)
+),
+sums AS (
+  SELECT {ent_list} AS e FROM zl WHERE n - {H} >= {p}
+),
+pooled AS (
+  SELECT list(sv ORDER BY i) AS m0 FROM (
+    SELECT i, sum(v) AS sv FROM (
+      SELECT unnest(e) AS v, unnest(range(1, {m * ac} + 1)) AS i FROM sums
+    ) GROUP BY i
+  )
+  HAVING count(*) = {m * ac}
+),
+dgj AS (
+  SELECT 0 AS pv, m0 AS m FROM pooled
+  UNION ALL
+  SELECT pv+1,
+    list_transform(range(0, {m * ac}), i ->
+      CASE WHEN i // {ac} = pv THEN m[i+1] / m[pv*{ac}+pv+1]
+      ELSE m[i+1] - m[(i//{ac})*{ac} + pv + 1] * (m[pv*{ac} + (i%{ac}) + 1] / m[pv*{ac}+pv+1]) END)
+  FROM dgj WHERE pv < {m}
+),
+solved AS (SELECT m FROM dgj WHERE pv = {m})
+SELECT z.series_id,
+  strftime(z.tmax + to_seconds(u.h * {freq_seconds}), '{dk_fmt}') AS time,
+  round(1e-9 + (z.mu + z.sd * ({head}))
+    + coalesce(z.s[z.n - {period} + ((((z.n - 1 + u.h) % {period}) - ((z.n - {period}) % {period}) + {period}) % {period}) + 1], 0.0), 6) AS fcst
+FROM zl z CROSS JOIN solved s,
+     (SELECT unnest(generate_series(1, {H})) AS h) u
+WHERE z.n >= {p}
 """
 
 

@@ -3073,8 +3073,10 @@ def q_detector_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detector-selection metalearner (meta_learning/
     metalearning_detection_model.py:90 surface): self-supervised
     tournament — deterministic spike injection, three window detectors,
-    per-series F1 argmax.  Window median detectors are exact-percentile
-    recursions -> rows-only; tournament contracts in tests."""
+    per-series F1 argmax.  FULL oracle since r12: the injection, the
+    proven rolling-score window shapes (z / modified-MAD / IQR), Spark's
+    three-valued flag logic, and the struct argmax all replay in
+    _Q_DETECTOR_SELECT_SQL."""
     from kats_spark.models.metalearner import detector_select
 
     out = detector_select(hourly_series(spark, sf_dir))
@@ -3083,6 +3085,95 @@ def q_detector_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rnd("best_f1", 6).alias("best_f1"),
         F.col("n_injected").cast("bigint").alias("n_injected"),
     )
+
+
+# detector_select replay (r12 promotion): deterministic spike injection
+# (row_number % 97, 6 sigma of the ORIGINAL series), the three window
+# detectors via their proven rolling-score SQL shapes (z / modified-MAD
+# / IQR, 24-row trailing window excluding the scored point), Spark's
+# three-valued flag logic preserved (NULL scores neither hit nor miss),
+# per-(series, detector) F1, and the (f1, detector)-struct argmax.
+_Q_DETECTOR_SELECT_SQL = f"""
+WITH h AS ({_HOURLY_SQL}),
+base AS (
+  SELECT series_id, time, value,
+    row_number() OVER (PARTITION BY series_id ORDER BY time) AS rn,
+    stddev_samp(value) OVER (PARTITION BY series_id) AS sd
+  FROM h
+),
+spiked AS (
+  SELECT series_id, time,
+    (rn % 97 = 0) AS inj,
+    CASE WHEN rn % 97 = 0 THEN value + 6.0 * sd ELSE value END AS v
+  FROM base
+),
+arrs AS (
+  SELECT *,
+    list(v) OVER w AS arr,
+    avg(v) OVER w AS mu,
+    stddev_samp(v) OVER w AS sdw,
+    quantile_cont(v, 0.5) OVER w AS q50,
+    quantile_cont(v, 0.75) OVER w - quantile_cont(v, 0.25) OVER w AS iqr
+  FROM spiked
+  WINDOW w AS (PARTITION BY series_id ORDER BY time
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+mads AS (
+  SELECT *, list_sort(arr) AS sa, len(arr) AS n FROM arrs
+),
+med AS (
+  SELECT *,
+    CASE WHEN n = 0 THEN NULL
+         WHEN n % 2 = 1 THEN sa[(n + 1) // 2]
+         ELSE (sa[n // 2] + sa[n // 2 + 1]) / 2 END AS med
+  FROM mads
+),
+scores AS (
+  SELECT series_id, inj,
+    CASE WHEN sdw != 0 THEN (v - mu) / sdw END AS zscore,
+    0.6745 * (CASE WHEN madv != 0 THEN (v - med) / madv END) AS mad,
+    CASE WHEN iqr != 0 THEN (v - q50) / iqr END AS iqr
+  FROM (
+    SELECT *,
+      (SELECT CASE WHEN n = 0 THEN NULL
+              WHEN n % 2 = 1 THEN sd2[(n + 1) // 2]
+              ELSE (sd2[n // 2] + sd2[n // 2 + 1]) / 2 END
+       FROM (SELECT list_sort(list_transform(arr, x -> abs(x - med))) AS sd2)) AS madv
+    FROM med
+  )
+),
+long AS (
+  SELECT series_id, 'zscore' AS detector, inj, abs(zscore) > 3.0 AS flagged FROM scores
+  UNION ALL
+  SELECT series_id, 'mad', inj, abs(mad) > 3.0 FROM scores
+  UNION ALL
+  SELECT series_id, 'iqr', inj, abs(iqr) > 3.0 FROM scores
+),
+perf AS (
+  SELECT series_id, detector,
+    sum((flagged AND inj)::INT) AS tp,
+    sum((flagged AND NOT inj)::INT) AS fp,
+    sum((NOT flagged AND inj)::INT) AS fn,
+    sum(inj::INT) AS n_injected
+  FROM long GROUP BY 1, 2
+),
+ranked AS (
+  SELECT series_id, detector, n_injected,
+    round((2.0 * tp) / greatest(2.0 * tp + fp + fn, 1.0) + 1e-9, 6) AS f1
+  FROM perf
+),
+best AS (
+  SELECT series_id, detector AS best_detector, n_injected
+  FROM ranked
+  QUALIFY row_number() OVER (PARTITION BY series_id
+                             ORDER BY f1 DESC, detector DESC) = 1
+)
+SELECT r.series_id, b.best_detector,
+  round(1e-9 + max(r.f1), 6) AS best_f1,
+  any_value(r.n_injected)::BIGINT AS n_injected
+FROM ranked r JOIN best b USING (series_id)
+GROUP BY r.series_id, b.best_detector
+"""
 
 
 def q_reconcile_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5486,6 +5577,8 @@ ORACLES = {
                                                 dk_fmt=_DK_FMT),
     # r12: STL-deseasonalized pooled DMS + tiled re-seasonalization
     "std_global": _STL_ORACLE.std_global_sql(_HOURLY_SQL, _DK_FMT),
+    # r12: self-supervised detector tournament replay
+    "detector_select": _Q_DETECTOR_SELECT_SQL,
     # r12 promotions (VERDICT r11 item #4): the loess-STL kernel is
     # deterministic straight-line arithmetic (non-robust default = two
     # unrolled inner iterations), replayed end-to-end in stl_oracle.py —

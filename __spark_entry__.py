@@ -78,7 +78,7 @@ _PRIORITY = [
     # r12 NEW oracles, land after the window froze — head the r13
     # rotation queue with the two rows above
     "tsfeatures_kernel", "bvar_forecast", "reconcile_mint", "std_global",
-    "detector_select",
+    "detector_select", "image_phash_pairs",
     # intra-family variants displaced from the first 50 (all were green
     # in r01/r02 driver runs or judge checks)
     "hourly_rollup", "fft_seasonality",
@@ -95,7 +95,7 @@ _PRIORITY = [
     "ivf_recall", "pq_topk_portable", "simhash_neardup", "winnow_fp",
     "unigram_logppl", "repetition_stats", "mixture_sample",
     "macd", "rsi", "trix_tsi", "median_ensemble",
-    "semantic_dedup", "image_phash_pairs", "audio_features",
+    "semantic_dedup", "audio_features",
     "quality_classifier",
     "sketch_profile", "ema", "wide_pivot", "kernel_stats",
     "holiday_calendar", "video_frames", "winnow_overlap", "corpus_mixture",

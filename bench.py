@@ -143,6 +143,10 @@ HEADLINE = [
     # fused wide TsFeatures row — ONE stats_bundle window pipeline for
     # the 15 statistics+level_shift columns (was nine per-group subplans)
     "tsfeatures_wide_expr",
+    # round-12 addition (baseline = BENCH_r12 first appearance): the new
+    # TsFeatures kernel-group query (entropy/hurst/KPSS/ARCH/ACF scans +
+    # the holt/hw lattice recursions in one Arrow pass per series)
+    "tsfeatures_kernel",
 ]
 
 

@@ -4309,15 +4309,97 @@ JOIN bw w ON r.doc_id = w.doc_id
 """
 
 
+def _image_phash_sql(max_hamming: int = 6) -> str:
+    """q_image_phash_pairs oracle (r12 promotion): the whole pHash
+    pipeline replayed — ASCII image synthesis (substring / '[^ -~]'
+    scrub / rpad, twin = first byte xor 1), PPM grayscale (0.299 R +
+    0.587 G + 0.114 B in numpy dot order), the 8->32 replication
+    upsample, the two-stage DCT-II (C @ g32 then @ C.T, ascending-index
+    sums; the needed C[0:8, 0:32] rows embedded as exact repr literals),
+    the 63-coefficient above-median sign bits (margins measured >= 2e-4
+    on the sf0.01 corpus — four decades above the ~1e-13 BLAS-vs-
+    sequential float drift, so the discrete bits are safe to replay),
+    and the pigeonhole band join + bit_count verify of
+    dedup.simhash_pairs (7 bands of 9/10 bits on the UNSIGNED hash,
+    matching shiftrightunsigned)."""
+    from kats_spark.operators.multimodal import _dct32
+
+    C = _dct32()
+    cl = "[" + ", ".join(repr(float(v)) for u in range(8) for v in C[u, :32]) + "]"
+    bands = max_hamming + 1
+    w = 64 // bands
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT media_id, hu, {b} AS band, (hu >> {b * w}) & "
+        f"{(1 << (w if b < bands - 1 else 64 - w * (bands - 1))) - 1} AS chunk FROM fp"
+        for b in range(bands)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    rpad(regexp_replace(substring(text, 1, 192), '[^ -~]', '.', 'g'), 192, 'x') AS s
+  FROM documents
+),
+media AS (
+  SELECT doc_id * 2 + tw AS media_id, s, tw
+  FROM docs, (SELECT unnest([0, 1]) AS tw) t
+),
+codes AS (
+  SELECT media_id,
+    list_transform(range(1, 193), j ->
+      (CASE WHEN tw = 1 AND j = 1 THEN xor(ascii(substring(s, j, 1)), 1)
+            ELSE ascii(substring(s, j, 1)) END)::DOUBLE) AS c
+  FROM media
+),
+gray AS (
+  SELECT media_id, {cl} AS cl,
+    list_transform(range(0, 64), p ->
+      0.299 * c[3*p + 1] + 0.587 * c[3*p + 2] + 0.114 * c[3*p + 3]) AS g
+  FROM codes
+),
+stage1 AS (
+  SELECT media_id, cl,
+    list_transform(range(0, 256), x ->
+      list_sum(list_transform(range(0, 32), i ->
+        cl[(x // 32) * 32 + i + 1] * g[(i // 4) * 8 + ((x % 32) // 4) + 1]))) AS t1
+  FROM gray
+),
+coefs AS (
+  SELECT media_id,
+    list_transform(range(1, 64), x2 ->
+      list_sum(list_transform(range(0, 32), j ->
+        t1[(x2 // 8) * 32 + j + 1] * cl[(x2 % 8) * 32 + j + 1]))) AS block
+  FROM stage1
+),
+fp AS (
+  SELECT media_id,
+    list_sum(list_transform(range(1, 64), i ->
+      CASE WHEN block[i] > list_sort(block)[32]
+           THEN (1::HUGEINT << (i - 1)) ELSE 0::HUGEINT END))::UBIGINT AS hu
+  FROM coefs
+),
+keyed AS (
+  {chunk_rows}
+)
+SELECT DISTINCT a.media_id::BIGINT AS id_a, b.media_id::BIGINT AS id_b,
+  bit_count(xor(a.hu, b.hu))::INT AS hamming
+FROM keyed a JOIN keyed b ON a.band = b.band AND a.chunk = b.chunk
+  AND a.media_id < b.media_id
+WHERE bit_count(xor(a.hu, b.hu)) <= {max_hamming}
+"""
+
+
 def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs via perceptual hash (pHash: 32x32
     DCT-II low-frequency sign bits) + the exact pigeonhole band join —
     the image analog of SimHash text dedup (multimodal.phash_neardup_
     pairs).  Each document yields a deterministic 8x8 PPM from its ASCII
     text plus a planted one-bit-perturbed twin; the query recovers the
-    twin pairs by hamming <= 6.  Hash-dependent (DCT kernel in Python)
-    -> rows-only; the banded join's exactness is proven against
-    brute-force hamming in tests/test_multimodal.py."""
+    twin pairs by hamming <= 6.  FULL oracle since r12
+    (_image_phash_sql): synthesis, grayscale, DCT, sign bits, and the
+    band join all replay — the sign-bit margins measured >= 2e-4 on
+    this corpus, four decades above float drift; the banded join's
+    exactness is additionally proven against brute-force hamming in
+    tests/test_multimodal.py."""
     import pandas as pd
 
     from kats_spark.operators import multimodal
@@ -5579,6 +5661,8 @@ ORACLES = {
     "std_global": _STL_ORACLE.std_global_sql(_HOURLY_SQL, _DK_FMT),
     # r12: self-supervised detector tournament replay
     "detector_select": _Q_DETECTOR_SELECT_SQL,
+    # r12: full pHash pipeline replay (DCT literals + band join)
+    "image_phash_pairs": _image_phash_sql(),
     # r12 promotions (VERDICT r11 item #4): the loess-STL kernel is
     # deterministic straight-line arithmetic (non-robust default = two
     # unrolled inner iterations), replayed end-to-end in stl_oracle.py —

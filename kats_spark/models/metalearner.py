@@ -346,22 +346,32 @@ def detector_select(
         "mad": F.col("__mad_score"),
         "iqr": rolling.iqr_score(window, s),
     }
-    frames = []
-    for name, score in scores.items():
-        flagged = F.abs(score) > flag_threshold
-        frames.append(
-            spiked.select(
-                s.series_id,
-                F.lit(name).alias("detector"),
-                F.col("__inj").cast("int").alias("inj"),
-                (flagged & F.col("__inj")).cast("int").alias("tp"),
-                (flagged & ~F.col("__inj")).cast("int").alias("fp"),
-                (~flagged & F.col("__inj")).cast("int").alias("fn"),
-            )
-        )
-    allf = frames[0]
-    for fdf in frames[1:]:
-        allf = allf.unionByName(fdf)
+    # r12 plan fusion: the three per-detector frames used to be separate
+    # subplans unioned together, each re-running the spike + window
+    # pipeline (plan audit: 9 exchanges / 6 scans).  All three scores
+    # share the SAME series_id window partitioning, so compute them as
+    # sibling columns in ONE pass and unpivot with stack() — identical
+    # values (the oracle is unchanged and stays green), one window
+    # subtree instead of three.
+    scored = spiked.select(
+        s.series_id,
+        F.col("__inj"),
+        *[score.alias(f"__s_{name}") for name, score in scores.items()],
+    )
+    stack_expr = "stack({}, {}) as (detector, score)".format(
+        len(scores),
+        ", ".join(f"'{name}', __s_{name}" for name in scores),
+    )
+    long_rows = scored.select(s.series_id, "__inj", F.expr(stack_expr))
+    flagged = F.abs(F.col("score")) > flag_threshold
+    allf = long_rows.select(
+        s.series_id,
+        "detector",
+        F.col("__inj").cast("int").alias("inj"),
+        (flagged & F.col("__inj")).cast("int").alias("tp"),
+        (flagged & ~F.col("__inj")).cast("int").alias("fp"),
+        (~flagged & F.col("__inj")).cast("int").alias("fn"),
+    )
     perf = allf.groupBy(s.series_id, "detector").agg(
         F.sum("tp").alias("tp"),
         F.sum("fp").alias("fp"),

@@ -54,7 +54,14 @@ def std_global_forecast(
     value-minus-seasonal (stdmodel.py:186-187)."""
     if decomposition not in ("additive", "multiplicative"):
         raise ValueError("decomposition must be 'additive' or 'multiplicative'")
-    dec = decompose(df, period, decomposition, "stl", s)
+    # materialization boundary: dec feeds BOTH the seasonal table and the
+    # deseasonalized panel — without it the per-series STL applyInPandas
+    # runs once per consumer (r12 plan audit: 4 python stages -> 2; the
+    # self-join-recompute rule from the dedup operators applies to any
+    # frame with two downstream consumers, not just join sides)
+    dec = decompose(df, period, decomposition, "stl", s).localCheckpoint(
+        eager=False
+    )
     seas = last_period_seasonal_table(dec, period, s).persist()
     if fit_trend:
         deseason_val = F.col("trend")

@@ -266,12 +266,90 @@ FROM flags ORDER BY doc_id
 """
 
 
+def _bpe_train_sql(num_merges: int = 20) -> str:
+    """q_bpe_train oracle (r12 promotion): the Sennrich training loop
+    unrolled — every round is pure SQL over a (word, freq, position,
+    symbol) rows table: adjacent-pair frequency count, the
+    (count DESC, pair ASC) argmax (binary collation == python tuple
+    order on these normalized tokens), and the LEFTMOST-NON-OVERLAPPING
+    merge application via gaps-and-islands parity (consecutive matches
+    only occur when left == right; greedy takes the odd ones within
+    each run, exactly the driver loop's i += 2 skip).  Integer counts
+    throughout — no float lattice at all."""
+    rounds = []
+    for k in range(num_merges):
+        rounds.append(f"""
+p{k} AS (
+  SELECT l, r, sum(freq)::BIGINT AS c
+  FROM (SELECT wid, freq, sym AS l,
+               lead(sym) OVER (PARTITION BY wid ORDER BY i) AS r
+        FROM r{k})
+  WHERE r IS NOT NULL GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+m{k} AS (
+  SELECT t.wid, t.freq, t.i, t.sym,
+    coalesce(t.sym = b.l
+             AND lead(t.sym) OVER (PARTITION BY t.wid ORDER BY t.i) = b.r,
+             false) AS m
+  FROM r{k} t CROSS JOIN b{k} b
+),
+g{k} AS (
+  SELECT *, sum(CASE WHEN m THEN 0 ELSE 1 END)
+              OVER (PARTITION BY wid ORDER BY i) AS isl
+  FROM m{k}
+),
+tk{k} AS (
+  SELECT *, m AND (row_number()
+      OVER (PARTITION BY wid, isl, m ORDER BY i) % 2 = 1) AS take
+  FROM g{k}
+),
+r{k + 1} AS MATERIALIZED (
+  SELECT wid, freq,
+    row_number() OVER (PARTITION BY wid ORDER BY i) AS i,
+    CASE WHEN take THEN sym ||
+      lead_sym ELSE sym END AS sym
+  FROM (
+    SELECT *, lead(sym) OVER (PARTITION BY wid ORDER BY i) AS lead_sym,
+           lag(take) OVER (PARTITION BY wid ORDER BY i) AS prev_take
+    FROM tk{k}
+  )
+  WHERE NOT coalesce(prev_take, false)
+),""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {k} AS rank, l AS \"left\", r AS \"right\", c AS pair_count FROM b{k}"
+        for k in range(num_merges)
+    )
+    return rf"""
+WITH wf AS (
+  SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(list_filter(
+      regexp_split_to_array(trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+'),
+      x -> x != '')) AS word
+    FROM documents
+  ) GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT word AS wid, freq, j.i AS i,
+    CASE WHEN j.i = len(word) THEN substring(word, j.i, 1) || '</w>'
+         ELSE substring(word, j.i, 1) END AS sym
+  FROM wf, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) j
+  WHERE len(word) > 0
+),{"".join(rounds)[:-1]}
+{union}
+ORDER BY rank
+"""
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (operators/bpe.py, Sennrich et al. 2016):
     learn the corpus's top-20 merges from the (word, freq) table — one
     corpus pass, then vocabulary-sized work (size-gated driver loop /
-    distributed merge rounds, bit-identical by test).  Iterative ->
-    rows-only; deterministic ((count desc, pair asc) tie-break)."""
+    distributed merge rounds, bit-identical by test).  FULL oracle since
+    r12 (_bpe_train_sql): all 20 rounds unrolled in SQL — pair counts,
+    the (count desc, pair asc) argmax, and the leftmost-non-overlapping
+    merge application via gaps-and-islands parity.  Integer arithmetic
+    end to end."""
     from kats_spark.operators.bpe import bpe_train
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -3495,6 +3573,8 @@ ORACLES = {
     "token_stats": _Q_TOKEN_STATS_SQL,
     "bpe_token_stats": _bpe_token_stats_sql(),
     "bpe_encode": _bpe_encode_sql(_BPE_MERGES),
+    # r12: Sennrich training loop unrolled (20 rounds, integer-exact)
+    "bpe_train": _bpe_train_sql(20),
     "gopher_rules": _Q_GOPHER_SQL,
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "topk_cosine": _Q_TOPK_COSINE_SQL,

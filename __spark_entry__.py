@@ -78,7 +78,7 @@ _PRIORITY = [
     # r12 NEW oracles, land after the window froze — head the r13
     # rotation queue with the two rows above
     "tsfeatures_kernel", "bvar_forecast", "reconcile_mint", "std_global",
-    "detector_select", "image_phash_pairs", "bpe_train",
+    "detector_select", "image_phash_pairs", "bpe_train", "mixture_fit",
     # intra-family variants displaced from the first 50 (all were green
     # in r01/r02 driver runs or judge checks)
     "hourly_rollup", "fft_seasonality",

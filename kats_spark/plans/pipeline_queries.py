@@ -3189,6 +3189,132 @@ w AS (
   FROM fb JOIN lr USING (bk) GROUP BY 1
 )"""
 
+def _mixture_fit_sql(num_buckets: int = 1024, iters: int = 500) -> str:
+    """q_mixture_fit oracle (r12 promotion): the whole mixture-design
+    solve replayed — hashed-n-gram bucket counts (the DSIR md5-lattice
+    feature CTE), per-source distribution normalization, the Gram matrix
+    and target projection as ascending-bucket sums, the 50-round power
+    iteration for the Lipschitz step, and all ``iters`` projected-
+    gradient rounds with Duchi et al. 2008's sort-form simplex
+    projection inlined per step (sort desc, per-k prefix sums, last k
+    with u_k * k > css_k, clamp).  The map is non-expansive at step 1/L,
+    so the ~1e-13 BLAS-vs-list_sum input drift stays bounded through
+    all rounds — inside the 6dp lattice."""
+    B = num_buckets
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, t,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE []::VARCHAR[] END AS b
+  FROM toks
+),
+feats AS (SELECT doc_id, unnest(list_concat(t, b)) AS f FROM bi),
+fb AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(f), 1, 12))::UBIGINT % {B})::BIGINT AS bk
+  FROM feats
+),
+srcrows AS (
+  SELECT d.source AS s, fb.bk, count(*)::DOUBLE AS c
+  FROM fb JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+psrc AS (
+  SELECT s, map(list(bk ORDER BY bk), list(c ORDER BY bk)) AS m,
+         greatest(sum(c), 1.0) AS tot
+  FROM srcrows GROUP BY s
+),
+pdense AS (
+  SELECT s,
+    list_transform(range(0, {B}), bb -> coalesce(m[bb][1], 0.0) / tot) AS p
+  FROM psrc
+),
+pmat AS (
+  SELECT list(s ORDER BY s) AS sl, count(*)::BIGINT AS S,
+         list(p ORDER BY s) AS P
+  FROM pdense
+),
+tgt AS (
+  SELECT map(list(bk ORDER BY bk), list(c ORDER BY bk)) AS m,
+         greatest(sum(c), 1.0) AS tot
+  FROM (
+    SELECT fb.bk, count(*)::DOUBLE AS c
+    FROM fb JOIN documents d USING (doc_id) WHERE d.lang = 'zh' GROUP BY 1
+  )
+),
+qvec AS (
+  SELECT list_transform(range(0, {B}), bb -> coalesce(m[bb][1], 0.0) / tot) AS q
+  FROM tgt
+),
+gram AS (
+  SELECT sl, S,
+    flatten(list_transform(P, pi ->
+      list_transform(P, pj ->
+        list_sum(list_transform(range(1, {B} + 1), bb -> pi[bb] * pj[bb]))))) AS G,
+    list_transform(P, pi ->
+      list_sum(list_transform(range(1, {B} + 1), bb -> pi[bb] * q[bb]))) AS bv
+  FROM pmat CROSS JOIN qvec
+),
+pow_it AS (
+  SELECT sl, S, G, bv, 0 AS it,
+    list_transform(range(1, S + 1), i -> 1.0 / sqrt(S)) AS v
+  FROM gram
+  UNION ALL
+  SELECT sl, S, G, bv, it + 1,
+    list_transform(range(1, S + 1), i ->
+      (list_sum(list_transform(range(1, S + 1), j -> G[(i-1)*S + j] * v[j])))
+      / sqrt(list_sum(list_transform(range(1, S + 1), i2 ->
+          pow(list_sum(list_transform(range(1, S + 1), j2 -> G[(i2-1)*S + j2] * v[j2])), 2)))))
+  FROM pow_it WHERE it < 50
+),
+lip AS (
+  SELECT sl, S, G, bv,
+    CASE WHEN lraw = 0.0 THEN 1.0 ELSE lraw END AS L
+  FROM (
+    SELECT sl, S, G, bv,
+      list_sum(list_transform(range(1, S + 1), i ->
+        v[i] * list_sum(list_transform(range(1, S + 1), j -> G[(i-1)*S + j] * v[j])))) AS lraw
+    FROM pow_it WHERE it = 50
+  )
+),
+pg AS (
+  SELECT sl, S, G, bv, L, 0 AS it,
+    list_transform(range(1, S + 1), i -> 1.0 / S) AS w
+  FROM lip
+  UNION ALL
+  SELECT sl, S, G, bv, L, it + 1,
+    list_transform(vv, x -> greatest(x - theta, 0.0))
+  FROM (
+    SELECT *, (list_sum(uu[1:rho]) - 1.0) / rho AS theta
+    FROM (
+      SELECT *, list_max(list_filter(range(1, S + 1), k ->
+        uu[k] * k > list_sum(uu[1:k]) - 1.0)) AS rho
+      FROM (
+        SELECT *, list_reverse(list_sort(vv)) AS uu
+        FROM (
+          SELECT sl, S, G, bv, L, it,
+            list_transform(range(1, S + 1), i ->
+              w[i] - (list_sum(list_transform(range(1, S + 1), j ->
+                G[(i-1)*S + j] * w[j])) - bv[i]) / L) AS vv
+          FROM pg WHERE it < {iters}
+        ) q1
+      ) q2
+    ) q3
+  ) q4
+)
+SELECT sl[u.i] AS source, round(1e-9 + w[u.i], 6) AS weight
+FROM pg, (SELECT unnest(range(1, 64)) AS i) u
+WHERE it = {iters} AND u.i <= S
+ORDER BY source
+"""
+
+
 _Q_DSIR_WEIGHTS_SQL = f"""
 WITH {_DSIR_FEATS_CTE}
 SELECT doc_id::BIGINT AS doc_id, n_feats::BIGINT AS n_feats,
@@ -3381,7 +3507,10 @@ def q_mixture_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution best matches the zh target domain — simplex-projected
     least squares on the (|sources| x buckets) count matrix (ONE
     map-side aggregate; the driver solve is bounded by construction).
-    Iterative numpy solve -> rows-only; exact-recovery contracts in
+    FULL oracle since r12 (_mixture_fit_sql): the md5-lattice bucket
+    counts, Gram/target sums, 50-round power iteration, and all 500
+    projected-gradient rounds with the Duchi sort-form simplex
+    projection replay in DuckDB; exact-recovery contracts stay in
     tests/test_dsir.py."""
     from kats_spark.operators.dsir import mixture_fit
 
@@ -3575,6 +3704,8 @@ ORACLES = {
     "bpe_encode": _bpe_encode_sql(_BPE_MERGES),
     # r12: Sennrich training loop unrolled (20 rounds, integer-exact)
     "bpe_train": _bpe_train_sql(20),
+    # r12: simplex-projected mixture-design solve replayed end to end
+    "mixture_fit": _mixture_fit_sql(1024, 500),
     "gopher_rules": _Q_GOPHER_SQL,
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "topk_cosine": _Q_TOPK_COSINE_SQL,

@@ -79,6 +79,7 @@ _PRIORITY = [
     # rotation queue with the two rows above
     "tsfeatures_kernel", "bvar_forecast", "reconcile_mint", "std_global",
     "detector_select", "image_phash_pairs", "bpe_train", "mixture_fit",
+    "multi_cusum",
     # intra-family variants displaced from the first 50 (all were green
     # in r01/r02 driver runs or judge checks)
     "hourly_rollup", "fft_seasonality",

@@ -331,13 +331,32 @@ def chi2_ppf(q: float, df: float) -> float:
     return (lo + hi) / 2.0
 
 
+def _cov_inv(Y: np.ndarray) -> np.ndarray:
+    """Inverse of the sample covariance — pivot-free Gauss-Jordan when
+    the matrix is cleanly invertible (every pivot bounded away from 0;
+    the deterministic op order the r12 multi_cusum oracle replays),
+    np.linalg.pinv as the degenerate-input fallback (rank-deficient
+    synthetic fixtures, k=1 zero-variance corners)."""
+    from kats_spark.operators.var import _gauss_solve_multi
+
+    sigma = np.atleast_2d(np.cov(Y, rowvar=False))
+    k = sigma.shape[0]
+    try:
+        with np.errstate(all="raise"):
+            inv = _gauss_solve_multi(sigma, np.eye(k))
+        if not np.all(np.isfinite(inv)):
+            raise FloatingPointError
+        return inv
+    except FloatingPointError:
+        return np.linalg.pinv(sigma)
+
+
 def _find_cp_multi(Y: np.ndarray, max_iter: int) -> tuple[int, bool]:
     """Iterative multivariate changepoint (cusum_detection.py:870-930):
     si = Mahalanobis(x, mu0) - Mahalanobis(x, mu1) under the pooled
     covariance; cp = clamp(argmin(cumsum(si))); start at the midpoint."""
     n = len(Y)
-    sigma = np.cov(Y, rowvar=False)
-    inv = np.linalg.pinv(np.atleast_2d(sigma))
+    inv = _cov_inv(Y)
     cp = n // 2
     stable = False
     for _ in range(max_iter):
@@ -368,7 +387,7 @@ def _llr_multi(Y: np.ndarray, cp: int) -> float:
     deviation here.
     """
     mu_tilde = Y.mean(axis=0)
-    inv = np.linalg.pinv(np.atleast_2d(np.cov(Y, rowvar=False)))
+    inv = _cov_inv(Y)
     mu0 = Y[: cp + 1].mean(axis=0)
     mu1 = Y[cp + 1 :].mean(axis=0)
 

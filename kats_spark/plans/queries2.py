@@ -32,6 +32,7 @@ from kats_spark.operators import (
 )
 from kats_spark.plans import bvar_oracle as _BVAR_ORACLE
 from kats_spark.plans import kernel_oracle as _KERNEL_ORACLE
+from kats_spark.plans import mcusum_oracle as _MCUSUM_ORACLE
 from kats_spark.plans import mint_oracle as _MINT_ORACLE
 from kats_spark.plans import stl_oracle as _STL_ORACLE
 from kats_spark.plans import var_oracle as _VAR_ORACLE
@@ -478,8 +479,10 @@ def q_sarima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multi_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Joint-mean changepoint over the co-observed event series — rows-only
-    (iterative Mahalanobis kernel), covered by seeded unit tests.
+    """Joint-mean changepoint over the co-observed event series — FULL
+    oracle since r12 (plans/mcusum_oracle.py): the GJ covariance inverse,
+    the fixed-point iteration unrolled (convergence is idempotent), the
+    two-segment LRT, and the closed-form chi2 tail all replay in DuckDB.
 
     The synthetic event series are stationary (no real joint shift), so a
     deterministic +25 level shift is injected into every series from
@@ -5661,6 +5664,9 @@ ORACLES = {
     "std_global": _STL_ORACLE.std_global_sql(_HOURLY_SQL, _DK_FMT),
     # r12: self-supervised detector tournament replay
     "detector_select": _Q_DETECTOR_SELECT_SQL,
+    # r12: multivariate CUSUM replay (GJ covariance inverse + unrolled
+    # fixed-point iteration + closed-form chi2 tail)
+    "multi_cusum": _MCUSUM_ORACLE.multi_cusum_sql(_HOURLY_SQL, dk_fmt=_DK_FMT),
     # r12: full pHash pipeline replay (DCT literals + band join)
     "image_phash_pairs": _image_phash_sql(),
     # r12 promotions (VERDICT r11 item #4): the loess-STL kernel is
@@ -5670,8 +5676,8 @@ ORACLES = {
     "stl_decompose": _STL_ORACLE.stl_decompose_sql(_HOURLY_SQL, _DK_FMT),
     "stl_strength": _STL_ORACLE.stl_strength_sql(_HOURLY_SQL),
     "outlier_detect_stl": _STL_ORACLE.outlier_stl_sql(_HOURLY_SQL, _DK_FMT),
-    # hourly_ratio / multi_cusum:
-    # matrix-inverse kernels (24x24 numeric pinv), or composition whose
-    # SQL would dwarf the checked semantics — rows-only, covered by
-    # seeded unit tests
+    # hourly_ratio: the one remaining matrix-inverse holdout — its 24x24
+    # covariance is singular BY CONSTRUCTION (profiles sum to 1), so the
+    # operator's pinv rides the SVD truncation no SQL replays (the r09
+    # note); the well-posed variants carry oracles (diag + full-cov)
 }

@@ -51,6 +51,18 @@ DATA_DIR = os.path.join(REPO, "tests", "golden", "data")
 
 
 def main() -> None:
+    # r12 guard: tests/golden/reference_goldens.json is the LIVING copy —
+    # rounds 10-12 hand-curated cases and exclusion retirements in place
+    # (HW profiled-state promotions, the cap1000 retirement, the r12
+    # nonseasonal trusted case + air-custom forensic case + holiday
+    # absence proof).  A blind regeneration would clobber them.  Require
+    # an explicit --force, and even then: re-apply the curation by hand.
+    if os.path.exists(OUT) and "--force" not in sys.argv:
+        sys.exit(
+            f"{OUT} exists and carries r10-r12 hand curation; rerun with "
+            "--force ONLY if you intend to rebuild from scratch and "
+            "re-apply the curated cases/exclusions afterward"
+        )
     ref = sys.argv[1] if len(sys.argv) > 1 else "/root/reference"
     dummy_path = os.path.join(ref, "kats", "tests", "models", "test_models_dummy_data.py")
     spec = importlib.util.spec_from_file_location("_kats_dummy", dummy_path)
@@ -509,21 +521,14 @@ def main() -> None:
                                   "both past the 6% honesty cap (the "
                                   "reference's own test asserts at rtol=1, "
                                   "i.e. 100%)",
-            "prophet_nonseasonal_arg_future": "NONSEASONAL_FCST_15_PROPHET_"
-                                              "ARG_FUTURE: a 25-point pure-"
-                                              "noise fixture (std 0.83, "
-                                              "values through zero) with a "
-                                              "yearly Fourier block — "
-                                              "underdetermined, so MAP and "
-                                              "Stan land in different noise-"
-                                              "fit optima (measured 0.52 "
-                                              "absolute, >100% relative near "
-                                              "the zero crossings); the "
-                                              "explicit-future ARG surface "
-                                              "itself is exercised by "
-                                              "ProphetLite.predict taking "
-                                              "arbitrary future timestamps "
-                                              "in the other prophet cases",
+            "prophet_nonseasonal_arg_future_RETIRED_r12":
+                "RETIRED as an exclusion in r12 — the divergence was OUR "
+                "sigma2 = RSS/max(n-p,1) ridge degenerating on p >= n "
+                "fixtures; now the trusted case "
+                "prophet_nonseasonal_arg_future_15 (rtol 0.03 + atol 0.05)."
+                " NOTE: this extractor does NOT regenerate the r11/r12 "
+                "hand-curated cases/exclusions — the committed JSON is the "
+                "living copy (see the overwrite guard in main()).",
             "var_no_golden": "no committed VAR forecast frames exist in "
                              "test_models_dummy_data.py — test_var_model.py "
                              "computes its own train/truth split and asserts "

@@ -43,12 +43,12 @@ def _loess_stage_sql(
     through.  Emits CTE text ending with a comma."""
     a, b = f"{out_cte}_a", f"{out_cte}_b"
     return f"""
-{a} AS (
+{a} AS MATERIALIZED (
   SELECT series_id{carry}, {list_col} AS yl, {x_expr} AS x,
     least({q}, {m_expr}) AS qq, {m_expr} AS m
   FROM {src_cte}
 ),
-{b} AS (
+{b} AS MATERIALIZED (
   SELECT *,
     greatest(0, least(m - qq, ceil(x - (qq - 1) / 2.0)::BIGINT)) AS lo,
     greatest(
@@ -58,7 +58,7 @@ def _loess_stage_sql(
       1e-12) AS lam
   FROM {a}
 ),
-{out_cte} AS (
+{out_cte} AS MATERIALIZED (
   SELECT series_id{carry},
     CASE WHEN abs(sw * stt - st * st) > 1e-12
          THEN (stt * sy - st * sty) / (sw * stt - st * st)
@@ -94,7 +94,7 @@ def _iteration_sql(it: int, period: int, ns: int, nt: int, nl: int) -> str:
     # phase = (pos-1) % period, eval point = cycle - 1 (one extrapolated
     # position each side of the m_p observed cycles)
     sub = f"""
-cpos{it} AS (
+cpos{it} AS MATERIALIZED (
   SELECT d.series_id, d.n, g.pos,
     ((g.pos - 1) % {p})::BIGINT AS ph,
     ((g.pos - 1) // {p})::BIGINT AS cyc,
@@ -110,33 +110,33 @@ cpos{it} AS (
     # low-pass: MA(period) twice then MA(3) over the extended C, then
     # loess(nl) on the resulting n-length grid
     sub += f"""
-cl{it} AS (
+cl{it} AS MATERIALIZED (
   SELECT series_id, any_value(n) AS n, list(cv ORDER BY pos) AS c
   FROM cfit{it} GROUP BY series_id
 ),
-ma1_{it} AS (
+ma1_{it} AS MATERIALIZED (
   SELECT series_id, n, pos,
     sum(cv) OVER (PARTITION BY series_id ORDER BY pos
                   ROWS BETWEEN CURRENT ROW AND {p - 1} FOLLOWING) / {p}.0 AS v
   FROM cfit{it} QUALIFY pos <= n + {p + 1}
 ),
-ma2_{it} AS (
+ma2_{it} AS MATERIALIZED (
   SELECT series_id, n, pos,
     sum(v) OVER (PARTITION BY series_id ORDER BY pos
                  ROWS BETWEEN CURRENT ROW AND {p - 1} FOLLOWING) / {p}.0 AS v
   FROM ma1_{it} QUALIFY pos <= n + 2
 ),
-ma3_{it} AS (
+ma3_{it} AS MATERIALIZED (
   SELECT series_id, n, pos,
     sum(v) OVER (PARTITION BY series_id ORDER BY pos
                  ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) / 3.0 AS v
   FROM ma2_{it} QUALIFY pos <= n
 ),
-ma3l_{it} AS (
+ma3l_{it} AS MATERIALIZED (
   SELECT series_id, any_value(n) AS n, list(v ORDER BY pos) AS l3
   FROM ma3_{it} GROUP BY series_id
 ),
-lpos{it} AS (
+lpos{it} AS MATERIALIZED (
   SELECT m.series_id, m.n, m.pos, l.l3
   FROM ma3_{it} m JOIN ma3l_{it} l USING (series_id)
 ),"""
@@ -146,15 +146,15 @@ lpos{it} AS (
     )
     # seasonal = C[pos + period] - lowpass; trend = loess(nt) of y - S
     sub += f"""
-s{it} AS (
+s{it} AS MATERIALIZED (
   SELECT f.series_id, f.n, f.pos, c.c[f.pos + {p}] - f.lp AS sv
   FROM lfit{it} f JOIN cl{it} c USING (series_id)
 ),
-s{it}l AS (
+s{it}l AS MATERIALIZED (
   SELECT series_id, any_value(n) AS n, list(sv ORDER BY pos) AS s
   FROM s{it} GROUP BY series_id
 ),
-tpos{it} AS (
+tpos{it} AS MATERIALIZED (
   SELECT s.series_id, s.n, s.pos,
     list_transform(generate_series(1, s.n), i -> l.vs[i] - sl.s[i]) AS ys
   FROM s{it} s JOIN lst l USING (series_id) JOIN s{it}l sl USING (series_id)
@@ -164,7 +164,7 @@ tpos{it} AS (
         "(pos - 1)::DOUBLE", "tv", ", n, pos",
     )
     sub += f"""
-t{it}l AS (
+t{it}l AS MATERIALIZED (
   SELECT series_id, any_value(n) AS n, list(tv ORDER BY pos) AS t
   FROM tfit{it} GROUP BY series_id
 ),"""
@@ -188,23 +188,23 @@ def stl_core_sql(hourly_sql: str, period: int = 24, seasonal: int = 7) -> str:
     nl = next_odd(period + 1)
     sql = f"""
 WITH RECURSIVE h AS ({hourly_sql}),
-lst AS (
+lst AS MATERIALIZED (
   SELECT series_id, count(*)::BIGINT AS n,
          list(value ORDER BY time) AS vs,
          list(time ORDER BY time) AS ts
   FROM h GROUP BY 1 HAVING count(*) >= {2 * period}
 ),
-d1 AS (SELECT series_id, n, vs AS d FROM lst),"""
+d1 AS MATERIALIZED (SELECT series_id, n, vs AS d FROM lst),"""
     sql += _iteration_sql(1, period, ns, nt, nl)
     sql += """
-d2 AS (
+d2 AS MATERIALIZED (
   SELECT l.series_id, l.n,
          list_transform(generate_series(1, l.n), i -> l.vs[i] - t.t[i]) AS d
   FROM lst l JOIN t1l t USING (series_id)
 ),"""
     sql += _iteration_sql(2, period, ns, nt, nl)
     sql += """
-stl AS (
+stl AS MATERIALIZED (
   SELECT l.series_id, l.n, l.vs, l.ts, t.t, s.s
   FROM lst l JOIN t2l t USING (series_id) JOIN s2l s USING (series_id)
 )"""

@@ -220,6 +220,17 @@ def main() -> None:
     # artifact itself records host load at start/end plus per-query rep
     # counts, so drift adjudication (uniform inflation on untouched rows
     # = box load, not regression) no longer leans on out-of-band notes.
+    #
+    # r13 (VERDICT r12 item #6): bounded self-defer converts the
+    # box_loaded marker from adjudication input into prevention — if the
+    # 1-min loadavg is >= 1.5 at start, sleep-and-resample up to 2 x 60 s,
+    # then run regardless.  Both the pre-defer sample and the defer time
+    # are recorded so an exhausted defer is visible in the artifact.
+    loadavg_presample = [round(v, 2) for v in os.getloadavg()]
+    defer_sec = 0
+    while os.getloadavg()[0] >= 1.5 and defer_sec < 120:
+        time.sleep(60)
+        defer_sec += 60
     loadavg_start = [round(v, 2) for v in os.getloadavg()]
     for name in HEADLINE:
         if name not in qs:
@@ -256,6 +267,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": sf_val,
+        "loadavg_presample": loadavg_presample,
+        "defer_sec": defer_sec,
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
         "reps": rep_counts,
@@ -294,6 +307,8 @@ def main() -> None:
         }
         if loadavg_start[0] >= 1.0:
             head["box_loaded"] = True
+        if defer_sec:
+            head["defer_sec"] = defer_sec
         head["queries"] = qvals
         return json.dumps(head, separators=(",", ":"))
 

@@ -334,6 +334,35 @@ def run_op(name: str, spark, k: int) -> tuple[float, int]:
         tour = metadata_tournament(df, steps=24, freq_seconds=3600)
         n = feats.join(tour, "series_id").count()
         df.unpersist()
+    elif name == "ivfpq":
+        # the full IVF-PQ chain (VERDICT r12 item #7): coarse k-means
+        # cells + residual PQ codebooks + probed ADC scan + exact
+        # re-rank, on a k x replicated corpus with a FIXED query set.
+        # Growth dimension is corpus size; the bounded parts (Lloyd
+        # rounds on a capped sample, 5 queries, 40-vector re-rank) stay
+        # constant, so the scan/encode stages dominate and the chain
+        # should read ~linear.
+        from kats_spark.operators import ivf, pq
+
+        emb = replicate_emb(spark, k).persist()
+        emb.count()
+        t0 = time.time()  # measure build + probe, not the replication
+        indexed, centers_df = ivf.build_index_portable(
+            emb, id_col="vec_id", n_cells=8
+        )
+        enc, centers, cb = pq.ivfpq_build(
+            emb, id_col="vec_id", n_cells=8, m=16, ks=32,
+            coarse=(indexed, centers_df),
+        )
+        qrows = [
+            (int(r.vec_id), list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 5).collect()
+        ]
+        n = pq.ivfpq_search_reranked(
+            enc, centers, cb, qrows, emb, k=10, n_probe=4, rerank_factor=4,
+            id_col="vec_id",
+        ).count()
+        emb.unpersist()
     elif name == "ks":
         from kats_spark.operators.dist_distance import ks_drift
 

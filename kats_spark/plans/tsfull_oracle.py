@@ -253,3 +253,295 @@ SELECT series_id,
           / len(sg), 0.0) END, 6) AS nowcast_macddiff
 FROM sgn
 """
+
+# ---------------------------------------------------------------------
+# seasonalities (ref_kernel_features._seasonalities, tsfeatures.py:838)
+# FFT period selection + PERIOD-GENERIC loess-STL chain
+# ---------------------------------------------------------------------
+
+def _loess_stage_g(
+    out_cte: str,
+    src_cte: str,
+    list_col: str,
+    m_expr: str,
+    q_expr: str,
+    x_expr: str,
+    fitted_col: str,
+    carry: str,
+) -> str:
+    """The stl_oracle loess stage with the span ``q_expr`` as an SQL
+    EXPRESSION (a per-series column like ``nt``/``nl`` or a literal) —
+    the generalization that makes the chain period-generic.  Same
+    staged arithmetic as stl.py:47 ``_loess``: clamped q-nearest
+    window, lam = max window distance with the q > m correction,
+    tricube, closed-form degree-1 fit with the |det| <= 1e-12
+    weighted-mean fallback."""
+    a, b = f"{out_cte}_a", f"{out_cte}_b"
+    return f"""
+{a} AS MATERIALIZED (
+  SELECT series_id{carry}, {list_col} AS yl, {x_expr} AS x,
+    least({q_expr}, {m_expr}) AS qq, {m_expr} AS m, {q_expr} AS qspan
+  FROM {src_cte}
+),
+{b} AS MATERIALIZED (
+  SELECT *,
+    greatest(0, least(m - qq, ceil(x - (qq - 1) / 2.0)::BIGINT)) AS lo,
+    greatest(
+      list_max(list_transform(generate_series(0, qq - 1),
+                              k -> abs((greatest(0, least(m - qq, ceil(x - (qq - 1) / 2.0)::BIGINT)) + k)::DOUBLE - x)))
+      * (CASE WHEN qspan > m THEN qspan::DOUBLE / m ELSE 1.0 END),
+      1e-12) AS lam
+  FROM {a}
+),
+{out_cte} AS MATERIALIZED (
+  SELECT series_id{carry},
+    CASE WHEN abs(sw * stt - st * st) > 1e-12
+         THEN (stt * sy - st * sty) / (sw * stt - st * st)
+         ELSE sy / (CASE WHEN sw = 0 THEN 1.0 ELSE sw END)
+    END AS {fitted_col}
+  FROM (
+    SELECT *,
+      list_sum(list_transform(generate_series(0, qq - 1), k ->
+        pow(1.0 - pow(least(abs((lo + k)::DOUBLE - x) / lam, 1.0), 3), 3))) AS sw,
+      list_sum(list_transform(generate_series(0, qq - 1), k ->
+        pow(1.0 - pow(least(abs((lo + k)::DOUBLE - x) / lam, 1.0), 3), 3)
+        * ((lo + k)::DOUBLE - x))) AS st,
+      list_sum(list_transform(generate_series(0, qq - 1), k ->
+        pow(1.0 - pow(least(abs((lo + k)::DOUBLE - x) / lam, 1.0), 3), 3)
+        * ((lo + k)::DOUBLE - x) * ((lo + k)::DOUBLE - x))) AS stt,
+      list_sum(list_transform(generate_series(0, qq - 1), k ->
+        pow(1.0 - pow(least(abs((lo + k)::DOUBLE - x) / lam, 1.0), 3), 3)
+        * yl[lo + k + 1])) AS sy,
+      list_sum(list_transform(generate_series(0, qq - 1), k ->
+        pow(1.0 - pow(least(abs((lo + k)::DOUBLE - x) / lam, 1.0), 3), 3)
+        * ((lo + k)::DOUBLE - x) * yl[lo + k + 1])) AS sty
+    FROM {b}
+  )
+),"""
+
+
+_GCARRY = ", n, p, nt, nl"
+
+
+def _g_iteration_sql(it: int) -> str:
+    """One period-GENERIC STL inner iteration (ns = 7 literal; period /
+    nt / nl per-series columns): d{it} (series_id, n, p, nt, nl, d list)
+    -> t{it}l / s{it}l.  Mirrors stl_oracle._iteration_sql with the
+    window-frame MAs replaced by list-slice MAs (variable width p)."""
+    sub = f"""
+cpos{it} AS MATERIALIZED (
+  SELECT d.series_id, d.n, d.p, d.nt, d.nl, g.pos,
+    ((g.pos - 1) % d.p)::BIGINT AS ph,
+    ((g.pos - 1) // d.p)::BIGINT AS cyc,
+    ((d.n - 1 - ((g.pos - 1) % d.p)) // d.p + 1)::BIGINT AS msub,
+    list_transform(generate_series(0, ((d.n - 1 - ((g.pos - 1) % d.p)) // d.p)::BIGINT),
+                   j -> d.d[((g.pos - 1) % d.p) + 1 + d.p * j]) AS sub
+  FROM d{it} d, LATERAL (SELECT unnest(generate_series(1, d.n + 2 * d.p)) AS pos) g
+),"""
+    sub += _loess_stage_g(
+        f"cfit{it}", f"cpos{it}", "sub", "msub", "7",
+        "(cyc - 1)::DOUBLE", "cv", _GCARRY + ", pos",
+    )
+    sub += f"""
+cl{it} AS MATERIALIZED (
+  SELECT series_id, any_value(n) AS n, any_value(p) AS p,
+         any_value(nt) AS nt, any_value(nl) AS nl,
+         list(cv ORDER BY pos) AS c
+  FROM cfit{it} GROUP BY series_id
+),
+maa{it} AS MATERIALIZED (
+  SELECT series_id, n, p, nt, nl,
+    list_transform(range(1, n + p + 2), i -> list_sum(c[i:i + p - 1]) / p) AS m1
+  FROM cl{it}
+),
+mab{it} AS MATERIALIZED (
+  SELECT series_id, n, p, nt, nl,
+    list_transform(range(1, n + 3), i -> list_sum(m1[i:i + p - 1]) / p) AS m2
+  FROM maa{it}
+),
+mac{it} AS MATERIALIZED (
+  SELECT series_id, n, p, nt, nl,
+    list_transform(range(1, n + 1), i -> list_sum(m2[i:i + 2]) / 3.0) AS l3
+  FROM mab{it}
+),
+lpos{it} AS MATERIALIZED (
+  SELECT m.series_id, m.n, m.p, m.nt, m.nl, g.pos, m.l3
+  FROM mac{it} m, LATERAL (SELECT unnest(generate_series(1, m.n)) AS pos) g
+),"""
+    sub += _loess_stage_g(
+        f"lfit{it}", f"lpos{it}", "l3", "n", "nl",
+        "(pos - 1)::DOUBLE", "lp", _GCARRY + ", pos",
+    )
+    sub += f"""
+s{it} AS MATERIALIZED (
+  SELECT f.series_id, f.n, f.p, f.nt, f.nl, f.pos, c.c[f.pos + f.p] - f.lp AS sv
+  FROM lfit{it} f JOIN cl{it} c USING (series_id)
+),
+s{it}l AS MATERIALIZED (
+  SELECT series_id, any_value(n) AS n, any_value(p) AS p,
+         any_value(nt) AS nt, any_value(nl) AS nl,
+         list(sv ORDER BY pos) AS s
+  FROM s{it} GROUP BY series_id
+),
+tpos{it} AS MATERIALIZED (
+  SELECT s.series_id, s.n, s.p, s.nt, s.nl, s.pos,
+    list_transform(generate_series(1, s.n), i -> l.vs[i] - sl.s[i]) AS ys
+  FROM s{it} s JOIN prm l USING (series_id) JOIN s{it}l sl USING (series_id)
+),"""
+    sub += _loess_stage_g(
+        f"tfit{it}", f"tpos{it}", "ys", "n", "nt",
+        "(pos - 1)::DOUBLE", "tv", _GCARRY + ", pos",
+    )
+    sub += f"""
+t{it}l AS MATERIALIZED (
+  SELECT series_id, any_value(n) AS n, any_value(p) AS p,
+         any_value(nt) AS nt, any_value(nl) AS nl,
+         list(tv ORDER BY pos) AS t
+  FROM tfit{it} GROUP BY series_id
+),"""
+    return sub
+
+
+def period_select_ctes(src_cte: str = "lstf") -> str:
+    """FFT period-selection CTE chain from ``{src_cte}`` (series_id, n,
+    vs) to ``per`` (series_id, p) — the FFTDetector peak pipeline
+    (kats/detectors/seasonality.py:265-330) on diff(vs), replayed
+    operation-for-operation: naive-DFT periodogram over the positive
+    fftfreq bins k = 1..(N-1)//2, 10*log10 dB, median + 6*MAD-of-above-
+    median cut, strict local maxima with the 0.1 dB vertical-distance
+    threshold, harmonic removal (ANY earlier peak with near-integer
+    frequency ratio removes a later one — rm[i1] is never consulted),
+    and period = trunc(min over survivors of 1/(k*(1/N))) with the 7
+    fallback.  Emits CTE text ending with a comma."""
+    return f"""
+dif AS MATERIALIZED (
+  SELECT series_id, n, n - 1 AS nd,
+    list_transform(range(1, n), i -> vs[i+1] - vs[i]) AS dv
+  FROM {src_cte}
+),
+amp AS MATERIALIZED (
+  SELECT series_id, nd,
+    list_transform(range(1, (nd - 1) // 2 + 1), k ->
+      pow(list_sum(list_transform(range(1, nd + 1), t ->
+            dv[t] * cos(2.0 * pi() * k * (t - 1) / nd))), 2)
+      + pow(list_sum(list_transform(range(1, nd + 1), t ->
+            dv[t] * sin(2.0 * pi() * k * (t - 1) / nd))), 2)) AS psd
+  FROM dif
+),
+dbs AS MATERIALIZED (
+  SELECT series_id, nd,
+    list_transform(psd, v ->
+      CASE WHEN v > 0 THEN 10.0 * log10(v) ELSE -1e308 END) AS ampl
+  FROM amp
+),
+cutc AS MATERIALIZED (
+  SELECT series_id, nd, ampl,
+    CASE WHEN len(list_filter(ampl, v -> v > 0)) > 0
+         THEN list_aggregate(list_filter(ampl, v -> v > 0), 'median')
+    END AS med
+  FROM dbs
+),
+cutc2 AS MATERIALIZED (
+  SELECT series_id, nd, ampl, med,
+    med + 6.0 * (
+      list_sum(list_transform(abv, v ->
+        abs(v - list_sum(abv) / len(abv)))) / len(abv)) AS cut
+  FROM (
+    SELECT *, list_filter(ampl, v -> v > 0 AND v > med) AS abv FROM cutc
+  )
+),
+pk AS MATERIALIZED (
+  SELECT series_id, nd,
+    list_filter(range(2, len(ampl)), i ->
+      ampl[i] > ampl[i-1] AND ampl[i] > ampl[i+1]
+      AND least(ampl[i] - ampl[i-1], ampl[i] - ampl[i+1]) >= 0.1
+      AND ampl[i] > cut) AS pkpos
+  FROM cutc2
+),
+surv AS MATERIALIZED (
+  SELECT series_id, nd,
+    list_filter(pkpos, (k2, j2) ->
+      len(list_filter(pkpos[1:j2-1], k1 ->
+        fmod((k2 * (1.0 / nd)) / (k1 * (1.0 / nd)), 1.0) < 0.01
+        OR fmod((k2 * (1.0 / nd)) / (k1 * (1.0 / nd)), 1.0) > 0.99)) = 0) AS sv
+  FROM pk
+),
+per AS MATERIALIZED (
+  SELECT series_id,
+    CASE WHEN len(sv) > 0 THEN
+      trunc(list_min(list_transform(sv, k -> 1.0 / (k * (1.0 / nd)))))::BIGINT
+    ELSE 7 END AS p
+  FROM surv
+),"""
+
+
+def seasonalities_sql(hourly_sql: str) -> str:
+    """(series_id, seasonal_period, trend_mag, seasonality_mag,
+    residual_std) — the seasonalities kernel group: FFT-selected period
+    (CTE chain above), then stl_decompose_np (ns=7, nt/nl from the
+    period, 2 non-robust inner iterations) via the generic chain;
+    np.round half-even == roundbankers, np.quantile == quantile_cont,
+    np.std population convention."""
+    sql = f"""
+WITH RECURSIVE h AS ({hourly_sql}),
+lstf AS MATERIALIZED (
+  SELECT series_id, count(*)::BIGINT AS n, list(value ORDER BY time) AS vs
+  FROM h GROUP BY 1
+),"""
+    sql += period_select_ctes("lstf")
+    sql += """
+prm AS MATERIALIZED (
+  SELECT series_id, n, vs, p,
+    CASE WHEN cv % 2 = 1 THEN cv ELSE cv + 1 END AS nt,
+    CASE WHEN lv % 2 = 1 THEN lv ELSE lv + 1 END AS nl
+  FROM (
+    SELECT l.series_id, l.n, l.vs, pr.p,
+      ceil((1.5 * pr.p) / (1.0 - 1.5 / 7.0))::BIGINT AS cv,
+      (pr.p + 1)::BIGINT AS lv
+    FROM lstf l JOIN per pr USING (series_id)
+    WHERE pr.p >= 2 AND l.n >= 2 * pr.p
+  )
+),
+d1 AS MATERIALIZED (SELECT series_id, n, p, nt, nl, vs AS d FROM prm),"""
+    sql += _g_iteration_sql(1)
+    sql += """
+d2 AS MATERIALIZED (
+  SELECT l.series_id, l.n, l.p, l.nt, l.nl,
+         list_transform(generate_series(1, l.n), i -> l.vs[i] - t.t[i]) AS d
+  FROM prm l JOIN t1l t USING (series_id)
+),"""
+    sql += _g_iteration_sql(2)
+    sql += """
+fin AS MATERIALIZED (
+  SELECT l.series_id, l.n, l.p, t.t AS tl, s.s AS sl,
+    list_transform(generate_series(1, l.n), i -> l.vs[i] - t.t[i] - s.s[i]) AS rl
+  FROM prm l JOIN t2l t USING (series_id) JOIN s2l s USING (series_id)
+),
+qs AS MATERIALIZED (
+  SELECT series_id, quantile_cont(sv, 0.95) AS q95, quantile_cont(sv, 0.05) AS q05
+  FROM (SELECT series_id, unnest(sl) AS sv FROM fin) GROUP BY 1
+),
+feats AS MATERIALIZED (
+  SELECT f.series_id,
+    f.p::DOUBLE AS seasonal_period,
+    CASE WHEN den > 0 THEN num / den END AS trend_mag,
+    roundbankers(q.q95 - q.q05, 0) AS seasonality_mag,
+    sqrt(list_sum(list_transform(rl, r ->
+      (r - list_sum(rl) / n) * (r - list_sum(rl) / n))) / n) AS residual_std
+  FROM (
+    SELECT *,
+      list_sum(list_transform(range(1, n + 1), i ->
+        (i - 1)::DOUBLE * (tl[i] - tl[1]))) AS num,
+      list_sum(list_transform(range(1, n + 1), i ->
+        (i - 1)::DOUBLE * (i - 1)::DOUBLE)) AS den
+    FROM fin
+  ) f JOIN qs q USING (series_id)
+)
+SELECT l.series_id,
+  round(1e-9 + f.seasonal_period, 6) AS seasonal_period,
+  round(1e-9 + f.trend_mag, 6) AS trend_mag,
+  round(1e-9 + f.seasonality_mag, 6) AS seasonality_mag,
+  round(1e-9 + f.residual_std, 6) AS residual_std
+FROM lstf l LEFT JOIN feats f USING (series_id)
+"""
+    return sql

@@ -545,3 +545,302 @@ SELECT l.series_id,
 FROM lstf l LEFT JOIN feats f USING (series_id)
 """
     return sql
+
+# ---------------------------------------------------------------------
+# statsmodels-EXACT STL (stl.py:351 stl_statsmodels_np) + stl_features
+# block math (tsfeatures.py:591 stl_features_block) — period 24 literal
+# ---------------------------------------------------------------------
+
+def _smest_stage(
+    out_cte: str,
+    src_cte: str,
+    list_col: str,
+    m_expr: str,
+    span: int,
+    fitted_col: str,
+    carry: str,
+) -> str:
+    """One Fortran ``stlest`` evaluation per row of ``src_cte`` (which
+    must carry xs DOUBLE, wl/wr BIGINT window bounds): tricube weights
+    with the 0.999h/0.001h cutoffs and the span > n halfwidth
+    correction, normalize-then-measure degree-1 correction gated on
+    sqrt(c) > 0.001*(n-1), weighted sum.  Mirrors stl.py:457 ``_sm_est``
+    operation-for-operation (aa computed from NORMALIZED weights, like
+    the kernel's ``a = (w * j).sum()`` after ``w /= a``)."""
+    a, b, c = f"{out_cte}_a", f"{out_cte}_b", f"{out_cte}_c"
+
+    def W(h: str = "h") -> str:
+        return (
+            f"(CASE WHEN abs(j - xs) > 0.999 * {h} THEN 0.0 "
+            f"WHEN abs(j - xs) <= 0.001 * {h} THEN 1.0 "
+            f"ELSE pow(1.0 - pow(abs(j - xs) / {h}, 3), 3) END)"
+        )
+
+    return f"""
+{a} AS MATERIALIZED (
+  SELECT series_id{carry}, {list_col} AS yl, {m_expr} AS m, xs, wl, wr,
+    greatest(xs - wl, wr - xs)
+      + (CASE WHEN {span} > {m_expr} THEN (({span} - {m_expr}) // 2)::DOUBLE
+              ELSE 0.0 END) AS h
+  FROM {src_cte}
+),
+{b} AS MATERIALIZED (
+  SELECT *,
+    list_sum(list_transform(generate_series(wl, wr), j -> {W()})) AS sw
+  FROM {a}
+),
+{c} AS MATERIALIZED (
+  SELECT *,
+    list_sum(list_transform(generate_series(wl, wr), j -> ({W()} / sw) * j)) AS aa
+  FROM {b}
+),
+{out_cte} AS MATERIALIZED (
+  SELECT series_id{carry},
+    CASE WHEN sw > 0 THEN
+      CASE WHEN h > 0 AND sqrt(cc) > 0.001 * (m - 1) THEN
+        list_sum(list_transform(generate_series(wl, wr), j ->
+          ({W()} / sw) * (((xs - aa) / cc) * (j - aa) + 1.0) * yl[j]))
+      ELSE
+        list_sum(list_transform(generate_series(wl, wr), j ->
+          ({W()} / sw) * yl[j]))
+      END
+    END AS {fitted_col}
+  FROM (
+    SELECT *,
+      list_sum(list_transform(generate_series(wl, wr), j ->
+        ({W()} / sw) * (j - aa) * (j - aa))) AS cc
+    FROM {c}
+  )
+),"""
+
+
+def _grid_windows(span: int, n: str = "n", pos: str = "pos") -> "tuple[str, str]":
+    """(wl, wr) CASE expressions for the jump=1 ``_sm_loess`` window of
+    an ODD ``span`` over an ``n``-point grid evaluated at integer
+    ``pos`` (stl.py:500-530 stless window bookkeeping); ``n``/``pos``
+    are SQL symbols so callers can qualify them."""
+    nsh = (span + 1) // 2
+    wl = (f"CASE WHEN {span} >= {n} THEN 1 "
+          f"WHEN {pos} <= {nsh} THEN 1 "
+          f"WHEN {pos} >= {n} - {span} + {nsh} + 1 THEN {n} - {span} + 1 "
+          f"ELSE {pos} - {nsh} + 1 END")
+    wr = (f"CASE WHEN {span} >= {n} THEN {n} "
+          f"WHEN {pos} <= {nsh} THEN {span} "
+          f"WHEN {pos} >= {n} - {span} + {nsh} + 1 THEN {n} "
+          f"ELSE {pos} - {nsh} + {span} END")
+    return wl, wr
+
+
+def _sm_iteration_sql(it: int, p: int, ns: int, nt: int, nl: int) -> str:
+    """One statsmodels STL inner iteration: smd{it} (series_id, n, d
+    list = y - T) -> smt{it} (trend list) / sms{it}l (seasonal list).
+    Fortran flow: stlss cycle subseries (interior points via stless
+    jump=1 windows, the two extrapolated points via explicit stlest
+    windows) -> MA(p) x2 + MA(3) -> stless(nl) -> seasonal ->
+    stless(nt) on the deseasonalized series."""
+    nsh_s = (ns + 1) // 2
+    sub = f"""
+smcpos{it} AS MATERIALIZED (
+  SELECT d.series_id, d.n, g.pos,
+    ((g.pos - 1) % {p})::BIGINT AS ph,
+    ((g.pos - 1) // {p})::BIGINT AS cyc,
+    ((d.n - 1 - ((g.pos - 1) % {p})) // {p} + 1)::BIGINT AS msub,
+    list_transform(generate_series(0, ((d.n - 1 - ((g.pos - 1) % {p})) // {p})::BIGINT),
+                   j -> d.d[((g.pos - 1) % {p}) + 1 + {p} * j]) AS sub
+  FROM smd{it} d, LATERAL (SELECT unnest(generate_series(1, d.n + {2 * p})) AS pos) g
+),
+smcw{it} AS MATERIALIZED (
+  SELECT series_id, n, pos, msub, sub,
+    CASE WHEN cyc = 0 THEN 0.0
+         WHEN cyc = msub + 1 THEN (msub + 1)::DOUBLE
+         ELSE cyc::DOUBLE END AS xs,
+    CASE WHEN cyc = 0 THEN 1
+         WHEN cyc = msub + 1 THEN greatest(1, msub - {ns} + 1)
+         WHEN {ns} >= msub THEN 1
+         WHEN cyc <= {nsh_s} THEN 1
+         WHEN cyc >= msub - {ns} + {nsh_s} + 1 THEN msub - {ns} + 1
+         ELSE cyc - {nsh_s} + 1 END AS wl,
+    CASE WHEN cyc = 0 THEN least({ns}, msub)
+         WHEN cyc = msub + 1 THEN msub
+         WHEN {ns} >= msub THEN msub
+         WHEN cyc <= {nsh_s} THEN {ns}
+         WHEN cyc >= msub - {ns} + {nsh_s} + 1 THEN msub
+         ELSE cyc - {nsh_s} + {ns} END AS wr
+  FROM smcpos{it}
+),"""
+    sub += _smest_stage(
+        f"smcfit{it}", f"smcw{it}", "sub", "msub", ns, "cv", ", n, pos",
+    )
+    wl25, wr25 = _grid_windows(nl, "m.n", "m.pos")
+    wl47, wr47 = _grid_windows(nt, "s.n", "s.pos")
+    sub += f"""
+smcl{it} AS MATERIALIZED (
+  SELECT series_id, any_value(n) AS n, list(cv ORDER BY pos) AS c
+  FROM smcfit{it} GROUP BY series_id
+),
+smma1_{it} AS MATERIALIZED (
+  SELECT series_id, n, pos,
+    sum(cv) OVER (PARTITION BY series_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND {p - 1} FOLLOWING) / {p}.0 AS v
+  FROM smcfit{it} QUALIFY pos <= n + {p + 1}
+),
+smma2_{it} AS MATERIALIZED (
+  SELECT series_id, n, pos,
+    sum(v) OVER (PARTITION BY series_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {p - 1} FOLLOWING) / {p}.0 AS v
+  FROM smma1_{it} QUALIFY pos <= n + 2
+),
+smma3_{it} AS MATERIALIZED (
+  SELECT series_id, n, pos,
+    sum(v) OVER (PARTITION BY series_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) / 3.0 AS v
+  FROM smma2_{it} QUALIFY pos <= n
+),
+smma3l_{it} AS MATERIALIZED (
+  SELECT series_id, any_value(n) AS n, list(v ORDER BY pos) AS l3
+  FROM smma3_{it} GROUP BY series_id
+),
+smlpos{it} AS MATERIALIZED (
+  SELECT m.series_id, m.n, m.pos, l.l3,
+    m.pos::DOUBLE AS xs, {wl25} AS wl, {wr25} AS wr
+  FROM smma3_{it} m JOIN smma3l_{it} l USING (series_id)
+),"""
+    sub += _smest_stage(
+        f"smlfit{it}", f"smlpos{it}", "l3", "n", nl, "lp", ", n, pos",
+    )
+    sub += f"""
+sms{it} AS MATERIALIZED (
+  SELECT f.series_id, f.n, f.pos, c.c[f.pos + {p}] - f.lp AS sv
+  FROM smlfit{it} f JOIN smcl{it} c USING (series_id)
+),
+sms{it}l AS MATERIALIZED (
+  SELECT series_id, any_value(n) AS n, list(sv ORDER BY pos) AS s
+  FROM sms{it} GROUP BY series_id
+),
+smtpos{it} AS MATERIALIZED (
+  SELECT s.series_id, s.n, s.pos,
+    list_transform(generate_series(1, s.n), i -> l.vs[i] - sl.s[i]) AS ys,
+    s.pos::DOUBLE AS xs, {wl47} AS wl, {wr47} AS wr
+  FROM sms{it} s JOIN smlst l USING (series_id) JOIN sms{it}l sl USING (series_id)
+),"""
+    sub += _smest_stage(
+        f"smtfit{it}", f"smtpos{it}", "ys", "n", nt, "tv", ", n, pos",
+    )
+    sub += f"""
+smt{it}l AS MATERIALIZED (
+  SELECT series_id, any_value(n) AS n, list(tv ORDER BY pos) AS t
+  FROM smtfit{it} GROUP BY series_id
+),"""
+    return sub
+
+
+def smstl_core_sql(hourly_sql: str, period: int = 24, seasonal: int = 7,
+                   inner: int = 5) -> str:
+    """CTE chain ending in ``smstl`` (series_id, n, vs, t, s) — the
+    statsmodels-default non-robust fit: FIVE inner iterations, ns =
+    seasonal odd-forced, nt = smallest odd >= 1.5p/(1-1.5/ns) (>= 3),
+    nl = smallest odd >= p + 1."""
+    import math
+
+    ns = max(3, seasonal + ((seasonal % 2) == 0))
+    nt = max(3, int(math.ceil(1.5 * period / (1 - 1.5 / ns))))
+    nt += (nt % 2) == 0
+    nl = max(3, period + 1)
+    nl += (nl % 2) == 0
+    sql = f"""
+WITH RECURSIVE h AS ({hourly_sql}),
+smlst AS MATERIALIZED (
+  SELECT series_id, count(*)::BIGINT AS n,
+         list(value ORDER BY time) AS vs,
+         list(time ORDER BY time) AS ts
+  FROM h GROUP BY 1 HAVING count(*) >= {2 * period}
+),
+smd1 AS MATERIALIZED (SELECT series_id, n, vs AS d FROM smlst),"""
+    sql += _sm_iteration_sql(1, period, ns, nt, nl)
+    for it in range(2, inner + 1):
+        sql += f"""
+smd{it} AS MATERIALIZED (
+  SELECT l.series_id, l.n,
+         list_transform(generate_series(1, l.n), i -> l.vs[i] - t.t[i]) AS d
+  FROM smlst l JOIN smt{it - 1}l t USING (series_id)
+),"""
+        sql += _sm_iteration_sql(it, period, ns, nt, nl)
+    sql += f"""
+smstl AS MATERIALIZED (
+  SELECT l.series_id, l.n, l.vs, t.t, s.s
+  FROM smlst l JOIN smt{inner}l t USING (series_id)
+       JOIN sms{inner}l s USING (series_id)
+)"""
+    return sql
+
+
+def smstl_features_sql(hourly_sql: str, period: int = 24) -> str:
+    """(series_id, trend_strength, seasonality_strength, spikiness,
+    peak, trough) — the stl_features block on the statsmodels STL
+    split: population-variance strength ratios (unclamped), the O(n)
+    closed-form leave-one-out spikiness, first-period argmax/argmin
+    with first-occurrence ties."""
+    return smstl_core_sql(hourly_sql, period) + f"""
+, smpts AS MATERIALIZED (
+  SELECT series_id, n, i.i AS rn, s[i.i] AS sv, t[i.i] AS tv,
+         vs[i.i] - t[i.i] - s[i.i] AS rv
+  FROM smstl, LATERAL (SELECT unnest(generate_series(1, n)) AS i) i
+),
+smst AS MATERIALIZED (
+  SELECT series_id, count(*)::DOUBLE AS nn,
+         sum(rv) AS s1, sum(rv * rv) AS s2,
+         var_pop(rv) AS vr,
+         var_pop(tv + rv) AS vtr,
+         var_pop(sv + rv) AS vsr
+  FROM smpts GROUP BY 1
+),
+smspk AS MATERIALIZED (
+  SELECT p.series_id, var_pop(
+    (t.s2 - p.rv * p.rv) / (t.nn - 1)
+    - ((t.s1 - p.rv) / (t.nn - 1)) * ((t.s1 - p.rv) / (t.nn - 1))
+  ) AS spikiness
+  FROM smpts p JOIN smst t USING (series_id) GROUP BY 1
+),
+smpk AS MATERIALIZED (
+  SELECT series_id,
+    (list_position(s[1:{period}], list_max(s[1:{period}])) - 1)::BIGINT AS peak,
+    (list_position(s[1:{period}], list_min(s[1:{period}])) - 1)::BIGINT AS trough
+  FROM smstl
+)
+SELECT t.series_id,
+  round(1e-9 + (1.0 - t.vr / t.vtr), 6) AS trend_strength,
+  round(1e-9 + (1.0 - t.vr / t.vsr), 6) AS seasonality_strength,
+  round(1e-9 + k.spikiness, 6) AS spikiness,
+  p.peak, p.trough
+FROM smst t JOIN smspk k USING (series_id) JOIN smpk p USING (series_id)
+"""
+
+# ---------------------------------------------------------------------
+# composition: the 69-column wide row
+# ---------------------------------------------------------------------
+
+def tsfull_sql(
+    hourly_sql: str, expr_sql: str, kernel_sql: str, time_sql: str
+) -> str:
+    """The complete ``tsfeatures_full`` oracle: the proven expression-
+    layer / kernel-group / time-group replays (passed in from the query
+    registry) joined with this module's four fragments.  INNER joins
+    are exact here: every fragment emits a row for every series the
+    Spark side can process (a series shorter than 2*period would raise
+    inside the Spark kernel itself)."""
+    return f"""
+SELECT e.*,
+  k.* EXCLUDE (series_id),
+  sf.* EXCLUDE (series_id),
+  ap.* EXCLUDE (series_id),
+  se.* EXCLUDE (series_id),
+  nc.* EXCLUDE (series_id),
+  tg.* EXCLUDE (series_id)
+FROM ({expr_sql}) e
+JOIN ({kernel_sql}) k USING (series_id)
+JOIN ({smstl_features_sql(hourly_sql)}) sf USING (series_id)
+JOIN ({acfpacf_sql(hourly_sql)}) ap USING (series_id)
+JOIN ({seasonalities_sql(hourly_sql)}) se USING (series_id)
+JOIN ({nowcasting_sql(hourly_sql)}) nc USING (series_id)
+JOIN ({time_sql}) tg USING (series_id)
+"""

@@ -635,6 +635,84 @@ def embedding_diag(
     )
 
 
+def _householder_tridiag(A: "np.ndarray") -> "tuple[np.ndarray, np.ndarray]":
+    """Symmetric Householder tridiagonalization via full-matrix
+    similarity updates A' = A - beta (v w^T + w v^T) + beta^2 s v v^T —
+    the formulation whose every float op has a direct SQL counterpart
+    (plans/eig_oracle.py replays it step-for-step).  Returns (d, e)."""
+    import numpy as np
+
+    A = A.astype(np.float64).copy()
+    n = A.shape[0]
+    for k in range(n - 2):
+        x = A[k + 1:, k]
+        xnorm2 = float((x * x).sum())
+        if xnorm2 == 0.0:
+            continue
+        # sign convention: alpha = -sqrt for x0 >= 0, +sqrt otherwise
+        alpha = -np.sqrt(xnorm2) if x[0] >= 0 else np.sqrt(xnorm2)
+        v = np.zeros(n)
+        v[k + 1] = x[0] - alpha
+        v[k + 2:] = x[1:]
+        vnorm2 = float((v * v).sum())
+        if vnorm2 == 0.0:
+            continue
+        beta = 2.0 / vnorm2
+        w = A @ v
+        s = float(v @ w)
+        A = A - beta * (np.outer(v, w) + np.outer(w, v)) \
+            + (beta * beta * s) * np.outer(v, v)
+    d = np.diag(A).copy()
+    e = np.array([A[i, i + 1] for i in range(n - 1)])
+    return d, e
+
+
+def _sturm_count(d: "np.ndarray", e: "np.ndarray", lam: float) -> int:
+    """Number of eigenvalues of the (d, e) tridiagonal strictly below
+    ``lam`` — the Sturm sequence sign count, with the q == 0 -> -1e-300
+    substitution made identically in the SQL replay."""
+    q = d[0] - lam
+    cnt = 1 if q < 0 else 0
+    for i in range(1, len(d)):
+        if q == 0.0:
+            q = -1e-300
+        q = (d[i] - lam) - (e[i - 1] * e[i - 1]) / q
+        if q < 0:
+            cnt += 1
+    return cnt
+
+
+def _sturm_topk(d: "np.ndarray", e: "np.ndarray", k: int,
+                iters: int = 80) -> "np.ndarray":
+    """Top-k eigenvalues (descending) by fixed-count bisection on the
+    Sturm count inside the Gershgorin interval.  80 halvings shrink the
+    bracket below one ulp, so the result matches LAPACK to roundoff
+    while every midpoint/branch is deterministic and SQL-replayable."""
+    import numpy as np
+
+    n = len(d)
+    r = np.zeros(n)
+    r[0] = abs(e[0]) if n > 1 else 0.0
+    for i in range(1, n - 1):
+        r[i] = abs(e[i - 1]) + abs(e[i])
+    if n > 1:
+        r[n - 1] = abs(e[n - 2])
+    lo0 = float((d - r).min())
+    hi0 = float((d + r).max())
+    out = np.zeros(k)
+    for j in range(1, k + 1):
+        lo, hi = lo0, hi0
+        want = n - j + 1  # j-th largest = want-th smallest
+        for _ in range(iters):
+            mid = (lo + hi) * 0.5
+            if _sturm_count(d, e, mid) >= want:
+                hi = mid
+            else:
+                lo = mid
+        out[j - 1] = (lo + hi) * 0.5
+    return out
+
+
 def embedding_pca(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -651,9 +729,16 @@ def embedding_pca(
     ~2000 py4j construction calls — the expression-building anti-pattern
     measured on minhash); the per-partition partials (dim^2 + dim + 1
     doubles ~ 32 KB at dim=64, corpus-size independent) collect to the
-    driver and the eig of the dim x dim covariance is numpy.  The
-    vectors never shuffle.  Rows-only (eigendecomposition has no SQL
-    oracle); the numpy ground-truth test pins correctness."""
+    driver and the eigensolve of the dim x dim covariance stays on the
+    driver.  The vectors never shuffle.
+
+    r13 (VERDICT r12 item #4): the driver eigensolve moved from LAPACK
+    ``eigvalsh`` to the deterministic Householder-tridiag + Sturm-
+    bisection pair above (same values to ~1e-12 — pinned by test), and
+    the spectral TOTALS use the trace identities sum(evals) = tr(cov) /
+    sum(evals^2) = ||cov||_F^2 — which makes the whole query replayable
+    in SQL (plans/eig_oracle.py) and promotes it from rows-only to a
+    FULL value-hash oracle."""
     import numpy as np
 
     dim = len(df.select(vec_col).first()[0])
@@ -683,9 +768,14 @@ def embedding_pca(
     g = sum(np.array(r["g"]).reshape(dim, dim) for r in parts)
     s = sum(np.array(r["s"]) for r in parts)
     cov = g / n - np.outer(s / n, s / n)
-    evals = np.linalg.eigvalsh(cov)[::-1]
-    total = float(evals.sum())
-    pr = float(evals.sum() ** 2 / (evals**2).sum())  # participation ratio
+    # trace identities: sum of ALL eigenvalues == tr(cov), sum of their
+    # squares == ||cov||_F^2 (symmetric) — closed forms the SQL oracle
+    # replays without any eigensolve
+    total = float(np.trace(cov))
+    sumsq = float((cov * cov).sum())
+    pr = float(total * total / sumsq)  # participation ratio
+    td, te = _householder_tridiag(cov)
+    evals = _sturm_topk(td, te, min(top_k, dim))
     spark = df.sparkSession
     rows = [
         (int(k), float(evals[k]), float(evals[: k + 1].sum() / total), float(pr))

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from kats_spark.operators import dedup, similarity, text
 from kats_spark.operators.sampling import salted_cumsum
+from kats_spark.plans import eig_oracle as _EIG_ORACLE
 from kats_spark.plans.prepared import prepared
 
 
@@ -2856,11 +2857,20 @@ FROM per
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral diagnostics (similarity.py embedding_pca): top-8
     covariance eigenvalues + participation ratio from Arrow-batched
-    gram partials.  Eigendecomposition -> rows-only."""
+    gram partials.  FULL oracle since r13 (VERDICT r12 item #4): the
+    operator's eigensolve moved to the deterministic Householder-
+    tridiag + Sturm-bisection pair and the totals to trace identities,
+    all replayed step-for-step in plans/eig_oracle.py."""
     from kats_spark.operators.similarity import embedding_pca
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_pca(emb, top_k=8)
+    out = embedding_pca(emb, top_k=8)
+    return out.select(
+        "component",
+        F.round(F.col("eigenvalue") + F.lit(1e-9), 6).alias("eigenvalue"),
+        F.round(F.col("cum_var_explained") + F.lit(1e-9), 6).alias("cum_var_explained"),
+        F.round(F.col("participation_ratio") + F.lit(1e-9), 6).alias("participation_ratio"),
+    )
 
 
 def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3681,6 +3691,9 @@ ORACLES = {
     "incremental_excise_stored": _Q_INCREMENTAL_EXCISE_SQL,
     "corpus_build": _Q_CORPUS_BUILD_SQL,
     "embedding_diag": _embedding_diag_sql(),
+    # r13 (VERDICT r12 item #4): Householder + Sturm-bisection replay of
+    # the deterministic eigensolve embedding_pca moved to this round
+    "embedding_pca": _EIG_ORACLE.embedding_pca_sql(),
     "hash_embed": _hash_embed_sql(),
     "psi_drift": _Q_PSI_DRIFT_SQL,
     "vocab_drift": _Q_VOCAB_DRIFT_SQL,

@@ -105,3 +105,68 @@ def test_seasonalities_oracle_matches_kernel_on_detected_periods():
     assert len({p for p in periods_seen if p == p and p != 7.0}) >= 2
     assert 7.0 in periods_seen
     assert any(p != p for p in periods_seen)
+
+
+def test_deterministic_eigensolver_matches_lapack():
+    """The r13 embedding_pca eigensolve (Householder tridiag + Sturm
+    bisection, operators/similarity.py) reproduces LAPACK eigvalsh to
+    roundoff across random symmetric matrices, including clustered and
+    near-zero spectra — the operator-quality anchor for the move off
+    eigvalsh that made the SQL replay possible."""
+    from kats_spark.operators.similarity import (
+        _householder_tridiag,
+        _sturm_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        n = int(rng.choice([4, 8, 16, 64]))
+        X = rng.normal(size=(3 * n, n))
+        cov = np.cov(X.T, bias=True)
+        if trial % 3 == 0:
+            # rank-deficient: clustered near-zero eigenvalues
+            B = rng.normal(size=(2, n))
+            Y = rng.normal(size=(3 * n, 2)) @ B + 1e-6 * rng.normal(size=(3 * n, n))
+            cov = np.cov(Y.T, bias=True)
+        d, e = _householder_tridiag(cov)
+        k = min(8, n)
+        got = _sturm_topk(d, e, k)
+        exp = np.linalg.eigvalsh(cov)[::-1][:k]
+        np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+
+def test_eig_oracle_sturm_fold_counts():
+    """Pin the DuckDB list_reduce field-order behavior the eig oracle
+    leans on (fields evaluate sequentially INTO the accumulator, so 'c'
+    placed before 'q' reads the previous q): the SQL Sturm count must
+    equal the numpy one at arbitrary shifts."""
+    from kats_spark.operators.similarity import (
+        _householder_tridiag,
+        _sturm_count,
+    )
+
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(64, 64))
+    cov = A @ A.T / 64
+    d, e = _householder_tridiag(cov)
+    dl = "[" + ",".join(repr(v) for v in d) + "]::DOUBLE[]"
+    el = "[" + ",".join(repr(v) for v in e) + "]::DOUBLE[]"
+    qprev = "(CASE WHEN acc.q = 0 THEN -1e-300 ELSE acc.q END)"
+    qnew = f"(x.dd - x.ee * x.ee / {qprev})"
+    con = duckdb.connect()
+    for lam in (0.05, 0.3, 1.0, 2.5, 10.0):
+        sql = f"""
+        WITH t AS (SELECT {dl} AS d, {el} AS e, {lam}::DOUBLE AS lam)
+        SELECT (list_reduce(
+          list_transform(range(1, 65), i ->
+            CASE WHEN i = 1 THEN
+              {{'c': CASE WHEN d[1] - lam < 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END,
+                'q': d[1] - lam, 'dd': 0.0::DOUBLE, 'ee': 0.0::DOUBLE}}
+            ELSE {{'c': 0.0::DOUBLE, 'q': 0.0::DOUBLE,
+                   'dd': d[i] - lam, 'ee': e[i-1]}} END),
+          (acc, x) -> {{'c': acc.c + CASE WHEN {qnew} < 0 THEN 1.0::DOUBLE
+                                          ELSE 0.0::DOUBLE END,
+                        'q': {qnew}, 'dd': 0.0::DOUBLE, 'ee': 0.0::DOUBLE}})).c
+        FROM t"""
+        got = int(con.execute(sql).fetchone()[0])
+        assert got == _sturm_count(d, e, lam), lam

@@ -51,21 +51,29 @@ _PRIORITY = [
     # ---- slots 36-50: ROTATION WINDOW (VERDICT r03 item #2) ----
     # The driver hashes only the first 50 entries, so slots 36-50 rotate
     # each round while slots 1-35 keep one representative per operator
-    # family.  Round 12 (VERDICT r11 items #4/#5): with all 175 prior
-    # oracles driver-verified cumulatively as of r11, the window now
-    # carries (a) the THREE r12 promotions — stl_decompose /
-    # stl_strength / outlier_detect_stl, rows-only until this round, now
-    # full DuckDB replays of the loess-STL kernel (plans/stl_oracle.py),
-    # pre-verified MATCH at sf0.01 on a vanilla session — and (b) the 12
-    # OLDEST not-recently-driver-checked representatives (the r03-green
-    # block, last driver-green nine rounds ago) as silent-drift
-    # re-checks.  The 15 displaced r11-window queries move to depth.
+    # family.  Round 13 (VERDICT r12 item #1): the declared queue —
+    # (a) the NINE r12 oracles that landed after the r12 window froze
+    # and have never been driver-checked (all judge-replayed MATCH in
+    # the r12 verdict), (b) the two r03-block stragglers metrics_naive /
+    # tsfeatures_expr (last driver-green r03, judge-replayed MATCH), and
+    # (c) the TWO r13 promotions — tsfeatures_full (the composed wide
+    # row, plans/tsfull_oracle.py) and embedding_pca (deterministic
+    # eigensolve, plans/eig_oracle.py), both pre-verified MATCH at
+    # sf0.01 on a vanilla session — plus (d) two oldest-green re-checks
+    # from the r04 block (last driver-green nine rounds ago).
+    "tsfeatures_kernel", "bvar_forecast", "reconcile_mint", "std_global",
+    "detector_select", "image_phash_pairs", "bpe_train", "mixture_fit",
+    "multi_cusum", "metrics_naive", "tsfeatures_expr",
+    "tsfeatures_full", "embedding_pca",
+    "corpus_sample", "dup_clusters",
+    # ---- depth: remaining oracle-backed coverage (51+) ----
+    # r12-window queries displaced by the r13 rotation (all r12
+    # driver-green)
     "stl_decompose", "stl_strength", "outlier_detect_stl",
     "exact_dedup", "jaccard_pairs", "minhash_portable_pairs",
     "simhash_portable", "token_stats", "text_quality", "lang_id",
     "topk_cosine", "multimodal_meta",
     "ts_stat_features", "ta_features", "date_features",
-    # ---- depth: remaining oracle-backed coverage (51+) ----
     # r11-window queries displaced by the r12 rotation
     "cluster_reps", "unimax_alloc", "bitext_mine",
     "quantize_int8", "shard_assign", "bitext_mine_ann",
@@ -73,13 +81,6 @@ _PRIORITY = [
     "corpus_profile", "embedding_diag", "epoch_upsample",
     "hourly_ratio_full", "hpt_recommend", "ivf_topk_portable",
     "lsh_bucket_pairs",
-    # r03-green representatives not re-checked this round
-    "metrics_naive", "tsfeatures_expr",
-    # r12 NEW oracles, land after the window froze — head the r13
-    # rotation queue with the two rows above
-    "tsfeatures_kernel", "bvar_forecast", "reconcile_mint", "std_global",
-    "detector_select", "image_phash_pairs", "bpe_train", "mixture_fit",
-    "multi_cusum",
     # intra-family variants displaced from the first 50 (all were green
     # in r01/r02 driver runs or judge checks)
     "hourly_rollup", "fft_seasonality",
@@ -127,8 +128,8 @@ _PRIORITY = [
     # variants / secondary
     "resample_ffill", "rolling_zscore_segmented", "sessionize_native",
     # r04 rotation-window queries displaced to the depth section
-    "corpus_sample", "hpt_sobol", "lang_id_ngram", "multimodal_decode",
-    "dup_clusters", "bm25_topk", "pii_scrub", "bigram_logppl",
+    "hpt_sobol", "lang_id_ngram", "multimodal_decode",
+    "bm25_topk", "pii_scrub", "bigram_logppl",
     "damped_forecast", "ljung_box", "decontaminate_fuzzy", "snapshot_diff",
     "zipf_fit", "ensemble_pi", "bpe_token_stats",
 ]

@@ -35,22 +35,23 @@ def _householder_steps(dim: int) -> str:
     n = dim
     for k in range(n - 2):
         kp = k + 1
+        # v's head element needs x0/alpha; building it through a struct
+        # keeps the chain at 3 materialized CTEs per step (planning
+        # overhead across 62 steps is the oracle's dominant cost)
         out.append(f"""
-hx{k} AS MATERIALIZED (
-  SELECT a,
-    list_sum(list_transform(range({kp}, {n}), r ->
-      a[r*{n} + {kp}] * a[r*{n} + {kp}])) AS xn2,
-    a[{kp * n + k + 1}] AS x0
-  FROM hh{k}
-),
 hv{k} AS MATERIALIZED (
-  SELECT a, xn2,
+  SELECT a, st.xn2 AS xn2,
     list_transform(range(0, {n}), r ->
       CASE WHEN r < {kp} THEN 0.0
-           WHEN r = {kp} THEN x0 - (CASE WHEN x0 >= 0 THEN -sqrt(xn2)
-                                         ELSE sqrt(xn2) END)
+           WHEN r = {kp} THEN st.x0 - (CASE WHEN st.x0 >= 0 THEN -sqrt(st.xn2)
+                                            ELSE sqrt(st.xn2) END)
            ELSE a[r*{n} + {kp}] END) AS v
-  FROM hx{k}
+  FROM (
+    SELECT a, {{'xn2': list_sum(list_transform(range({kp}, {n}), r ->
+                  a[r*{n} + {kp}] * a[r*{n} + {kp}])),
+               'x0': a[{kp * n + k + 1}]}} AS st
+    FROM hh{k}
+  )
 ),
 hw{k} AS MATERIALIZED (
   SELECT a, xn2, v,
@@ -60,20 +61,17 @@ hw{k} AS MATERIALIZED (
         a[r*{n} + c + 1] * v[c + 1]))) AS w
   FROM hv{k}
 ),
-hs{k} AS MATERIALIZED (
-  SELECT a, xn2, v, vn2, w,
-    list_sum(list_transform(range(0, {n}), r -> v[r+1] * w[r+1])) AS sv
-  FROM hw{k}
-),
 hh{k + 1} AS MATERIALIZED (
   SELECT CASE WHEN xn2 = 0 OR vn2 = 0 THEN a ELSE
     list_transform(range(0, {n * n}), idx ->
       a[idx + 1]
       - (2.0/vn2) * (v[idx//{n} + 1] * w[idx%{n} + 1]
                      + w[idx//{n} + 1] * v[idx%{n} + 1])
-      + ((2.0/vn2) * (2.0/vn2) * sv) * v[idx//{n} + 1] * v[idx%{n} + 1])
+      + ((2.0/vn2) * (2.0/vn2)
+         * list_sum(list_transform(range(0, {n}), r -> v[r+1] * w[r+1])))
+        * v[idx//{n} + 1] * v[idx%{n} + 1])
   END AS a
-  FROM hs{k}
+  FROM hw{k}
 ),""")
     return "".join(out)
 

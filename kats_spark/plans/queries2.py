@@ -34,6 +34,7 @@ from kats_spark.plans import bvar_oracle as _BVAR_ORACLE
 from kats_spark.plans import kernel_oracle as _KERNEL_ORACLE
 from kats_spark.plans import mcusum_oracle as _MCUSUM_ORACLE
 from kats_spark.plans import mint_oracle as _MINT_ORACLE
+from kats_spark.plans import hr_oracle as _HR_ORACLE
 from kats_spark.plans import stl_oracle as _STL_ORACLE
 from kats_spark.plans import tsfull_oracle as _TSFULL_ORACLE
 from kats_spark.plans import var_oracle as _VAR_ORACLE
@@ -5680,10 +5681,12 @@ ORACLES = {
     "stl_decompose": _STL_ORACLE.stl_decompose_sql(_HOURLY_SQL, _DK_FMT),
     "stl_strength": _STL_ORACLE.stl_strength_sql(_HOURLY_SQL),
     "outlier_detect_stl": _STL_ORACLE.outlier_stl_sql(_HOURLY_SQL, _DK_FMT),
-    # hourly_ratio: the one remaining matrix-inverse holdout — its 24x24
-    # covariance is singular BY CONSTRUCTION (profiles sum to 1), so the
-    # operator's pinv rides the SVD truncation no SQL replays (the r09
-    # note); the well-posed variants carry oracles (diag + full-cov)
+    # r13 (VERDICT r12 item #4): the r09 pinv holdout CLOSED — the
+    # measured bound (share profiles => smax <= 24 => pinv cutoff
+    # <= 5.8e-13 << the 1e-9 ridge) proves pinv was always the plain
+    # inverse here; the operator now uses the pivot-free GJ this replay
+    # mirrors (plans/hr_oracle.py)
+    "hourly_ratio": _HR_ORACLE.hourly_ratio_sql(),
     # r13 (VERDICT r12 item #2): the COMPLETE wide row — the proven
     # expr/kernel/time replays joined with plans/tsfull_oracle.py's four
     # new fragments (statsmodels-exact STL x5 iterations, acfpacf YW-GJ,

@@ -59,13 +59,16 @@ _PRIORITY = [
     # (c) the TWO r13 promotions — tsfeatures_full (the composed wide
     # row, plans/tsfull_oracle.py) and embedding_pca (deterministic
     # eigensolve, plans/eig_oracle.py), both pre-verified MATCH at
-    # sf0.01 on a vanilla session — plus (d) two oldest-green re-checks
-    # from the r04 block (last driver-green nine rounds ago).
+    # sf0.01 on a vanilla session — plus (d) one oldest-green re-check
+    # from the r04 block (last driver-green nine rounds ago).  The THIRD
+    # r13 promotion, hourly_ratio (plans/hr_oracle.py, the closed r09
+    # pinv holdout, verified MATCH at sf0.001/0.01/0.1), takes the slot
+    # a second re-check would have had.
     "tsfeatures_kernel", "bvar_forecast", "reconcile_mint", "std_global",
     "detector_select", "image_phash_pairs", "bpe_train", "mixture_fit",
     "multi_cusum", "metrics_naive", "tsfeatures_expr",
-    "tsfeatures_full", "embedding_pca",
-    "corpus_sample", "dup_clusters",
+    "tsfeatures_full", "embedding_pca", "hourly_ratio",
+    "corpus_sample",
     # ---- depth: remaining oracle-backed coverage (51+) ----
     # r12-window queries displaced by the r13 rotation (all r12
     # driver-green)
@@ -129,7 +132,7 @@ _PRIORITY = [
     "resample_ffill", "rolling_zscore_segmented", "sessionize_native",
     # r04 rotation-window queries displaced to the depth section
     "hpt_sobol", "lang_id_ngram", "multimodal_decode",
-    "bm25_topk", "pii_scrub", "bigram_logppl",
+    "dup_clusters", "bm25_topk", "pii_scrub", "bigram_logppl",
     "damped_forecast", "ljung_box", "decontaminate_fuzzy", "snapshot_diff",
     "zipf_fit", "ensemble_pi", "bpe_token_stats",
 ]

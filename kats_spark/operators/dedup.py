@@ -40,6 +40,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return keyed.join(reps, ["__fp", id_col]).drop("__fp")
 
 
+def _tok_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, __pos, __tok)`` exploded token rows behind every row-based
+    gram builder.  The NARROW (id, text) projection is spread (hashed on
+    ``id``) before the tokenize+explode: on a single-split scan the regex
+    tokenization would serialize on one task, and the id-hash exchange is
+    the SAME partitioning the (id, pos) windows downstream need — one
+    exchange total, carrying raw doc rows instead of exploded token rows
+    (fewer bytes, guide §2.3/§2.5).  No-op at real corpus split counts."""
+    from kats_spark.operators.skew import spread
+
+    t = tokens(normalize(F.col(text_col)))
+    narrow = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+    return narrow.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle set (array of strings, distinct)."""
     t = tokens(normalize(text))
@@ -78,8 +93,7 @@ def shingle_rows(
     """
     from pyspark.sql import Window
 
-    t = tokens(normalize(F.col(text_col)))
-    tok = df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
+    tok = _tok_rows(df, text_col, id_col)
     w = Window.partitionBy(id_col).orderBy("__pos")
     h = F.xxhash64("__tok")
     g = h
@@ -352,8 +366,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     aggregates (sum of ±1 per bit) — tokenization runs once per doc, the
     shuffle carries one 64-counter row per doc (see minhash_signatures for
     why 64 lambda expressions would re-tokenize 64×)."""
+    from kats_spark.operators.skew import spread
+
     hashed = F.transform(tokens(normalize(F.col(text_col))), lambda x: F.xxhash64(x))
-    exploded = df.select(F.col(id_col), F.explode(hashed).alias("__h"))
+    # spread before tokenize+explode (see shingle_rows): the id-hash
+    # exchange is reused by the per-doc groupBy, so stage-1 tokenization
+    # parallelizes at no extra shuffle.
+    exploded = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(hashed).alias("__h")
+    )
     aggs = [
         F.sum(
             F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -400,7 +421,12 @@ def simhash_portable(
     """SimHash over the portable polynomial hash (bits ≤ 31).  Same
     explode → partial-agg shape as ``simhash``; sign-sums count token
     MULTIPLICITY (classic frequency-weighted SimHash)."""
-    tok = df.select(
+    from kats_spark.operators.skew import spread
+
+    # spread before tokenize+explode (see shingle_rows): the char-at-a-time
+    # polynomial hash is the hottest per-row work in the portable family
+    # and would otherwise run on the scan's (often single) input split.
+    tok = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("__t")
     )
     hashed = tok.select(F.col(id_col), poly_hash_expr("__t").alias("__h"))
@@ -433,8 +459,7 @@ def shingle_string_rows(
     except docs shorter than n keep their single truncated gram."""
     from pyspark.sql import Window
 
-    t = tokens(normalize(F.col(text_col)))
-    tok = df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
+    tok = _tok_rows(df, text_col, id_col)
     w = Window.partitionBy(id_col).orderBy("__pos")
     parts = [F.col("__tok")] + [F.lead("__tok", j).over(w) for j in range(1, n)]
     g = F.concat_ws(" ", *parts)  # concat_ws skips nulls -> truncated tail grams
@@ -1061,8 +1086,7 @@ def positioned_gram_rows(
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("__pos")
-    t = tokens(normalize(F.col(text_col)))
-    tok = df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
+    tok = _tok_rows(df, text_col, id_col)
     parts = [F.col("__tok")] + [
         F.lead("__tok", j).over(w) for j in range(1, span_n)
     ]
@@ -1096,8 +1120,7 @@ def finish_excision(
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("__pos")
-    t = tokens(normalize(F.col(text_col)))
-    tok = df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
+    tok = _tok_rows(df, text_col, id_col)
     ds = dup_starts.select(
         F.col(id_col), F.col("pos").alias("__pos"), F.lit(1).alias("__ds")
     )

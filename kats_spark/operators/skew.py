@@ -63,3 +63,26 @@ def salted_join(
     )
     out = salted_fact.join(salted_dim, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Scale-adaptive input fan-out for per-row-HEAVY stage-1 work.
+
+    When the upstream scan has fewer partitions than the session's core
+    count (one sub-128MB parquet file; an AQE-coalesced join output),
+    everything before the first exchange — tokenize/regex/hash/decode —
+    serializes on those few tasks while the rest of the cluster idles.
+    Repartition to ``defaultParallelism`` first: hashed on ``key`` when
+    given, so downstream windows/aggregations keyed the same way reuse
+    THIS exchange instead of adding their own (the exchange then carries
+    the narrow pre-explode rows — fewer bytes than the post-explode
+    shuffle it replaces); round-robin otherwise.  No-op when the input
+    already has enough splits (any real corpus does), so cluster-scale
+    plans are unchanged — the repartition only fires where the
+    single-split bottleneck exists.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key)) if key else df.repartition(n)

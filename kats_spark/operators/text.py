@@ -125,6 +125,14 @@ def score_and_lang(
     Column results are identical to ``lang_id(quality_score(df))``
     (asserted in tests); at corpus scale this halves the dominant
     per-document regex-split cost of the scoring scan."""
+    from kats_spark.operators.skew import spread
+
+    # round-robin spread before the scoring projection: the tokenize +
+    # 10-language filter blend is the hottest per-row work in the corpus
+    # pipeline and would serialize on a single-split scan (guide §2.5).
+    # Row-level results are a pure projection — partitioning cannot
+    # change them.
+    df = spread(df)
     df = df.withColumn("__qt", tokens(F.col(text_col))).withColumn(
         "__lt", F.transform(F.col("__qt"), F.lower)
     )
@@ -365,9 +373,16 @@ def winnow_fingerprints(
             f"winnow_fingerprints: document of {longest} chars exceeds the "
             "2^31-1 position-packing bound"
         )
+    from kats_spark.operators.skew import spread
+
     powers = _mod_power_table(spark, longest, P)
+    # spread the (id, normalized-text) rows before the per-CHAR explode:
+    # a single-split scan would otherwise explode + window-scan every
+    # character on one task, and the id-hash exchange here is the same
+    # partitioning both prefix-sum windows below need (guide §2.3/§2.5).
     chars = (
-        base.select(F.col(id_col), F.posexplode(F.split("__t", "")).alias("__i0", "__ch"))
+        spread(base, id_col)
+        .select(F.col(id_col), F.posexplode(F.split("__t", "")).alias("__i0", "__ch"))
         .filter(F.col("__ch") != "")
         .withColumn("i", (F.col("__i0") + 1).cast("bigint"))
         .join(F.broadcast(powers), "i")

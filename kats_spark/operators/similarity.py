@@ -403,6 +403,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     prefilter: bool | None = None,
     prefilter_max_rows: int = 2_000_000,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded-LSH candidates
     verified with the exact (rounded) cosine >= threshold.  The LSH pass
@@ -421,27 +422,56 @@ def embedding_neardup_pairs(
     (same as all_pairs_topk: ~1 GB per 2M x 128-dim).
 
     ``prefilter=None`` (default) AUTO-SELECTS: the driver-resident index
-    is only built when the corpus fits ``prefilter_max_rows`` (one count
-    job); bigger corpora take the pure-SQL path, which produces the same
+    is only built when the corpus fits ``prefilter_max_rows`` (a
+    limit-probe on the index collect itself — no separate count job);
+    bigger corpora take the pure-SQL path, which produces the same
     result without any driver collect — callers never opt into an OOM by
-    default.  Pass True/False to force."""
-    if prefilter is None:
-        prefilter = df.count() <= prefilter_max_rows
+    default.  Pass True/False to force.
+
+    ``memo_key`` (prepared-statement pattern, same contract as
+    ``all_pairs_topk``): caller-supplied identity of an IMMUTABLE
+    corpus; the index build (collect + normalize + two broadcasts) is
+    memoized per (context, memo_key, vec/id cols) so repeat calls reuse
+    the live broadcasts.  Memo-hit output is bit-identical to a fresh
+    build (the broadcast payload IS the build)."""
     cand = banded_lsh_candidates(
         df, bands, planes_per_band, seed, dim, vec_col, id_col, dedup=False
     )
-    if prefilter:
+    if prefilter is None or prefilter:
         import numpy as np
 
         spark = df.sparkSession
-        pdf = df.select(id_col, vec_col).toPandas()
-        ids0 = pdf[id_col].to_numpy()
-        order0 = np.argsort(ids0, kind="stable")
-        ids_sorted = ids0[order0]
-        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)[order0]
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        b_ids = spark.sparkContext.broadcast(ids_sorted)
-        b_mat = spark.sparkContext.broadcast(mat)
+        mkey = (
+            ("neardup", _ctx_key(spark.sparkContext), memo_key, vec_col, id_col)
+            if memo_key is not None
+            else None
+        )
+        hit = _INDEX_MEMO.get(mkey) if mkey is not None else None
+        if hit is not None:
+            _, b_ids, b_mat = hit
+        else:
+            # limit-probe: collect up to max_rows+1 — if everything fits
+            # that IS the index (one scan, no count pass); an oversize
+            # corpus under auto-select falls through to the pure-SQL path
+            limit_n = None if prefilter else prefilter_max_rows + 1
+            sel = df.select(id_col, vec_col)
+            pdf = (sel if limit_n is None else sel.limit(limit_n)).toPandas()
+            if prefilter is None and len(pdf) > prefilter_max_rows:
+                b_ids = None
+            else:
+                ids0 = pdf[id_col].to_numpy()
+                order0 = np.argsort(ids0, kind="stable")
+                ids_sorted = ids0[order0]
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)[order0]
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                b_ids = spark.sparkContext.broadcast(ids_sorted)
+                b_mat = spark.sparkContext.broadcast(mat)
+                if mkey is not None:
+                    _INDEX_MEMO[mkey] = (len(pdf), b_ids, b_mat)
+        prefilter = b_ids is not None
+    if prefilter:
+        import numpy as np
+
         cut = float(threshold) - 1.0e-6
 
         def screen(batches):
@@ -840,35 +870,69 @@ def _margin_tail(
     (``bitext_margin_pairs``) and ANN (``bitext_margin_pairs_ann``)
     mining share THIS code so the selection rule cannot drift.
 
-    ``hint_broadcast_avgs``: the exact baseline broadcasts the per-side
-    kNN-average frames (sf-scale they're tiny); the ANN path leaves the
-    join strategy to AQE — ax grows with |x| and must be allowed to
-    shuffle at corpus scale."""
-    wx = Window.partitionBy("x_id").orderBy(F.desc("__cos"), F.asc("y_id"))
-    wy = Window.partitionBy("y_id").orderBy(F.desc("__cos"), F.asc("x_id"))
-    ranked = scored.withColumn("__rx", F.row_number().over(wx)).withColumn(
-        "__ry", F.row_number().over(wy)
-    )
-    ax = (
-        ranked.filter(F.col("__rx") <= k)
-        .groupBy("x_id")
-        .agg(F.avg("__cos").alias("__ax"))
-    )
-    ay = (
-        ranked.filter(F.col("__ry") <= k)
-        .groupBy("y_id")
-        .agg(F.avg("__cos").alias("__ay"))
-    )
+    r13 shape, keyed on ``hint_broadcast_avgs`` (the per-path plan-shape
+    knob; both forms produce identical values — asserted against the
+    oracles and in tests — because the averaged row SET is identical and
+    the rounded-margin selection absorbs summation order):
+
+    * ``True`` (exact baseline — ``scored`` is a broadcast cross join
+      with NO exchange below it): the kNN averages are SAME-PARTITION
+      window aggregates (``avg(when(rank <= k, cos))`` over the rank
+      window's own partitioning).  The old groupBy+join attach consumed
+      ``scored`` twice — once through the rank subtree, once as the join
+      probe — recomputing every cosine of the exchange-less subtree, and
+      the joins were two more exchanges.  Windows score each pair ONCE
+      and join nothing: measured 1.88 s -> 1.18 s at sf0.1.
+    * ``False`` (ANN / stored paths — ``scored`` is a candidate frame
+      that already sits on an exchange): the rank subtree is NOT
+      recomputed (ReusedExchange), so the join attach is cheaper than a
+      third full sort-exchange of the candidates (measured 1.86 s vs
+      2.08 s on bitext_mine_ann at sf0.1); ax grows with |x| and must be
+      allowed to shuffle at corpus scale, so no broadcast hint either.
+    """
     if hint_broadcast_avgs:
-        ax, ay = F.broadcast(ax), F.broadcast(ay)
-    m = (
-        scored.join(ax, "x_id")
-        .join(ay, "y_id")
-        .withColumn(
-            "margin", F.col("__cos") / ((F.col("__ax") + F.col("__ay")) / 2)
+        wx = Window.partitionBy("x_id").orderBy(F.desc("__cos"), F.asc("y_id"))
+        wy = Window.partitionBy("y_id").orderBy(F.desc("__cos"), F.asc("x_id"))
+        px = Window.partitionBy("x_id")
+        py = Window.partitionBy("y_id")
+        m = (
+            scored.withColumn("__rx", F.row_number().over(wx))
+            .withColumn(
+                "__ax", F.avg(F.when(F.col("__rx") <= k, F.col("__cos"))).over(px)
+            )
+            .withColumn("__ry", F.row_number().over(wy))
+            .withColumn(
+                "__ay", F.avg(F.when(F.col("__ry") <= k, F.col("__cos"))).over(py)
+            )
+            .withColumn(
+                "margin", F.col("__cos") / ((F.col("__ax") + F.col("__ay")) / 2)
+            )
+            .withColumn("__mr", F.round(F.col("margin") + F.lit(1e-9), 6))
         )
-        .withColumn("__mr", F.round(F.col("margin") + F.lit(1e-9), 6))
-    )
+    else:
+        wx = Window.partitionBy("x_id").orderBy(F.desc("__cos"), F.asc("y_id"))
+        wy = Window.partitionBy("y_id").orderBy(F.desc("__cos"), F.asc("x_id"))
+        ranked = scored.withColumn("__rx", F.row_number().over(wx)).withColumn(
+            "__ry", F.row_number().over(wy)
+        )
+        ax = (
+            ranked.filter(F.col("__rx") <= k)
+            .groupBy("x_id")
+            .agg(F.avg("__cos").alias("__ax"))
+        )
+        ay = (
+            ranked.filter(F.col("__ry") <= k)
+            .groupBy("y_id")
+            .agg(F.avg("__cos").alias("__ay"))
+        )
+        m = (
+            scored.join(ax, "x_id")
+            .join(ay, "y_id")
+            .withColumn(
+                "margin", F.col("__cos") / ((F.col("__ax") + F.col("__ay")) / 2)
+            )
+            .withColumn("__mr", F.round(F.col("margin") + F.lit(1e-9), 6))
+        )
     wbest = Window.partitionBy("x_id").orderBy(F.desc("__mr"), F.asc("y_id"))
     return (
         m.withColumn("__rk", F.row_number().over(wbest))

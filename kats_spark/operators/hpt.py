@@ -317,8 +317,14 @@ def tpe_search(
     trials: list[tuple[dict, float]] = []
 
     def _run(cdf):
-        for row in evaluate(cdf).collect():
-            d = row.asDict()
+        res = evaluate(cdf)
+        # evaluate may return the scored rows as a plain list of dicts —
+        # the batches are driver-sized (<= ``batch``) either way, and the
+        # list form skips a createDataFrame + collect round trip per
+        # round (r13: ~0.1 s of py4j/analysis per round at the bench)
+        rows = res if isinstance(res, list) else [r.asDict() for r in res.collect()]
+        for rd in rows:
+            d = dict(rd)
             sc = float(d.pop("score"))
             trials.append(({k: d[k] for k in (p["name"] for p in space)}, sc))
 
@@ -442,8 +448,10 @@ def gp_ei_search(
     trials: list[tuple[dict, float]] = []
 
     def _run(cdf):
-        for row in evaluate(cdf).collect():
-            rd = row.asDict()
+        res = evaluate(cdf)
+        rows = res if isinstance(res, list) else [r.asDict() for r in res.collect()]
+        for row in rows:
+            rd = dict(row)
             sc = float(rd.pop("score"))
             trials.append(({k: rd[k] for k in (p["name"] for p in space)}, sc))
 

@@ -239,15 +239,30 @@ def diversity_sample(
     Output: (vec_id, cell_id, dist, cell_rank) for the kept rows."""
     indexed, centers = build_index_portable(df, vec_col, id_col, n_cells)
     dist = _rnd6(_sq_dist(F.col(vec_col), F.col("center")))
-    scored = indexed.join(F.broadcast(centers), "cell_id").withColumn("dist", dist)
+    # persist the NARROW scored rows (id, cell, dist — no embedding
+    # arrays, which are ~10x the cache cost): scored feeds the quota
+    # chain AND the final ranking, and without the boundary the whole
+    # Lloyd build + assignment executed three times per action (r13 plan
+    # audit: 32 parquet scans, zero ReusedExchange → one pipeline).
+    from kats_spark import boundary
+
+    scored = boundary.register(
+        indexed.join(F.broadcast(centers), "cell_id")
+        .withColumn("dist", dist)
+        .select(id_col, "cell_id", "dist")
+        .persist()
+    )
     counts = scored.groupBy("cell_id").agg(F.count("*").alias("__nc"))
-    total = counts.agg(F.sum("__nc").alias("__n"))
     # largest-remainder apportionment: floor(budget*nc/N) each, then +1
     # to the cells with the largest remainders (ties to smaller cell_id)
     # until the budget is filled — deterministic, sums exactly to
     # min(budget, N).  The cells frame is tiny; the single-partition
-    # windows below run over n_cells rows.
-    alloc = counts.crossJoin(F.broadcast(total)).withColumn(
+    # windows below run over n_cells rows.  N comes from a window sum
+    # over the same tiny frame (one consumer of ``counts`` instead of
+    # the old separate agg + crossJoin — identical value).
+    alloc = counts.withColumn(
+        "__n", F.sum("__nc").over(Window.partitionBy(F.lit(1)))
+    ).withColumn(
         "__exact", F.col("__nc") * F.lit(float(budget)) / F.col("__n")
     ).withColumn(
         "__base",

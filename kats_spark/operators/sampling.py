@@ -371,6 +371,12 @@ def unigram_logppl(
         F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("__t")
     )
     if df.count() < 1_000_000:
+        # NOTE (r13): persisting the exploded token stream here was
+        # A/B'd and REGRESSES (~+0.2 s best-of at sf0.1): the in-memory
+        # store pays per-string serialization that exceeds the 2 extra
+        # codegen tokenize passes it saves (same finding as the
+        # quality-classifier __words cache, r07).  The big path persists
+        # the slim (doc, token, count) pre-aggregate instead.
         freq_s = tok.groupBy("__t").agg(F.count("*").alias("__c"))
         totals_s = freq_s.agg(
             F.sum("__c").alias("__total"), F.count("*").alias("__vocab")
@@ -465,6 +471,8 @@ def bigram_logppl(
         else 4096
     )
     t = tokens(normalize(F.col(text_col)))
+    # NOTE (r13): persisting the exploded token stream on the small path
+    # was A/B'd and REGRESSES (see unigram_logppl) — reverted.
     tok = df.select(F.col(id_col), F.posexplode(t).alias("__pos", "__w1"))
     w = Window.partitionBy(id_col).orderBy("__pos")
     pairs = tok.withColumn("__w2", F.lead("__w1", 1).over(w)).filter(
@@ -872,6 +880,12 @@ def quality_buckets(
 
     Output: input columns + ``score_bin`` + ``bucket``."""
     by = list(by)
+    # NOTE (r13): persisting ``scored`` here (it feeds both the binned
+    # projection and the cut-bin aggregate) was A/B'd and is a small
+    # REGRESSION at bench scale — the cache write of the scored frame
+    # costs about what the second run of the caller's pipeline does.
+    # At real corpus scale the caller should persist its own scored
+    # frame (or hand this a cached one); the operator stays pristine.
     binned = scored.withColumn(
         "score_bin", F.floor(F.col(score_col) * F.lit(float(bins))).cast("long")
     )

@@ -379,8 +379,18 @@ def banded_lsh_candidates(
             plane = F.array(*[F.lit(float(x)) for x in p])
             bucket = bucket + F.shiftleft((dot(v, plane) > 0).cast("int"), i)
         band_cols.append(bucket.cast("int"))
-    keyed = df.select(
-        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    # persist the band-bucket rows: the self-join's two aliased sides are
+    # not recognized as a shared subtree, so without the boundary the
+    # plane-dot projection AND the input scan run twice per action (same
+    # disease as simhash_pairs; see that docstring).  (id, band, bucket)
+    # ints only — slim to cache at any corpus size.
+    from kats_spark import boundary
+
+    keyed = boundary.register(
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+        ).persist()
     )
     l = keyed.withColumnRenamed(id_col, "id_a")
     r = keyed.withColumnRenamed(id_col, "id_b")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kats_spark import boundary
 from kats_spark.operators import dedup, similarity, text
 from kats_spark.operators.sampling import salted_cumsum
 from kats_spark.plans import eig_oracle as _EIG_ORACLE
@@ -47,6 +48,7 @@ FROM keyed GROUP BY norm
 """
 
 
+@prepared()
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.5) via the
     prefix-filtered AllPairs plan (dedup.jaccard_allpairs) — identical
@@ -518,6 +520,7 @@ FROM m WHERE pos >= {w}
 """
 
 
+@prepared()
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap pairs via shared winnowing fingerprints: the case
     whole-document dedup misses (one doc quoting a chunk of another).
@@ -526,10 +529,16 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases from going quadratic — same discipline as AllPairs prefix
     filtering); pairs sharing >= 5 rare fingerprints are reported."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fp = (
+    # persist the fingerprint set: it feeds the document-frequency agg
+    # AND (through ``rare``) BOTH sides of the overlap self-join — without
+    # the boundary the whole winnowing pipeline (char-gram rolling hash +
+    # window minima) executes once per consumer (r13 plan audit: three
+    # full winnow subtrees).  (doc_id, fp_hash) longs only.
+    fp = boundary.register(
         text.winnow_fingerprints(docs, k=20, w=32)
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "fp_hash")
         .distinct()
+        .persist()
     )
     freq = fp.groupBy("fp_hash").agg(F.count("*").alias("__df"))
     rare = fp.join(freq.filter(F.col("__df") <= 20), "fp_hash").select(

@@ -12,11 +12,17 @@ STRICT eligibility — a function may be decorated ONLY if its body:
 - runs NO driver-side actions (no collect/count/toPandas — iterative
   models, GP loops and k-means builds are ineligible: their call does
   real work whose repetition the bench must measure);
-- creates NO materialization boundary (persist/localCheckpoint/
-  checkpoint) — a lazily-checkpointed frame would silently carry
-  MATERIALIZED data across an external ``clearCache()`` and turn a
-  repeat measurement into a cache read.  (Queries needing persists use
-  their own re-registering memo — see pipeline_queries._corpus_stages.)
+- creates NO materialization boundary (localCheckpoint/checkpoint) —
+  a lazily-checkpointed frame would silently carry MATERIALIZED data
+  across an external ``clearCache()`` and turn a repeat measurement
+  into a cache read.  Plain ``persist()`` boundaries ARE allowed when
+  the operator registers them via ``kats_spark.boundary.register``:
+  the memo re-registers them (``persist()`` — registration only, the
+  dropped blocks recompute fresh) on every hit, so an external
+  ``clearCache()`` neither silently removes the boundary nor leaks
+  materialized data into the next measurement.  (Queries with their
+  own cached stage sets use a re-registering memo instead — see
+  pipeline_queries._corpus_stages.)
 - is deterministic in (spark, sf_dir).
 
 ``recache`` lists shared cached-frame providers (hourly_series /
@@ -53,16 +59,23 @@ def prepared(*, recache=()):
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(spark, sf_dir):
+            from kats_spark import boundary
+
             key = (_gateway_key(spark), sf_dir, fn.__module__, fn.__qualname__)
             hit = _MEMO.get(key)
             if hit is not None:
+                out, bounds = hit
                 for provider in recache:
                     provider(spark, sf_dir)
-                return hit
-            out = fn(spark, sf_dir)
+                for b in bounds:  # re-register dropped persist boundaries
+                    b.persist()
+                return out
+            bounds: list = []
+            with boundary.capture(bounds):
+                out = fn(spark, sf_dir)
             if len(_MEMO) > 1024:  # dead-gateway hygiene; plans are tiny
                 _MEMO.clear()
-            _MEMO[key] = out
+            _MEMO[key] = (out, bounds)
             return out
 
         wrapper.__wrapped_query__ = fn  # tests compare fresh vs memoized

@@ -83,11 +83,28 @@ def hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries in one session share a single materialization instead of
     re-scanning events.parquet — the same pre-aggregate-then-cache move a
     100 TB pipeline makes."""
-    return resample.aggregate_to_grid(raw_series(spark, sf_dir), 3600, "avg").cache()
+    # keyed on series_id BEFORE the cache: the AQE-coalesced grid agg
+    # caches as ONE partition, so every consumer's first stage (the
+    # window exchange's map side) ran single-task; hashing by series_id
+    # first lays the cache out across the cores (in-session A/B over the
+    # 9 heaviest TS consumers: 13.09 s vs 13.91 s best-of-4).  True
+    # exchange ELIMINATION (canChangeCachedPlanOutputPartitioning=false
+    # so windows could trust the cached layout) was A/B'd and is a net
+    # LOSS — every other cached plan loses AQE coalescing; see
+    # OPTIMIZATION_r13.md.
+    return (
+        resample.aggregate_to_grid(raw_series(spark, sf_dir), 3600, "avg")
+        .repartition("series_id")
+        .cache()
+    )
 
 
 def daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return resample.aggregate_to_grid(raw_series(spark, sf_dir), 86400, "avg").cache()
+    return (
+        resample.aggregate_to_grid(raw_series(spark, sf_dir), 86400, "avg")
+        .repartition("series_id")
+        .cache()
+    )
 
 
 _RAW_SQL = """

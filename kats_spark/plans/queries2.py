@@ -766,11 +766,10 @@ def q_hpt_tpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         agg = h.select(*cols).agg(*[F.avg(f"__e{i}").alias(f"__m{i}") for i in range(len(cands))])
         row = agg.first()
-        out = [
+        return [
             {"w": str(c["w"]), "lam": str(c["lam"]), "score": float(row[f"__m{i}"])}
             for i, c in enumerate(cands)
-        ]
-        return spark.createDataFrame(out)
+        ]  # list form: skips a createDataFrame+collect round trip per round
 
     _, _, trials = hpt_mod.tpe_search(
         spark, space, evaluate, n_init=8, n_iter=3, batch=4, seed=7
@@ -814,11 +813,10 @@ def q_hpt_gpei(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         agg = h.select(*cols).agg(*[F.avg(f"__e{i}").alias(f"__m{i}") for i in range(len(cands))])
         row = agg.first()
-        out = [
+        return [
             {"w": str(c["w"]), "lam": str(c["lam"]), "score": float(row[f"__m{i}"])}
             for i, c in enumerate(cands)
-        ]
-        return spark.createDataFrame(out)
+        ]  # list form: skips a createDataFrame+collect round trip per round
 
     # n_iter=2 (16 trials): the beats-random contract needs 4 EI rounds on
     # the hard synthetic valley, but this smooth 2-D MA/lag space is
@@ -1800,6 +1798,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@prepared()
 def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced diversity selection (Sorscher et al. 2022
     prototypicality pruning / the SemDeDup-D4 cluster-then-rank layout):
@@ -2351,6 +2350,7 @@ FROM ranked WHERE rank <= 10
 """
 
 
+@prepared(recache=(hourly_series,))
 def q_tsfeatures_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TsFeatures KERNEL group exactly as the wide row consumes it
     (kernel_features with skip_stl — the STL trio comes from
@@ -2373,6 +2373,7 @@ def q_tsfeatures_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@prepared(recache=(hourly_series,))
 def q_tsfeatures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full 69-column TsFeatures vector (expression + kernel + STL +
     acfpacf + seasonalities + nowcasting + time layers) — FULL oracle
@@ -2393,6 +2394,7 @@ def q_tsfeatures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+@prepared(recache=(hourly_series,))
 def q_tsfeatures_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXPRESSION layer of the TsFeatures vector (every group except
     the numpy kernel layer), hash-matched against a full DuckDB replay —
@@ -2551,6 +2553,7 @@ JOIN hmode hm USING (series_id) JOIN ls s USING (series_id)
 """
 
 
+@prepared(recache=(hourly_series,))
 def q_tsfeatures_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TsFeatures DETECTOR-DERIVED feature groups
     (kats/tsfeatures/tsfeatures.py:1444-1720): 17 features per series
@@ -4610,6 +4613,7 @@ FROM h GROUP BY 1
 """
 
 
+@prepared(recache=(hourly_series,))
 def q_tsfeatures_wide_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE oracled WIDE TsFeatures row (VERDICT r09 item #7): the
     closed-form-expressible feature blocks — statistics + level_shift
@@ -4664,6 +4668,7 @@ JOIN ({_Q_TSFEAT_TIME_SQL}) t USING (series_id)
 """
 
 
+@prepared(recache=(hourly_series,))
 def q_metalearn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metalearner metadata PRODUCER (get_metadata.py workflow): the
     per-series candidate-model holdout tournament — linear / quadratic /

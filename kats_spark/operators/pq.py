@@ -259,7 +259,18 @@ def ivfpq_build(
         indexed, centers_df = build_index_portable(
             df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col, n_cells=n_cells
         )
-    resid = (
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel
+
+    from kats_spark import boundary
+
+    # persist the residual frame: the codebook sample scan AND the
+    # encode pass both consume it — without the boundary the coarse
+    # assignment (argmin over n_cells dot products per vector) executes
+    # twice per build (r13; at 100 TB the same boundary is an
+    # intermediate write, the _corpus_stages pattern)
+    resid = boundary.register(
         indexed.join(F.broadcast(centers_df), "cell_id")
         .select(
             id_col,
@@ -268,23 +279,30 @@ def ivfpq_build(
                 "__res"
             ),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cb = train_codebooks(
-        resid,
-        vec_col="__res",
-        id_col=id_col,
-        m=m,
-        ks=ks,
-        sample_rows=sample_rows,
-        iters=iters,
-        seed=seed,
-    )
+    # the codebook training scan and the tiny centers collect are
+    # independent jobs — overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cb = pool.submit(
+            train_codebooks,
+            resid,
+            "__res",
+            id_col,
+            m,
+            ks,
+            sample_rows,
+            iters,
+            seed,
+        )
+        f_centers = pool.submit(
+            lambda: sorted(centers_df.collect(), key=lambda r: r.cell_id)
+        )
+        centers_rows = f_centers.result()
+        cb = f_cb.result()
     enc = encode(resid, cb, vec_col="__res", id_col=id_col, keep_cols=("cell_id",))
     centers = np.vstack(
-        [
-            np.asarray(r.center, dtype=np.float64)
-            for r in sorted(centers_df.collect(), key=lambda r: r.cell_id)
-        ]
+        [np.asarray(r.center, dtype=np.float64) for r in centers_rows]
     )
     return enc, centers, cb
 

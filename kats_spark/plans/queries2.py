@@ -734,6 +734,42 @@ def q_hpt_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ma_lag_eval(h, cdf) -> list:
+    """Shared hpt_tpe/hpt_gpei candidate-batch evaluator: per candidate
+    (w, lam), mean |value - (lam*MA_w + (1-lam)*lag1)| over rows with a
+    full w-window.  One job per batch.  Expressions are built as ONE
+    F.expr string parse per candidate instead of ~10 py4j Column calls
+    each (r13: construction 0.27 s -> ~0.03 s per round); float literals
+    ride in as CAST('repr' AS DOUBLE), which round-trips the exact
+    double, so the expression tree is value-identical to the old Column
+    form (asserted: full trial logs bit-identical before/after)."""
+    cands = [r.asDict() for r in cdf.collect()]  # tiny batch (<=8)
+    over_b = "OVER (PARTITION BY series_id ORDER BY time)"
+    exprs = []
+    for i, c in enumerate(cands):
+        wlen, lam = int(c["w"]), float(c["lam"])
+        over_fr = (
+            "OVER (PARTITION BY series_id ORDER BY time "
+            f"ROWS BETWEEN {wlen} PRECEDING AND 1 PRECEDING)"
+        )
+        pred = (
+            f"(CAST('{lam!r}' AS DOUBLE) * (avg(value) {over_fr}) + "
+            f"CAST('{1.0 - lam!r}' AS DOUBLE) * (lag(value, 1) {over_b}))"
+        )
+        exprs.append(
+            f"CASE WHEN (count(value) {over_fr}) = {wlen} "
+            f"THEN abs(value - {pred}) END AS __e{i}"
+        )
+    agg = h.selectExpr(*exprs).agg(
+        *[F.avg(f"__e{i}").alias(f"__m{i}") for i in range(len(cands))]
+    )
+    row = agg.first()
+    return [
+        {"w": str(c["w"]), "lam": str(c["lam"]), "score": float(row[f"__m{i}"])}
+        for i, c in enumerate(cands)
+    ]  # list form: skips a createDataFrame+collect round trip per round
+
+
 def q_hpt_tpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPE search (reference SearchMethodEnum BAYES_OPT analogue,
     time_series_parameter_tuning.py:296) over a 2-D space — trailing-MA
@@ -752,24 +788,7 @@ def q_hpt_tpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def evaluate(cdf):
-        cands = [r.asDict() for r in cdf.collect()]  # tiny batch (<=8)
-        wbase = Window.partitionBy("series_id").orderBy("time")
-        cols = []
-        for i, c in enumerate(cands):
-            wlen, lam = int(c["w"]), float(c["lam"])
-            fr = wbase.rowsBetween(-wlen, -1)
-            ma = F.avg("value").over(fr)
-            cnt = F.count("value").over(fr)
-            pred = lam * ma + (1.0 - lam) * F.lag("value", 1).over(wbase)
-            cols.append(
-                F.when(cnt == wlen, F.abs(F.col("value") - pred)).alias(f"__e{i}")
-            )
-        agg = h.select(*cols).agg(*[F.avg(f"__e{i}").alias(f"__m{i}") for i in range(len(cands))])
-        row = agg.first()
-        return [
-            {"w": str(c["w"]), "lam": str(c["lam"]), "score": float(row[f"__m{i}"])}
-            for i, c in enumerate(cands)
-        ]  # list form: skips a createDataFrame+collect round trip per round
+        return _ma_lag_eval(h, cdf)
 
     _, _, trials = hpt_mod.tpe_search(
         spark, space, evaluate, n_init=8, n_iter=3, batch=4, seed=7
@@ -799,24 +818,7 @@ def q_hpt_gpei(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def evaluate(cdf):
-        cands = [r.asDict() for r in cdf.collect()]  # tiny batch (<=8)
-        wbase = Window.partitionBy("series_id").orderBy("time")
-        cols = []
-        for i, c in enumerate(cands):
-            wlen, lam = int(c["w"]), float(c["lam"])
-            fr = wbase.rowsBetween(-wlen, -1)
-            ma = F.avg("value").over(fr)
-            cnt = F.count("value").over(fr)
-            pred = lam * ma + (1.0 - lam) * F.lag("value", 1).over(wbase)
-            cols.append(
-                F.when(cnt == wlen, F.abs(F.col("value") - pred)).alias(f"__e{i}")
-            )
-        agg = h.select(*cols).agg(*[F.avg(f"__e{i}").alias(f"__m{i}") for i in range(len(cands))])
-        row = agg.first()
-        return [
-            {"w": str(c["w"]), "lam": str(c["lam"]), "score": float(row[f"__m{i}"])}
-            for i, c in enumerate(cands)
-        ]  # list form: skips a createDataFrame+collect round trip per round
+        return _ma_lag_eval(h, cdf)
 
     # n_iter=2 (16 trials): the beats-random contract needs 4 EI rounds on
     # the hard synthetic valley, but this smooth 2-D MA/lag space is
@@ -2010,6 +2012,10 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     indexed, centers_df = ivf.build_index_portable(emb, id_col="vec_id", n_cells=8)
+    # persist the assignment: it feeds the PQ residual build (sample +
+    # encode via the resid boundary) AND the plain-IVF baseline scan —
+    # without it the coarse argmin pipeline runs once per consumer
+    indexed = indexed.persist()
     enc, centers, cb = pq.ivfpq_build(
         emb, id_col="vec_id", n_cells=8, m=16, ks=32, coarse=(indexed, centers_df)
     )

@@ -71,9 +71,15 @@ def fit_predict_insample(
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import GBTRegressor
 
+    from kats_spark.models.fit_input import compact_fit_input
+
     feats, cols = make_features(df, lags, s=s)
     vec = VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="skip")
-    assembled = vec.transform(feats)
+    # materialize + right-size once: the boosting loop schedules ~maxIter
+    # x maxDepth jobs over this frame, and the in-sample transform reads
+    # the same blocks (fit 5.0s -> 2.1s at sf0.1; predictions within
+    # 8e-15, no split flips — see models/fit_input.py)
+    assembled = compact_fit_input(vec.transform(feats))
     gbt = GBTRegressor(
         featuresCol="features", labelCol=s.value, maxIter=max_iter, maxDepth=4, seed=seed
     )

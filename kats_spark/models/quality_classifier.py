@@ -149,10 +149,17 @@ def quality_classifier_scores(
     # uncached frame at sf0.1).  Tokens are cheap codegen — recompute them
     # per consumer instead; MLlib's own internal persistence covers the
     # L-BFGS iterations.
+    from kats_spark.models.fit_input import compact_fit_input
+
     small = feats.drop("__words").persist()
     words = df.select(id_col, tokens(F.lower(F.col(text_col))).alias("__words"))
     try:
-        labeled = weak_labels(small).join(words, id_col)
+        # compact the weak-labeled training frame before the L-BFGS loop:
+        # ~25 gradient jobs each read it, and at training-subset size the
+        # shuffle-partition layout is nearly all empty-task overhead
+        # (fit 5-8s -> ~2s at sf0.1; p_good BIT-identical — see
+        # models/fit_input.py)
+        labeled = compact_fit_input(weak_labels(small).join(words, id_col))
         model = train_quality_classifier(
             labeled, n_hash_features=n_hash_features, max_iter=max_iter
         )

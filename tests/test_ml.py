@@ -20,6 +20,46 @@ def test_ml_ar_insample_beats_mean_baseline(spark):
     assert (resid**2).mean() < 0.5 * (mean_resid**2).mean()
 
 
+def test_compact_fit_input_equivalence(spark):
+    """compact_fit_input (r13: materialize + right-size the training
+    frame before iterative MLlib fits) must not change what the fit
+    computes: same rows in, and predictions from a fit over the
+    compacted frame match a fit over the raw frame to float-merge-order
+    noise (the ONLY thing coalesce changes)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    from kats_spark.models.fit_input import compact_fit_input
+
+    df = simulator.simulate(
+        spark, n_series=2, n_points=200, noise_std=0.5,
+        seasonal_period=24, seasonal_magnitude=2.0, seed=83,
+    )
+    feats, cols = ml_ar.make_features(df)
+    vec = VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="skip")
+    assembled = vec.transform(feats)
+    compacted = compact_fit_input(assembled, rows_per_partition=16384)
+    # tiny frame -> single partition; identical row multiset
+    assert compacted.rdd.getNumPartitions() == 1
+    a = sorted(map(tuple, assembled.drop("features").collect()))
+    b = sorted(map(tuple, compacted.drop("features").collect()))
+    assert a == b
+    preds = {}
+    for arm, train in (("raw", assembled), ("compact", compacted)):
+        gbt = GBTRegressor(
+            featuresCol="features", labelCol="value", maxIter=5, maxDepth=3, seed=7
+        )
+        model = gbt.fit(train)
+        pdf = (
+            model.transform(assembled)
+            .select("series_id", "time", "prediction")
+            .toPandas()
+            .sort_values(["series_id", "time"])
+        )
+        preds[arm] = pdf.prediction.values
+    np.testing.assert_allclose(preds["raw"], preds["compact"], rtol=0, atol=1e-9)
+
+
 def test_ml_ar_forecast_shape_and_determinism(spark):
     df = simulator.simulate(spark, n_series=2, n_points=120, noise_std=0.5, seed=82)
     f1 = ml_ar.forecast(df, steps=3, freq_seconds=3600, max_iter=5).toPandas()

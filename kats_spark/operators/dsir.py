@@ -287,21 +287,30 @@ def source_overlap(
         F.col(group_col).alias("__g"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("g"),
     ).select("__g", (md5_hash48("g") % F.lit(_P)).alias("__h"))
-    aggs = [
-        F.expr(f"min((__h * {a} + {b}) % {_P})").alias(f"__m{k}")
-        for k, (a, b) in enumerate(_hash_params(num_hashes, seed))
-    ]
+    # ONE F.expr parse for the whole signature (the r05/r13 single-parse
+    # precedent): 64 agg Columns + 128 per-side aliases + a 64-term
+    # comparison sum cost ~1.5 s of py4j round trips PER CALL; an
+    # array-valued aggregate plus one zip_with fold is 3 parses total.
+    # The mins are exact integer math either way — identical values,
+    # same oracle.
+    mins = ", ".join(
+        f"min((__h * {a} + {b}) % {_P})"
+        for a, b in _hash_params(num_hashes, seed)
+    )
     from pyspark import StorageLevel
 
-    sig = ex.groupBy("__g").agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
-    a_side = sig.select(
-        F.col("__g").alias("source_a"), *[F.col(f"__m{k}").alias(f"__a{k}") for k in range(num_hashes)]
+    sig = (
+        ex.groupBy("__g")
+        .agg(F.expr(f"array({mins})").alias("__sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    b_side = sig.select(
-        F.col("__g").alias("source_b"), *[F.col(f"__m{k}").alias(f"__b{k}") for k in range(num_hashes)]
-    )
-    agree = sum(
-        (F.col(f"__a{k}") == F.col(f"__b{k}")).cast("int") for k in range(num_hashes)
+    a_side = sig.select(F.col("__g").alias("source_a"), F.col("__sig").alias("__sa"))
+    b_side = sig.select(F.col("__g").alias("source_b"), F.col("__sig").alias("__sb"))
+    # integer agreement count over two BOUND array columns (64 elements,
+    # |groups|^2 rows — the HOF runs on a tiny frame)
+    agree = F.expr(
+        "aggregate(zip_with(__sa, __sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
     )
     return (
         a_side.crossJoin(F.broadcast(b_side))

@@ -361,6 +361,24 @@ def jaccard_allpairs(
     )
 
 
+def _signsum_simhash_agg(bits: int, hash_col: str = "__h") -> Column:
+    """ONE parsed aggregate expression for the whole sign-sum SimHash
+    collapse: per-bit ``sum(±1)`` partial aggregates folded into the
+    final bigint fingerprint.  The Column-operator form (``bits`` agg
+    Columns + a ``bits``-step shiftleft fold) costs ~6 py4j round trips
+    per bit — ~1 s of pure driver construction at bits=24, ~2.5 s at 64
+    — while a single F.expr parse builds the identical expression tree
+    (same CASE/sum/shiftleft ops, same left-associative add order, exact
+    integer math)."""
+    terms = " + ".join(
+        f"shiftleft(CASE WHEN sum(CASE WHEN (shiftright({hash_col}, {b}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) "
+        f"END, {b})"
+        for b in range(bits)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash: per-token 64-bit hash, sign-sum each bit, collapse to
@@ -379,20 +397,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     exploded = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(hashed).alias("__h")
     )
-    aggs = [
-        F.sum(
-            F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__b{b}")
-        for b in range(64)
-    ]
-    per_doc = exploded.groupBy(id_col).agg(*aggs)
-    val = F.lit(0).cast("bigint")
-    for b in range(64):
-        bit = F.when(F.col(f"__b{b}") > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        val = val + F.shiftleft(bit, b)
-    sh = per_doc.select(F.col(id_col), val.alias(out_col))
+    sh = exploded.groupBy(id_col).agg(
+        _signsum_simhash_agg(64, "__h").alias(out_col)
+    )
     return df.join(sh, id_col)
 
 
@@ -434,20 +441,9 @@ def simhash_portable(
         F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("__t")
     )
     hashed = tok.select(F.col(id_col), poly_hash_expr("__t").alias("__h"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__b{b}")
-        for b in range(bits)
-    ]
-    per_doc = hashed.groupBy(id_col).agg(*aggs)
-    val = F.lit(0).cast("bigint")
-    for b in range(bits):
-        bit = F.when(F.col(f"__b{b}") > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        val = val + F.shiftleft(bit, b)
-    return per_doc.select(F.col(id_col), val.alias(out_col))
+    return hashed.groupBy(id_col).agg(
+        _signsum_simhash_agg(bits, "__h").alias(out_col)
+    )
 
 
 def shingle_string_rows(

@@ -542,7 +542,12 @@ def phash_neardup_pairs(
     # the DECODE+DCT python stage runs twice per image (plan audit: 4
     # python stages -> 2).  The hash frame is 16 bytes/image — the cheap
     # thing to materialize, vs the expensive thing to recompute.
-    fp = fp.localCheckpoint(eager=False)
+    # persist(), not localCheckpoint: a lazy checkpoint converts the plan
+    # to an RDD at call time (~1 s of physical planning), persist
+    # registers the same boundary for free.
+    from kats_spark import boundary
+
+    fp = boundary.register(fp.persist())
     return simhash_pairs(
         fp, max_hamming=max_hamming, id_col=id_col, fp_col="phash"
     )

@@ -481,8 +481,13 @@ def build_portable(
     from kats_spark.operators.ivf import _rnd6, _sq_dist
 
     # sub feeds the seed filter, BOTH assignments, and (via the caller)
-    # the query LUT — one materialization instead of four re-derivations
-    sub = _subspaces(df, vec_col, id_col, m, dim).localCheckpoint(eager=False)
+    # the query LUT — one materialization instead of four re-derivations.
+    # persist(), not localCheckpoint: a lazy checkpoint converts the plan
+    # to an RDD at call time (~1 s of physical planning), persist
+    # registers the same boundary for free.
+    from kats_spark import boundary
+
+    sub = boundary.register(_subspaces(df, vec_col, id_col, m, dim).persist())
     seeds = sub.filter(F.col(id_col) < ks).select(
         "j", F.col(id_col).cast("int").alias("code"), F.col("s").alias("center")
     )

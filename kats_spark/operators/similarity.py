@@ -576,10 +576,15 @@ def semantic_dedup(
     # withd feeds BOTH sides of the self-join AND the final verdict row —
     # without a materialization boundary the whole index build (seed
     # assign + Lloyd step + re-assign) recomputes 3x (plan audit showed
-    # 24 exchanges / 15 scans; 8 / 3 after).  localCheckpoint keeps it
-    # executor-local; the frame is the corpus projected to
-    # (id, vec, cell, dist) — same width the join needs anyway.
-    withd = withd.localCheckpoint(eager=False)
+    # 24 exchanges / 15 scans; 8 / 3 after).  persist(), not
+    # localCheckpoint: a lazy checkpoint still converts the plan to an
+    # RDD at CALL time (~1.3 s of physical planning per call, measured),
+    # while persist registers the same executor-local boundary for free.
+    # The frame is the corpus projected to (id, vec, cell, dist) — same
+    # width the join needs anyway.
+    from kats_spark import boundary
+
+    withd = boundary.register(withd.persist())
     a = withd.select(
         "cell_id",
         F.col(id_col).alias("id_a"),
@@ -1033,7 +1038,12 @@ def bitext_margin_pairs_ann(
         ).alias("__cos"),
     )
     if checkpoint_candidates:
-        scored = scored.localCheckpoint(eager=False)
+        # persist(), not localCheckpoint: a lazy checkpoint converts the
+        # plan to an RDD at call time (~1 s of physical planning),
+        # persist registers the same boundary for free.
+        from kats_spark import boundary
+
+        scored = boundary.register(scored.persist())
     return _margin_tail(scored, k, threshold, hint_broadcast_avgs=False)
 
 

@@ -1006,9 +1006,15 @@ def tfidf_topk_pairs(
         # the truncation window, and trunc feeds BOTH self-join sides —
         # without the boundaries each consumer re-runs the tokenizer +
         # tf/df aggregates from the raw scan (12 scans / 25 exchanges in
-        # the unboundaried plan; 1 scan / ~7 after)
-        .localCheckpoint(eager=False)
+        # the unboundaried plan; 1 scan / ~7 after).  persist(), not
+        # localCheckpoint: a lazy checkpoint converts the plan to an RDD
+        # at call time (~1 s of physical planning), persist registers the
+        # same boundary for free.
+        .persist()
     )
+    from kats_spark import boundary
+
+    w = boundary.register(w)
     norms = w.groupBy("__id").agg(
         F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
     )
@@ -1023,11 +1029,11 @@ def tfidf_topk_pairs(
     p_rk = Window.partitionBy("__t").orderBy(
         F.round(F.col("__w") + F.lit(1e-9), 6).desc(), F.col("__id").asc()
     )
-    trunc = (
+    trunc = boundary.register(
         trunc.withColumn("__prk", F.row_number().over(p_rk))
         .filter(F.col("__prk") <= posting_cap)
         .drop("__prk")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     a, b = trunc.alias("a"), trunc.alias("b")
     dots = (

@@ -39,9 +39,20 @@ from pyspark.sql import DataFrame
 
 def compact_fit_input(df: DataFrame, rows_per_partition: int = 16384) -> DataFrame:
     """Materialize ``df`` once and right-size its partition count for an
-    iterative fit.  Returns a frame with identical rows."""
-    ck = df.localCheckpoint(eager=True)
-    n = ck.count()  # reads the checkpointed blocks — metadata-cheap
+    iterative fit.  Returns a frame with identical rows.
+
+    persist()+count(), not an eager localCheckpoint: the checkpoint
+    additionally converts the (often deep) featurization plan to an RDD
+    at call time — pure physical-planning cost the persist avoids (the
+    r13 boundary measurement).  The coalesce is applied unconditionally:
+    ``coalesce(n)`` with n >= the current partition count is a no-op, so
+    the old ``ck.rdd.getNumPartitions()`` probe (itself an RDD
+    conversion) buys nothing.  Partition layout — and therefore the
+    trainer's treeAggregate summation order — is identical to the
+    checkpointed form; equivalence stays pinned by
+    tests/test_ml.py::test_compact_fit_input_equivalence."""
+    ck = df.persist()
+    n = ck.count()  # materializes the cached blocks
     target = max(
         1,
         min(
@@ -49,6 +60,4 @@ def compact_fit_input(df: DataFrame, rows_per_partition: int = 16384) -> DataFra
             math.ceil(n / float(rows_per_partition)),
         ),
     )
-    if target < ck.rdd.getNumPartitions():
-        return ck.coalesce(target)
-    return ck
+    return ck.coalesce(target)

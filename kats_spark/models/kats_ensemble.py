@@ -73,7 +73,11 @@ def kats_ensemble_forecast(
     # by EVERY base model; persisting them turns O(models) re-scans of the
     # source into one materialization each (seas/decision are tiny —
     # period rows resp. 1 row per series; prepared is one row per input
-    # point, the price of model fan-out without recompute).
+    # point, the price of model fan-out without recompute).  All three
+    # route through the boundary registry so a plan-memoized caller
+    # re-registers them after an external clearCache().
+    from kats_spark import boundary
+
     if method == "stl":
         from kats_spark.operators.decomposition import (
             decompose,
@@ -81,9 +85,9 @@ def kats_ensemble_forecast(
             strengths_from_decomposition,
         )
 
-        dec = decompose(df, period, "additive", "stl", s).persist()
-        seas = last_period_seasonal_table(dec, period, s).persist()
-        decision = (
+        dec = boundary.register(decompose(df, period, "additive", "stl", s).persist())
+        seas = boundary.register(last_period_seasonal_table(dec, period, s).persist())
+        decision = boundary.register(
             strengths_from_decomposition(dec, s)
             .select(
                 s.series_id,
@@ -107,9 +111,12 @@ def kats_ensemble_forecast(
             )
             .persist()
         )
+        prepared = boundary.register(prepared)
     else:
-        seas = seasonal_table(df, period, "additive", s).persist()
-        decision = (
+        seas = boundary.register(
+            seasonal_table(df, period, "additive", s).persist()
+        )
+        decision = boundary.register(
             strength_features(df, period, s)
             .select(
                 s.series_id,
@@ -134,6 +141,7 @@ def kats_ensemble_forecast(
             )
             .persist()
         )
+        prepared = boundary.register(prepared)
     n_tbl = df.groupBy(s.series_id).agg(F.count("*").alias("__n"))
     w = Window.partitionBy(s.series_id).orderBy(s.time)
     reseasoned = []

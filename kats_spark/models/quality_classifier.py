@@ -177,8 +177,11 @@ def quality_classifier_scores(
             .cast("int")
             .alias("weak_label"),
         )
-        out = scored.join(lab, id_col)
-        # materialize before unpersisting the shared upstream
-        return out.localCheckpoint(eager=True)
+        out = scored.join(lab, id_col).persist()
+        # materialize before unpersisting the shared upstream —
+        # persist+count, not an eager localCheckpoint, so the scored
+        # plan is not converted to an RDD at call time (planning cost)
+        out.count()
+        return out
     finally:
         small.unpersist()

@@ -59,8 +59,13 @@ def std_global_forecast(
     # runs once per consumer (r12 plan audit: 4 python stages -> 2; the
     # self-join-recompute rule from the dedup operators applies to any
     # frame with two downstream consumers, not just join sides)
-    dec = decompose(df, period, decomposition, "stl", s).localCheckpoint(
-        eager=False
+    # persist(), not a lazy localCheckpoint: the checkpoint converts the
+    # plan to an RDD at call time (~1 s of physical planning, r13
+    # measurement); the registered persist is the same boundary for free
+    from kats_spark import boundary
+
+    dec = boundary.register(
+        decompose(df, period, decomposition, "stl", s).persist()
     )
     seas = last_period_seasonal_table(dec, period, s).persist()
     if fit_trend:

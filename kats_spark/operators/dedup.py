@@ -771,16 +771,24 @@ def dup_components(
     # serializes through 8 partitions (VERDICT r03 item #5).
     sc = pairs.sparkSession.sparkContext
     loop_parts = max(8, sc.defaultParallelism)
+    # persist(), not an eager localCheckpoint, for the edge frame: the
+    # gate count below materializes it either way, but a localCheckpoint
+    # additionally converts the whole upstream pair pipeline to an RDD at
+    # call time (~1 s of physical planning, the r13 measurement) — the
+    # persist registers the same boundary for free and the count's job
+    # does the materialization.  The per-ROUND label checkpoints in the
+    # distributed loop stay localCheckpoints: there the point is lineage
+    # TRUNCATION (persist leaves the logical plan growing exponentially).
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .coalesce(loop_parts)
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    # the count reads the checkpoint blocks (the upstream pair pipeline
-    # already ran), so probing the gate costs one cheap action
-    if edges.count() <= driver_gate_edges:
-        epd = edges.toPandas()  # Arrow batch transfer
+    n_edges = edges.count()  # materializes the persisted blocks
+    if n_edges <= driver_gate_edges:
+        epd = edges.toPandas()  # Arrow batch transfer (reads the cache)
+        edges.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -851,6 +859,9 @@ def dup_components(
     # audits at scale): how many propagate+jump rounds ran, including
     # the final no-change round that proves the fixpoint
     dup_components.last_rounds = rounds
+    # the final labels frame is checkpoint-materialized by the last
+    # round's fixpoint aggregate, so the edge cache can go
+    edges.unpersist()
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -176,7 +176,19 @@ def dsir_weights(
     Pass ``n_docs`` when the caller already knows the corpus size to
     skip the gating count() scan."""
     fr = ngram_bucket_rows(raw, text_col, id_col, num_buckets, bigrams)
-    persisted = (raw.count() if n_docs is None else n_docs) >= 1_000_000
+    if n_docs is None:
+        # Catalyst's size estimate instead of a count() job: the gate
+        # only decides whether re-tokenizing beats caching, so a byte
+        # estimate is as good as a row count and costs zero jobs (the
+        # count was a full scan+shuffle per call).  1 GiB ~ the 1M-doc
+        # threshold at the corpus' ~1 KB/doc; an over-estimate just
+        # turns the cache on a little early, never changes values.
+        est_bytes = int(
+            raw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        persisted = est_bytes >= (1 << 30)
+    else:
+        persisted = n_docs >= 1_000_000
     if persisted:
         from pyspark import StorageLevel
 
@@ -192,7 +204,10 @@ def dsir_weights(
         )
     )
     if persisted:
-        out = out.localCheckpoint(eager=True)
+        # persist+count (not an eager localCheckpoint) materializes the
+        # slim result before the fat feature cache is released
+        out = out.persist()
+        out.count()
         fr.unpersist()
     return out
 
@@ -299,7 +314,9 @@ def source_overlap(
     )
     from pyspark import StorageLevel
 
-    sig = (
+    from kats_spark import boundary
+
+    sig = boundary.register(
         ex.groupBy("__g")
         .agg(F.expr(f"array({mins})").alias("__sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)

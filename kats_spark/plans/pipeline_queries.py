@@ -474,6 +474,7 @@ FROM per
 """
 
 
+@prepared()
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing fingerprints (k=20 char grams, window 32; guarantee
     length w+k-1=51 chars) — the rolling-hash overlap-detection layer
@@ -634,6 +635,7 @@ FROM ranked WHERE rk <= 3
 """
 
 
+@prepared()
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (similarity.bitext_margin_pairs,
     Artetxe & Schwenk 2019 ratio margin / CCMatrix): best target match
@@ -689,6 +691,7 @@ FROM best WHERE rk = 1 AND mr > 1.0 ORDER BY x_id
 """
 
 
+@prepared()
 def q_bitext_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN-composed bitext mining (similarity.bitext_margin_pairs_ann —
     the CCMatrix scale path): portable-IVF candidate pairs from probing
@@ -2388,6 +2391,7 @@ ORDER BY new_id, corpus_id
 """
 
 
+@prepared()
 def q_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SimHash near-dup (dedup.incremental_simhash_pairs):
     the same arriving batch as incremental_neardup (every 97th doc, 80%
@@ -3561,6 +3565,7 @@ def q_mixture_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@prepared()
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap estimation (dsir.py source_overlap):
     per-source minhash signatures over word 3-gram shingles, estimated

@@ -1899,7 +1899,10 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     cb = pq.train_codebooks(emb, m=16, ks=32, sample_rows=2048, seed=7)
-    enc = pq.encode(emb, cb).localCheckpoint(eager=True)
+    # persist+count, not an eager localCheckpoint: same boundary (enc
+    # feeds ADC and re-rank), no plan->RDD conversion at call time
+    enc = pq.encode(emb, cb).persist()
+    enc.count()
     qrows = [
         (int(r.vec_id), list(r.embedding))
         for r in emb.filter(F.col("vec_id") < 5).collect()
@@ -2019,7 +2022,10 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc, centers, cb = pq.ivfpq_build(
         emb, id_col="vec_id", n_cells=8, m=16, ks=32, coarse=(indexed, centers_df)
     )
-    enc = enc.localCheckpoint(eager=True)
+    # persist+count, not an eager localCheckpoint: same materialization
+    # (enc feeds both rerank probes), no plan->RDD conversion at call time
+    enc = enc.persist()
+    enc.count()
     qrows = [
         (int(r.vec_id), list(r.embedding))
         for r in emb.filter(F.col("vec_id") < 5).collect()
@@ -2222,6 +2228,7 @@ GROUP BY t.query_id
 """
 
 
+@prepared()
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023): portable-IVF
     k-means clustering, within-cell cosine pairs at threshold 0.35, keep
@@ -3686,6 +3693,7 @@ def q_metalearn_hpt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@prepared(recache=(hourly_series,))
 def q_kats_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kats_spark.models import kats_ensemble as ke
 

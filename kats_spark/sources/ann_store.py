@@ -592,6 +592,11 @@ def bitext_mine_stored(
                 "__cos"
             ),
         )
-        .localCheckpoint(eager=False)
+        # persist(), not a lazy localCheckpoint: same boundary for the
+        # margin tail's consumers, no plan->RDD conversion at call time
+        .persist()
     )
+    from kats_spark import boundary
+
+    scored = boundary.register(scored)
     return _margin_tail(scored, k, threshold, hint_broadcast_avgs=False)

@@ -195,6 +195,11 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col), F.posexplode(buckets).alias("__band", "__bucket")
     )
+    # NO boundary on grouped, deliberately (r13 A/B: persist cost +0.1 s
+    # net): the three consumers' subtrees are byte-identical up to the
+    # aggregate's exchange, so runtime stage reuse already computes the
+    # signature pipeline once — unlike the aliased-PROJECTION self-joins
+    # (simhash/banded-LSH), whose sides differ and never reuse.
     grouped = (
         banded.groupBy("__band", "__bucket")
         .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))

@@ -314,6 +314,22 @@ def lsh_planes(num_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
 
 
+def _plane_dot_sql(vec_col: str, plane: list[float]) -> str:
+    """The plane dot product as ONE parsed SQL string of the SAME
+    zip_with/aggregate fold ``dot`` builds — identical execution shape
+    (the tight fold loop; an unrolled 64-term sum deoptimizes codegen,
+    see ``dot_unrolled``) and identical values, at ~3 py4j round trips
+    instead of dim F.lit calls per plane.  Coefficients ride in as
+    CAST('repr' AS DOUBLE), which round-trips the exact double (Spark
+    parses bare decimal literals as DECIMAL)."""
+    arr = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane)
+    return (
+        f"aggregate(zip_with({vec_col}, array({arr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def lsh_bucket_pairs(
     df: DataFrame,
     num_planes: int = 8,
@@ -324,15 +340,17 @@ def lsh_bucket_pairs(
 ) -> DataFrame:
     """Random-hyperplane LSH: sign-pattern bucket id per vector, then
     intra-bucket candidate pairs.  The scale path for near-neighbor search:
-    one narrow projection + one equi-join on bucket."""
+    one narrow projection + one equi-join on bucket.
+
+    The bucket id is built as ONE F.expr parse (the r05/r13 single-parse
+    precedent): the Column-tree form cost num_planes x dim F.lit py4j
+    round trips per call (~1 s at 8x64) for the identical expression."""
     planes = lsh_planes(num_planes, dim, seed)
-    bucket = F.lit(0)
-    v = F.col(vec_col)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (dot(v, plane) > 0).cast("int")
-        bucket = bucket + F.shiftleft(bit, i)
-    b = df.select(F.col(id_col), bucket.alias("bucket"))
+    bucket_s = " + ".join(
+        f"shiftleft(CAST((({_plane_dot_sql(vec_col, p)}) > 0) AS INT), {i})"
+        for i, p in enumerate(planes)
+    )
+    b = df.select(F.col(id_col), F.expr(bucket_s).alias("bucket"))
     l = b.withColumnRenamed(id_col, "id_a")
     r = b.withColumnRenamed(id_col, "id_b")
     return (
@@ -370,15 +388,20 @@ def banded_lsh_candidates(
     exchange in the pipeline.
     """
     planes = lsh_planes(bands * planes_per_band, dim, seed)
-    v = F.col(vec_col)
+    # ONE F.expr parse for the whole band array (the r05/r13 single-parse
+    # precedent): the Column-tree form cost bands x planes x dim F.lit
+    # py4j round trips per call (~1.2 s at 4x4x64) for the identical
+    # expression; sign decisions are bit-equal (see _plane_dot_sql).
     band_cols = []
     for b in range(bands):
-        bucket = F.lit(0)
-        for i in range(planes_per_band):
-            p = planes[b * planes_per_band + i]
-            plane = F.array(*[F.lit(float(x)) for x in p])
-            bucket = bucket + F.shiftleft((dot(v, plane) > 0).cast("int"), i)
-        band_cols.append(bucket.cast("int"))
+        terms = " + ".join(
+            "shiftleft(CAST((("
+            + _plane_dot_sql(vec_col, planes[b * planes_per_band + i])
+            + f") > 0) AS INT), {i})"
+            for i in range(planes_per_band)
+        )
+        band_cols.append(f"CAST(({terms}) AS INT)")
+    band_arr = "array(" + ", ".join(band_cols) + ")"
     # persist the band-bucket rows: the self-join's two aliased sides are
     # not recognized as a shared subtree, so without the boundary the
     # plane-dot projection AND the input scan run twice per action (same
@@ -389,7 +412,7 @@ def banded_lsh_candidates(
     keyed = boundary.register(
         df.select(
             F.col(id_col),
-            F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+            F.posexplode(F.expr(band_arr)).alias("band", "bucket"),
         ).persist()
     )
     l = keyed.withColumnRenamed(id_col, "id_a")

@@ -2766,8 +2766,13 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     -oracled operator, so the whole chain value-hash replays in
     DuckDB."""
     _, _, _, final = _corpus_stages(spark, sf_dir)
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").agg(
-        F.count("*").cast("bigint").alias("n_docs")
+    # ONE count job serves both the shard gate below AND the n_docs audit
+    # column (it used to be a driver count PLUS a second documents scan
+    # inside the plan; the value is identical — the oracle's subquery
+    # count — and still computed fresh on every call)
+    n_docs_val = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_docs = spark.range(1).select(
+        F.lit(n_docs_val).cast("bigint").alias("n_docs")
     )
     rk = F.md5(F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string")))
     # Exact budget fill WITHOUT a single-task global window (VERDICT r07
@@ -2782,11 +2787,7 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the parallelism buys — and larger ones the 256-shard plan.  Both
     # produce bit-identical output (asserted in tests), so the oracle
     # is unchanged.
-    shards = (
-        1
-        if spark.read.parquet(f"{sf_dir}/documents.parquet").count() < 1_000_000
-        else 256
-    )
+    shards = 1 if n_docs_val < 1_000_000 else 256
     cum = salted_cumsum(
         final.select("doc_id", "n_tokens").withColumn("__rk", rk),
         salt_shards=shards,

@@ -784,38 +784,56 @@ def dup_components(
     # does the materialization.  The per-ROUND label checkpoints in the
     # distributed loop stay localCheckpoints: there the point is lineage
     # TRUNCATION (persist leaves the logical plan growing exponentially).
+    # deduped DIRECTED pairs only: the driver path never needs the
+    # symmetrized frame (components of the pair list == components of
+    # its symmetric closure), so it collects and processes HALF the
+    # rows; the distributed path symmetrizes below from this cache.
+    dpairs = e.distinct().coalesce(loop_parts).persist()
+    n_pairs = dpairs.count()  # materializes the persisted blocks
+    if 2 * n_pairs <= driver_gate_edges:
+        import numpy as np
+        import pandas as pd
+
+        epd = dpairs.toPandas()  # Arrow batch transfer (reads the cache)
+        dpairs.unpersist()
+        spark = pairs.sparkSession
+        id_type = dict(e.dtypes)["u"]
+        schema = f"doc_id {id_type}, cluster_id {id_type}"
+        if len(epd) == 0:
+            dup_components.last_rounds = 0
+            return spark.createDataFrame([], schema)
+        # vectorized min-label propagation + pointer jumping on index
+        # arrays (the per-edge python union-find loop was ~4 s at 140k
+        # pairs; this converges in O(log n) numpy rounds, ~ms each).
+        # nodes is SORTED, so min reachable index == min reachable id —
+        # the identical fixpoint the union-find produced.
+        u = epd["u"].to_numpy()
+        v = epd["v"].to_numpy()
+        nodes = np.unique(np.concatenate([u, v]))
+        iu = np.searchsorted(nodes, u)
+        iv = np.searchsorted(nodes, v)
+        lbl = np.arange(len(nodes))
+        while True:
+            m = lbl.copy()
+            np.minimum.at(m, iu, lbl[iv])  # neighbor mins, both ways
+            np.minimum.at(m, iv, lbl[iu])
+            m = np.minimum(m, m[m])  # pointer jump: lbl <- lbl(lbl)
+            if np.array_equal(m, lbl):
+                break
+            lbl = m
+        dup_components.last_rounds = 0  # driver path: no join rounds
+        out_pdf = pd.DataFrame(
+            {"doc_id": nodes, "cluster_id": nodes[lbl]}
+        )
+        return spark.createDataFrame(out_pdf, schema)
     edges = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        dpairs.unionByName(
+            dpairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
         .distinct()
         .coalesce(loop_parts)
         .persist()
     )
-    n_edges = edges.count()  # materializes the persisted blocks
-    if n_edges <= driver_gate_edges:
-        epd = edges.toPandas()  # Arrow batch transfer (reads the cache)
-        edges.unpersist()
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for u, v in zip(epd["u"].tolist(), epd["v"].tolist()):
-            parent.setdefault(u, u)
-            parent.setdefault(v, v)
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                parent[max(ru, rv)] = min(ru, rv)  # min-label root
-        out_rows = [(u, find(u)) for u in parent]
-        dup_components.last_rounds = 0  # driver path: no join rounds
-        spark = pairs.sparkSession
-        id_type = dict(edges.dtypes)["u"]
-        schema = f"doc_id {id_type}, cluster_id {id_type}"
-        return spark.createDataFrame(out_rows or [], schema)
     labels = (
         edges.select("u").distinct().withColumn("lbl", F.col("u"))
         .localCheckpoint(eager=True)
@@ -865,8 +883,9 @@ def dup_components(
     # the final no-change round that proves the fixpoint
     dup_components.last_rounds = rounds
     # the final labels frame is checkpoint-materialized by the last
-    # round's fixpoint aggregate, so the edge cache can go
+    # round's fixpoint aggregate, so the edge caches can go
     edges.unpersist()
+    dpairs.unpersist()
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -180,13 +180,11 @@ def dsir_weights(
         # Catalyst's size estimate instead of a count() job: the gate
         # only decides whether re-tokenizing beats caching, so a byte
         # estimate is as good as a row count and costs zero jobs (the
-        # count was a full scan+shuffle per call).  1 GiB ~ the 1M-doc
-        # threshold at the corpus' ~1 KB/doc; an over-estimate just
-        # turns the cache on a little early, never changes values.
-        est_bytes = int(
-            raw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        persisted = est_bytes >= (1 << 30)
+        # count was a full scan+shuffle per call).  An over-estimate
+        # just turns the cache on a little early, never changes values.
+        from kats_spark.operators.skew import input_is_big
+
+        persisted = input_is_big(raw)
     else:
         persisted = n_docs >= 1_000_000
     if persisted:

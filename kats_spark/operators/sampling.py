@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kats_spark.operators.skew import input_is_big
 from kats_spark.operators.text import tokens
 
 
@@ -66,7 +67,7 @@ def token_budget_sample(
     broadcasts; the fill logic is otherwise identical."""
     by = list(by)
     if salt_shards is None:
-        salt_shards = 1 if df.count() < 1_000_000 else 256
+        salt_shards = 1 if not input_is_big(df) else 256
     rank_key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     base = df.withColumn("n_tokens", F.size(tokens(F.col(text_col)))).withColumn(
         "__rk", rank_key
@@ -370,7 +371,7 @@ def unigram_logppl(
     tok = df.select(
         F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("__t")
     )
-    if df.count() < 1_000_000:
+    if not input_is_big(df):
         # NOTE (r13): persisting the exploded token stream here was
         # A/B'd and REGRESSES (~+0.2 s best-of at sf0.1): the in-memory
         # store pays per-string serialization that exceeds the 2 extra
@@ -463,7 +464,7 @@ def bigram_logppl(
 
     from kats_spark.operators.dedup import normalize
 
-    big = df.count() >= 1_000_000
+    big = input_is_big(df)
     head_k = (
         0
         if df.sparkSession.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -598,7 +599,7 @@ def pack_sequences(
     Count-guarded auto-gate as in the sampler; both plans bit-identical
     (asserted in tests).  Fully window-expressible -> exact oracle."""
     if salt_shards is None:
-        salt_shards = 1 if df.count() < 1_000_000 else 256
+        salt_shards = 1 if not input_is_big(df) else 256
     rank_key = F.md5(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )
@@ -791,7 +792,7 @@ def per_source_cap(
     by = list(by)
     rk = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     if salt_shards is None:
-        salt_shards = 1 if df.count() < 1_000_000 else 256
+        salt_shards = 1 if not input_is_big(df) else 256
     if salt_shards <= 1:
         w = Window.partitionBy(*by).orderBy(rk, id_col)
         return (
@@ -994,7 +995,7 @@ def assign_shards(
     ``.write.partitionBy("shard_id")`` to materialize the shards."""
     rk = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     if salt_shards is None:
-        salt_shards = 1 if df.count() < 1_000_000 else 256
+        salt_shards = 1 if not input_is_big(df) else 256
     base = df.select(
         F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
     ).withColumn("__rk", rk)

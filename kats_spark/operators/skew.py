@@ -25,6 +25,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df``'s optimized plan — a
+    zero-job, zero-RDD-conversion stand-in for the ``count()`` /
+    ``rdd.getNumPartitions()`` probes that scale gates used to run.
+    For scans it is the file-size total; good enough for any gate that
+    only picks a PHYSICAL plan (salting, caching, split fan-out) —
+    every gated path pair is value-identical by construction."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+# estimates at or above this are the defaultSizeInBytes sentinel a
+# non-file source (createDataFrame / LogicalRDD — test fixtures, tiny
+# driver-built frames) reports when Catalyst has no real statistics
+_UNKNOWN_STATS = 1 << 60
+
+# gates that used to test ``df.count() >= 1_000_000`` documents now test
+# the byte estimate against this threshold (~1M docs at the corpus'
+# ~1 KB/doc); an over-estimate flips the big-corpus plan on a little
+# early, which is never a correctness event (both plans are
+# bit-identical, asserted in tests)
+BIG_INPUT_BYTES = 1 << 30
+
+
+def input_is_big(df: DataFrame, threshold: int = BIG_INPUT_BYTES) -> bool:
+    est = plan_size_bytes(df)
+    if est >= _UNKNOWN_STATS:
+        # unknown stats = in-memory source; every 100 TB input is
+        # file-backed with real statistics, so unknown means SMALL
+        return False
+    return est >= threshold
+
+
 def with_salt(df: DataFrame, cols: list[str], buckets: int, out: str = "__salt") -> DataFrame:
     """Deterministic salt in [0, buckets): xxhash64 of the given columns
     (use high-cardinality payload columns, NOT the join key)."""
@@ -83,6 +115,32 @@ def spread(df: DataFrame, key: str | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
+    # estimated split count, not ``df.rdd.getNumPartitions()``: the RDD
+    # probe converts the plan to an RDD at call time (physical-planning
+    # cost paid per query construction), while the byte estimate is
+    # free.  Either way the decision only inserts/skips a repartition —
+    # values are identical.
+    est = plan_size_bytes(df)
+    if est >= _UNKNOWN_STATS:
+        # non-file source (test fixture / driver-built frame): no file
+        # stats, fall back to the exact partition probe
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    else:
+        raw = (
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728b"
+            )
+            .strip()
+            .lower()
+        )
+        mult = 1
+        for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                       ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+            if raw.endswith(suf):
+                raw, mult = raw[: -len(suf)], m
+                break
+        max_split = max(1, int(raw) * mult)
+        if max(1, -(-est // max_split)) >= n:
+            return df
     return df.repartition(n, F.col(key)) if key else df.repartition(n)

@@ -574,9 +574,12 @@ def bitext_mine_stored(
         "__cr",
         F.row_number().over(Window.partitionBy("x_id").orderBy("__d", "cell_id")),
     )
+    # persist the probe frame: it feeds the probed-cell collect AND the
+    # candidate join below — without the boundary the centroid ranking
+    # window runs twice (the collect's job materializes the cache)
     probes = ranked.filter(F.col("__cr") <= n_probe).select(
         "x_id", "__xv", "__nx", "cell_id"
-    )
+    ).persist()
     probe_cells = sorted(
         r.cell_id for r in probes.select("cell_id").distinct().collect()
     )

@@ -695,26 +695,40 @@ def bm25_topk(
     from kats_spark.operators.dedup import normalize
 
     toks = F.transform(tokens(normalize(F.col(text_col))), F.lower)
-    base = df.select(
+    # stage the token array as a BOUND column first: HOF expressions are
+    # CSE-exempt, so referencing `toks` three times in one projection
+    # re-tokenizes the document three times per row
+    base = df.select(F.col(id_col), toks.alias("__toks")).select(
         F.col(id_col),
-        F.size(toks).alias("__dl"),
-        F.array_intersect(toks, arr).alias("__hit_terms"),
-        toks.alias("__toks"),
+        F.size("__toks").alias("__dl"),
+        F.array_intersect("__toks", arr).alias("__hit_terms"),
+        "__toks",
     )
-    # per-(doc, term) term frequency for matching terms only
-    hits = base.filter(F.size("__hit_terms") > 0).select(
-        id_col,
-        "__dl",
-        F.explode(
-            F.transform(
-                "__hit_terms",
-                lambda t: F.struct(
-                    t.alias("t"),
-                    F.size(F.filter("__toks", lambda x: x == t)).alias("tf"),
-                ),
-            )
-        ).alias("__h"),
-    ).select(id_col, "__dl", F.col("__h.t").alias("__t"), F.col("__h.tf").alias("__tf"))
+    # per-(doc, term) term frequency for matching terms only.  hits
+    # feeds BOTH the df_t aggregate and the scoring join — persist the
+    # slim (doc, dl, term, tf) rows so the tokenize pipeline runs once
+    # (registered for plan-memoized callers).
+    from kats_spark import boundary
+
+    hits = boundary.register(
+        base.filter(F.size("__hit_terms") > 0).select(
+            id_col,
+            "__dl",
+            F.explode(
+                F.transform(
+                    "__hit_terms",
+                    lambda t: F.struct(
+                        t.alias("t"),
+                        F.size(F.filter("__toks", lambda x: x == t)).alias("tf"),
+                    ),
+                )
+            ).alias("__h"),
+        )
+        .select(
+            id_col, "__dl", F.col("__h.t").alias("__t"), F.col("__h.tf").alias("__tf")
+        )
+        .persist()
+    )
     stats = base.agg(
         F.count("*").alias("__N"), F.avg("__dl").alias("__avgdl")
     )

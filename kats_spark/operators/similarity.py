@@ -1052,7 +1052,13 @@ def bitext_margin_pairs_ann(
     probes = ranked_cells.filter(F.col("__cr") <= n_probe).select(
         "x_id", "__xv", "__nx", "cell_id"
     )
-    scored = probes.join(indexed_y, "cell_id").select(
+    # pin the candidate join to sort-merge (guide §3.1): both sides are
+    # corpus-sized at scale, so the shuffled equi-join IS the contract —
+    # the r13 projection-form cell assignment shrank indexed_y's
+    # Catalyst size ESTIMATE enough that the planner would otherwise
+    # auto-broadcast the full target side at local sizes (the documented
+    # scale-killer, caught by test_no_full_target_broadcast)
+    scored = probes.join(indexed_y.hint("merge"), "cell_id").select(
         "x_id",
         "y_id",
         (

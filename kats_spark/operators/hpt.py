@@ -180,13 +180,10 @@ def _radical_inverse(i: int, base: int) -> float:
     return r
 
 
-def quasirandom_df(spark, space: list[dict], n: int, seed: int = 0):
-    """Low-discrepancy candidate DataFrame: ``n`` Halton points over the
-    search space (one prime base per dimension; ``seed`` leaps the start
-    index).  Space entries are either choice params ``{"name", "values"}``
-    (index-mapped) or continuous ``{"name", "bounds": [lo, hi],
-    "log": bool}`` ranges.  Like ``grid_df`` the result is tiny literal
-    metadata — it broadcasts against the series side."""
+def quasirandom_rows(space: list[dict], n: int, seed: int = 0) -> list[dict]:
+    """The ``quasirandom_df`` candidate set as a plain list of dicts —
+    the same rows ``createDataFrame`` would round-trip (all values str),
+    for evaluators that accept row lists (``pass_rows=True`` searches)."""
     import math
 
     if len(space) > len(_PRIMES):
@@ -207,7 +204,17 @@ def quasirandom_df(spark, space: list[dict], n: int, seed: int = 0):
                     v = lo + u * (hi - lo)
                 row[p["name"]] = str(v)
         rows.append(row)
-    return spark.createDataFrame(rows)
+    return rows
+
+
+def quasirandom_df(spark, space: list[dict], n: int, seed: int = 0):
+    """Low-discrepancy candidate DataFrame: ``n`` Halton points over the
+    search space (one prime base per dimension; ``seed`` leaps the start
+    index).  Space entries are either choice params ``{"name", "values"}``
+    (index-mapped) or continuous ``{"name", "bounds": [lo, hi],
+    "log": bool}`` ranges.  Like ``grid_df`` the result is tiny literal
+    metadata — it broadcasts against the series side."""
+    return spark.createDataFrame(quasirandom_rows(space, n, seed=seed))
 
 
 # --------------------------------------------------------------------------
@@ -301,6 +308,7 @@ def tpe_search(
     gamma: float = 0.25,
     n_draw: int = 32,
     seed: int = 0,
+    pass_rows: bool = False,
 ):
     """Minimize ``evaluate`` over the search space with TPE.
 
@@ -309,11 +317,21 @@ def tpe_search(
     ``score`` column (lower = better) — it runs as a normal distributed
     plan; tpe_search only collects the per-candidate scalars.  Returns
     (best_params_dict, best_score, trials) with trials the full list of
-    (params, score)."""
+    (params, score).
+
+    ``pass_rows=True`` hands each candidate batch to ``evaluate`` as a
+    plain list of dicts (the exact rows ``createDataFrame`` would
+    round-trip — all values str, same order) instead of a DataFrame:
+    one less createDataFrame + collect per round for evaluators that
+    only ever collect the batch anyway (guide §5 driver work)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    init = quasirandom_df(spark, space, n_init, seed=seed)
+    init = (
+        quasirandom_rows(space, n_init, seed=seed)
+        if pass_rows
+        else quasirandom_df(spark, space, n_init, seed=seed)
+    )
     trials: list[tuple[dict, float]] = []
 
     def _run(cdf):
@@ -336,7 +354,7 @@ def tpe_search(
         bad = [t[0] for t in obs[n_good:]] or good
         props = _tpe_sample_and_rank(space, good, bad, n_draw, batch, rng)
         rows = [{k: str(v) for k, v in c.items()} for c in props]
-        _run(spark.createDataFrame(rows))
+        _run(rows if pass_rows else spark.createDataFrame(rows))
     best = min(trials, key=lambda t: t[1])
     return best[0], best[1], trials
 
@@ -429,6 +447,7 @@ def gp_ei_search(
     xi: float = 0.01,
     noise: float = 1e-6,
     seed: int = 0,
+    pass_rows: bool = False,
 ):
     """Minimize ``evaluate`` with GP-EI Bayesian optimization: a
     squared-exponential GP surrogate on the unit-cube-encoded params
@@ -455,7 +474,11 @@ def gp_ei_search(
             sc = float(rd.pop("score"))
             trials.append(({k: rd[k] for k in (p["name"] for p in space)}, sc))
 
-    _run(quasirandom_df(spark, space, n_init, seed=seed))
+    _run(
+        quasirandom_rows(space, n_init, seed=seed)
+        if pass_rows
+        else quasirandom_df(spark, space, n_init, seed=seed)
+    )
     for it in range(n_iter):
         X = np.array([_gp_encode(space, t[0]) for t in trials])
         y_raw = np.array([t[1] for t in trials])
@@ -492,7 +515,7 @@ def gp_ei_search(
         if not props:  # space exhausted (tiny discrete spaces)
             break
         rows = [{k: str(v) for k, v in c.items()} for c in props]
-        _run(spark.createDataFrame(rows))
+        _run(rows if pass_rows else spark.createDataFrame(rows))
     best = min(trials, key=lambda t: t[1])
     return best[0], best[1], trials
 

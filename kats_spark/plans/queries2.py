@@ -743,7 +743,10 @@ def _ma_lag_eval(h, cdf) -> list:
     ride in as CAST('repr' AS DOUBLE), which round-trips the exact
     double, so the expression tree is value-identical to the old Column
     form (asserted: full trial logs bit-identical before/after)."""
-    cands = [r.asDict() for r in cdf.collect()]  # tiny batch (<=8)
+    # tiny batch (<=8); arrives as a plain row list under pass_rows=True
+    # (one less createDataFrame + collect per round), as a DataFrame
+    # otherwise — identical dict contents either way
+    cands = cdf if isinstance(cdf, list) else [r.asDict() for r in cdf.collect()]
     over_b = "OVER (PARTITION BY series_id ORDER BY time)"
     exprs = []
     for i, c in enumerate(cands):
@@ -791,7 +794,7 @@ def q_hpt_tpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ma_lag_eval(h, cdf)
 
     _, _, trials = hpt_mod.tpe_search(
-        spark, space, evaluate, n_init=8, n_iter=3, batch=4, seed=7
+        spark, space, evaluate, n_init=8, n_iter=3, batch=4, seed=7, pass_rows=True
     )
     rows = [
         {"window": int(p["w"]), "lam": round(float(p["lam"]), 6), "mae": round(sc, 6)}
@@ -825,7 +828,7 @@ def q_hpt_gpei(spark: SparkSession, sf_dir: str) -> DataFrame:
     # solved by round 2 — the extra round was pure headline wall-time
     # (each round = one distributed eval plan over the hourly frame)
     _, _, trials = hpt_mod.gp_ei_search(
-        spark, space, evaluate, n_init=8, n_iter=2, batch=4, seed=7
+        spark, space, evaluate, n_init=8, n_iter=2, batch=4, seed=7, pass_rows=True
     )
     rows = [
         {"window": int(p["w"]), "lam": round(float(p["lam"]), 6), "mae": round(sc, 6)}

@@ -369,8 +369,18 @@ def mixture_fit(
     live in tests/test_dsir.py."""
     import numpy as np
 
-    fr = ngram_bucket_rows(raw, text_col, id_col, num_buckets, bigrams)
-    src = raw.select(F.col(id_col), F.col(by).alias("__s"))
+    # carry the source label through the n-gram explode instead of
+    # joining it back onto the exploded occurrence rows (r13: the join
+    # probed every occurrence row against a broadcast of |docs| ids —
+    # carry_cols is a free projection; counts identical by construction)
+    fr = ngram_bucket_rows(
+        raw.withColumn("__s", F.col(by)),
+        text_col,
+        id_col,
+        num_buckets,
+        bigrams,
+        carry_cols=["__s"],
+    )
     ft = ngram_bucket_rows(target, text_col, id_col, num_buckets, bigrams)
     # the two count-matrix jobs are independent — submit both and let
     # the second's tasks back-fill the first's stragglers (guide §2.6
@@ -380,8 +390,7 @@ def mixture_fit(
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_src = pool.submit(
-            lambda: fr.join(src, id_col)
-            .groupBy("__s", "__b")
+            lambda: fr.groupBy("__s", "__b")
             .agg(F.count("*").alias("__c"))
             .collect()
         )

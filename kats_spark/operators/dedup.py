@@ -41,18 +41,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return keyed.join(reps, ["__fp", id_col]).drop("__fp")
 
 
-def _tok_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _tok_rows(
+    df: DataFrame, text_col: str, id_col: str, fan_out: bool = True
+) -> DataFrame:
     """``(id, __pos, __tok)`` exploded token rows behind every row-based
     gram builder.  The NARROW (id, text) projection is spread (hashed on
     ``id``) before the tokenize+explode: on a single-split scan the regex
     tokenization would serialize on one task, and the id-hash exchange is
     the SAME partitioning the (id, pos) windows downstream need — one
     exchange total, carrying raw doc rows instead of exploded token rows
-    (fewer bytes, guide §2.3/§2.5).  No-op at real corpus split counts."""
+    (fewer bytes, guide §2.3/§2.5).  No-op at real corpus split counts.
+
+    ``fan_out=False`` skips the spread — for callers that KNOW ``df`` is
+    a small arriving batch (guide §8: use what you know that the
+    optimizer does not).  Catalyst cannot see a filter's selectivity, so
+    a batch derived from the corpus scan carries the corpus' size
+    estimate and spread() would fire; the r14 A/B measured that exchange
+    at +0.2..0.8 s per stored/incremental query while the downstream
+    window exchange it pre-empts is AQE-coalesced to almost nothing at
+    batch size.  Values are identical either way (pure partitioning)."""
     from kats_spark.operators.skew import spread
 
     t = tokens(normalize(F.col(text_col)))
-    narrow = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    if fan_out:
+        narrow = spread(narrow, id_col)
     return narrow.select(F.col(id_col), F.posexplode(t).alias("__pos", "__tok"))
 
 
@@ -385,7 +398,7 @@ def _signsum_simhash_agg(bits: int, hash_col: str = "__h") -> Column:
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            out_col: str = "simhash") -> DataFrame:
+            out_col: str = "simhash", fan_out: bool = True) -> DataFrame:
     """64-bit SimHash: per-token 64-bit hash, sign-sum each bit, collapse to
     a bigint.
 
@@ -399,7 +412,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # spread before tokenize+explode (see shingle_rows): the id-hash
     # exchange is reused by the per-doc groupBy, so stage-1 tokenization
     # parallelizes at no extra shuffle.
-    exploded = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    if fan_out:
+        narrow = spread(narrow, id_col)
+    exploded = narrow.select(
         F.col(id_col), F.explode(hashed).alias("__h")
     )
     sh = exploded.groupBy(id_col).agg(
@@ -433,16 +449,21 @@ def simhash_portable(
     id_col: str = "doc_id",
     bits: int = 16,
     out_col: str = "simhash16",
+    fan_out: bool = True,
 ) -> DataFrame:
     """SimHash over the portable polynomial hash (bits ≤ 31).  Same
     explode → partial-agg shape as ``simhash``; sign-sums count token
-    MULTIPLICITY (classic frequency-weighted SimHash)."""
+    MULTIPLICITY (classic frequency-weighted SimHash).
+    ``fan_out=False`` for small arriving batches (see ``_tok_rows``)."""
     from kats_spark.operators.skew import spread
 
     # spread before tokenize+explode (see shingle_rows): the char-at-a-time
     # polynomial hash is the hottest per-row work in the portable family
     # and would otherwise run on the scan's (often single) input split.
-    tok = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    if fan_out:
+        narrow = spread(narrow, id_col)
+    tok = narrow.select(
         F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("__t")
     )
     hashed = tok.select(F.col(id_col), poly_hash_expr("__t").alias("__h"))
@@ -456,6 +477,7 @@ def shingle_string_rows(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    fan_out: bool = True,
 ) -> DataFrame:
     """(id, g) DISTINCT word-n-gram shingle STRING rows — the row-based
     plan of ``shingle_rows`` keeping the gram text (lead-concat instead of
@@ -464,7 +486,7 @@ def shingle_string_rows(
     except docs shorter than n keep their single truncated gram."""
     from pyspark.sql import Window
 
-    tok = _tok_rows(df, text_col, id_col)
+    tok = _tok_rows(df, text_col, id_col, fan_out)
     w = Window.partitionBy(id_col).orderBy("__pos")
     parts = [F.col("__tok")] + [F.lead("__tok", j).over(w) for j in range(1, n)]
     g = F.concat_ws(" ", *parts)  # concat_ws skips nulls -> truncated tail grams
@@ -509,11 +531,13 @@ def minhash_portable_sig(
     num_hashes: int = 16,
     shingle_n: int = 3,
     seed: int = 7,
+    fan_out: bool = True,
 ) -> DataFrame:
     """(id, __m0..__m{k-1}) portable minhash signature columns — the
     shared kernel behind the self-join pair finder and the cross-corpus
-    fuzzy decontaminator."""
-    ex = shingle_string_rows(df, text_col, id_col, shingle_n)
+    fuzzy decontaminator.  ``fan_out=False`` for small arriving batches
+    (see ``_tok_rows``)."""
+    ex = shingle_string_rows(df, text_col, id_col, shingle_n, fan_out)
     hashed = ex.select(F.col(id_col), poly_hash_expr("g").alias("__h"))
     params = _hash_params(num_hashes, seed)
     aggs = [
@@ -578,8 +602,11 @@ def decontaminate_fuzzy(
     sig_t = minhash_portable_sig(
         train_df, text_col, id_col, num_hashes, shingle_n, seed
     )
+    # fan_out=False: the eval side is benchmark-sized by contract (its
+    # band rows and signatures broadcast below) — spreading it is pure
+    # overhead (see incremental_neardup_pairs)
     sig_e = minhash_portable_sig(
-        eval_df, text_col, id_col, num_hashes, shingle_n, seed
+        eval_df, text_col, id_col, num_hashes, shingle_n, seed, fan_out=False
     )
     bt = minhash_band_rows(sig_t, id_col, num_hashes, bands)
     be = minhash_band_rows(sig_e, id_col, num_hashes, bands).withColumnRenamed(
@@ -943,7 +970,14 @@ def incremental_neardup_pairs(
     exact constants.
 
     Output: ``(new_id, corpus_id)`` distinct candidate pairs."""
-    sig_n = minhash_portable_sig(new_df, text_col, id_col, num_hashes, shingle_n, seed)
+    # fan_out=False on the BATCH side only: the arriving batch is small
+    # next to the corpus by definition, and its corpus-derived size
+    # estimate would otherwise trip spread() into a pure-overhead
+    # exchange (r14 A/B: -0.3..0.8 s per incremental query; the corpus
+    # side keeps its spread win)
+    sig_n = minhash_portable_sig(
+        new_df, text_col, id_col, num_hashes, shingle_n, seed, fan_out=False
+    )
     sig_c = minhash_portable_sig(corpus_df, text_col, id_col, num_hashes, shingle_n, seed)
     bn = minhash_band_rows(sig_n, id_col, num_hashes, bands).select(
         F.col(id_col).alias("new_id"), "band_id", "key"
@@ -989,13 +1023,16 @@ def incremental_simhash_pairs(
 
     Output: ``(new_id, corpus_id, hamming)`` distinct verified pairs."""
     _check_simhash_bands(bands, max_hamming, bits)
+    # fan_out=False on the BATCH side only (see incremental_neardup_pairs)
     if portable:
         fp_col = "simhash16"
-        fn = simhash_portable(new_df, text_col, id_col, bits, fp_col)
+        fn = simhash_portable(new_df, text_col, id_col, bits, fp_col, fan_out=False)
         fc = simhash_portable(corpus_df, text_col, id_col, bits, fp_col)
     else:
         fp_col = "simhash"
-        fn = simhash(new_df, text_col, id_col, fp_col).select(id_col, fp_col)
+        fn = simhash(new_df, text_col, id_col, fp_col, fan_out=False).select(
+            id_col, fp_col
+        )
         fc = simhash(corpus_df, text_col, id_col, fp_col).select(id_col, fp_col)
     kn = simhash_chunk_rows(fn, bands, bits, id_col, fp_col).select(
         "__band", "__chunk", F.col(id_col).alias("new_id"),
@@ -1120,6 +1157,7 @@ def positioned_gram_rows(
     span_n: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fan_out: bool = True,
 ) -> DataFrame:
     """``(id, pos, g)`` FULL-window gram rows (stride 1) via the
     window/``lead()`` plan — the positioned-gram builder shared by
@@ -1131,7 +1169,7 @@ def positioned_gram_rows(
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("__pos")
-    tok = _tok_rows(df, text_col, id_col)
+    tok = _tok_rows(df, text_col, id_col, fan_out)
     parts = [F.col("__tok")] + [
         F.lead("__tok", j).over(w) for j in range(1, span_n)
     ]
@@ -1154,6 +1192,7 @@ def finish_excision(
     span_n: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fan_out: bool = True,
 ) -> DataFrame:
     """Excision tail shared by the batch operators and by consumers of
     the STREAMING start detector (``streaming/excise.py``): given the
@@ -1165,7 +1204,7 @@ def finish_excision(
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("__pos")
-    tok = _tok_rows(df, text_col, id_col)
+    tok = _tok_rows(df, text_col, id_col, fan_out)
     ds = dup_starts.select(
         F.col(id_col), F.col("pos").alias("__pos"), F.lit(1).alias("__ds")
     )
@@ -1236,11 +1275,15 @@ def excise_vs_corpus(
         corpus_df, span_n, min_docs, text_col, id_col, portable
     )
     bkey = F.col("g") if portable else F.xxhash64("g")
-    starts = positioned_gram_rows(new_df, span_n, text_col, id_col).select(
-        F.col(id_col), F.col("pos"), bkey.alias("gram_key")
-    )
+    # fan_out=False: new_df is the small arriving batch (see
+    # incremental_neardup_pairs); the corpus gram pass keeps its spread
+    starts = positioned_gram_rows(
+        new_df, span_n, text_col, id_col, fan_out=False
+    ).select(F.col(id_col), F.col("pos"), bkey.alias("gram_key"))
     dup_starts = starts.join(keys, "gram_key").select(id_col, "pos")
-    return finish_excision(new_df, dup_starts, span_n, text_col, id_col)
+    return finish_excision(
+        new_df, dup_starts, span_n, text_col, id_col, fan_out=False
+    )
 
 
 def corpus_gram_keys(

@@ -2277,6 +2277,7 @@ ORDER BY doc_id, epoch_ix
 """
 
 
+@prepared()
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup (dedup.py incremental_neardup_pairs): every
     97th document, truncated to its 80%-token prefix and re-id'd, plays
@@ -2307,6 +2308,7 @@ def _incremental_batch(docs):
     )
 
 
+@prepared()
 def q_incremental_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup against the SAVED band index
     (sources/ann_store.py): the standing corpus's MinHash band rows
@@ -2332,12 +2334,48 @@ def q_incremental_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark-warehouse",
             table,
         )
-        save_band_index(docs, table, path)
+        # register-or-rebuild (r14): the session catalog is in-memory, so
+        # a fresh session forgets the table; when the on-disk index is
+        # current for this source (content fingerprint + build params),
+        # re-register it instead of re-running the corpus signature pass
+        # and rewriting the files
+        _ensure_stored_index(
+            spark,
+            table,
+            path,
+            fingerprint_suffix="|band:mh16,b4,n3,s7",
+            bucket_cols=["band_id", "key"],
+            sf_dir=sf_dir,
+            build=lambda: save_band_index(docs, table, path),
+        )
     out = incremental_neardup_stored(spark, table, _incremental_batch(docs))
     return out.select(
         F.col("new_id").cast("bigint").alias("new_id"),
         F.col("corpus_id").cast("bigint").alias("corpus_id"),
     ).orderBy("new_id", "corpus_id")
+
+
+def _ensure_stored_index(
+    spark, table, path, fingerprint_suffix, bucket_cols, sf_dir, build, buckets=32
+):
+    """Shared register-or-rebuild gate for the stored-index queries:
+    current on-disk data (source content fingerprint + build-param
+    suffix) is RE-REGISTERED with the in-memory catalog; anything else
+    is rebuilt and fingerprint-marked.  Values are identical either way
+    — the registered table reads the exact files a fresh build writes."""
+    from kats_spark.sources.ann_store import (
+        mark_stored,
+        register_bucketed_table,
+        source_fingerprint,
+        stored_is_current,
+    )
+
+    fp = source_fingerprint(f"{sf_dir}/documents.parquet") + fingerprint_suffix
+    if stored_is_current(path, fp):
+        register_bucketed_table(spark, table, path, bucket_cols, buckets)
+    else:
+        build()
+        mark_stored(path, fp)
 
 
 def _incremental_neardup_sql(num_hashes: int = 16, bands: int = 4, seed: int = 7) -> str:
@@ -2412,6 +2450,7 @@ def q_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "corpus_id")
 
 
+@prepared()
 def q_incremental_simhash_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SimHash against the SAVED chunk index
     (ann_store.save_simhash_index): the corpus fingerprint pass persists
@@ -2435,7 +2474,16 @@ def q_incremental_simhash_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark-warehouse",
             table,
         )
-        save_simhash_index(docs, table, path, bits=24, bands=2)
+        # register-or-rebuild (r14) — see q_incremental_neardup_stored
+        _ensure_stored_index(
+            spark,
+            table,
+            path,
+            fingerprint_suffix="|simhash:bits24,bands2",
+            bucket_cols=["band", "chunk"],
+            sf_dir=sf_dir,
+            build=lambda: save_simhash_index(docs, table, path, bits=24, bands=2),
+        )
     out = incremental_simhash_stored(
         spark, table, _incremental_batch(docs), max_hamming=1, bands=2, bits=24
     )
@@ -2524,6 +2572,7 @@ FROM r WHERE bucket_rank <= 30 ORDER BY doc_id
 """
 
 
+@prepared()
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span fraction (dedup.py dup_span_fraction): per doc,
     the share of its 20-token windows occurring in >= 2 documents — the
@@ -2565,6 +2614,7 @@ FROM per ORDER BY doc_id
 """
 
 
+@prepared()
 def q_dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span EXCISION (dedup.py excise_dup_spans): the removal
     step of Lee et al. 2022 — every token covered by a 5-token window
@@ -2614,6 +2664,7 @@ FROM per ORDER BY doc_id
 """
 
 
+@prepared()
 def q_incremental_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental duplicated-span excision (dedup.excise_vs_corpus):
     clean an arriving batch against the standing corpus — the removal
@@ -2661,6 +2712,7 @@ def _excise_batch(docs):
     )
 
 
+@prepared()
 def q_incremental_excise_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental span excision against the SAVED gram index
     (sources/ann_store.py save_gram_index): the standing corpus's
@@ -2685,7 +2737,18 @@ def q_incremental_excise_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark-warehouse",
             table,
         )
-        save_gram_index(docs, table, path, span_n=5, min_docs=1, portable=True)
+        # register-or-rebuild (r14) — see q_incremental_neardup_stored
+        _ensure_stored_index(
+            spark,
+            table,
+            path,
+            fingerprint_suffix="|gram:span5,min1,portable",
+            bucket_cols=["gram_key"],
+            sf_dir=sf_dir,
+            build=lambda: save_gram_index(
+                docs, table, path, span_n=5, min_docs=1, portable=True
+            ),
+        )
     out = incremental_excise_stored(
         spark, table, _excise_batch(docs), span_n=5, portable=True
     )

@@ -11,7 +11,17 @@ sf_dir, function), the constructed DataFrame is reused.
 STRICT eligibility — a function may be decorated ONLY if its body:
 - runs NO driver-side actions (no collect/count/toPandas — iterative
   models, GP loops and k-means builds are ineligible: their call does
-  real work whose repetition the bench must measure);
+  real work whose repetition the bench must measure).  ONE carve-out
+  (r14): a stored-index query whose only action is the idempotent
+  once-per-session register-or-rebuild gate
+  (pipeline_queries._ensure_stored_index) IS eligible — the gate fires
+  on the first construction only, the catalog registration it creates
+  survives ``clearCache()`` (tables are not cached plans), and every
+  later construction is pure plan work; a memo hit therefore returns
+  exactly what a fresh construction would build.  Per-request driver
+  work (e.g. the probed-cell collect in bitext_mine_stored /
+  ivf_stored_topk) remains INELIGIBLE: that collect is real serving
+  cost paid per query batch, and the bench must keep measuring it;
 - creates NO materialization boundary (localCheckpoint/checkpoint) —
   a lazily-checkpointed frame would silently carry MATERIALIZED data
   across an external ``clearCache()`` and turn a repeat measurement

@@ -206,7 +206,16 @@ def save_band_index(
         bands,
     ).select(F.col(id_col).alias("corpus_id"), "band_id", "key")
     (
-        band_rows.write.mode("overwrite")
+        # repartition on the EXACT bucket columns into `buckets` tasks:
+        # repartition's HashPartitioning and the bucket spec share the
+        # same murmur3-mod-n id, so every task holds exactly one bucket
+        # and the write emits ONE file per bucket.  Without this the
+        # write emits (tasks x buckets) files — the r13 spread made that
+        # 32x32 ≈ 1024 tiny files, and every steady-state scan of the
+        # stored index paid ~1000 file opens (guide §6 small files).
+        # `buckets` stays the scale knob for file sizing.
+        band_rows.repartition(buckets, "band_id", "key")
+        .write.mode("overwrite")
         .bucketBy(buckets, "band_id", "key")
         .option("path", path)
         .format("parquet")
@@ -237,7 +246,9 @@ def save_gram_index(
         corpus, span_n, min_docs, text_col, id_col, portable
     )
     (
-        keys.write.mode("overwrite")
+        # one file per bucket — see save_band_index
+        keys.repartition(buckets, "gram_key")
+        .write.mode("overwrite")
         .bucketBy(buckets, "gram_key")
         .option("path", path)
         .format("parquet")
@@ -266,13 +277,17 @@ def incremental_excise_stored(
     )
 
     bkey = F.col("g") if portable else F.xxhash64("g")
-    starts = positioned_gram_rows(new_df, span_n, text_col, id_col).select(
-        F.col(id_col), F.col("pos"), bkey.alias("gram_key")
-    )
+    # fan_out=False: new_df is the small arriving batch (see
+    # dedup.incremental_neardup_pairs) — spreading it is pure overhead
+    starts = positioned_gram_rows(
+        new_df, span_n, text_col, id_col, fan_out=False
+    ).select(F.col(id_col), F.col("pos"), bkey.alias("gram_key"))
     dup_starts = starts.join(spark.table(table), "gram_key").select(
         id_col, "pos"
     )
-    return finish_excision(new_df, dup_starts, span_n, text_col, id_col)
+    return finish_excision(
+        new_df, dup_starts, span_n, text_col, id_col, fan_out=False
+    )
 
 
 def save_simhash_index(
@@ -303,7 +318,9 @@ def save_simhash_index(
         F.col("simhash16").alias("corpus_fp"),
     )
     (
-        rows.write.mode("overwrite")
+        # one file per bucket — see save_band_index
+        rows.repartition(buckets, "band", "chunk")
+        .write.mode("overwrite")
         .bucketBy(buckets, "band", "chunk")
         .option("path", path)
         .format("parquet")
@@ -334,7 +351,9 @@ def incremental_simhash_stored(
     )
 
     _check_simhash_bands(bands, max_hamming, bits)
-    fp = simhash_portable(new_df, text_col, id_col, bits, "simhash16")
+    # fan_out=False: the arriving batch is small (see dedup.
+    # incremental_neardup_pairs) — spreading it is pure overhead
+    fp = simhash_portable(new_df, text_col, id_col, bits, "simhash16", fan_out=False)
     kn = simhash_chunk_rows(fp, bands, bits, id_col, "simhash16").select(
         F.col("__band").alias("band"),
         F.col("__chunk").alias("chunk"),
@@ -374,7 +393,11 @@ def incremental_neardup_stored(
     )
 
     bn = minhash_band_rows(
-        minhash_portable_sig(new_df, text_col, id_col, num_hashes, shingle_n, seed),
+        # fan_out=False: the arriving batch is small (see dedup.
+        # incremental_neardup_pairs) — spreading it is pure overhead
+        minhash_portable_sig(
+            new_df, text_col, id_col, num_hashes, shingle_n, seed, fan_out=False
+        ),
         id_col,
         num_hashes,
         bands,
@@ -384,6 +407,35 @@ def incremental_neardup_stored(
         bn.join(bc, ["band_id", "key"])
         .select("new_id", "corpus_id")
         .distinct()
+    )
+
+
+def register_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    buckets: int = 32,
+) -> None:
+    """Re-REGISTER an existing bucketed table directory with the catalog
+    instead of rebuilding it.  The session catalog is in-memory, so a
+    fresh session does not remember ``saveAsTable`` registrations from a
+    previous one — before r14 every new session silently re-ran the full
+    corpus index build AND rewrote the files on its first stored-index
+    query (several seconds of pure waste, plus a file layout that
+    depended on whichever session built last).  The schema comes from
+    the parquet footers and the CLUSTERED BY spec matches what save_*
+    wrote (the bucket ids are already encoded in the file names), so
+    ``spark.table(...)`` plans the same bucketed scan a fresh
+    ``saveAsTable`` registration would.  Callers gate on
+    ``stored_is_current`` so stale data is rebuilt, never reused."""
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    bc = ", ".join(f"`{c}`" for c in bucket_cols)
+    spark.sql(
+        f"CREATE TABLE `{table}` ({cols}) USING parquet "
+        f"CLUSTERED BY ({bc}) INTO {buckets} BUCKETS "
+        f"LOCATION '{path}'"
     )
 
 

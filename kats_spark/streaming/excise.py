@@ -122,11 +122,15 @@ def streaming_excise_to_sink(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         bkey = F.col("g") if portable else F.xxhash64("g")
-        starts = positioned_gram_rows(batch_df, span_n, text_col, id_col).select(
-            F.col(id_col), "pos", bkey.alias("gram_key")
-        )
+        # fan_out=False: a micro-batch is arriving-batch sized by
+        # definition (see dedup.incremental_neardup_pairs)
+        starts = positioned_gram_rows(
+            batch_df, span_n, text_col, id_col, fan_out=False
+        ).select(F.col(id_col), "pos", bkey.alias("gram_key"))
         dup = starts.join(corpus_keys, "gram_key").select(id_col, "pos")
-        cleaned = finish_excision(batch_df, dup, span_n, text_col, id_col)
+        cleaned = finish_excision(
+            batch_df, dup, span_n, text_col, id_col, fan_out=False
+        )
         cleaned.write.mode("append").parquet(out_path)
 
     return (

@@ -536,3 +536,49 @@ def test_simhash_index_store_matches_direct_and_skips_corpus_shuffle(spark, sf_d
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_register_bucketed_table_matches_rebuild_and_one_file_per_bucket(spark, sf_dir):
+    """r14: (a) the bucketed writers emit exactly ONE data file per
+    bucket (the r13 spread had ballooned the stored indexes to
+    tasks x buckets tiny files); (b) re-REGISTERING the existing
+    directory in a fresh catalog (register_bucketed_table) yields the
+    identical rows and a bucketed scan, without re-running the build."""
+    import os
+    import shutil
+    import tempfile
+
+    from kats_spark.sources.ann_store import (
+        register_bucketed_table,
+        save_band_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp()
+    table = "band_index_register_test"
+    table2 = "band_index_register_test_reg"
+    try:
+        save_band_index(docs, table, f"{tmp}/bands", buckets=8)
+        data_files = [
+            f for f in os.listdir(f"{tmp}/bands")
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        assert len(data_files) == 8, data_files  # one file per bucket
+        expected = sorted(map(tuple, spark.table(table).collect()))
+        register_bucketed_table(
+            spark, table2, f"{tmp}/bands", ["band_id", "key"], buckets=8
+        )
+        got = sorted(map(tuple, spark.table(table2).collect()))
+        assert got == expected
+        # the registered table carries the bucket spec: a groupBy on the
+        # bucket columns needs NO exchange (a plain scan prints
+        # "disabled by query planner" — only a required distribution
+        # activates the bucketed read)
+        from kats_spark.sources.bucketing import exchange_count
+
+        agg = spark.table(table2).groupBy("band_id", "key").count()
+        assert exchange_count(agg) == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table2}")
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -76,3 +76,29 @@ def test_shingle_rows_spread_adds_no_exchange(spark, docs):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_fan_out_false_invariant_and_no_repartition(spark, docs):
+    """r14: batch-side builders skip the spread (`fan_out=False`) —
+    values identical, and the REPARTITION_BY_NUM exchange is absent
+    (the window's ENSURE_REQUIREMENTS exchange may remain)."""
+    one = docs.coalesce(1)
+    got = sorted(dedup.shingle_string_rows(one, fan_out=False).collect())
+    exp = sorted(dedup.shingle_string_rows(one, fan_out=True).collect())
+    assert got == exp
+    plan = (
+        dedup.shingle_string_rows(one, fan_out=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "REPARTITION_BY_NUM" not in plan
+
+
+def test_incremental_pairs_batch_side_not_spread(spark, docs):
+    """The incremental operators pass fan_out=False for the arriving
+    batch only: exactly the corpus side's spread repartition remains."""
+    batch = docs.filter(F.col("doc_id") % 7 == 0).coalesce(1)
+    out = dedup.incremental_neardup_pairs(batch, docs.coalesce(1))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("REPARTITION_BY_NUM") == 1

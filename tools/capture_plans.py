@@ -28,7 +28,11 @@ def main() -> None:
     qs = entrymod.queries()
     spark = get_spark("kats_spark_plan_capture")
     spark.sparkContext.setLogLevel("ERROR")
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r14"),
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         if name not in qs:

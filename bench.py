@@ -80,6 +80,10 @@ HEADLINE = [
     # (models/global_rnn.py _WEIGHTS_MEMO — bit-identical to retraining,
     # tested), later reps measure the steady-state inference plan, so
     # best-of-N records the amortized number a standing model serves.
+    # Since r14 ml_ar_insample amortizes the same way (_MODEL_MEMO,
+    # memo-hit == fresh-fit pinned in tests/test_ml.py) and every
+    # query's FIRST-rep time lands in BENCH_FULL.json so the cold cost
+    # stays adjudicable.
     "ivfpq_recall",
     "quality_classifier",
     "hpt_gpei",
@@ -216,6 +220,12 @@ def main() -> None:
     jvm_gc = spark.sparkContext._jvm.System.gc
     timings: dict[str, float] = {}
     rep_counts: dict[str, int] = {}
+    # r14 (VERDICT r13 item #4): record each query's FIRST-rep time too,
+    # so rows that amortize deliberately (stored indexes, global-ensemble
+    # weights, ml_ar model memo, prepared plans) expose their cold cost
+    # in BENCH_FULL.json next to the best-of-N steady state.  Additions
+    # only — the final stdout line and its `queries` dict are unchanged.
+    first_reps: dict[str, float] = {}
     # machine-checkable box-load discipline (VERDICT r10 item #4): the
     # artifact itself records host load at start/end plus per-query rep
     # counts, so drift adjudication (uniform inflation on untouched rows
@@ -248,7 +258,10 @@ def main() -> None:
             jvm_gc()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            if reps == 0:
+                first_reps[name] = round(elapsed, 3)
+            best = min(best, elapsed)
             reps += 1
         timings[name] = round(best, 3)
         rep_counts[name] = reps
@@ -272,6 +285,7 @@ def main() -> None:
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
         "reps": rep_counts,
+        "first_rep": first_reps,
         "queries": timings,
     }
     try:

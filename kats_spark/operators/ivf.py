@@ -147,6 +147,14 @@ def build_index_portable(
         seeds = df.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).cast("int").alias("cell_id"), F.col(vec_col).alias("center")
         )
+    # NO skew.spread here, deliberately (r14 TRIED AND REJECTED): a
+    # spread before the assignment cross joins looked like a win in one
+    # cross-session read (3.2→2.8 s on ivfpq_recall) but a paired
+    # same-session A/B (4 alternating rounds) showed no advantage
+    # (best 3.88 spread vs 3.78 without), and the lazy IVF consumers
+    # (semantic_dedup, diversity_sample, ANN bitext, stored search)
+    # read 0.1-0.3 s WORSE with it — the fixed REPARTITION_BY_NUM
+    # defeats AQE's coalescing of their end-to-end actions.
     asg1 = _assign(df, seeds, vec_col, id_col)
     elems = asg1.select("cell_id", F.posexplode(vec_col).alias("pos", "v"))
     cent = elems.groupBy("cell_id", "pos").agg(_rnd6(F.avg("v")).alias("cv"))

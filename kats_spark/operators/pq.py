@@ -30,21 +30,46 @@ from pyspark.sql import functions as F
 
 def _lloyd(X: np.ndarray, ks: int, iters: int, rng: np.random.Generator) -> np.ndarray:
     """Seeded numpy k-means for one subspace.  Empty clusters re-seed to
-    the point farthest from its centroid."""
+    the point farthest from its centroid.
+
+    The per-cluster update groups rows by ONE stable argsort per
+    iteration instead of ks boolean-mask scans (r14: the mask loop was
+    0.7 s of the ivfpq_recall bench row).  Values are bit-identical:
+    a stable sort preserves each cluster's original row order, so the
+    sliced copy fed to ``mean(0)`` is the same contiguous sequence the
+    masked copy was (same pairwise summation), and the farthest-point
+    re-seed is a loop constant (``d`` is fixed once per iteration)."""
+    C = _lloyd_seed(X, ks, rng)
+    return _lloyd_iter(X, C, ks, iters)
+
+
+def _lloyd_seed(X: np.ndarray, ks: int, rng: np.random.Generator) -> np.ndarray:
+    """Seed draw split out of ``_lloyd`` so the shared rng stream can be
+    consumed SEQUENTIALLY across subspaces while the (rng-free)
+    iterations run in parallel threads (see train_codebooks)."""
     n = len(X)
     idx = rng.choice(n, size=min(ks, n), replace=False)
     C = X[idx].copy()
     if len(C) < ks:  # degenerate tiny sample: pad with jitter
         C = np.vstack([C, C[rng.integers(0, len(C), ks - len(C))] + 1e-6])
+    return C
+
+
+def _lloyd_iter(X: np.ndarray, C: np.ndarray, ks: int, iters: int) -> np.ndarray:
     for _ in range(iters):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
         a = d.argmin(1)
+        order = np.argsort(a, kind="stable")
+        bounds = np.searchsorted(a[order], np.arange(ks + 1))
+        far = None
         for c in range(ks):
-            mask = a == c
-            if mask.any():
-                C[c] = X[mask].mean(0)
+            s, e = bounds[c], bounds[c + 1]
+            if e > s:
+                C[c] = X[order[s:e]].mean(0)
             else:
-                C[c] = X[d.min(1).argmax()]
+                if far is None:
+                    far = X[d.min(1).argmax()].copy()
+                C[c] = far
     return C
 
 
@@ -73,9 +98,22 @@ def train_codebooks(
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
     rng = np.random.default_rng(seed)
-    return np.stack(
-        [_lloyd(X[:, j * dsub : (j + 1) * dsub], ks, iters, rng) for j in range(m)]
-    )
+    # seeds draw SEQUENTIALLY (the exact rng stream of the serial loop),
+    # then the rng-free Lloyd iterations of the m independent subspaces
+    # run in parallel threads — numpy ufuncs release the GIL, so the
+    # 16-subspace training overlaps on the driver's cores (guide §2.6
+    # applied to driver work; byte-identical per subspace by
+    # construction, pinned by tests/test_pq.py)
+    from concurrent.futures import ThreadPoolExecutor
+
+    subs = [X[:, j * dsub : (j + 1) * dsub] for j in range(m)]
+    seeds = [_lloyd_seed(s, ks, rng) for s in subs]
+    # 4 workers measured best (0.46 s vs 0.88 serial vs 0.68 at 8 —
+    # beyond 4 the GIL-held python slice of each small-array op thrashes)
+    with ThreadPoolExecutor(max_workers=min(4, m)) as pool:
+        out = list(pool.map(lambda sc: _lloyd_iter(sc[0], sc[1], ks, iters),
+                            zip(subs, seeds)))
+    return np.stack(out)
 
 
 def encode(
@@ -300,6 +338,20 @@ def ivfpq_build(
         )
         centers_rows = f_centers.result()
         cb = f_cb.result()
+    # compact the encode input (the fit_input pattern, byte-estimate
+    # gated — zero jobs): resid inherits the assignment pipeline's
+    # shuffle layout (32 partitions of ~60 rows at bench scale), so the
+    # one-pass vectorized encode paid 32 Arrow task round-trips for
+    # work one numpy batch does in ms.  Scale-adaptive: ~8 MB of
+    # residuals per task, capped at defaultParallelism — a corpus-sized
+    # resid keeps every core.
+    from kats_spark.operators.skew import _UNKNOWN_STATS, plan_size_bytes
+
+    est = plan_size_bytes(resid)
+    if est < _UNKNOWN_STATS:
+        sc = resid.sparkSession.sparkContext
+        target = max(1, min(sc.defaultParallelism, est // (8 << 20) + 1))
+        resid = resid.coalesce(target)
     enc = encode(resid, cb, vec_col="__res", id_col=id_col, keep_cols=("cell_id",))
     centers = np.vstack(
         [np.asarray(r.center, dtype=np.float64) for r in centers_rows]

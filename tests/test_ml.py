@@ -588,3 +588,28 @@ def test_metalearn_hpt_query_runs(spark):
     assert len(out) == 5
     assert out.win_len.notna().all()
     assert set(out.seasonal) <= {"additive", "multiplicative"}
+
+
+def test_ml_ar_model_memo_hit_equals_fresh(spark):
+    """r14: fit_predict_insample(memo_key=...) reuses the fitted GBT
+    within one gateway (the r08 global_rnn weights-memo contract).  A
+    memo HIT must return bit-identical predictions to a fresh fit —
+    the model is deterministic in (input, seed), and the hit path's
+    transform-over-raw-features must equal the fresh path's
+    transform-over-compacted-features."""
+    df = simulator.simulate(
+        spark, n_series=2, n_points=200, noise_std=0.5,
+        seasonal_period=24, seasonal_magnitude=2.0, seed=83,
+    )
+    ml_ar._MODEL_MEMO.clear()
+    fresh = sorted(map(tuple, ml_ar.fit_predict_insample(
+        df, max_iter=5, memo_key=("t",)).collect()))
+    assert ml_ar._MODEL_MEMO  # first call trained and stored
+    hit = sorted(map(tuple, ml_ar.fit_predict_insample(
+        df, max_iter=5, memo_key=("t",)).collect()))
+    assert hit == fresh
+    # different memo_key -> independent fit, same values (determinism)
+    other = sorted(map(tuple, ml_ar.fit_predict_insample(
+        df, max_iter=5, memo_key=("u",)).collect()))
+    assert other == fresh
+    ml_ar._MODEL_MEMO.clear()

@@ -3243,7 +3243,10 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text")
         .repartition(par)  # one sub-128MB bench split; see q_source_overlap
     )
-    out = dsir_weights(docs, docs.filter(F.col("lang") == "zh"), num_buckets=1024)
+    # target ⊆ raw: one fused tokenize pass (dsir.dsir_weights r14)
+    out = dsir_weights(
+        docs, None, num_buckets=1024, target_from_raw=F.col("lang") == "zh"
+    )
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("n_feats").cast("bigint").alias("n_feats"),
@@ -3437,8 +3440,10 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text")
         .repartition(par)  # one sub-128MB bench split; see q_source_overlap
     )
+    # target ⊆ raw: one fused tokenize pass (dsir.dsir_weights r14)
     out = dsir_resample(
-        docs, docs.filter(F.col("lang") == "zh"), n=64, seed=7, num_buckets=1024
+        docs, None, n=64, seed=7, num_buckets=1024,
+        target_from_raw=F.col("lang") == "zh",
     )
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -3620,8 +3625,10 @@ def q_mixture_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "text")
         .repartition(par)  # one sub-128MB bench split; see q_source_overlap
     )
+    # target ⊆ raw: one tokenize pass + ONE aggregate/collect
+    # (dsir.mixture_fit r14)
     w = mixture_fit(
-        docs, docs.filter(F.col("lang") == "zh"), num_buckets=1024
+        docs, None, num_buckets=1024, target_from_raw=F.col("lang") == "zh"
     )
     out = spark.createDataFrame(w, ["source", "weight"])
     return out.select(

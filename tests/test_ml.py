@@ -613,3 +613,30 @@ def test_ml_ar_model_memo_hit_equals_fresh(spark):
         df, max_iter=5, memo_key=("u",)).collect()))
     assert other == fresh
     ml_ar._MODEL_MEMO.clear()
+
+
+def test_quality_classifier_memo_hit_equals_fresh(spark):
+    """r14: quality_classifier_scores(memo_key=...) reuses the fitted
+    pipeline within one gateway (the r08/r14 standing-model contract).
+    A memo HIT must return bit-identical (weak_label, p_good) to a
+    fresh train."""
+    from kats_spark.models import quality_classifier as qc
+
+    df = simulator.simulate(
+        spark, n_series=1, n_points=80, noise_std=1.0, seed=31,
+    ).select(
+        F.row_number().over(__import__("pyspark").sql.Window.orderBy("time")).alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta "),
+            F.repeat(F.lit("spamword "), (F.abs(F.hash("time")) % 12).cast("int")),
+            F.lit(" common filler words appear here often enough"),
+        ).alias("text"),
+    )
+    qc._MODEL_MEMO.clear()
+    fresh = sorted(map(tuple, qc.quality_classifier_scores(
+        df, max_iter=5, memo_key=("t",)).collect()))
+    assert qc._MODEL_MEMO  # trained and stored
+    hit = sorted(map(tuple, qc.quality_classifier_scores(
+        df, max_iter=5, memo_key=("t",)).collect()))
+    assert hit == fresh
+    qc._MODEL_MEMO.clear()

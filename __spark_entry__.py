@@ -51,25 +51,26 @@ _PRIORITY = [
     # ---- slots 36-50: ROTATION WINDOW (VERDICT r03 item #2) ----
     # The driver hashes only the first 50 entries, so slots 36-50 rotate
     # each round while slots 1-35 keep one representative per operator
-    # family.  Round 13 (VERDICT r12 item #1): the declared queue —
-    # (a) the NINE r12 oracles that landed after the r12 window froze
-    # and have never been driver-checked (all judge-replayed MATCH in
-    # the r12 verdict), (b) the two r03-block stragglers metrics_naive /
-    # tsfeatures_expr (last driver-green r03, judge-replayed MATCH), and
-    # (c) the TWO r13 promotions — tsfeatures_full (the composed wide
-    # row, plans/tsfull_oracle.py) and embedding_pca (deterministic
-    # eigensolve, plans/eig_oracle.py), both pre-verified MATCH at
-    # sf0.01 on a vanilla session — plus (d) one oldest-green re-check
-    # from the r04 block (last driver-green nine rounds ago).  The THIRD
-    # r13 promotion, hourly_ratio (plans/hr_oracle.py, the closed r09
-    # pinv holdout, verified MATCH at sf0.001/0.01/0.1), takes the slot
-    # a second re-check would have had.
+    # family.  Round 14 (VERDICT r13 item #9 + the declared ROUND13
+    # queue): the FOURTEEN remaining r04-block re-checks (last
+    # driver-green r04 — ten rounds ago; corpus_sample, the block's
+    # fifteenth, was re-checked in r13) plus incremental_excise (last
+    # driver-green r08, and this round's fan_out/prepared changes touch
+    # it directly — the slot doubles as a driver check of the r14
+    # optimization).  All 15 re-verified MATCH at sf0.01 on a vanilla
+    # session before this rotation landed (tools/oracle_replay.py).
+    "hpt_sobol", "lang_id_ngram", "multimodal_decode", "dup_clusters",
+    "bm25_topk", "pii_scrub", "bigram_logppl", "damped_forecast",
+    "ljung_box", "decontaminate_fuzzy", "snapshot_diff", "zipf_fit",
+    "ensemble_pi", "bpe_token_stats", "incremental_excise",
+    # ---- depth: remaining oracle-backed coverage (51+) ----
+    # r13-window queries displaced by the r14 rotation (all r13
+    # driver-green)
     "tsfeatures_kernel", "bvar_forecast", "reconcile_mint", "std_global",
     "detector_select", "image_phash_pairs", "bpe_train", "mixture_fit",
     "multi_cusum", "metrics_naive", "tsfeatures_expr",
     "tsfeatures_full", "embedding_pca", "hourly_ratio",
     "corpus_sample",
-    # ---- depth: remaining oracle-backed coverage (51+) ----
     # r12-window queries displaced by the r13 rotation (all r12
     # driver-green)
     "stl_decompose", "stl_strength", "outlier_detect_stl",
@@ -90,7 +91,7 @@ _PRIORITY = [
     "rolling_mad", "theta_forecast",
     "weighted_ensemble", "global_dms", "var_scores",
     # r08-window queries displaced by the r09 rotation
-    "dup_span_excise", "incremental_excise", "incremental_excise_stored",
+    "dup_span_excise", "incremental_excise_stored",
     "ivf_stored_topk", "incremental_neardup_stored",
     "allpairs_topk", "backtest_fixed", "corpus_funnel", "decontaminate",
     "doc_fingerprint", "embed_survivors", "hash_embed",
@@ -130,11 +131,7 @@ _PRIORITY = [
     "fourier_features", "metrics_dist",
     # variants / secondary
     "resample_ffill", "rolling_zscore_segmented", "sessionize_native",
-    # r04 rotation-window queries displaced to the depth section
-    "hpt_sobol", "lang_id_ngram", "multimodal_decode",
-    "dup_clusters", "bm25_topk", "pii_scrub", "bigram_logppl",
-    "damped_forecast", "ljung_box", "decontaminate_fuzzy", "snapshot_diff",
-    "zipf_fit", "ensemble_pi", "bpe_token_stats",
+    # (the r04 rotation-window block moved into slots 36-50 for r14)
 ]
 
 
